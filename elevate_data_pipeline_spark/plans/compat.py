@@ -1,0 +1,137 @@
+"""Per-ID loop compat mode — the reference's execution strategy, kept for
+A/B semantics testing against the decorrelated compiler.
+
+Reproduces mentoringFunction2.scala:41-55: collect the fetchId list on the
+driver, then run the whole task DAG once per ID, unioning the per-ID
+outputs. Supports the reference's ``${id}`` template substitution
+(operator S2, mentoringFunction2.scala:158) as well as set-level queries
+with ``correlate_on`` (filtered per ID).
+
+This is deliberately the slow path — O(|ids| x tasks) jobs — and exists
+only so property tests can assert ``run_per_id(spec) == compile_pipeline
+(spec)`` on arbitrary ID lists (SURVEY.md §5.4). Never use it at scale.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.catalog import Catalog
+from ..functions.mapping import apply_data_mapping, apply_output_mapping
+from ..plans.compiler import _agg_column, _is_replace, _join_keys
+from ..spec.model import NestedFetch, PipelineSpec, Script, SingleProcess, SpecError
+
+
+def _task_frame_for_id(
+    catalog: Catalog, task: SingleProcess, id_name: str, value
+) -> DataFrame:
+    """singleProcess for one ID (mentoringFunction2.scala:147-207)."""
+    if "${id}" in task.query:
+        df = catalog.sql(task.query.replace("${id}", str(value)))
+    else:
+        df = catalog.sql(task.query)
+        if task.correlate_on:
+            df = df.filter(F.col(task.correlate_on) == F.lit(value))
+    df = df.na.fill(0)
+    if task.agg_cast and task.agg_on:
+        df = df.withColumn(task.agg_on, F.col(task.agg_on).cast(task.agg_cast))
+
+    if task.agg:
+        out_name = task.rename or f"{task.agg}_{task.agg_on}"
+        if task.default_on_empty and not task.groupby and df.isEmpty():
+            # S4 default row (mentoringFunction2.scala:168-175), with the id tag
+            schema = T.StructType(
+                [
+                    T.StructField(id_name, T.LongType(), False),
+                    T.StructField(out_name, T.LongType(), True),
+                ]
+            )
+            return catalog.spark.createDataFrame([(int(value), 0)], schema)
+        col, out_name = _agg_column(task)
+        if task.groupby:
+            df = df.groupBy(task.groupby).agg(col)
+        else:
+            df = df.agg(col)
+            df = df.withColumn(out_name, F.coalesce(F.col(out_name), F.lit(0)))
+    # P3: tag with the current loop ID
+    return df.withColumn(id_name, F.lit(value))
+
+
+def _nested_frame_for_id(
+    catalog: Catalog, task: NestedFetch, id_name: str, value
+) -> DataFrame:
+    """processAgg / multiProcess for one outer ID
+    (mentoringFunction1.scala:201-274,328-376)."""
+    bridge = catalog.sql(task.query).filter(
+        F.col(task.correlate_on) == F.lit(value)
+    )
+    inner_ids = [r[0] for r in bridge.select(task.id).collect()]
+    value_name = task.child[0].rename or "value"
+
+    frames: list[DataFrame] = []
+    for inner in inner_ids:
+        for child in task.child:
+            frames.append(
+                _task_frame_for_id(catalog, child, task.id, inner).withColumnRenamed(
+                    child.rename or f"{child.agg}_{child.agg_on}", value_name
+                )
+            )
+    if not frames:
+        schema = T.StructType(
+            [
+                T.StructField(id_name, T.LongType(), False),
+                T.StructField(value_name, T.LongType(), True),
+            ]
+        )
+        return catalog.spark.createDataFrame([(int(value), 0)], schema)
+    # U1 union fold — by name here (the reference's positional unionAll is
+    # the §2.8 hazard we do not replicate)
+    unioned = functools.reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+    )
+    # A2 rollup: tag outer id, sum
+    return (
+        unioned.withColumn(id_name, F.lit(value))
+        .groupBy(id_name)
+        .agg(F.sum(value_name).alias(value_name))
+    )
+
+
+def _run_script_per_id(catalog: Catalog, script: Script, spec: PipelineSpec, strict: bool) -> DataFrame:
+    fetch = script.fetch_id
+    if fetch is None:
+        raise SpecError("per-ID mode requires a fetchId")
+    id_list = [r[0] for r in catalog.sql(fetch.query).select(fetch.id).collect()]
+
+    per_id_frames: list[DataFrame] = []
+    for value in id_list:  # F2 fixed loop: iterate ALL ids (F2:41; not the F0:39 bug)
+        acc: DataFrame | None = None
+        for task in script.tasks:
+            if isinstance(task, NestedFetch):
+                frame = _nested_frame_for_id(catalog, task, fetch.id, value)
+            else:
+                frame = _task_frame_for_id(catalog, task, fetch.id, value)
+            if acc is None or _is_replace(task):
+                acc = frame
+                continue
+            acc = acc.join(frame, _join_keys(task.join_on), task.join_type or "inner")
+        if acc is None:
+            continue
+        acc = apply_data_mapping(acc, spec.data_mapping)
+        acc = apply_output_mapping(acc, spec.output_schema, strict=strict)
+        per_id_frames.append(acc)
+
+    if not per_id_frames:
+        raise SpecError("empty fetchId list")
+    return functools.reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), per_id_frames
+    )
+
+
+def run_per_id(catalog: Catalog, spec: PipelineSpec, strict: bool = True) -> list[DataFrame]:
+    """Execute every script in reference per-ID loop mode."""
+    return [_run_script_per_id(catalog, s, spec, strict) for s in spec.scripts]

@@ -1,0 +1,206 @@
+"""Spec -> DataFrame compiler (decorrelated, set-oriented).
+
+The reference executes each script as a *driver-side loop*: fetch the ID
+list with ``.collect()`` then re-run the whole task DAG once per ID
+(mentoringFunction2.scala:41-55,84) — O(|ids| x tasks) scans. This
+compiler emits ONE Spark job instead: every correlated task becomes a
+``groupBy(id)`` aggregate over a single set-level scan, stitched to the
+ID frame with joins. Catalyst then handles pushdown, pruning, and join
+strategy; small per-task aggregates broadcast automatically under AQE.
+
+Semantics preserved from the reference (SURVEY.md §2):
+- J2 left-fold join accumulator, F2 order (acc on the left,
+  mentoringFunction2.scala:115-143);
+- J3 join-or-replace dispatch on ``join_on``/``join_type`` == "none"
+  (mentoringFunction2.scala:124-135);
+- S4 default row for IDs whose sub-query is empty, rewritten as
+  left join + coalesce-to-0 (mentoringFunction2.scala:168-175);
+- J4 correlated fetchId loop  -> equi-join + groupBy (decorrelation);
+- J5 nested fetchID_with_InputID -> two-level join + rollup
+  (mentoringFunction1.scala:201-274);
+- U1 union fold — by NAME (unionByName), fixing the reference's
+  positional unionAll hazard (mentoringFunction1.scala:364);
+- A1 dynamic aggregate via ``F.expr(f"{agg}({col})")``
+  (mentoringFunction0.scala:120-124), allowlist-validated;
+- duplicate IDs in the fetchId result replicate output rows, exactly as
+  the per-ID loop appends one row-set per occurrence.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.catalog import Catalog
+from ..functions.mapping import apply_data_mapping, apply_output_mapping
+from ..spec.model import (
+    FetchId,
+    NestedFetch,
+    PipelineSpec,
+    Script,
+    SingleProcess,
+    SpecError,
+)
+
+
+def _join_keys(join_on: Union[str, list, None]) -> list[str]:
+    if join_on is None or join_on == "none":
+        return []
+    return [join_on] if isinstance(join_on, str) else list(join_on)
+
+
+def _is_replace(task: SingleProcess | NestedFetch) -> bool:
+    """J3 branch 1: both markers "none" => frame replaces the accumulator."""
+    return (task.join_type in (None, "none")) and (task.join_on in (None, "none"))
+
+
+def _agg_column(task: SingleProcess) -> tuple[F.Column, str]:
+    name = task.rename or f"{task.agg}_{task.agg_on}"
+    fn = task.agg
+    if fn == "count_distinct":
+        expr = F.countDistinct(task.agg_on)
+    elif fn == "sum_distinct":
+        expr = F.sum_distinct(F.col(task.agg_on))
+    else:
+        # dynamic aggregate name, validated against the allowlist at parse
+        expr = F.expr(f"{fn}({task.agg_on})")
+    return expr.alias(name), name
+
+
+def _scan(catalog: Catalog, task: SingleProcess) -> DataFrame:
+    """S1 scan + P5 fill + P4 optional cast."""
+    df = catalog.sql(task.query)
+    df = df.na.fill(0)
+    if task.agg_cast and task.agg_on:
+        df = df.withColumn(task.agg_on, F.col(task.agg_on).cast(task.agg_cast))
+    return df
+
+
+def _compile_single(
+    catalog: Catalog,
+    task: SingleProcess,
+    fetch: FetchId | None,
+    ids_distinct: DataFrame | None,
+) -> DataFrame:
+    df = _scan(catalog, task)
+
+    if task.correlate_on and fetch is not None:
+        if task.correlate_on != fetch.id:
+            df = df.withColumnRenamed(task.correlate_on, fetch.id)
+        if task.agg:
+            keys = [fetch.id] + ([task.groupby] if task.groupby else [])
+            col, out_name = _agg_column(task)
+            df = df.groupBy(*keys).agg(col)
+            if task.default_on_empty and not task.groupby and ids_distinct is not None:
+                # S4 rewrite: IDs whose subset was empty get {out_name: 0}
+                df = (
+                    ids_distinct.join(df, fetch.id, "left")
+                    .withColumn(out_name, F.coalesce(F.col(out_name), F.lit(0)))
+                )
+        return df
+
+    # uncorrelated task: optional global/grouped aggregate
+    if task.agg:
+        col, _ = _agg_column(task)
+        if task.groupby:
+            df = df.groupBy(task.groupby).agg(col)
+        else:
+            df = df.agg(col)
+    return df
+
+
+def _compile_nested(
+    catalog: Catalog,
+    task: NestedFetch,
+    fetch: FetchId | None,
+    ids_distinct: DataFrame | None,
+) -> DataFrame:
+    """J5: bridge (outer id -> inner id) + per-inner-id children union (U1)
+    + per-outer rollup (A2)."""
+    if not task.child:
+        raise SpecError("fetchID_with_InputID requires at least one child")
+
+    bridge = catalog.sql(task.query)
+    outer = fetch.id if fetch is not None else task.correlate_on
+    if task.correlate_on != outer:
+        bridge = bridge.withColumnRenamed(task.correlate_on, outer)
+    bridge = bridge.select(outer, task.id)
+
+    value_name = task.child[0].rename or "value"
+    frames: list[DataFrame] = []
+    for child in task.child:
+        c = _scan(catalog, child)
+        inner = child.correlate_on or task.id
+        if inner != task.id:
+            c = c.withColumnRenamed(inner, task.id)
+        if child.agg:
+            col, name = _agg_column(child)
+            keys = [task.id] + ([child.groupby] if child.groupby else [])
+            c = c.groupBy(*keys).agg(col)
+            if name != value_name:
+                c = c.withColumnRenamed(name, value_name)
+        frames.append(c.select(task.id, value_name))
+
+    unioned = functools.reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+    )
+    rolled = (
+        unioned.join(bridge, task.id)
+        .groupBy(outer)
+        .agg(F.sum(value_name).alias(value_name))
+    )
+    if ids_distinct is not None:
+        rolled = ids_distinct.join(rolled, outer, "left").withColumn(
+            value_name, F.coalesce(F.col(value_name), F.lit(0))
+        )
+    return rolled
+
+
+def compile_script(catalog: Catalog, script: Script) -> DataFrame:
+    """Compile one script's task DAG into a single DataFrame plan."""
+    fetch = script.fetch_id
+    acc: DataFrame | None = None
+    ids_distinct: DataFrame | None = None
+
+    if fetch is not None:
+        ids = catalog.sql(fetch.query).select(fetch.id)
+        ids_distinct = ids.distinct()
+        # duplicate IDs in the fetch result replicate output rows (loop parity)
+        acc = ids
+
+    for task in script.tasks:
+        if isinstance(task, NestedFetch):
+            frame = _compile_nested(catalog, task, fetch, ids_distinct)
+        else:
+            frame = _compile_single(catalog, task, fetch, ids_distinct)
+
+        if acc is None or _is_replace(task):
+            acc = frame
+            continue
+        keys = _join_keys(task.join_on)
+        how = task.join_type or "inner"
+        if not keys:
+            raise SpecError(
+                f"task {getattr(task, 'input', '?')!r}: join_type={how!r} "
+                "needs join_on"
+            )
+        # J2 fold, F2 side order: accumulator stays on the LEFT
+        acc = acc.join(frame, keys, how)
+
+    if acc is None:
+        raise SpecError(f"script {script.name!r} produced no frame")
+    return acc
+
+
+def compile_pipeline(catalog: Catalog, spec: PipelineSpec, strict: bool = True) -> list[DataFrame]:
+    """Compile every script: task DAG -> data_mapping -> output mapping."""
+    out = []
+    for script in spec.scripts:
+        df = compile_script(catalog, script)
+        df = apply_data_mapping(df, spec.data_mapping)
+        df = apply_output_mapping(df, spec.output_schema, strict=strict)
+        out.append(df)
+    return out

@@ -1,0 +1,73 @@
+"""Parquet-backed table catalog.
+
+The reference reads every input via a pushed-down JDBC sub-query
+(``readFromPostgres``, functions/mentoringFunction2.scala:20-28 —
+``dbtable = "($query) as subquery"``). In the new engine the primary
+source is parquet; filters and projections reach the scan through
+Catalyst (PushedFilters / ReadSchema in ``.explain``), so pushdown is
+declarative rather than string-assembled.
+
+``Catalog`` also registers every table as a temp view so specs and users
+can address tables by name in ``spark.sql``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, data_dir: str, name: str) -> DataFrame:
+    """Load one table from ``<data_dir>/<name>.parquet``.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark reads
+    as a nanosecond long under ``spark.sql.legacy.parquet.nanosAsLong``;
+    convert it back to a microsecond timestamp here so downstream plans
+    (and the DuckDB oracle) see a real timestamp column.
+    """
+    df = spark.read.parquet(os.path.join(data_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+class Catalog:
+    """Named-table access over a data directory, with lazy view registration."""
+
+    def __init__(self, spark: SparkSession, data_dir: str):
+        self.spark = spark
+        self.data_dir = data_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            self._cache[name] = load_table(self.spark, self.data_dir, name)
+        return self._cache[name]
+
+    def register_views(self, names: tuple[str, ...] = TABLES) -> None:
+        """Register each table as a temp view (skip missing files)."""
+        for name in names:
+            path = os.path.join(self.data_dir, f"{name}.parquet")
+            if os.path.exists(path):
+                self.table(name).createOrReplaceTempView(name)
+
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL against the registered views (registers all first)."""
+        self.register_views()
+        return self.spark.sql(query)

@@ -1,0 +1,189 @@
+"""Validated dataclasses for the engine's script-spec query language.
+
+The reference drives everything from three JSON columns of a Postgres
+``config_table`` row (task/mentoringExecution2.scala:19,34-36):
+
+- ``input_data_schema`` — array of scripts, each ``{fetchId, tasks:[...]}``
+  where a task is ``single_process`` (functions/mentoringFunction2.scala:100-112)
+  or ``fetchID_with_InputID`` + ``child:[multiple_process]``
+  (functions/mentoringFunction1.scala:104-105,217-228);
+- ``data_mapping`` — derived-column rules (mentoringFunction2.scala:210-237);
+- ``output_data_schema`` — output projection/rename/type-gate rules
+  (mentoringFunction2.scala:239-266).
+
+This module is the same capability surface as typed Python. Differences
+from the reference, by design (SURVEY.md §2.8):
+
+- Task queries are **set-level** SQL over catalog views and carry a
+  ``correlate_on`` column instead of an interpolated ``${id}`` placeholder;
+  the compiler decorrelates to a join. A ``${id}`` template is still
+  accepted for compat mode (reference operator S2,
+  mentoringFunction2.scala:158).
+- Aggregate names are validated against an allowlist (the reference passes
+  any string into ``expr(s"$agg($col)")`` — mentoringFunction0.scala:121).
+- Output type mismatches raise in strict mode instead of silently skipping
+  the rename (mentoringFunction2.scala:255-262).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Union
+
+# Aggregates the spec may name dynamically (reference A1 accepts any string;
+# we allowlist to prevent spec-injection — SURVEY.md §7 "What's hard").
+ALLOWED_AGGREGATES = frozenset(
+    {
+        "count",
+        "sum",
+        "avg",
+        "mean",
+        "min",
+        "max",
+        "first",
+        "last",
+        "stddev",
+        "stddev_samp",
+        "stddev_pop",
+        "variance",
+        "var_samp",
+        "var_pop",
+        "collect_set",
+        "collect_list",
+        "approx_count_distinct",
+        "count_distinct",
+        "sum_distinct",
+    }
+)
+
+# Output type names the reference's type gate understands
+# (mentoringFunction2.scala:253-257).
+OUTPUT_TYPE_NAMES = {
+    "IntegerType": "int",
+    "LongType": "bigint",
+    "StringType": "string",
+    "DoubleType": "double",
+    "FloatType": "float",
+    "BooleanType": "boolean",
+    "DateType": "date",
+    "TimestampType": "timestamp",
+    "ArrayType(StringType,true)": "array<string>",
+}
+
+
+class SpecError(ValueError):
+    """Invalid spec content."""
+
+
+@dataclass
+class FetchId:
+    """Driver query producing the ID list (reference J4,
+    mentoringFunction2.scala:66-91)."""
+
+    query: str
+    id: str
+    database_name: str = ""
+
+
+@dataclass
+class SingleProcess:
+    """One task: scan → fill → (agg) → tag → fold-join
+    (reference mentoringFunction2.scala:147-207)."""
+
+    input: str  # task name; also the tag-column name in the reference (P3)
+    query: str
+    database_name: str = ""
+    agg: str | None = None
+    agg_on: str | None = None
+    groupby: str | None = None
+    join_on: Union[str, list, None] = None
+    join_type: str | None = None
+    rename: str | None = None
+    # Column in the task-query result correlating rows to fetchId IDs.
+    # None => uncorrelated task (whole-frame join/replace).
+    correlate_on: str | None = None
+    # Reference S4: empty per-ID result => one default row {agg_on: 0}
+    # (mentoringFunction2.scala:168-175). Compiled as left-join + coalesce.
+    default_on_empty: bool = True
+    # Reference P4 always casts agg_on to integer (mentoringFunction2.scala:165);
+    # here opt-in to avoid silent truncation.
+    agg_cast: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.agg is not None:
+            if self.agg not in ALLOWED_AGGREGATES:
+                raise SpecError(f"aggregate {self.agg!r} not in allowlist")
+            if not self.agg_on:
+                raise SpecError(f"task {self.input!r}: agg={self.agg!r} needs agg_on")
+
+
+@dataclass
+class NestedFetch:
+    """fetchID_with_InputID: bridge query mapping outer IDs to inner IDs,
+    children aggregated per inner ID then rolled up per outer ID
+    (reference J5/A2/U1, mentoringFunction1.scala:201-274,328-376)."""
+
+    query: str  # must yield (correlate_on, id) pairs
+    id: str
+    correlate_on: str
+    join_on: Union[str, list, None]
+    join_type: str | None
+    child: list[SingleProcess] = field(default_factory=list)
+    database_name: str = ""
+    input: str = "nested"
+
+
+Task = Union[SingleProcess, NestedFetch]
+
+
+@dataclass
+class Script:
+    """One pipeline: fetchId + ordered tasks folding into an accumulator
+    (reference processScriptLevelData, mentoringFunction2.scala:30-63)."""
+
+    fetch_id: FetchId | None
+    tasks: list[Task]
+    name: str = "script"
+
+
+@dataclass
+class MappingRule:
+    """data_mapping entry: "none" or row-wise n-ary derived column.
+
+    The reference implements only ``average`` over exactly 2 columns,
+    rounded to 2dp (mentoringFunction2.scala:220-228); we generalize to
+    n-ary average/sum/min/max with configurable rounding.
+    """
+
+    agg_type: str  # "none" | "average" | "sum" | "min" | "max"
+    column_name: list[str] = field(default_factory=list)
+    round_to: int = 2
+
+    def __post_init__(self) -> None:
+        if self.agg_type not in {"none", "average", "sum", "min", "max"}:
+            raise SpecError(f"mapping agg_type {self.agg_type!r} unsupported")
+        if self.agg_type != "none" and len(self.column_name) < 1:
+            raise SpecError("mapping rule needs at least one source column")
+
+
+@dataclass
+class OutputColumn:
+    """output_data_schema entry: declared type + sink rename
+    (reference mentoringFunction2.scala:249-262)."""
+
+    input_data_type: str
+    rename: str
+
+    def __post_init__(self) -> None:
+        if self.input_data_type not in OUTPUT_TYPE_NAMES:
+            raise SpecError(f"unknown output type {self.input_data_type!r}")
+
+
+@dataclass
+class PipelineSpec:
+    """The full three-part spec (one config_table row)."""
+
+    scripts: list[Script]
+    data_mapping: dict[str, MappingRule] = field(default_factory=dict)
+    output_schema: dict[str, OutputColumn] = field(default_factory=dict)
+    script_type: str = ""

@@ -1,0 +1,334 @@
+"""Spec parser + compiler tests: every reference operator family
+(S/P/J/A/U per SURVEY.md §2) on the TPC-H-ish testdata."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from elevate_data_pipeline_spark.spec import parse_spec
+from elevate_data_pipeline_spark.spec.model import SpecError
+from elevate_data_pipeline_spark.plans import compile_pipeline, run_per_id
+
+
+def mentor_style_spec(with_mapping: bool = False, with_output: bool = False):
+    """A mentor-report-shaped spec over customer/orders: for each customer
+    in BUILDING segment, count orders and sum totalprice."""
+    input_schema = [
+        {
+            "name": "cust_report",
+            "fetchId": {
+                "query": "SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'",
+                "id": "c_custkey",
+            },
+            "tasks": [
+                {
+                    "single_process": {
+                        "input": "order_count",
+                        "query": "SELECT o_custkey, o_orderkey FROM orders",
+                        "correlate_on": "o_custkey",
+                        "agg": "count",
+                        "agg_on": "o_orderkey",
+                        "join_on": "c_custkey",
+                        "join_type": "left",
+                        "rename": "total_orders",
+                    }
+                },
+                {
+                    "single_process": {
+                        "input": "order_value",
+                        "query": "SELECT o_custkey, o_totalprice FROM orders",
+                        "correlate_on": "o_custkey",
+                        "agg": "sum",
+                        "agg_on": "o_totalprice",
+                        "join_on": "c_custkey",
+                        "join_type": "left",
+                        "rename": "total_value",
+                    }
+                },
+            ],
+        }
+    ]
+    mapping = (
+        {"half_value": {"aggregation": {"agg_type": "average", "column_name": ["total_value", "total_orders"]}}}
+        if with_mapping
+        else {}
+    )
+    output = (
+        {
+            "c_custkey": {"Input_data_type": "LongType", "rename": "customer_id"},
+            "total_orders": {"Input_data_type": "LongType", "rename": "n_orders"},
+        }
+        if with_output
+        else {}
+    )
+    return parse_spec(json.dumps(input_schema), json.dumps(mapping), json.dumps(output))
+
+
+def test_parse_roundtrip():
+    spec = mentor_style_spec(with_mapping=True, with_output=True)
+    assert len(spec.scripts) == 1
+    assert spec.scripts[0].fetch_id.id == "c_custkey"
+    assert len(spec.scripts[0].tasks) == 2
+    assert spec.data_mapping["half_value"].agg_type == "average"
+    assert spec.output_schema["c_custkey"].rename == "customer_id"
+
+
+def test_agg_allowlist_rejected():
+    with pytest.raises(SpecError):
+        parse_spec(
+            json.dumps(
+                [
+                    {
+                        "fetchId": {"query": "SELECT 1 AS k", "id": "k"},
+                        "tasks": [
+                            {
+                                "single_process": {
+                                    "input": "x",
+                                    "query": "SELECT 1 AS k",
+                                    "agg": "java_method",
+                                    "agg_on": "k",
+                                }
+                            }
+                        ],
+                    }
+                ]
+            )
+        )
+
+
+def test_decorrelated_counts_match_manual(catalog):
+    spec = mentor_style_spec()
+    (df,) = compile_pipeline(catalog, spec)
+    rows = {r["c_custkey"]: (r["total_orders"], r["total_value"]) for r in df.collect()}
+
+    cust = catalog.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = catalog.table("orders")
+    manual = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n"),
+            F.coalesce(F.sum("o_totalprice"), F.lit(0)).alias("v"),
+        )
+    )
+    expected = {r["c_custkey"]: (r["n"], r["v"]) for r in manual.collect()}
+    assert set(rows) == set(expected)
+    for k, (n, v) in expected.items():
+        assert rows[k][0] == n, k
+        assert abs(float(rows[k][1]) - float(v)) < 1e-6, k
+
+
+def test_default_row_for_empty_ids(catalog):
+    """S4: customers with zero orders appear with count 0 (not dropped)."""
+    spec = mentor_style_spec()
+    (df,) = compile_pipeline(catalog, spec)
+    n_build = catalog.table("customer").filter(F.col("c_mktsegment") == "BUILDING").count()
+    assert df.count() == n_build
+    assert df.filter(F.col("total_orders") == 0).count() >= 0  # schema reachable
+
+
+def test_data_mapping_average(catalog):
+    spec = mentor_style_spec(with_mapping=True)
+    (df,) = compile_pipeline(catalog, spec)
+    import decimal
+
+    r = df.filter(F.col("total_orders") > 0).first()
+    # Spark F.round is HALF_UP over the double's shortest decimal repr
+    # (BigDecimal.valueOf) — Decimal(repr(x)) replicates that in Python
+    expected = float(
+        decimal.Decimal(repr((r["total_value"] + r["total_orders"]) / 2)).quantize(
+            decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+    assert abs(r["half_value"] - expected) < 1e-9
+
+
+def test_output_mapping_rename_and_project(catalog):
+    spec = mentor_style_spec(with_output=True)
+    (df,) = compile_pipeline(catalog, spec)
+    assert df.columns == ["customer_id", "n_orders"]
+
+
+def test_output_mapping_type_gate_strict(catalog):
+    input_schema = [
+        {
+            "fetchId": {"query": "SELECT c_custkey FROM customer LIMIT 5", "id": "c_custkey"},
+            "tasks": [],
+        }
+    ]
+    output = {"c_custkey": {"Input_data_type": "StringType", "rename": "x"}}
+    spec = parse_spec(json.dumps(input_schema), None, json.dumps(output))
+    with pytest.raises(SpecError):
+        for df in compile_pipeline(catalog, spec, strict=True):
+            df.collect()
+    # lenient: reference behavior — kept but not renamed
+    (df,) = compile_pipeline(catalog, spec, strict=False)
+    assert df.columns == ["c_custkey"]
+
+
+def test_array_flatten_output(catalog, spark):
+    """ArrayType(StringType,true) -> concat_ws(", ") (reference P6/array path)."""
+    df = spark.createDataFrame([(1, ["a", "b"]), (2, ["c"])], "id int, tags array<string>")
+    df.createOrReplaceTempView("tag_table")
+    input_schema = [
+        {
+            "tasks": [
+                {
+                    "single_process": {
+                        "input": "t",
+                        "query": "SELECT * FROM tag_table",
+                        "join_on": "none",
+                        "join_type": "none",
+                    }
+                }
+            ]
+        }
+    ]
+    output = {
+        "id": {"Input_data_type": "IntegerType", "rename": "id"},
+        "tags": {"Input_data_type": "ArrayType(StringType,true)", "rename": "tags_csv"},
+    }
+    spec = parse_spec(json.dumps(input_schema), None, json.dumps(output))
+    (out,) = compile_pipeline(catalog, spec)
+    got = {r["id"]: r["tags_csv"] for r in out.collect()}
+    assert got == {1: "a, b", 2: "c"}
+
+
+def test_join_or_replace_dispatch(catalog):
+    """J3: a task with join_on=join_type="none" replaces the accumulator."""
+    input_schema = [
+        {
+            "fetchId": {"query": "SELECT c_custkey FROM customer", "id": "c_custkey"},
+            "tasks": [
+                {
+                    "single_process": {
+                        "input": "replacement",
+                        "query": "SELECT r_regionkey, r_name FROM region",
+                        "join_on": "none",
+                        "join_type": "none",
+                    }
+                }
+            ],
+        }
+    ]
+    spec = parse_spec(json.dumps(input_schema))
+    (df,) = compile_pipeline(catalog, spec)
+    assert df.columns == ["r_regionkey", "r_name"]
+    assert df.count() == 5
+
+
+def test_nested_fetch_rollup(catalog):
+    """J5/A2/U1: per-customer rollup of lineitem quantities via orders."""
+    input_schema = [
+        {
+            "fetchId": {
+                "query": "SELECT c_custkey FROM customer WHERE c_custkey <= 20",
+                "id": "c_custkey",
+            },
+            "tasks": [
+                {
+                    "fetchID_with_InputID": {
+                        "query": "SELECT o_custkey, o_orderkey FROM orders",
+                        "id": "o_orderkey",
+                        "correlate_on": "o_custkey",
+                        "join_on": "c_custkey",
+                        "join_type": "left",
+                    },
+                    "child": [
+                        {
+                            "multiple_process": {
+                                "input": "qty",
+                                "query": "SELECT l_orderkey, l_quantity FROM lineitem",
+                                "correlate_on": "l_orderkey",
+                                "agg": "sum",
+                                "agg_on": "l_quantity",
+                                "rename": "total_qty",
+                            }
+                        }
+                    ],
+                }
+            ],
+        }
+    ]
+    spec = parse_spec(json.dumps(input_schema))
+    (df,) = compile_pipeline(catalog, spec)
+    got = {r["c_custkey"]: r["total_qty"] for r in df.collect()}
+
+    li = catalog.table("lineitem")
+    orders = catalog.table("orders")
+    expected_df = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    expected = {r["o_custkey"]: r["q"] for r in expected_df.collect() if r["o_custkey"] <= 20}
+    for k in got:
+        exp = expected.get(k, 0)
+        assert abs(float(got[k]) - float(exp)) < 1e-6, k
+
+
+def test_duplicate_ids_replicate_rows(catalog, spark):
+    """Reference loop parity: each occurrence of an ID appends a row-set."""
+    spark.sql(
+        "SELECT c_custkey FROM (SELECT 1 AS c_custkey UNION ALL SELECT 1 UNION ALL SELECT 2)"
+    ).createOrReplaceTempView("dup_ids")
+    input_schema = [
+        {
+            "fetchId": {"query": "SELECT c_custkey FROM dup_ids", "id": "c_custkey"},
+            "tasks": [
+                {
+                    "single_process": {
+                        "input": "oc",
+                        "query": "SELECT o_custkey, o_orderkey FROM orders",
+                        "correlate_on": "o_custkey",
+                        "agg": "count",
+                        "agg_on": "o_orderkey",
+                        "join_on": "c_custkey",
+                        "join_type": "left",
+                        "rename": "n",
+                    }
+                }
+            ],
+        }
+    ]
+    spec = parse_spec(json.dumps(input_schema))
+    (df,) = compile_pipeline(catalog, spec)
+    counts = df.groupBy("c_custkey").count().collect()
+    got = {r["c_custkey"]: r["count"] for r in counts}
+    assert got == {1: 2, 2: 1}
+
+
+@pytest.mark.slow
+def test_per_id_compat_equals_decorrelated(catalog):
+    """SURVEY.md §5.4 property: loop mode ≡ join mode (on a small ID set)."""
+    input_schema = [
+        {
+            "fetchId": {
+                "query": "SELECT c_custkey FROM customer WHERE c_custkey <= 12",
+                "id": "c_custkey",
+            },
+            "tasks": [
+                {
+                    "single_process": {
+                        "input": "oc",
+                        "query": "SELECT o_custkey, o_orderkey FROM orders",
+                        "correlate_on": "o_custkey",
+                        "agg": "count",
+                        "agg_on": "o_orderkey",
+                        "join_on": "c_custkey",
+                        "join_type": "left",
+                        "rename": "n_orders",
+                    }
+                }
+            ],
+        }
+    ]
+    spec = parse_spec(json.dumps(input_schema))
+    (dec,) = compile_pipeline(catalog, spec)
+    (loop,) = run_per_id(catalog, spec)
+    d = {r["c_custkey"]: r["n_orders"] for r in dec.collect()}
+    l = {r["c_custkey"]: r["n_orders"] for r in loop.collect()}
+    assert d == l
