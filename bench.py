@@ -1,0 +1,73 @@
+"""Benchmark runner — one JSON line with per-query wall times.
+
+Runs the headline queries from the registry at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from elevate_data_pipeline_spark.session import get_spark
+from elevate_data_pipeline_spark.queries import QUERIES
+
+# Headline set: spec-engine pipelines + TPC-H-style + events rollup.
+# Extended as new operator families land (dedup / similarity / text).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "spec_fetchid_order_count",
+    "spec_join_fold",
+    "spec_nested_rollup",
+    "spec_dynamic_agg_sum",
+    "union_fold",
+    "events_hourly",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("edp-bench")
+    names = [n for n in HEADLINE if n in QUERIES]
+
+    # warm the JVM + parquet footers with the cheapest query
+    QUERIES["q6_forecast_revenue"](spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        df.collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

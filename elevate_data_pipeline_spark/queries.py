@@ -1,0 +1,636 @@
+"""Query registry — the engine's headline queries with DuckDB oracles.
+
+Every entry pairs a Spark implementation (``QUERIES[name]``, callable
+``(spark, sf_dir) -> DataFrame``) with an equivalent ANSI-SQL string
+(``ORACLES[name]``) that DuckDB runs on the same parquet tables. The
+driver hash-compares the two at sf0.01 (row-count + schema +
+order-insensitive value hash), so results must be *bitwise* identical:
+
+- sums over doubles are decimal-cast before aggregation (exact decimal
+  arithmetic on both engines, independent of partition/summation order),
+  then cast back to double for a clean output schema;
+- products (revenue = price * (1-discount) * (1+tax)) cast each FACTOR
+  to decimal before multiplying — casting the double *product* rounds at
+  the precision edge where Spark (HALF_UP) and DuckDB disagree by 1 ulp;
+  the factors are 2dp values whose double representation casts
+  unambiguously;
+- ratios are derived from those exact decimals with a single IEEE double
+  division (deterministic on both engines);
+- ``F.round`` (Java HALF_UP over shortest-repr) is never compared against
+  DuckDB ``round`` except where the value is exactly representable.
+
+Reference parity: the ``spec_*`` entries run through the spec engine
+(spec JSON -> plans.compiler) and cover the reference operator inventory
+SURVEY.md §2 — fetchId decorrelation (J4), join fold (J1/J2), dispatch
+(J3), nested rollup (J5/A2/U1), dynamic aggregates (A1), default rows
+(S4), data mapping (A3), output mapping (P1/P2/P6).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sources.catalog import Catalog
+from .spec import parse_spec
+from .plans import compile_pipeline
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return wrap
+
+
+def _spec_df(spark: SparkSession, sf_dir: str, input_schema, mapping=None, output=None) -> DataFrame:
+    spec = parse_spec(
+        json.dumps(input_schema),
+        json.dumps(mapping) if mapping else None,
+        json.dumps(output) if output else None,
+    )
+    (df,) = compile_pipeline(Catalog(spark, sf_dir), spec)
+    return df
+
+
+# --------------------------------------------------------------------------
+# Reference surface via the spec engine (SURVEY.md §2)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "spec_fetchid_order_count",
+    """
+    SELECT c.c_custkey AS c_custkey, count(o.o_orderkey) AS total_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY c.c_custkey
+    """,
+)
+def spec_fetchid_order_count(spark, sf_dir):
+    """J4 decorrelated fetchId + A1 count + S4 default row + J1/J2 fold."""
+    return _spec_df(
+        spark,
+        sf_dir,
+        [
+            {
+                "fetchId": {
+                    "query": "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'",
+                    "id": "c_custkey",
+                },
+                "tasks": [
+                    {
+                        "single_process": {
+                            "input": "order_count",
+                            "query": "SELECT o_custkey, o_orderkey FROM orders",
+                            "correlate_on": "o_custkey",
+                            "agg": "count",
+                            "agg_on": "o_orderkey",
+                            "join_on": "c_custkey",
+                            "join_type": "left",
+                            "rename": "total_orders",
+                        }
+                    }
+                ],
+            }
+        ],
+    ).withColumn("total_orders", F.col("total_orders").cast("long"))
+
+
+@query(
+    "spec_join_fold",
+    """
+    WITH n AS (SELECT o_custkey, count(o_orderkey) AS n_orders FROM orders GROUP BY o_custkey),
+         v AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_value
+               FROM orders GROUP BY o_custkey)
+    SELECT c.c_custkey AS c_custkey,
+           coalesce(n.n_orders, 0) AS n_orders,
+           CAST(coalesce(v.total_value, 0) AS DOUBLE) AS total_value
+    FROM customer c
+    LEFT JOIN n ON n.o_custkey = c.c_custkey
+    LEFT JOIN v ON v.o_custkey = c.c_custkey
+    """,
+)
+def spec_join_fold(spark, sf_dir):
+    """J2 multi-task fold: two correlated aggregates joined on the ID."""
+    df = _spec_df(
+        spark,
+        sf_dir,
+        [
+            {
+                "fetchId": {"query": "SELECT c_custkey FROM customer", "id": "c_custkey"},
+                "tasks": [
+                    {
+                        "single_process": {
+                            "input": "order_count",
+                            "query": "SELECT o_custkey, o_orderkey FROM orders",
+                            "correlate_on": "o_custkey",
+                            "agg": "count",
+                            "agg_on": "o_orderkey",
+                            "join_on": "c_custkey",
+                            "join_type": "left",
+                            "rename": "n_orders",
+                        }
+                    },
+                    {
+                        "single_process": {
+                            "input": "order_value",
+                            "query": "SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice FROM orders",
+                            "correlate_on": "o_custkey",
+                            "agg": "sum",
+                            "agg_on": "o_totalprice",
+                            "join_on": "c_custkey",
+                            "join_type": "left",
+                            "rename": "total_value",
+                        }
+                    },
+                ],
+            }
+        ],
+    )
+    return df.select(
+        "c_custkey",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "spec_nested_rollup",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+    ), per_cust AS (
+      SELECT o.o_custkey, sum(p.total_qty) AS total_qty
+      FROM per_order p JOIN orders o ON o.o_orderkey = p.l_orderkey
+      GROUP BY o.o_custkey
+    )
+    SELECT c.c_custkey AS c_custkey,
+           CAST(coalesce(p.total_qty, 0) AS DOUBLE) AS total_qty
+    FROM customer c LEFT JOIN per_cust p ON p.o_custkey = c.c_custkey
+    """,
+)
+def spec_nested_rollup(spark, sf_dir):
+    """J5 fetchID_with_InputID + A2 rollup + U1 union, as two-level join."""
+    df = _spec_df(
+        spark,
+        sf_dir,
+        [
+            {
+                "fetchId": {"query": "SELECT c_custkey FROM customer", "id": "c_custkey"},
+                "tasks": [
+                    {
+                        "fetchID_with_InputID": {
+                            "query": "SELECT o_custkey, o_orderkey FROM orders",
+                            "id": "o_orderkey",
+                            "correlate_on": "o_custkey",
+                            "join_on": "c_custkey",
+                            "join_type": "left",
+                        },
+                        "child": [
+                            {
+                                "multiple_process": {
+                                    "input": "qty",
+                                    "query": "SELECT l_orderkey, CAST(l_quantity AS DECIMAL(18,2)) AS l_quantity FROM lineitem",
+                                    "correlate_on": "l_orderkey",
+                                    "agg": "sum",
+                                    "agg_on": "l_quantity",
+                                    "rename": "total_qty",
+                                }
+                            }
+                        ],
+                    }
+                ],
+            }
+        ],
+    )
+    return df.select("c_custkey", F.col("total_qty").cast("double").alias("total_qty"))
+
+
+@query(
+    "spec_dynamic_agg_count",
+    """
+    SELECT l_returnflag AS l_returnflag, count(l_orderkey) AS n_items
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def spec_dynamic_agg_count(spark, sf_dir):
+    """A1 dynamic aggregate name from the spec: count."""
+    return _spec_df(
+        spark,
+        sf_dir,
+        [
+            {
+                "tasks": [
+                    {
+                        "single_process": {
+                            "input": "counts",
+                            "query": "SELECT l_returnflag, l_orderkey FROM lineitem",
+                            "agg": "count",
+                            "agg_on": "l_orderkey",
+                            "groupby": "l_returnflag",
+                            "rename": "n_items",
+                            "join_on": "none",
+                            "join_type": "none",
+                        }
+                    }
+                ]
+            }
+        ],
+    )
+
+
+@query(
+    "spec_dynamic_agg_sum",
+    """
+    SELECT l_returnflag AS l_returnflag,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def spec_dynamic_agg_sum(spark, sf_dir):
+    """A1 dynamic aggregate name from the spec: sum (decimal-exact)."""
+    df = _spec_df(
+        spark,
+        sf_dir,
+        [
+            {
+                "tasks": [
+                    {
+                        "single_process": {
+                            "input": "sums",
+                            "query": "SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,2)) AS l_quantity FROM lineitem",
+                            "agg": "sum",
+                            "agg_on": "l_quantity",
+                            "groupby": "l_returnflag",
+                            "rename": "sum_qty",
+                            "join_on": "none",
+                            "join_type": "none",
+                        }
+                    }
+                ]
+            }
+        ],
+    )
+    return df.withColumn("sum_qty", F.col("sum_qty").cast("double"))
+
+
+@query(
+    "spec_dynamic_agg_minmax",
+    """
+    SELECT l_returnflag AS l_returnflag, min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def spec_dynamic_agg_minmax(spark, sf_dir):
+    """A1 min + max folded by J2 (two tasks joined on the group key)."""
+    return _spec_df(
+        spark,
+        sf_dir,
+        [
+            {
+                "tasks": [
+                    {
+                        "single_process": {
+                            "input": "mins",
+                            "query": "SELECT l_returnflag, l_extendedprice FROM lineitem",
+                            "agg": "min",
+                            "agg_on": "l_extendedprice",
+                            "groupby": "l_returnflag",
+                            "rename": "min_price",
+                            "join_on": "none",
+                            "join_type": "none",
+                        }
+                    },
+                    {
+                        "single_process": {
+                            "input": "maxs",
+                            "query": "SELECT l_returnflag, l_extendedprice FROM lineitem",
+                            "agg": "max",
+                            "agg_on": "l_extendedprice",
+                            "groupby": "l_returnflag",
+                            "rename": "max_price",
+                            "join_on": "l_returnflag",
+                            "join_type": "inner",
+                        }
+                    },
+                ]
+            }
+        ],
+    )
+
+
+@query(
+    "spec_data_mapping_average",
+    """
+    WITH a AS (SELECT o_custkey, count(o_orderkey) AS n_orders FROM orders GROUP BY o_custkey),
+         b AS (SELECT o_custkey, count(o_orderkey) AS n_open FROM orders
+               WHERE o_orderstatus = 'O' GROUP BY o_custkey)
+    SELECT c.c_custkey AS c_custkey,
+           coalesce(a.n_orders, 0) AS n_orders,
+           coalesce(b.n_open, 0) AS n_open,
+           (coalesce(a.n_orders, 0) + coalesce(b.n_open, 0)) / 2.0 AS avg_activity
+    FROM customer c
+    LEFT JOIN a ON a.o_custkey = c.c_custkey
+    LEFT JOIN b ON b.o_custkey = c.c_custkey
+    """,
+)
+def spec_data_mapping_average(spark, sf_dir):
+    """A3 data_mapping row-wise average (integer inputs => exact halves,
+    so rounding is the identity on both engines)."""
+    df = _spec_df(
+        spark,
+        sf_dir,
+        [
+            {
+                "fetchId": {"query": "SELECT c_custkey FROM customer", "id": "c_custkey"},
+                "tasks": [
+                    {
+                        "single_process": {
+                            "input": "all_orders",
+                            "query": "SELECT o_custkey, o_orderkey FROM orders",
+                            "correlate_on": "o_custkey",
+                            "agg": "count",
+                            "agg_on": "o_orderkey",
+                            "join_on": "c_custkey",
+                            "join_type": "left",
+                            "rename": "n_orders",
+                        }
+                    },
+                    {
+                        "single_process": {
+                            "input": "open_orders",
+                            "query": "SELECT o_custkey, o_orderkey FROM orders WHERE o_orderstatus = 'O'",
+                            "correlate_on": "o_custkey",
+                            "agg": "count",
+                            "agg_on": "o_orderkey",
+                            "join_on": "c_custkey",
+                            "join_type": "left",
+                            "rename": "n_open",
+                        }
+                    },
+                ],
+            }
+        ],
+        mapping={
+            "avg_activity": {
+                "aggregation": {"agg_type": "average", "column_name": ["n_orders", "n_open"]}
+            }
+        },
+    )
+    return df.select(
+        "c_custkey",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("n_open").cast("long").alias("n_open"),
+        "avg_activity",
+    )
+
+
+@query(
+    "spec_output_mapping",
+    """
+    SELECT c_custkey AS customer_id,
+           concat(c_name, ', ', c_mktsegment) AS tags_csv
+    FROM customer
+    """,
+)
+def spec_output_mapping(spark, sf_dir):
+    """P1/P2/P6 output mapping: projection, type gate, array->csv flatten,
+    rename (reference outputMappingProcess)."""
+    return _spec_df(
+        spark,
+        sf_dir,
+        [
+            {
+                "tasks": [
+                    {
+                        "single_process": {
+                            "input": "custs",
+                            "query": "SELECT c_custkey, array(c_name, c_mktsegment) AS tags FROM customer",
+                            "join_on": "none",
+                            "join_type": "none",
+                        }
+                    }
+                ]
+            }
+        ],
+        output={
+            "c_custkey": {"Input_data_type": "LongType", "rename": "customer_id"},
+            "tags": {"Input_data_type": "ArrayType(StringType,true)", "rename": "tags_csv"},
+        },
+    )
+
+
+@query(
+    "union_fold",
+    """
+    SELECT o_orderpriority AS o_orderpriority, count(o_orderkey) AS n
+    FROM (
+      SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+      UNION ALL
+      SELECT o_orderkey, NULL AS o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    ) GROUP BY o_orderpriority
+    """,
+)
+def union_fold(spark, sf_dir):
+    """U1 fixed: unionByName(allowMissingColumns) instead of the
+    reference's positional unionAll (mentoringFunction1.scala:364)."""
+    cat = Catalog(spark, sf_dir)
+    orders = cat.table("orders")
+    f1 = orders.filter(F.col("o_orderstatus") == "O").select("o_orderkey", "o_orderpriority")
+    f2 = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    u = f1.unionByName(f2, allowMissingColumns=True)
+    return u.groupBy("o_orderpriority").agg(F.count("o_orderkey").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style headline queries (bench + correctness)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag AS l_returnflag, l_linestatus AS l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = Catalog(spark, sf_dir).table("lineitem")
+    dec2 = lambda c: F.col(c).cast("decimal(18,2)")
+    dec_disc = F.col("l_discount").cast("decimal(4,2)")
+    dec_tax = F.col("l_tax").cast("decimal(4,2)")
+    disc_price = dec2("l_extendedprice") * (F.lit(1) - dec_disc)
+    charge = dec2("l_extendedprice") * (F.lit(1) - dec_disc) * (F.lit(1) + dec_tax)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec2("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(dec2("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(dec2("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey AS l_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           o.o_orderdate AS o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    c = cat.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = cat.table("orders").filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+    l = cat.table("lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name AS n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    c, o, l = cat.table("customer"), cat.table("orders"), cat.table("lineitem")
+    s, n, r = cat.table("supplier"), cat.table("nation"), cat.table("region")
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = Catalog(spark, sf_dir).table("lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * F.col("l_discount").cast(
+        "decimal(4,2)"
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "events_hourly",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+           event_type AS event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark, sf_dir):
+    """Batch shape of the streaming hourly rollup (streaming module runs the
+    same plan via readStream + watermark)."""
+    ev = Catalog(spark, sf_dir).table("events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
