@@ -1,0 +1,122 @@
+"""Text-analysis column expressions for document pipelines.
+
+All JVM-side (``pyspark.sql.functions`` / SQL expressions) — no Python
+UDFs in the hot path. Each function has a DuckDB-equivalent formulation
+(see ``queries.py``) built from the same deterministic integer/IEEE
+arithmetic so results hash-match across engines:
+
+- token counting: whitespace split + a BPE-ish regex tokenizer;
+- language ID: stopword-marker scoring with a fixed argmax order;
+- quality score: length/alpha/stopword/word-length heuristics on a
+  fixed-order double formula;
+- fingerprint: polynomial rolling hash (base 31, mod 1e9+7) over the
+  character codes — the classic Rabin-Karp document fingerprint.
+
+At 100 TB these are embarrassingly parallel per-row projections — no
+shuffle, full whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+POLY_MOD = 1_000_000_007
+POLY_BASE = 31
+
+# marker tokens per language for the n-gram/stopword language heuristic;
+# fixed argmax order = tiebreak order
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "is", "and", "of", "to"),
+    "es": ("el", "la", "de", "que", "los", "y"),
+    "fr": ("le", "la", "de", "et", "les", "un"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3"),
+}
+LANG_ORDER = tuple(LANG_MARKERS)
+
+STOPWORDS = ("the", "a", "of", "and", "to", "is", "in")
+
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def token_count_ws(col: str) -> Column:
+    """Whitespace token count (single-space split, empties included)."""
+    return F.size(F.split(F.col(col), " "))
+
+
+def token_count_bpe(col: str) -> Column:
+    """BPE-ish token count: letter runs, digit runs, single punctuation.
+
+    Uses the Column API (not an SQL literal) — ``\\s`` inside an
+    ``F.expr`` string literal would be escape-processed to ``s``.
+    """
+    return F.size(F.regexp_extract_all(F.col(col), F.lit(BPE_ISH_PATTERN), 0))
+
+
+def polyhash(expr: str) -> Column:
+    """Rabin-Karp polynomial rolling hash of a string expression.
+
+    ``h = fold(chars, 0, (a, c) -> (a*31 + ascii(c)) mod 1e9+7)``
+    """
+    return F.expr(
+        f"aggregate(transform(sequence(1, length({expr})), "
+        f"i -> bigint(ascii(substring({expr}, i, 1)))), "
+        f"bigint(0), (a, b) -> (a * {POLY_BASE} + b) % {POLY_MOD})"
+    )
+
+
+def fingerprint(col: str) -> Column:
+    """Document fingerprint = polyhash of the raw text."""
+    return polyhash(col)
+
+
+def _marker_hits(col: str, markers: tuple[str, ...]) -> Column:
+    quoted = ", ".join(f"'{m}'" for m in markers)
+    return F.expr(f"size(filter(split({col}, ' '), w -> w IN ({quoted})))")
+
+
+def lang_scores(col: str) -> dict[str, Column]:
+    """Marker-hit count per candidate language."""
+    return {lang: _marker_hits(col, m) for lang, m in LANG_MARKERS.items()}
+
+
+def lang_id(col: str) -> Column:
+    """Predicted language: argmax of marker hits, ties broken by
+    LANG_ORDER (first wins); 'und' when no marker fires.
+
+    Equivalent SQL: ``g = greatest(s_en, s_es, ...); CASE WHEN g = 0 THEN
+    'und' WHEN s_en = g THEN 'en' WHEN s_es = g THEN 'es' ... END``.
+    """
+    scores = lang_scores(col)
+    g = F.greatest(*[scores[lang] for lang in LANG_ORDER])
+    expr = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        expr = F.when(scores[lang] == g, F.lit(lang)).otherwise(expr)
+    return F.when(g == 0, F.lit("und")).otherwise(expr)
+
+
+def quality_score(col: str) -> Column:
+    """Heuristic quality in [0,1], fixed-order double arithmetic:
+
+    0.25 * min(n_tokens/100, 1)
+    + 0.25 * alpha_ratio
+    + 0.25 * max(0, 1 - abs(avg_word_len - 5)/5)
+    + 0.25 * min(stop_ratio * 5, 1)
+    """
+    n_tokens = token_count_ws(col).cast("double")
+    n_chars = F.length(F.col(col)).cast("double")
+    alpha = F.length(F.regexp_replace(F.col(col), "[^A-Za-z]", "")).cast("double")
+    stop_hits = _marker_hits(col, STOPWORDS).cast("double")
+    avg_word_len = (n_chars - (n_tokens - F.lit(1.0))) / n_tokens
+    alpha_ratio = alpha / n_chars
+    stop_ratio = stop_hits / n_tokens
+    return (
+        F.lit(0.25) * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.25) * alpha_ratio
+        + F.lit(0.25)
+        * F.greatest(
+            F.lit(0.0), F.lit(1.0) - F.abs(avg_word_len - F.lit(5.0)) / F.lit(5.0)
+        )
+        + F.lit(0.25) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+    )

@@ -1,0 +1,315 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Five strategies, all shuffle-conscious and expressed with built-in
+DataFrame ops (no Python UDFs):
+
+- **exact**: md5 grouping — one shuffle on the content hash.
+- **n-gram Jaccard**: character-3-gram set similarity over blocked
+  candidate pairs (block key limits the self-join quadratic blowup).
+- **MinHash + LSH**: word-shingle minhash signatures banded into LSH
+  buckets; candidates = same-band pairs, scored by signature agreement.
+  At 100 TB this is THE scalable near-dup path: the only shuffle is on
+  band keys, and bucket sizes bound the pair explosion.
+- **SimHash**: 32-bit majority-vote fingerprint over token hashes;
+  near-dups = pairs at small Hamming distance (bit_count(xor)).
+- **embedding cosine**: near-dup pairs above a cosine threshold over an
+  embedding column, blocked by a coarse key (label / LSH bucket).
+
+All hash math is deterministic integer arithmetic (polyhash base 31 mod
+1e9+7, affine minhash permutations mod the Mersenne prime 2^61-1) so the
+DuckDB oracles in queries.py reproduce results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import POLY_BASE, POLY_MOD
+
+# Affine minhash permutations h_j(x) = (A_j * x + B_j) mod MERSENNE61.
+# Fixed constants (seeded PRNG, hardcoded for reproducibility). A, B are
+# < 2^31 so A*x + B stays below 2^63 for x < POLY_MOD — no int64
+# overflow on either engine.
+MERSENNE61 = (1 << 61) - 1
+MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
+    (2128164061, 797605564),
+    (596987483, 1944694864),
+    (116450323, 582439801),
+    (430979122, 468068949),
+    (1406942088, 1848070633),
+    (1172698796, 805278811),
+    (2143289124, 1337851497),
+    (252657890, 856063681),
+    (1696544698, 461793307),
+    (794664036, 1716958479),
+    (527406851, 213165048),
+    (1903391910, 175932789),
+    (666804718, 980593748),
+    (1423351957, 1910390390),
+    (331877175, 1780096559),
+    (664594621, 1940697599),
+)
+N_HASHES = len(MINHASH_COEFFS)
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by content hash, keep the minimum ID.
+
+    Returns (content_md5, keeper_id, n_copies). One shuffle on the hash;
+    at scale, the map-side partial aggregate absorbs most duplicates.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def char_ngrams(col: str, n: int = 3) -> Column:
+    """Distinct character n-grams of a string column (JVM-side)."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({col}) - {n - 1}, 1)), "
+        f"i -> substring({col}, i, {n})))"
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "source",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs by character-n-gram Jaccard within blocks.
+
+    The block column bounds the quadratic self-join — at scale use a
+    cheap grouping key (domain, length bucket, LSH band). Returns
+    (id_a, id_b, jaccard).
+    """
+    g = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_blk"),
+        char_ngrams(text_col, n).alias("_grams"),
+    ).localCheckpoint(eager=False)  # materialize: both join sides reuse the gram sets
+    a, b = g.alias("a"), g.alias("b")
+    inter = F.size(F.array_intersect(F.col("a._grams"), F.col("b._grams")))
+    union = F.size(F.col("a._grams")) + F.size(F.col("b._grams")) - inter
+    return (
+        a.join(b, (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# combiner base for shingle hash = poly-combine of the k token hashes
+SHINGLE_BASE = 1_000_003
+
+
+def _shingle_hashes_sql(col: str, k: int = 3) -> str:
+    """SQL for distinct hashes of k-word shingles.
+
+    Two-level scheme: polyhash each token ONCE (chars), then each shingle
+    hash poly-combines k consecutive token hashes — O(chars) total
+    instead of O(k * chars). All int64 ops stay below 2^63
+    (token hash < 1e9+7, * 1e6+3 + next < 2^60).
+    """
+    token_hashes = (
+        f"transform(split({col}, ' '), w -> aggregate(transform(sequence(1, length(w)), "
+        f"j -> bigint(ascii(substring(w, j, 1)))), bigint(0), "
+        f"(a, b) -> (a * {POLY_BASE} + b) % {POLY_MOD}))"
+    )
+    combine = f"aggregate(slice(th, i, {k}), bigint(0), (a, b) -> (a * {SHINGLE_BASE} + b) % {POLY_MOD})"
+    return (
+        f"transform(array({token_hashes}), th -> "
+        f"array_distinct(transform(sequence(1, greatest(size(th) - {k - 1}, 1)), "
+        f"i -> {combine})))[0]"
+    )
+
+
+def word_shingle_hashes(col: str, k: int = 3) -> Column:
+    """Distinct polyhashes of k-word shingles of a text column."""
+    return F.expr(_shingle_hashes_sql(col, k))
+
+
+def minhash_signature(col: str) -> Column:
+    """MinHash signature: array of N_HASHES minima of affine-permuted
+    shingle hashes."""
+    mins = ", ".join(
+        f"array_min(transform(sh, h -> ({a} * h + {b}) % {MERSENNE61}))"
+        for a, b in MINHASH_COEFFS
+    )
+    # bind the shingle-hash array once via a single-element transform
+    return F.element_at(
+        F.expr(f"transform(array({_shingle_hashes_sql(col)}), sh -> array({mins}))"), 1
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash/LSH candidate pairs with estimated Jaccard.
+
+    signatures -> band keys -> shuffle on band key -> same-bucket pairs
+    -> estimate = fraction of agreeing signature components. Returns
+    (id_a, id_b, est_jaccard). The band shuffle is the only wide
+    exchange; pair generation is local per bucket.
+    """
+    sig = df.select(
+        F.col(id_col).alias("_id"), minhash_signature(text_col).alias("_sig")
+    ).localCheckpoint(eager=False)  # signatures are costly: compute once, reuse on both join sides
+
+    bands = sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.element_at("_sig", i * ROWS_PER_BAND + j + 1)
+                                for j in range(ROWS_PER_BAND)
+                            ],
+                        ).alias("key"),
+                    )
+                    for i in range(N_BANDS)
+                ]
+            )
+        ).alias("_band"),
+    ).select("_id", "_sig", "_band.band", "_band.key")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sig").alias("sig_a"),
+            F.col("b._sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(F.expr("filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)")).cast(
+            "double"
+        )
+        / F.lit(float(N_HASHES))
+    )
+    return (
+        pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= est_threshold)
+    )
+
+
+def simhash32(col: str) -> Column:
+    """32-bit SimHash over whitespace-token polyhashes: bit i is the
+    majority vote of token-hash bit i."""
+    token_hashes = (
+        f"transform(split({col}, ' '), w -> aggregate(transform(sequence(1, length(w)), "
+        f"j -> bigint(ascii(substring(w, j, 1)))), bigint(0), "
+        f"(a, b) -> (a * {POLY_BASE} + b) % {POLY_MOD}))"
+    )
+    terms = " + ".join(
+        f"(CASE WHEN 2 * size(filter(hs, h -> (h div {1 << i}) % 2 = 1)) > size(hs) "
+        f"THEN bigint({1 << i}) ELSE bigint(0) END)"
+        for i in range(32)
+    )
+    # bind the token-hash array once (hs) via a single-element transform
+    return F.element_at(F.expr(f"transform(array({token_hashes}), hs -> ({terms}))"), 1)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "source",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming within blocks.
+
+    Returns (id_a, id_b, hamming). At scale, block on simhash byte
+    chunks (pigeonhole: a pair within distance d shares one of d+1
+    chunks) instead of a metadata column.
+    """
+    s = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_blk"),
+        simhash32(text_col).alias("_sh"),
+    ).localCheckpoint(eager=False)  # materialize: both join sides reuse the fingerprints
+    a, b = s.alias("a"), s.alias("b")
+    ham = F.expr("bit_count(a._sh ^ b._sh)")
+    return (
+        a.join(b, (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def cosine(a: str, b: str) -> Column:
+    """Cosine similarity of two float-array columns, computed in double
+    with a fixed left-to-right fold (deterministic, oracle-matchable)."""
+    dot = F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> double(x) * double(y)), "
+        f"double(0), (acc, v) -> acc + v)"
+    )
+    na = F.expr(
+        f"sqrt(aggregate(transform({a}, x -> double(x) * double(x)), double(0), (acc, v) -> acc + v))"
+    )
+    nb = F.expr(
+        f"sqrt(aggregate(transform({b}, x -> double(x) * double(x)), double(0), (acc, v) -> acc + v))"
+    )
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= threshold within blocks.
+
+    Returns (id_a, id_b, cos). The block column (a label, cluster id, or
+    LSH bucket) bounds the pair space; at 100 TB pre-bucket with
+    random-hyperplane LSH so each bucket self-join is broadcastable.
+    """
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_blk"),
+        F.col(vec_col).alias("_v"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cosine("a._v", "b._v").alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns.
+
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline.
+  One shuffle (the query-side broadcast is free when queries are few).
+- ``ivf_topk``: IVF-style two-stage search — assign each query to its
+  nearest coarse cell, then search only that cell. The scale path: at
+  100 TB the corpus is bucketed once (by cluster assignment), queries
+  probe a handful of buckets, and each bucket scan is an embarrassingly
+  parallel partition-local job.
+
+Cosine math matches :func:`..operators.dedup.cosine` — double-precision
+left-to-right folds, deterministic and oracle-matchable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import cosine
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (excluding self).
+
+    Returns (query_id, neighbor_id, rank, cos). Ties broken by neighbor
+    id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine("_qv", "_cv").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic cell representatives: the embedding of the minimum
+    ID per cell (a medoid proxy — no floating-point averaging, so the
+    index build is reproducible bit-for-bit)."""
+    w = Window.partitionBy(cell_col).orderBy(F.asc(id_col))
+    return (
+        corpus.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(cell_col).alias("cell"), F.col(vec_col).alias("centroid"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF two-stage ANN: route each query to its best cell (max cosine
+    to the cell representative, ties -> smaller cell id), then exact
+    top-k within that cell only.
+
+    Returns (query_id, cell, neighbor_id, rank, cos). Approximate:
+    recall < 1 when true neighbors live outside the probed cell —
+    that's the intended trade; probe more cells for higher recall.
+    """
+    cents = ivf_centroids(corpus, cell_col, vec_col, id_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+
+    routed = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents))
+        .select("query_id", "_qv", "cell", cosine("_qv", "centroid").alias("_ccos"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("_ccos"), F.asc("cell"))
+    best = (
+        routed.withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", "_qv", "cell")
+    )
+
+    c = corpus.select(
+        F.col(cell_col).alias("cell"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+    )
+    scored = (
+        F.broadcast(best)
+        .join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "cell", "neighbor_id", cosine("_qv", "_cv").alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cell", "neighbor_id", "rank", "cos")
+    )

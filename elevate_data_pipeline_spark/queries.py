@@ -634,3 +634,8 @@ def events_hourly(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
         )
     )
+
+
+# register the LLM-pipeline query families (text / dedup / similarity /
+# multimodal) into the same QUERIES/ORACLES registry
+from . import queries_llm  # noqa: E402,F401  (import-time registration)

@@ -1,0 +1,432 @@
+"""LLM-training-data pipeline queries: text analysis, dedup, similarity,
+multimodal — each paired with a DuckDB oracle built from the SAME
+constants (polyhash base/mod, minhash coefficients, thresholds), so the
+two engines compute identical integer/IEEE arithmetic.
+
+DuckDB formulation notes:
+- Spark ``aggregate(arr, 0, (a,b) -> f)`` == DuckDB
+  ``list_reduce(list_prepend(0, arr), (a,b) -> f)`` (same left fold);
+- Spark ``transform(sequence(1, n), i -> e)`` == DuckDB
+  ``[e for i in range(1, n+1)]``;
+- DuckDB ``regexp_replace`` needs the ``'g'`` flag to match Spark's
+  replace-all semantics;
+- doubles are produced by identical expression trees (left-assoc sums,
+  same cast points), so results are bitwise equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions.text import (
+    BPE_ISH_PATTERN,
+    LANG_MARKERS,
+    LANG_ORDER,
+    POLY_BASE,
+    POLY_MOD,
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count_bpe,
+    token_count_ws,
+)
+from .operators import dedup, multimodal, similarity
+from .operators.dedup import MERSENNE61, MINHASH_COEFFS, N_BANDS, N_HASHES, ROWS_PER_BAND
+from .queries import query
+from .sources.catalog import Catalog
+
+# --------------------------------------------------------------------------
+# DuckDB SQL fragment builders (mirror the Spark expressions exactly)
+# --------------------------------------------------------------------------
+
+
+def _sql_polyhash(e: str, var: str = "x") -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"[CAST(ascii(substr({e}, {var}, 1)) AS BIGINT) for {var} in range(1, 1 + len({e}))]), "
+        f"(a, b) -> (a * {POLY_BASE} + b) % {POLY_MOD})"
+    )
+
+
+def _sql_shingle_hashes(col: str = "text", k: int = 3) -> str:
+    """Two-level shingle hash mirroring dedup._shingle_hashes_sql:
+    polyhash each token once, poly-combine k consecutive token hashes."""
+    token_hashes = (
+        f"list_transform(string_split({col}, ' '), "
+        f"w -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"[CAST(ascii(substr(w, j, 1)) AS BIGINT) for j in range(1, 1 + len(w))]), "
+        f"(a, b) -> (a * {POLY_BASE} + b) % {POLY_MOD}))"
+    )
+    combine = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+{k - 1}]), "
+        f"(a, b) -> (a * {dedup.SHINGLE_BASE} + b) % {POLY_MOD})"
+    )
+    return (
+        f"list_transform([{token_hashes}], th -> "
+        f"list_distinct([{combine} for i in range(1, greatest(len(th) - {k - 1}, 1) + 1)]))[1]"
+    )
+
+
+def _sql_minhash_sig() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(sh, h -> ({a} * h + {b}) % {MERSENNE61}))"
+        for a, b in MINHASH_COEFFS
+    )
+    return f"list_transform([{_sql_shingle_hashes()}], sh -> [{mins}])[1]"
+
+
+def _sql_token_hashes(col: str = "text") -> str:
+    return (
+        f"list_transform(string_split({col}, ' '), "
+        f"w -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"[CAST(ascii(substr(w, j, 1)) AS BIGINT) for j in range(1, 1 + len(w))]), "
+        f"(a, b) -> (a * {POLY_BASE} + b) % {POLY_MOD}))"
+    )
+
+
+def _sql_simhash32(col: str = "text") -> str:
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h // {1 << i}) % 2 = 1)) > len(hs) "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(32)
+    )
+    return f"list_transform([{_sql_token_hashes(col)}], hs -> ({terms}))[1]"
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    def fold(expr: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {expr}), (acc, v) -> acc + v)"
+        )
+
+    dot = fold(
+        f"[CAST({a}[x] AS DOUBLE) * CAST({b}[x] AS DOUBLE) for x in range(1, 1 + len({a}))]"
+    )
+    na = fold(
+        f"[CAST({a}[x] AS DOUBLE) * CAST({a}[x] AS DOUBLE) for x in range(1, 1 + len({a}))]"
+    )
+    nb = fold(
+        f"[CAST({b}[x] AS DOUBLE) * CAST({b}[x] AS DOUBLE) for x in range(1, 1 + len({b}))]"
+    )
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+def _sql_marker_hits(col: str, markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(string_split({col}, ' '), w -> list_contains([{lst}], w)))"
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    f"""
+    SELECT doc_id AS doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe,
+           {_sql_polyhash('text')} AS fp
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish) and Rabin-Karp fingerprint."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws("text").cast("long").alias("n_tokens"),
+        token_count_bpe("text").cast("long").alias("n_tokens_bpe"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+def _sql_langid() -> str:
+    scores = {l: _sql_marker_hits("text", m) for l, m in LANG_MARKERS.items()}
+    g = "greatest(" + ", ".join(scores[l] for l in LANG_ORDER) + ")"
+    whens = " ".join(f"WHEN {scores[l]} = {g} THEN '{l}'" for l in LANG_ORDER)
+    return f"CASE WHEN {g} = 0 THEN 'und' {whens} ELSE 'und' END"
+
+
+@query(
+    "text_langid",
+    f"""
+    SELECT doc_id AS doc_id, lang AS lang, {_sql_langid()} AS pred_lang
+    FROM documents
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Stopword-marker language ID with fixed argmax tiebreak."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return docs.select("doc_id", "lang", lang_id("text").alias("pred_lang"))
+
+
+def _sql_quality(col: str = "text") -> str:
+    nt = f"CAST(len(string_split({col}, ' ')) AS DOUBLE)"
+    nchars = f"CAST(len({col}) AS DOUBLE)"
+    alpha = f"CAST(len(regexp_replace({col}, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+    stop = f"CAST({_sql_marker_hits(col, STOPWORDS)} AS DOUBLE)"
+    avg_wl = f"(({nchars} - ({nt} - 1.0)) / {nt})"
+    return (
+        f"0.25 * least({nt} / 100.0, 1.0) "
+        f"+ 0.25 * ({alpha} / {nchars}) "
+        f"+ 0.25 * greatest(0.0, 1.0 - abs({avg_wl} - 5.0) / 5.0) "
+        f"+ 0.25 * least(({stop} / {nt}) * 5.0, 1.0)"
+    )
+
+
+@query(
+    "text_quality",
+    f"""
+    SELECT doc_id AS doc_id, {_sql_quality()} AS quality
+    FROM documents
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Heuristic document quality score in [0,1]."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).table("documents")
+    return dedup.exact_dedup(docs)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH g AS (
+      SELECT doc_id, source,
+             list_distinct([substr(text, x, 3) for x in range(1, greatest(len(text) - 2, 1) + 1)]) AS grams
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jaccard
+    FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Character-3-gram Jaccard near-dup pairs, blocked by source."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.6)
+
+
+@query(
+    "minhash_signature",
+    f"""
+    WITH s AS (SELECT doc_id, {_sql_minhash_sig()} AS sig FROM documents)
+    SELECT doc_id AS doc_id, CAST(r.range AS INT) AS h_idx, sig[r.range] AS h_val
+    FROM s, range(1, {N_HASHES + 1}) r
+    """,
+)
+def minhash_signature(spark, sf_dir):
+    """MinHash signatures, flattened to (doc_id, h_idx, h_val) rows."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return docs.select(
+        "doc_id", F.posexplode(dedup.minhash_signature("text")).alias("_pos", "h_val")
+    ).select("doc_id", (F.col("_pos") + 1).cast("int").alias("h_idx"), "h_val")
+
+
+def _sql_minhash_pairs() -> str:
+    band_eq = " OR ".join(
+        f"a.sig[{i * ROWS_PER_BAND + 1}:{(i + 1) * ROWS_PER_BAND}] = b.sig[{i * ROWS_PER_BAND + 1}:{(i + 1) * ROWS_PER_BAND}]"
+        for i in range(N_BANDS)
+    )
+    return f"""
+    WITH s AS (SELECT doc_id, {_sql_minhash_sig()} AS sig FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_filter(range(1, {N_HASHES + 1}), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / {float(N_HASHES)} AS est_jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id AND ({band_eq})
+    WHERE CAST(len(list_filter(range(1, {N_HASHES + 1}), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / {float(N_HASHES)} >= 0.25
+    """
+
+
+@query("dedup_minhash_lsh", _sql_minhash_pairs())
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash/LSH candidate pairs (banded buckets, signature-agreement
+    estimate >= 0.25)."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return dedup.minhash_lsh_pairs(docs, est_threshold=0.25)
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    SELECT doc_id AS doc_id, {_sql_simhash32()} AS simhash
+    FROM documents
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash fingerprint per document."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return docs.select("doc_id", dedup.simhash32("text").alias("simhash"))
+
+
+@query(
+    "dedup_simhash_pairs",
+    f"""
+    WITH s AS (SELECT doc_id, source, {_sql_simhash32()} AS sh FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 6
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming <= 6) within source blocks."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return dedup.simhash_pairs(docs, max_hamming=6).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_sql_cosine('a.embedding', 'b.embedding')} AS cos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs: cosine >= 0.35 within label blocks."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    return dedup.embedding_dup_pairs(emb, threshold=0.35)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_sql_cosine('q.qv', 'e.embedding')} AS cos
+      FROM q JOIN embeddings e ON e.vec_id != q.query_id
+    )
+    SELECT query_id AS query_id, neighbor_id AS neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+           cos AS cos
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-5 for the first 5 vectors."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(emb, queries_df, k=5)
+
+
+@query(
+    "ann_ivf_topk",
+    f"""
+    WITH cents AS (
+      SELECT label AS cell, embedding AS centroid FROM embeddings e
+      WHERE vec_id = (SELECT min(vec_id) FROM embeddings x WHERE x.label = e.label)
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    routed AS (
+      SELECT q.query_id, q.qv, c.cell,
+             {_sql_cosine('q.qv', 'c.centroid')} AS ccos
+      FROM q, cents c
+    ),
+    best AS (
+      SELECT query_id, qv, cell FROM routed
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cell) = 1
+    ),
+    scored AS (
+      SELECT b.query_id, b.cell, e.vec_id AS neighbor_id,
+             {_sql_cosine('b.qv', 'e.embedding')} AS cos
+      FROM best b JOIN embeddings e ON e.label = b.cell AND e.vec_id != b.query_id
+    )
+    SELECT query_id AS query_id, cell AS cell, neighbor_id AS neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+           cos AS cos
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF two-stage ANN: route to best cell, exact top-5 within it."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, queries_df, k=5)
+
+
+# --------------------------------------------------------------------------
+# Multimodal
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_meta",
+    """
+    SELECT doc_id AS doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_meta(spark, sf_dir):
+    """Metadata projection over binary payloads — column pruning keeps
+    the payload bytes out of metadata-only scans."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    with_payload = multimodal.attach_binary_payload(docs)
+    return with_payload.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"),
+    )
+
+
+@query(
+    "multimodal_features",
+    f"""
+    WITH codes AS (
+      SELECT doc_id, octet_length(encode(text)) AS total,
+             [ascii(substr(text, x, 1)) % {multimodal.N_BYTE_FEATURES}
+              for x in range(1, 1 + len(text))] AS buckets
+      FROM documents
+    )
+    SELECT doc_id AS doc_id, CAST(r.range AS INT) AS bucket,
+           CAST(len(list_filter(buckets, v -> v = r.range)) AS DOUBLE)
+             / CAST(total AS DOUBLE) AS share
+    FROM codes, range(0, {multimodal.N_BYTE_FEATURES}) r
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction (byte-histogram stub),
+    flattened to (doc_id, bucket, share). ASCII text => byte == codepoint,
+    so the SQL oracle reproduces the Python extractor exactly."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    with_payload = multimodal.attach_binary_payload(docs)
+    feats = multimodal.extract_features(with_payload)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("bucket", "share")
+    ).select("doc_id", F.col("bucket").cast("int"), "share")

@@ -1,0 +1,115 @@
+"""Unit tests for dedup / similarity / multimodal / text operators
+(behavioral properties beyond the oracle-parity gate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elevate_data_pipeline_spark.functions import text as text_fns
+from elevate_data_pipeline_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "a"),
+        (2, "the quick brown fox jumps over the lazy dog", "en", "a"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy cat", "en", "a"),  # near dup
+        (4, "completely different words entirely unrelated content here", "en", "a"),
+        (5, "el perro grande de la casa que corre los dias", "es", "b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_exact_dedup_groups_duplicates(docs):
+    res = dedup.exact_dedup(docs).collect()
+    by_keeper = {r["keeper_id"]: r["n_copies"] for r in res}
+    assert by_keeper[1] == 2  # docs 1+2 identical
+    assert len(res) == 4  # 5 docs, one pair merged
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert found[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in found and found[(1, 3)] > 0.7  # near dup
+    assert (1, 4) not in found  # unrelated
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, est_threshold=0.25).collect()
+    found = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert found[(1, 2)] == 1.0
+    assert (1, 3) in found
+    assert (1, 4) not in found
+
+
+def test_simhash_identical_and_near(docs):
+    res = {r["doc_id"]: r["sh"] for r in docs.select("doc_id", dedup.simhash32("text").alias("sh")).collect()}
+    assert res[1] == res[2]
+    ham13 = bin(res[1] ^ res[3]).count("1")
+    ham14 = bin(res[1] ^ res[4]).count("1")
+    assert ham13 < ham14  # near dup closer than unrelated
+
+
+def test_langid_markers(docs):
+    res = {r["doc_id"]: r["p"] for r in docs.select("doc_id", text_fns.lang_id("text").alias("p")).collect()}
+    assert res[1] == "en"
+    assert res[5] == "es"
+
+
+def test_quality_in_range(docs):
+    vals = [r["q"] for r in docs.select(text_fns.quality_score("text").alias("q")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(20):
+        base = [math.sin(i * 0.1 + j) for j in range(8)]
+        rows.append((i, [float(x) for x in base], i % 2))
+    # vec 20 = near-copy of vec 0
+    rows.append((20, [x + 0.001 for x in rows[0][1]], 0))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk_finds_near_copy(vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    res = similarity.brute_force_topk(vectors, q, k=3).collect()
+    assert res[0]["neighbor_id"] == 20  # rank 1 = the near-copy
+    assert res[0]["rank"] == 1
+    assert res[0]["cos"] > 0.999
+
+
+def test_ivf_topk_routes_and_ranks(vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    res = similarity.ivf_topk(vectors, q, k=3).collect()
+    assert len(res) == 3
+    assert res[0]["neighbor_id"] == 20
+    # all results come from one probed cell
+    assert len({r["cell"] for r in res}) == 1
+
+
+def test_multimodal_features_shape(docs):
+    feats = multimodal.extract_features(multimodal.attach_binary_payload(docs))
+    rows = feats.collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert len(r["features"]) == multimodal.N_BYTE_FEATURES
+        assert abs(sum(r["features"]) - 1.0) < 1e-9
+        assert r["n_bytes"] > 0
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8\xff")
+
+
+def test_payload_metadata(docs):
+    p = multimodal.attach_binary_payload(docs).select("meta.n_bytes", "meta.mime").first()
+    assert p["mime"] == "text/plain"
+    assert p["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
