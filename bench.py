@@ -30,6 +30,7 @@ HEADLINE = [
     "spec_dynamic_agg_sum",
     "union_fold",
     "events_hourly",
+    "events_sessionize",
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_quality",

@@ -636,6 +636,36 @@ def events_hourly(spark, sf_dir):
     )
 
 
+@query(
+    "events_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       <= INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS brk
+      FROM events
+    ), s AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g
+    )
+    SELECT user_id AS user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min), islands-and-gaps window plan;
+    the streaming module runs the same semantics via
+    applyInPandasWithState (streaming/events.py)."""
+    from .streaming import sessionize_batch
+
+    ev = Catalog(spark, sf_dir).table("events")
+    return sessionize_batch(ev, gap_minutes=30)
+
+
 # register the LLM-pipeline query families (text / dedup / similarity /
 # multimodal) into the same QUERIES/ORACLES registry
 from . import queries_llm  # noqa: E402,F401  (import-time registration)

@@ -1,0 +1,15 @@
+from .events import (
+    events_stream_schema,
+    hourly_rollup,
+    read_events_stream,
+    sessionize_batch,
+    sessionize_stream,
+)
+
+__all__ = [
+    "events_stream_schema",
+    "read_events_stream",
+    "hourly_rollup",
+    "sessionize_batch",
+    "sessionize_stream",
+]

@@ -1,0 +1,247 @@
+"""Structured Streaming over the ``events`` table.
+
+The reference is pure batch (SURVEY.md §2.7 — no streaming anywhere in
+the tree); this module is the north-star streaming extension. The same
+logical plans run in batch and stream:
+
+- ``hourly_rollup`` — tumbling-window count/sum with a watermark for
+  late data. On a stream this is an incremental stateful aggregation;
+  on a batch frame the identical expression tree computes the
+  ``events_hourly`` registry query.
+- ``sessionize_stream`` — custom stateful operator (gap-based
+  sessionization) via ``applyInPandasWithState``: state is one open
+  session per user, sessions close when the gap exceeds ``gap_minutes``
+  or the group times out past the watermark.
+- ``sessionize_batch`` — the batch equivalent expressed with window
+  functions (lag + conditional cumsum), used as the oracle for the
+  streaming path and registered as a query in its own right.
+
+Scale notes: the streaming agg shuffles on (window, event_type) — low
+cardinality, so state stays small; sessionization shuffles on user_id,
+which at 100 TB is the natural partitioning for per-user state (state
+store scales with #live users, not #events). RocksDB state store is the
+cluster-side conf for that; local tests use the default HDFS-backed one.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+GAP_MINUTES_DEFAULT = 30
+
+
+def events_stream_schema() -> StructType:
+    """Schema of the events table as read by the file stream.
+
+    ``ts`` arrives as TIMESTAMP(NANOS) in the driver-generated parquet;
+    under ``spark.sql.legacy.parquet.nanosAsLong`` (set by the session
+    factory) it surfaces as a nanosecond LongType that we convert in
+    :func:`read_events_stream`.
+    """
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over parquet events (a directory or glob).
+
+    File streams are the local stand-in for Kafka: each newly-arrived
+    file becomes a micro-batch. ``max_files_per_trigger`` throttles
+    batch size (and lets tests force multi-batch execution).
+    """
+    reader = spark.readStream.schema(events_stream_schema()).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.load(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour window: count + exact (decimal) value sum.
+
+    Works on both streaming and batch frames — ``withWatermark`` is a
+    no-op in batch, so the batch result is the oracle for the stream.
+    """
+    df = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_ts"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Gap-based sessionization
+# --------------------------------------------------------------------------
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+# open-session state carried between micro-batches (epoch micros to keep
+# the state tuple plain-typed)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = GAP_MINUTES_DEFAULT) -> DataFrame:
+    """Batch sessionization via window functions.
+
+    A new session starts when the gap to the previous event of the same
+    user exceeds ``gap_minutes``; the session id is the running count of
+    such breaks (lag + conditional cumulative sum — the standard
+    islands-and-gaps formulation, single shuffle on user_id).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    with_break = events.withColumn(
+        "_new_session",
+        (
+            F.coalesce(
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)),
+                F.lit(gap_us + 1),
+            )
+            > gap_us
+        ).cast("long"),
+    ).withColumn("_session_no", F.sum("_new_session").over(w))
+    return (
+        with_break.groupBy("user_id", "_session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .drop("_session_no")
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = GAP_MINUTES_DEFAULT,
+    watermark: str = "2 hours",
+    emit_open: bool = False,
+) -> DataFrame:
+    """Streaming sessionization: one open-session state row per user.
+
+    ``applyInPandasWithState`` partitions by user_id; each micro-batch
+    the handler folds that user's new events (sorted by ts) into the
+    open session, emitting every session that closes (gap exceeded).
+    When the group times out past the watermark, the open session is
+    flushed. ``emit_open=True`` additionally flushes the open session at
+    the end of every batch (used by single-pass tests where the stream
+    ends while sessions are still open).
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def handle(
+        key: Tuple[int],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple[int, int, int, float]] = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                s0, s1, n, v = state.get
+                closed.append((s0, s1, n, v))
+                state.remove()
+        else:
+            if state.exists:
+                cur = list(state.get)
+            else:
+                cur = None
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            rows = rows.sort_values(["ts", "event_id"])
+            for ts, value in zip(rows["ts"], rows["value"]):
+                us = int(ts.value) // 1_000  # pandas Timestamp.value is ns
+                val = float(value)
+                if cur is None:
+                    cur = [us, us, 1, val]
+                elif us - cur[1] > gap_us:
+                    closed.append(tuple(cur))
+                    cur = [us, us, 1, val]
+                else:
+                    cur[1] = us
+                    cur[2] += 1
+                    cur[3] += val
+            if cur is not None:
+                if emit_open:
+                    closed.append(tuple(cur))
+                    if state.exists:
+                        state.remove()
+                else:
+                    state.update(tuple(cur))
+                    # time out this user's state once the watermark passes
+                    # the gap horizon beyond their last event
+                    state.setTimeoutTimestamp(cur[1] // 1_000 + gap_minutes * 60 * 1_000)
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(s0, unit="us") for s0, *_ in closed],
+                    "session_end": [pd.Timestamp(s1, unit="us") for _, s1, *_ in closed],
+                    "n_events": [n for *_, n, _ in closed],
+                    "total_value": [v for *_, v in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            handle,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

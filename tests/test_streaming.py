@@ -1,0 +1,115 @@
+"""Streaming module: the stream result must equal the batch plan run on
+the same data (batch IS the oracle), and watermarks must drop late rows
+across micro-batches."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from elevate_data_pipeline_spark.sources.catalog import Catalog
+from elevate_data_pipeline_spark.streaming import (
+    hourly_rollup,
+    read_events_stream,
+    sessionize_batch,
+    sessionize_stream,
+)
+
+from conftest import SF_DIR
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    """Copy the events table into a directory so the file stream can read it."""
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    shutil.copy(os.path.join(SF_DIR, "events.parquet"), d / "part-0.parquet")
+    return str(d)
+
+
+def _run_to_memory(stream_df, mode: str):
+    name = "t" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return name
+
+
+def test_hourly_rollup_stream_equals_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    assert stream.isStreaming
+    name = _run_to_memory(hourly_rollup(stream), "complete")
+
+    batch = hourly_rollup(Catalog(spark, SF_DIR).table("events"))
+    got = {tuple(r) for r in spark.table(name).collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_sessionize_stream_equals_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    # single batch + emit_open: every session (closed and open) is emitted
+    name = _run_to_memory(sessionize_stream(stream, emit_open=True), "append")
+
+    batch = sessionize_batch(Catalog(spark, SF_DIR).table("events"))
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.total_value, 6))
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.total_value, 6))
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Micro-batched file stream; a row arriving two batches after the
+    watermark passed its window must be dropped by the windowed agg.
+    (The watermark commit lags one batch behind the data that produced
+    it, so the guaranteed-drop case needs the late row >= 2 batches
+    after the on-time data.)"""
+    d = tmp_path / "late"
+    d.mkdir()
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+
+    def write_batch(fname, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d / fname))
+
+    ns = 1_000_000_000  # ns per second
+    t0 = 1_700_000_000 * ns  # ns epoch base
+    hr = 3600 * ns
+    write_batch("b1", [(1, t0 + 10 * hr, 1, "click", 1.0, "{}")])
+    write_batch("b2", [(2, t0 + 10 * hr + 60 * ns, 1, "click", 1.0, "{}")])
+    write_batch("b3", [(3, t0 + 1 * hr, 1, "click", 1.0, "{}")])  # 9h late -> dropped
+
+    stream = read_events_stream(spark, str(d) + "/b*", max_files_per_trigger=1)
+    name = _run_to_memory(hourly_rollup(stream, watermark="2 hours"), "update")
+
+    rows = spark.table(name).collect()
+    counts = {}
+    for r in rows:  # update mode re-emits; keep the latest count per window
+        counts[r.hour_ts] = max(counts.get(r.hour_ts, 0), r.n_events)
+    assert counts == {max(counts): 2}  # only the on-time window, n=2
+
+
+def test_sessionize_batch_gap_split(spark):
+    rows = [
+        (1, 1_700_000_000_000_000, 7, "a", 1.0, "{}"),
+        (2, 1_700_000_000_000_000 + 10 * 60 * 1_000_000, 7, "a", 2.0, "{}"),  # same session
+        (3, 1_700_000_000_000_000 + 50 * 60 * 1_000_000, 7, "a", 4.0, "{}"),  # 40min gap -> new
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_us long, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.timestamp_micros("ts_us"))
+    out = sessionize_batch(df, gap_minutes=30).orderBy("session_start").collect()
+    assert [(r.n_events, r.total_value) for r in out] == [(2, 3.0), (1, 4.0)]
