@@ -84,7 +84,18 @@ def _compile_single(
     task: SingleProcess,
     fetch: FetchId | None,
     ids_distinct: DataFrame | None,
-) -> DataFrame:
+) -> tuple[DataFrame, str | None]:
+    """Returns (frame, pending_default_col).
+
+    ``pending_default_col`` marks a correlated aggregate whose S4
+    default-row layer was NOT materialized: the fold step applies it as
+    ``acc LEFT JOIN frame + coalesce(col, 0)`` instead. The two forms
+    are equivalent because the eager layer's ID set (ids_distinct) is by
+    construction exactly the accumulator's distinct IDs — joining it in
+    with ANY spec join type keeps every acc row — but the lazy form
+    avoids a second scan of the fetch table plus a distinct shuffle per
+    correlated task.
+    """
     df = _scan(catalog, task)
 
     if task.correlate_on and fetch is not None:
@@ -95,12 +106,8 @@ def _compile_single(
             col, out_name = _agg_column(task)
             df = df.groupBy(*keys).agg(col)
             if task.default_on_empty and not task.groupby and ids_distinct is not None:
-                # S4 rewrite: IDs whose subset was empty get {out_name: 0}
-                df = (
-                    ids_distinct.join(df, fetch.id, "left")
-                    .withColumn(out_name, F.coalesce(F.col(out_name), F.lit(0)))
-                )
-        return df
+                return df, out_name
+        return df, None
 
     # uncorrelated task: optional global/grouped aggregate
     if task.agg:
@@ -109,7 +116,7 @@ def _compile_single(
             df = df.groupBy(task.groupby).agg(col)
         else:
             df = df.agg(col)
-    return df
+    return df, None
 
 
 def _compile_nested(
@@ -117,9 +124,10 @@ def _compile_nested(
     task: NestedFetch,
     fetch: FetchId | None,
     ids_distinct: DataFrame | None,
-) -> DataFrame:
+) -> tuple[DataFrame, str | None]:
     """J5: bridge (outer id -> inner id) + per-inner-id children union (U1)
-    + per-outer rollup (A2)."""
+    + per-outer rollup (A2). Returns (frame, pending_default_col) like
+    :func:`_compile_single`."""
     if not task.child:
         raise SpecError("fetchID_with_InputID requires at least one child")
 
@@ -153,10 +161,8 @@ def _compile_nested(
         .agg(F.sum(value_name).alias(value_name))
     )
     if ids_distinct is not None:
-        rolled = ids_distinct.join(rolled, outer, "left").withColumn(
-            value_name, F.coalesce(F.col(value_name), F.lit(0))
-        )
-    return rolled
+        return rolled, value_name
+    return rolled, None
 
 
 def compile_script(catalog: Catalog, script: Script) -> DataFrame:
@@ -171,13 +177,19 @@ def compile_script(catalog: Catalog, script: Script) -> DataFrame:
         # duplicate IDs in the fetch result replicate output rows (loop parity)
         acc = ids
 
+    def _default0(df: DataFrame, col_name: str) -> DataFrame:
+        return df.withColumn(col_name, F.coalesce(F.col(col_name), F.lit(0)))
+
     for task in script.tasks:
         if isinstance(task, NestedFetch):
-            frame = _compile_nested(catalog, task, fetch, ids_distinct)
+            frame, pending = _compile_nested(catalog, task, fetch, ids_distinct)
         else:
-            frame = _compile_single(catalog, task, fetch, ids_distinct)
+            frame, pending = _compile_single(catalog, task, fetch, ids_distinct)
 
         if acc is None or _is_replace(task):
+            if pending is not None:
+                # standalone frame: materialize the S4 default layer eagerly
+                frame = _default0(ids_distinct.join(frame, fetch.id, "left"), pending)
             acc = frame
             continue
         keys = _join_keys(task.join_on)
@@ -188,7 +200,14 @@ def compile_script(catalog: Catalog, script: Script) -> DataFrame:
                 "needs join_on"
             )
         # J2 fold, F2 side order: accumulator stays on the LEFT
-        acc = acc.join(frame, keys, how)
+        if pending is not None and keys == [fetch.id]:
+            # lazy S4: the eager layer's ID set equals acc's, so any spec
+            # join type degenerates to left-join + coalesce-to-0
+            acc = _default0(acc.join(frame, keys, "left"), pending)
+        else:
+            if pending is not None:
+                frame = _default0(ids_distinct.join(frame, fetch.id, "left"), pending)
+            acc = acc.join(frame, keys, how)
 
     if acc is None:
         raise SpecError(f"script {script.name!r} produced no frame")
