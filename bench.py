@@ -35,6 +35,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_quality",
     "ann_cosine_topk",
+    "curation_pack_sequences",
+    "skew_salted_agg",
 ]
 
 

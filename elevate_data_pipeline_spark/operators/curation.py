@@ -1,0 +1,120 @@
+"""Training-data curation operators: quality filtering, deterministic
+sampling, sharding, and sequence packing.
+
+These are the batch-curation stages of an LLM data pipeline downstream
+of dedup: score -> filter -> sample per language/source -> pack into
+fixed token budgets -> shard for the trainer. Everything is built-in
+DataFrame ops (JVM-side, whole-stage codegen) and all randomness is a
+deterministic integer hash of the row ID, so runs are reproducible and
+a SQL oracle can replay them exactly.
+
+Scale notes:
+- filtering/sampling are narrow (no shuffle);
+- packing shuffles once on the shard column and sorts within shards —
+  at 100 TB use a high-cardinality shard key so window partitions stay
+  executor-sized;
+- shard assignment is a pure projection; the writer partitions by the
+  shard column (``partitionBy("shard")``) so downstream readers prune.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import quality_score, token_count_ws
+
+# Knuth multiplicative hash over the 32-bit ring — uniform enough for
+# sampling, trivially identical in any SQL engine.
+_KNUTH = 2654435761
+_RING = 1 << 32
+
+
+def sample_hash(id_col: str) -> Column:
+    """Deterministic uniform [0,1) from an integer ID (JVM-side)."""
+    return (F.col(id_col) * F.lit(_KNUTH) % F.lit(_RING)) / F.lit(float(_RING))
+
+
+def sample_hash_sql(id_col: str) -> str:
+    """DuckDB expression equivalent to :func:`sample_hash`."""
+    return f"(({id_col} * {_KNUTH}) % {_RING}) / {float(_RING)}"
+
+
+def quality_filter(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep documents scoring >= ``min_quality``; carries the score."""
+    return docs.withColumn("quality", quality_score(text_col)).filter(
+        F.col("quality") >= min_quality
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling.
+
+    ``rates`` maps stratum value -> keep probability; rows hash-sampled
+    by ID so the sample is stable across runs and engines (no
+    ``rand()``). Narrow operation — no shuffle.
+    """
+    rate = None
+    for value, r in rates.items():
+        clause = F.when(F.col(stratum_col) == value, F.lit(float(r)))
+        rate = clause if rate is None else rate.when(
+            F.col(stratum_col) == value, F.lit(float(r))
+        )
+    rate = (rate.otherwise(F.lit(float(default_rate)))
+            if rate is not None else F.lit(float(default_rate)))
+    return docs.filter(sample_hash(id_col) < rate)
+
+
+def assign_shards(
+    docs: DataFrame, n_shards: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """Stable shard assignment: ``shard = hash(id) % n_shards``.
+
+    Uses the same multiplicative hash as sampling so shards are
+    decorrelated from raw ID ranges (monotone IDs would otherwise land
+    range-contiguous rows in the same shard).
+    """
+    return docs.withColumn(
+        "shard", (F.col(id_col) * F.lit(_KNUTH) % F.lit(_RING) % F.lit(n_shards)).cast("int")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    token_budget: int = 512,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Offset-based sequence packing: concatenate documents in stable
+    (shard, id) order and cut packs every ``token_budget`` tokens.
+
+    Emits (id, shard, n_tokens, seq_offset, pack_id) where
+    ``seq_offset`` is the document's start position in the shard's
+    token stream and ``pack_id = seq_offset div budget``. One shuffle
+    (window partition on the shard column); documents longer than the
+    budget simply span packs — the trainer-side splitter handles the
+    carry, which keeps this stage a pure single-pass window plan.
+    """
+    w = Window.partitionBy(shard_col).orderBy(id_col)
+    n_tok = token_count_ws(text_col).cast("long")
+    return (
+        docs.withColumn("n_tokens", n_tok)
+        .withColumn(
+            "seq_offset",
+            F.sum("n_tokens").over(w) - F.col("n_tokens"),
+        )
+        .withColumn("pack_id", (F.col("seq_offset") / token_budget).cast("long"))
+        .select(id_col, shard_col, "n_tokens", "seq_offset", "pack_id")
+    )

@@ -31,7 +31,7 @@ from .functions.text import (
     token_count_bpe,
     token_count_ws,
 )
-from .operators import dedup, multimodal, similarity
+from .operators import curation, dedup, multimodal, similarity, skew
 from .operators.dedup import MERSENNE61, MINHASH_COEFFS, N_BANDS, N_HASHES, ROWS_PER_BAND
 from .queries import query
 from .sources.catalog import Catalog
@@ -188,6 +188,106 @@ def text_quality(spark, sf_dir):
     """Heuristic document quality score in [0,1]."""
     docs = Catalog(spark, sf_dir).table("documents")
     return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+# --------------------------------------------------------------------------
+# Curation: filter -> sample -> pack -> shard
+# --------------------------------------------------------------------------
+
+
+@query(
+    "curation_quality_filter",
+    f"""
+    SELECT doc_id AS doc_id, {_sql_quality()} AS quality
+    FROM documents WHERE {_sql_quality()} >= 0.5
+    """,
+)
+def curation_quality_filter(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).table("documents")
+    return curation.quality_filter(docs, min_quality=0.5).select("doc_id", "quality")
+
+
+_SAMPLE_RATES = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 0.25, "zh": 0.25}
+
+
+@query(
+    "curation_stratified_sample",
+    f"""
+    SELECT lang AS lang, count(*) AS n_kept
+    FROM documents
+    WHERE {curation.sample_hash_sql('doc_id')} <
+          CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _SAMPLE_RATES.items())}
+          ELSE 0.0 END
+    GROUP BY lang
+    """,
+)
+def curation_stratified_sample(spark, sf_dir):
+    """Deterministic hash-based per-language downsampling (no rand())."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    kept = curation.stratified_sample(docs, _SAMPLE_RATES, stratum_col="lang")
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+@query(
+    "curation_pack_sequences",
+    """
+    SELECT doc_id AS doc_id, source AS source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(sum(len(string_split(text, ' ')))
+                  OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING)
+                - len(string_split(text, ' ')) AS BIGINT) AS seq_offset,
+           CAST((sum(len(string_split(text, ' ')))
+                   OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING)
+                 - len(string_split(text, ' '))) // 512 AS BIGINT) AS pack_id
+    FROM documents
+    """,
+)
+def curation_pack_sequences(spark, sf_dir):
+    """Offset-based sequence packing into 512-token packs per source."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return curation.pack_sequences(docs, token_budget=512, shard_col="source")
+
+
+@query(
+    "curation_shards",
+    f"""
+    SELECT CAST((doc_id * {curation._KNUTH}) % {curation._RING} % 16 AS INT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1
+    """,
+)
+def curation_shards(spark, sf_dir):
+    """Hash-sharding + per-shard stats (the writer partitions by shard)."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return (
+        curation.assign_shards(docs, n_shards=16)
+        .withColumn("_t", token_count_ws("text").cast("long"))
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"), F.sum("_t").alias("n_tokens"))
+    )
+
+
+@query(
+    "skew_salted_agg",
+    """
+    SELECT l_suppkey AS l_suppkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def skew_salted_agg(spark, sf_dir):
+    """Two-stage salted aggregation — bit-identical to the naive
+    groupBy (decimal sums are order-insensitive), skew-proof at scale."""
+    li = Catalog(spark, sf_dir).table("lineitem").withColumn(
+        "l_quantity", F.col("l_quantity").cast("decimal(18,2)")
+    )
+    out = skew.salted_agg(
+        li, key="l_suppkey", agg_on="l_quantity", agg="sum", rename="sum_qty", n_salts=8
+    )
+    return out.withColumn("sum_qty", F.col("sum_qty").cast("double"))
 
 
 # --------------------------------------------------------------------------

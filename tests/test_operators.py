@@ -113,3 +113,72 @@ def test_payload_metadata(docs):
     p = multimodal.attach_binary_payload(docs).select("meta.n_bytes", "meta.mime").first()
     assert p["mime"] == "text/plain"
     assert p["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+
+
+# --------------------------------------------------------------------------
+# curation + skew
+# --------------------------------------------------------------------------
+
+from elevate_data_pipeline_spark.operators import curation, skew  # noqa: E402
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    rows = [(i, "w " * 5, ["en", "es"][i % 2], "s") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    kept1 = curation.stratified_sample(df, {"en": 0.5, "es": 0.0})
+    kept2 = curation.stratified_sample(df, {"en": 0.5, "es": 0.0})
+    ids1 = sorted(r.doc_id for r in kept1.collect())
+    ids2 = sorted(r.doc_id for r in kept2.collect())
+    assert ids1 == ids2  # deterministic
+    assert all(i % 2 == 0 for i in ids1)  # es rate 0 -> only en rows
+    assert 0.35 < len(ids1) / 1000 < 0.65  # ~50% of the 1000 en rows
+
+
+def test_pack_sequences_offsets(spark):
+    rows = [
+        (1, "a b c", "s"),        # 3 tokens, offset 0, pack 0
+        (2, "d e", "s"),          # 2 tokens, offset 3, pack 0
+        (3, "f g h i", "s"),      # 4 tokens, offset 5, pack 1
+        (4, "x", "t"),            # other shard restarts at 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: (r.seq_offset, r.pack_id) for r in
+           curation.pack_sequences(df, token_budget=4).collect()}
+    assert out == {1: (0, 0), 2: (3, 0), 3: (5, 1), 4: (0, 0)}
+
+
+def test_quality_filter_keeps_scored(spark):
+    rows = [(1, "the of and to a in is it you that he was for on are", "en", "s"),
+            (2, "zzzz", "en", "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    kept = curation.quality_filter(df, min_quality=0.5).collect()
+    assert [r.doc_id for r in kept] == [1]
+    assert all(0.0 <= r.quality <= 1.0 for r in kept)
+
+
+def test_salted_agg_equals_naive(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.choice([1, 1, 1, 2, 3]), rng.randint(0, 100)) for _ in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    naive = {r.k: r.s for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    for agg in ("sum", "count", "min", "max"):
+        salted = skew.salted_agg(df, "k", "v", agg=agg, rename="out", n_salts=4)
+        direct = df.groupBy("k").agg(F.expr(f"{agg}(v)").alias("out"))
+        assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in direct.collect()}
+    assert naive  # sanity
+
+
+def test_salted_agg_rejects_nondecomposable(spark):
+    df = spark.createDataFrame([(1, 1)], "k long, v long")
+    with pytest.raises(ValueError):
+        skew.salted_agg(df, "k", "v", agg="avg")
+
+
+def test_salted_broadcast_join_equals_naive(spark):
+    fact = spark.createDataFrame([(i % 3, i) for i in range(300)], "k long, v long")
+    dim = spark.createDataFrame([(0, "x"), (1, "y"), (2, "z")], "k long, name string")
+    salted = skew.salted_broadcast_join(fact, dim, "k", n_salts=4)
+    naive = fact.join(dim, "k")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, naive.collect()))
