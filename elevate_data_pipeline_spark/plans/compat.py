@@ -27,9 +27,13 @@ from ..spec.model import NestedFetch, PipelineSpec, Script, SingleProcess, SpecE
 
 
 def _task_frame_for_id(
-    catalog: Catalog, task: SingleProcess, id_name: str, value
+    catalog: Catalog, task: SingleProcess, id_name: str, value, id_type: T.DataType
 ) -> DataFrame:
-    """singleProcess for one ID (mentoringFunction2.scala:147-207)."""
+    """singleProcess for one ID (mentoringFunction2.scala:147-207).
+
+    ``id_type`` is the fetch query's ID column type: the loop tags rows
+    with ``lit(value)`` (P3), which must keep the source dtype so the
+    per-ID union's schema matches the decorrelated plan."""
     if "${id}" in task.query:
         df = catalog.sql(task.query.replace("${id}", str(value)))
     else:
@@ -46,11 +50,11 @@ def _task_frame_for_id(
             # S4 default row (mentoringFunction2.scala:168-175), with the id tag
             schema = T.StructType(
                 [
-                    T.StructField(id_name, T.LongType(), False),
+                    T.StructField(id_name, id_type, False),
                     T.StructField(out_name, T.LongType(), True),
                 ]
             )
-            return catalog.spark.createDataFrame([(int(value), 0)], schema)
+            return catalog.spark.createDataFrame([(value, 0)], schema)
         col, out_name = _agg_column(task)
         if task.groupby:
             df = df.groupBy(task.groupby).agg(col)
@@ -58,11 +62,11 @@ def _task_frame_for_id(
             df = df.agg(col)
             df = df.withColumn(out_name, F.coalesce(F.col(out_name), F.lit(0)))
     # P3: tag with the current loop ID
-    return df.withColumn(id_name, F.lit(value))
+    return df.withColumn(id_name, F.lit(value).cast(id_type))
 
 
 def _nested_frame_for_id(
-    catalog: Catalog, task: NestedFetch, id_name: str, value
+    catalog: Catalog, task: NestedFetch, id_name: str, value, id_type: T.DataType
 ) -> DataFrame:
     """processAgg / multiProcess for one outer ID
     (mentoringFunction1.scala:201-274,328-376)."""
@@ -72,22 +76,23 @@ def _nested_frame_for_id(
     inner_ids = [r[0] for r in bridge.select(task.id).collect()]
     value_name = task.child[0].rename or "value"
 
+    inner_type = bridge.schema[task.id].dataType
     frames: list[DataFrame] = []
     for inner in inner_ids:
         for child in task.child:
             frames.append(
-                _task_frame_for_id(catalog, child, task.id, inner).withColumnRenamed(
+                _task_frame_for_id(catalog, child, task.id, inner, inner_type).withColumnRenamed(
                     child.rename or f"{child.agg}_{child.agg_on}", value_name
                 )
             )
     if not frames:
         schema = T.StructType(
             [
-                T.StructField(id_name, T.LongType(), False),
+                T.StructField(id_name, id_type, False),
                 T.StructField(value_name, T.LongType(), True),
             ]
         )
-        return catalog.spark.createDataFrame([(int(value), 0)], schema)
+        return catalog.spark.createDataFrame([(value, 0)], schema)
     # U1 union fold — by name here (the reference's positional unionAll is
     # the §2.8 hazard we do not replicate)
     unioned = functools.reduce(
@@ -95,7 +100,7 @@ def _nested_frame_for_id(
     )
     # A2 rollup: tag outer id, sum
     return (
-        unioned.withColumn(id_name, F.lit(value))
+        unioned.withColumn(id_name, F.lit(value).cast(id_type))
         .groupBy(id_name)
         .agg(F.sum(value_name).alias(value_name))
     )
@@ -105,16 +110,18 @@ def _run_script_per_id(catalog: Catalog, script: Script, spec: PipelineSpec, str
     fetch = script.fetch_id
     if fetch is None:
         raise SpecError("per-ID mode requires a fetchId")
-    id_list = [r[0] for r in catalog.sql(fetch.query).select(fetch.id).collect()]
+    ids_df = catalog.sql(fetch.query).select(fetch.id)
+    id_type = ids_df.schema[fetch.id].dataType
+    id_list = [r[0] for r in ids_df.collect()]
 
     per_id_frames: list[DataFrame] = []
     for value in id_list:  # F2 fixed loop: iterate ALL ids (F2:41; not the F0:39 bug)
         acc: DataFrame | None = None
         for task in script.tasks:
             if isinstance(task, NestedFetch):
-                frame = _nested_frame_for_id(catalog, task, fetch.id, value)
+                frame = _nested_frame_for_id(catalog, task, fetch.id, value, id_type)
             else:
-                frame = _task_frame_for_id(catalog, task, fetch.id, value)
+                frame = _task_frame_for_id(catalog, task, fetch.id, value, id_type)
             if acc is None or _is_replace(task):
                 acc = frame
                 continue
