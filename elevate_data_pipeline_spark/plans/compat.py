@@ -22,7 +22,7 @@ from pyspark.sql import types as T
 
 from ..sources.catalog import Catalog
 from ..functions.mapping import apply_data_mapping, apply_output_mapping
-from ..plans.compiler import _agg_column, _is_replace, _join_keys
+from ..plans.compiler import _agg_column, _agg_columns, _is_replace, _join_keys
 from ..spec.model import NestedFetch, PipelineSpec, Script, SingleProcess, SpecError
 
 
@@ -44,23 +44,18 @@ def _task_frame_for_id(
     if task.agg_cast and task.agg_on:
         df = df.withColumn(task.agg_on, F.col(task.agg_on).cast(task.agg_cast))
 
-    if task.agg:
-        out_name = task.rename or f"{task.agg}_{task.agg_on}"
-        if task.default_on_empty and not task.groupby and df.isEmpty():
-            # S4 default row (mentoringFunction2.scala:168-175), with the id tag
-            schema = T.StructType(
-                [
-                    T.StructField(id_name, id_type, False),
-                    T.StructField(out_name, T.LongType(), True),
-                ]
-            )
-            return catalog.spark.createDataFrame([(value, 0)], schema)
-        col, out_name = _agg_column(task)
+    if task.agg or task.aggs:
+        cols, _, zero_names = _agg_columns(task)
         if task.groupby:
-            df = df.groupBy(task.groupby).agg(col)
+            df = df.groupBy(task.groupby).agg(*cols)
         else:
-            df = df.agg(col)
-            df = df.withColumn(out_name, F.coalesce(F.col(out_name), F.lit(0)))
+            # Global agg: an empty per-ID subset yields one row of
+            # count=0 / NULLs; zero-filling the additive outputs IS the
+            # reference's fabricated S4 default row
+            # (mentoringFunction2.scala:168-175).
+            df = df.agg(*cols)
+            for n in zero_names:
+                df = df.withColumn(n, F.coalesce(F.col(n), F.lit(0)))
     # P3: tag with the current loop ID
     return df.withColumn(id_name, F.lit(value).cast(id_type))
 

@@ -57,17 +57,44 @@ def _is_replace(task: SingleProcess | NestedFetch) -> bool:
     return (task.join_type in (None, "none")) and (task.join_on in (None, "none"))
 
 
-def _agg_column(task: SingleProcess) -> tuple[F.Column, str]:
-    name = task.rename or f"{task.agg}_{task.agg_on}"
-    fn = task.agg
+def _one_agg(fn: str, agg_on: str, name: str) -> F.Column:
     if fn == "count_distinct":
-        expr = F.countDistinct(task.agg_on)
+        expr = F.countDistinct(agg_on)
     elif fn == "sum_distinct":
-        expr = F.sum_distinct(F.col(task.agg_on))
+        expr = F.sum_distinct(F.col(agg_on))
     else:
         # dynamic aggregate name, validated against the allowlist at parse
-        expr = F.expr(f"{fn}({task.agg_on})")
-    return expr.alias(name), name
+        expr = F.expr(f"{fn}({agg_on})")
+    return expr.alias(name)
+
+
+def _agg_column(task: SingleProcess) -> tuple[F.Column, str]:
+    name = task.rename or f"{task.agg}_{task.agg_on}"
+    return _one_agg(task.agg, task.agg_on, name), name
+
+
+# aggregates whose empty-input default is 0 (additive); others stay NULL
+_ADDITIVE = frozenset(
+    {"count", "sum", "count_distinct", "sum_distinct", "approx_count_distinct"}
+)
+
+
+def _agg_columns(task: SingleProcess) -> tuple[list[F.Column], list[str], list[str]]:
+    """All aggregate columns of a task — the single ``agg`` or the fused
+    multi-agg ``aggs`` extension (one scan, N aggregates).
+
+    Returns (columns, out_names, zero_names). ``zero_names`` are the
+    outputs that default to 0 for empty-input IDs (S4): for the single
+    ``agg`` that is always the output (reference literally fabricates
+    ``{agg_on: 0}``, mentoringFunction2.scala:169-175, whatever the
+    aggregate); for the ``aggs`` extension only additive aggregates
+    zero-fill — min/max/first of nothing is NULL."""
+    if task.aggs:
+        names = [a.out_name for a in task.aggs]
+        zeros = [a.out_name for a in task.aggs if a.agg in _ADDITIVE]
+        return [_one_agg(a.agg, a.agg_on, a.out_name) for a in task.aggs], names, zeros
+    col, name = _agg_column(task)
+    return [col], [name], [name]
 
 
 def _scan(catalog: Catalog, task: SingleProcess) -> DataFrame:
@@ -84,10 +111,10 @@ def _compile_single(
     task: SingleProcess,
     fetch: FetchId | None,
     ids_distinct: DataFrame | None,
-) -> tuple[DataFrame, str | None]:
-    """Returns (frame, pending_default_col).
+) -> tuple[DataFrame, list[str] | None]:
+    """Returns (frame, pending_default_cols).
 
-    ``pending_default_col`` marks a correlated aggregate whose S4
+    ``pending_default_cols`` marks a correlated aggregate whose S4
     default-row layer was NOT materialized: the fold step applies it as
     ``acc LEFT JOIN frame + coalesce(col, 0)`` instead. The two forms
     are equivalent because the eager layer's ID set (ids_distinct) is by
@@ -101,21 +128,21 @@ def _compile_single(
     if task.correlate_on and fetch is not None:
         if task.correlate_on != fetch.id:
             df = df.withColumnRenamed(task.correlate_on, fetch.id)
-        if task.agg:
+        if task.agg or task.aggs:
             keys = [fetch.id] + ([task.groupby] if task.groupby else [])
-            col, out_name = _agg_column(task)
-            df = df.groupBy(*keys).agg(col)
+            cols, _, zero_names = _agg_columns(task)
+            df = df.groupBy(*keys).agg(*cols)
             if task.default_on_empty and not task.groupby and ids_distinct is not None:
-                return df, out_name
+                return df, zero_names
         return df, None
 
     # uncorrelated task: optional global/grouped aggregate
-    if task.agg:
-        col, _ = _agg_column(task)
+    if task.agg or task.aggs:
+        cols, _, _ = _agg_columns(task)
         if task.groupby:
-            df = df.groupBy(task.groupby).agg(col)
+            df = df.groupBy(task.groupby).agg(*cols)
         else:
-            df = df.agg(col)
+            df = df.agg(*cols)
     return df, None
 
 
@@ -124,7 +151,7 @@ def _compile_nested(
     task: NestedFetch,
     fetch: FetchId | None,
     ids_distinct: DataFrame | None,
-) -> tuple[DataFrame, str | None]:
+) -> tuple[DataFrame, list[str] | None]:
     """J5: bridge (outer id -> inner id) + per-inner-id children union (U1)
     + per-outer rollup (A2). Returns (frame, pending_default_col) like
     :func:`_compile_single`."""
@@ -161,7 +188,7 @@ def _compile_nested(
         .agg(F.sum(value_name).alias(value_name))
     )
     if ids_distinct is not None:
-        return rolled, value_name
+        return rolled, [value_name]
     return rolled, None
 
 
@@ -177,8 +204,10 @@ def compile_script(catalog: Catalog, script: Script) -> DataFrame:
         # duplicate IDs in the fetch result replicate output rows (loop parity)
         acc = ids
 
-    def _default0(df: DataFrame, col_name: str) -> DataFrame:
-        return df.withColumn(col_name, F.coalesce(F.col(col_name), F.lit(0)))
+    def _default0(df: DataFrame, col_names: list[str]) -> DataFrame:
+        for c in col_names:
+            df = df.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+        return df
 
     for task in script.tasks:
         if isinstance(task, NestedFetch):

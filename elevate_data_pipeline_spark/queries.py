@@ -637,6 +637,59 @@ def events_hourly(spark, sf_dir):
 
 
 @query(
+    "spec_multi_agg_fused",
+    """
+    WITH a AS (
+      SELECT o_custkey, count(o_orderkey) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+             max(o_orderpriority) AS max_priority
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey AS c_custkey,
+           coalesce(a.n_orders, 0) AS n_orders,
+           CAST(coalesce(a.total_value, 0) AS DOUBLE) AS total_value,
+           a.max_priority AS max_priority
+    FROM customer c LEFT JOIN a ON a.o_custkey = c.c_custkey
+    """,
+)
+def spec_multi_agg_fused(spark, sf_dir):
+    """Engine extension: N aggregates over ONE scan via the task's
+    ``aggs`` list — the fused form of spec_join_fold (which needs one
+    scan + shuffle of orders per aggregate, reference J2 semantics)."""
+    df = _spec_df(
+        spark,
+        sf_dir,
+        [
+            {
+                "fetchId": {"query": "SELECT c_custkey FROM customer", "id": "c_custkey"},
+                "tasks": [
+                    {
+                        "single_process": {
+                            "input": "order_stats",
+                            "query": "SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice, o_orderpriority FROM orders",
+                            "correlate_on": "o_custkey",
+                            "aggs": [
+                                {"agg": "count", "agg_on": "o_orderkey", "rename": "n_orders"},
+                                {"agg": "sum", "agg_on": "o_totalprice", "rename": "total_value"},
+                                {"agg": "max", "agg_on": "o_orderpriority", "rename": "max_priority"},
+                            ],
+                            "join_on": "c_custkey",
+                            "join_type": "left",
+                        }
+                    }
+                ],
+            }
+        ],
+    )
+    return df.select(
+        "c_custkey",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("total_value").cast("double").alias("total_value"),
+        "max_priority",
+    )
+
+
+@query(
     "events_sessionize",
     """
     WITH g AS (

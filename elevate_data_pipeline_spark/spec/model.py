@@ -86,6 +86,23 @@ class FetchId:
 
 
 @dataclass
+class AggSpec:
+    """One aggregate of a multi-aggregate task (engine extension)."""
+
+    agg: str
+    agg_on: str
+    rename: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.agg not in ALLOWED_AGGREGATES:
+            raise SpecError(f"aggregate {self.agg!r} not in allowlist")
+
+    @property
+    def out_name(self) -> str:
+        return self.rename or f"{self.agg}_{self.agg_on}"
+
+
+@dataclass
 class SingleProcess:
     """One task: scan → fill → (agg) → tag → fold-join
     (reference mentoringFunction2.scala:147-207)."""
@@ -108,8 +125,15 @@ class SingleProcess:
     # Reference P4 always casts agg_on to integer (mentoringFunction2.scala:165);
     # here opt-in to avoid silent truncation.
     agg_cast: str | None = None
+    # Engine extension: N aggregates over ONE scan. The reference needs N
+    # single-agg tasks (N scans + N shuffles of the same source,
+    # mentoringFunction2.scala:115-143); ``aggs`` fuses them into one
+    # groupBy. Mutually exclusive with ``agg``.
+    aggs: list[AggSpec] | None = None
 
     def __post_init__(self) -> None:
+        if self.aggs is not None and self.agg is not None:
+            raise SpecError(f"task {self.input!r}: use either agg or aggs, not both")
         if self.agg is not None:
             if self.agg not in ALLOWED_AGGREGATES:
                 raise SpecError(f"aggregate {self.agg!r} not in allowlist")

@@ -12,6 +12,7 @@ import json
 from typing import Any, Union
 
 from .model import (
+    AggSpec,
     FetchId,
     MappingRule,
     NestedFetch,
@@ -45,6 +46,7 @@ def _parse_single(obj: dict) -> SingleProcess:
         "correlate_on",
         "default_on_empty",
         "agg_cast",
+        "aggs",
     }
     extra = set(obj) - known
     if extra:
@@ -57,6 +59,8 @@ def _parse_single(obj: dict) -> SingleProcess:
     for k in ("join_on", "join_type"):
         if k in obj:
             clean[k] = obj[k]
+    if clean.get("aggs"):
+        clean["aggs"] = [AggSpec(**a) for a in clean["aggs"]]
     return SingleProcess(**clean)
 
 

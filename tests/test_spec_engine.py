@@ -332,3 +332,56 @@ def test_per_id_compat_equals_decorrelated(catalog):
     d = {r["c_custkey"]: r["n_orders"] for r in dec.collect()}
     l = {r["c_custkey"]: r["n_orders"] for r in loop.collect()}
     assert d == l
+
+
+def test_multi_agg_fused_single_scan(catalog, spark):
+    """The aggs extension must produce ONE scan of the task source and
+    match the equivalent two-task fold row-for-row."""
+    import json
+    from elevate_data_pipeline_spark.spec import parse_spec
+    from elevate_data_pipeline_spark.plans import compile_pipeline
+
+    fetch = {"query": "SELECT c_custkey FROM customer", "id": "c_custkey"}
+    fused = [{
+        "fetchId": fetch,
+        "tasks": [{"single_process": {
+            "input": "stats",
+            "query": "SELECT o_custkey, o_orderkey FROM orders",
+            "correlate_on": "o_custkey",
+            "aggs": [
+                {"agg": "count", "agg_on": "o_orderkey", "rename": "n"},
+                {"agg": "max", "agg_on": "o_orderkey", "rename": "mx"},
+            ],
+            "join_on": "c_custkey", "join_type": "left",
+        }}],
+    }]
+    split = [{
+        "fetchId": fetch,
+        "tasks": [
+            {"single_process": {
+                "input": "t1", "query": "SELECT o_custkey, o_orderkey FROM orders",
+                "correlate_on": "o_custkey", "agg": "count", "agg_on": "o_orderkey",
+                "join_on": "c_custkey", "join_type": "left", "rename": "n",
+            }},
+            {"single_process": {
+                "input": "t2", "query": "SELECT o_custkey, o_orderkey FROM orders",
+                "correlate_on": "o_custkey", "agg": "max", "agg_on": "o_orderkey",
+                "join_on": "c_custkey", "join_type": "left", "rename": "mx",
+                "default_on_empty": False,
+            }},
+        ],
+    }]
+    (df_fused,) = compile_pipeline(catalog, parse_spec(json.dumps(fused)))
+    (df_split,) = compile_pipeline(catalog, parse_spec(json.dumps(split)))
+
+    # count scans via the formatted explain text
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df_fused.explain("formatted")
+    n_orders_scans = buf.getvalue().count("orders.parquet]")
+    assert n_orders_scans == 1
+
+    a = {tuple(r) for r in df_fused.collect()}
+    b = {tuple(r) for r in df_split.collect()}
+    assert a == b
