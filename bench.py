@@ -24,6 +24,9 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q4_order_priority",
+    "q18_large_orders",
+    "topk_orders_per_segment",
     "spec_fetchid_order_count",
     "spec_join_fold",
     "spec_nested_rollup",

@@ -610,6 +610,115 @@ def q6_forecast_revenue(spark, sf_dir):
 
 
 @query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority AS o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1993-07-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1993-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """Left-semi join (EXISTS decorrelation — Catalyst plans it as
+    LeftSemi without materializing the subquery)."""
+    cat = Catalog(spark, sf_dir)
+    o = cat.table("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1993-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1993-10-01").cast("timestamp"))
+    )
+    late = cat.table("lineitem").filter(F.col("l_quantity") >= 45)
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q16_no_order_suppliers",
+    """
+    SELECT count(*) AS n_idle_suppliers
+    FROM supplier s
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey
+                      AND l.l_shipdate >= TIMESTAMP '1998-06-01 00:00:00')
+    """,
+)
+def q16_no_order_suppliers(spark, sf_dir):
+    """Left-anti join (NOT EXISTS)."""
+    cat = Catalog(spark, sf_dir)
+    s = cat.table("supplier")
+    recent = cat.table("lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        s.join(recent, s.s_suppkey == recent.l_suppkey, "left_anti")
+        .agg(F.count("*").alias("n_idle_suppliers"))
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT o.o_orderkey AS o_orderkey, o.o_custkey AS o_custkey,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey
+    HAVING sum(CAST(l.l_quantity AS DECIMAL(18,2))) > 300
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """Aggregate + HAVING (post-aggregation filter)."""
+    cat = Catalog(spark, sf_dir)
+    o, l = cat.table("orders"), cat.table("lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.sum(qty).alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select(
+            "o_orderkey", "o_custkey", F.col("_q").cast("double").alias("total_qty")
+        )
+    )
+
+
+@query(
+    "topk_orders_per_segment",
+    """
+    SELECT c_mktsegment AS c_mktsegment, o_orderkey AS o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(rn AS INT) AS rank
+    FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ) WHERE rn <= 5
+    """,
+)
+def topk_orders_per_segment(spark, sf_dir):
+    """Per-group top-k via ranking window — the scalable grouped-top-k
+    shape (no global sort; one shuffle on the group key)."""
+    from pyspark.sql.window import Window
+
+    cat = Catalog(spark, sf_dir)
+    o, c = cat.table("orders"), cat.table("customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .withColumn("o_totalprice", F.col("o_totalprice").cast("double"))
+    )
+
+
+@query(
     "events_hourly",
     """
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
