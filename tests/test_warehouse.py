@@ -1,0 +1,71 @@
+"""Warehouse layout: bucketed joins must run without an Exchange, and
+partitioned sinks must partition-prune on read."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from elevate_data_pipeline_spark.sources.catalog import Catalog
+from elevate_data_pipeline_spark.sources.sink import write_parquet
+from elevate_data_pipeline_spark.sources.warehouse import bucketize, read_table
+
+from conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark):
+    # warehouse.dir is a static conf; use the session default (cwd/spark-warehouse)
+    cat = Catalog(spark, SF_DIR)
+    bucketize(cat.table("orders"), "orders_b", "o_custkey", 8, sort_by="o_custkey")
+    bucketize(cat.table("customer"), "customer_b", "c_custkey", 8, sort_by="c_custkey")
+    yield spark
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_bucketed_join_has_no_exchange(bucketed):
+    spark = bucketed
+    o = read_table(spark, "orders_b")
+    c = read_table(spark, "customer_b").withColumnRenamed("c_custkey", "o_custkey")
+    joined = o.join(c, "o_custkey").groupBy("o_custkey").agg(F.count("*").alias("n"))
+    # force the non-broadcast path: co-located buckets must merge-join
+    # with neither a shuffle Exchange nor a Sort step (sortBy at write)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(joined)
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_groupby_has_no_exchange(bucketed):
+    spark = bucketed
+    o = read_table(spark, "orders_b")
+    agg = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    assert "Exchange" not in _plan(agg)
+
+
+def test_partitioned_sink_prunes_on_read(spark, tmp_path):
+    cat = Catalog(spark, SF_DIR)
+    out = str(tmp_path / "orders_by_status")
+    write_parquet(
+        cat.table("orders"), out, mode="overwrite", partition_by=["o_orderstatus"]
+    )
+    df = spark.read.parquet(out).filter(F.col("o_orderstatus") == "O")
+    plan = _plan(df)
+    assert "PartitionFilters: [isnotnull(o_orderstatus#" in plan
+    assert df.count() > 0
