@@ -799,6 +799,88 @@ def spec_multi_agg_fused(spark, sf_dir):
 
 
 @query(
+    "events_json_props",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_json_props(spark, sf_dir):
+    """Semi-structured props: JSON path extraction feeding an aggregate
+    (JVM-side get_json_object — no UDF)."""
+    ev = Catalog(spark, sf_dir).table("events")
+    return (
+        ev.groupBy(F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "events_value_percentiles",
+    """
+    SELECT event_type AS event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark percentile ==
+    DuckDB quantile_cont: both linear-interpolate on the sorted set)."""
+    ev = Catalog(spark, sf_dir).table("events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+
+
+@query(
+    "events_rollup",
+    """
+    SELECT event_type AS event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+           count(*) AS n
+    FROM events
+    GROUP BY ROLLUP (event_type, CAST(date_trunc('day', ts) AS TIMESTAMP))
+    """,
+)
+def events_rollup(spark, sf_dir):
+    """Hierarchical grouping sets (type, day) -> (type) -> () via ROLLUP."""
+    ev = Catalog(spark, sf_dir).table("events")
+    return (
+        ev.select(
+            "event_type", F.date_trunc("day", "ts").alias("day_ts")
+        )
+        .rollup("event_type", "day_ts")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "orders_priority_sets",
+    """
+    SELECT o_orderstatus AS o_orderstatus,
+           list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def orders_priority_sets(spark, sf_dir):
+    """Distinct-set aggregation: sorted collect_set + count(distinct)."""
+    o = Catalog(spark, sf_dir).table("orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@query(
     "events_sessionize",
     """
     WITH g AS (
