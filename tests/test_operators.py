@@ -182,3 +182,11 @@ def test_salted_broadcast_join_equals_naive(spark):
     salted = skew.salted_broadcast_join(fact, dim, "k", n_salts=4)
     naive = fact.join(dim, "k")
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_minhash_arrow_equals_expr(docs):
+    a = {r.doc_id: r.sig for r in docs.select(
+        "doc_id", dedup.minhash_signature("text").alias("sig")).collect()}
+    b = {r.doc_id: r.sig for r in docs.select(
+        "doc_id", dedup.minhash_signature_arrow("text").alias("sig")).collect()}
+    assert a == b
