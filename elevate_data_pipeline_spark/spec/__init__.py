@@ -8,6 +8,7 @@ from .model import (
     SingleProcess,
 )
 from .parser import parse_spec
+from .config import load_spec_from_config
 
 __all__ = [
     "FetchId",
@@ -18,4 +19,5 @@ __all__ = [
     "Script",
     "SingleProcess",
     "parse_spec",
+    "load_spec_from_config",
 ]

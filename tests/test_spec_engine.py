@@ -385,3 +385,34 @@ def test_multi_agg_fused_single_scan(catalog, spark):
     a = {tuple(r) for r in df_fused.collect()}
     b = {tuple(r) for r in df_split.collect()}
     assert a == b
+
+
+def test_load_spec_from_config_table(catalog, spark):
+    """S3 config-table scan + A5 first(): spec row selected by
+    script_type, three JSON docs parsed, pipeline runs."""
+    import json
+    from elevate_data_pipeline_spark.spec import load_spec_from_config
+    from elevate_data_pipeline_spark.plans import compile_pipeline
+    from elevate_data_pipeline_spark.spec.model import SpecError
+
+    input_schema = json.dumps([{
+        "tasks": [{"single_process": {
+            "input": "counts",
+            "query": "SELECT o_orderstatus, o_orderkey FROM orders",
+            "agg": "count", "agg_on": "o_orderkey", "groupby": "o_orderstatus",
+            "rename": "n", "join_on": "none", "join_type": "none",
+        }}],
+    }])
+    config = spark.createDataFrame(
+        [("order_counts", input_schema, None, None),
+         ("other", "[]", None, None)],
+        "script_type string, input_data_schema string, data_mapping string, output_data_schema string",
+    )
+    spec = load_spec_from_config(config, "order_counts")
+    (df,) = compile_pipeline(catalog, spec)
+    assert df.count() > 0
+    assert set(df.columns) == {"o_orderstatus", "n"}
+
+    import pytest
+    with pytest.raises(SpecError):
+        load_spec_from_config(config, "missing_type")
