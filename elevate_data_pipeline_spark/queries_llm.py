@@ -31,7 +31,7 @@ from .functions.text import (
     token_count_bpe,
     token_count_ws,
 )
-from .operators import curation, dedup, multimodal, similarity, skew
+from .operators import asof, curation, dedup, multimodal, similarity, skew
 from .operators.dedup import MERSENNE61, MINHASH_COEFFS, N_BANDS, N_HASHES, ROWS_PER_BAND
 from .queries import query
 from .sources.catalog import Catalog
@@ -288,6 +288,36 @@ def skew_salted_agg(spark, sf_dir):
         li, key="l_suppkey", agg_on="l_quantity", agg="sum", rename="sum_qty", n_salts=8
     )
     return out.withColumn("sum_qty", F.col("sum_qty").cast("double"))
+
+
+# --------------------------------------------------------------------------
+# As-of join
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_asof_join",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, ts, max(value) AS signup_value FROM events
+               WHERE event_type = 'signup' GROUP BY user_id, ts)
+    SELECT l.event_id AS event_id, l.user_id AS user_id, l.ts AS ts,
+           r.ts AS signup_ts, r.signup_value AS signup_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    """As-of join via union + windowed last-non-null (one shuffle, no
+    range join) — oracle is DuckDB's native ASOF JOIN. For each purchase,
+    the user's most recent signup at or before it."""
+    ev = Catalog(spark, sf_dir).table("events")
+    left = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("signup_value"))
+    )
+    return asof.asof_join(left, right, on="user_id", ts="ts", right_ts_out="signup_ts")
 
 
 # --------------------------------------------------------------------------

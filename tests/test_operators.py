@@ -190,3 +190,29 @@ def test_minhash_arrow_equals_expr(docs):
     b = {r.doc_id: r.sig for r in docs.select(
         "doc_id", dedup.minhash_signature_arrow("text").alias("sig")).collect()}
     assert a == b
+
+
+def test_asof_join_backward(spark):
+    from elevate_data_pipeline_spark.operators import asof
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 25, 101), (2, 5, 102)], "k long, t long, lid long"
+    ).withColumn("ts", F.timestamp_micros("t")).drop("t")
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 7, "c")], "k long, t long, tag string"
+    ).withColumn("ts", F.timestamp_micros("t")).drop("t")
+
+    out = {r.lid: (r.tag, r.matched_ts) for r in
+           asof.asof_join(left, right, on="k", ts="ts").collect()}
+    assert out[100][0] == "a"   # equal ts matches
+    assert out[101][0] == "b"   # latest preceding
+    assert out[102] == (None, None)  # no right row at or before t=5
+
+
+def test_asof_join_rejects_collisions(spark):
+    from elevate_data_pipeline_spark.operators import asof
+
+    l = spark.createDataFrame([(1, 1, 9)], "k long, ts long, v long")
+    r = spark.createDataFrame([(1, 1, 8)], "k long, ts long, v long")
+    with pytest.raises(ValueError):
+        asof.asof_join(l, r, on="k", ts="ts")
