@@ -25,6 +25,43 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    ts: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join: left rows matched to interval rows of the
+    same key with ``start <= ts <= end``.
+
+    Catalyst plans a raw BETWEEN join as BroadcastNestedLoop (quadratic
+    per key). This rewrite buckets time: each interval explodes over the
+    buckets it covers, each point lands in exactly one bucket, and the
+    join becomes an equi-join on (key, bucket) plus a residual range
+    filter. Cost: one shuffle on (key, bucket); interval duplication is
+    bounded by span/bucket_seconds — size the bucket near the median
+    interval length.
+    """
+    lb = left.withColumn("_bkt", (F.unix_micros(F.col(ts)) / (bucket_seconds * 1_000_000)).cast("long"))
+    ib = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                (F.unix_micros(F.col(start)) / (bucket_seconds * 1_000_000)).cast("long"),
+                (F.unix_micros(F.col(end)) / (bucket_seconds * 1_000_000)).cast("long"),
+            )
+        ),
+    )
+    return (
+        lb.join(ib, [on, "_bkt"])
+        .filter((F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end)))
+        .drop("_bkt")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

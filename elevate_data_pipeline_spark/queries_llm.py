@@ -320,6 +320,46 @@ def events_asof_join(spark, sf_dir):
     return asof.asof_join(left, right, on="user_id", ts="ts", right_ts_out="signup_ts")
 
 
+@query(
+    "events_range_join",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+      FROM events
+    ), s AS (
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end
+      FROM (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess FROM g)
+      GROUP BY user_id, sess
+    )
+    SELECT e.event_id AS event_id, e.user_id AS user_id,
+           s.session_start AS session_start, s.session_end AS session_end
+    FROM events e JOIN s ON e.user_id = s.user_id
+                        AND e.ts BETWEEN s.session_start AND s.session_end
+    WHERE e.event_type = 'error'
+    """,
+)
+def events_range_join(spark, sf_dir):
+    """Bucketed point-in-interval join: error events matched to the
+    session interval containing them (every event lies in exactly one
+    session by construction)."""
+    from .streaming import sessionize_batch
+
+    ev = Catalog(spark, sf_dir).table("events")
+    sessions = sessionize_batch(ev, gap_minutes=30).select(
+        "user_id", "session_start", "session_end"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof.range_join(
+        errors, sessions, on="user_id", ts="ts",
+        start="session_start", end="session_end", bucket_seconds=3600,
+    ).select("event_id", "user_id", "session_start", "session_end")
+
+
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------

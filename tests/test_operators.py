@@ -216,3 +216,19 @@ def test_asof_join_rejects_collisions(spark):
     r = spark.createDataFrame([(1, 1, 8)], "k long, ts long, v long")
     with pytest.raises(ValueError):
         asof.asof_join(l, r, on="k", ts="ts")
+
+
+def test_range_join_buckets(spark):
+    from elevate_data_pipeline_spark.operators import asof
+
+    pts = spark.createDataFrame(
+        [(1, 100, 1), (1, 5000, 2), (2, 100, 3)], "k long, t long, pid long"
+    ).withColumn("ts", F.timestamp_micros(F.col("t") * 1_000_000)).drop("t")
+    iv = spark.createDataFrame(
+        [(1, 0, 200, "a"), (1, 4000, 9000, "b")], "k long, s long, e long, ivl string"
+    ).withColumn("start", F.timestamp_micros(F.col("s") * 1_000_000)) \
+     .withColumn("end", F.timestamp_micros(F.col("e") * 1_000_000)).drop("s", "e")
+
+    out = {r.pid: r.ivl for r in asof.range_join(
+        pts, iv, on="k", ts="ts", bucket_seconds=60).collect()}
+    assert out == {1: "a", 2: "b"}  # pid 3: key 2 has no interval
