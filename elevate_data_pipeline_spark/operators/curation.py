@@ -90,6 +90,29 @@ def assign_shards(
     )
 
 
+def latest_by_key(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """CDC-style compaction: keep the latest row per key (max
+    ``order_col``, ties broken by ``tiebreak`` descending).
+
+    One shuffle on the keys; at scale this is the standard
+    upsert-materialization pass over an append-only changelog.
+    """
+    order = [F.col(order_col).desc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).desc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     token_budget: int = 512,

@@ -271,6 +271,27 @@ def curation_shards(spark, sf_dir):
 
 
 @query(
+    "events_cdc_compact",
+    """
+    SELECT event_id AS event_id, user_id AS user_id, event_type AS event_type,
+           ts AS ts, value AS value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def events_cdc_compact(spark, sf_dir):
+    """Changelog compaction: latest state per (user, event_type) —
+    the upsert-materialization pass over an append-only log."""
+    ev = Catalog(spark, sf_dir).table("events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    return curation.latest_by_key(
+        ev, keys=["user_id", "event_type"], order_col="ts", tiebreak="event_id"
+    )
+
+
+@query(
     "skew_salted_agg",
     """
     SELECT l_suppkey AS l_suppkey,
