@@ -881,6 +881,36 @@ def orders_priority_sets(spark, sf_dir):
 
 
 @query(
+    "orders_running_total",
+    """
+    SELECT o_custkey AS o_custkey, o_orderkey AS o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+    FROM orders WHERE o_custkey < 100
+    """,
+)
+def orders_running_total(spark, sf_dir):
+    """Cumulative window aggregate per customer in order-date order."""
+    from pyspark.sql.window import Window
+
+    o = Catalog(spark, sf_dir).table("orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+@query(
     "events_sessionize",
     """
     WITH g AS (
