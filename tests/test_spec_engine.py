@@ -416,3 +416,26 @@ def test_load_spec_from_config_table(catalog, spark):
     import pytest
     with pytest.raises(SpecError):
         load_spec_from_config(config, "missing_type")
+
+
+def test_multi_script_pipeline(catalog):
+    """One spec, two scripts -> two independent frames."""
+    import json
+    from elevate_data_pipeline_spark.spec import parse_spec
+    from elevate_data_pipeline_spark.plans import compile_pipeline
+
+    spec = parse_spec(json.dumps([
+        {"name": "a", "tasks": [{"single_process": {
+            "input": "t", "query": "SELECT o_orderstatus, o_orderkey FROM orders",
+            "agg": "count", "agg_on": "o_orderkey", "groupby": "o_orderstatus",
+            "rename": "n", "join_on": "none", "join_type": "none"}}]},
+        {"name": "b", "tasks": [{"single_process": {
+            "input": "t", "query": "SELECT c_mktsegment, c_custkey FROM customer",
+            "agg": "count", "agg_on": "c_custkey", "groupby": "c_mktsegment",
+            "rename": "n", "join_on": "none", "join_type": "none"}}]},
+    ]))
+    frames = compile_pipeline(catalog, spec)
+    assert len(frames) == 2
+    assert frames[0].columns == ["o_orderstatus", "n"]
+    assert frames[1].columns == ["c_mktsegment", "n"]
+    assert frames[0].count() > 0 and frames[1].count() > 0
