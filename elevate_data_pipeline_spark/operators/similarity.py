@@ -53,6 +53,82 @@ def brute_force_topk(
     )
 
 
+# Random-hyperplane LSH: N_PLANES deterministic integer hyperplanes
+# (affine PRNG over the dimension index, centered on 0). Deterministic so
+# index build and SQL oracle reproduce the buckets bit-for-bit.
+N_PLANES = 6
+_PLANE_SEEDS = (
+    (2128164061, 797605564),
+    (596987483, 1944694864),
+    (116450323, 582439801),
+    (430979122, 468068949),
+    (1406942088, 1848070633),
+    (1172698796, 805278811),
+)
+
+
+def plane_coeffs(dim: int) -> list[list[int]]:
+    """Integer hyperplane coefficients in [-1000, 1000], one row per plane."""
+    return [
+        [((a * (d + 1) + b) % 2001) - 1000 for d in range(dim)]
+        for a, b in _PLANE_SEEDS[:N_PLANES]
+    ]
+
+
+def lsh_bucket(vec_col: str, dim: int) -> F.Column:
+    """Sign-of-dot-product bucket id in [0, 2^N_PLANES): bit j is the sign
+    of the query against hyperplane j. All math is a left-to-right double
+    fold, identical in the SQL oracle."""
+    bits = []
+    for j, row in enumerate(plane_coeffs(dim)):
+        dot = F.expr(
+            f"aggregate(zip_with({vec_col}, array({', '.join(str(float(c)) + 'D' for c in row)}), "
+            f"(x, c) -> double(x) * c), 0D, (a, b) -> a + b)"
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """LSH-bucketed ANN: exact top-k within the query's own hyperplane
+    bucket. The corpus shuffles once on the bucket key (or is bucketed at
+    rest); each bucket self-scan is partition-local — the alternative
+    scale path to :func:`ivf_topk` when no cluster structure exists.
+    """
+    c = corpus.select(
+        lsh_bucket(vec_col, dim).alias("bucket"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+    )
+    q = queries.select(
+        lsh_bucket(vec_col, dim).alias("bucket"),
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "bucket", "neighbor_id", cosine("_qv", "_cv").alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "bucket", "neighbor_id", "rank", "cos")
+    )
+
+
 def ivf_centroids(
     corpus: DataFrame,
     cell_col: str = "label",

@@ -570,6 +570,46 @@ def ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, queries_df, k=5)
 
 
+def _sql_lsh_bucket(vec: str, dim: int = 64) -> str:
+    terms = []
+    for j, row in enumerate(similarity.plane_coeffs(dim)):
+        coefs = ", ".join(str(float(c)) for c in row)
+        dot = (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"[CAST({vec}[i] AS DOUBLE) * ([{coefs}])[i] for i in range(1, {dim + 1})]), "
+            f"(a, b) -> a + b)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "ann_lsh_topk",
+    f"""
+    WITH b AS (SELECT vec_id, embedding, {_sql_lsh_bucket('embedding')} AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, q.bucket, c.vec_id AS neighbor_id,
+             {_sql_cosine('q.qv', 'c.embedding')} AS cos
+      FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.query_id
+    )
+    SELECT query_id AS query_id, CAST(bucket AS INT) AS bucket,
+           neighbor_id AS neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+           cos AS cos
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def ann_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH ANN: exact top-5 within the query's sign
+    bucket — the scale path when no cluster/label structure exists."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_topk(emb, queries_df, k=5, dim=64)
+
+
 # --------------------------------------------------------------------------
 # Multimodal
 # --------------------------------------------------------------------------
