@@ -71,6 +71,29 @@ def fingerprint(col: str) -> Column:
     return polyhash(col)
 
 
+def winnow_fingerprints(col: str, k: int = 5, w: int = 4) -> Column:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    rolling hashes of character k-grams, then the minimum of each
+    w-hash window, deduplicated.
+
+    Guarantees a shared fingerprint for any match of length >= w+k-1,
+    with density 2/(w+1) — the standard plagiarism/near-dup fingerprint
+    set. Pure JVM array expressions; one array column per document.
+    """
+    n_grams = f"greatest(length({col}) - {k - 1}, 1)"
+    gram_hashes = (
+        f"transform(sequence(1, {n_grams}), i -> "
+        f"aggregate(transform(sequence(i, least(i + {k - 1}, length({col}))), "
+        f"j -> bigint(ascii(substring({col}, j, 1)))), "
+        f"bigint(0), (a, b) -> (a * {POLY_BASE} + b) % {POLY_MOD}))"
+    )
+    return F.expr(
+        f"array_distinct(transform(array({gram_hashes}), hs -> "
+        f"transform(sequence(1, greatest(size(hs) - {w - 1}, 1)), "
+        f"i -> array_min(slice(hs, i, {w}))))[0])"
+    )
+
+
 def _marker_hits(col: str, markers: tuple[str, ...]) -> Column:
     quoted = ", ".join(f"'{m}'" for m in markers)
     return F.expr(f"size(filter(split({col}, ' '), w -> w IN ({quoted})))")

@@ -30,6 +30,7 @@ from .functions.text import (
     quality_score,
     token_count_bpe,
     token_count_ws,
+    winnow_fingerprints as text_winnow,
 )
 from .operators import asof, curation, dedup, multimodal, similarity, skew
 from .operators.dedup import MERSENNE61, MINHASH_COEFFS, N_BANDS, N_HASHES, ROWS_PER_BAND
@@ -309,6 +310,35 @@ def skew_salted_agg(spark, sf_dir):
         li, key="l_suppkey", agg_on="l_quantity", agg="sum", rename="sum_qty", n_salts=8
     )
     return out.withColumn("sum_qty", F.col("sum_qty").cast("double"))
+
+
+def _sql_winnow(col: str = "text", k: int = 5, w: int = 4) -> str:
+    n_grams = f"greatest(len({col}) - {k - 1}, 1)"
+    gram_hashes = (
+        f"[list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"[CAST(ascii(substr({col}, j, 1)) AS BIGINT) for j in range(i, least(i + {k - 1}, len({col})) + 1)]), "
+        f"(a, b) -> (a * {POLY_BASE} + b) % {POLY_MOD}) for i in range(1, {n_grams} + 1)]"
+    )
+    return (
+        f"list_distinct(list_transform([{gram_hashes}], hs -> "
+        f"[list_min(hs[i:i+{w - 1}]) for i in range(1, greatest(len(hs) - {w - 1}, 1) + 1)])[1])"
+    )
+
+
+@query(
+    "text_winnowing",
+    f"""
+    SELECT doc_id AS doc_id, CAST(fp AS BIGINT) AS fp
+    FROM (SELECT doc_id, unnest({_sql_winnow()}) AS fp FROM documents)
+    """,
+)
+def text_winnowing(spark, sf_dir):
+    """Winnowing fingerprint sets (k-gram rolling hash, window minima),
+    exploded to (doc_id, fp) pairs."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return docs.select(
+        "doc_id", F.explode(text_winnow("text")).alias("fp")
+    )
 
 
 # --------------------------------------------------------------------------

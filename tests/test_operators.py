@@ -232,3 +232,16 @@ def test_range_join_buckets(spark):
     out = {r.pid: r.ivl for r in asof.range_join(
         pts, iv, on="k", ts="ts", bucket_seconds=60).collect()}
     assert out == {1: "a", 2: "b"}  # pid 3: key 2 has no interval
+
+
+def test_winnowing_shares_fingerprints_on_overlap(spark):
+    from elevate_data_pipeline_spark.functions.text import winnow_fingerprints
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "XX the quick brown fox jumps over something else YY"),
+            (3, "entirely unrelated words with zero common substring")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r.doc_id: set(r.fp) for r in
+           df.select("doc_id", winnow_fingerprints("text").alias("fp")).collect()}
+    assert fps[1] & fps[2]          # long shared substring -> shared fingerprint
+    assert not (fps[1] & fps[3])    # disjoint text -> disjoint fingerprints
