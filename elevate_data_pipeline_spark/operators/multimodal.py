@@ -66,6 +66,74 @@ def _byte_histogram_features(payload: bytes) -> list[float]:
     return [c / total for c in counts]
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """STUB: image resize requires codec libraries not present in this
+    environment; the mapInPandas plumbing that would host it mirrors
+    :func:`extract_features`."""
+    raise NotImplementedError(
+        "image resize requires PIL/libvips — not available in this environment"
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_sig", T.LongType()),
+    ]
+)
+
+_SIG_MOD = 1_000_000_007
+
+
+def attach_video_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Demo video metadata: deterministic frame count derived from the
+    payload size (real pipelines carry container metadata alongside the
+    bytes)."""
+    return df.withColumn(
+        "video_meta",
+        F.struct(
+            (F.length("payload") % 240 + 16).cast("int").alias("n_frames"),
+            F.lit(24.0).alias("fps"),
+            F.lit("video/fake").alias("mime"),
+        ),
+    )
+
+
+def sample_frames(
+    df: DataFrame, stride: int = 8, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched frame sampling: every ``stride``-th frame index of
+    each video, one output row per sampled frame.
+
+    The frame *decode* is a deterministic fake (payload-hash x index
+    signature — a real decoder slots into the same loop); the Spark
+    plumbing is real: mapInPandas fan-out rows-per-input-row, fixed
+    output schema, pruned input columns.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sigs = [], [], []
+            for doc_id, payload, n_frames in zip(
+                pdf[id_col], pdf[payload_col], pdf["n_frames"]
+            ):
+                h = 0
+                for b in payload:
+                    h = (h * 31 + b) % _SIG_MOD
+                for i in range(0, int(n_frames), stride):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sigs.append((h * 31 + i) % _SIG_MOD)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": pd.array(idxs, dtype="int32"),
+                 "frame_sig": pd.array(sigs, dtype="int64")}
+            )
+
+    pruned = df.select(id_col, payload_col, F.col("video_meta.n_frames").alias("n_frames"))
+    return pruned.mapInPandas(run, FRAME_SCHEMA)
+
+
 def extract_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 

@@ -667,6 +667,30 @@ def multimodal_meta(spark, sf_dir):
 
 
 @query(
+    "multimodal_frame_sample",
+    f"""
+    WITH v AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) % 240 + 16 AS INT) AS n_frames,
+             {_sql_polyhash('text')} AS h
+      FROM documents
+    )
+    SELECT doc_id AS doc_id, CAST(r.range AS INT) AS frame_idx,
+           (h * 31 + r.range) % {multimodal._SIG_MOD} AS frame_sig
+    FROM v, range(0, 100000, 8) r
+    WHERE r.range < n_frames
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling: every 8th frame index per payload via
+    mapInPandas fan-out (decode faked deterministically; ASCII text =>
+    byte==codepoint, so the SQL oracle reproduces the signature)."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    vids = multimodal.attach_video_meta(multimodal.attach_binary_payload(docs))
+    return multimodal.sample_frames(vids, stride=8)
+
+
+@query(
     "multimodal_features",
     f"""
     WITH codes AS (

@@ -245,3 +245,24 @@ def test_winnowing_shares_fingerprints_on_overlap(spark):
            df.select("doc_id", winnow_fingerprints("text").alias("fp")).collect()}
     assert fps[1] & fps[2]          # long shared substring -> shared fingerprint
     assert not (fps[1] & fps[3])    # disjoint text -> disjoint fingerprints
+
+
+def test_frame_sampling_fanout(docs):
+    from elevate_data_pipeline_spark.operators import multimodal
+
+    vids = multimodal.attach_video_meta(multimodal.attach_binary_payload(docs))
+    frames = multimodal.sample_frames(vids, stride=8).collect()
+    metas = {r.doc_id: r.n_frames for r in
+             vids.select("doc_id", "video_meta.n_frames").collect()}
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    for doc_id, idxs in by_doc.items():
+        assert sorted(idxs) == list(range(0, metas[doc_id], 8))
+
+
+def test_resize_stub_raises():
+    from elevate_data_pipeline_spark.operators import multimodal
+
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image(b"xx", 4, 4)
