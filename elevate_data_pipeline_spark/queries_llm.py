@@ -32,7 +32,7 @@ from .functions.text import (
     token_count_ws,
     winnow_fingerprints as text_winnow,
 )
-from .operators import asof, curation, dedup, multimodal, similarity, skew
+from .operators import asof, curation, dedup, multimodal, profile, similarity, skew
 from .operators.dedup import MERSENNE61, MINHASH_COEFFS, N_BANDS, N_HASHES, ROWS_PER_BAND
 from .queries import query
 from .sources.catalog import Catalog
@@ -290,6 +290,37 @@ def events_cdc_compact(spark, sf_dir):
     return curation.latest_by_key(
         ev, keys=["user_id", "event_type"], order_col="ts", tiebreak="event_id"
     )
+
+
+@query(
+    "profile_lineitem",
+    """
+    WITH src AS (SELECT l_quantity, l_extendedprice, l_discount FROM lineitem)
+    SELECT col_name, n, n_null, n_distinct, min, max, mean FROM (
+      SELECT 'l_quantity' AS col_name, count(*) AS n,
+             count(*) - count(l_quantity) AS n_null,
+             count(DISTINCT l_quantity) AS n_distinct,
+             CAST(min(l_quantity) AS DOUBLE) AS min,
+             CAST(max(l_quantity) AS DOUBLE) AS max,
+             CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(l_quantity) AS mean FROM src
+      UNION ALL
+      SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+             count(DISTINCT l_extendedprice),
+             CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE),
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / count(l_extendedprice) FROM src
+      UNION ALL
+      SELECT 'l_discount', count(*), count(*) - count(l_discount),
+             count(DISTINCT l_discount),
+             CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE),
+             CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(l_discount) FROM src
+    )
+    """,
+)
+def profile_lineitem(spark, sf_dir):
+    """One-pass numeric profile of three lineitem columns (single scan,
+    single aggregate — not one job per column)."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return profile.profile_numeric(li, ["l_quantity", "l_extendedprice", "l_discount"])
 
 
 @query(

@@ -266,3 +266,15 @@ def test_resize_stub_raises():
 
     with pytest.raises(NotImplementedError):
         multimodal.resize_image(b"xx", 4, 4)
+
+
+def test_profile_completeness(spark):
+    from elevate_data_pipeline_spark.operators import profile
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, None), (4, 1.0)], "id long, v double"
+    )
+    out = {r.col_name: (r.n, r.n_null, r.null_rate) for r in
+           profile.profile_completeness(df).collect()}
+    assert out["id"] == (4, 0, 0.0)
+    assert out["v"] == (4, 2, 0.5)
