@@ -42,6 +42,10 @@ HEADLINE = [
     "ann_cosine_topk",
     "curation_pack_sequences",
     "skew_salted_agg",
+    "events_asof_join",
+    "events_range_join",
+    "ann_lsh_topk",
+    "text_winnowing",
 ]
 
 

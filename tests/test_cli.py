@@ -4,6 +4,7 @@ plans must write identical results."""
 from __future__ import annotations
 
 import json
+import os
 
 from elevate_data_pipeline_spark.cli import main
 
@@ -73,3 +74,13 @@ def test_cli_show_and_explain(tmp_path, capsys):
     assert main(["run", "--spec", str(spec_file), "--data", SF_DIR, "--show", "3"]) == 0
     assert main(["run", "--spec", str(spec_file), "--data", SF_DIR, "--explain"]) == 0
     assert "AdaptiveSparkPlan" in capsys.readouterr().out
+
+
+def test_example_specs_run(spark, tmp_path):
+    """The shipped example specs must run end-to-end through the CLI."""
+    import glob
+
+    for spec_file in sorted(glob.glob("examples/*.json")):
+        out = str(tmp_path / os.path.basename(spec_file).replace(".json", ""))
+        assert main(["run", "--spec", spec_file, "--data", SF_DIR, "--out", out]) == 0
+        assert spark.read.parquet(out).count() > 0

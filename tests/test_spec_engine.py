@@ -439,3 +439,37 @@ def test_multi_script_pipeline(catalog):
     assert frames[0].columns == ["o_orderstatus", "n"]
     assert frames[1].columns == ["c_mktsegment", "n"]
     assert frames[0].count() > 0 and frames[1].count() > 0
+
+
+def test_template_id_query_compat(catalog):
+    """S2 ${id} template substitution (compat loop) must equal the
+    set-level correlate_on plan."""
+    import json
+    from elevate_data_pipeline_spark.spec import parse_spec
+    from elevate_data_pipeline_spark.plans import compile_pipeline, run_per_id
+
+    fetch = {"query": "SELECT c_custkey FROM customer WHERE c_custkey <= 8", "id": "c_custkey"}
+    templated = parse_spec(json.dumps([{
+        "fetchId": fetch,
+        "tasks": [{"single_process": {
+            "input": "t",
+            "query": "SELECT o_orderkey FROM orders WHERE o_custkey = ${id}",
+            "agg": "count", "agg_on": "o_orderkey",
+            "join_on": "c_custkey", "join_type": "left", "rename": "n",
+        }}],
+    }]))
+    set_level = parse_spec(json.dumps([{
+        "fetchId": fetch,
+        "tasks": [{"single_process": {
+            "input": "t",
+            "query": "SELECT o_custkey, o_orderkey FROM orders",
+            "correlate_on": "o_custkey",
+            "agg": "count", "agg_on": "o_orderkey",
+            "join_on": "c_custkey", "join_type": "left", "rename": "n",
+        }}],
+    }]))
+    (loop,) = run_per_id(catalog, templated)
+    (decorr,) = compile_pipeline(catalog, set_level)
+    a = sorted([(r.c_custkey, r.n) for r in loop.collect()])
+    b = sorted([(r.c_custkey, r.n) for r in decorr.collect()])
+    assert a == b
