@@ -18,6 +18,9 @@ shuffle, full whole-stage codegen.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -92,6 +95,50 @@ def winnow_fingerprints(col: str, k: int = 5, w: int = 4) -> Column:
         f"transform(sequence(1, greatest(size(hs) - {w - 1}, 1)), "
         f"i -> array_min(slice(hs, i, {w}))))[0])"
     )
+
+
+def winnow_fingerprints_arrow(col: str, k: int = 5, w: int = 4) -> Column:
+    """Vectorized :func:`winnow_fingerprints` (identical output).
+
+    The expression version evaluates O(len·k + len·w) interpreted array
+    ops per document; this one computes the rolling hashes as one numpy
+    polynomial (values < 2^43, so a single mod equals the per-step mod)
+    and the window minima as w shifted ``np.minimum`` passes.
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    pows = [POLY_BASE ** (k - 1 - j) for j in range(k)]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _winnow(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+            # non-ASCII: match ascii() semantics (codepoint of first byte
+            # differs) — fall back to per-char ord for exactness
+            if b.max(initial=0) > 127:
+                b = np.array([ord(c) for c in t], dtype=np.int64)
+            n = len(b)
+            if n >= k:
+                h = sum(b[j : n - k + 1 + j] * p for j, p in enumerate(pows)) % POLY_MOD
+            else:
+                acc = 0
+                for x in b:
+                    acc = (acc * POLY_BASE + int(x)) % POLY_MOD
+                h = np.array([acc], dtype=np.int64)
+            m = len(h)
+            if m >= w:
+                mins = h[: m - w + 1].copy()
+                for s in range(1, w):
+                    np.minimum(mins, h[s : m - w + 1 + s], out=mins)
+            else:
+                mins = np.array([h.min()], dtype=np.int64)
+            # array_distinct keeps first-occurrence order
+            _, idx = np.unique(mins, return_index=True)
+            out.append(mins[np.sort(idx)].tolist())
+        return pd.Series(out)
+
+    return _winnow(col)
 
 
 def _marker_hits(col: str, markers: tuple[str, ...]) -> Column:

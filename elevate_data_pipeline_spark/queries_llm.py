@@ -30,7 +30,7 @@ from .functions.text import (
     quality_score,
     token_count_bpe,
     token_count_ws,
-    winnow_fingerprints as text_winnow,
+    winnow_fingerprints_arrow as text_winnow,
 )
 from .operators import asof, curation, dedup, multimodal, profile, similarity, skew
 from .operators.dedup import MERSENNE61, MINHASH_COEFFS, N_BANDS, N_HASHES, ROWS_PER_BAND
@@ -365,7 +365,8 @@ def _sql_winnow(col: str = "text", k: int = 5, w: int = 4) -> str:
 )
 def text_winnowing(spark, sf_dir):
     """Winnowing fingerprint sets (k-gram rolling hash, window minima),
-    exploded to (doc_id, fp) pairs."""
+    exploded to (doc_id, fp) pairs. Arrow-vectorized path (identical to
+    the expr version — see test_winnow_arrow_equals_expr)."""
     docs = Catalog(spark, sf_dir).table("documents")
     return docs.select(
         "doc_id", F.explode(text_winnow("text")).alias("fp")

@@ -278,3 +278,16 @@ def test_profile_completeness(spark):
            profile.profile_completeness(df).collect()}
     assert out["id"] == (4, 0, 0.0)
     assert out["v"] == (4, 2, 0.5)
+
+
+def test_winnow_arrow_equals_expr(docs):
+    from elevate_data_pipeline_spark.functions.text import (
+        winnow_fingerprints,
+        winnow_fingerprints_arrow,
+    )
+
+    a = {r.doc_id: r.fp for r in
+         docs.select("doc_id", winnow_fingerprints("text").alias("fp")).collect()}
+    b = {r.doc_id: r.fp for r in
+         docs.select("doc_id", winnow_fingerprints_arrow("text").alias("fp")).collect()}
+    assert a == b
