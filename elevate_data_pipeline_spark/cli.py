@@ -52,6 +52,8 @@ def _build_parser() -> argparse.ArgumentParser:
                           "(reference behavior) instead of raising")
     run.add_argument("--compat-loop", action="store_true",
                      help="run the reference's per-ID driver loop")
+    run.add_argument("--legacy-join-order", action="store_true",
+                     help="F0/GS fold order (new frame on the left) instead of F2")
     run.add_argument("--explain", action="store_true", help="print plans, don't write")
     run.add_argument("--show", type=int, metavar="N", help="show N rows, don't write")
     return p
@@ -76,7 +78,10 @@ def main(argv: list[str] | None = None) -> int:
 
         frames = run_per_id(catalog, spec, strict=not args.lenient)
     else:
-        frames = compile_pipeline(catalog, spec, strict=not args.lenient)
+        frames = compile_pipeline(
+            catalog, spec, strict=not args.lenient,
+            legacy_join_order=args.legacy_join_order,
+        )
 
     for i, df in enumerate(frames):
         if args.explain:

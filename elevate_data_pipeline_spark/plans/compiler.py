@@ -192,8 +192,17 @@ def _compile_nested(
     return rolled, None
 
 
-def compile_script(catalog: Catalog, script: Script) -> DataFrame:
-    """Compile one script's task DAG into a single DataFrame plan."""
+def compile_script(
+    catalog: Catalog, script: Script, legacy_join_order: bool = False
+) -> DataFrame:
+    """Compile one script's task DAG into a single DataFrame plan.
+
+    ``legacy_join_order=True`` reproduces the F0/GS generations' fold
+    (NEW frame on the left: ``df2.join(joinedDF, ...)``,
+    mentoringFunction0.scala:126, generic_script.scala:176) instead of
+    the F2 default (accumulator left, mentoringFunction2.scala:130) —
+    the SURVEY.md §2.8.2 divergence, observable through outer-join
+    direction and column order."""
     fetch = script.fetch_id
     acc: DataFrame | None = None
     ids_distinct: DataFrame | None = None
@@ -229,25 +238,33 @@ def compile_script(catalog: Catalog, script: Script) -> DataFrame:
                 "needs join_on"
             )
         # J2 fold, F2 side order: accumulator stays on the LEFT
-        if pending is not None and keys == [fetch.id]:
+        if pending is not None and keys == [fetch.id] and not legacy_join_order:
             # lazy S4: the eager layer's ID set equals acc's, so any spec
             # join type degenerates to left-join + coalesce-to-0
             acc = _default0(acc.join(frame, keys, "left"), pending)
         else:
             if pending is not None:
                 frame = _default0(ids_distinct.join(frame, fetch.id, "left"), pending)
-            acc = acc.join(frame, keys, how)
+            if legacy_join_order:
+                acc = frame.join(acc, keys, how)
+            else:
+                acc = acc.join(frame, keys, how)
 
     if acc is None:
         raise SpecError(f"script {script.name!r} produced no frame")
     return acc
 
 
-def compile_pipeline(catalog: Catalog, spec: PipelineSpec, strict: bool = True) -> list[DataFrame]:
+def compile_pipeline(
+    catalog: Catalog,
+    spec: PipelineSpec,
+    strict: bool = True,
+    legacy_join_order: bool = False,
+) -> list[DataFrame]:
     """Compile every script: task DAG -> data_mapping -> output mapping."""
     out = []
     for script in spec.scripts:
-        df = compile_script(catalog, script)
+        df = compile_script(catalog, script, legacy_join_order=legacy_join_order)
         df = apply_data_mapping(df, spec.data_mapping)
         df = apply_output_mapping(df, spec.output_schema, strict=strict)
         out.append(df)

@@ -4,6 +4,7 @@ from .events import (
     read_events_stream,
     sessionize_batch,
     sessionize_stream,
+    upsert_sink,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "hourly_rollup",
     "sessionize_batch",
     "sessionize_stream",
+    "upsert_sink",
 ]

@@ -101,6 +101,44 @@ def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def upsert_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: list[str],
+    order_col: str,
+    tiebreak: str | None = None,
+):
+    """foreachBatch upsert: merge each micro-batch into a parquet state
+    table, keeping the latest row per key.
+
+    Parquet has no MERGE, so each batch rewrites the (compacted) state:
+    read current -> union batch -> latest_by_key -> overwrite. At 100 TB
+    the same foreachBatch body targets a table format with real MERGE
+    (Delta/Iceberg) — the streaming-side pattern is identical. Returns
+    the started StreamingQuery.
+    """
+    from ..operators.curation import latest_by_key
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            current = spark.read.parquet(path)
+            merged = current.unionByName(batch_df, allowMissingColumns=True)
+        except Exception:  # first batch: no state yet
+            merged = batch_df
+        compacted = latest_by_key(merged, keys=keys, order_col=order_col, tiebreak=tiebreak)
+        # rewrite via a temp dir: overwriting a path being read breaks
+        compacted.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+
+    return (
+        stream_df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # --------------------------------------------------------------------------
 # Gap-based sessionization
 # --------------------------------------------------------------------------

@@ -473,3 +473,28 @@ def test_template_id_query_compat(catalog):
     a = sorted([(r.c_custkey, r.n) for r in loop.collect()])
     b = sorted([(r.c_custkey, r.n) for r in decorr.collect()])
     assert a == b
+
+
+def test_legacy_join_order_flips_outer_direction(catalog, spark):
+    """SURVEY.md §2.8.2: F0/GS fold puts the NEW frame on the left, which
+    flips outer-join direction vs the F2 default."""
+    import json
+    from elevate_data_pipeline_spark.spec import parse_spec
+    from elevate_data_pipeline_spark.plans.compiler import compile_script
+
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, l string") \
+        .createOrReplaceTempView("left_t")
+    spark.createDataFrame([(2, "x"), (3, "y")], "k long, r string") \
+        .createOrReplaceTempView("right_t")
+    spec = parse_spec(json.dumps([{
+        "tasks": [
+            {"single_process": {"input": "a", "query": "SELECT * FROM left_t",
+                                "join_on": "none", "join_type": "none"}},
+            {"single_process": {"input": "b", "query": "SELECT * FROM right_t",
+                                "join_on": "k", "join_type": "left"}},
+        ],
+    }]))
+    f2 = compile_script(catalog, spec.scripts[0])
+    f0 = compile_script(catalog, spec.scripts[0], legacy_join_order=True)
+    assert sorted(r.k for r in f2.collect()) == [1, 2]  # acc left: keeps left_t keys
+    assert sorted(r.k for r in f0.collect()) == [2, 3]  # frame left: keeps right_t keys

@@ -138,3 +138,30 @@ def test_stream_to_parquet_sink(spark, events_dir, tmp_path):
     want = {tuple(r) for r in batch.collect()}
     assert got <= want
     assert len(got) >= len(want) - 3  # at most the unflushed tail differs
+
+
+def test_upsert_sink_keeps_latest(spark, tmp_path):
+    """foreachBatch upsert across two micro-batches: the state table holds
+    one row per key with the latest value."""
+    from elevate_data_pipeline_spark.streaming.events import upsert_sink
+
+    d = tmp_path / "in"
+    d.mkdir()
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    ns = 1_000_000_000
+
+    def write_batch(fname, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d / fname))
+
+    write_batch("b1", [(1, 100 * ns, 7, "click", 1.0, "{}"),
+                       (2, 200 * ns, 8, "click", 2.0, "{}")])
+    write_batch("b2", [(3, 300 * ns, 7, "click", 3.0, "{}")])  # supersedes user 7
+
+    stream = read_events_stream(spark, str(d) + "/b*", max_files_per_trigger=1)
+    out = str(tmp_path / "state")
+    q = upsert_sink(stream, out, str(tmp_path / "ck"), keys=["user_id"],
+                    order_col="ts", tiebreak="event_id")
+    q.awaitTermination(120)
+
+    state = {r.user_id: r.value for r in spark.read.parquet(out).collect()}
+    assert state == {7: 3.0, 8: 2.0}
