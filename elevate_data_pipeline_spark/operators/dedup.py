@@ -384,18 +384,29 @@ def embedding_dup_pairs(
     LSH bucket) bounds the pair space; at 100 TB pre-bucket with
     random-hyperplane LSH so each bucket self-join is broadcastable.
     """
+    norm = F.expr(
+        f"sqrt(aggregate(transform({vec_col}, x -> double(x) * double(x)), "
+        f"double(0), (acc, v) -> acc + v))"
+    )
+    # norms computed ONCE per vector (not per pair) — the per-pair work is
+    # just the dot product; values are identical to the per-pair form
     v = df.select(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("_blk"),
         F.col(vec_col).alias("_v"),
-    )
+        norm.alias("_n"),
+    ).localCheckpoint(eager=False)
     a, b = v.alias("a"), v.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a._v, b._v, (x, y) -> double(x) * double(y)), "
+        "double(0), (acc, v) -> acc + v)"
+    )
     return (
         a.join(b, (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id")))
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            cosine("a._v", "b._v").alias("cos"),
+            (dot / (F.col("a._n") * F.col("b._n"))).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

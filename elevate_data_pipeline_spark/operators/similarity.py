@@ -19,6 +19,21 @@ from pyspark.sql import functions as F
 
 from .dedup import cosine
 
+def _norm(vec_col: str):
+    """Vector L2 norm, computed once per row (same fold as dedup.cosine)."""
+    return F.expr(
+        f"sqrt(aggregate(transform({vec_col}, x -> double(x) * double(x)), "
+        f"double(0), (acc, v) -> acc + v))"
+    )
+
+
+def _dot(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> double(x) * double(y)), "
+        f"double(0), (acc, v) -> acc + v)"
+    )
+
+
 
 def brute_force_topk(
     corpus: DataFrame,
@@ -33,16 +48,20 @@ def brute_force_topk(
     id for determinism.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        _norm(vec_col).alias("_qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        _norm(vec_col).alias("_cn"),
+    )
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine("_qv", "_cv").alias("cos"),
+            (_dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -109,17 +128,22 @@ def lsh_topk(
         lsh_bucket(vec_col, dim).alias("bucket"),
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
+        _norm(vec_col).alias("_cn"),
     )
     q = queries.select(
         lsh_bucket(vec_col, dim).alias("bucket"),
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        _norm(vec_col).alias("_qn"),
     )
     scored = (
         F.broadcast(q)
         .join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "bucket", "neighbor_id", cosine("_qv", "_cv").alias("cos"))
+        .select(
+            "query_id", "bucket", "neighbor_id",
+            (_dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn"))).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -181,12 +205,16 @@ def ivf_topk(
         F.col(cell_col).alias("cell"),
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
+        _norm(vec_col).alias("_cn"),
     )
     scored = (
         F.broadcast(best)
         .join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "cell", "neighbor_id", cosine("_qv", "_cv").alias("cos"))
+        .select(
+            "query_id", "cell", "neighbor_id",
+            (_dot("_qv", "_cv") / (_norm("_qv") * F.col("_cn"))).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
