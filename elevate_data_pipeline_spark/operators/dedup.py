@@ -355,6 +355,66 @@ def simhash_pairs(
     )
 
 
+def simhash_pairs_global(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """ALL near-dup pairs with Hamming(simhash) <= max_hamming — no block
+    column needed, via the pigeonhole principle: split the 32-bit hash
+    into ``max_hamming + 1`` chunks; any pair within distance d differs
+    in at most d chunks, so at least one chunk is IDENTICAL. Candidates
+    = pairs sharing (chunk_idx, chunk_value); verify exact distance on
+    candidates only.
+
+    The one wide exchange is the chunk-key shuffle — the standard exact
+    simhash index at crawl scale. Returns (id_a, id_b, hamming).
+    """
+    n_chunks = max_hamming + 1
+    bits = 32 // n_chunks + (1 if 32 % n_chunks else 0)
+    s = df.select(
+        F.col(id_col).alias("_id"), simhash32(text_col).alias("_sh")
+    ).localCheckpoint(eager=False)
+    chunks = s.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        ((F.col("_sh") / (1 << (i * bits))).cast("long")
+                         % (1 << bits)).alias("cv"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("_c"),
+    ).select("_id", "_sh", "_c.ci", "_c.cv")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sh").alias("_sa"),
+            F.col("b._sh").alias("_sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.expr("bit_count(_sa ^ _sb)")
+    return (
+        cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def cosine(a: str, b: str) -> Column:
     """Cosine similarity of two float-array columns, computed in double
     with a fixed left-to-right fold (deterministic, oracle-matchable)."""

@@ -553,6 +553,24 @@ def dedup_simhash_pairs(spark, sf_dir):
 
 
 @query(
+    "dedup_simhash_global",
+    f"""
+    WITH s AS (SELECT doc_id, {_sql_simhash32()} AS sh FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 6
+    """,
+)
+def dedup_simhash_global(spark, sf_dir):
+    """ALL SimHash pairs at Hamming <= 6, no blocking column: pigeonhole
+    chunk index generates exact candidates (the oracle brute-forces the
+    full cross join — same result set)."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return dedup.simhash_pairs_global(docs, max_hamming=6)
+
+
+@query(
     "dedup_embedding_cosine",
     f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
