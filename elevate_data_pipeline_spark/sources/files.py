@@ -1,0 +1,56 @@
+"""File-format sources beyond parquet: JSONL and CSV.
+
+Crawl and annotation pipelines deliver JSONL; exports deliver CSV.
+Always pass an explicit schema at scale — schema inference reads the
+data twice and silently widens types; with a schema the read is a
+single pass and malformed rows are quarantined instead of poisoning
+the load (PERMISSIVE + ``_corrupt_record``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """Read newline-delimited JSON. ``mode``: PERMISSIVE (quarantine bad
+    rows to ``_corrupt_record``), DROPMALFORMED, or FAILFAST."""
+    reader = spark.read.option("mode", mode)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite", compression: str | None = "gzip") -> None:
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("mode", mode)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)

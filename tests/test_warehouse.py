@@ -69,3 +69,35 @@ def test_partitioned_sink_prunes_on_read(spark, tmp_path):
     plan = _plan(df)
     assert "PartitionFilters: [isnotnull(o_orderstatus#" in plan
     assert df.count() > 0
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    from elevate_data_pipeline_spark.sources.files import read_jsonl, write_jsonl
+
+    docs = Catalog(spark, SF_DIR).table("documents").limit(50)
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out)
+    back = read_jsonl(spark, out, schema=docs.schema)
+    assert {r.doc_id for r in back.collect()} == {r.doc_id for r in docs.collect()}
+
+    # malformed rows land in _corrupt_record instead of failing the read
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "x.jsonl").write_text('{"doc_id": 1, "text": "ok"}\n{broken json\n')
+    q = read_jsonl(
+        spark, str(bad),
+        schema="doc_id long, text string, _corrupt_record string",
+    ).cache()
+    rows = q.collect()
+    assert len(rows) == 2
+    assert sum(r._corrupt_record is not None for r in rows) == 1
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    from elevate_data_pipeline_spark.sources.files import read_csv, write_csv
+
+    nat = Catalog(spark, SF_DIR).table("nation")
+    out = str(tmp_path / "nation_csv")
+    write_csv(nat, out)
+    back = read_csv(spark, out, schema=nat.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nat.collect()))
