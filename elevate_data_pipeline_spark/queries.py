@@ -746,6 +746,49 @@ def events_hourly(spark, sf_dir):
 
 
 @query(
+    "spec_correlated_groupby",
+    """
+    SELECT c.c_custkey AS c_custkey, o.o_orderstatus AS o_orderstatus,
+           count(o.o_orderkey) AS n_orders
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'MACHINERY'
+    GROUP BY c.c_custkey, o.o_orderstatus
+    """,
+)
+def spec_correlated_groupby(spark, sf_dir):
+    """Correlated task WITH a groupby: the per-ID frame has one row per
+    (id, group) — the fold join fans the accumulator out accordingly
+    (reference A1 with groupby, mentoringFunction0.scala:120-124)."""
+    return _spec_df(
+        spark,
+        sf_dir,
+        [
+            {
+                "fetchId": {
+                    "query": "SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'",
+                    "id": "c_custkey",
+                },
+                "tasks": [
+                    {
+                        "single_process": {
+                            "input": "status_counts",
+                            "query": "SELECT o_custkey, o_orderstatus, o_orderkey FROM orders",
+                            "correlate_on": "o_custkey",
+                            "agg": "count",
+                            "agg_on": "o_orderkey",
+                            "groupby": "o_orderstatus",
+                            "join_on": "c_custkey",
+                            "join_type": "inner",
+                            "rename": "n_orders",
+                        }
+                    }
+                ],
+            }
+        ],
+    )
+
+
+@query(
     "spec_multi_agg_fused",
     """
     WITH a AS (
