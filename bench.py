@@ -28,6 +28,13 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q4_order_priority",
     "q18_large_orders",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
     "topk_orders_per_segment",
     "spec_fetchid_order_count",
     "spec_join_fold",

@@ -71,3 +71,31 @@ def test_spec_fetchid_single_scan_per_table(spark):
     plan = _plan(QUERIES["spec_fetchid_order_count"](spark, SF_DIR))
     assert plan.count("customer.parquet]") == 1
     assert plan.count("orders.parquet]") == 1
+
+
+def test_q7_broadcasts_nation_sides_and_prunes_dates(spark):
+    plan = _plan(QUERIES["q7_volume_shipping"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # ship-date range must reach the lineitem scan, nation filter its scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "In(n_name" in plan or "EqualTo(n_name" in plan
+
+
+def test_q17_semi_reduces_before_aggregate(spark):
+    """The per-part avg must run on the brand-filtered lineitem (two
+    lineitem scans, both joined against the broadcast part filter), and
+    the brand predicate must reach the part scan."""
+    plan = _plan(QUERIES["q17_small_quantity_revenue"](spark, SF_DIR))
+    assert "EqualTo(p_brand,Brand#3)" in plan
+    assert "BroadcastHashJoin" in plan
+    # lineitem scans read only the 3 needed columns
+    import re
+
+    for m in re.finditer(r"ReadSchema: struct<(l_[^>]+)>", plan):
+        assert len(m.group(1).split(",")) <= 3
+
+
+def test_q13_left_join_keeps_zero_order_customers(spark):
+    df = QUERIES["q13_customer_distribution"](spark, SF_DIR)
+    n_customers = spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+    assert sum(r["custdist"] for r in df.collect()) == n_customers
