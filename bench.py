@@ -35,6 +35,10 @@ HEADLINE = [
     "q14_promo_effect",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
+    "q9_product_profit",
+    "q22_idle_rich_customers",
+    "orders_moving_avg",
+    "events_user_gaps",
     "topk_orders_per_segment",
     "spec_fetchid_order_count",
     "spec_join_fold",

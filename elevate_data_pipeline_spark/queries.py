@@ -994,5 +994,7 @@ def events_sessionize(spark, sf_dir):
 # register the LLM-pipeline query families (text / dedup / similarity /
 # multimodal) into the same QUERIES/ORACLES registry
 from . import queries_llm  # noqa: E402,F401  (import-time registration)
-# extended TPC-H-style join/aggregate shapes (q7/q8/q10/q13/q14/q15/q17)
+# extended TPC-H-style join/aggregate shapes (q7/q8/q10/q13/q14/q15/q17/q9/q22)
 from . import queries_tpch  # noqa: E402,F401  (import-time registration)
+# window-function family (frames, offsets, ntile buckets)
+from . import queries_window  # noqa: E402,F401  (import-time registration)

@@ -353,3 +353,109 @@ def q17_small_quantity_revenue(spark, sf_dir):
             .alias("avg_yearly")
         )
     )
+
+
+@query(
+    "q9_product_profit",
+    f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(sum({_REV_SQL}
+                    - CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2))
+                ) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, CAST(year(o.o_orderdate) AS INTEGER)
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H q9 shape: profit on red parts by supplier nation and order
+    year. The testdata has no partsupp, so unit cost is p_retailprice
+    (same join/agg shape, different cost source). Revenue and cost stay
+    decimal until the final cast; part/supplier/nation broadcast."""
+    cat = Catalog(spark, sf_dir)
+    p = cat.table("part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = cat.table("supplier").select("s_suppkey", "s_nationkey")
+    n = cat.table("nation")
+    o = cat.table("orders").select("o_orderkey", "o_orderdate")
+    l = cat.table("lineitem")
+    profit = _rev() - F.col("p_retailprice").cast("decimal(18,2)") * F.col(
+        "l_quantity"
+    ).cast("decimal(18,2)")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    """
+    SELECT n.n_name AS n_name,
+           count(*) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+            FROM customer WHERE c_acctbal > 0
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+              AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          )
+    GROUP BY n.n_name
+    """,
+)
+def q22_idle_rich_customers(spark, sf_dir):
+    """TPC-H q22 shape: above-average-balance customers with no urgent
+    1997 orders, by nation. The scalar avg subquery is a 1-row broadcast
+    cross join (exact decimal sum, one double division); NOT EXISTS is a
+    left_anti join against the filtered orders projection. Adapted from
+    the phone-prefix filter (no phone column in testdata) to an
+    order-priority window."""
+    cat = Catalog(spark, sf_dir)
+    c = cat.table("customer")
+    n = cat.table("nation")
+    avg_df = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_bal")
+        )
+    )
+    urgent97 = (
+        cat.table("orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent97, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
+        )
+    )

@@ -1,0 +1,123 @@
+"""Window-function query family: frames (moving aggregates), offsets
+(lag deltas), and distribution buckets (ntile).
+
+The reference has no window functions at all (SURVEY.md §2.4 "no window
+functions, sorts, limits, or top-k exist"); these extend the engine's
+surface alongside the existing running-total / grouped top-k /
+percentile entries in queries.py. Exactness: windowed sums are
+decimal-cast (partition- and frame-order independent), averages are
+exact-decimal sums over bigint counts with one double division, and
+every window ORDER BY carries a unique tie-break key so both engines
+compute identical frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .queries import query
+from .sources.catalog import Catalog
+
+
+@query(
+    "orders_moving_avg",
+    """
+    SELECT o_orderkey,
+           o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / count(*) OVER w AS mov_avg_price
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey
+      ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def orders_moving_avg(spark, sf_dir):
+    """Trailing 3-order moving average of order value per customer.
+    ROWS frame over (o_orderdate, o_orderkey) — the unique key makes the
+    frame contents deterministic; one shuffle on o_custkey."""
+    o = Catalog(spark, sf_dir).table("orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    mov = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast(
+        "double"
+    ) / F.count("*").over(w)
+    return o.select("o_orderkey", "o_custkey", mov.alias("mov_avg_price"))
+
+
+@query(
+    "events_user_gaps",
+    """
+    SELECT user_id,
+           count(gap_us) AS n_gaps,
+           CAST(sum(gap_us) AS DOUBLE) / count(gap_us) AS avg_gap_us
+    FROM (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS gap_us
+      FROM events
+    ) g
+    WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_user_gaps(spark, sf_dir):
+    """Average inter-event gap per user via lag(). Microsecond integers
+    keep the arithmetic exact in both engines (Spark unix_micros ==
+    DuckDB epoch_us); the first event per user has no predecessor and is
+    excluded from the average."""
+    ev = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    return (
+        ev.select("user_id", gap.alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            (F.sum("gap_us").cast("double") / F.count("gap_us")).alias("avg_gap_us"),
+        )
+    )
+
+
+@query(
+    "customer_balance_deciles",
+    """
+    SELECT decile,
+           count(*) AS n_customers,
+           min(c_acctbal) AS min_bal,
+           max(c_acctbal) AS max_bal
+    FROM (
+      SELECT c_acctbal,
+             ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer
+    ) d
+    GROUP BY decile
+    """,
+)
+def customer_balance_deciles(spark, sf_dir):
+    """Account-balance decile boundaries via ntile(10). Both engines
+    assign buckets by row position over the same total order (tie-broken
+    on c_custkey), so bucket membership is identical; min/max of doubles
+    compare exactly. The global ORDER BY is a single-partition sort —
+    acceptable on a dimension table, NOT on fact tables (use
+    percentile_approx / range partitioning there; see
+    events_value_percentiles)."""
+    c = Catalog(spark, sf_dir).table("customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )
