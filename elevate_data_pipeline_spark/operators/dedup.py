@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import POLY_BASE, POLY_MOD
+from .util import spread
 
 # Affine minhash permutations h_j(x) = (A_j * x + B_j) mod MERSENNE61.
 # Fixed constants (seeded PRNG, hardcoded for reproducibility). A, B are
@@ -102,6 +103,7 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql.window import Window
 
+    df = spread(df)  # single-file reads otherwise pin the gram explode to one core
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("_blk"),
@@ -212,24 +214,53 @@ def minhash_signature_arrow(text_col: str = "text") -> Column:
 
     @F.pandas_udf(ArrayType(LongType()))
     def _mh(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            token_hashes = []
-            for w in t.split(" "):
-                h = 0
-                for ch in w:
-                    h = (h * POLY_BASE + ord(ch)) % POLY_MOD
-                token_hashes.append(h)
-            shingles = set()
-            for i in range(max(len(token_hashes) - 2, 1)):
-                h = 0
-                for x in token_hashes[i : i + 3]:
-                    h = (h * SHINGLE_BASE + x) % POLY_MOD
-                shingles.add(h)
-            arr = np.fromiter(shingles, dtype=np.int64)
-            mins = ((coef[:, 0:1] * arr[None, :] + coef[:, 1:2]) % MERSENNE61).min(axis=1)
-            out.append(mins.tolist())
-        return pd.Series(out)
+        # Word-level polyhash with a per-batch cache: real corpora repeat
+        # words constantly, so the char-level fold runs once per distinct
+        # word, not once per occurrence. Shingle folding and the 16
+        # permutations then run as batch-wide numpy ops — the minimum
+        # over duplicate shingles equals the minimum over the unique
+        # set, so no per-doc set() is needed.
+        vocab: dict[str, int] = {}
+        flat: list[int] = []
+        lens = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = t.split(" ")
+            lens[i] = len(toks)
+            for w in toks:
+                h = vocab.get(w)
+                if h is None:
+                    h = 0
+                    for ch in w:
+                        h = (h * POLY_BASE + ord(ch)) % POLY_MOD
+                    vocab[w] = h
+                flat.append(h)
+        T = np.asarray(flat, dtype=np.int64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+
+        result = np.empty((len(texts), N_HASHES), dtype=np.int64)
+        big = np.nonzero(lens >= 3)[0]
+        if big.size:
+            # window starts for all >=3-token docs: positions p with
+            # p+2 still inside the same doc, marked via a run-length
+            # +1/-1 sweep (no per-doc Python loop)
+            n_win = lens[big] - 2
+            run = np.zeros(T.size + 1, dtype=np.int64)
+            run[starts[big]] += 1
+            run[starts[big] + n_win] -= 1
+            ws = np.nonzero(np.cumsum(run[:-1]) > 0)[0]
+            h1 = (T[ws] * SHINGLE_BASE + T[ws + 1]) % POLY_MOD
+            sh = (h1 * SHINGLE_BASE + T[ws + 2]) % POLY_MOD
+            perm = (coef[:, 0:1] * sh[None, :] + coef[:, 1:2]) % MERSENNE61
+            wb = np.concatenate(([0], np.cumsum(n_win)[:-1]))
+            result[big] = np.minimum.reduceat(perm, wb, axis=1).T
+        for i in np.nonzero(lens < 3)[0]:
+            # 1- or 2-token doc: the single shingle folds ALL tokens
+            h = 0
+            for x in flat[int(starts[i]) : int(ends[i])]:
+                h = (h * SHINGLE_BASE + x) % POLY_MOD
+            result[i] = (coef[:, 0] * h + coef[:, 1]) % MERSENNE61
+        return pd.Series(list(result))
 
     return _mh(text_col)
 
@@ -250,6 +281,7 @@ def minhash_lsh_pairs(
     signature path: "arrow" (vectorized Pandas UDF, default) or "expr"
     (pure JVM higher-order functions) — identical outputs.
     """
+    df = spread(df)  # parallelize the signature UDF when the scan gave one split
     sig_col = (
         minhash_signature_arrow(text_col) if impl == "arrow" else minhash_signature(text_col)
     )
@@ -337,6 +369,7 @@ def simhash_pairs(
     chunks (pigeonhole: a pair within distance d shares one of d+1
     chunks) instead of a metadata column.
     """
+    df = spread(df)
     s = df.select(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("_blk"),
@@ -373,7 +406,7 @@ def simhash_pairs_global(
     """
     n_chunks = max_hamming + 1
     bits = 32 // n_chunks + (1 if 32 % n_chunks else 0)
-    s = df.select(
+    s = spread(df).select(
         F.col(id_col).alias("_id"), simhash32(text_col).alias("_sh")
     ).localCheckpoint(eager=False)
     chunks = s.select(
@@ -450,7 +483,7 @@ def embedding_dup_pairs(
     )
     # norms computed ONCE per vector (not per pair) — the per-pair work is
     # just the dot product; values are identical to the per-pair form
-    v = df.select(
+    v = spread(df).select(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("_blk"),
         F.col(vec_col).alias("_v"),

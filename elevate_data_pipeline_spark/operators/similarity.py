@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import spread
+
 from .dedup import cosine
 
 def _norm(vec_col: str):
@@ -51,7 +53,7 @@ def brute_force_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
         _norm(vec_col).alias("_qn"),
     )
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
         _norm(vec_col).alias("_cn"),
     )
@@ -124,7 +126,7 @@ def lsh_topk(
     rest); each bucket self-scan is partition-local — the alternative
     scale path to :func:`ivf_topk` when no cluster structure exists.
     """
-    c = corpus.select(
+    c = spread(corpus).select(
         lsh_bucket(vec_col, dim).alias("bucket"),
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
@@ -201,7 +203,7 @@ def ivf_topk(
         .select("query_id", "_qv", "cell")
     )
 
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(cell_col).alias("cell"),
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),

@@ -367,7 +367,9 @@ def text_winnowing(spark, sf_dir):
     """Winnowing fingerprint sets (k-gram rolling hash, window minima),
     exploded to (doc_id, fp) pairs. Arrow-vectorized path (identical to
     the expr version — see test_winnow_arrow_equals_expr)."""
-    docs = Catalog(spark, sf_dir).table("documents")
+    from .operators.util import spread
+
+    docs = spread(Catalog(spark, sf_dir).table("documents"))
     return docs.select(
         "doc_id", F.explode(text_winnow("text")).alias("fp")
     )
