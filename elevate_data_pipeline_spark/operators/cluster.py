@@ -1,0 +1,118 @@
+"""Connected components over near-duplicate pair graphs.
+
+Near-dup detection (minhash/simhash/cosine — see :mod:`.dedup`) emits
+PAIRS; deduplication needs CLUSTERS: the transitive closure of the pair
+graph, so "A~B, B~C" keeps one of {A,B,C}, not two. The reference has no
+graph operators at all (SURVEY.md §2 — pure batch relational), so this
+is north-star scope, built as the alternating large-star / small-star
+edge contraction of Kiveris et al., "Connected Components in MapReduce
+and Beyond" (SoCC'14):
+
+- **large-star**: every node connects its strictly-larger neighbors to
+  its minimum neighbor (or itself if smaller);
+- **small-star**: every node connects its smaller-or-equal neighbors to
+  the minimum of them.
+
+Each step is a ``groupBy(node).min`` plus a re-join — pure shuffles, no
+driver-side graph state — and the alternation converges in O(log² n)
+rounds to one star per component rooted at the component's minimum id.
+That round bound (versus O(diameter) for naive label propagation) is
+what makes it safe on adversarial chain-shaped dup graphs at 100 TB.
+Per-round ``localCheckpoint`` truncates the otherwise exponentially
+growing lineage; on a real cluster use ``spark.sparkContext.
+setCheckpointDir`` + ``.checkpoint()`` instead so recomputation survives
+executor loss.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    # symmetrize: row (u, v) = "v is a neighbor of u"
+    nbr = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = nbr.groupBy("u").agg(F.min("v").alias("_m")).select(
+        "u", F.least(F.col("_m"), F.col("u")).alias("_m")
+    )
+    return (
+        nbr.join(m, "u")
+        .filter(F.col("v") > F.col("u"))  # strictly-larger neighbors only
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    # key every edge by its LARGER endpoint; neighbors are all smaller
+    nbr = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    m = nbr.groupBy("u").agg(F.min("v").alias("_m"))
+    return (
+        nbr.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        .union(m.select(F.col("u"), F.col("_m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """Resolve an undirected edge list to ``(id, component)`` labels.
+
+    ``component`` is the minimum node id in the node's component. Only
+    non-root nodes appear (a root's label is itself); isolated nodes
+    never appear — use :func:`label_components` to label a full node
+    set. Convergence is detected by an (edge-count, xxhash64-sum)
+    checksum going stable across a round — one tiny two-value action per
+    round, no edge-set comparison shuffle.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev: tuple | None = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        cur = (row["n"], row["h"])
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    # at fixpoint every non-root has exactly one parent: the component min
+    return e.groupBy("u").agg(F.min("v").alias("component")).select(
+        F.col("u").alias("id"), "component"
+    )
+
+
+def label_components(
+    nodes: DataFrame,
+    id_col: str,
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label EVERY node in ``nodes`` with its component (roots and
+    isolated nodes label themselves). The component map is tiny relative
+    to the corpus (only nodes with a dup pair), so the join broadcasts
+    under AQE at scale."""
+    cc = connected_components(edges, src=src, dst=dst, max_iter=max_iter).select(
+        F.col("id").alias("_cc_id"), F.col("component").alias("_cc_comp")
+    )
+    return (
+        nodes.join(cc, nodes[id_col] == cc["_cc_id"], "left")
+        .select(
+            nodes["*"],
+            F.coalesce(F.col("_cc_comp"), F.col(id_col)).alias("component"),
+        )
+    )

@@ -32,7 +32,7 @@ from .functions.text import (
     token_count_ws,
     winnow_fingerprints_arrow as text_winnow,
 )
-from .operators import asof, curation, dedup, multimodal, profile, similarity, skew
+from .operators import asof, cluster, curation, dedup, multimodal, profile, similarity, skew
 from .operators.dedup import MERSENNE61, MINHASH_COEFFS, N_BANDS, N_HASHES, ROWS_PER_BAND
 from .queries import query
 from .sources.catalog import Catalog
@@ -521,6 +521,55 @@ def dedup_minhash_lsh(spark, sf_dir):
     estimate >= 0.25)."""
     docs = Catalog(spark, sf_dir).table("documents")
     return dedup.minhash_lsh_pairs(docs, est_threshold=0.25)
+
+
+def _sql_cc_clusters() -> str:
+    """Min-label reachability closure over the minhash pair graph.
+
+    The recursive CTE enumerates (node, reachable-node) pairs to a
+    fixpoint (UNION = distinct semantics terminates it); min per node is
+    the component label — the same answer the Spark side's alternating
+    star contraction converges to.
+    """
+    return f"""
+    WITH RECURSIVE
+    p AS ({_sql_minhash_pairs()}),
+    e AS (SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p),
+    reach(id, m) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.id, e.d FROM reach r JOIN e ON e.s = r.m
+    ),
+    lab AS (SELECT id, MIN(m) AS component FROM reach GROUP BY id)
+    SELECT l.id AS doc_id, l.component AS component,
+           c.n AS cluster_size,
+           l.id = l.component AS is_canonical
+    FROM lab l
+    JOIN (SELECT component, CAST(COUNT(*) AS BIGINT) AS n FROM lab GROUP BY component) c
+      USING (component)
+    """
+
+
+@query("dedup_cc_clusters", _sql_cc_clusters())
+def dedup_cc_clusters(spark, sf_dir):
+    """Transitive near-dup clusters: minhash/LSH pairs resolved to
+    connected components (alternating large/small-star contraction —
+    operators/cluster.py), every doc labeled with its component min,
+    cluster size, and a canonical-survivor flag. This is the "keep one
+    per dup cluster" step the pair queries feed."""
+    from pyspark.sql.window import Window
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    pairs = dedup.minhash_lsh_pairs(docs, est_threshold=0.25).select("id_a", "id_b")
+    labeled = cluster.label_components(
+        docs.select("doc_id"), "doc_id", pairs, src="id_a", dst="id_b"
+    )
+    return labeled.select(
+        "doc_id",
+        "component",
+        F.count(F.lit(1)).over(Window.partitionBy("component")).alias("cluster_size"),
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    )
 
 
 @query(

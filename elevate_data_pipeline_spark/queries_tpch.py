@@ -1,8 +1,8 @@
 """Extended TPC-H-style queries over the synthetic star schema.
 
 The testdata lacks ``partsupp`` and lineitem's commit/receipt dates and
-ship-mode/instruction columns, so q2/q11/q12/q19/q20/q21 are not
-expressible as written; this module covers the remaining join-heavy
+ship-mode/instruction columns, so q2/q11/q12/q20/q21 are not
+expressible as written (q19 is adapted to brand/size/quantity brackets); this module covers the remaining join-heavy
 shapes — two-sided nation self-joins (q7/q8), group-then-regroup (q13),
 promo share ratios (q14), scalar-subquery max (q15), and a correlated
 scalar subquery decorrelated into a grouped join (q17) — each with an
@@ -458,4 +458,67 @@ def q22_idle_rich_customers(spark, sf_dir):
             F.count("*").alias("numcust"),
             F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
         )
+    )
+
+
+@query(
+    "q19_bracket_revenue",
+    f"""
+    SELECT CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_bracket_revenue(spark, sf_dir):
+    """TPC-H q19 shape: revenue over an OR of three (brand, size,
+    quantity) brackets. Adapted to the synthetic columns (no
+    p_container/l_shipmode in testdata — SURVEY.md §2.3 notes the
+    reference has no theta joins at all, so this is new surface). The
+    plan trick: the disjunction's part-side envelope (brand IN the three
+    brands, size <= 15) and lineitem-side envelope (quantity <= 30) are
+    factored out and pushed into the parquet scans, so the broadcast
+    hash join runs on ~1/8 of each input; the exact three-way
+    disjunction then filters join output rows."""
+    cat = Catalog(spark, sf_dir)
+    p = (
+        cat.table("part")
+        .filter(
+            F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#4")
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= 15)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    l = (
+        cat.table("lineitem")
+        .filter((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30))
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    )
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(bracket)
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
     )

@@ -1,0 +1,79 @@
+"""Connected-components operator: exact labels vs a union-find reference."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elevate_data_pipeline_spark.operators.cluster import (
+    connected_components,
+    label_components,
+)
+
+
+def _union_find(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min id in component
+    label = {}
+    for n in nodes:
+        r = find(n)
+        label.setdefault(r, min(m for m in nodes if find(m) == r))
+    return {n: label[find(n)] for n in nodes}
+
+
+def _labels(spark, nodes, edges):
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "id: long")
+    edges_df = spark.createDataFrame(
+        edges or [(0, 0)], "src: long, dst: long"
+    )
+    if not edges:
+        edges_df = edges_df.filter(F.lit(False))
+    out = label_components(nodes_df, "id", edges_df)
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+CASES = [
+    # chain: worst case for naive propagation, fine for star contraction
+    (list(range(10)), [(i, i + 1) for i in range(9)]),
+    # two components + isolated nodes
+    ([1, 2, 3, 4, 5, 6, 7, 8], [(1, 2), (2, 3), (5, 6)]),
+    # duplicate and reversed edges, self-loop
+    ([1, 2, 3], [(1, 2), (2, 1), (1, 2), (3, 3)]),
+    # star already
+    ([1, 2, 3, 4], [(1, 2), (1, 3), (1, 4)]),
+    # cycle
+    ([1, 2, 3, 4], [(1, 2), (2, 3), (3, 4), (4, 1)]),
+    # no edges at all
+    ([7, 9, 11], []),
+    # descending chain ids (root is the far end)
+    ([10, 20, 30, 40], [(40, 30), (30, 20), (20, 10)]),
+]
+
+
+@pytest.mark.parametrize("nodes,edges", CASES)
+def test_components_match_union_find(spark, nodes, edges):
+    assert _labels(spark, nodes, edges) == _union_find(nodes, edges)
+
+
+def test_connected_components_excludes_roots(spark):
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src: long, dst: long")
+    got = {r["id"]: r["component"] for r in connected_components(e).collect()}
+    assert got == {2: 1, 3: 1}  # root 1 labels itself implicitly
+
+
+def test_two_interleaved_chains(spark):
+    # odd and even chains interleave in id order but never touch
+    edges = [(i, i + 2) for i in range(0, 20, 2)] + [(i, i + 2) for i in range(1, 19, 2)]
+    nodes = list(range(22))
+    assert _labels(spark, nodes, edges) == _union_find(nodes, edges)
