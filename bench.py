@@ -57,6 +57,10 @@ HEADLINE = [
     "events_range_join",
     "ann_lsh_topk",
     "text_winnowing",
+    "q19_bracket_revenue",
+    "events_cube",
+    "set_retained_customers",
+    "dedup_cc_clusters",
 ]
 
 

@@ -58,8 +58,45 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def _local_components(e: DataFrame) -> DataFrame:
+    """Driver-side union-find over a small (pre-counted) edge list.
+
+    Same output contract as the distributed path: (id, component) for
+    non-root nodes, component = min id. One collect instead of
+    O(log² n) shuffle rounds — the fast path when near-dup pair graphs
+    are tiny relative to the corpus (the normal case: pairs ∝ dups).
+    """
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in e.collect():
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    rows = [(n, find(n)) for n in list(parent)]
+    out = [(n, c) for n, c in rows if n != c]
+    from pyspark.sql.types import StructField, StructType
+
+    utype = e.schema["u"].dataType
+    schema = StructType(
+        [StructField("id", utype, False), StructField("component", utype, False)]
+    )
+    return e.sparkSession.createDataFrame(out, schema)
+
+
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Resolve an undirected edge list to ``(id, component)`` labels.
 
@@ -69,12 +106,28 @@ def connected_components(
     set. Convergence is detected by an (edge-count, xxhash64-sum)
     checksum going stable across a round — one tiny two-value action per
     round, no edge-set comparison shuffle.
+
+    Edge lists at or under ``local_threshold`` edges (counted once off
+    the persisted dedup) solve driver-side via union-find — one job
+    instead of O(log² n) rounds; larger graphs run the distributed star
+    contraction. Set ``local_threshold=0`` to force the distributed
+    path.
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .persist()
     )
+    try:
+        if local_threshold and e.count() <= local_threshold:
+            return _local_components(e)
+        return _distributed_components(e, max_iter)
+    finally:
+        e.unpersist()
+
+
+def _distributed_components(e: DataFrame, max_iter: int) -> DataFrame:
     prev: tuple | None = None
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
@@ -101,12 +154,15 @@ def label_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Label EVERY node in ``nodes`` with its component (roots and
     isolated nodes label themselves). The component map is tiny relative
     to the corpus (only nodes with a dup pair), so the join broadcasts
     under AQE at scale."""
-    cc = connected_components(edges, src=src, dst=dst, max_iter=max_iter).select(
+    cc = connected_components(
+        edges, src=src, dst=dst, max_iter=max_iter, local_threshold=local_threshold
+    ).select(
         F.col("id").alias("_cc_id"), F.col("component").alias("_cc_comp")
     )
     return (

@@ -991,6 +991,79 @@ def events_sessionize(spark, sf_dir):
     return sessionize_batch(ev, gap_minutes=30)
 
 
+@query(
+    "events_cube",
+    """
+    SELECT event_type AS event_type,
+           CAST(year(ts) AS INTEGER) AS yr,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(year(ts) AS INTEGER))
+    """,
+)
+def events_cube(spark, sf_dir):
+    """Full cross-dimensional grouping sets via CUBE: (type, year),
+    (type), (year), () in one pass — Spark expands to a single
+    shuffle with grouping-id, same as ROLLUP but 2^k sets."""
+    ev = Catalog(spark, sf_dir).table("events")
+    return (
+        ev.select("event_type", F.year("ts").cast("int").alias("yr"), "value")
+        .cube("event_type", "yr")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def _years_custkeys_sql(year: int) -> str:
+    return (
+        f"SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '{year}-01-01' "
+        f"AND o_orderdate < TIMESTAMP '{year + 1}-01-01'"
+    )
+
+
+@query(
+    "set_retained_customers",
+    f"SELECT o_custkey AS o_custkey FROM ({_years_custkeys_sql(1996)}) "
+    f"INTERSECT {_years_custkeys_sql(1997)}",
+)
+def set_retained_customers(spark, sf_dir):
+    """INTERSECT (distinct set semantics): customers ordering in both
+    1996 and 1997. Spark plans it as an aggregate + left-semi join;
+    the reference has no set ops beyond positional unionAll
+    (SURVEY.md §2.5 U1)."""
+    o = Catalog(spark, sf_dir).table("orders")
+
+    def keys(year: int):
+        return o.filter(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+
+    return keys(1996).intersect(keys(1997))
+
+
+@query(
+    "set_churned_customers",
+    f"SELECT o_custkey AS o_custkey FROM ({_years_custkeys_sql(1996)}) "
+    f"EXCEPT {_years_custkeys_sql(1997)}",
+)
+def set_churned_customers(spark, sf_dir):
+    """EXCEPT (distinct set semantics): 1996 customers gone by 1997 —
+    planned as aggregate + left-anti join."""
+    o = Catalog(spark, sf_dir).table("orders")
+
+    def keys(year: int):
+        return o.filter(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+
+    return keys(1996).subtract(keys(1997))
+
+
 # register the LLM-pipeline query families (text / dedup / similarity /
 # multimodal) into the same QUERIES/ORACLES registry
 from . import queries_llm  # noqa: E402,F401  (import-time registration)

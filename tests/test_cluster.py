@@ -32,14 +32,16 @@ def _union_find(nodes, edges):
     return {n: label[find(n)] for n in nodes}
 
 
-def _labels(spark, nodes, edges):
+def _labels(spark, nodes, edges, local_threshold=1_000_000):
     nodes_df = spark.createDataFrame([(n,) for n in nodes], "id: long")
     edges_df = spark.createDataFrame(
         edges or [(0, 0)], "src: long, dst: long"
     )
     if not edges:
         edges_df = edges_df.filter(F.lit(False))
-    out = label_components(nodes_df, "id", edges_df)
+    out = label_components(
+        nodes_df, "id", edges_df, local_threshold=local_threshold
+    )
     return {r["id"]: r["component"] for r in out.collect()}
 
 
@@ -61,14 +63,20 @@ CASES = [
 ]
 
 
+@pytest.mark.parametrize("local_threshold", [1_000_000, 0], ids=["local", "distributed"])
 @pytest.mark.parametrize("nodes,edges", CASES)
-def test_components_match_union_find(spark, nodes, edges):
-    assert _labels(spark, nodes, edges) == _union_find(nodes, edges)
+def test_components_match_union_find(spark, nodes, edges, local_threshold):
+    got = _labels(spark, nodes, edges, local_threshold=local_threshold)
+    assert got == _union_find(nodes, edges)
 
 
-def test_connected_components_excludes_roots(spark):
+@pytest.mark.parametrize("local_threshold", [1_000_000, 0], ids=["local", "distributed"])
+def test_connected_components_excludes_roots(spark, local_threshold):
     e = spark.createDataFrame([(1, 2), (2, 3)], "src: long, dst: long")
-    got = {r["id"]: r["component"] for r in connected_components(e).collect()}
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(e, local_threshold=local_threshold).collect()
+    }
     assert got == {2: 1, 3: 1}  # root 1 labels itself implicitly
 
 
