@@ -1,4 +1,6 @@
 from .events import (
+    dedup_stream,
+    enrich_stream,
     events_stream_schema,
     hourly_rollup,
     read_events_stream,
@@ -14,4 +16,6 @@ __all__ = [
     "sessionize_batch",
     "sessionize_stream",
     "upsert_sink",
+    "dedup_stream",
+    "enrich_stream",
 ]

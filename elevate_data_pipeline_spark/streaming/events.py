@@ -139,6 +139,39 @@ def upsert_sink(
     )
 
 
+def dedup_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact deduplication within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival per key and
+    drops re-deliveries (at-least-once sources re-send) for as long as
+    the key's state is within the watermark — after that, state is
+    evicted, so memory is bounded by the horizon's key cardinality
+    instead of the full history. This is the streaming face of the batch
+    ``dedup_exact`` operator (operators/dedup.py); on a batch frame it
+    degrades to plain ``dropDuplicates`` (the oracle).
+    """
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, on, how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join.
+
+    The static dimension is re-read per micro-batch and broadcast (it
+    must fit executor memory — at 100 TB the dim side is the ~GB-scale
+    customer/part table, not the fact stream), so no stream-side state
+    or shuffle is added: each micro-batch maps through a broadcast hash
+    join. Works identically on a batch frame, which is the test oracle.
+    """
+    return events.join(F.broadcast(dim), on, how)
+
+
 # --------------------------------------------------------------------------
 # Gap-based sessionization
 # --------------------------------------------------------------------------

@@ -165,3 +165,57 @@ def test_upsert_sink_keeps_latest(spark, tmp_path):
 
     state = {r.user_id: r.value for r in spark.read.parquet(out).collect()}
     assert state == {7: 3.0, 8: 2.0}
+
+
+def test_dedup_stream_drops_redeliveries(spark, tmp_path):
+    """Cross-batch duplicate event_ids within the watermark are dropped;
+    result equals batch dropDuplicates on the union of all batches."""
+    from elevate_data_pipeline_spark.streaming import dedup_stream
+
+    d = tmp_path / "dup"
+    d.mkdir()
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    ns = 1_000_000_000
+    t0 = 1_700_000_000 * ns
+
+    def write_batch(fname, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d / fname))
+
+    write_batch("b1", [(1, t0, 7, "click", 1.0, "{}"),
+                       (2, t0 + 60 * ns, 8, "view", 2.0, "{}"),
+                       (1, t0, 7, "click", 1.0, "{}")])        # in-batch dup
+    write_batch("b2", [(2, t0 + 60 * ns, 8, "view", 2.0, "{}"),  # redelivery
+                       (3, t0 + 120 * ns, 9, "click", 3.0, "{}")])
+
+    stream = read_events_stream(spark, str(d) + "/b*", max_files_per_trigger=1)
+    name = _run_to_memory(dedup_stream(stream), "append")
+
+    got = sorted(r.event_id for r in spark.table(name).collect())
+    assert got == [1, 2, 3]
+
+
+def test_enrich_stream_equals_batch_join(spark, events_dir):
+    """Stream-static broadcast join: per-batch enrichment equals the
+    batch join on the same data."""
+    from elevate_data_pipeline_spark.streaming import enrich_stream
+
+    dim = (
+        Catalog(spark, SF_DIR)
+        .table("customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+    )
+    stream = read_events_stream(spark, events_dir)
+    name = _run_to_memory(
+        enrich_stream(stream, dim, on="user_id").select("event_id", "c_nationkey"),
+        "append",
+    )
+
+    batch = (
+        Catalog(spark, SF_DIR)
+        .table("events")
+        .join(F.broadcast(dim), "user_id", "left")
+        .select("event_id", "c_nationkey")
+    )
+    got = {tuple(r) for r in spark.table(name).collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 0
