@@ -54,3 +54,40 @@ def read_csv(
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """Read ORC (columnar alternative to parquet; Spark's reader does the
+    same predicate pushdown + column pruning, so operators are
+    format-agnostic). Pass a schema to skip footer-based inference on
+    wide datasets."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_text(
+    spark: SparkSession, path: str, whole_file: bool = False
+) -> DataFrame:
+    """Raw text corpora: one row per line (default) or per file
+    (``whole_file`` — the unit crawl/annotation dumps usually need).
+    Returns a single ``value`` string column; at scale pair with an
+    explicit repartition — one huge text file is otherwise one
+    partition (line mode splits on block boundaries, whole-file mode
+    cannot split at all)."""
+    return spark.read.text(path, wholetext=whole_file)

@@ -101,3 +101,30 @@ def test_csv_roundtrip(spark, tmp_path):
     write_csv(nat, out)
     back = read_csv(spark, out, schema=nat.schema)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nat.collect()))
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from elevate_data_pipeline_spark.sources.files import read_orc, write_orc
+
+    orders = Catalog(spark, SF_DIR).table("orders")
+    out = str(tmp_path / "orders_orc")
+    write_orc(orders, out)
+    back = read_orc(spark, out, schema=orders.schema).filter(
+        F.col("o_orderstatus") == "O"
+    )
+    # ORC scan must push the predicate and prune to the selected columns
+    plan = _plan(back.select("o_orderkey", "o_orderstatus"))
+    assert "PushedFilters: [" in plan and "o_orderstatus" in plan
+    assert back.count() == orders.filter(F.col("o_orderstatus") == "O").count()
+
+
+def test_text_source_line_and_wholefile(spark, tmp_path):
+    from elevate_data_pipeline_spark.sources.files import read_text
+
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("line1\nline2\n")
+    (d / "b.txt").write_text("only\n")
+    assert read_text(spark, str(d)).count() == 3
+    whole = read_text(spark, str(d), whole_file=True)
+    assert sorted(r.value.strip() for r in whole.collect()) == ["line1\nline2", "only"]
