@@ -85,3 +85,23 @@ def test_two_interleaved_chains(spark):
     edges = [(i, i + 2) for i in range(0, 20, 2)] + [(i, i + 2) for i in range(1, 19, 2)]
     nodes = list(range(22))
     assert _labels(spark, nodes, edges) == _union_find(nodes, edges)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)), max_size=60
+    ),
+    extra_nodes=st.sets(st.integers(0, 40), max_size=10),
+)
+def test_random_graphs_match_union_find(spark, edges, extra_nodes):
+    nodes = sorted({n for e in edges for n in e} | extra_nodes)
+    if not nodes:
+        nodes = [0]
+    assert _labels(spark, nodes, edges) == _union_find(nodes, edges)
