@@ -32,7 +32,7 @@ from .functions.text import (
     token_count_ws,
     winnow_fingerprints_arrow as text_winnow,
 )
-from .operators import asof, cluster, curation, dedup, multimodal, profile, similarity, skew
+from .operators import asof, cluster, curation, dedup, multimodal, profile, similarity, sketch, skew
 from .operators.dedup import MERSENNE61, MINHASH_COEFFS, N_BANDS, N_HASHES, ROWS_PER_BAND
 from .queries import query
 from .sources.catalog import Catalog
@@ -816,3 +816,23 @@ def multimodal_features(spark, sf_dir):
     return feats.select(
         "doc_id", F.posexplode("features").alias("bucket", "share")
     ).select("doc_id", F.col("bucket").cast("int"), "share")
+
+
+@query(
+    "events_heavy_hitters",
+    """
+    SELECT user_id AS user_id, count(*) AS n,
+           CAST(count(*) AS DOUBLE) / t._total AS share
+    FROM events, (SELECT CAST(count(*) AS DOUBLE) AS _total FROM events) t
+    GROUP BY user_id, t._total
+    HAVING CAST(count(*) AS DOUBLE) / t._total > 0.002
+    """,
+)
+def events_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters: users with > 0.2% of all events. The exact
+    face of the sketch family (operators/sketch.py): one grouped count
+    shuffled on the profiled column (map-side partials collapse it) plus
+    a broadcast scalar total; share is a single IEEE double division on
+    both engines."""
+    ev = Catalog(spark, sf_dir).table("events")
+    return sketch.frequent_items(ev, "user_id", min_share=0.002)

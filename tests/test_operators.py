@@ -8,6 +8,9 @@ from pyspark.sql import functions as F
 
 from elevate_data_pipeline_spark.functions import text as text_fns
 from elevate_data_pipeline_spark.operators import dedup, multimodal, similarity
+from elevate_data_pipeline_spark.sources.catalog import Catalog
+
+from conftest import SF_DIR
 
 
 @pytest.fixture(scope="module")
@@ -291,3 +294,69 @@ def test_winnow_arrow_equals_expr(docs):
     b = {r.doc_id: r.fp for r in
          docs.select("doc_id", winnow_fingerprints_arrow("text").alias("fp")).collect()}
     assert a == b
+
+
+# --------------------------------------------------------------------------
+# sketches
+# --------------------------------------------------------------------------
+
+
+def test_approx_distinct_within_rsd(spark):
+    from elevate_data_pipeline_spark.operators.sketch import approx_distinct
+
+    o = Catalog(spark, SF_DIR).table("orders")
+    got = approx_distinct(o, ["o_custkey", "o_orderkey"], rsd=0.02).first()
+    exact = o.agg(
+        F.countDistinct("o_custkey").alias("c"), F.countDistinct("o_orderkey").alias("k")
+    ).first()
+    assert abs(got["o_custkey_approx_distinct"] - exact["c"]) <= 0.06 * exact["c"]
+    assert abs(got["o_orderkey_approx_distinct"] - exact["k"]) <= 0.06 * exact["k"]
+
+
+def test_approx_distinct_grouped(spark):
+    from elevate_data_pipeline_spark.operators.sketch import approx_distinct
+
+    ev = Catalog(spark, SF_DIR).table("events")
+    got = {
+        r["event_type"]: r["user_id_approx_distinct"]
+        for r in approx_distinct(ev, ["user_id"], group_by=["event_type"]).collect()
+    }
+    exact = {
+        r["event_type"]: r["c"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("c")).collect()
+    }
+    assert set(got) == set(exact)
+    for k in exact:
+        assert abs(got[k] - exact[k]) <= max(2, 0.06 * exact[k])
+
+
+def test_approx_quantiles_rank_error(spark):
+    from elevate_data_pipeline_spark.operators.sketch import approx_quantiles
+
+    ev = Catalog(spark, SF_DIR).table("events")
+    (qs,) = approx_quantiles(ev, "value", [0.5, 0.95], accuracy=10_000).first()
+    vals = sorted(r["value"] for r in ev.select("value").collect())
+    n = len(vals)
+    for p, got in zip([0.5, 0.95], qs):
+        # rank of the returned value must be within 1/accuracy + 1 row of p*n
+        import bisect
+
+        lo = bisect.bisect_left(vals, got)
+        hi = bisect.bisect_right(vals, got)
+        target = p * n
+        slack = n / 10_000 + 1
+        assert lo - slack <= target <= hi + slack
+
+
+def test_frequent_items_matches_manual(spark):
+    from elevate_data_pipeline_spark.operators.sketch import frequent_items
+
+    ev = Catalog(spark, SF_DIR).table("events")
+    got = {r["user_id"]: (r["n"], r["share"]) for r in frequent_items(ev, "user_id", 0.002).collect()}
+    counts = {}
+    rows = ev.select("user_id").collect()
+    for r in rows:
+        counts[r["user_id"]] = counts.get(r["user_id"], 0) + 1
+    total = len(rows)
+    want = {u: c for u, c in counts.items() if c / total > 0.002}
+    assert {u: n for u, (n, _) in got.items()} == want
