@@ -836,3 +836,99 @@ def events_heavy_hitters(spark, sf_dir):
     both engines."""
     ev = Catalog(spark, sf_dir).table("events")
     return sketch.frequent_items(ev, "user_id", min_share=0.002)
+
+
+_SQL_SUMSQ = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "[CAST(embedding[x] AS DOUBLE) * CAST(embedding[x] AS DOUBLE) "
+    "for x in range(1, 1 + len(embedding))]), (acc, v) -> acc + v)"
+)
+
+
+@query(
+    "embedding_normalize",
+    f"""
+    WITH s AS (SELECT vec_id, embedding, sqrt({_SQL_SUMSQ}) AS norm FROM embeddings)
+    SELECT vec_id AS vec_id, norm AS norm,
+           [CAST(embedding[x] AS DOUBLE) / nullif(norm, CAST(0 AS DOUBLE))
+            for x in range(1, 1 + len(embedding))] AS unit
+    FROM s
+    """,
+)
+def embedding_normalize(spark, sf_dir):
+    """Unit-L2 normalization of the embedding column — element-wise JVM
+    exprs, deterministic left-fold norm, so the double arrays hash-match
+    the oracle bitwise."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    return similarity.normalize(emb).select("vec_id", "norm", "unit")
+
+
+@query(
+    "embedding_quantize_int8",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_aggregate([abs(CAST(embedding[x] AS DOUBLE))
+                             for x in range(1, 1 + len(embedding))], 'max')
+               / CAST(127 AS DOUBLE) AS scale
+      FROM embeddings)
+    SELECT vec_id AS vec_id, scale AS scale,
+           [CAST(floor(CAST(embedding[x] AS DOUBLE) / nullif(scale, CAST(0 AS DOUBLE))
+                       + 0.5) AS INT)
+            for x in range(1, 1 + len(embedding))] AS q
+    FROM s
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization (scale = max|v|/127,
+    explicit half-up rounding — identical integer results in any
+    engine; round()'s tie rules differ per engine, floor(x+0.5) does
+    not)."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    return similarity.quantize_int8(emb).select("vec_id", "scale", "q")
+
+
+def _sql_embedding_pairs() -> str:
+    return f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.35
+    """
+
+
+@query(
+    "dedup_semantic_clusters",
+    f"""
+    WITH RECURSIVE
+    p AS ({_sql_embedding_pairs()}),
+    e AS (SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p),
+    reach(id, m) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT r.id, e.d FROM reach r JOIN e ON e.s = r.m
+    ),
+    lab AS (SELECT id, MIN(m) AS component FROM reach GROUP BY id)
+    SELECT l.id AS vec_id, l.component AS component, c.n AS cluster_size
+    FROM lab l
+    JOIN (SELECT component, CAST(COUNT(*) AS BIGINT) AS n FROM lab GROUP BY component) c
+      USING (component)
+    """,
+)
+def dedup_semantic_clusters(spark, sf_dir):
+    """Semantic (embedding-cosine) near-dup clusters: the same
+    connected-components resolution as dedup_cc_clusters, composed over
+    the embedding pair graph instead of the minhash one — one cluster
+    operator serving every pair family."""
+    from pyspark.sql.window import Window
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    pairs = dedup.embedding_dup_pairs(emb, threshold=0.35).select("id_a", "id_b")
+    labeled = cluster.label_components(
+        emb.select("vec_id"), "vec_id", pairs, src="id_a", dst="id_b"
+    )
+    return labeled.select(
+        "vec_id",
+        "component",
+        F.count(F.lit(1)).over(Window.partitionBy("component")).alias("cluster_size"),
+    )
