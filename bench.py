@@ -61,6 +61,11 @@ HEADLINE = [
     "events_cube",
     "set_retained_customers",
     "dedup_cc_clusters",
+    "events_heavy_hitters",
+    "events_pivot_types",
+    "events_resample_hourly",
+    "embedding_quantize_int8",
+    "dedup_semantic_clusters",
 ]
 
 

@@ -121,3 +121,86 @@ def customer_balance_deciles(spark, sf_dir):
             F.max("c_acctbal").alias("max_bal"),
         )
     )
+
+
+@query(
+    "events_pivot_types",
+    """
+    SELECT user_id AS user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'view')     AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def events_pivot_types(spark, sf_dir):
+    """Pivot: one row per user, one count column per event type. The
+    value list is pinned so Spark skips the extra distinct-values scan
+    (at 100 TB an unpinned pivot is two jobs) and the output schema is
+    static; absent combinations fill 0 to match COUNT FILTER."""
+    ev = Catalog(spark, sf_dir).table("events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@query(
+    "events_resample_hourly",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts FROM bounds
+    ),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_value
+      FROM events GROUP BY date_trunc('hour', ts)
+    )
+    SELECT g.hour_ts AS hour_ts,
+           coalesce(a.n, 0) AS n,
+           last_value(a.avg_value IGNORE NULLS)
+             OVER (ORDER BY g.hour_ts ROWS UNBOUNDED PRECEDING) AS avg_value_ffill
+    FROM grid g LEFT JOIN agg a USING (hour_ts)
+    """,
+)
+def events_resample_hourly(spark, sf_dir):
+    """Regularize an event stream onto a continuous hourly grid: empty
+    hours appear with n=0 and a forward-filled average (last non-null
+    in time order). The grid is sequence+explode off a 1-row min/max
+    aggregate (broadcast); the join is grid-side tiny. The ffill window
+    is global-order but runs over the GRID (rows ∝ hours in the span,
+    not events), so its single partition stays bounded at any corpus
+    size; partition by series key when resampling per-entity.
+    Gap-filling is the standard prep for time-series models — the
+    reference computes nothing like it (SURVEY.md §2.4)."""
+    ev = Catalog(spark, sf_dir).table("events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour_ts")
+    )
+    agg = ev.groupBy(F.date_trunc("hour", "ts").alias("hour_ts")).agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("*")
+        ).alias("avg_value"),
+    )
+    w = Window.orderBy("hour_ts").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grid.join(agg, "hour_ts", "left")
+        .select(
+            "hour_ts",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_ffill"),
+        )
+    )
