@@ -1,0 +1,53 @@
+"""Declarative data-quality validation — expectation checks in one pass.
+
+Before a 100 TB corpus feeds training, every load gets gated on
+expectations (ranges, nullability, set membership, referential
+sanity). This evaluates ALL rules in a single scan + single aggregate
+(one `sum(case when violated)` per rule — no per-rule jobs), emitting
+long-form (rule, n, n_violations, violation_rate) so a gate can fail
+the load on any nonzero (or above-threshold) rate.
+
+The reference's only validation is the output type gate that silently
+skips renames on mismatch (SURVEY.md §2.2 P6, a quirk we replace with
+strict errors); this operator is the general, declarative version.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def validate(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Evaluate expectation rules; each rule is a boolean Column that
+    should hold for every row (nulls count as violations — an unknown
+    is not a pass). Returns (rule, n, n_violations, violation_rate),
+    one row per rule, computed in one aggregate."""
+    n = F.count(F.lit(1))
+    aggs = [n.alias("__n")] + [
+        F.sum(F.when(cond, 0).otherwise(1)).alias(f"{name}__viol")
+        for name, cond in rules.items()
+    ]
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.col("__n").cast("long").alias("n"),
+            F.col(f"{name}__viol").cast("long").alias("n_violations"),
+            (F.col(f"{name}__viol") / F.col("__n")).alias("violation_rate"),
+        )
+        for name in rules
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+def check(df: DataFrame, rules: dict[str, Column], max_rate: float = 0.0) -> None:
+    """Gate: raise ``ValueError`` listing every rule whose violation
+    rate exceeds ``max_rate``. The strict-mode face of :func:`validate`."""
+    bad = [
+        f"{r['rule']}: {r['n_violations']}/{r['n']} ({r['violation_rate']:.4%})"
+        for r in validate(df, rules).collect()
+        if r["violation_rate"] > max_rate
+    ]
+    if bad:
+        raise ValueError("validation failed: " + "; ".join(bad))

@@ -932,3 +932,97 @@ def dedup_semantic_clusters(spark, sf_dir):
         "component",
         F.count(F.lit(1)).over(Window.partitionBy("component")).alias("cluster_size"),
     )
+
+
+@query(
+    "validate_lineitem",
+    """
+    WITH w AS (
+      SELECT count(*) AS n,
+        sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 45 THEN 0 ELSE 1 END) AS q_viol,
+        sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.1 THEN 0 ELSE 1 END) AS d_viol,
+        sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS p_viol,
+        sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS s_viol
+      FROM lineitem)
+    SELECT rule, n, n_violations, CAST(n_violations AS DOUBLE) / n AS violation_rate
+    FROM (
+      SELECT 'quantity_in_1_45' AS rule, n, q_viol AS n_violations FROM w
+      UNION ALL SELECT 'discount_in_0_10pct', n, d_viol FROM w
+      UNION ALL SELECT 'price_positive', n, p_viol FROM w
+      UNION ALL SELECT 'shipdate_not_null', n, s_viol FROM w
+    )
+    """,
+)
+def validate_lineitem(spark, sf_dir):
+    """Declarative expectation checks over lineitem, all rules in ONE
+    scan+aggregate (operators/validate.py). quantity_in_1_45 is
+    deliberately violated by the 46-50 tail so the rate path is
+    exercised; the other three hold."""
+    from .operators.validate import validate
+
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return validate(
+        li,
+        {
+            "quantity_in_1_45": F.col("l_quantity").between(1, 45),
+            "discount_in_0_10pct": F.col("l_discount").between(0, 0.1),
+            "price_positive": F.col("l_extendedprice") > 0,
+            "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+        },
+    )
+
+
+def _sql_decsum(expr: str) -> str:
+    return f"CAST(sum({expr}) AS DOUBLE)"
+
+
+@query(
+    "lineitem_corr_stats",
+    f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             {_sql_decsum("CAST(l_quantity AS DECIMAL(18,2))")} AS sx,
+             {_sql_decsum("CAST(l_extendedprice AS DECIMAL(18,2))")} AS sy,
+             {_sql_decsum("CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))")} AS sxx,
+             {_sql_decsum("CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))")} AS syy,
+             {_sql_decsum("CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))")} AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag AS l_returnflag, n AS n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
+           (sxy - sx * sy / n) / (n - 1) AS covar_qty_price
+    FROM s
+    """,
+)
+def lineitem_corr_stats(spark, sf_dir):
+    """Exact-by-construction correlation + sample covariance per return
+    flag. Built-in corr()/covar_samp() accumulate doubles in partition
+    order (non-deterministic across engines AND runs); this computes
+    the five sufficient statistics as exact decimal sums in one
+    aggregate, then one fixed double expression tree — bit-identical
+    everywhere, same single shuffle as the built-in."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+
+    def decsum(c):
+        return F.sum(c).cast("double")
+
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        decsum(x).alias("sx"),
+        decsum(y).alias("sy"),
+        decsum(x * x).alias("sxx"),
+        decsum(y * y).alias("syy"),
+        decsum(x * y).alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (F.col(c) for c in ["n", "sx", "sy", "sxx", "syy", "sxy"])
+    return s.select(
+        "l_returnflag",
+        "n",
+        ((n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))).alias(
+            "corr_qty_price"
+        ),
+        ((sxy - sx * sy / n) / (n - F.lit(1))).alias("covar_qty_price"),
+    )

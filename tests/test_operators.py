@@ -360,3 +360,27 @@ def test_frequent_items_matches_manual(spark):
     total = len(rows)
     want = {u: c for u, c in counts.items() if c / total > 0.002}
     assert {u: n for u, (n, _) in got.items()} == want
+
+
+def test_validate_check_gate(spark):
+    from elevate_data_pipeline_spark.operators.validate import check, validate
+
+    li = Catalog(spark, SF_DIR).table("lineitem")
+    rules = {
+        "price_positive": F.col("l_extendedprice") > 0,
+        "quantity_small": F.col("l_quantity") <= 10,  # violated
+    }
+    rates = {r["rule"]: r["violation_rate"] for r in validate(li, rules).collect()}
+    assert rates["price_positive"] == 0.0
+    assert rates["quantity_small"] > 0.0
+    check(li, {"price_positive": F.col("l_extendedprice") > 0})  # passes
+    with pytest.raises(ValueError, match="quantity_small"):
+        check(li, rules)
+
+
+def test_validate_null_counts_as_violation(spark):
+    from elevate_data_pipeline_spark.operators.validate import validate
+
+    df = spark.createDataFrame([(1,), (None,), (5,)], "x int")
+    (r,) = validate(df, {"x_lt_3": F.col("x") < 3}).collect()
+    assert r["n_violations"] == 2  # the 5 AND the null
