@@ -66,6 +66,7 @@ HEADLINE = [
     "events_resample_hourly",
     "embedding_quantize_int8",
     "dedup_semantic_clusters",
+    "curation_pipeline",
 ]
 
 

@@ -501,13 +501,13 @@ def minhash_signature(spark, sf_dir):
     ).select("doc_id", (F.col("_pos") + 1).cast("int").alias("h_idx"), "h_val")
 
 
-def _sql_minhash_pairs() -> str:
+def _sql_minhash_pairs(rel: str = "documents") -> str:
     band_eq = " OR ".join(
         f"a.sig[{i * ROWS_PER_BAND + 1}:{(i + 1) * ROWS_PER_BAND}] = b.sig[{i * ROWS_PER_BAND + 1}:{(i + 1) * ROWS_PER_BAND}]"
         for i in range(N_BANDS)
     )
     return f"""
-    WITH s AS (SELECT doc_id, {_sql_minhash_sig()} AS sig FROM documents)
+    WITH s AS (SELECT doc_id, {_sql_minhash_sig()} AS sig FROM {rel})
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(len(list_filter(range(1, {N_HASHES + 1}), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / {float(N_HASHES)} AS est_jaccard
     FROM s a JOIN s b ON a.doc_id < b.doc_id AND ({band_eq})
@@ -1026,3 +1026,38 @@ def lineitem_corr_stats(spark, sf_dir):
         ),
         ((sxy - sx * sy / n) / (n - F.lit(1))).alias("covar_qty_price"),
     )
+
+
+@query(
+    "curation_pipeline",
+    f"""
+    WITH RECURSIVE
+    f AS (
+      SELECT doc_id, text, lang, {_sql_quality()} AS quality
+      FROM documents
+      WHERE lang = 'en' AND {_sql_quality()} >= 0.5
+    ),
+    p AS ({_sql_minhash_pairs(rel="f")}),
+    e AS (SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p),
+    reach(id, m) AS (
+        SELECT doc_id, doc_id FROM f
+        UNION
+        SELECT r.id, e.d FROM reach r JOIN e ON e.s = r.m
+    ),
+    lab AS (SELECT id, MIN(m) AS component FROM reach GROUP BY id)
+    SELECT f.doc_id AS doc_id, f.lang AS lang, f.quality AS quality,
+           CAST(len(string_split(f.text, ' ')) AS BIGINT) AS n_tokens
+    FROM f JOIN lab ON lab.id = f.doc_id
+    WHERE lab.component = f.doc_id
+    """,
+)
+def curation_pipeline(spark, sf_dir):
+    """End-to-end curation (pipelines.curate_corpus): language gate ->
+    quality gate -> minhash/LSH near-dup clusters -> keep each
+    cluster's minimum doc_id -> token accounting. The oracle replays
+    the same stages in SQL with the reachability-closure component
+    labels."""
+    from .pipelines import curate_corpus
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    return curate_corpus(docs)
