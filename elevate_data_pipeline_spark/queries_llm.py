@@ -1061,3 +1061,39 @@ def curation_pipeline(spark, sf_dir):
 
     docs = Catalog(spark, sf_dir).table("documents")
     return curate_corpus(docs)
+
+
+@query(
+    "text_sentences",
+    """
+    WITH s AS (SELECT doc_id, string_split(text, '. ') AS sents FROM documents),
+    x AS (SELECT doc_id,
+                 unnest([{'sent_idx': i, 'sentence': sents[i]}
+                         for i in range(1, len(sents) + 1)]) AS u
+          FROM s)
+    SELECT doc_id AS doc_id, CAST(u.sent_idx AS INT) AS sent_idx,
+           u.sentence AS sentence,
+           CAST(len(string_split(u.sentence, ' ')) AS BIGINT) AS n_tokens
+    FROM x WHERE len(u.sentence) > 0
+    """,
+)
+def text_sentences(spark, sf_dir):
+    """Sentence-level explosion (flatten): split on '. ', posexplode to
+    (doc_id, sent_idx, sentence, token count). JVM split+explode — the
+    idiomatic Spark shape for corpus tokenization fan-out (a Python UDTF
+    would do this row-at-a-time ~100x slower). Row count multiplies by
+    ~sentences/doc; at 100 TB that's the step to budget shuffle and
+    output partitioning for."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", "\\. ")).alias("_pos", "sentence")
+        )
+        .filter(F.length("sentence") > 0)
+        .select(
+            "doc_id",
+            (F.col("_pos") + 1).cast("int").alias("sent_idx"),
+            "sentence",
+            token_count_ws("sentence").cast("long").alias("n_tokens"),
+        )
+    )
