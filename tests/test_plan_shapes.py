@@ -1,0 +1,58 @@
+"""Physical-plan regressions for the newer registry queries: the scan
+must receive the pushed/pruned predicates and the joins must broadcast —
+the properties that keep these plans viable at 100 TB."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from elevate_data_pipeline_spark.queries import QUERIES
+
+from conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q19_envelope_reaches_both_scans(spark):
+    plan = _plan(QUERIES["q19_bracket_revenue"](spark, SF_DIR))
+    # part side: brand IN (...) and size bounds pushed to the parquet scan
+    assert "In(p_brand" in plan
+    assert "LessThanOrEqual(p_size,15)" in plan
+    # lineitem side: the quantity envelope pushed to the fact scan
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pivot_is_two_phase_no_prescan(spark):
+    plan = _plan(QUERIES["events_pivot_types"](spark, SF_DIR))
+    # pinned values -> no distinct-values pre-job; the pivot itself is
+    # Spark's standard two-phase plan: partial (user,type) counts, then
+    # the pivot fold on user_id — exactly two exchanges, both with
+    # map-side partial aggregation
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+
+
+def test_resample_grid_join_broadcasts(spark):
+    plan = _plan(QUERIES["events_resample_hourly"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_heavy_hitters_total_broadcast(spark):
+    plan = _plan(QUERIES["events_heavy_hitters"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the grouped count reads only the profiled column
+    assert "ReadSchema: struct<user_id:bigint>" in plan
+
+
+def test_curation_pipeline_filters_pushed(spark):
+    plan = _plan(QUERIES["curation_pipeline"](spark, SF_DIR))
+    # the language gate must reach the documents scan (quality is an
+    # expression filter above it; lang is a plain column predicate)
+    assert "EqualTo(lang,en)" in plan
