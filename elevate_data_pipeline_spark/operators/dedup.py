@@ -503,3 +503,44 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def levenshtein_pairs(
+    df: DataFrame,
+    max_dist: int = 12,
+    prefix_len: int = 48,
+    block_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Edit-distance near-dup pairs on text prefixes, blocked.
+
+    The fuzzy-join face of the family — right for SHORT strings
+    (titles, names, entity resolution); for long documents use minhash
+    or PPJoin (quadratic edit distance doesn't pay there). Cost control,
+    in order: block on ``block_col`` (the shuffle key), prune candidates
+    whose prefix lengths differ by more than ``max_dist`` (a free
+    necessary condition on edit distance), then run the THRESHOLDED
+    JVM levenshtein (early-exits past ``max_dist`` instead of filling
+    the full DP matrix). Returns (id_a, id_b, edit_dist).
+    """
+    def side(tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"id_{tag}"),
+            F.col(block_col).alias(f"_blk_{tag}"),
+            F.substring(F.col(text_col), 1, prefix_len).alias(f"_p_{tag}"),
+        ).withColumn(f"_len_{tag}", F.length(f"_p_{tag}"))
+
+    a, b = side("a"), side("b")
+    d = F.expr(f"levenshtein(_p_a, _p_b, {int(max_dist)})")
+    return (
+        a.join(
+            b,
+            (F.col("_blk_a") == F.col("_blk_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("_len_a") - F.col("_len_b")) <= max_dist),
+        )
+        .withColumn("edit_dist", d)
+        .filter(F.col("edit_dist") >= 0)
+        .select("id_a", "id_b", F.col("edit_dist").cast("int").alias("edit_dist"))
+    )

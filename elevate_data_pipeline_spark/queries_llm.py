@@ -1097,3 +1097,23 @@ def text_sentences(spark, sf_dir):
             token_count_ws("sentence").cast("long").alias("n_tokens"),
         )
     )
+
+
+@query(
+    "dedup_levenshtein",
+    """
+    WITH p AS (SELECT doc_id, source, substr(text, 1, 48) AS pre FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.pre, b.pre) AS INT) AS edit_dist
+    FROM p a JOIN p b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+         AND abs(len(a.pre) - len(b.pre)) <= 12
+    WHERE levenshtein(a.pre, b.pre) <= 12
+    """,
+)
+def dedup_levenshtein(spark, sf_dir):
+    """Edit-distance pairs on 48-char prefixes within source blocks —
+    thresholded JVM levenshtein with a length-difference prune
+    (operators/dedup.levenshtein_pairs)."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return dedup.levenshtein_pairs(docs, max_dist=12, prefix_len=48)

@@ -384,3 +384,16 @@ def test_validate_null_counts_as_violation(spark):
     df = spark.createDataFrame([(1,), (None,), (5,)], "x int")
     (r,) = validate(df, {"x_lt_3": F.col("x") < 3}).collect()
     assert r["n_violations"] == 2  # the 5 AND the null
+
+
+def test_levenshtein_pairs_finds_typos(spark):
+    rows = [
+        (1, "the quick brown fox", "a"),
+        (2, "the quick brown fix", "a"),   # 1 edit
+        (3, "a completely different string", "a"),
+        (4, "the quick brown fox", "b"),   # same text, other block
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r.id_a, r.id_b): r.edit_dist
+           for r in dedup.levenshtein_pairs(df, max_dist=3).collect()}
+    assert got == {(1, 2): 1}  # typo pair found; cross-block and far pairs not
