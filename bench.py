@@ -67,6 +67,7 @@ HEADLINE = [
     "embedding_quantize_int8",
     "dedup_semantic_clusters",
     "curation_pipeline",
+    "dedup_levenshtein",
 ]
 
 

@@ -512,6 +512,7 @@ def levenshtein_pairs(
     block_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_salts: int = 16,
 ) -> DataFrame:
     """Edit-distance near-dup pairs on text prefixes, blocked.
 
@@ -523,6 +524,14 @@ def levenshtein_pairs(
     necessary condition on edit distance), then run the THRESHOLDED
     JVM levenshtein (early-exits past ``max_dist`` instead of filling
     the full DP matrix). Returns (id_a, id_b, edit_dist).
+
+    The self-join is SALTED: the left side takes a deterministic salt
+    hash(id) % n_salts, the right side is replicated across all salts,
+    and the join key becomes (block, salt) — blocks × n_salts tasks
+    share the quadratic verify work. Without it, a low-cardinality
+    block key leaves the CPU-heavy stage on #blocks cores (and AQE
+    coalesces the small shuffle even further). The ×n_salts
+    replication only touches the prefix projection, not the corpus.
     """
     def side(tag: str) -> DataFrame:
         return df.select(
@@ -531,12 +540,18 @@ def levenshtein_pairs(
             F.substring(F.col(text_col), 1, prefix_len).alias(f"_p_{tag}"),
         ).withColumn(f"_len_{tag}", F.length(f"_p_{tag}"))
 
-    a, b = side("a"), side("b")
+    a = spread(side("a")).withColumn(
+        "_salt", F.pmod(F.xxhash64("id_a"), F.lit(n_salts)).cast("int")
+    )
+    b = side("b").withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
     d = F.expr(f"levenshtein(_p_a, _p_b, {int(max_dist)})")
     return (
-        a.join(
-            b,
+        a.alias("a").join(
+            b.alias("b"),
             (F.col("_blk_a") == F.col("_blk_b"))
+            & (F.col("a._salt") == F.col("b._salt"))
             & (F.col("id_a") < F.col("id_b"))
             & (F.abs(F.col("_len_a") - F.col("_len_b")) <= max_dist),
         )
