@@ -1071,3 +1071,21 @@ from . import queries_llm  # noqa: E402,F401  (import-time registration)
 from . import queries_tpch  # noqa: E402,F401  (import-time registration)
 # window-function family (frames, offsets, ntile buckets)
 from . import queries_window  # noqa: E402,F401  (import-time registration)
+
+
+@query(
+    "events_grouping_sets",
+    """
+    SELECT event_type AS event_type, user_id AS user_id, count(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id))
+    """,
+)
+def events_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — two disjoint groupings in one pass
+    (one shuffle with grouping-id, not two jobs unioned). Completes the
+    ROLLUP/CUBE family with the hand-picked-sets form."""
+    ev = Catalog(spark, sf_dir).table("events")
+    return ev.groupingSets(
+        [["event_type"], ["user_id"]], "event_type", "user_id"
+    ).agg(F.count("*").alias("n"))

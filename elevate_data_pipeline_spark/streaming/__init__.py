@@ -3,6 +3,7 @@ from .events import (
     enrich_stream,
     events_stream_schema,
     hourly_rollup,
+    join_streams_interval,
     read_events_stream,
     sessionize_batch,
     sessionize_stream,
@@ -18,4 +19,5 @@ __all__ = [
     "upsert_sink",
     "dedup_stream",
     "enrich_stream",
+    "join_streams_interval",
 ]

@@ -172,6 +172,33 @@ def enrich_stream(
     return events.join(F.broadcast(dim), on, how)
 
 
+def join_streams_interval(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    within_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join within a time interval.
+
+    Joins two event streams on a key where the right event lands within
+    ±``within_minutes`` of the left event. The interval condition plus
+    watermarks on BOTH sides is what lets Spark bound the join state:
+    each side buffers only rows younger than watermark + interval, so
+    state scales with the horizon's row count, not the stream history.
+    Works identically on batch frames (the test oracle).
+    """
+    l = (left.withWatermark("ts", watermark) if left.isStreaming else left).alias("l")
+    r = (right.withWatermark("ts", watermark) if right.isStreaming else right).alias("r")
+    iv = f"INTERVAL {int(within_minutes)} MINUTES"
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col("r.ts") >= F.expr(f"l.ts - {iv}"))
+        & (F.col("r.ts") <= F.expr(f"l.ts + {iv}"))
+    )
+    return l.join(r, cond)
+
+
 # --------------------------------------------------------------------------
 # Gap-based sessionization
 # --------------------------------------------------------------------------

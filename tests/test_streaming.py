@@ -219,3 +219,37 @@ def test_enrich_stream_equals_batch_join(spark, events_dir):
     got = {tuple(r) for r in spark.table(name).collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_dir):
+    """Two event-type streams joined within ±30min per user: the
+    stream-stream interval join (watermarks both sides bound the state)
+    must produce the batch join's pairs."""
+    from elevate_data_pipeline_spark.streaming import join_streams_interval
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id"),
+            df.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("ts2"), F.col("event_id").alias("event_id2")
+            ),
+        )
+
+    stream = read_events_stream(spark, events_dir)
+    sl, sr = split(stream)
+    joined = join_streams_interval(sl, sr.withColumnRenamed("ts2", "ts"))
+    name = _run_to_memory(
+        joined.select("l.event_id", F.col("r.event_id2").alias("event_id2")), "append"
+    )
+
+    batch = Catalog(spark, SF_DIR).table("events")
+    bl, br = split(batch)
+    want_df = bl.join(
+        br,
+        (bl["user_id"] == br["user_id"])
+        & (br["ts2"] >= F.expr("ts - INTERVAL 30 MINUTES"))
+        & (br["ts2"] <= F.expr("ts + INTERVAL 30 MINUTES")),
+    )
+    got = {tuple(r) for r in spark.table(name).collect()}
+    want = {(r["event_id"], r["event_id2"]) for r in want_df.collect()}
+    assert got == want and len(want) > 0
