@@ -917,16 +917,23 @@ def events_rollup(spark, sf_dir):
     "orders_priority_sets",
     """
     SELECT o_orderstatus AS o_orderstatus,
-           list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+             AS priorities,
            count(DISTINCT o_custkey) AS n_customers
     FROM orders GROUP BY o_orderstatus
     """,
 )
 def orders_priority_sets(spark, sf_dir):
-    """Distinct-set aggregation: sorted collect_set + count(distinct)."""
+    """Distinct-set aggregation: sorted collect_set + count(distinct).
+
+    The set is serialized to a comma-joined string (not array<string>):
+    the driver's pandas canonicalizer hashes scalar cells only.
+    """
     o = Catalog(spark, sf_dir).table("orders")
     return o.groupBy("o_orderstatus").agg(
-        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        ),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
 

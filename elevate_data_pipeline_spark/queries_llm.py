@@ -849,18 +849,28 @@ _SQL_SUMSQ = (
     "embedding_normalize",
     f"""
     WITH s AS (SELECT vec_id, embedding, sqrt({_SQL_SUMSQ}) AS norm FROM embeddings)
-    SELECT vec_id AS vec_id, norm AS norm,
-           [CAST(embedding[x] AS DOUBLE) / nullif(norm, CAST(0 AS DOUBLE))
-            for x in range(1, 1 + len(embedding))] AS unit
-    FROM s
+    SELECT vec_id AS vec_id, norm AS norm, CAST(r.range AS INT) AS dim_idx,
+           CAST(embedding[r.range] AS DOUBLE) / nullif(norm, CAST(0 AS DOUBLE))
+             AS unit_val
+    FROM s, range(1, 1 + 64) r
+    WHERE r.range <= len(embedding)
     """,
 )
 def embedding_normalize(spark, sf_dir):
     """Unit-L2 normalization of the embedding column — element-wise JVM
-    exprs, deterministic left-fold norm, so the double arrays hash-match
-    the oracle bitwise."""
+    exprs, deterministic left-fold norm. Flattened to
+    (vec_id, norm, dim_idx, unit_val) scalar rows: the driver's pandas
+    canonicalizer cannot hash array cells, and scalar doubles hash-match
+    bitwise."""
     emb = Catalog(spark, sf_dir).table("embeddings")
-    return similarity.normalize(emb).select("vec_id", "norm", "unit")
+    return (
+        similarity.normalize(emb)
+        .select("vec_id", "norm", F.posexplode("unit").alias("_pos", "unit_val"))
+        .select(
+            "vec_id", "norm", (F.col("_pos") + 1).cast("int").alias("dim_idx"),
+            "unit_val",
+        )
+    )
 
 
 @query(
@@ -872,20 +882,29 @@ def embedding_normalize(spark, sf_dir):
                              for x in range(1, 1 + len(embedding))], 'max')
                / CAST(127 AS DOUBLE) AS scale
       FROM embeddings)
-    SELECT vec_id AS vec_id, scale AS scale,
-           [CAST(floor(CAST(embedding[x] AS DOUBLE) / nullif(scale, CAST(0 AS DOUBLE))
-                       + 0.5) AS INT)
-            for x in range(1, 1 + len(embedding))] AS q
-    FROM s
+    SELECT vec_id AS vec_id, scale AS scale, CAST(r.range AS INT) AS dim_idx,
+           CAST(floor(CAST(embedding[r.range] AS DOUBLE)
+                        / nullif(scale, CAST(0 AS DOUBLE)) + 0.5) AS INT)
+             AS q_val
+    FROM s, range(1, 1 + 64) r
+    WHERE r.range <= len(embedding)
     """,
 )
 def embedding_quantize_int8(spark, sf_dir):
     """Symmetric per-vector int8 quantization (scale = max|v|/127,
     explicit half-up rounding — identical integer results in any
     engine; round()'s tie rules differ per engine, floor(x+0.5) does
-    not)."""
+    not). Flattened to (vec_id, scale, dim_idx, q_val) scalar rows for
+    the driver's pandas canonicalizer."""
     emb = Catalog(spark, sf_dir).table("embeddings")
-    return similarity.quantize_int8(emb).select("vec_id", "scale", "q")
+    return (
+        similarity.quantize_int8(emb)
+        .select("vec_id", "scale", F.posexplode("q").alias("_pos", "q_val"))
+        .select(
+            "vec_id", "scale", (F.col("_pos") + 1).cast("int").alias("dim_idx"),
+            F.col("q_val").cast("int"),
+        )
+    )
 
 
 def _sql_embedding_pairs() -> str:

@@ -38,7 +38,16 @@ def load_table(spark: SparkSession, data_dir: str, name: str) -> DataFrame:
     as a nanosecond long under ``spark.sql.legacy.parquet.nanosAsLong``;
     convert it back to a microsecond timestamp here so downstream plans
     (and the DuckDB oracle) see a real timestamp column.
+
+    The conf is set defensively at runtime so the loader works on ANY
+    SparkSession (the driver gate hands us a vanilla one, not the builder
+    from ``session.py``); it is runtime-settable and a no-op when already
+    set.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # oracle timestamps are TZ-naive; pin the session to UTC so date_trunc
+    # and friends agree with DuckDB regardless of host timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(data_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
@@ -62,13 +71,31 @@ class Catalog:
         return self._cache[name]
 
     def register_views(self, names: tuple[str, ...] = TABLES) -> None:
-        """Register each table as a temp view (skip missing files)."""
+        """Register each table as a temp view (skip missing/unreadable files).
+
+        Per-table fault tolerance: one unreadable table must not poison
+        queries that never touch it.
+        """
         for name in names:
             path = os.path.join(self.data_dir, f"{name}.parquet")
-            if os.path.exists(path):
+            if not os.path.exists(path):
+                continue
+            try:
                 self.table(name).createOrReplaceTempView(name)
+            except Exception:
+                self._cache.pop(name, None)
 
     def sql(self, query: str) -> DataFrame:
-        """Run SQL against the registered views (registers all first)."""
-        self.register_views()
+        """Run SQL against the catalog, registering only referenced tables.
+
+        Lazy registration: a word-boundary scan of the query text picks out
+        the known table names so an orders-only query never loads (or
+        fails on) an unrelated table.
+        """
+        import re
+
+        referenced = tuple(
+            name for name in TABLES if re.search(rf"\b{name}\b", query)
+        )
+        self.register_views(referenced or TABLES)
         return self.spark.sql(query)
