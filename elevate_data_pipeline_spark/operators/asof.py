@@ -84,12 +84,17 @@ def asof_join(
             f"right payload columns collide with left columns: {sorted(clash)}; "
             "rename the right side's payload before joining"
         )
+    # Carry the matched row as ONE struct with a single last(ignorenulls):
+    # per-column carries would mix fields across right rows whenever the
+    # most recent row has a NULL in one payload column (it would fall
+    # back to an older row's value for just that column).
     r = right.select(
         F.col(on),
         F.col(ts),
         F.lit(0).alias("_side"),
-        F.col(ts).alias(right_ts_out),
-        *[F.col(c) for c in payload_cols],
+        F.struct(
+            F.col(ts).alias(right_ts_out), *[F.col(c) for c in payload_cols]
+        ).alias("_match"),
     )
     l = left.withColumn("_side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
@@ -102,6 +107,12 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in [right_ts_out, *payload_cols]:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.filter(F.col("_side") == 1).drop("_side")
+    u = u.withColumn("_match", F.last("_match", ignorenulls=True).over(w))
+    return (
+        u.filter(F.col("_side") == 1)
+        .select(
+            *left.columns,
+            F.col(f"_match.{right_ts_out}").alias(right_ts_out),
+            *[F.col(f"_match.{c}").alias(c) for c in payload_cols],
+        )
+    )

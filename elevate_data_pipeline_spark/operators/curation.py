@@ -29,16 +29,37 @@ from ..functions.text import quality_score, token_count_ws
 # sampling, trivially identical in any SQL engine.
 _KNUTH = 2654435761
 _RING = 1 << 32
+_HALF = 1 << 16
+
+
+def _hash32(id_col: str) -> Column:
+    """``(id * KNUTH) mod 2^32`` without int64 overflow.
+
+    A direct ``id * 2654435761`` wraps negative in Spark's int64 for
+    id >= ~3.5e9 (a 100 TB corpus easily exceeds that), silently breaking
+    sampling. Split-multiply keeps every intermediate < 2^48:
+    id32 = id mod 2^32 = hi*2^16 + lo, then
+    (id32*K) mod 2^32 == ((hi*K mod 2^16)*2^16 + lo*K) mod 2^32.
+    """
+    id32 = F.pmod(F.col(id_col), F.lit(_RING))
+    hi = (id32 / _HALF).cast("long")
+    lo = id32 % _HALF
+    return (hi * _KNUTH % _HALF * _HALF + lo * _KNUTH) % _RING
 
 
 def sample_hash(id_col: str) -> Column:
     """Deterministic uniform [0,1) from an integer ID (JVM-side)."""
-    return (F.col(id_col) * F.lit(_KNUTH) % F.lit(_RING)) / F.lit(float(_RING))
+    return _hash32(id_col) / F.lit(float(_RING))
 
 
 def sample_hash_sql(id_col: str) -> str:
-    """DuckDB expression equivalent to :func:`sample_hash`."""
-    return f"(({id_col} * {_KNUTH}) % {_RING}) / {float(_RING)}"
+    """DuckDB expression equivalent to :func:`sample_hash`.
+
+    DuckDB promotes the product to HUGEINT, so the plain form is exact;
+    reducing mod 2^32 first keeps it equal to the Spark split-multiply
+    for every id.
+    """
+    return f"((({id_col} % {_RING}) * {_KNUTH}) % {_RING}) / {float(_RING)}"
 
 
 def quality_filter(
@@ -85,9 +106,7 @@ def assign_shards(
     decorrelated from raw ID ranges (monotone IDs would otherwise land
     range-contiguous rows in the same shard).
     """
-    return docs.withColumn(
-        "shard", (F.col(id_col) * F.lit(_KNUTH) % F.lit(_RING) % F.lit(n_shards)).cast("int")
-    )
+    return docs.withColumn("shard", (_hash32(id_col) % F.lit(n_shards)).cast("int"))
 
 
 def latest_by_key(

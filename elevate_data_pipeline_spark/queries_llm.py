@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .functions import pii
 from .functions.text import (
     BPE_ISH_PATTERN,
     LANG_MARKERS,
@@ -25,6 +26,7 @@ from .functions.text import (
     POLY_BASE,
     POLY_MOD,
     STOPWORDS,
+    dup_ngram_frac,
     fingerprint,
     lang_id,
     quality_score,
@@ -32,7 +34,7 @@ from .functions.text import (
     token_count_ws,
     winnow_fingerprints_arrow as text_winnow,
 )
-from .operators import asof, cluster, curation, dedup, multimodal, profile, similarity, sketch, skew
+from .operators import asof, cluster, curation, decontam, dedup, multimodal, profile, similarity, sketch, skew
 from .operators.dedup import MERSENNE61, MINHASH_COEFFS, N_BANDS, N_HASHES, ROWS_PER_BAND
 from .queries import query
 from .sources.catalog import Catalog
@@ -254,7 +256,7 @@ def curation_pack_sequences(spark, sf_dir):
 @query(
     "curation_shards",
     f"""
-    SELECT CAST((doc_id * {curation._KNUTH}) % {curation._RING} % 16 AS INT) AS shard,
+    SELECT CAST(((doc_id % {curation._RING}) * {curation._KNUTH}) % {curation._RING} % 16 AS INT) AS shard,
            count(*) AS n_docs,
            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
     FROM documents GROUP BY 1

@@ -103,17 +103,49 @@ def events_user_gaps(spark, sf_dir):
     """,
 )
 def customer_balance_deciles(spark, sf_dir):
-    """Account-balance decile boundaries via ntile(10). Both engines
-    assign buckets by row position over the same total order (tie-broken
-    on c_custkey), so bucket membership is identical; min/max of doubles
-    compare exactly. The global ORDER BY is a single-partition sort —
-    acceptable on a dimension table, NOT on fact tables (use
-    percentile_approx / range partitioning there; see
-    events_value_percentiles)."""
-    c = Catalog(spark, sf_dir).table("customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    """Account-balance deciles with exact ntile(10) semantics, computed
+    scale-safely: a plain ``ntile OVER (ORDER BY ...)`` is a
+    single-partition WindowExec (every row through one task — a
+    scale-killer on a 100x table). Instead:
+
+    1. ``repartitionByRange`` on the total order — a distributed sort;
+    2. partition-local ``row_number`` + broadcast per-partition offsets
+       (the offset/total frames are one row per partition, so their
+       window is trivially small) -> exact global rank;
+    3. the ntile bucket from the rank arithmetically: with N rows the
+       first ``N % 10`` buckets get ``N div 10 + 1`` rows — the SQL
+       standard's (and DuckDB's) definition, so the oracle still
+       matches row-for-row.
+    """
+    k = 10
+    c = Catalog(spark, sf_dir).table("customer").select("c_acctbal", "c_custkey")
+    part = c.repartitionByRange(32, "c_acctbal", "c_custkey").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = part.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off")
+    )
+    total = counts.agg(F.sum("_cnt").alias("_n"))
+    wl = Window.partitionBy("_pid").orderBy("c_acctbal", "c_custkey")
+    ranked = (
+        part.withColumn("_lrn", F.row_number().over(wl))
+        .join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_rn", F.col("_off") + F.col("_lrn"))
+    )
+    # ntile(k): base = N div k rows per bucket, the first N % k buckets
+    # take one extra; ceil(a/b) = (a+b-1) div b keeps it all-integer.
+    decile = F.expr(
+        f"CASE WHEN _rn <= (_n % {k}) * (_n div {k} + 1) "
+        f"THEN (_rn + _n div {k}) div (_n div {k} + 1) "
+        f"ELSE _n % {k} + (_rn - (_n % {k}) * (_n div {k} + 1) "
+        f"      + greatest(_n div {k}, 1) - 1) div greatest(_n div {k}, 1) "
+        f"END"
+    ).cast("int")
     return (
-        c.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+        ranked.select("c_acctbal", decile.alias("decile"))
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_customers"),

@@ -212,6 +212,46 @@ def test_asof_join_backward(spark):
     assert out[102] == (None, None)  # no right row at or before t=5
 
 
+def test_sample_hash_no_overflow_for_huge_ids(spark):
+    # direct id * 2654435761 wraps negative in int64 for id >= ~3.5e9;
+    # the split-multiply must equal Python's unbounded-int reference
+    ids = [0, 1, 2**31, 2**33 + 7, 2**40 + 123, 2**62 + 5, 2**63 - 1]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: r.h
+        for r in df.select(
+            "doc_id", curation.sample_hash("doc_id").alias("h")
+        ).collect()
+    }
+    for i in ids:
+        expect = ((i % 2**32) * 2654435761 % 2**32) / float(2**32)
+        assert got[i] == expect and 0.0 <= got[i] < 1.0
+
+
+def test_assign_shards_huge_ids_in_range(spark):
+    df = spark.createDataFrame([(2**62 + i,) for i in range(50)], "doc_id long")
+    shards = [r.shard for r in curation.assign_shards(df, n_shards=16).collect()]
+    assert all(0 <= s < 16 for s in shards)
+
+
+def test_asof_join_null_payload_not_mixed(spark):
+    # the matched (latest) right row has tag=NULL: the output must carry
+    # that NULL, not fall back to an older row's tag (field mixing)
+    from elevate_data_pipeline_spark.operators import asof
+
+    left = spark.createDataFrame(
+        [(1, 30, 100)], "k long, t long, lid long"
+    ).withColumn("ts", F.timestamp_micros("t")).drop("t")
+    right = spark.createDataFrame(
+        [(1, 10, "old", 1.0), (1, 20, None, 2.0)],
+        "k long, t long, tag string, score double",
+    ).withColumn("ts", F.timestamp_micros("t")).drop("t")
+
+    row = asof.asof_join(left, right, on="k", ts="ts").collect()[0]
+    assert row.score == 2.0
+    assert row.tag is None  # latest row's NULL, not "old"
+
+
 def test_asof_join_rejects_collisions(spark):
     from elevate_data_pipeline_spark.operators import asof
 
