@@ -68,6 +68,10 @@ HEADLINE = [
     "dedup_semantic_clusters",
     "curation_pipeline",
     "dedup_levenshtein",
+    "text_repetition",
+    "text_pii_scrub",
+    "corpus_decontaminate",
+    "customer_balance_deciles",
 ]
 
 

@@ -141,6 +141,28 @@ def winnow_fingerprints_arrow(col: str, k: int = 5, w: int = 4) -> Column:
     return _winnow(col)
 
 
+def dup_ngram_frac(col: str, n: int = 2) -> Column:
+    """Fraction of the text's word n-grams that are repeats:
+    ``1 - distinct_ngrams / total_ngrams`` (0.0 when fewer than n words).
+
+    The Gopher-style repetition signal (Rae et al. 2021 §A1.2): high
+    values flag boilerplate/spam for the quality gate. Integer counts
+    with a single double division — engine-exact. Pure projection, no
+    shuffle.
+    """
+    ws = f"split({col}, ' ')"
+    grams = (
+        f"transform(sequence(1, size({ws}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({ws}, i, {n})))"
+    )
+    return F.when(
+        F.size(F.split(F.col(col), " ")) >= n,
+        F.lit(1.0)
+        - F.expr(f"size(array_distinct({grams}))").cast("double")
+        / F.expr(f"size({ws}) - {n - 1}").cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
 def _marker_hits(col: str, markers: tuple[str, ...]) -> Column:
     quoted = ", ".join(f"'{m}'" for m in markers)
     return F.expr(f"size(filter(split({col}, ' '), w -> w IN ({quoted})))")

@@ -193,6 +193,173 @@ def text_quality(spark, sf_dir):
     return docs.select("doc_id", quality_score("text").alias("quality"))
 
 
+@query(
+    "text_repetition",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    base AS (
+      SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+             CASE WHEN len(ws) >= 2
+                  THEN 1.0 - CAST(len(list_distinct(
+                         [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                       )) AS DOUBLE) / CAST(len(ws) - 1 AS DOUBLE)
+                  ELSE 0.0 END AS dup_bigram_frac
+      FROM w),
+    c AS (
+      SELECT doc_id, max(cnt) AS top_n FROM (
+        SELECT doc_id, u.w AS w, count(*) AS cnt
+        FROM w, unnest(ws) AS u(w) GROUP BY doc_id, u.w
+      ) GROUP BY doc_id)
+    SELECT b.doc_id AS doc_id, b.n_words AS n_words,
+           CAST(c.top_n AS DOUBLE) / b.n_words AS top_word_share,
+           b.dup_bigram_frac AS dup_bigram_frac
+    FROM base b JOIN c USING (doc_id)
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals per document (Rae et al. 2021
+    §A1.2): fraction of repeated word bigrams and the most-frequent
+    word's share. dup_bigram_frac is a pure projection; top_word_share
+    is explode -> (doc_id, word) count -> (doc_id) max — partial
+    aggregation collapses it map-side, so the shuffle carries one row
+    per distinct (doc, word), not per token."""
+    from .operators.util import spread
+
+    docs = spread(Catalog(spark, sf_dir).table("documents"))
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),
+        dup_ngram_frac("text", 2).alias("dup_bigram_frac"),
+    )
+    top = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_n"))
+    )
+    return base.join(top, "doc_id").select(
+        "doc_id",
+        "n_words",
+        (F.col("top_n").cast("double") / F.col("n_words")).alias("top_word_share"),
+        "dup_bigram_frac",
+    )
+
+
+def _sql_pii_augment() -> str:
+    """Deterministically inject synthetic PII so the scrub is exercised
+    on content-free testdata (documents contain plain words only)."""
+    return (
+        "text"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com now' ELSE '' END"
+        " || CASE WHEN doc_id % 2 = 0 THEN ' call 555-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.'"
+        " || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END"
+    )
+
+
+def _pii_augment_col():
+    """Spark mirror of :func:`_sql_pii_augment`."""
+    return F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+@query(
+    "text_pii_scrub",
+    f"""
+    WITH a AS (SELECT doc_id, {_sql_pii_augment()} AS atext FROM documents),
+    m AS (SELECT doc_id, atext, {pii.mask_pii_sql('atext')} AS scrubbed FROM a)
+    SELECT doc_id AS doc_id,
+           CAST(len(regexp_extract_all(atext, '{pii.EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(atext, '{pii.PHONE_RE}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(atext, '{pii.IPV4_RE}')) AS INT) AS n_ips,
+           {_sql_polyhash('scrubbed')} AS scrub_fp
+    FROM m
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII detection + masking (emails/phones/IPv4 -> class tokens).
+
+    Testdata documents are synthetic word streams with no PII, so a
+    deterministic augment injects one email / phone / IP into a known
+    subset of docs; the oracle compares match counts AND a fingerprint
+    of the masked text, proving byte-identical scrubbing. Pure per-row
+    projection — no shuffle, cost ∝ bytes scanned."""
+    from .functions.text import polyhash
+    from .operators.util import spread
+
+    docs = spread(Catalog(spark, sf_dir).table("documents"))
+    aug = docs.select(
+        "doc_id", _pii_augment_col().alias("atext")
+    ).withColumn("scrubbed", pii.mask_pii("atext"))
+    counts = pii.pii_counts("atext")
+    return aug.select(
+        "doc_id",
+        counts["n_emails"].cast("int").alias("n_emails"),
+        counts["n_phones"].cast("int").alias("n_phones"),
+        counts["n_ips"].cast("int").alias("n_ips"),
+        polyhash("scrubbed").alias("scrub_fp"),
+    )
+
+
+@query(
+    "corpus_decontaminate",
+    """
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+    g AS (
+      SELECT doc_id, source, u.g AS gram
+      FROM w, unnest(list_distinct(
+        [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
+      )) AS u(g)
+      WHERE len(ws) >= 5),
+    b AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+    SELECT g.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(b.gram) AS BIGINT) AS n_contaminated,
+           CAST(count(b.gram) AS DOUBLE) / count(*) AS contamination_frac
+    FROM g LEFT JOIN b USING (gram)
+    WHERE g.source <> 'src0'
+    GROUP BY g.doc_id
+    """,
+)
+def corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C style): treat source
+    'src0' as the held-out benchmark and score every other document by
+    the fraction of its distinct word 5-grams that appear in it. The
+    benchmark gram set broadcasts (benchmarks are MBs; corpora TBs)."""
+    from .operators.util import spread
+
+    docs = spread(Catalog(spark, sf_dir).table("documents"))
+    bench = docs.filter(F.col("source") == "src0")
+    eval_docs = docs.filter(F.col("source") != "src0")
+    return decontam.ngram_contamination(eval_docs, bench, n=5)
+
+
 # --------------------------------------------------------------------------
 # Curation: filter -> sample -> pack -> shard
 # --------------------------------------------------------------------------

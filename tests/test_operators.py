@@ -437,3 +437,74 @@ def test_levenshtein_pairs_finds_typos(spark):
     got = {(r.id_a, r.id_b): r.edit_dist
            for r in dedup.levenshtein_pairs(df, max_dist=3).collect()}
     assert got == {(1, 2): 1}  # typo pair found; cross-block and far pairs not
+
+
+# --------------------------------------------------------------------------
+# PII scrub + repetition + decontamination
+# --------------------------------------------------------------------------
+
+
+def test_pii_mask_and_counts(spark):
+    from elevate_data_pipeline_spark.functions import pii
+
+    rows = [
+        (1, "write to bob.smith@mail.example.com or call 555-0199 now"),
+        (2, "server at 10.0.3.17 is fine"),
+        (3, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {
+        r.id: (r.e, r.p, r.i, r.m)
+        for r in df.select(
+            "id",
+            pii.count_matches("t", pii.EMAIL_RE).alias("e"),
+            pii.count_matches("t", pii.PHONE_RE).alias("p"),
+            pii.count_matches("t", pii.IPV4_RE).alias("i"),
+            pii.mask_pii("t").alias("m"),
+        ).collect()
+    }
+    assert out[1][:3] == (1, 1, 0)
+    assert out[1][3] == "write to <EMAIL> or call <PHONE> now"
+    assert out[2][:3] == (0, 0, 1)
+    assert out[2][3] == "server at <IP> is fine"
+    assert out[3] == (0, 0, 0, "no pii here at all")
+
+
+def test_dup_ngram_frac_values(spark):
+    rows = [
+        (1, "a b a b a b"),      # bigrams: ab ba ab ba ab -> 2 distinct / 5
+        (2, "all words unique"),  # 2 distinct bigrams / 2
+        (3, "single"),            # < 2 words -> 0.0
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r.id: r.f
+        for r in df.select("id", text_fns.dup_ngram_frac("t", 2).alias("f")).collect()
+    }
+    assert got[1] == 1.0 - 2.0 / 5.0
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+
+
+def test_ngram_contamination_fraction(spark):
+    from elevate_data_pipeline_spark.operators import decontam
+
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            # shares the grams "one..five" and "two..six" with the benchmark
+            (1, "one two three four five six seven"),
+            (2, "totally different words in this document here"),
+            (3, "too short"),  # < 5 words -> no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_contaminated, r.contamination_frac)
+        for r in decontam.ngram_contamination(docs, bench, n=5).collect()
+    }
+    assert got[1] == (3, 2, 2.0 / 3.0)
+    assert got[2][1] == 0 and got[2][2] == 0.0
+    assert 3 not in got
