@@ -56,3 +56,38 @@ def test_curation_pipeline_filters_pushed(spark):
     # the language gate must reach the documents scan (quality is an
     # expression filter above it; lang is a plain column predicate)
     assert "EqualTo(lang,en)" in plan
+
+
+def test_decontaminate_benchmark_broadcasts(spark):
+    plan = _plan(QUERIES["corpus_decontaminate"](spark, SF_DIR))
+    # the benchmark gram set is the small side and must broadcast; the
+    # source split must be pushed to both document scans
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(source,src0)" in plan
+    assert "Not(EqualTo(source,src0))" in plan
+
+
+def test_deciles_no_single_partition_sort(spark):
+    plan = _plan(QUERIES["customer_balance_deciles"](spark, SF_DIR))
+    # exact-ntile rewrite: the total order lives in a range repartition,
+    # never a global (single-partition) window sort over customer rows
+    assert "rangepartitioning(c_acctbal" in plan
+    # the only single-partition exchange feeds the per-partition-count
+    # offsets window — 32 rows, one per range partition
+    assert plan.count("Exchange SinglePartition") <= 1
+    # the big-side window is keyed on _pid (row_number per partition)
+    assert "partitionBy=[_pid" in plan or "[_pid#" in plan
+
+
+def test_pii_scrub_is_pure_projection(spark):
+    plan = _plan(QUERIES["text_pii_scrub"](spark, SF_DIR))
+    # no shuffle beyond the spread() round-robin: no agg/join exchanges
+    assert "SortMergeJoin" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_repetition_partial_aggregation(spark):
+    plan = _plan(QUERIES["text_repetition"](spark, SF_DIR))
+    # the (doc, word) count must partially aggregate map-side before the
+    # shuffle (HashAggregate below and above the exchange)
+    assert plan.count("HashAggregate") >= 4
