@@ -72,6 +72,9 @@ HEADLINE = [
     "text_pii_scrub",
     "corpus_decontaminate",
     "customer_balance_deciles",
+    "text_chunking",
+    "mixture_weights",
+    "dedup_incremental",
 ]
 
 

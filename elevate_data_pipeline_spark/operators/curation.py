@@ -109,6 +109,47 @@ def assign_shards(
     return docs.withColumn("shard", (_hash32(id_col) % F.lit(n_shards)).cast("int"))
 
 
+def temperature_rates(
+    docs: DataFrame,
+    stratum_col: str = "source",
+    target_total: float = 100.0,
+) -> DataFrame:
+    """Temperature-resampling rates per stratum (τ = 0.5).
+
+    The standard mixture-reweighting step for multi-source corpora
+    (e.g. Raffel et al. 2020 §3.4.3 temperature-scaled mixing): sampling
+    share q_s ∝ n_s^τ flattens the source distribution so small sources
+    are not drowned out. τ is fixed at 0.5 so the power is ``sqrt`` —
+    correctly-rounded IEEE in every engine, unlike ``pow(x, τ)`` whose
+    last-bit behavior is implementation-defined.
+
+    Returns ``(stratum, n_docs, q, keep_rate)`` where
+    ``keep_rate = min(1, target_total * q / n_s)`` is the per-row keep
+    probability that yields ~``target_total`` docs in expectation.
+    Exactness: the q denominator Σ sqrt(n_t) is summed as DECIMAL so the
+    result is independent of partition/order (IEEE double sums are not
+    associative); each q is then one double division. The stats frame is
+    one row per stratum — tiny at any corpus size.
+    """
+    stats = docs.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).withColumn("_r", F.sqrt(F.col("n_docs").cast("double")).cast("decimal(28,12)"))
+    denom = stats.agg(F.sum("_r").alias("_d"))
+    q = F.col("_r").cast("double") / F.col("_d").cast("double")
+    keep_rate = F.least(
+        F.lit(1.0), F.lit(float(target_total)) * q / F.col("n_docs")
+    )
+    return (
+        stats.crossJoin(F.broadcast(denom))
+        .select(
+            stratum_col,
+            "n_docs",
+            q.alias("q"),
+            keep_rate.alias("keep_rate"),
+        )
+    )
+
+
 def latest_by_key(
     df: DataFrame,
     keys: list[str],

@@ -265,31 +265,23 @@ def minhash_signature_arrow(text_col: str = "text") -> Column:
     return _mh(text_col)
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    est_threshold: float = 0.5,
-    impl: str = "arrow",
+def _signature_frame(
+    df: DataFrame, text_col: str, id_col: str, impl: str
 ) -> DataFrame:
-    """MinHash/LSH candidate pairs with estimated Jaccard.
-
-    signatures -> band keys -> shuffle on band key -> same-bucket pairs
-    -> estimate = fraction of agreeing signature components. Returns
-    (id_a, id_b, est_jaccard). The band shuffle is the only wide
-    exchange; pair generation is local per bucket. ``impl`` picks the
-    signature path: "arrow" (vectorized Pandas UDF, default) or "expr"
-    (pure JVM higher-order functions) — identical outputs.
-    """
+    """(_id, _sig) minhash signatures, checkpointed so downstream
+    self-joins compute them once."""
     df = spread(df)  # parallelize the signature UDF when the scan gave one split
     sig_col = (
         minhash_signature_arrow(text_col) if impl == "arrow" else minhash_signature(text_col)
     )
-    sig = df.select(
+    return df.select(
         F.col(id_col).alias("_id"), sig_col.alias("_sig")
-    ).localCheckpoint(eager=False)  # signatures are costly: compute once, reuse on both join sides
+    ).localCheckpoint(eager=False)
 
-    bands = sig.select(
+
+def _band_frame(sig: DataFrame) -> DataFrame:
+    """Explode signatures into (_id, _sig, band, key) LSH bucket rows."""
+    return sig.select(
         "_id",
         "_sig",
         F.explode(
@@ -311,6 +303,32 @@ def minhash_lsh_pairs(
         ).alias("_band"),
     ).select("_id", "_sig", "_band.band", "_band.key")
 
+
+def _sig_agreement() -> Column:
+    """Estimated Jaccard: fraction of agreeing signature components
+    (expects sig_a / sig_b columns in scope)."""
+    return F.size(
+        F.expr("filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)")
+    ).cast("double") / F.lit(float(N_HASHES))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    est_threshold: float = 0.5,
+    impl: str = "arrow",
+) -> DataFrame:
+    """MinHash/LSH candidate pairs with estimated Jaccard.
+
+    signatures -> band keys -> shuffle on band key -> same-bucket pairs
+    -> estimate = fraction of agreeing signature components. Returns
+    (id_a, id_b, est_jaccard). The band shuffle is the only wide
+    exchange; pair generation is local per bucket. ``impl`` picks the
+    signature path: "arrow" (vectorized Pandas UDF, default) or "expr"
+    (pure JVM higher-order functions) — identical outputs.
+    """
+    bands = _band_frame(_signature_frame(df, text_col, id_col, impl))
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -336,6 +354,53 @@ def minhash_lsh_pairs(
     return (
         pairs.select("id_a", "id_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= est_threshold)
+    )
+
+
+def minhash_lsh_match(
+    base: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    est_threshold: float = 0.5,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Incremental dedup: match ``probe`` docs against a ``base`` corpus.
+
+    The crawl-ingest shape: new documents are checked against the
+    already-kept corpus, not against each other — a band-key equi-join
+    between the two sides (never a self-join of the union, which would
+    also pair new docs with new docs). Returns one row per probe doc
+    that has at least one base match over ``est_threshold``:
+    ``(id_col, n_matches, min_match_id, best_est)`` — all aggregates
+    order-insensitive, so results are deterministic.
+
+    At 100 TB the base signature/band frame is precomputed once and
+    reused across ingest batches (store it bucketed by band key to make
+    the per-batch join shuffle-free on the base side).
+    """
+    base_bands = _band_frame(_signature_frame(base, text_col, id_col, impl))
+    probe_bands = _band_frame(_signature_frame(probe, text_col, id_col, impl))
+    pairs = (
+        probe_bands.alias("a")
+        .join(
+            base_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(
+            F.col("a._id").alias("probe_id"),
+            F.col("b._id").alias("base_id"),
+            F.col("a._sig").alias("sig_a"),
+            F.col("b._sig").alias("sig_b"),
+        )
+        .dropDuplicates(["probe_id", "base_id"])
+        .withColumn("est", _sig_agreement())
+        .filter(F.col("est") >= est_threshold)
+    )
+    return pairs.groupBy(F.col("probe_id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("base_id").alias("min_match_id"),
+        F.max("est").alias("best_est"),
     )
 
 

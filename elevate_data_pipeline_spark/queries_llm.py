@@ -360,6 +360,128 @@ def corpus_decontaminate(spark, sf_dir):
     return decontam.ngram_contamination(eval_docs, bench, n=5)
 
 
+@query(
+    "text_chunking",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    c AS (
+      SELECT doc_id, CAST(r.range AS INT) AS chunk_idx,
+             array_to_string(ws[r.range*24+1 : r.range*24+32], ' ') AS chunk_text
+      FROM w, range(0, 64) r
+      WHERE r.range < 1 + (greatest(len(ws) - 32, 0) + 23) // 24)
+    SELECT doc_id AS doc_id, chunk_idx AS chunk_idx,
+           CAST(len(string_split(chunk_text, ' ')) AS INT) AS n_chunk_tokens,
+           chunk_text AS chunk_text
+    FROM c
+    """,
+)
+def text_chunking(spark, sf_dir):
+    """Sliding-window document chunking for training: 32-token chunks
+    with 8-token overlap (stride 24), last partial chunk kept. The
+    context-window prep step every trainer needs; pure projection +
+    explode — no shuffle, output rows ∝ tokens/stride."""
+    from .operators.util import spread
+
+    C, S = 32, 24
+    docs = spread(Catalog(spark, sf_dir).table("documents"))
+    ws = "split(text, ' ')"
+    n = f"(1 + (greatest(size({ws}) - {C}, 0) + {S - 1}) div {S})"
+    chunks = (
+        f"transform(sequence(0, {n} - 1), "
+        f"i -> concat_ws(' ', slice({ws}, i*{S}+1, {C})))"
+    )
+    return docs.select(
+        "doc_id", F.posexplode(F.expr(chunks)).alias("chunk_idx", "chunk_text")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int"),
+        F.size(F.split(F.col("chunk_text"), " ")).cast("int").alias("n_chunk_tokens"),
+        "chunk_text",
+    )
+
+
+@query(
+    "mixture_weights",
+    f"""
+    WITH s AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sqrt(count(*)) AS DECIMAL(28,12)) AS r
+      FROM documents GROUP BY source),
+    d AS (SELECT sum(r) AS dd FROM s),
+    rates AS (
+      SELECT source, n_docs,
+             CAST(r AS DOUBLE) / CAST(dd AS DOUBLE) AS q,
+             least(1.0, 100.0 * (CAST(r AS DOUBLE) / CAST(dd AS DOUBLE)) / n_docs)
+               AS keep_rate
+      FROM s, d),
+    kept AS (
+      SELECT k.source, count(*) AS n_kept
+      FROM documents k JOIN rates USING (source)
+      WHERE {curation.sample_hash_sql('doc_id')} < keep_rate
+      GROUP BY k.source)
+    SELECT rates.source AS source, CAST(n_docs AS BIGINT) AS n_docs,
+           q AS q, keep_rate AS keep_rate,
+           CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+    FROM rates LEFT JOIN kept USING (source)
+    """,
+)
+def mixture_weights(spark, sf_dir):
+    """Temperature-scaled source mixing (τ=0.5): per-source sampling
+    share q ∝ sqrt(n), keep rate targeting ~100 docs, and the realized
+    kept count under the deterministic hash sampler. The rates frame is
+    one row per source — it broadcasts onto the corpus at any scale."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    rates = curation.temperature_rates(docs, "source", target_total=100.0)
+    kept = (
+        docs.join(F.broadcast(rates.select("source", "keep_rate")), "source")
+        .filter(curation.sample_hash("doc_id") < F.col("keep_rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "q",
+        "keep_rate",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+    )
+
+
+def _sql_incremental_match() -> str:
+    band_eq = " OR ".join(
+        f"a.sig[{i * ROWS_PER_BAND + 1}:{(i + 1) * ROWS_PER_BAND}] = "
+        f"b.sig[{i * ROWS_PER_BAND + 1}:{(i + 1) * ROWS_PER_BAND}]"
+        for i in range(N_BANDS)
+    )
+    est = (
+        f"CAST(len(list_filter(range(1, {N_HASHES + 1}), "
+        f"i -> a.sig[i] = b.sig[i])) AS DOUBLE) / {float(N_HASHES)}"
+    )
+    return f"""
+    WITH s AS (SELECT doc_id, source, {_sql_minhash_sig()} AS sig FROM documents),
+    p AS (
+      SELECT b.doc_id AS probe_id, a.doc_id AS base_id, {est} AS est
+      FROM s a JOIN s b
+        ON a.source = 'src0' AND b.source <> 'src0' AND ({band_eq})
+      WHERE {est} >= 0.25)
+    SELECT probe_id AS doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+           min(base_id) AS min_match_id, max(est) AS best_est
+    FROM p GROUP BY probe_id
+    """
+
+
+@query("dedup_incremental", _sql_incremental_match())
+def dedup_incremental(spark, sf_dir):
+    """Incremental (cross-corpus) dedup: new documents (source != src0)
+    matched against the kept corpus (src0) through the minhash band
+    index — the crawl-ingest shape, a band-key equi-join between the two
+    sides rather than a self-join of the union."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    base = docs.filter(F.col("source") == "src0")
+    probe = docs.filter(F.col("source") != "src0")
+    return dedup.minhash_lsh_match(base, probe, est_threshold=0.25)
+
+
 # --------------------------------------------------------------------------
 # Curation: filter -> sample -> pack -> shard
 # --------------------------------------------------------------------------

@@ -508,3 +508,39 @@ def test_ngram_contamination_fraction(spark):
     assert got[1] == (3, 2, 2.0 / 3.0)
     assert got[2][1] == 0 and got[2][2] == 0.0
     assert 3 not in got
+
+
+def test_minhash_lsh_match_cross_corpus_only(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "base"),
+        (2, "an entirely unrelated document about other things", "base"),
+        (10, "the quick brown fox jumps over the lazy dog", "new"),   # dup of 1
+        (11, "the quick brown fox jumps over the lazy cat", "new"),   # near dup of 1
+        (12, "nothing like anything in the base corpus whatsoever", "new"),
+        (13, "the quick brown fox jumps over the lazy dog", "new"),   # dup of 1 AND 10
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    base = df.filter(F.col("source") == "base")
+    probe = df.filter(F.col("source") != "base")
+    got = {
+        r.doc_id: (r.n_matches, r.min_match_id, r.best_est)
+        for r in dedup.minhash_lsh_match(base, probe, est_threshold=0.25).collect()
+    }
+    assert got[10] == (1, 1, 1.0)
+    assert 11 in got and got[11][1] == 1
+    assert 12 not in got
+    # 13 matches base doc 1 only — probe docs never pair with each other
+    assert got[13] == (1, 1, 1.0)
+
+
+def test_temperature_rates_flatten_distribution(spark):
+    rows = [(i, "t", "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in
+           curation.temperature_rates(df, "source", target_total=100.0).collect()}
+    # q ratio is sqrt(900):sqrt(100) = 3:1 — much flatter than 9:1
+    assert abs(out["big"].q / out["small"].q - 3.0) < 1e-9
+    assert abs(out["big"].q + out["small"].q - 1.0) < 1e-12
+    # keep rates invert the raw counts: small sources keep a larger share
+    assert out["small"].keep_rate > out["big"].keep_rate
+    assert 0.0 < out["big"].keep_rate <= 1.0
