@@ -6,6 +6,7 @@ from .events import (
     join_streams_interval,
     read_events_stream,
     sessionize_batch,
+    sessionize_native,
     sessionize_stream,
     upsert_sink,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "read_events_stream",
     "hourly_rollup",
     "sessionize_batch",
+    "sessionize_native",
     "sessionize_stream",
     "upsert_sink",
     "dedup_stream",

@@ -260,6 +260,38 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = GAP_MINUTES_DEFAULT) 
     )
 
 
+def sessionize_native(
+    events: DataFrame,
+    gap_minutes: int = GAP_MINUTES_DEFAULT,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap sessionization via Spark's built-in ``session_window`` — the
+    idiomatic path when no per-session custom logic is needed (state
+    lives in the JVM state store; no Python worker round-trip). Works on
+    both batch and streaming inputs.
+
+    Semantics note vs :func:`sessionize_batch` / ``sessionize_stream``:
+    ``session_window.end`` is ``last_event_ts + gap`` (the half-open
+    window bound), not the last event timestamp itself — start and
+    n_events/total_value agree exactly.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy("user_id", F.session_window("ts", f"{gap_minutes} minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_minutes: int = GAP_MINUTES_DEFAULT,

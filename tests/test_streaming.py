@@ -253,3 +253,34 @@ def test_stream_stream_interval_join_equals_batch(spark, events_dir):
     got = {tuple(r) for r in spark.table(name).collect()}
     want = {(r["event_id"], r["event_id2"]) for r in want_df.collect()}
     assert got == want and len(want) > 0
+
+
+def test_sessionize_native_matches_custom_batch(spark):
+    from elevate_data_pipeline_spark.streaming.events import sessionize_native
+
+    ev = Catalog(spark, SF_DIR).table("events")
+    native = {
+        (r.user_id, r.session_start): (r.n_events, r.total_value, r.session_end)
+        for r in sessionize_native(ev, gap_minutes=30).collect()
+    }
+    custom = {
+        (r.user_id, r.session_start): (r.n_events, r.total_value, r.session_end)
+        for r in sessionize_batch(ev, gap_minutes=30).collect()
+    }
+    assert set(native) == set(custom) and len(native) > 0
+    for k, (n, v, end) in custom.items():
+        nn, nv, nend = native[k]
+        assert nn == n and nv == v
+        # built-in session_window end = last event + gap (half-open bound)
+        assert (nend - end).total_seconds() == 30 * 60
+
+
+def test_sessionize_native_streaming(spark, events_dir):
+    from elevate_data_pipeline_spark.streaming.events import sessionize_native
+
+    stream = read_events_stream(spark, events_dir)
+    name = _run_to_memory(sessionize_native(stream), "complete")
+    got = {tuple(r) for r in spark.table(name).collect()}
+    want = {tuple(r) for r in
+            sessionize_native(Catalog(spark, SF_DIR).table("events")).collect()}
+    assert got == want and len(want) > 0
