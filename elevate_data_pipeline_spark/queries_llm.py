@@ -863,6 +863,49 @@ def dedup_cc_clusters(spark, sf_dir):
     )
 
 
+def _sql_safe_split() -> str:
+    """Leakage-safe split oracle: component labels via the recursive-CTE
+    closure (same as _sql_cc_clusters), then the deterministic hash of
+    the COMPONENT (not the doc) picks the side."""
+    return f"""
+    WITH RECURSIVE
+    p AS ({_sql_minhash_pairs()}),
+    e AS (SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p),
+    reach(id, m) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.id, e.d FROM reach r JOIN e ON e.s = r.m
+    ),
+    lab AS (SELECT id, MIN(m) AS component FROM reach GROUP BY id)
+    SELECT l.id AS doc_id, l.component AS component,
+           CASE WHEN {curation.sample_hash_sql('l.component')} < 0.9
+                THEN 'train' ELSE 'val' END AS split
+    FROM lab l
+    """
+
+
+@query("dedup_safe_split", _sql_safe_split())
+def dedup_safe_split(spark, sf_dir):
+    """Leakage-safe train/val split: the deterministic hash is applied
+    to the near-dup CLUSTER label, not the document id, so near
+    duplicates can never straddle the split (the classic eval-leakage
+    bug when splitting by doc hash). Composes the pair graph ->
+    connected components -> hash-of-component; singleton docs hash their
+    own id (they are their own component)."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    pairs = dedup.minhash_lsh_pairs(docs, est_threshold=0.25).select("id_a", "id_b")
+    labeled = cluster.label_components(
+        docs.select("doc_id"), "doc_id", pairs, src="id_a", dst="id_b"
+    )
+    return labeled.select(
+        "doc_id",
+        "component",
+        F.when(curation.sample_hash("component") < 0.9, F.lit("train"))
+        .otherwise(F.lit("val"))
+        .alias("split"),
+    )
+
+
 @query(
     "dedup_simhash",
     f"""

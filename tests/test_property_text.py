@@ -1,0 +1,137 @@
+"""Property tests for the round-2 text/curation operators: chunking must
+cover every token exactly, PII masking must be idempotent and
+reference-equal, contamination fractions must be consistent, and the
+leakage-safe split must never separate a dup cluster."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from elevate_data_pipeline_spark.functions import pii
+from elevate_data_pipeline_spark.functions.text import dup_ngram_frac
+from elevate_data_pipeline_spark.operators import decontam
+
+WORD = st.text(alphabet="abcdefg", min_size=1, max_size=4)
+TEXT = st.lists(WORD, min_size=1, max_size=40).map(" ".join)
+
+C, S = 32, 24  # chunk size / stride used by text_chunking
+
+
+@pytest.mark.slow
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(TEXT, min_size=1, max_size=8))
+def test_chunking_covers_all_tokens(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    ws = "split(text, ' ')"
+    n = f"(1 + (greatest(size({ws}) - {C}, 0) + {S - 1}) div {S})"
+    chunks_expr = (
+        f"transform(sequence(0, {n} - 1), "
+        f"i -> concat_ws(' ', slice({ws}, i*{S}+1, {C})))"
+    )
+    rows = df.select(
+        "doc_id", F.posexplode(F.expr(chunks_expr)).alias("idx", "chunk")
+    ).collect()
+    by_doc: dict[int, dict[int, str]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.idx] = r.chunk
+    for doc_id, text in enumerate(texts):
+        words = text.split(" ")
+        got = by_doc[doc_id]
+        # chunk i must be exactly words[i*S : i*S+C]; union covers all words
+        for i, chunk in got.items():
+            assert chunk.split(" ") == words[i * S : i * S + C]
+        covered = set()
+        for i in got:
+            covered.update(range(i * S, min(i * S + C, len(words))))
+        assert covered == set(range(len(words)))
+
+
+@pytest.mark.slow
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="abc @.-0123456789xyz",
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_pii_mask_idempotent_and_matches_python(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, t string")
+    out = {
+        r.id: (r.m1, r.m2)
+        for r in df.select(
+            "id",
+            pii.mask_pii("t").alias("m1"),
+        )
+        .withColumn("t", F.col("m1"))
+        .withColumn("m2", pii.mask_pii("t"))
+        .collect()
+    }
+    for i, t in enumerate(texts):
+        expect = t
+        for pat, tok in ((pii.EMAIL_RE, pii.EMAIL_TOKEN),
+                         (pii.PHONE_RE, pii.PHONE_TOKEN),
+                         (pii.IPV4_RE, pii.IP_TOKEN)):
+            expect = re.sub(pat, tok, expect)
+        m1, m2 = out[i]
+        assert m1 == expect          # Java regex == Python re for these patterns
+        assert m2 == m1              # masking is idempotent
+
+
+@pytest.mark.slow
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(TEXT, min_size=1, max_size=6),
+    bench=st.lists(TEXT, min_size=1, max_size=4),
+)
+def test_contamination_bounds_and_self(spark, docs, bench):
+    ddf = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    bdf = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(bench)], "doc_id long, text string"
+    )
+    got = decontam.ngram_contamination(ddf, bdf, n=3).collect()
+    for r in got:
+        assert 0 <= r.n_contaminated <= r.n_grams
+        assert 0.0 <= r.contamination_frac <= 1.0
+    # a corpus checked against itself is fully contaminated
+    self_got = decontam.ngram_contamination(ddf, ddf, n=3).collect()
+    for r in self_got:
+        assert r.contamination_frac == 1.0
+
+
+@pytest.mark.slow
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(TEXT, min_size=1, max_size=10))
+def test_dup_ngram_frac_bounds(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, t string")
+    for r in df.select(dup_ngram_frac("t", 2).alias("f")).collect():
+        assert 0.0 <= r.f < 1.0
+
+
+def test_safe_split_never_splits_a_cluster(spark):
+    from elevate_data_pipeline_spark.queries import QUERIES
+
+    from conftest import SF_DIR
+
+    rows = QUERIES["dedup_safe_split"](spark, SF_DIR).collect()
+    by_component: dict[int, set[str]] = {}
+    for r in rows:
+        by_component.setdefault(r.component, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_component.values())
+    splits = {r.split for r in rows}
+    assert splits <= {"train", "val"}
+    train_frac = sum(r.split == "train" for r in rows) / len(rows)
+    assert 0.8 < train_frac <= 1.0
