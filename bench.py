@@ -75,6 +75,8 @@ HEADLINE = [
     "text_chunking",
     "mixture_weights",
     "dedup_incremental",
+    "text_rarity",
+    "events_scd2",
 ]
 
 

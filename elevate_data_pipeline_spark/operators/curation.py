@@ -173,6 +173,31 @@ def latest_by_key(
     )
 
 
+def scd2_history(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from an append-only
+    changelog: every row gets a validity interval
+    ``[valid_from, valid_to)`` where ``valid_from`` is its own
+    ``order_col`` and ``valid_to`` the next version's (NULL = current,
+    flagged ``is_current``). The interval-building complement of
+    :func:`latest_by_key` (which keeps only the current row). One
+    shuffle on the keys; state per row is O(1).
+    """
+    order = [F.col(order_col).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("valid_from", F.col(order_col))
+        .withColumn("valid_to", F.lead(order_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     token_budget: int = 512,

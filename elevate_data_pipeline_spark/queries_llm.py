@@ -246,6 +246,52 @@ def text_repetition(spark, sf_dir):
     )
 
 
+@query(
+    "text_rarity",
+    """
+    WITH w AS (
+      SELECT doc_id, u.w AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           unnest(ws) AS u(w)),
+    v AS (SELECT w, count(*) AS n_w FROM w GROUP BY w)
+    SELECT w.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(CAST(CAST((SELECT count(*) FROM w) AS DOUBLE) / n_w
+                         AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS rarity
+    FROM w JOIN v USING (w)
+    GROUP BY w.doc_id
+    """,
+)
+def text_rarity(spark, sf_dir):
+    """Corpus-relative rarity score: mean inverse word frequency
+    (N / n_w averaged over the document's tokens) — the CCNet-style
+    quality signal that flags junk (very common tokens score ~1) and
+    gibberish (hapaxes score ~N) without a language model. All exact
+    arithmetic: IEEE division + decimal-cast summation, so no libm
+    (log/exp) cross-engine drift. The vocab is corpus-derived and
+    broadcasts; the (doc, word) stream aggregates with map-side
+    partials."""
+    from .operators.util import spread
+
+    docs = spread(Catalog(spark, sf_dir).table("documents"))
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    total = words.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        words.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_inv", (F.col("_n").cast("double") / F.col("n_w")).cast("decimal(28,6)")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            (F.sum("_inv").cast("double") / F.count(F.lit(1))).alias("rarity"),
+        )
+    )
+
+
 def _sql_pii_augment() -> str:
     """Deterministically inject synthetic PII so the scrub is exercised
     on content-free testdata (documents contain plain words only)."""
@@ -580,6 +626,34 @@ def events_cdc_compact(spark, sf_dir):
     )
     return curation.latest_by_key(
         ev, keys=["user_id", "event_type"], order_col="ts", tiebreak="event_id"
+    )
+
+
+@query(
+    "events_scd2",
+    """
+    SELECT event_id AS event_id, user_id AS user_id,
+           event_type AS event_type, value AS value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) IS NULL AS is_current
+    FROM events
+    """,
+)
+def events_scd2(spark, sf_dir):
+    """SCD type-2 history: every change of (user, event_type) gets a
+    validity interval [valid_from, valid_to), NULL end = current row —
+    the interval-building complement of events_cdc_compact."""
+    ev = Catalog(spark, sf_dir).table("events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    return curation.scd2_history(
+        ev, keys=["user_id", "event_type"], order_col="ts", tiebreak="event_id"
+    ).select(
+        "event_id", "user_id", "event_type", "value",
+        "valid_from", "valid_to", "is_current",
     )
 
 

@@ -544,3 +544,21 @@ def test_temperature_rates_flatten_distribution(spark):
     # keep rates invert the raw counts: small sources keep a larger share
     assert out["small"].keep_rate > out["big"].keep_rate
     assert 0.0 < out["big"].keep_rate <= 1.0
+
+
+def test_scd2_history_intervals_chain(spark):
+    rows = [
+        (1, 1, "a", 10, 1.0),
+        (2, 1, "a", 20, 2.0),
+        (3, 1, "a", 30, 3.0),
+        (4, 1, "b", 15, 9.0),   # other key: independent chain
+    ]
+    df = spark.createDataFrame(rows, "event_id long, k long, typ string, t long, value double")
+    out = {r.event_id: (r.valid_from, r.valid_to, r.is_current) for r in
+           curation.scd2_history(df, keys=["k", "typ"], order_col="t",
+                                 tiebreak="event_id").collect()}
+    assert out[1] == (10, 20, False)
+    assert out[2] == (20, 30, False)
+    assert out[3] == (30, None, True)
+    assert out[4] == (15, None, True)
+    # intervals partition the timeline: each valid_to == next valid_from
