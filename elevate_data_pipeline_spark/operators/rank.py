@@ -1,0 +1,76 @@
+"""Scale-safe global ranking: exact row numbers and ntile buckets
+without a single-partition window.
+
+``ntile(k) OVER (ORDER BY ...)`` and ``row_number() OVER (ORDER BY ...)``
+plan as one-partition WindowExec — every row through one task, the
+classic scale-killer. These helpers compute the identical values with:
+
+1. ``repartitionByRange`` on the total order (a distributed sort);
+2. partition-local ``row_number`` plus broadcast per-partition offsets
+   (the offset frame is one row per partition, so its window is
+   trivially small);
+3. for ntile, the bucket from the global rank arithmetically — the SQL
+   standard's definition (first ``N mod k`` buckets take one extra row),
+   so results match the built-in bucket-for-bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rn",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact 1-based global row number over ``order_cols`` (which must
+    form a total order — include a unique tiebreak column). Adds
+    ``out_col``; drops no input columns."""
+    part = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off")
+    )
+    wl = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        part.withColumn("_lrn", F.row_number().over(wl))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_off") + F.col("_lrn"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def exact_ntile(
+    df: DataFrame,
+    k: int,
+    order_cols: list[str],
+    out_col: str = "bucket",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """``ntile(k)`` over a global order, scale-safely. ``order_cols``
+    must include a unique tiebreak so bucket membership is
+    deterministic. Adds ``out_col`` (int)."""
+    ranked = global_row_number(df, order_cols, out_col="_rn",
+                               num_partitions=num_partitions)
+    total = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    # base = N div k rows per bucket; first N mod k buckets take one
+    # extra; ceil(a/b) = (a+b-1) div b keeps everything integer
+    bucket = F.expr(
+        f"CASE WHEN _rn <= (_n % {k}) * (_n div {k} + 1) "
+        f"THEN (_rn + _n div {k}) div (_n div {k} + 1) "
+        f"ELSE _n % {k} + (_rn - (_n % {k}) * (_n div {k} + 1) "
+        f"      + greatest(_n div {k}, 1) - 1) div greatest(_n div {k}, 1) "
+        f"END"
+    ).cast("int")
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(out_col, bucket)
+        .drop("_rn", "_n")
+    )

@@ -117,35 +117,11 @@ def customer_balance_deciles(spark, sf_dir):
        standard's (and DuckDB's) definition, so the oracle still
        matches row-for-row.
     """
-    k = 10
+    from .operators.rank import exact_ntile
+
     c = Catalog(spark, sf_dir).table("customer").select("c_acctbal", "c_custkey")
-    part = c.repartitionByRange(32, "c_acctbal", "c_custkey").withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    counts = part.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_pid", F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off")
-    )
-    total = counts.agg(F.sum("_cnt").alias("_n"))
-    wl = Window.partitionBy("_pid").orderBy("c_acctbal", "c_custkey")
-    ranked = (
-        part.withColumn("_lrn", F.row_number().over(wl))
-        .join(F.broadcast(offsets), "_pid")
-        .crossJoin(F.broadcast(total))
-        .withColumn("_rn", F.col("_off") + F.col("_lrn"))
-    )
-    # ntile(k): base = N div k rows per bucket, the first N % k buckets
-    # take one extra; ceil(a/b) = (a+b-1) div b keeps it all-integer.
-    decile = F.expr(
-        f"CASE WHEN _rn <= (_n % {k}) * (_n div {k} + 1) "
-        f"THEN (_rn + _n div {k}) div (_n div {k} + 1) "
-        f"ELSE _n % {k} + (_rn - (_n % {k}) * (_n div {k} + 1) "
-        f"      + greatest(_n div {k}, 1) - 1) div greatest(_n div {k}, 1) "
-        f"END"
-    ).cast("int")
     return (
-        ranked.select("c_acctbal", decile.alias("decile"))
+        exact_ntile(c, 10, ["c_acctbal", "c_custkey"], out_col="decile")
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_customers"),

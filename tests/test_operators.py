@@ -562,3 +562,35 @@ def test_scd2_history_intervals_chain(spark):
     assert out[3] == (30, None, True)
     assert out[4] == (15, None, True)
     # intervals partition the timeline: each valid_to == next valid_from
+
+
+@pytest.mark.parametrize("n,k", [(7, 10), (10, 10), (33, 10), (100, 7), (1, 3)])
+def test_exact_ntile_equals_builtin(spark, n, k):
+    from pyspark.sql.window import Window as W
+
+    from elevate_data_pipeline_spark.operators import rank
+
+    df = spark.createDataFrame(
+        [((i * 37) % 101, i) for i in range(n)], "v long, id long"
+    )
+    got = {
+        r.id: r.bucket
+        for r in rank.exact_ntile(df, k, ["v", "id"], num_partitions=4).collect()
+    }
+    want = {
+        r.id: r.b
+        for r in df.select(
+            "id", F.ntile(k).over(W.orderBy("v", "id")).alias("b")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_row_number_is_total_order(spark):
+    from elevate_data_pipeline_spark.operators import rank
+
+    df = spark.createDataFrame([((i * 53) % 97, i) for i in range(200)], "v long, id long")
+    rows = rank.global_row_number(df, ["v", "id"], num_partitions=5).collect()
+    by_rn = sorted(rows, key=lambda r: r.rn)
+    assert [r.rn for r in by_rn] == list(range(1, 201))
+    assert [(r.v, r.id) for r in by_rn] == sorted((r.v, r.id) for r in rows)
