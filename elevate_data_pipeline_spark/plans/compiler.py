@@ -98,11 +98,13 @@ def _agg_columns(task: SingleProcess) -> tuple[list[F.Column], list[str], list[s
 
 
 def _scan(catalog: Catalog, task: SingleProcess) -> DataFrame:
-    """S1 scan + P5 fill + P4 optional cast."""
+    """S1 scan + P5 fill + P4 optional cast + extension ``where``."""
     df = catalog.sql(task.query)
     df = df.na.fill(0)
     if task.agg_cast and task.agg_on:
         df = df.withColumn(task.agg_on, F.col(task.agg_on).cast(task.agg_cast))
+    if getattr(task, "where", None):
+        df = df.filter(F.expr(task.where))
     return df
 
 

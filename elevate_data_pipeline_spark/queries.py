@@ -286,6 +286,45 @@ def spec_dynamic_agg_sum(spark, sf_dir):
 
 
 @query(
+    "spec_where_filter",
+    """
+    SELECT l_returnflag AS l_returnflag, count(l_orderkey) AS n_items
+    FROM lineitem WHERE l_quantity > 25 AND l_discount < 0.05
+    GROUP BY l_returnflag
+    """,
+)
+def spec_where_filter(spark, sf_dir):
+    """Engine-extension ``where``: a declarative predicate between the
+    scan and the aggregate (the reference can only filter by editing the
+    task's SQL string). The P5 fill(0) layer legally blocks parquet
+    pushdown, so the filter evaluates directly above the scan — the
+    earliest semantics-preserving position."""
+    return _spec_df(
+        spark,
+        sf_dir,
+        [
+            {
+                "tasks": [
+                    {
+                        "single_process": {
+                            "input": "counts",
+                            "query": "SELECT l_returnflag, l_orderkey, l_quantity, l_discount FROM lineitem",
+                            "where": "l_quantity > 25 AND l_discount < 0.05",
+                            "agg": "count",
+                            "agg_on": "l_orderkey",
+                            "groupby": "l_returnflag",
+                            "rename": "n_items",
+                            "join_on": "none",
+                            "join_type": "none",
+                        }
+                    }
+                ]
+            }
+        ],
+    )
+
+
+@query(
     "spec_dynamic_agg_minmax",
     """
     SELECT l_returnflag AS l_returnflag, min(l_extendedprice) AS min_price,

@@ -130,6 +130,11 @@ class SingleProcess:
     # mentoringFunction2.scala:115-143); ``aggs`` fuses them into one
     # groupBy. Mutually exclusive with ``agg``.
     aggs: list[AggSpec] | None = None
+    # Engine extension: boolean SQL predicate applied between the scan
+    # and the aggregate. The reference can only filter by editing the
+    # task's SQL string; a declarative ``where`` keeps the predicate
+    # visible to spec tooling and lets Catalyst push it into the scan.
+    where: str | None = None
 
     def __post_init__(self) -> None:
         if self.aggs is not None and self.agg is not None:

@@ -47,6 +47,7 @@ def _parse_single(obj: dict) -> SingleProcess:
         "default_on_empty",
         "agg_cast",
         "aggs",
+        "where",
     }
     extra = set(obj) - known
     if extra:

@@ -498,3 +498,63 @@ def test_legacy_join_order_flips_outer_direction(catalog, spark):
     f0 = compile_script(catalog, spec.scripts[0], legacy_join_order=True)
     assert sorted(r.k for r in f2.collect()) == [1, 2]  # acc left: keeps left_t keys
     assert sorted(r.k for r in f0.collect()) == [2, 3]  # frame left: keeps right_t keys
+
+
+def test_where_extension_filters_before_agg(spark, catalog):
+    import json
+
+    from elevate_data_pipeline_spark.plans import compile_pipeline
+    from elevate_data_pipeline_spark.spec import parse_spec
+
+    spec = parse_spec(
+        json.dumps(
+            [
+                {
+                    "tasks": [
+                        {
+                            "single_process": {
+                                "input": "c",
+                                "query": "SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders",
+                                "where": "o_totalprice > 100000",
+                                "agg": "count",
+                                "agg_on": "o_orderkey",
+                                "groupby": "o_orderstatus",
+                                "rename": "n",
+                                "join_on": "none",
+                                "join_type": "none",
+                            }
+                        }
+                    ]
+                }
+            ]
+        ),
+        None,
+        None,
+    )
+    (df,) = compile_pipeline(catalog, spec)
+    got = {r.o_orderstatus: r.n for r in df.collect()}
+    want = {
+        r.o_orderstatus: r.n
+        for r in catalog.table("orders")
+        .filter("o_totalprice > 100000")
+        .groupBy("o_orderstatus")
+        .agg(F.count("o_orderkey").alias("n"))
+        .collect()
+    }
+    assert got == want and sum(got.values()) > 0
+    # the P5 na.fill(0) layer legally blocks parquet pushdown (filtering
+    # below the fill would change null semantics), so the optimum is the
+    # Filter sitting directly above the scan — pin that shape
+    import contextlib, io, re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    filt = re.search(r"\((\d+)\) Filter", plan)
+    scan = re.search(r"\((\d+)\) Scan parquet", plan)
+    assert filt and scan and "100000" in plan
+    # the filter sits between the scan and the aggregate (ids are
+    # post-order: scan < filter < agg), i.e. rows drop before shuffling
+    aggs = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    assert int(scan.group(1)) < int(filt.group(1)) < min(aggs)
