@@ -77,6 +77,7 @@ HEADLINE = [
     "dedup_incremental",
     "text_rarity",
     "events_scd2",
+    "events_value_buckets",
 ]
 
 

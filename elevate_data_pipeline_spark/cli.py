@@ -56,11 +56,48 @@ def _build_parser() -> argparse.ArgumentParser:
                      help="F0/GS fold order (new frame on the left) instead of F2")
     run.add_argument("--explain", action="store_true", help="print plans, don't write")
     run.add_argument("--show", type=int, metavar="N", help="show N rows, don't write")
+
+    q = sub.add_parser("query", help="run a registry query by name")
+    q.add_argument("name", help="registry query name (or 'list' to enumerate)")
+    q.add_argument("--data", default="/root/testdata/sf0.001",
+                   help="parquet data directory")
+    q.add_argument("--out", help="output parquet path (omit with --show/--explain)")
+    q.add_argument("--mode", default="overwrite", choices=["append", "overwrite"])
+    q.add_argument("--explain", action="store_true", help="print plan, don't write")
+    q.add_argument("--show", type=int, metavar="N", help="show N rows, don't write")
     return p
+
+
+def _run_query(args) -> int:
+    from .queries import QUERIES
+
+    if args.name == "list":
+        for name in sorted(QUERIES):
+            print(name)
+        return 0
+    if args.name not in QUERIES:
+        print(f"error: unknown query {args.name!r} (try 'list')", file=sys.stderr)
+        return 2
+    spark = get_spark("edp-cli")
+    df = QUERIES[args.name](spark, args.data)
+    if args.explain:
+        df.explain("formatted")
+    elif args.show is not None:
+        df.show(args.show, truncate=False)
+    elif args.out:
+        write_parquet(df, args.out, mode=args.mode)
+        print(f"{args.name}: wrote {args.out}")
+    else:
+        print("error: --out required unless --show/--explain", file=sys.stderr)
+        return 2
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
+
+    if args.cmd == "query":
+        return _run_query(args)
 
     with open(args.spec) as f:
         doc = json.load(f)

@@ -630,6 +630,39 @@ def events_cdc_compact(spark, sf_dir):
 
 
 @query(
+    "events_value_buckets",
+    """
+    SELECT bucket AS bucket, CAST(count(*) AS BIGINT) AS n,
+           min(value) AS min_v, max(value) AS max_v
+    FROM (
+      SELECT value, ntile(4) OVER (ORDER BY value, event_id) AS bucket
+      FROM events
+    )
+    GROUP BY bucket
+    """,
+)
+def events_value_buckets(spark, sf_dir):
+    """Quartile profile of a FACT-table measure via the scale-safe exact
+    ntile (operators/rank.py): range repartition + broadcast offsets, so
+    the total order never funnels through one partition and no exact
+    percentile aggregate materializes the column in a single buffer —
+    the pattern customer_balance_deciles uses, proven here on the
+    20x-larger events table."""
+    from .operators.rank import exact_ntile
+
+    ev = Catalog(spark, sf_dir).table("events").select("value", "event_id")
+    return (
+        exact_ntile(ev, 4, ["value", "event_id"], out_col="bucket")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+    )
+
+
+@query(
     "events_scd2",
     """
     SELECT event_id AS event_id, user_id AS user_id,

@@ -84,3 +84,26 @@ def test_example_specs_run(spark, tmp_path):
         out = str(tmp_path / os.path.basename(spec_file).replace(".json", ""))
         assert main(["run", "--spec", spec_file, "--data", SF_DIR, "--out", out]) == 0
         assert spark.read.parquet(out).count() > 0
+
+
+def test_cli_query_show_and_list(capsys):
+    from elevate_data_pipeline_spark.cli import main
+
+    assert main(["query", "list"]) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary" in out and "dedup_minhash_lsh" in out
+
+    assert main(["query", "q6_forecast_revenue",
+                 "--data", "/root/testdata/sf0.001", "--show", "3"]) == 0
+    assert "revenue" in capsys.readouterr().out
+
+    assert main(["query", "no_such_query", "--show", "1"]) == 2
+
+
+def test_cli_query_writes_parquet(spark, tmp_path):
+    from elevate_data_pipeline_spark.cli import main
+
+    out = str(tmp_path / "q_out")
+    assert main(["query", "orders_priority_sets",
+                 "--data", "/root/testdata/sf0.001", "--out", out]) == 0
+    assert spark.read.parquet(out).count() > 0
