@@ -1135,3 +1135,80 @@ def events_grouping_sets(spark, sf_dir):
     return ev.groupingSets(
         [["event_type"], ["user_id"]], "event_type", "user_id"
     ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "customer_rfm",
+    """
+    WITH mx AS (SELECT max(o_orderdate) AS dmax FROM orders)
+    SELECT o_custkey AS c_custkey,
+           CAST((epoch_us((SELECT dmax FROM mx)) - epoch_us(max(o_orderdate)))
+                 // 86400000000 AS BIGINT) AS recency_days,
+           CAST(count(o_orderkey) AS BIGINT) AS frequency,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def customer_rfm(spark, sf_dir):
+    """RFM feature engineering (recency / frequency / monetary per
+    customer) — the classic tabular ML-prep aggregate. One shuffle on
+    the customer key with map-side partials; the corpus-max date is a
+    1-row broadcast. Recency is integer microsecond arithmetic (exact in
+    any engine); monetary is a decimal-exact sum."""
+    o = Catalog(spark, sf_dir).table("orders")
+    dmax = o.agg(F.max("o_orderdate").alias("_dmax"))
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count("o_orderkey").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(dmax))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            (
+                (
+                    F.unix_micros(F.col("_dmax").cast("timestamp"))
+                    - F.unix_micros(F.col("_last").cast("timestamp"))
+                )
+                / F.lit(86_400_000_000)
+            ).cast("long").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+
+
+@query(
+    "events_user_features",
+    """
+    SELECT user_id AS user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS span_us,
+           CAST(count(*) AS DOUBLE)
+             / greatest((epoch_us(max(ts)) - epoch_us(min(ts))) / 3600000000.0, 1.0)
+             AS events_per_hour
+    FROM events GROUP BY user_id
+    """,
+)
+def events_user_features(spark, sf_dir):
+    """Per-user behavioral features (activity volume, type diversity,
+    active span, rate) — the feature-extraction aggregate feeding user
+    models. One shuffle on user_id; the rate clamps the span to >= 1
+    hour so single-event users stay finite, with identical IEEE
+    arithmetic on both engines."""
+    ev = Catalog(spark, sf_dir).table("events")
+    span = F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        span.cast("long").alias("span_us"),
+        (
+            F.count(F.lit(1)).cast("double")
+            / F.greatest(span / F.lit(3_600_000_000.0), F.lit(1.0))
+        ).alias("events_per_hour"),
+    )
