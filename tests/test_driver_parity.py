@@ -56,12 +56,19 @@ def _restore(spark, saved):
 
 @pytest.mark.parametrize("name", sorted(_q.QUERIES))
 def test_query_runs_on_vanilla_session(spark, name):
+    import contextlib
+    import io
+
     saved = _make_vanilla(spark)
     try:
         df = _q.QUERIES[name](spark, SF_DIR)
         # schema resolution + a real (limited) execution pass
         schema = df.schema
         df.limit(5).collect()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
     finally:
         _restore(spark, saved)
     for field in schema.fields:
@@ -69,3 +76,6 @@ def test_query_runs_on_vanilla_session(spark, name):
             f"{name}.{field.name} is {field.dataType.simpleString()}: the "
             "driver's pandas canonicalizer cannot hash non-scalar cells"
         )
+    # scale smell: an unkeyed join degenerating to a cartesian product
+    # (1-row scalar broadcasts plan as BroadcastNestedLoopJoin — fine)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
