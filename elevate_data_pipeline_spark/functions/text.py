@@ -163,6 +163,38 @@ def dup_ngram_frac(col: str, n: int = 2) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def repetition_stats_arrow(col: str) -> Column:
+    """Arrow-batched (n_words, top_n, n_distinct_bigrams) per document —
+    the integer inputs of the repetition signals, identical to the
+    explode/groupBy + higher-order-function formulation but one
+    vectorized pass instead of two shuffles and an interpreted gram
+    array per row (same lesson as minhash_signature_arrow)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_t = StructType(
+        [
+            StructField("n_words", LongType()),
+            StructField("top_n", LongType()),
+            StructField("n_dist_bg", LongType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def _rep(texts: pd.Series) -> pd.DataFrame:
+        n_words, top_n, n_bg = [], [], []
+        for t in texts:
+            ws = t.split(" ")
+            counts: dict[str, int] = {}
+            for w in ws:
+                counts[w] = counts.get(w, 0) + 1
+            n_words.append(len(ws))
+            top_n.append(max(counts.values()))
+            n_bg.append(len(set(zip(ws, ws[1:]))) if len(ws) >= 2 else 0)
+        return pd.DataFrame({"n_words": n_words, "top_n": top_n, "n_dist_bg": n_bg})
+
+    return _rep(col)
+
+
 def _marker_hits(col: str, markers: tuple[str, ...]) -> Column:
     quoted = ", ".join(f"'{m}'" for m in markers)
     return F.expr(f"size(filter(split({col}, ' '), w -> w IN ({quoted})))")

@@ -219,30 +219,30 @@ def text_quality(spark, sf_dir):
 def text_repetition(spark, sf_dir):
     """Gopher-style repetition signals per document (Rae et al. 2021
     §A1.2): fraction of repeated word bigrams and the most-frequent
-    word's share. dup_bigram_frac is a pure projection; top_word_share
-    is explode -> (doc_id, word) count -> (doc_id) max — partial
-    aggregation collapses it map-side, so the shuffle carries one row
-    per distinct (doc, word), not per token."""
+    word's share. One Arrow-batched pass computes the integer inputs
+    (word count, modal word count, distinct bigrams) — no shuffle at
+    all; the shares are the same single IEEE divisions the oracle
+    performs, so results hash-match exactly. (The equivalent
+    explode -> groupBy x2 -> join formulation is pinned equal in
+    tests/test_operators.py and costs two shuffles.)"""
+    from .functions.text import repetition_stats_arrow
     from .operators.util import spread
 
     docs = spread(Catalog(spark, sf_dir).table("documents"))
-    base = docs.select(
+    return docs.select(
+        "doc_id", repetition_stats_arrow("text").alias("_s")
+    ).select(
         "doc_id",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),
-        dup_ngram_frac("text", 2).alias("dup_bigram_frac"),
-    )
-    top = (
-        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(F.max("cnt").alias("top_n"))
-    )
-    return base.join(top, "doc_id").select(
-        "doc_id",
-        "n_words",
-        (F.col("top_n").cast("double") / F.col("n_words")).alias("top_word_share"),
-        "dup_bigram_frac",
+        F.col("_s.n_words").alias("n_words"),
+        (F.col("_s.top_n").cast("double") / F.col("_s.n_words")).alias(
+            "top_word_share"
+        ),
+        F.when(
+            F.col("_s.n_words") >= 2,
+            F.lit(1.0)
+            - F.col("_s.n_dist_bg").cast("double")
+            / (F.col("_s.n_words") - 1).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
     )
 
 

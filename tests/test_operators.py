@@ -594,3 +594,44 @@ def test_global_row_number_is_total_order(spark):
     by_rn = sorted(rows, key=lambda r: r.rn)
     assert [r.rn for r in by_rn] == list(range(1, 201))
     assert [(r.v, r.id) for r in by_rn] == sorted((r.v, r.id) for r in rows)
+
+
+def test_repetition_arrow_equals_explode_path(spark):
+    texts = ["a b a b a b", "all words unique here", "x", "q q q q",
+             "the quick brown fox the quick brown fox"]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    arrow = {
+        r.doc_id: (r["_s"]["n_words"], r["_s"]["top_n"], r["_s"]["n_dist_bg"])
+        for r in df.select(
+            "doc_id", text_fns.repetition_stats_arrow("text").alias("_s")
+        ).collect()
+    }
+    base = {
+        r.doc_id: r.n_words
+        for r in df.select(
+            "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words")
+        ).collect()
+    }
+    top = {
+        r.doc_id: r.top_n
+        for r in df.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id").agg(F.max("c").alias("top_n")).collect()
+    }
+    grams = {
+        r.doc_id: r.g
+        for r in df.select(
+            "doc_id",
+            F.expr(
+                "size(array_distinct(transform(sequence(1, greatest(size(split(text,' '))-1, 1)), "
+                "i -> concat_ws(' ', slice(split(text,' '), i, 2)))))"
+            ).alias("g"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        n, tn, bg = arrow[i]
+        assert n == base[i] and tn == top[i]
+        if n >= 2:
+            assert bg == grams[i]
+        else:
+            assert bg == 0
