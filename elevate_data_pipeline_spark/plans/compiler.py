@@ -127,6 +127,8 @@ def _compile_single(
     """
     df = _scan(catalog, task)
 
+    having = getattr(task, "having", None)
+
     if task.correlate_on and fetch is not None:
         if task.correlate_on != fetch.id:
             df = df.withColumnRenamed(task.correlate_on, fetch.id)
@@ -134,6 +136,8 @@ def _compile_single(
             keys = [fetch.id] + ([task.groupby] if task.groupby else [])
             cols, _, zero_names = _agg_columns(task)
             df = df.groupBy(*keys).agg(*cols)
+            if having:
+                df = df.filter(F.expr(having))
             if task.default_on_empty and not task.groupby and ids_distinct is not None:
                 return df, zero_names
         return df, None
@@ -145,6 +149,8 @@ def _compile_single(
             df = df.groupBy(task.groupby).agg(*cols)
         else:
             df = df.agg(*cols)
+        if having:
+            df = df.filter(F.expr(having))
     return df, None
 
 

@@ -325,6 +325,44 @@ def spec_where_filter(spark, sf_dir):
 
 
 @query(
+    "spec_having_filter",
+    """
+    SELECT l_returnflag AS l_returnflag, count(l_orderkey) AS n_items
+    FROM lineitem GROUP BY l_returnflag
+    HAVING count(l_orderkey) > 100
+    """,
+)
+def spec_having_filter(spark, sf_dir):
+    """Engine-extension ``having``: post-aggregate predicate over the
+    renamed aggregate outputs. With S4 default rows, a correlated ID
+    failing the predicate coalesces back to the default — absent and
+    filtered are the same observable state."""
+    return _spec_df(
+        spark,
+        sf_dir,
+        [
+            {
+                "tasks": [
+                    {
+                        "single_process": {
+                            "input": "counts",
+                            "query": "SELECT l_returnflag, l_orderkey FROM lineitem",
+                            "agg": "count",
+                            "agg_on": "l_orderkey",
+                            "groupby": "l_returnflag",
+                            "rename": "n_items",
+                            "having": "n_items > 100",
+                            "join_on": "none",
+                            "join_type": "none",
+                        }
+                    }
+                ]
+            }
+        ],
+    )
+
+
+@query(
     "spec_dynamic_agg_minmax",
     """
     SELECT l_returnflag AS l_returnflag, min(l_extendedprice) AS min_price,

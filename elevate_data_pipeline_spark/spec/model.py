@@ -135,6 +135,10 @@ class SingleProcess:
     # task's SQL string; a declarative ``where`` keeps the predicate
     # visible to spec tooling and lets Catalyst push it into the scan.
     where: str | None = None
+    # Engine extension: boolean SQL predicate over the aggregate's
+    # output (use the renamed aggregate columns), applied right after
+    # the groupBy — a declarative HAVING.
+    having: str | None = None
 
     def __post_init__(self) -> None:
         if self.aggs is not None and self.agg is not None:

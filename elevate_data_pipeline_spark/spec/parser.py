@@ -48,6 +48,7 @@ def _parse_single(obj: dict) -> SingleProcess:
         "agg_cast",
         "aggs",
         "where",
+        "having",
     }
     extra = set(obj) - known
     if extra:

@@ -558,3 +558,47 @@ def test_where_extension_filters_before_agg(spark, catalog):
     # post-order: scan < filter < agg), i.e. rows drop before shuffling
     aggs = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
     assert int(scan.group(1)) < int(filt.group(1)) < min(aggs)
+
+
+def test_having_extension_post_aggregate(spark, catalog):
+    import json
+
+    from elevate_data_pipeline_spark.plans import compile_pipeline
+    from elevate_data_pipeline_spark.spec import parse_spec
+
+    spec = parse_spec(
+        json.dumps(
+            [
+                {
+                    "tasks": [
+                        {
+                            "single_process": {
+                                "input": "c",
+                                "query": "SELECT o_orderstatus, o_orderkey FROM orders",
+                                "agg": "count",
+                                "agg_on": "o_orderkey",
+                                "groupby": "o_orderstatus",
+                                "rename": "n",
+                                "having": "n > 50",
+                                "join_on": "none",
+                                "join_type": "none",
+                            }
+                        }
+                    ]
+                }
+            ]
+        ),
+        None,
+        None,
+    )
+    (df,) = compile_pipeline(catalog, spec)
+    got = {r.o_orderstatus: r.n for r in df.collect()}
+    want = {
+        r.o_orderstatus: r.n
+        for r in catalog.table("orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("o_orderkey").alias("n"))
+        .filter("n > 50")
+        .collect()
+    }
+    assert got == want and all(n > 50 for n in got.values()) and got
