@@ -86,8 +86,11 @@ def test_pii_scrub_is_pure_projection(spark):
     assert "HashAggregate" not in plan
 
 
-def test_repetition_partial_aggregation(spark):
+def test_repetition_is_single_arrow_pass(spark):
     plan = _plan(QUERIES["text_repetition"](spark, SF_DIR))
-    # the (doc, word) count must partially aggregate map-side before the
-    # shuffle (HashAggregate below and above the exchange)
-    assert plan.count("HashAggregate") >= 4
+    # one Arrow-batched pass computes all three integer stats — no
+    # explode, no aggregate, and no shuffle beyond the spread()
+    # repartition that feeds the CPU-bound UDF
+    assert "ArrowEvalPython" in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
