@@ -1250,3 +1250,90 @@ def events_user_features(spark, sf_dir):
             / F.greatest(span / F.lit(3_600_000_000.0), F.lit(1.0))
         ).alias("events_per_hour"),
     )
+
+
+@query(
+    "events_funnel",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS first_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS first_click
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.first_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS first_purchase
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+          GROUP BY e.user_id)
+    SELECT v.user_id AS user_id, v.first_view AS first_view,
+           c.first_click AS first_click, p.first_purchase AS first_purchase
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase): each stage keeps the
+    earliest event strictly AFTER the user's previous-stage time, so the
+    output is one row per entered user with nullable stage timestamps —
+    the standard product-analytics conversion table. Every join and
+    groupBy keys on user_id, so Spark reuses one hash partitioning across
+    all three stages (one logical shuffle, no re-exchange), which is what
+    keeps the shape linear at a 100x event count."""
+    ev = Catalog(spark, sf_dir).table("events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return v.join(c, "user_id", "left").join(p, "user_id", "left")
+
+
+@query(
+    "orders_retention_cohorts",
+    """
+    WITH fo AS (SELECT o_custkey,
+                       CAST(min(date_trunc('month', o_orderdate)) AS TIMESTAMP) AS cohort
+                FROM orders GROUP BY o_custkey)
+    SELECT fo.cohort AS cohort_month,
+           CAST((year(o.o_orderdate) - year(fo.cohort)) * 12
+                + (month(o.o_orderdate) - month(fo.cohort)) AS BIGINT) AS month_offset,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+    FROM orders o JOIN fo ON o.o_custkey = fo.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def orders_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle: customers bucketed by first-order
+    month, counted per month offset since the cohort start — the classic
+    retention analysis. The month offset is exact integer year/month
+    arithmetic (no months_between doubles). The cohort frame and the
+    re-join both key on o_custkey, so the first groupBy's partitioning is
+    reused by the join; the final aggregate shuffles the (cohort, offset)
+    pairs, which stay small (months x months) at any data scale."""
+    o = Catalog(spark, sf_dir).table("orders")
+    fo = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    offset = (
+        (F.year("o_orderdate") - F.year("cohort")) * F.lit(12)
+        + (F.month("o_orderdate") - F.month("cohort"))
+    ).cast("long")
+    return (
+        o.join(fo, "o_custkey")
+        .select(F.col("cohort").alias("cohort_month"), offset.alias("month_offset"), "o_custkey")
+        .groupBy("cohort_month", "month_offset")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+    )

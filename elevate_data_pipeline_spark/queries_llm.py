@@ -292,6 +292,146 @@ def text_rarity(spark, sf_dir):
     )
 
 
+@query(
+    "text_tfidf_topterms",
+    """
+    WITH w AS (
+      SELECT doc_id, u.w AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           unnest(ws) AS u(w)),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM w GROUP BY doc_id, w),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT doc_id AS doc_id, w AS term, CAST(rk AS BIGINT) AS rk, score AS score
+    FROM (
+      SELECT tf.doc_id AS doc_id, tf.w AS w,
+             CAST(tf.tf * n.n AS DOUBLE) / df.df AS score,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC,
+                                         tf.w) AS rk
+      FROM tf JOIN df USING (w) CROSS JOIN n)
+    WHERE rk <= 3
+    """,
+)
+def text_tfidf_topterms(spark, sf_dir):
+    """Top-3 keywords per document by TF-IDF. The idf is the exact
+    rational tf * N / df (one IEEE division, no libm log — bitwise equal
+    across engines); ties break on the term string so row_number is
+    deterministic. The term-frequency and document-frequency aggregates
+    shuffle on the word key with map-side partials; the tf<->df join also
+    keys on the word, reusing that partitioning (a 100 TB vocabulary is
+    join-sized, NOT broadcast-sized — only the 1-row corpus count is
+    broadcast). The rank window partitions by doc_id, so no global sort."""
+    from pyspark.sql.window import Window
+
+    from .operators.util import spread
+
+    docs = spread(Catalog(spark, sf_dir).table("documents"))
+    words = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", (F.col("tf") * F.col("n")).cast("double") / F.col("df"))
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("w"))
+    return (
+        scored.withColumn("rk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", F.col("w").alias("term"), "rk", "score")
+    )
+
+
+_DSIR_BUCKETS = 1024
+
+
+@query(
+    "text_dsir_score",
+    f"""
+    WITH bg AS (
+      SELECT doc_id, lang, h % {_DSIR_BUCKETS} AS b
+      FROM (SELECT doc_id, lang, {_sql_shingle_hashes('text', 2)} AS hs FROM documents),
+           unnest(hs) AS u(h)),
+    raw AS (SELECT b, count(*) AS r_b FROM bg GROUP BY b),
+    tgt AS (SELECT b, count(*) AS t_b FROM bg WHERE lang = 'en' GROUP BY b),
+    tot AS (SELECT count(*) AS r_tot,
+                   count(*) FILTER (WHERE lang = 'en') AS t_tot FROM bg),
+    w AS (SELECT raw.b AS b,
+                 (CAST(coalesce(t_b, 0) + 1 AS DOUBLE)
+                    / CAST(t_tot + {_DSIR_BUCKETS} AS DOUBLE))
+                 * (CAST(r_tot + {_DSIR_BUCKETS} AS DOUBLE)
+                    / CAST(r_b + 1 AS DOUBLE)) AS w
+          FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot)
+    SELECT bg.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CAST(w.w AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS dsir_weight
+    FROM bg JOIN w USING (b)
+    GROUP BY bg.doc_id
+    """,
+)
+def text_dsir_score(spark, sf_dir):
+    """DSIR-style data-selection importance weight (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    documents are featurized into B=1024 hashed word-bigram buckets, a
+    Laplace-smoothed likelihood ratio target/raw is computed per bucket
+    (target = the 'en' slice standing in for the high-quality corpus),
+    and each document scores the mean ratio over its bigrams. Exact
+    cross-engine arithmetic: integer bucket counts, one fixed-order pair
+    of IEEE divisions per bucket, decimal-summed per-doc mean (order
+    independent). Scale shape: bucket counts reduce with map-side
+    partials to exactly B rows, the B-row weight table broadcasts, and
+    the doc-side join is map-only — no all-pairs, no skew-prone key."""
+    from .operators.util import spread
+
+    B = _DSIR_BUCKETS
+    docs = spread(Catalog(spark, sf_dir).table("documents"))
+    bg = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(dedup.word_shingle_hashes("text", k=2)).alias("h"),
+        )
+        .withColumn("b", F.pmod(F.col("h"), F.lit(B)))
+        .localCheckpoint(eager=False)  # reused: raw/tgt/tot counts + final join
+    )
+    raw = bg.groupBy("b").agg(F.count(F.lit(1)).alias("r_b"))
+    tgt = bg.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("t_b")
+    )
+    tot = bg.agg(
+        F.count(F.lit(1)).alias("r_tot"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("t_tot"),
+    )
+    w = (
+        raw.join(tgt, "b", "left")
+        .na.fill(0, ["t_b"])
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "w",
+            (
+                (F.col("t_b") + 1).cast("double")
+                / (F.col("t_tot") + B).cast("double")
+            )
+            * (
+                (F.col("r_tot") + B).cast("double")
+                / (F.col("r_b") + 1).cast("double")
+            ),
+        )
+    )
+    return (
+        bg.join(F.broadcast(w.select("b", "w")), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            (
+                F.sum(F.col("w").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dsir_weight"),
+        )
+    )
+
+
 def _sql_pii_augment() -> str:
     """Deterministically inject synthetic PII so the scrub is exercised
     on content-free testdata (documents contain plain words only)."""
