@@ -151,7 +151,25 @@ def _compile_single(
             df = df.agg(*cols)
         if having:
             df = df.filter(F.expr(having))
-    return df, None
+    return _order_limit(df, task), None
+
+
+def _order_limit(df: DataFrame, task: SingleProcess) -> DataFrame:
+    """Extension order_by/limit: with both present Spark plans
+    TakeOrderedAndProject (per-partition top-N, one merge — no global
+    sort materialization at any scale)."""
+    order_by = getattr(task, "order_by", None)
+    if order_by:
+        cols = []
+        for entry in order_by:
+            parts = entry.split()
+            c = F.col(parts[0])
+            cols.append(c.desc() if len(parts) > 1 and parts[1].lower() == "desc" else c.asc())
+        df = df.orderBy(*cols)
+    limit = getattr(task, "limit", None)
+    if limit:
+        df = df.limit(limit)
+    return df
 
 
 def _compile_nested(

@@ -325,6 +325,46 @@ def spec_where_filter(spark, sf_dir):
 
 
 @query(
+    "spec_topn_priorities",
+    """
+    SELECT o_orderpriority AS o_orderpriority, count(o_orderkey) AS n
+    FROM orders GROUP BY o_orderpriority
+    ORDER BY n DESC, o_orderpriority LIMIT 3
+    """,
+)
+def spec_topn_priorities(spark, sf_dir):
+    """Engine-extension ``order_by``/``limit``: declarative top-N over an
+    uncorrelated aggregate. Spark plans TakeOrderedAndProject — each
+    partition keeps its local top-3 and one merge finishes, so the sort
+    never materializes globally (the tie-break on the group key keeps the
+    cut deterministic)."""
+    return _spec_df(
+        spark,
+        sf_dir,
+        [
+            {
+                "tasks": [
+                    {
+                        "single_process": {
+                            "input": "top_priorities",
+                            "query": "SELECT o_orderpriority, o_orderkey FROM orders",
+                            "agg": "count",
+                            "agg_on": "o_orderkey",
+                            "groupby": "o_orderpriority",
+                            "rename": "n",
+                            "order_by": ["n desc", "o_orderpriority"],
+                            "limit": 3,
+                            "join_on": "none",
+                            "join_type": "none",
+                        }
+                    }
+                ]
+            }
+        ],
+    )
+
+
+@query(
     "spec_having_filter",
     """
     SELECT l_returnflag AS l_returnflag, count(l_orderkey) AS n_items

@@ -139,10 +139,35 @@ class SingleProcess:
     # output (use the renamed aggregate columns), applied right after
     # the groupBy — a declarative HAVING.
     having: str | None = None
+    # Engine extension: declarative top-N over the task's (aggregated)
+    # result — ``order_by`` entries are "col" or "col desc"; with
+    # ``limit`` Spark plans TakeOrderedAndProject (per-partition top-N +
+    # single merge, never a global sort). Uncorrelated tasks only: a
+    # per-ID top-N is a window concern, not a task-level one.
+    order_by: list[str] | None = None
+    limit: int | None = None
 
     def __post_init__(self) -> None:
         if self.aggs is not None and self.agg is not None:
             raise SpecError(f"task {self.input!r}: use either agg or aggs, not both")
+        if self.order_by is not None:
+            import re as _re
+
+            for entry in self.order_by:
+                if not _re.fullmatch(r"\w+( (?i:asc|desc))?", entry):
+                    raise SpecError(
+                        f"task {self.input!r}: bad order_by entry {entry!r} "
+                        "(want 'col' or 'col asc|desc')"
+                    )
+        if self.limit is not None and (
+            not isinstance(self.limit, int) or self.limit <= 0
+        ):
+            raise SpecError(f"task {self.input!r}: limit must be a positive int")
+        if (self.order_by or self.limit) and self.correlate_on:
+            raise SpecError(
+                f"task {self.input!r}: order_by/limit apply to uncorrelated "
+                "tasks only (per-ID top-N is a window operation)"
+            )
         if self.agg is not None:
             if self.agg not in ALLOWED_AGGREGATES:
                 raise SpecError(f"aggregate {self.agg!r} not in allowlist")

@@ -49,6 +49,8 @@ def _parse_single(obj: dict) -> SingleProcess:
         "aggs",
         "where",
         "having",
+        "order_by",
+        "limit",
     }
     extra = set(obj) - known
     if extra:

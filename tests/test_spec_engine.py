@@ -602,3 +602,89 @@ def test_having_extension_post_aggregate(spark, catalog):
         .collect()
     }
     assert got == want and all(n > 50 for n in got.values()) and got
+
+
+def test_order_limit_extension_topn(spark, catalog):
+    import json
+
+    from elevate_data_pipeline_spark.plans import compile_pipeline
+    from elevate_data_pipeline_spark.spec import parse_spec
+
+    spec = parse_spec(
+        json.dumps(
+            [
+                {
+                    "tasks": [
+                        {
+                            "single_process": {
+                                "input": "c",
+                                "query": "SELECT o_orderpriority, o_orderkey FROM orders",
+                                "agg": "count",
+                                "agg_on": "o_orderkey",
+                                "groupby": "o_orderpriority",
+                                "rename": "n",
+                                "order_by": ["n desc", "o_orderpriority"],
+                                "limit": 3,
+                                "join_on": "none",
+                                "join_type": "none",
+                            }
+                        }
+                    ]
+                }
+            ]
+        ),
+        None,
+        None,
+    )
+    (df,) = compile_pipeline(catalog, spec)
+    got = [(r.o_orderpriority, r.n) for r in df.collect()]
+    want = [
+        (r.o_orderpriority, r.n)
+        for r in catalog.table("orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("o_orderkey").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("o_orderpriority"))
+        .limit(3)
+        .collect()
+    ]
+    assert got == want and len(got) == 3
+    # order_by + limit must plan TakeOrderedAndProject (per-partition
+    # top-N + single merge), never a global Sort + Limit materialization
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_order_limit_validation():
+    import json
+
+    from elevate_data_pipeline_spark.spec import parse_spec
+
+    def single(**extra):
+        base = {
+            "input": "c",
+            "query": "SELECT o_orderkey FROM orders",
+            "join_on": "none",
+            "join_type": "none",
+        }
+        base.update(extra)
+        return json.dumps([{"tasks": [{"single_process": base}]}])
+
+    with pytest.raises(SpecError):  # malformed direction
+        parse_spec(single(order_by=["n sideways"]), None, None)
+    with pytest.raises(SpecError):  # expression injection rejected
+        parse_spec(single(order_by=["n; drop"]), None, None)
+    with pytest.raises(SpecError):  # non-positive limit
+        parse_spec(single(limit=0), None, None)
+    with pytest.raises(SpecError):  # correlated top-N is a window concern
+        parse_spec(
+            single(order_by=["n"], limit=2, correlate_on="o_custkey"),
+            None,
+            None,
+        )
+    # bare limit without order_by is legal (LIMIT-sample semantics)
+    parse_spec(single(limit=5), None, None)
