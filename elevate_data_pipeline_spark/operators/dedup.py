@@ -624,3 +624,93 @@ def levenshtein_pairs(
         .filter(F.col("edit_dist") >= 0)
         .select("id_a", "id_b", F.col("edit_dist").cast("int").alias("edit_dist"))
     )
+
+
+def gram_hashes(col: str, k: int) -> Column:
+    """All character-k-gram Rabin-Karp rolling hashes of ``col`` (with
+    positions implied by array index; base/mod shared with winnowing).
+    Documents shorter than ``k`` contribute one partial gram covering
+    the whole text, so every non-empty document has >= 1 hash."""
+    n_grams = f"greatest(length({col}) - {k - 1}, 1)"
+    return F.expr(
+        f"transform(sequence(1, {n_grams}), i -> "
+        f"aggregate(transform(sequence(i, least(i + {k - 1}, length({col}))), "
+        f"j -> bigint(ascii(substring({col}, j, 1)))), "
+        f"bigint(0), (a, b) -> (a * {POLY_BASE} + b) % {POLY_MOD}))"
+    )
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-substring coverage: which character spans
+    of each document also appear (as an exact k-gram) in >= ``min_docs``
+    distinct documents, and what fraction of the text they cover.
+
+    Hash-based formulation of exact substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" uses a
+    suffix array — inherently sequential; this is the shuffle-friendly
+    equivalent): a span is duplicated iff one of its k-grams is shared,
+    so shared k-gram hashes recover the same coverage up to hash
+    collisions (~n^2/2^30 expected false grams at POLY_MOD).
+
+    Plan shape (three key-partitioned shuffles, no driver state):
+    1. posexplode all k-gram hashes — (id, pos, h);
+    2. aggregate h -> distinct-doc count, keep hashes in >= min_docs
+       docs (map-side partial absorbs within-doc repeats);
+    3. join hits back on h, then per-doc window merges overlapping
+       [pos, pos+k-1] intervals (gaps-and-islands: same-length sorted
+       intervals merge iff start gap <= k-1) and sums covered chars.
+
+    Returns one row per input document: (id, n_chars, n_dup_spans,
+    dup_chars, dup_frac) — zero-filled for documents with no shared
+    span, so the output is a total quality signal like text_quality.
+    """
+    from pyspark.sql.window import Window
+
+    df = spread(df)
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(gram_hashes(text_col, k)).alias("_pos", "_h"),
+    ).localCheckpoint(eager=False)  # reused: dup-hash build + hit join
+
+    dup_hashes = (
+        grams.groupBy("_h")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    hits = grams.join(dup_hashes, "_h").select("_id", "_pos")
+
+    w = Window.partitionBy("_id").orderBy("_pos")
+    islands = (
+        hits.withColumn("_prev", F.lag("_pos").over(w))
+        .withColumn(
+            "_new",
+            (F.col("_prev").isNull() | (F.col("_pos") - F.col("_prev") > k - 1)).cast("int"),
+        )
+        .withColumn("_island", F.sum("_new").over(w))
+        .groupBy("_id", "_island")
+        .agg((F.max("_pos") - F.min("_pos") + k).alias("_span_chars"))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum("_span_chars").alias("dup_chars"),
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.length(text_col).alias("n_chars"))
+        .join(islands.withColumnRenamed("_id", id_col), id_col, "left")
+        .na.fill(0, ["n_dup_spans", "dup_chars"])
+        # docs shorter than k carry one partial gram whose nominal span
+        # is k chars — clamp coverage to the document length
+        .withColumn("dup_chars", F.least(F.col("dup_chars"), F.col("n_chars")))
+        .withColumn(
+            "dup_frac",
+            F.col("dup_chars").cast("double") / F.col("n_chars").cast("double"),
+        )
+    )

@@ -1218,6 +1218,69 @@ def dedup_embedding_cosine(spark, sf_dir):
     return dedup.embedding_dup_pairs(emb, threshold=0.35)
 
 
+_SPAN_K = 20
+
+
+def _sql_substring_spans(k: int = _SPAN_K) -> str:
+    """Oracle for substring_dup_spans: the same rolling k-gram hashes
+    (parallel unnests zip position + hash), shared-hash filter, and
+    gaps-and-islands interval merge — all integer arithmetic."""
+    n_grams = f"greatest(len(text) - {k - 1}, 1)"
+    gram_hashes = (
+        f"[list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"[CAST(ascii(substr(text, j, 1)) AS BIGINT) "
+        f"for j in range(i, least(i + {k - 1}, len(text)) + 1)]), "
+        f"(a, b) -> (a * {POLY_BASE} + b) % {POLY_MOD}) "
+        f"for i in range(1, {n_grams} + 1)]"
+    )
+    return f"""
+    WITH gp AS (
+      SELECT doc_id,
+             unnest([i for i in range(1, {n_grams} + 1)]) AS pos,
+             unnest({gram_hashes}) AS h
+      FROM documents),
+    dup AS (SELECT h FROM gp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    hit AS (SELECT doc_id, pos FROM gp JOIN dup USING (h)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                    OR pos - lag(pos) OVER w > {k - 1}
+                  THEN 1 ELSE 0 END AS brk
+      FROM hit WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    isl2 AS (SELECT doc_id, pos,
+                    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             FROM isl),
+    spans AS (SELECT doc_id, island, max(pos) - min(pos) + {k} AS span_chars
+              FROM isl2 GROUP BY doc_id, island),
+    per_doc AS (SELECT doc_id, count(*) AS n_spans,
+                       CAST(sum(span_chars) AS BIGINT) AS dup_chars
+                FROM spans GROUP BY doc_id)
+    SELECT d.doc_id AS doc_id,
+           CAST(len(d.text) AS BIGINT) AS n_chars,
+           CAST(coalesce(n_spans, 0) AS BIGINT) AS n_dup_spans,
+           least(CAST(coalesce(dup_chars, 0) AS BIGINT),
+                 CAST(len(d.text) AS BIGINT)) AS dup_chars,
+           CAST(least(CAST(coalesce(dup_chars, 0) AS BIGINT),
+                      CAST(len(d.text) AS BIGINT)) AS DOUBLE)
+             / CAST(len(d.text) AS DOUBLE) AS dup_frac
+    FROM documents d LEFT JOIN per_doc USING (doc_id)
+    """
+
+
+@query("dedup_substring_spans", _sql_substring_spans())
+def dedup_substring_spans(spark, sf_dir):
+    """Exact duplicated-substring coverage per document (Lee et al. 2022
+    reformulated for shuffle-parallelism — suffix arrays are sequential;
+    shared k-gram hashes recover the same span coverage). Three
+    key-partitioned shuffles: gram count, hash-hit join, per-doc
+    interval merge."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    out = dedup.substring_dup_spans(docs, k=_SPAN_K)
+    return out.withColumn("n_chars", F.col("n_chars").cast("long")).withColumn(
+        "n_dup_spans", F.col("n_dup_spans").cast("long")
+    ).withColumn("dup_chars", F.col("dup_chars").cast("long"))
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------

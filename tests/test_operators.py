@@ -635,3 +635,40 @@ def test_repetition_arrow_equals_explode_path(spark):
             assert bg == grams[i]
         else:
             assert bg == 0
+
+
+def test_substring_dup_spans_coverage(spark):
+    # Two docs share an exact 30-char run; a third is unique. k=10 grams
+    # from the shared run appear in >=2 docs; the merged island must cover
+    # exactly the shared span in both docs, and the unique doc reports 0.
+    # No flanking whitespace: both neighbours differ so the shared run is
+    # exactly `shared` (a shared space on either side would widen it).
+    shared = "the quick brown fox jumps over"  # 30 chars
+    rows = [
+        (1, "AAAA" + shared + "BBBB"),
+        (2, "CCCCCCC" + shared + "DDDD"),
+        (3, "totally unrelated text with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.substring_dup_spans(df, k=10).collect()
+    }
+    assert out[3].n_dup_spans == 0 and out[3].dup_chars == 0
+    for i in (1, 2):
+        assert out[i].n_dup_spans == 1
+        # island spans the shared run: first gram start .. last gram start + k
+        assert out[i].dup_chars == len(shared)
+        assert abs(out[i].dup_frac - len(shared) / out[i].n_chars) < 1e-12
+
+
+def test_substring_dup_spans_short_doc_clamp(spark):
+    # Docs shorter than k contribute one partial gram; identical short docs
+    # must be fully covered but never report dup_chars > n_chars.
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, "tiny"), (3, "other")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dedup.substring_dup_spans(df, k=20).collect()}
+    assert out[1].dup_chars == 4 and out[1].dup_frac == 1.0
+    assert out[2].dup_chars == 4
+    assert out[3].n_dup_spans == 0
