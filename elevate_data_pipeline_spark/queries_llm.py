@@ -344,6 +344,71 @@ def text_tfidf_topterms(spark, sf_dir):
     )
 
 
+_VOCAB_TOPK = 500
+
+
+@query(
+    "corpus_vocab",
+    f"""
+    WITH t AS (
+      SELECT unnest(regexp_extract_all(text,
+                    '{BPE_ISH_PATTERN}')) AS tok
+      FROM documents),
+    v AS (SELECT tok, count(*) AS freq FROM t GROUP BY tok),
+    n AS (SELECT count(*) AS n FROM t),
+    top AS (SELECT tok, freq FROM v
+            ORDER BY freq DESC, tok LIMIT {_VOCAB_TOPK})
+    SELECT tok AS tok, CAST(freq AS BIGINT) AS freq,
+           CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rk,
+           CAST(sum(freq) OVER (ORDER BY freq DESC, tok
+                                ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / (SELECT n FROM n) AS coverage
+    FROM top
+    """,
+)
+def corpus_vocab(spark, sf_dir):
+    """Corpus vocabulary: top-K tokens by frequency with cumulative
+    corpus-coverage share — the profile that sizes a tokenizer vocab
+    (how many types cover 95% of tokens). Tokenization is the BPE-ish
+    regex (letter runs / digit runs / single punctuation) shared with
+    token_count_bpe.
+
+    Scale shape: token explode -> groupBy(token) with map-side partial
+    combine (ONE shuffle over the vocabulary, not the corpus); the
+    global top-K is orderBy+limit = TakeOrderedAndProject (per-partition
+    heaps, no full sort); the running-coverage window then orders only
+    the K surviving rows, so the single-partition window is K-bounded by
+    construction, not data-bounded. The corpus token total rides along
+    as a broadcast scalar. Ties break on the token string for a total
+    deterministic order."""
+    from pyspark.sql.window import Window
+
+    from .operators.util import spread
+
+    docs = spread(Catalog(spark, sf_dir).table("documents"))
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)
+        ).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    total = toks.agg(F.count(F.lit(1)).alias("_n"))
+    top = vocab.orderBy(F.desc("freq"), F.asc("tok")).limit(_VOCAB_TOPK)
+    win = (
+        Window.orderBy(F.desc("freq"), F.asc("tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            "freq",
+            F.row_number().over(win).cast("long").alias("rk"),
+            (F.sum("freq").over(win).cast("double") / F.col("_n")).alias("coverage"),
+        )
+    )
+
+
 _DSIR_BUCKETS = 1024
 
 
