@@ -84,6 +84,9 @@ HEADLINE = [
     "orders_retention_cohorts",
     "customer_rfm",
     "events_user_features",
+    "corpus_vocab",
+    "dedup_substring_spans",
+    "embedding_kmeans",
 ]
 
 

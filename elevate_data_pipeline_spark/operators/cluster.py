@@ -26,7 +26,7 @@ executor loss.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -171,4 +171,95 @@ def label_components(
             nodes["*"],
             F.coalesce(F.col("_cc_comp"), F.col(id_col)).alias("component"),
         )
+    )
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column, fully declarative.
+
+    The whole algorithm is ONE Catalyst plan — no driver-side centroid
+    state, no ``.collect()`` between rounds:
+
+    - **init**: centroids are the vectors of the ``k`` smallest ids
+      (deterministic, no RNG — reproducible across engines and runs);
+    - **assign**: squared-L2 to every centroid via a left-to-right
+      ``zip_with`` fold (the same deterministic fold all cosine ops
+      use), argmin with ties to the smaller cluster id; the k-row
+      centroid frame is broadcast, so assignment is a map-only stage;
+    - **update**: per (cluster, dim) component means — float components
+      are widened to double (exact) and summed as DECIMAL(28,12), so
+      the sum is order-independent and bit-reproducible regardless of
+      partitioning; the mean is one IEEE double division; the centroid
+      array is rebuilt with ``array_sort(collect_list(struct(dim, _)))``
+      so component order is explicit, not aggregation-order luck.
+
+    ``n_iter`` update rounds then a final assignment. Each round adds
+    one small shuffle (k*dim rows) — at 100 TB the per-round cost is
+    the broadcast-assign scan, and lineage stays linear in ``n_iter``
+    (checkpoint per round if you push it to tens of iterations).
+    Clusters that lose all members simply drop out (documented; the
+    deterministic init makes this identical across engines).
+
+    Returns (id, cluster, dist2) for the final assignment.
+    """
+    from .util import spread
+
+    vecs = spread(df).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        d2 = F.expr(
+            "aggregate(zip_with(_v, _c, (x, y) -> "
+            "(double(x) - double(y)) * (double(x) - double(y))), "
+            "double(0), (acc, t) -> acc + t)"
+        )
+        scored = vecs.join(F.broadcast(cents), how="cross").select(
+            "_id", "_v", "_cl", d2.alias("dist2")
+        )
+        w = Window.partitionBy("_id").orderBy(F.asc("dist2"), F.asc("_cl"))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("_id", "_v", "_cl", "dist2")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        comp = assigned.select(
+            "_cl", F.posexplode("_v").alias("_d", "_x")
+        )
+        means = comp.groupBy("_cl", "_d").agg(
+            (
+                F.sum(F.col("_x").cast("double").cast("decimal(28,12)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("_m")
+        )
+        return means.groupBy("_cl").agg(
+            F.expr("transform(array_sort(collect_list(struct(_d, _m))), s -> s._m)")
+            .alias("_c")
+        )
+
+    # deterministic cluster ids: rank init centroids by source id
+    w0 = Window.orderBy("_id")
+    cents = (
+        vecs.orderBy("_id")
+        .limit(k)
+        .withColumn("_cl", F.row_number().over(w0).cast("int") - 1)
+        .select("_cl", F.expr("transform(_v, x -> double(x))").alias("_c"))
+    )
+
+    for _ in range(n_iter):
+        cents = update(assign(cents))
+
+    return assign(cents).select(
+        F.col("_id").alias(id_col),
+        F.col("_cl").cast("int").alias("cluster"),
+        "dist2",
     )

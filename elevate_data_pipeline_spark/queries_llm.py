@@ -1662,6 +1662,80 @@ def dedup_semantic_clusters(spark, sf_dir):
     )
 
 
+_KMEANS_K = 8
+_KMEANS_ITER = 2
+_KMEANS_DIM = 64
+
+
+def _sql_kmeans(k: int = _KMEANS_K, n_iter: int = _KMEANS_ITER,
+                dim: int = _KMEANS_DIM) -> str:
+    """Oracle for embedding_kmeans: the identical fixed-iteration Lloyd
+    unrolled as chained CTEs — same deterministic min-id init, same
+    left-fold squared-L2, same DECIMAL(28,12) order-independent
+    component sums, same ties-to-smaller-cluster argmin."""
+    hi = dim + 1  # range() is end-exclusive in both comprehension and table form
+
+    def assign(name: str, cents: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT vec_id, emb, cl, dist2 FROM (
+        SELECT vec_id, emb, cl, dist2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2, cl) AS rn
+        FROM (
+          SELECT e.vec_id AS vec_id, e.embedding AS emb, c.cl AS cl,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   [(CAST(e.embedding[i] AS DOUBLE) - c.c[i])
+                    * (CAST(e.embedding[i] AS DOUBLE) - c.c[i])
+                    for i in range(1, {hi})]),
+                   (acc, t) -> acc + t) AS dist2
+          FROM embeddings e CROSS JOIN {cents} c))
+      WHERE rn = 1)"""
+
+    def update(name: str, assigned: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT cl, list(m ORDER BY d) AS c FROM (
+        SELECT cl, d, CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                      / count(*) AS m
+        FROM (SELECT a.cl AS cl, r.i AS d, CAST(a.emb[r.i] AS DOUBLE) AS x
+              FROM {assigned} a, range(1, {hi}) r(i))
+        GROUP BY cl, d)
+      GROUP BY cl)"""
+
+    ctes = [
+        f"""
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl,
+             [CAST(x AS DOUBLE) for x in embedding] AS c
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {k}))"""
+    ]
+    for it in range(n_iter):
+        ctes.append(assign(f"a{it}", f"c{it}"))
+        ctes.append(update(f"c{it + 1}", f"a{it}"))
+    ctes.append(assign(f"a{n_iter}", f"c{n_iter}"))
+    body = ",".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT vec_id AS vec_id, CAST(cl AS INTEGER) AS cluster, dist2 AS dist2
+    FROM a{n_iter}
+    """
+
+
+@query("embedding_kmeans", _sql_kmeans())
+def embedding_kmeans(spark, sf_dir):
+    """Lloyd's k-means over the embedding corpus as ONE declarative
+    Catalyst plan (operators/cluster.py::kmeans): deterministic min-id
+    init, broadcast-centroid map-only assignment, DECIMAL-exact
+    order-independent centroid means, fixed iterations. The iterative
+    algorithm the similarity family was missing — the learned
+    counterpart of the ivf medoid index, and the partitioner one would
+    bucket a 100 TB corpus by before IVF search."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    return cluster.kmeans(emb, k=_KMEANS_K, n_iter=_KMEANS_ITER)
+
+
 @query(
     "validate_lineitem",
     """

@@ -105,3 +105,37 @@ def test_random_graphs_match_union_find(spark, edges, extra_nodes):
     if not nodes:
         nodes = [0]
     assert _labels(spark, nodes, edges) == _union_find(nodes, edges)
+
+
+def test_kmeans_separated_blobs(spark):
+    # Two tight blobs far apart: k=2 must recover them exactly, and every
+    # point's dist2 must be the distance to its own blob's centroid.
+    from elevate_data_pipeline_spark.operators.cluster import kmeans
+
+    blob_a = [(i, [0.0 + 0.01 * i, 0.0]) for i in range(5)]
+    blob_b = [(10 + i, [10.0 + 0.01 * i, 10.0]) for i in range(5)]
+    df = spark.createDataFrame(
+        blob_a + blob_b, "vec_id long, embedding array<float>"
+    )
+    out = kmeans(df, k=2, n_iter=2).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, set()).add(r.vec_id)
+    assert sorted(len(v) for v in by_cluster.values()) == [5, 5]
+    # blob membership is pure: no cluster mixes ids <10 with ids >=10
+    for members in by_cluster.values():
+        assert all(m < 10 for m in members) or all(m >= 10 for m in members)
+    # converged: every point within its tight blob, dist2 bounded by blob spread
+    assert all(r.dist2 < 0.01 for r in out)
+
+
+def test_kmeans_deterministic(spark):
+    from elevate_data_pipeline_spark.operators.cluster import kmeans
+    from elevate_data_pipeline_spark.sources.catalog import Catalog
+
+    from conftest import SF_DIR
+
+    emb = Catalog(spark, SF_DIR).table("embeddings")
+    a = sorted(map(tuple, kmeans(emb, k=4, n_iter=1).collect()))
+    b = sorted(map(tuple, kmeans(emb, k=4, n_iter=1).collect()))
+    assert a == b
