@@ -133,3 +133,32 @@ def test_dsir_bucket_table_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     # bucket counts reduce with map-side partials
     assert "partial_count" in plan
+
+
+def test_corpus_vocab_topk_no_global_sort(spark):
+    plan = _plan(QUERIES["corpus_vocab"](spark, SF_DIR))
+    # global top-K must be per-partition heaps (TakeOrderedAndProject),
+    # never a full Sort+Exchange of the vocabulary
+    assert "TakeOrderedAndProject" in plan
+    # vocab aggregate is two-phase (map-side partial combine)
+    assert "partial_count" in plan
+    # scan prunes to the text column only
+    assert re.search(r"ReadSchema:.*struct<text:string>", plan)
+
+
+def test_substring_spans_no_cartesian(spark):
+    plan = _plan(QUERIES["dedup_substring_spans"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # gram-hash hit join keys on the hash; island merge windows per doc
+    assert "hashpartitioning(_h" in plan or "hashpartitioning(_id" in plan
+    assert "partial_count" in plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    plan = _plan(QUERIES["embedding_kmeans"](spark, SF_DIR))
+    # every assign stage joins the k-row centroid frame via broadcast —
+    # a shuffle join here would re-shuffle the corpus once per iteration
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # centroid means are two-phase decimal sums
+    assert "partial_sum" in plan
