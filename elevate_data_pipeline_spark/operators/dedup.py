@@ -640,6 +640,43 @@ def gram_hashes(col: str, k: int) -> Column:
     )
 
 
+def gram_hashes_arrow(col: str, k: int) -> Column:
+    """Vectorized :func:`gram_hashes` (identical output, Arrow batch).
+
+    The expression version folds O(len·k) interpreted array ops per
+    document. Here each gram hash is one numpy dot against the
+    mod-reduced power ladder: since ``(Σ bⱼ·Bᵏ⁻¹⁻ʲ) mod M`` equals the
+    per-step-mod fold (mod is a ring homomorphism), reducing the POWERS
+    mod M keeps every int64 term < 2^60 — one vector multiply-add per
+    offset and a single final mod, no Python-level rolling loop for
+    docs >= k chars.
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    pows = [(POLY_BASE ** (k - 1 - j)) % POLY_MOD for j in range(k)]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _grams(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+            # match Spark ascii() on non-ASCII: codepoint per character
+            if b.max(initial=0) > 127:
+                b = np.array([ord(c) for c in t], dtype=np.int64)
+            n = len(b)
+            if n >= k:
+                h = sum(b[j : n - k + 1 + j] * p for j, p in enumerate(pows)) % POLY_MOD
+                out.append(h.tolist())
+            else:  # one partial gram covering the whole (short) text
+                acc = 0
+                for x in b:
+                    acc = (acc * POLY_BASE + int(x)) % POLY_MOD
+                out.append([acc])
+        return pd.Series(out)
+
+    return _grams(col)
+
+
 def substring_dup_spans(
     df: DataFrame,
     k: int = 20,
@@ -675,7 +712,7 @@ def substring_dup_spans(
     df = spread(df)
     grams = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(gram_hashes(text_col, k)).alias("_pos", "_h"),
+        F.posexplode(gram_hashes_arrow(text_col, k)).alias("_pos", "_h"),
     ).localCheckpoint(eager=False)  # reused: dup-hash build + hit join
 
     dup_hashes = (

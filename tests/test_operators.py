@@ -672,3 +672,18 @@ def test_substring_dup_spans_short_doc_clamp(spark):
     assert out[1].dup_chars == 4 and out[1].dup_frac == 1.0
     assert out[2].dup_chars == 4
     assert out[3].n_dup_spans == 0
+
+
+def test_gram_hashes_arrow_equals_expr(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "short",
+        "x",
+        "ünïcødé shöuld mätch ascii() semantics tøø",
+        "a" * 100,
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    for k in (5, 20):
+        a = df.select("i", dedup.gram_hashes("text", k).alias("h")).collect()
+        b = df.select("i", dedup.gram_hashes_arrow("text", k).alias("h")).collect()
+        assert {r.i: r.h for r in a} == {r.i: r.h for r in b}, f"k={k}"
