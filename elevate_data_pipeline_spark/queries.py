@@ -1377,3 +1377,82 @@ def orders_retention_cohorts(spark, sf_dir):
         .groupBy("cohort_month", "month_offset")
         .agg(F.countDistinct("o_custkey").alias("n_customers"))
     )
+
+
+@query(
+    "events_rolling_dau",
+    """
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+    contrib AS (
+      SELECT unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                    INTERVAL 1 DAY))::DATE AS day, user_id
+      FROM du),
+    roll AS (SELECT day, count(DISTINCT user_id) AS dau_7d
+             FROM contrib GROUP BY day)
+    SELECT dau.day AS day, CAST(dau.dau AS BIGINT) AS dau,
+           CAST(roll.dau_7d AS BIGINT) AS dau_7d
+    FROM dau JOIN roll USING (day)
+    """,
+)
+def events_rolling_dau(spark, sf_dir):
+    """Daily active users plus exact 7-day rolling distinct users.
+
+    A windowed count(DISTINCT) can't be expressed as a window function,
+    and the naive day-range self-join explodes on the RAW event table.
+    Scale shape: reduce first — distinct (day, user) pairs (one shuffle,
+    map-side combine collapses each user's repeat events) — then fan each
+    pair out to the <=7 window-end days it contributes to and count
+    distinct per end day. The x7 blowup happens on the REDUCED frame
+    (days x users), not the 100 TB event log, and both aggregates
+    shuffle on the same day/user keys. Inner-joining back to observed
+    days drops phantom window ends past the data's edge.
+    """
+    ev = Catalog(spark, sf_dir).table("events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = du.select(
+        F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("day"), "user_id"
+    )
+    roll = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("dau_7d"))
+    return dau.join(roll, "day")
+
+
+from .operators.layout import zorder_key, zorder_sql  # noqa: E402
+
+
+@query(
+    "lineitem_zorder",
+    f"""
+    WITH z AS (SELECT l_partkey % 256 AS px, l_suppkey % 256 AS sx,
+                      {zorder_sql(["l_partkey", "l_suppkey"], bits=8)} AS zval
+               FROM lineitem)
+    SELECT CAST(zval >> 10 AS BIGINT) AS z_bucket,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(min(px) AS BIGINT) AS min_part, CAST(max(px) AS BIGINT) AS max_part,
+           CAST(min(sx) AS BIGINT) AS min_supp, CAST(max(sx) AS BIGINT) AS max_supp
+    FROM z GROUP BY 1
+    """,
+)
+def lineitem_zorder(spark, sf_dir):
+    """Z-order (Morton) layout audit: interleave l_partkey/l_suppkey bits
+    (operators/layout.zorder_key), bucket rows by the top z-bits, and
+    report each bucket's min/max in BOTH dimensions — exactly the file
+    statistics a Z-clustered write (layout.cluster_by_zorder:
+    repartitionByRange(z) + sortWithinPartitions) would give a 100 TB
+    table, where narrow per-file ranges in every dimension are what let
+    the scan skip files for multi-column predicates. Pure int64 bit ops
+    in whole-stage codegen; one groupBy shuffle on the bucket key."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    z = li.select(
+        F.pmod(F.col("l_partkey"), F.lit(256)).alias("px"),
+        F.pmod(F.col("l_suppkey"), F.lit(256)).alias("sx"),
+        zorder_key("l_partkey", "l_suppkey", bits=8).alias("zval"),
+    )
+    return z.groupBy(F.shiftright("zval", 10).cast("long").alias("z_bucket")).agg(
+        F.count("*").alias("cnt"),
+        F.min("px").alias("min_part"),
+        F.max("px").alias("max_part"),
+        F.min("sx").alias("min_supp"),
+        F.max("sx").alias("max_supp"),
+    )

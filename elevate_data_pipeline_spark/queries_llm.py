@@ -1919,3 +1919,53 @@ def dedup_levenshtein(spark, sf_dir):
     (operators/dedup.levenshtein_pairs)."""
     docs = Catalog(spark, sf_dir).table("documents")
     return dedup.levenshtein_pairs(docs, max_dist=12, prefix_len=48)
+
+
+@query(
+    "text_bigram_lm",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bg
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    cf AS (SELECT bg, count(*) AS freq FROM b GROUP BY bg)
+    SELECT b.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(cf.freq) AS DOUBLE) / count(*) AS commonness
+    FROM b JOIN cf USING (bg)
+    GROUP BY b.doc_id
+    """,
+)
+def text_bigram_lm(spark, sf_dir):
+    """Corpus bigram language-model commonness: score each document by
+    the mean corpus frequency of its word bigrams — the cheap stand-in
+    for perplexity filtering (CCNet-style): formulaic/boilerplate text
+    scores high, novel text low.
+
+    Determinism: the per-doc aggregate sums bigint corpus counts
+    (exact, order-free) and divides ONCE at the end — no sum-of-double
+    anywhere, so the result is bit-identical to the oracle. Scale shape:
+    bigrams come from a lead() window partitioned by doc_id (one
+    shuffle, no skew — partition = document); the corpus count and the
+    count<->doc join both key on the bigram, reusing one hash
+    partitioning. A 100 TB corpus's bigram table is join-sized, never
+    broadcast; only per-doc partials move in the final aggregate."""
+    from pyspark.sql.window import Window
+
+    from .operators.util import spread
+
+    docs = spread(Catalog(spark, sf_dir).table("documents"))
+    words = docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    nxt = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
+    bg = words.select(
+        "doc_id", F.concat(F.col("w"), F.lit(" "), nxt).alias("bg")
+    ).filter(F.col("bg").isNotNull())
+    cf = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        bg.join(cf, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("freq").cast("double") / F.count(F.lit(1))).alias("commonness"),
+        )
+    )

@@ -687,3 +687,57 @@ def test_gram_hashes_arrow_equals_expr(spark):
         a = df.select("i", dedup.gram_hashes("text", k).alias("h")).collect()
         b = df.select("i", dedup.gram_hashes_arrow("text", k).alias("h")).collect()
         assert {r.i: r.h for r in a} == {r.i: r.h for r in b}, f"k={k}"
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from elevate_data_pipeline_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame([(3, 5)], "x long, y long")
+    # bits=3: x=0b011 -> positions 0,2,4 ; y=0b101 -> positions 1,3,5
+    # z = (1<<0)|(1<<2) | (1<<1)|(1<<5) = 1+4+2+32 = 39
+    got = df.select(zorder_key("x", "y", bits=3).alias("z")).first()["z"]
+    assert got == 39
+
+
+def test_zorder_sql_matches_column(spark):
+    from pyspark.sql import functions as F
+
+    from elevate_data_pipeline_spark.operators.layout import zorder_key, zorder_sql
+
+    df = spark.range(500).select(
+        (F.col("id") * 7 % 311).alias("a"), (F.col("id") * 13 % 257).alias("b")
+    )
+    df.createOrReplaceTempView("zin")
+    via_sql = spark.sql(f"SELECT a, b, {zorder_sql(['a', 'b'], bits=8)} AS z FROM zin")
+    via_col = df.select("a", "b", zorder_key("a", "b", bits=8).alias("z"))
+    assert via_sql.exceptAll(via_col).count() == 0
+    assert via_col.exceptAll(via_sql).count() == 0
+
+
+def test_cluster_by_zorder_bounds_both_dims(spark):
+    from pyspark.sql import functions as F
+
+    from elevate_data_pipeline_spark.operators.layout import cluster_by_zorder
+
+    n, parts = 4096, 16
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("a"), ((F.col("id") * 37) % 64).alias("b")
+    )
+    clustered = cluster_by_zorder(df, ["a", "b"], bits=6, num_partitions=parts)
+    ext = (
+        clustered.withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .agg(
+            (F.max("a") - F.min("a")).alias("ea"),
+            (F.max("b") - F.min("b")).alias("eb"),
+        )
+        .agg(F.avg("ea").alias("ea"), F.avg("eb").alias("eb"))
+        .first()
+    )
+    # random placement would give ~63 extent in each dim per partition;
+    # z-clustering must bound BOTH dims well below the global extent
+    assert ext["ea"] < 48 and ext["eb"] < 48, ext
+    # layout must not change the data itself
+    assert clustered.count() == n
