@@ -87,6 +87,9 @@ HEADLINE = [
     "corpus_vocab",
     "dedup_substring_spans",
     "embedding_kmeans",
+    "events_rolling_dau",
+    "lineitem_zorder",
+    "text_bigram_lm",
 ]
 
 

@@ -279,11 +279,13 @@ def q14_promo_effect(spark, sf_dir):
 )
 def q15_top_supplier(spark, sf_dir):
     """TPC-H q15: supplier(s) with max quarterly revenue. The scalar
-    subquery max becomes a rank-1 window over the aggregated (100-row)
-    revenue frame — no second scan of lineitem, ties kept like the
-    equality predicate."""
-    from pyspark.sql import Window
-
+    subquery max becomes agg-to-scalar + broadcast equality join on the
+    per-supplier revenue frame — ties kept like the equality predicate.
+    ``localCheckpoint`` materializes the (small) aggregate once so the
+    max branch doesn't rescan lineitem; unlike a rank-1 global window
+    this never moves the full supplier frame to one partition (at 100 TB
+    the supplier aggregate is millions of rows — window-rank there is
+    the single-partition trap; max-to-scalar is a 1-row reduce)."""
     cat = Catalog(spark, sf_dir)
     l = cat.table("lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -292,13 +294,13 @@ def q15_top_supplier(spark, sf_dir):
     revenue = (
         l.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_rev()).cast("double").alias("total_revenue"))
+        .localCheckpoint(eager=False)
     )
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
     top = (
-        revenue.withColumn(
-            "rk", F.rank().over(Window.orderBy(F.desc("total_revenue")))
-        )
-        .filter(F.col("rk") == 1)
-        .drop("rk")
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .drop("_mx")
     )
     s = cat.table("supplier")
     return (
