@@ -1,0 +1,111 @@
+"""Graph analytics as declarative DataFrame iterations.
+
+``pagerank_fixed_point`` runs weighted PageRank for a FIXED number of
+iterations with pure int64 arithmetic — ranks live in scaled integer
+units (1e12 = rank 1.0), damping is ``*85 div 100``, and each source's
+per-unit share is floored BEFORE multiplying by the edge weight:
+
+    q_src    = ((r_src * 85) div 100) div out_w
+    r'_dst   = base + sum(q_src * w_e)
+
+That ordering keeps every intermediate <= r_src (q*w <= damped rank), so
+the math cannot overflow int64 at ANY graph scale, and truncation-only
+integer ops make the result bit-identical on every engine / partition
+order — the same trick the curation sampler uses for reproducibility.
+(Float PageRank sums doubles in shuffle order: never reproducible.)
+
+Scale shape: one edges/ranks hash join + one groupBy(dst) per
+iteration, both keyed on node ids, so Catalyst reuses one partitioning;
+the edges frame is localCheckpoint'd so iterations don't re-derive it.
+Companion of operators/cluster.py's star-contraction components (the
+other fixed-iteration graph op).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000_000  # fixed-point unit: 1e12 == rank 1.0
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Weighted PageRank over ``edges(src, dst, w)``; returns
+    ``(node, rank_scaled)`` after ``n_iter`` synchronous iterations.
+
+    Nodes are the union of sources and destinations. Dangling-node mass
+    (sources with no out-edges) is dropped, not redistributed — the
+    leak is identical on every engine, which is what the exactness
+    contract needs.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    ).localCheckpoint(eager=False)
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.agg(F.count(F.lit(1)).alias("_n"))
+
+    # carry the node count as a broadcast column so base = (.15*SCALE) div n
+    # stays declarative (no collect)
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "node", "_n", F.expr(f"{SCALE} div _n").alias("r")
+    )
+
+    base = F.expr(f"({SCALE} * 15 div 100) div _n")
+    for _ in range(n_iter):
+        q = ranks.join(out_w, ranks.node == out_w.src).select(
+            "src", F.expr("((r * 85) div 100) div out_w").alias("q")
+        )
+        contrib = (
+            e.join(q, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("q") * F.col("w")).alias("_s"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(n))
+            .join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node", "_n", (base + F.coalesce(F.col("_s"), F.lit(0))).alias("r")
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+def pagerank_oracle_sql(edges_cte: str, n_iter: int = 3) -> str:
+    """Unrolled-CTE DuckDB equivalent over ``edges_cte`` (a CTE body
+    producing columns src, dst, w). DuckDB ``//`` floors and Spark
+    ``div`` truncates — identical on the nonnegative operands here."""
+    parts = [
+        f"e AS ({edges_cte})",
+        "ow AS (SELECT src, sum(w) AS out_w FROM e GROUP BY src)",
+        "nd AS (SELECT DISTINCT node FROM"
+        " (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "nn AS (SELECT count(*) AS n FROM nd)",
+        f"r0 AS (SELECT node, {SCALE} // (SELECT n FROM nn) AS r FROM nd)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""r{i} AS (
+  SELECT nd.node,
+         (({SCALE} * 15 // 100) // (SELECT n FROM nn)) + COALESCE(c.s, 0) AS r
+  FROM nd LEFT JOIN (
+    SELECT e.dst AS node, sum(((r.r * 85 // 100) // ow.out_w) * e.w) AS s
+    FROM e JOIN r{i - 1} r ON r.node = e.src JOIN ow ON ow.src = e.src
+    GROUP BY e.dst) c ON c.node = nd.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node AS node, CAST(r AS BIGINT) AS rank_scaled FROM r{n_iter}"
+    )
