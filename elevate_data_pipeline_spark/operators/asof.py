@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from .util import epoch_us
 
 
 def range_join(
@@ -45,13 +46,13 @@ def range_join(
     bounded by span/bucket_seconds — size the bucket near the median
     interval length.
     """
-    lb = left.withColumn("_bkt", (F.unix_micros(F.col(ts)) / (bucket_seconds * 1_000_000)).cast("long"))
+    lb = left.withColumn("_bkt", (epoch_us(F.col(ts)) / (bucket_seconds * 1_000_000)).cast("long"))
     ib = intervals.withColumn(
         "_bkt",
         F.explode(
             F.sequence(
-                (F.unix_micros(F.col(start)) / (bucket_seconds * 1_000_000)).cast("long"),
-                (F.unix_micros(F.col(end)) / (bucket_seconds * 1_000_000)).cast("long"),
+                (epoch_us(F.col(start)) / (bucket_seconds * 1_000_000)).cast("long"),
+                (epoch_us(F.col(end)) / (bucket_seconds * 1_000_000)).cast("long"),
             )
         ),
     )

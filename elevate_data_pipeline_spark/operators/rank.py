@@ -74,3 +74,38 @@ def exact_ntile(
         .withColumn(out_col, bucket)
         .drop("_rn", "_n")
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact running total of ``sum_col`` over a global order, without a
+    single-partition window.
+
+    Same decomposition as :func:`global_row_number`: a distributed range
+    sort, a partition-local cumulative sum, and a broadcast join against
+    per-partition sum offsets (one row per partition). ``order_cols``
+    must form a total order (include a unique tiebreak)."""
+    part = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    sums = part.groupBy("_pid").agg(F.sum(sum_col).alias("_psum"))
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sums.select(
+        "_pid", F.coalesce(F.sum("_psum").over(woff), F.lit(0)).alias("_off")
+    )
+    wl = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        part.withColumn("_lsum", F.sum(sum_col).over(wl))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_off") + F.col("_lsum"))
+        .drop("_pid", "_lsum", "_off")
+    )

@@ -2,7 +2,21 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def epoch_us(col) -> Column:
+    """Microseconds-since-epoch from a timestamp column, NTZ-safe.
+
+    ``unix_micros`` rejects TIMESTAMP_NTZ, and parquet written without
+    UTC adjustment (the driver's events table) reads back as NTZ on a
+    vanilla session. Casting to TIMESTAMP first converts via the session
+    timezone — the catalog pins it to UTC, so NTZ values are interpreted
+    as UTC instants, matching DuckDB's ``epoch_us`` on naive timestamps.
+    A no-op cast for columns that are already TIMESTAMP."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -34,6 +34,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .operators.util import epoch_us
 from .sources.catalog import Catalog
 from .spec import parse_spec
 from .plans import compile_pipeline
@@ -1280,7 +1281,7 @@ def events_user_features(spark, sf_dir):
     hour so single-event users stay finite, with identical IEEE
     arithmetic on both engines."""
     ev = Catalog(spark, sf_dir).table("events")
-    span = F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+    span = epoch_us(F.max("ts")) - epoch_us(F.min("ts"))
     return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("event_type").alias("n_types"),
@@ -1455,4 +1456,158 @@ def lineitem_zorder(spark, sf_dir):
         F.max("px").alias("max_part"),
         F.min("sx").alias("min_supp"),
         F.max("sx").alias("max_supp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff, Pareto classification, robust anomaly flags
+# --------------------------------------------------------------------------
+
+from .operators.diff import snapshot_diff  # noqa: E402
+from .operators.rank import global_cumsum  # noqa: E402
+
+
+@query(
+    "orders_snapshot_diff",
+    """
+    WITH a AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 7 != 0
+    ),
+    b AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 5 != 0
+    )
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                WHEN a.o_orderstatus != b.o_orderstatus
+                  OR a.o_totalprice != b.o_totalprice
+                  OR a.o_orderpriority != b.o_orderpriority THEN 'changed'
+           END AS status
+    FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    WHERE (a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+           OR a.o_orderstatus != b.o_orderstatus
+           OR a.o_totalprice != b.o_totalprice
+           OR a.o_orderpriority != b.o_orderpriority)
+    """,
+)
+def orders_snapshot_diff(spark, sf_dir):
+    """CDC-style snapshot diff (operators/diff.snapshot_diff): two
+    deterministic versions of ``orders`` (B drops ``%5`` keys, bumps the
+    price on ``%11`` keys) reduced to (key, xxhash64(row)) and full-outer
+    joined once on the key — added / removed / changed labels with one
+    shuffle per side and every non-key column pruned before the join.
+    The oracle compares column values directly (no xxhash64 in DuckDB);
+    identical output short of a 2^-64 hash collision."""
+    orders = Catalog(spark, sf_dir).table("orders")
+    cmp_cols = ["o_orderstatus", "o_totalprice", "o_orderpriority"]
+    snap_a = orders.filter(F.col("o_orderkey") % 7 != 0)
+    snap_b = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + F.lit(1.0))
+        .otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(snap_a, snap_b, ["o_orderkey"], cmp_cols)
+
+
+@query(
+    "customer_abc_pareto",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM orders GROUP BY o_custkey
+    ),
+    c AS (
+      SELECT o_custkey, revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_revenue,
+             SUM(revenue) OVER () AS total
+      FROM rev
+    )
+    SELECT o_custkey,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(cum_revenue AS DOUBLE) AS cum_revenue,
+           CASE WHEN 2 * cum_revenue <= total THEN 'A'
+                WHEN 5 * cum_revenue <= 4 * total THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+)
+def customer_abc_pareto(spark, sf_dir):
+    """ABC / Pareto revenue classification without a single-partition
+    window: per-customer decimal-exact revenue, then the global running
+    total via operators/rank.global_cumsum (range repartition +
+    partition-local cumsum + broadcast per-partition offsets). Class
+    boundaries (top 50% / 80% of revenue) are integer-times-decimal
+    comparisons, so both engines decide ties identically. The grand
+    total is a broadcast one-row frame, not a SUM() OVER () window."""
+    orders = Catalog(spark, sf_dir).table("orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
+    )
+    cum = global_cumsum(
+        rev.withColumn("_neg", -F.col("revenue")),
+        ["_neg", "o_custkey"],
+        "revenue",
+        out_col="cum_revenue",
+    ).drop("_neg")
+    total = rev.agg(F.sum("revenue").alias("_total"))
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            "o_custkey",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.col("cum_revenue").cast("double").alias("cum_revenue"),
+            F.when(2 * F.col("cum_revenue") <= F.col("_total"), F.lit("A"))
+            .when(5 * F.col("cum_revenue") <= 4 * F.col("_total"), F.lit("B"))
+            .otherwise(F.lit("C"))
+            .alias("abc_class"),
+        )
+    )
+
+
+@query(
+    "events_anomaly_mad",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id AS event_id, e.event_type AS event_type,
+           e.value AS value,
+           abs(e.value - m.med) AS abs_dev
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    WHERE abs(e.value - m.med) > 5.0 * d.mad
+    """,
+)
+def events_anomaly_mad(spark, sf_dir):
+    """Robust per-type anomaly flags: median absolute deviation (MAD)
+    outliers, |value - median| > 5*MAD. Two grouped exact medians (the
+    group count is the event-type cardinality — small), each joined back
+    broadcast so the event scan never reshuffles. At 100 TB swap
+    F.median for approx_percentile(0.5) — same plan shape, bounded
+    sketch memory instead of a per-group sort buffer."""
+    ev = Catalog(spark, sf_dir).table("events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("_med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "_adev", F.abs(F.col("value") - F.col("_med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("_adev").alias("_mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("_adev") > 5.0 * F.col("_mad"))
+        .select("event_id", "event_type", "value", F.col("_adev").alias("abs_dev"))
     )

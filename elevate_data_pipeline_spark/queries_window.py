@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from .queries import query
 from .sources.catalog import Catalog
+from .operators.util import epoch_us
 
 
 @query(
@@ -75,7 +76,7 @@ def events_user_gaps(spark, sf_dir):
     excluded from the average."""
     ev = Catalog(spark, sf_dir).table("events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    gap = epoch_us("ts") - F.lag(epoch_us("ts")).over(w)
     return (
         ev.select("user_id", gap.alias("gap_us"))
         .filter(F.col("gap_us").isNotNull())

@@ -30,6 +30,7 @@ from typing import Iterable, Iterator, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..operators.util import epoch_us
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -241,7 +242,7 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = GAP_MINUTES_DEFAULT) 
         "_new_session",
         (
             F.coalesce(
-                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)),
+                epoch_us("ts") - epoch_us(F.lag("ts").over(w)),
                 F.lit(gap_us + 1),
             )
             > gap_us
