@@ -74,6 +74,55 @@ def brute_force_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining: per query, the top-k most-similar corpus
+    vectors with a DIFFERENT label (contrastive-training negatives that
+    are hard precisely because they score high despite the label
+    mismatch).
+
+    Same distributed shape as :func:`brute_force_topk` — the query side
+    broadcasts, the corpus streams, the label inequality is part of the
+    join condition so same-class rows are dropped before scoring. At
+    index scale, pre-bucket with LSH/IVF and apply the same label filter
+    inside each probed bucket.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("_ql"),
+        F.col(vec_col).alias("_qv"),
+        _norm(vec_col).alias("_qn"),
+    )
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("_cl"),
+        F.col(vec_col).alias("_cv"),
+        _norm(vec_col).alias("_cn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("_ql") != F.col("_cl"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("_cl").alias("neg_label"),
+            (_dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neg_label", "rank", "cos")
+    )
+
+
 # Random-hyperplane LSH: N_PLANES deterministic integer hyperplanes
 # (affine PRNG over the dimension index, centered on 0). Deterministic so
 # index build and SQL oracle reproduce the buckets bit-for-bit.

@@ -1969,3 +1969,126 @@ def text_bigram_lm(spark, sf_dir):
             (F.sum("freq").cast("double") / F.count(F.lit(1))).alias("commonness"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Canonical-doc selection, domain capping, hard negatives
+# --------------------------------------------------------------------------
+
+
+def _sql_canonical_docs() -> str:
+    """Components via the recursive-CTE closure (same as
+    _sql_cc_clusters), quality via _sql_quality, best-per-component via
+    QUALIFY with the identical (quality DESC, doc_id) ordering."""
+    return f"""
+    WITH RECURSIVE
+    p AS ({_sql_minhash_pairs()}),
+    e AS (SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p),
+    reach(id, m) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.id, e.d FROM reach r JOIN e ON e.s = r.m
+    ),
+    lab AS (SELECT id, MIN(m) AS component FROM reach GROUP BY id),
+    q AS (SELECT doc_id, {_sql_quality()} AS quality FROM documents)
+    SELECT l.component AS component, l.id AS doc_id, q.quality AS quality,
+           CAST(count(*) OVER (PARTITION BY l.component) AS BIGINT) AS cluster_size
+    FROM lab l JOIN q ON q.doc_id = l.id
+    QUALIFY row_number() OVER (PARTITION BY l.component
+                               ORDER BY q.quality DESC, l.id) = 1
+    """
+
+
+@query("dedup_canonical_docs", _sql_canonical_docs())
+def dedup_canonical_docs(spark, sf_dir):
+    """Canonical-survivor selection: near-dup clusters (minhash/LSH pairs
+    -> connected components) resolved to ONE kept document each — the
+    highest quality_score, doc_id tiebreak. This is the dedup decision a
+    curation pipeline actually ships: not "which docs collide" but
+    "which copy survives". The per-component window is bounded by
+    cluster size (dup clusters, not the corpus), so no partition
+    explodes at 100 TB; quality joins on doc_id before the window so the
+    scan is one pass."""
+    from pyspark.sql.window import Window
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    pairs = dedup.minhash_lsh_pairs(docs, est_threshold=0.25).select("id_a", "id_b")
+    labeled = cluster.label_components(
+        docs.select("doc_id"), "doc_id", pairs, src="id_a", dst="id_b"
+    )
+    scored = labeled.join(
+        docs.select("doc_id", quality_score("text").alias("quality")), "doc_id"
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        scored.withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("component")),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("component", "doc_id", "quality", "cluster_size")
+    )
+
+
+_DOMAIN_CAP = 40
+
+
+@query(
+    "curation_domain_cap",
+    f"""
+    WITH q AS (
+      SELECT doc_id, source, {_sql_quality()} AS quality FROM documents
+    )
+    SELECT source AS source, doc_id AS doc_id, quality AS quality,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY quality DESC, doc_id) AS INT) AS rnk
+    FROM q
+    QUALIFY rnk <= {_DOMAIN_CAP}
+    """,
+)
+def curation_domain_cap(spark, sf_dir):
+    """Domain capping: keep at most N docs per source, best quality
+    first — the standard guard against a single crawl domain dominating
+    the training mixture. Per-source top-N via window row_number; at
+    100 TB partial top-N per partition pre-aggregates before the shuffle
+    (rank operators in operators/rank.py), and the per-source state is
+    N rows, never the domain's full doc list."""
+    from pyspark.sql.window import Window
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        docs.select("source", "doc_id", quality_score("text").alias("quality"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _DOMAIN_CAP)
+    )
+
+
+@query(
+    "ann_hard_negatives",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS ql, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neg_label,
+             {_sql_cosine('q.qv', 'e.embedding')} AS cos
+      FROM q JOIN embeddings e ON e.label != q.ql
+    )
+    SELECT query_id AS query_id, neighbor_id AS neighbor_id,
+           neg_label AS neg_label,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+           cos AS cos
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def ann_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-5 most-cosine-similar vectors with a DIFFERENT label
+    (similarity.hard_negative_topk — broadcast queries, streamed corpus,
+    label inequality inside the join condition)."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.hard_negative_topk(emb, queries_df, k=5)

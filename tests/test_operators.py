@@ -741,3 +741,53 @@ def test_cluster_by_zorder_bounds_both_dims(spark):
     assert ext["ea"] < 48 and ext["eb"] < 48, ext
     # layout must not change the data itself
     assert clustered.count() == n
+
+
+def test_global_cumsum_equals_window(spark):
+    import random
+
+    from elevate_data_pipeline_spark.operators import rank
+
+    rng = random.Random(11)
+    df = spark.createDataFrame(
+        [(i, rng.randint(-50, 100)) for i in range(157)], "id long, v long"
+    )
+    got = {
+        r["id"]: r["cs"]
+        for r in rank.global_cumsum(df, ["v", "id"], "v", out_col="cs",
+                                    num_partitions=5).collect()
+    }
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r["id"]: r["cs"] for r in df.withColumn("cs", F.sum("v").over(w)).collect()}
+    assert got == want
+
+
+def test_snapshot_diff_labels(spark):
+    from elevate_data_pipeline_spark.operators.diff import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", 20.0), (3, "z", 30.0)], "k long, s string, v double"
+    )
+    b = spark.createDataFrame(
+        [(2, "y", 20.0), (3, "z", 31.0), (4, "w", 40.0)], "k long, s string, v double"
+    )
+    got = {r["k"]: r["status"] for r in snapshot_diff(a, b, ["k"], ["s", "v"]).collect()}
+    assert got == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_hard_negatives_exclude_same_label(spark, catalog):
+    emb = catalog.table("embeddings")
+    out = similarity.hard_negative_topk(emb, emb.filter(F.col("vec_id") < 3), k=4)
+    rows = out.collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    assert rows, "expected some hard negatives"
+    for r in rows:
+        assert labels[r["query_id"]] != r["neg_label"]
+        assert labels[r["neighbor_id"]] == r["neg_label"]
+    # exactly k per query, ranks contiguous
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in rows)
+    assert all(c == 4 for c in per_q.values())
