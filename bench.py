@@ -90,6 +90,12 @@ HEADLINE = [
     "events_rolling_dau",
     "lineitem_zorder",
     "text_bigram_lm",
+    "orders_snapshot_diff",
+    "customer_abc_pareto",
+    "events_anomaly_mad",
+    "dedup_canonical_docs",
+    "curation_domain_cap",
+    "ann_hard_negatives",
 ]
 
 

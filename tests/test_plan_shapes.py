@@ -162,3 +162,37 @@ def test_kmeans_assignment_broadcasts_centroids(spark):
     assert "CartesianProduct" not in plan
     # centroid means are two-phase decimal sums
     assert "partial_sum" in plan
+
+
+def test_abc_pareto_no_single_partition_window(spark):
+    plan = _plan(QUERIES["customer_abc_pareto"](spark, SF_DIR))
+    # the running total must come from the range-repartition + broadcast
+    # offsets decomposition, not SUM() OVER () on one partition: every
+    # Window in the plan partitions by _pid (a 32-row frame at most)
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "_pid" in spec, spec
+    assert "RangePartitioning" in plan or "rangepartitioning" in plan.lower()
+
+
+def test_snapshot_diff_prunes_before_join(spark):
+    plan = _plan(QUERIES["orders_snapshot_diff"](spark, SF_DIR))
+    # both sides reduce to (key, xxhash64) before the shuffle: the join
+    # must not carry the compared payload columns
+    m = re.search(r"SortMergeJoin|ShuffledHashJoin", plan)
+    assert m, "expected a shuffled equi-join on the key"
+    # scans read only key + compared columns (no o_orderdate/o_custkey)
+    assert "o_orderdate" not in plan
+    assert "o_custkey" not in plan
+
+
+def test_domain_cap_filter_inside_window_stage(spark):
+    plan = _plan(QUERIES["curation_domain_cap"](spark, SF_DIR))
+    # per-source top-N: rank filter applied right after the window (no
+    # second shuffle), window partitioned by source — never unpartitioned
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "source" in spec, spec
+
+
+def test_hard_negatives_broadcast_queries(spark):
+    plan = _plan(QUERIES["ann_hard_negatives"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
