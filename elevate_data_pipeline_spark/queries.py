@@ -1611,3 +1611,41 @@ def events_anomaly_mad(spark, sf_dir):
         .filter(F.col("_adev") > 5.0 * F.col("_mad"))
         .select("event_id", "event_type", "value", F.col("_adev").alias("abs_dev"))
     )
+
+
+from .operators.graph import pagerank_fixed_point, pagerank_oracle_sql  # noqa: E402
+
+_TRANSITION_EDGES_SQL = """
+    SELECT prev AS src, event_type AS dst, CAST(count(*) AS BIGINT) AS w
+    FROM (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    WHERE prev IS NOT NULL
+    GROUP BY prev, event_type
+"""
+
+
+@query("events_type_pagerank", pagerank_oracle_sql(_TRANSITION_EDGES_SQL, n_iter=3))
+def events_type_pagerank(spark, sf_dir):
+    """PageRank over the event-type transition graph (which states users
+    flow through): edges are per-user consecutive event-type pairs (lag
+    over (ts, event_id)), weights their counts; 3 synchronous iterations
+    of operators/graph.pagerank_fixed_point. All rank arithmetic is
+    fixed-point int64 (1e12 = rank 1.0) so Spark and DuckDB agree bit
+    for bit — no float drift across iteration order. The graph frame is
+    localCheckpointed once; each iteration is a broadcast-sized join
+    because the node set is the event-type vocabulary."""
+    from pyspark.sql.window import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select("event_type", F.lag("event_type").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank_fixed_point(edges, n_iter=3)

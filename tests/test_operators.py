@@ -791,3 +791,29 @@ def test_hard_negatives_exclude_same_label(spark, catalog):
 
     per_q = Counter(r["query_id"] for r in rows)
     assert all(c == 4 for c in per_q.values())
+
+
+def test_pagerank_fixed_point_two_nodes(spark):
+    from elevate_data_pipeline_spark.operators import graph
+
+    # a <-> b symmetric: ranks must stay equal at every iteration
+    e = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1)], "src string, dst string, w long"
+    )
+    got = {r["node"]: r["rank_scaled"] for r in
+           graph.pagerank_fixed_point(e, n_iter=3).collect()}
+    assert got["a"] == got["b"]
+    # total mass conserved here (no dangling nodes): sum == SCALE
+    assert abs(sum(got.values()) - graph.SCALE) <= 4  # div truncation slack
+
+
+def test_pagerank_sink_accumulates(spark):
+    from elevate_data_pipeline_spark.operators import graph
+
+    # a -> b, b -> b: b must outrank a
+    e = spark.createDataFrame(
+        [("a", "b", 1), ("b", "b", 1)], "src string, dst string, w long"
+    )
+    got = {r["node"]: r["rank_scaled"] for r in
+           graph.pagerank_fixed_point(e, n_iter=3).collect()}
+    assert got["b"] > got["a"]
