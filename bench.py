@@ -96,6 +96,9 @@ HEADLINE = [
     "dedup_canonical_docs",
     "curation_domain_cap",
     "ann_hard_negatives",
+    "events_type_pagerank",
+    "compaction_plan",
+    "text_quality_calibrated",
 ]
 
 

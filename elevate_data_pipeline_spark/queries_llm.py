@@ -2092,3 +2092,93 @@ def ann_hard_negatives(spark, sf_dir):
     emb = Catalog(spark, sf_dir).table("embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     return similarity.hard_negative_topk(emb, queries_df, k=5)
+
+
+# --------------------------------------------------------------------------
+# Compaction planning and grouped quality calibration
+# --------------------------------------------------------------------------
+
+_COMPACT_TARGET = 20_000  # chars per planned output file
+
+
+@query(
+    "compaction_plan",
+    f"""
+    WITH c AS (
+      SELECT doc_id, n_chars,
+             SUM(n_chars) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_chars
+      FROM documents
+    )
+    SELECT doc_id AS doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(cum_chars AS BIGINT) AS cum_chars,
+           CAST((cum_chars - n_chars) // {_COMPACT_TARGET} AS BIGINT) AS file_id
+    FROM c
+    """,
+)
+def compaction_plan(spark, sf_dir):
+    """Small-file compaction planner: assign documents to target-size
+    output files by bin-packing on the running byte offset (bucket =
+    start_offset div target). The running total is
+    operators/rank.global_cumsum — range repartition + broadcast
+    per-partition offsets — so planning compaction for a billion-file
+    100 TB table never funnels through one window partition. Every doc
+    lands in exactly one file; files exceed the target only by their
+    last doc's size (the classic next-fit guarantee)."""
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "n_chars")
+    from .operators.rank import global_cumsum
+
+    c = global_cumsum(docs, ["doc_id"], "n_chars", out_col="cum_chars")
+    return c.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("cum_chars").cast("long").alias("cum_chars"),
+        ((F.col("cum_chars") - F.col("n_chars")) / _COMPACT_TARGET)
+        .cast("long")
+        .alias("file_id"),
+    )
+
+
+@query(
+    "text_quality_calibrated",
+    f"""
+    WITH q AS (
+      SELECT doc_id, lang, {_sql_quality()} AS quality FROM documents
+    )
+    SELECT doc_id AS doc_id, lang AS lang, quality AS quality,
+           CAST(row_number() OVER (PARTITION BY lang
+                                   ORDER BY quality, doc_id) - 1 AS DOUBLE)
+             / greatest(count(*) OVER (PARTITION BY lang) - 1, 1)
+             AS lang_pctile
+    FROM q
+    """,
+)
+def text_quality_calibrated(spark, sf_dir):
+    """Per-language quality calibration: the raw heuristic score is not
+    comparable across languages (stopword lists, char ratios differ), so
+    curation thresholds should cut on the WITHIN-language percentile.
+    Rank via operators/rank.grouped_row_number — a range repartition
+    over (lang, quality, doc_id) with per-(partition, lang) broadcast
+    offsets — so one dominant language (English is ~half of any web
+    corpus) never collapses into a single window task. Percentile =
+    (rank-1)/(n-1), n from a broadcast per-lang count."""
+    from .operators.rank import grouped_row_number
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    q = docs.select("doc_id", "lang", quality_score("text").alias("quality"))
+    ranked = grouped_row_number(q, "lang", ["quality", "doc_id"], out_col="_rn")
+    counts = q.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.join(F.broadcast(counts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "quality",
+            (
+                (F.col("_rn") - 1).cast("double")
+                / F.greatest(F.col("_n") - 1, F.lit(1))
+            ).alias("lang_pctile"),
+        )
+    )

@@ -817,3 +817,27 @@ def test_pagerank_sink_accumulates(spark):
     got = {r["node"]: r["rank_scaled"] for r in
            graph.pagerank_fixed_point(e, n_iter=3).collect()}
     assert got["b"] > got["a"]
+
+
+def test_grouped_row_number_equals_window(spark):
+    import random
+
+    from elevate_data_pipeline_spark.operators import rank
+    from pyspark.sql.window import Window
+
+    rng = random.Random(23)
+    df = spark.createDataFrame(
+        [(i, rng.choice(["a", "b", "c"]), rng.randint(0, 40)) for i in range(211)],
+        "id long, g string, v long",
+    )
+    got = {
+        (r["g"], r["id"]): r["rn"]
+        for r in rank.grouped_row_number(df, "g", ["v", "id"],
+                                         num_partitions=7).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = {
+        (r["g"], r["id"]): r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
