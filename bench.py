@@ -99,6 +99,9 @@ HEADLINE = [
     "events_type_pagerank",
     "compaction_plan",
     "text_quality_calibrated",
+    "events_type_pagerank_conserving",
+    "multimodal_decode",
+    "stream_sessionize_native",
 ]
 
 
@@ -136,25 +139,37 @@ def main() -> None:
 
     spark.range(32).select(_warm("id")).collect()
 
+    # Median of 3 timed runs per query: single-shot numbers at this scale
+    # are noisy enough to flag phantom regressions (GC pauses, page cache,
+    # AQE re-plans) — the r2 bench showed 5x swings on queries whose plans
+    # had not changed. The median is robust to one bad run either way.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        df.collect()
-        times[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        times[name] = round(samples[len(samples) // 2], 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": sf,
+        }
     )
+    # keep stdout machine-parseable: the JSON line is the only thing we
+    # print, and it is also persisted for post-hoc comparison
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_last.json"), "w") as f:
+        f.write(line + "\n")
+    sys.stdout.flush()
+    print(line)
 
 
 if __name__ == "__main__":

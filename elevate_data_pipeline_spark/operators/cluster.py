@@ -174,6 +174,43 @@ def label_components(
     )
 
 
+def label_components_with_size(
+    nodes: DataFrame,
+    id_col: str,
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    local_threshold: int = 1_000_000,
+) -> DataFrame:
+    """:func:`label_components` plus an exact ``cluster_size`` column —
+    WITHOUT the full-corpus ``count() OVER (PARTITION BY component)``
+    window, which shuffles every row by component. Sizes come from the
+    cc map alone: a component's size is its non-root count + 1 (the
+    root), and nodes absent from the map are singletons. Both joins are
+    against map-sized frames (dup nodes only), so at 100 TB this is two
+    broadcastable joins instead of a full-data exchange. The cc map is
+    localCheckpointed: it feeds two subtrees (label join + size agg) and
+    must not recompute differently between them."""
+    cc = connected_components(
+        edges, src=src, dst=dst, max_iter=max_iter, local_threshold=local_threshold
+    ).select(
+        F.col("id").alias("_cc_id"), F.col("component").alias("_cc_comp")
+    ).localCheckpoint(eager=True)
+    sizes = cc.groupBy(F.col("_cc_comp").alias("_sz_comp")).agg(
+        (F.count(F.lit(1)) + F.lit(1)).alias("_sz")
+    )
+    labeled = nodes.join(cc, nodes[id_col] == cc["_cc_id"], "left").select(
+        nodes["*"],
+        F.coalesce(F.col("_cc_comp"), F.col(id_col)).alias("component"),
+    )
+    return (
+        labeled.join(sizes, labeled["component"] == sizes["_sz_comp"], "left")
+        .withColumn("cluster_size", F.coalesce(F.col("_sz"), F.lit(1)))
+        .drop("_sz_comp", "_sz")
+    )
+
+
 def kmeans(
     df: DataFrame,
     k: int = 8,

@@ -35,14 +35,22 @@ def pagerank_fixed_point(
     src: str = "src",
     dst: str = "dst",
     weight: str = "w",
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Weighted PageRank over ``edges(src, dst, w)``; returns
     ``(node, rank_scaled)`` after ``n_iter`` synchronous iterations.
 
     Nodes are the union of sources and destinations. Dangling-node mass
-    (sources with no out-edges) is dropped, not redistributed — the
-    leak is identical on every engine, which is what the exactness
-    contract needs.
+    (sources with no out-edges): by default it is dropped — the leak is
+    identical on every engine, which is what the exactness contract
+    needs. With ``redistribute_dangling=True`` the standard
+    mass-conserving variant runs instead: each iteration the damped
+    dangling mass is split evenly across all nodes,
+    ``share = ((D * 85) div 100) div n`` — still pure truncating int64,
+    so still bit-reproducible. Downstream ranking consumers that expect
+    sum(rank) ~ 1 (mixture weighting, sampling budgets) want this
+    variant; the dangling aggregate is one scalar per iteration,
+    crossJoin-broadcast like the node count.
     """
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
@@ -72,20 +80,31 @@ def pagerank_fixed_point(
             .groupBy("dst")
             .agg(F.sum(F.col("q") * F.col("w")).alias("_s"))
         )
-        ranks = (
-            nodes.crossJoin(F.broadcast(n))
-            .join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node", "_n", (base + F.coalesce(F.col("_s"), F.lit(0))).alias("r")
+        new_rank = base + F.coalesce(F.col("_s"), F.lit(0))
+        iter_frame = nodes.crossJoin(F.broadcast(n))
+        if redistribute_dangling:
+            # scalar: total rank sitting on nodes with no out-edges
+            dang = (
+                ranks.join(out_w, ranks.node == out_w.src, "left_anti")
+                .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("_d"))
             )
+            iter_frame = iter_frame.crossJoin(F.broadcast(dang))
+            new_rank = new_rank + F.expr("((_d * 85) div 100) div _n")
+        ranks = iter_frame.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node", "_n", new_rank.alias("r")
         )
     return ranks.select("node", F.col("r").alias("rank_scaled"))
 
 
-def pagerank_oracle_sql(edges_cte: str, n_iter: int = 3) -> str:
+def pagerank_oracle_sql(
+    edges_cte: str, n_iter: int = 3, redistribute_dangling: bool = False
+) -> str:
     """Unrolled-CTE DuckDB equivalent over ``edges_cte`` (a CTE body
     producing columns src, dst, w). DuckDB ``//`` floors and Spark
-    ``div`` truncates — identical on the nonnegative operands here."""
+    ``div`` truncates — identical on the nonnegative operands here.
+    ``redistribute_dangling`` mirrors the engine flag: a per-iteration
+    scalar CTE sums the rank of out-edge-less nodes and every node gains
+    ``(d * 85 // 100) // n``."""
     parts = [
         f"e AS ({edges_cte})",
         "ow AS (SELECT src, sum(w) AS out_w FROM e GROUP BY src)",
@@ -95,10 +114,20 @@ def pagerank_oracle_sql(edges_cte: str, n_iter: int = 3) -> str:
         f"r0 AS (SELECT node, {SCALE} // (SELECT n FROM nn) AS r FROM nd)",
     ]
     for i in range(1, n_iter + 1):
+        dang_term = ""
+        if redistribute_dangling:
+            parts.append(
+                f"""d{i} AS (
+  SELECT COALESCE(sum(r.r), 0) AS d FROM r{i - 1} r
+  WHERE r.node NOT IN (SELECT src FROM e))"""
+            )
+            dang_term = (
+                f" + (((SELECT d FROM d{i}) * 85 // 100) // (SELECT n FROM nn))"
+            )
         parts.append(
             f"""r{i} AS (
   SELECT nd.node,
-         (({SCALE} * 15 // 100) // (SELECT n FROM nn)) + COALESCE(c.s, 0) AS r
+         (({SCALE} * 15 // 100) // (SELECT n FROM nn)) + COALESCE(c.s, 0){dang_term} AS r
   FROM nd LEFT JOIN (
     SELECT e.dst AS node, sum(((r.r * 85 // 100) // ow.out_w) * e.w) AS s
     FROM e JOIN r{i - 1} r ON r.node = e.src JOIN ow ON ow.src = e.src

@@ -48,12 +48,111 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> "object":
-    """STUB: image decode requires codec libraries not present in this
-    environment. The mapInPandas plumbing around it is real."""
+class ImageData:
+    """Decoded raster: header fields + the raw interleaved pixel buffer."""
+
+    __slots__ = ("width", "height", "channels", "maxval", "pixels")
+
+    def __init__(self, width: int, height: int, channels: int, maxval: int, pixels: bytes):
+        self.width = width
+        self.height = height
+        self.channels = channels
+        self.maxval = maxval
+        self.pixels = pixels
+
+
+def encode_ppm(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+    """Binary netpbm encoder (P6 for RGB, P5 for grayscale). ``pixels``
+    is the interleaved row-major buffer; it is zero-padded / truncated
+    to exactly ``width*height*channels`` bytes."""
+    need = width * height * channels
+    buf = pixels[:need] + b"\x00" * max(0, need - len(pixels))
+    magic = b"P6" if channels == 3 else b"P5"
+    return magic + b"\n%d %d\n255\n" % (width, height) + buf
+
+
+def decode_image(payload: bytes) -> ImageData:
+    """Dependency-free image decode for the formats a header parse can
+    handle without codec libraries:
+
+    - netpbm **P6** (binary RGB) and **P5** (binary grayscale);
+    - **BMP** (BITMAPINFOHEADER, uncompressed 24-bit).
+
+    Other formats (JPEG/PNG/...) still raise ``NotImplementedError`` —
+    they need real codec libraries. Returns :class:`ImageData` with the
+    de-padded row-major pixel buffer; raises ``ValueError`` on a
+    truncated or malformed payload (a decode that silently returns
+    garbage would poison every stat derived downstream).
+    """
+    if payload[:2] in (b"P6", b"P5"):
+        return _decode_pnm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     raise NotImplementedError(
-        "image decode requires PIL/libjpeg — not available in this environment"
+        "only netpbm P5/P6 and uncompressed 24-bit BMP decode without codec "
+        "libraries; got magic %r" % payload[:2]
     )
+
+
+def _decode_pnm(payload: bytes) -> ImageData:
+    magic = payload[:2]
+    channels = 3 if magic == b"P6" else 1
+    # header = magic + 3 whitespace-separated ints (w h maxval), with
+    # optional '#' comment lines; pixel buffer starts after exactly one
+    # whitespace byte following maxval
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end-of-line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("malformed netpbm header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace separator before the buffer
+    width, height, maxval = fields
+    if width <= 0 or height <= 0 or not (0 < maxval < 256):
+        raise ValueError(f"bad netpbm dimensions {width}x{height} maxval={maxval}")
+    need = width * height * channels
+    buf = payload[pos : pos + need]
+    if len(buf) != need:
+        raise ValueError(f"truncated netpbm buffer: need {need}, have {len(buf)}")
+    return ImageData(width, height, channels, maxval, buf)
+
+
+def _decode_bmp(payload: bytes) -> ImageData:
+    import struct
+
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or planes != 1 or compression != 0 or bpp != 24:
+        raise ValueError(
+            f"unsupported BMP variant (hdr={hdr_size} bpp={bpp} comp={compression})"
+        )
+    flip = height > 0  # positive height = bottom-up row order
+    height = abs(height)
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3  # rows padded to 4-byte boundaries
+    rows = []
+    for r in range(height):
+        src = r * stride + data_off
+        row = payload[src : src + row_bytes]
+        if len(row) != row_bytes:
+            raise ValueError(f"truncated BMP row {r}")
+        # BGR -> RGB
+        rows.append(bytes(ch for px in range(width) for ch in row[px * 3 : px * 3 + 3][::-1]))
+    if flip:
+        rows.reverse()
+    return ImageData(width, height, 3, 255, b"".join(rows))
 
 
 def _byte_histogram_features(payload: bytes) -> list[float]:
@@ -67,12 +166,24 @@ def _byte_histogram_features(payload: bytes) -> list[float]:
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """STUB: image resize requires codec libraries not present in this
-    environment; the mapInPandas plumbing that would host it mirrors
-    :func:`extract_features`."""
-    raise NotImplementedError(
-        "image resize requires PIL/libvips — not available in this environment"
-    )
+    """Nearest-neighbor resize for any payload :func:`decode_image` can
+    decode, re-encoded as netpbm (P6/P5). Nearest-neighbor (not a
+    filtered kernel) keeps the operator dependency-free and exactly
+    deterministic; a real pipeline swaps in a codec-backed resampler
+    behind the same bytes->bytes signature."""
+    img = decode_image(payload)
+    ch = img.channels
+    out = bytearray(width * height * ch)
+    for y in range(height):
+        sy = y * img.height // height
+        src_row = sy * img.width * ch
+        dst_row = y * width * ch
+        for x in range(width):
+            sx = x * img.width // width
+            s = src_row + sx * ch
+            d = dst_row + x * ch
+            out[d : d + ch] = img.pixels[s : s + ch]
+    return encode_ppm(width, height, bytes(out), channels=ch)
 
 
 FRAME_SCHEMA = T.StructType(

@@ -21,6 +21,29 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+# Test hook: plan-shape tests flip this off to inspect the pre-checkpoint
+# plan (localCheckpoint truncates lineage, hiding the RangePartitioning
+# the pins assert on). Production paths never touch it.
+PIN_PARTITIONS = True
+
+
+def _pin(part: DataFrame) -> DataFrame:
+    """Pin one materialization of the range-partitioned ``_pid`` frame.
+
+    Every helper here references that frame from two subtrees (the
+    per-partition offsets and the main join). ``repartitionByRange``
+    SAMPLES its boundaries, so if the subtrees ever recompute
+    independently (executor loss, AQE replan) the offsets would be
+    derived from a different partitioning than the rows they are joined
+    back to — silently wrong results. ``localCheckpoint(eager)``
+    truncates lineage so both subtrees read the same materialized
+    blocks — and on block loss the job FAILS (no lineage to silently
+    recompute a different partitioning from) instead of mismatching."""
+    if not PIN_PARTITIONS:
+        return part
+    return part.localCheckpoint(eager=True)
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list[str],
@@ -30,8 +53,10 @@ def global_row_number(
     """Exact 1-based global row number over ``order_cols`` (which must
     form a total order — include a unique tiebreak column). Adds
     ``out_col``; drops no input columns."""
-    part = df.repartitionByRange(num_partitions, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    part = _pin(
+        df.repartitionByRange(num_partitions, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -90,8 +115,10 @@ def global_cumsum(
     sort, a partition-local cumulative sum, and a broadcast join against
     per-partition sum offsets (one row per partition). ``order_cols``
     must form a total order (include a unique tiebreak)."""
-    part = df.repartitionByRange(num_partitions, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    part = _pin(
+        df.repartitionByRange(num_partitions, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     sums = part.groupBy("_pid").agg(F.sum(sum_col).alias("_psum"))
     woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -136,8 +163,10 @@ def grouped_row_number(
     ``order_cols`` must include a unique tiebreak for determinism.
     """
     key_cols = [group_col, *order_cols]
-    part = df.repartitionByRange(num_partitions, *key_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    part = _pin(
+        df.repartitionByRange(num_partitions, *key_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     counts = part.groupBy("_pid", group_col).agg(F.count(F.lit(1)).alias("_cnt"))
     woff = (

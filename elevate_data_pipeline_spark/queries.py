@@ -856,19 +856,14 @@ def topk_orders_per_segment(spark, sf_dir):
     """,
 )
 def events_hourly(spark, sf_dir):
-    """Batch shape of the streaming hourly rollup (streaming module runs the
-    same plan via readStream + watermark)."""
+    """Batch twin of the streaming hourly rollup — calls the SAME
+    ``streaming.hourly_rollup`` plan the stream runs (withWatermark is a
+    no-op on batch frames), so a regression in that shared code surfaces
+    in the driver's DuckDB gate, not only in pytest."""
+    from .streaming import hourly_rollup
+
     ev = Catalog(spark, sf_dir).table("events")
-    return (
-        ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
-            "event_type",
-        )
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
-        )
-    )
+    return hourly_rollup(ev)
 
 
 @query(
@@ -1114,6 +1109,57 @@ def events_sessionize(spark, sf_dir):
 
     ev = Catalog(spark, sf_dir).table("events")
     return sessionize_batch(ev, gap_minutes=30)
+
+
+@query(
+    "stream_sessionize_native",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       <= INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS brk
+      FROM events
+    ), s AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g
+    )
+    SELECT user_id AS user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def stream_sessionize_native(spark, sf_dir):
+    """Batch twin of the built-in ``session_window`` streaming path —
+    the exact code ``sessionize_native`` runs under readStream. Oracle:
+    islands-and-gaps with the half-open window bound
+    (``session_end = last event + gap``, the built-in's semantics)."""
+    from .streaming.events import sessionize_native
+
+    ev = Catalog(spark, sf_dir).table("events")
+    return sessionize_native(ev, gap_minutes=30)
+
+
+@query(
+    "stream_dedup_twin",
+    """
+    SELECT DISTINCT user_id AS user_id, event_type AS event_type
+    FROM events
+    """,
+)
+def stream_dedup_twin(spark, sf_dir):
+    """Batch twin of ``dedup_stream`` (dropDuplicatesWithinWatermark on
+    a stream, plain dropDuplicates on batch). Projected to the key
+    columns so the kept-row choice is deterministic and hashable."""
+    from .streaming import dedup_stream
+
+    ev = Catalog(spark, sf_dir).table("events")
+    return dedup_stream(ev, keys=["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
 
 
 @query(
@@ -1576,11 +1622,13 @@ def customer_abc_pareto(spark, sf_dir):
     "events_anomaly_mad",
     """
     WITH med AS (
-      SELECT event_type, median(value) AS med
+      SELECT event_type,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
       FROM events GROUP BY event_type
     ),
     mad AS (
-      SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+      SELECT e.event_type,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(e.value - m.med)) AS mad
       FROM events e JOIN med m USING (event_type)
       GROUP BY e.event_type
     )
@@ -1597,15 +1645,25 @@ def events_anomaly_mad(spark, sf_dir):
     """Robust per-type anomaly flags: median absolute deviation (MAD)
     outliers, |value - median| > 5*MAD. Two grouped exact medians (the
     group count is the event-type cardinality — small), each joined back
-    broadcast so the event scan never reshuffles. At 100 TB swap
-    F.median for approx_percentile(0.5) — same plan shape, bounded
-    sketch memory instead of a per-group sort buffer."""
+    broadcast so the event scan never reshuffles. At 100 TB swap the
+    exact percentile for approx_percentile(0.5) — same plan shape,
+    bounded sketch memory instead of a per-group sort buffer.
+
+    ``percentile_disc`` (not the interpolating ``median``): the discrete
+    percentile returns an actual data value, so the statistic is
+    bit-identical across engines — an interpolating median of an
+    even-sized group is a float formula that a 1-ulp engine difference
+    can flip at the strict `> 5*MAD` boundary."""
     ev = Catalog(spark, sf_dir).table("events")
-    med = ev.groupBy("event_type").agg(F.median("value").alias("_med"))
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("_med")
+    )
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "_adev", F.abs(F.col("value") - F.col("_med"))
     )
-    mad = dev.groupBy("event_type").agg(F.median("_adev").alias("_mad"))
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _adev)").alias("_mad")
+    )
     return (
         dev.join(F.broadcast(mad), "event_type")
         .filter(F.col("_adev") > 5.0 * F.col("_mad"))
@@ -1649,3 +1707,28 @@ def events_type_pagerank(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("w"))
     )
     return pagerank_fixed_point(edges, n_iter=3)
+
+
+@query(
+    "events_type_pagerank_conserving",
+    pagerank_oracle_sql(_TRANSITION_EDGES_SQL, n_iter=3, redistribute_dangling=True),
+)
+def events_type_pagerank_conserving(spark, sf_dir):
+    """Mass-conserving PageRank over the same transition graph: each
+    iteration the damped rank of out-edge-less nodes is split evenly
+    across all nodes (``((D*85) div 100) div n``, still truncating
+    int64 — bit-reproducible). Downstream consumers that expect
+    sum(rank) ~ 1 (mixture weights, sampling budgets) use this variant;
+    the default drop-the-leak variant stays for exact parity with
+    engines that do likewise."""
+    from pyspark.sql.window import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select("event_type", F.lag("event_type").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank_fixed_point(edges, n_iter=3, redistribute_dangling=True)

@@ -16,6 +16,8 @@ DuckDB formulation notes:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import functions as F
 
 from .functions import pii
@@ -1159,18 +1161,20 @@ def dedup_cc_clusters(spark, sf_dir):
     connected components (alternating large/small-star contraction —
     operators/cluster.py), every doc labeled with its component min,
     cluster size, and a canonical-survivor flag. This is the "keep one
-    per dup cluster" step the pair queries feed."""
-    from pyspark.sql.window import Window
+    per dup cluster" step the pair queries feed.
 
+    Sizes come from label_components_with_size — two map-sized joins
+    instead of a full-corpus count-over-component window (which would
+    reshuffle every row by component at 100 TB)."""
     docs = Catalog(spark, sf_dir).table("documents")
     pairs = dedup.minhash_lsh_pairs(docs, est_threshold=0.25).select("id_a", "id_b")
-    labeled = cluster.label_components(
+    labeled = cluster.label_components_with_size(
         docs.select("doc_id"), "doc_id", pairs, src="id_a", dst="id_b"
     )
     return labeled.select(
         "doc_id",
         "component",
-        F.count(F.lit(1)).over(Window.partitionBy("component")).alias("cluster_size"),
+        "cluster_size",
         (F.col("doc_id") == F.col("component")).alias("is_canonical"),
     )
 
@@ -1527,6 +1531,119 @@ def multimodal_features(spark, sf_dir):
     ).select("doc_id", F.col("bucket").cast("int"), "share")
 
 
+_DECODE_SCHEMA = (
+    "doc_id long, width int, height int, channels int, maxval int, checksum long"
+)
+
+
+def _doc_ppm(text: str) -> bytes:
+    """Deterministic demo raster per document: the utf-8 text bytes as a
+    (w x 2) RGB netpbm payload, w derived from the byte length."""
+    data = text.encode("utf-8")
+    w = max(1, min(32, len(data) // 6))
+    return multimodal.encode_ppm(w, 2, data)
+
+
+@query(
+    "multimodal_decode",
+    """
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS total,
+             greatest(1, least(32, octet_length(encode(text)) // 6)) AS w,
+             [ascii(substr(text, x, 1)) for x in range(1, 1 + len(text))] AS codes
+      FROM documents
+    )
+    SELECT doc_id AS doc_id, CAST(w AS INT) AS width, 2 AS height,
+           3 AS channels, 255 AS maxval,
+           CAST(coalesce(list_sum(codes[1:CAST(least(total, w * 6) AS INT)]), 0)
+                AS BIGINT) AS checksum
+    FROM b
+    """,
+)
+def multimodal_decode(spark, sf_dir):
+    """REAL image decode (no stub): each document's bytes become a P6
+    netpbm payload; ``operators/multimodal.decode_image`` parses the
+    header and pixel buffer byte-for-byte inside mapInPandas. The oracle
+    recomputes width/height/channels/maxval and the pixel-sum checksum
+    from the text (ASCII => byte == codepoint; encode_ppm zero-pads, so
+    padding contributes 0). One narrow scan, no shuffle — decode is
+    embarrassingly parallel, the 100 TB shape."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                img = multimodal.decode_image(_doc_ppm(text))
+                rows.append(
+                    (doc_id, img.width, img.height, img.channels, img.maxval,
+                     sum(img.pixels))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "channels", "maxval", "checksum"],
+            )
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    out = docs.mapInPandas(run, _DECODE_SCHEMA)
+    return out.select(
+        "doc_id", "width", "height", "channels", "maxval", "checksum"
+    )
+
+
+@query(
+    "multimodal_resize",
+    """
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS total,
+             greatest(1, least(32, octet_length(encode(text)) // 6)) AS w,
+             [ascii(substr(text, x, 1)) for x in range(1, 1 + len(text))] AS codes
+      FROM documents
+    )
+    SELECT doc_id AS doc_id, CAST(y.range AS INT) AS y, CAST(x.range AS INT) AS x,
+           CAST(c.range AS INT) AS channel,
+           CAST(coalesce(
+               codes[CAST(y.range * w * 3 + (x.range * w // 8) * 3 + c.range AS INT) + 1],
+               0) AS INT) AS v
+    FROM b, range(0, 2) y, range(0, 8) x, range(0, 3) c
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """REAL nearest-neighbor resize to 8x2 over the decoded payloads,
+    emitted one row per resized pixel channel. The oracle replays the
+    nearest-neighbor index arithmetic (sy = y, sx = x*w div 8) against
+    the text bytes, with zero-padding beyond the text (source rows are
+    zero-padded by encode_ppm)."""
+    from collections.abc import Iterator
+
+    schema = "doc_id long, y int, x int, channel int, v int"
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ids, ys, xs, cs, vs = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                resized = multimodal.decode_image(
+                    multimodal.resize_image(_doc_ppm(text), 8, 2)
+                )
+                for y in range(2):
+                    for x in range(8):
+                        for c in range(3):
+                            ids.append(doc_id)
+                            ys.append(y)
+                            xs.append(x)
+                            cs.append(c)
+                            vs.append(resized.pixels[(y * 8 + x) * 3 + c])
+            yield pd.DataFrame(
+                {"doc_id": ids, "y": pd.array(ys, dtype="int32"),
+                 "x": pd.array(xs, dtype="int32"),
+                 "channel": pd.array(cs, dtype="int32"),
+                 "v": pd.array(vs, dtype="int32")}
+            )
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    return docs.mapInPandas(run, schema)
+
+
 @query(
     "events_heavy_hitters",
     """
@@ -1647,19 +1764,14 @@ def dedup_semantic_clusters(spark, sf_dir):
     """Semantic (embedding-cosine) near-dup clusters: the same
     connected-components resolution as dedup_cc_clusters, composed over
     the embedding pair graph instead of the minhash one — one cluster
-    operator serving every pair family."""
-    from pyspark.sql.window import Window
-
+    operator serving every pair family. Sizes via the map-sized join
+    path (label_components_with_size), not a full-corpus window."""
     emb = Catalog(spark, sf_dir).table("embeddings")
     pairs = dedup.embedding_dup_pairs(emb, threshold=0.35).select("id_a", "id_b")
-    labeled = cluster.label_components(
+    labeled = cluster.label_components_with_size(
         emb.select("vec_id"), "vec_id", pairs, src="id_a", dst="id_b"
     )
-    return labeled.select(
-        "vec_id",
-        "component",
-        F.count(F.lit(1)).over(Window.partitionBy("component")).alias("cluster_size"),
-    )
+    return labeled.select("vec_id", "component", "cluster_size")
 
 
 _KMEANS_K = 8
@@ -2135,7 +2247,9 @@ def compaction_plan(spark, sf_dir):
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars"),
         F.col("cum_chars").cast("long").alias("cum_chars"),
-        ((F.col("cum_chars") - F.col("n_chars")) / _COMPACT_TARGET)
+        # integer div, not `/`: a double quotient loses exactness once the
+        # running offset passes 2^53 — real territory for a 100 TB corpus
+        F.expr(f"(cum_chars - n_chars) div {_COMPACT_TARGET}")
         .cast("long")
         .alias("file_id"),
     )

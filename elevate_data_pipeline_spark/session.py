@@ -33,6 +33,9 @@ _DEFAULTS = {
     # the catalog convert to a proper timestamp column
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
+    # the \r-refreshed console progress bar interleaves with anything the
+    # driver prints (bench.py emits one machine-parsed JSON line) — off
+    "spark.ui.showConsoleProgress": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 

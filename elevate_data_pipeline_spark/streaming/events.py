@@ -44,18 +44,21 @@ from pyspark.sql.types import (
 GAP_MINUTES_DEFAULT = 30
 
 
-def events_stream_schema() -> StructType:
+def events_stream_schema(ts_type=None) -> StructType:
     """Schema of the events table as read by the file stream.
 
-    ``ts`` arrives as TIMESTAMP(NANOS) in the driver-generated parquet;
-    under ``spark.sql.legacy.parquet.nanosAsLong`` (set by the session
-    factory) it surfaces as a nanosecond LongType that we convert in
-    :func:`read_events_stream`.
+    ``ts`` has shipped in two layouts: TIMESTAMP(NANOS) (surfaces as a
+    nanosecond LongType under ``spark.sql.legacy.parquet.nanosAsLong``)
+    and TIMESTAMP(MICROS) (surfaces as a timestamp — NTZ when the file
+    is written without UTC adjustment). ``ts_type`` selects the layout;
+    :func:`read_events_stream` probes the actual files and passes the
+    observed type, mirroring ``Catalog.load_table``'s dual-layout
+    handling (sources/catalog.py).
     """
     return StructType(
         [
             StructField("event_id", LongType()),
-            StructField("ts", LongType()),
+            StructField("ts", ts_type or LongType()),
             StructField("user_id", LongType()),
             StructField("event_type", StringType()),
             StructField("value", DoubleType()),
@@ -72,12 +75,30 @@ def read_events_stream(
     File streams are the local stand-in for Kafka: each newly-arrived
     file becomes a micro-batch. ``max_files_per_trigger`` throttles
     batch size (and lets tests force multi-batch execution).
+
+    The ``ts`` layout (nanos-as-long vs native timestamp) is probed from
+    the files already present via a one-off batch read — a driver-side
+    footer read, no data scan — so the stream sees the same ``ts`` type
+    and values the batch ``Catalog`` produces for the same files.
     """
-    reader = spark.readStream.schema(events_stream_schema()).format("parquet")
+    # same defensive confs as Catalog.load_table: work on a vanilla session
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    probed = dict(spark.read.parquet(path).dtypes).get("ts")
+    ts_is_long = probed == "bigint"
+    # MICROS files infer as TIMESTAMP_NTZ on batch reads, but watermarks
+    # reject NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — declare plain
+    # TIMESTAMP in the stream schema instead. With the session timezone
+    # pinned to UTC the values are identical to the batch NTZ read.
+    ts_type = LongType() if ts_is_long else TimestampType()
+    reader = spark.readStream.schema(events_stream_schema(ts_type)).format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.load(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        # integer division — ns epoch values (~1.7e18) overflow double precision
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -40,6 +40,53 @@ def test_jdbc_roundtrip_derby(spark, tmp_path):
     assert all_rows.count() == 6
 
 
+def test_jdbc_append_schema_drift_strict_raises(spark, tmp_path):
+    """Strict mode refuses a drifted frame BEFORE any row lands (the
+    reference appends blind, mentoringFunction2.scala:269-278)."""
+    import pytest
+
+    url = _url(tmp_path)
+    base = spark.createDataFrame([(1, "a")], "id int, name string")
+    jdbc.write_jdbc_append(base, url, "t_drift", "u", "p", driver=DRIVER).save()
+
+    drifted = spark.createDataFrame([(2, 3.5)], "id int, score double")
+    with pytest.raises(ValueError, match="schema drift"):
+        jdbc.write_jdbc_append(
+            drifted, url, "t_drift", "u", "p", driver=DRIVER, schema_mode="strict"
+        ).save()
+    # nothing was written
+    n = jdbc.read_jdbc_query(
+        spark, url, 'SELECT "id" FROM t_drift', "u", "p", driver=DRIVER
+    ).load().count()
+    assert n == 1
+
+    # a matching frame passes strict
+    jdbc.write_jdbc_append(
+        spark.createDataFrame([(9, "z")], "id int, name string"),
+        url, "t_drift", "u", "p", driver=DRIVER, schema_mode="strict",
+    ).save()
+
+
+def test_jdbc_append_schema_drift_lenient_projects(spark, tmp_path):
+    """Lenient mode projects onto the sink's schema: extra frame columns
+    drop, missing sink columns fill with NULL."""
+    url = _url(tmp_path)
+    base = spark.createDataFrame([(1, "a")], "id int, name string")
+    jdbc.write_jdbc_append(base, url, "t_lenient", "u", "p", driver=DRIVER).save()
+
+    drifted = spark.createDataFrame([(2, 3.5)], "id int, score double")
+    jdbc.write_jdbc_append(
+        drifted, url, "t_lenient", "u", "p", driver=DRIVER, schema_mode="lenient"
+    ).save()
+
+    rows = sorted(
+        map(tuple, jdbc.read_jdbc_query(
+            spark, url, 'SELECT "id", "name" FROM t_lenient', "u", "p", driver=DRIVER
+        ).load().collect())
+    )
+    assert rows == [(1, "a"), (2, None)]
+
+
 def test_jdbc_partitioned_read(spark, tmp_path):
     url = _url(tmp_path)
     df = spark.createDataFrame([(i, i * 10) for i in range(100)], "id int, v int")

@@ -107,9 +107,65 @@ def test_multimodal_features_shape(docs):
         assert r["n_bytes"] > 0
 
 
-def test_multimodal_decode_stub_raises():
+def test_multimodal_decode_unsupported_format_raises():
+    # JPEG magic: still needs a real codec library
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\xff\xd8\xff")
+
+
+def test_ppm_roundtrip():
+    pixels = bytes(range(2 * 3 * 3))  # 3x2 RGB
+    img = multimodal.decode_image(multimodal.encode_ppm(3, 2, pixels))
+    assert (img.width, img.height, img.channels, img.maxval) == (3, 2, 3, 255)
+    assert img.pixels == pixels
+
+
+def test_ppm_padding_and_comments():
+    # short buffer zero-pads; header comments are skipped
+    img = multimodal.decode_image(multimodal.encode_ppm(2, 2, b"\x10\x20"))
+    assert img.pixels == b"\x10\x20" + b"\x00" * 10
+    commented = b"P6\n# a comment\n2 1\n255\n" + bytes(6)
+    img2 = multimodal.decode_image(commented)
+    assert (img2.width, img2.height) == (2, 1)
+
+
+def test_ppm_truncated_raises():
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"P6\n4 4\n255\n\x00\x00")
+
+
+def test_pgm_grayscale():
+    img = multimodal.decode_image(multimodal.encode_ppm(4, 1, bytes([9, 8, 7, 6]), channels=1))
+    assert (img.channels, img.pixels) == (1, bytes([9, 8, 7, 6]))
+
+
+def _bmp_24(width, height, rgb_rows):
+    """Minimal bottom-up 24-bit BMP from row-major RGB rows."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    body = b"".join(
+        b"".join(px[::-1] for px in [row[i * 3 : i * 3 + 3] for i in range(width)])
+        + b"\x00" * (stride - width * 3)
+        for row in reversed(rgb_rows)  # bottom-up storage
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 0, 0, 0, 0)
+    return header + dib + body
+
+
+def test_bmp_decode_matches_rows():
+    rows = [bytes([1, 2, 3, 4, 5, 6]), bytes([7, 8, 9, 10, 11, 12])]  # 2x2 RGB
+    img = multimodal.decode_image(_bmp_24(2, 2, rows))
+    assert (img.width, img.height, img.channels) == (2, 2, 3)
+    assert img.pixels == rows[0] + rows[1]
+
+
+def test_resize_nearest_neighbor():
+    # 2x1 -> 4x1: each source pixel repeats twice
+    src = multimodal.encode_ppm(2, 1, bytes([1, 2, 3, 4, 5, 6]))
+    out = multimodal.decode_image(multimodal.resize_image(src, 4, 1))
+    assert out.pixels == bytes([1, 2, 3, 1, 2, 3, 4, 5, 6, 4, 5, 6])
 
 
 def test_payload_metadata(docs):

@@ -68,7 +68,16 @@ def test_decontaminate_benchmark_broadcasts(spark):
 
 
 def test_deciles_no_single_partition_sort(spark):
-    plan = _plan(QUERIES["customer_balance_deciles"](spark, SF_DIR))
+    # PIN_PARTITIONS off: the production localCheckpoint truncates the
+    # explain at the pinned frame; the pin is about what the plan DOES
+    # before that point
+    from elevate_data_pipeline_spark.operators import rank
+
+    rank.PIN_PARTITIONS = False
+    try:
+        plan = _plan(QUERIES["customer_balance_deciles"](spark, SF_DIR))
+    finally:
+        rank.PIN_PARTITIONS = True
     # exact-ntile rewrite: the total order lives in a range repartition,
     # never a global (single-partition) window sort over customer rows
     assert "rangepartitioning(c_acctbal" in plan
@@ -165,7 +174,13 @@ def test_kmeans_assignment_broadcasts_centroids(spark):
 
 
 def test_abc_pareto_no_single_partition_window(spark):
-    plan = _plan(QUERIES["customer_abc_pareto"](spark, SF_DIR))
+    from elevate_data_pipeline_spark.operators import rank
+
+    rank.PIN_PARTITIONS = False
+    try:
+        plan = _plan(QUERIES["customer_abc_pareto"](spark, SF_DIR))
+    finally:
+        rank.PIN_PARTITIONS = True
     # the running total must come from the range-repartition + broadcast
     # offsets decomposition, not SUM() OVER () on one partition: every
     # Window in the plan partitions by _pid (a 32-row frame at most)
@@ -196,3 +211,19 @@ def test_domain_cap_filter_inside_window_stage(spark):
 def test_hard_negatives_broadcast_queries(spark):
     plan = _plan(QUERIES["ann_hard_negatives"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_cc_clusters_no_component_window(spark):
+    plan = _plan(QUERIES["dedup_cc_clusters"](spark, SF_DIR))
+    # cluster_size comes from the map-sized join path
+    # (label_components_with_size), NOT count() OVER (PARTITION BY
+    # component) — a full-corpus reshuffle at 100 TB
+    assert "windowspecdefinition" not in plan.lower()
+
+
+def test_multimodal_decode_no_shuffle(spark):
+    plan = _plan(QUERIES["multimodal_decode"](spark, SF_DIR))
+    # decode is embarrassingly parallel: scan -> mapInPandas, no Exchange
+    assert "Exchange" not in plan
+    # payload built from text only — the scan must not read other columns
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
