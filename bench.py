@@ -102,6 +102,8 @@ HEADLINE = [
     "events_type_pagerank_conserving",
     "multimodal_decode",
     "stream_sessionize_native",
+    "corpus_block_dedup",
+    "curation_shuffle",
 ]
 
 

@@ -751,3 +751,70 @@ def substring_dup_spans(
             F.col("dup_chars").cast("double") / F.col("n_chars").cast("double"),
         )
     )
+
+
+def block_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_words: int = 10,
+    min_docs: int = 2,
+    delimiter: str | None = None,
+) -> DataFrame:
+    """Corpus-level line/segment deduplication (C4 §2.2 / RefinedWeb
+    boilerplate removal): a segment whose exact text appears in at least
+    ``min_docs`` DISTINCT documents is boilerplate (nav bars, licenses,
+    cookie banners) and is removed from every document.
+
+    ``delimiter`` splits documents into natural lines when the corpus
+    has them; for line-less text, segments are non-overlapping
+    ``block_words``-word blocks (the default, matching the synthetic
+    corpus). Returns (id, n_blocks, n_removed, cleaned_text).
+
+    Scale shape: the segment-frequency aggregation is ONE partial-agg
+    shuffle keyed on segment text (the same key the removal join needs),
+    and the boilerplate set — segments repeated across documents — is
+    tiny relative to the corpus, so the removal join broadcasts under
+    AQE. Document reconstruction is a per-doc ``collect_list`` +
+    ``array_sort`` (bounded by document length, never corpus size). At
+    100 TB, swap the join key for ``xxhash64(segment)`` to cut shuffle
+    width (collision odds ~n²/2⁶⁴; the exactness contract here keeps
+    the full text key so the DuckDB oracle matches bit-for-bit).
+    """
+    if delimiter is not None:
+        segs = F.split(F.col(text_col), delimiter)
+    else:
+        ws = F.split(F.col(text_col), " ")
+        n_blocks = F.ceil(F.size(ws) / F.lit(block_words)).cast("int")
+        segs = F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(ws, i * block_words + 1, block_words)
+            ),
+        )
+    blocks = docs.select(
+        F.col(id_col), F.posexplode(segs).alias("blk_idx", "blk")
+    )
+    boiler = (
+        blocks.groupBy("blk")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("blk", "_nd")
+    )
+    flagged = blocks.join(boiler, "blk", "left").withColumn(
+        "_dup", F.col("_nd").isNotNull()
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.col("_dup").cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("blk_idx", "blk", "_dup"))),
+                    lambda s: ~s["_dup"],
+                ),
+                lambda s: s["blk"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )

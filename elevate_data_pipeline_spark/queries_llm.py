@@ -2206,6 +2206,74 @@ def ann_hard_negatives(spark, sf_dir):
     return similarity.hard_negative_topk(emb, queries_df, k=5)
 
 
+@query(
+    "corpus_block_dedup",
+    """
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    b AS (
+      SELECT doc_id, CAST(r.range AS INT) AS blk_idx,
+             array_to_string(list_slice(w, r.range * 10 + 1, r.range * 10 + 10), ' ')
+               AS blk
+      FROM ws, range(0, 100000) r
+      WHERE r.range < CAST(ceil(len(w) / 10.0) AS INT)
+    ),
+    d AS (SELECT blk FROM b GROUP BY blk HAVING count(DISTINCT doc_id) >= 2)
+    SELECT b.doc_id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(CASE WHEN d.blk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           coalesce(string_agg(CASE WHEN d.blk IS NULL THEN b.blk END,
+                               ' ' ORDER BY b.blk_idx), '') AS cleaned_text
+    FROM b LEFT JOIN d ON b.blk = d.blk
+    GROUP BY b.doc_id
+    """,
+)
+def corpus_block_dedup(spark, sf_dir):
+    """C4-style corpus-level segment dedup: any exact 10-word block that
+    appears in >= 2 distinct documents is boilerplate and is stripped
+    from every document (operators/dedup.block_dedup — one segment-key
+    partial-agg shuffle, AQE-broadcast removal join, per-doc bounded
+    reconstruction)."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return dedup.block_dedup(docs, block_words=10, min_docs=2)
+
+
+_SHUFFLE_HASH = "((doc_id % 4294967296) * 2654435761) % 4294967296"
+_DOCS_PER_SHARD = 256
+
+
+@query(
+    "curation_shuffle",
+    f"""
+    SELECT doc_id AS doc_id,
+           CAST(row_number() OVER (ORDER BY {_SHUFFLE_HASH}, doc_id) AS BIGINT)
+             AS pos,
+           CAST((row_number() OVER (ORDER BY {_SHUFFLE_HASH}, doc_id) - 1)
+                // {_DOCS_PER_SHARD} AS BIGINT) AS shard
+    FROM documents
+    """,
+)
+def curation_shuffle(spark, sf_dir):
+    """Deterministic corpus shuffle for training order: every doc gets a
+    reproducible global position by ranking on the Knuth multiplicative
+    hash of its id (the same engine-portable split-multiply hash the
+    sampler uses — no RNG, identical on every engine/run), then a shard
+    assignment of 256 docs each. The rank comes from
+    operators/rank.global_row_number (range repartition + broadcast
+    per-partition offsets), so shuffling a 100 TB corpus never funnels
+    through a single window task."""
+    from .operators.rank import global_row_number
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id")
+    d = docs.withColumn("_h", curation._hash32("doc_id"))
+    ranked = global_row_number(d, ["_h", "doc_id"], out_col="pos")
+    return ranked.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.expr(f"(pos - 1) div {_DOCS_PER_SHARD}").cast("long").alias("shard"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Compaction planning and grouped quality calibration
 # --------------------------------------------------------------------------
