@@ -10,6 +10,7 @@ from .events import (
     sessionize_stream,
     upsert_sink,
 )
+from .ingest import dedup_ingest_sink
 
 __all__ = [
     "events_stream_schema",
@@ -22,4 +23,5 @@ __all__ = [
     "dedup_stream",
     "enrich_stream",
     "join_streams_interval",
+    "dedup_ingest_sink",
 ]

@@ -284,3 +284,40 @@ def test_sessionize_native_streaming(spark, events_dir):
     want = {tuple(r) for r in
             sessionize_native(Catalog(spark, SF_DIR).table("events")).collect()}
     assert got == want and len(want) > 0
+
+
+def test_dedup_ingest_sink_cross_batch(spark, tmp_path):
+    """Crawl-ingest dedup across micro-batches: a batch-2 near-dup of a
+    batch-1 doc is dropped via the persisted band index; a batch-2
+    within-batch duplicate pair keeps only the smaller id; novel docs
+    survive."""
+    from elevate_data_pipeline_spark.streaming import dedup_ingest_sink
+
+    base_text = " ".join(f"tok{i}" for i in range(60))
+    near_dup = " ".join(f"tok{i}" for i in range(59)) + " tokX"
+    other = " ".join(f"alt{i}" for i in range(60))
+    novel = " ".join(f"new{i}" for i in range(60))
+
+    d = tmp_path / "in"
+    d.mkdir()
+    schema = "doc_id long, text string"
+
+    def write_batch(fname, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d / fname))
+
+    write_batch("b1", [(1, base_text), (2, other)])
+    write_batch("b2", [(3, near_dup), (4, novel), (5, novel)])
+
+    stream = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("maxFilesPerTrigger", "1").load(str(d) + "/b*")
+    )
+    state = str(tmp_path / "state")
+    q = dedup_ingest_sink(stream, state, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+
+    kept = sorted(r.doc_id for r in spark.read.parquet(state + "/docs").collect())
+    assert kept == [1, 2, 4]
+    # the band index covers exactly the kept docs
+    idx_ids = {r["_id"] for r in spark.read.parquet(state + "/bands").collect()}
+    assert idx_ids == {1, 2, 4}
