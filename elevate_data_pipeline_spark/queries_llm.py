@@ -2117,23 +2117,32 @@ def dedup_canonical_docs(spark, sf_dir):
     -> connected components) resolved to ONE kept document each — the
     highest quality_score, doc_id tiebreak. This is the dedup decision a
     curation pipeline actually ships: not "which docs collide" but
-    "which copy survives". The per-component window is bounded by
-    cluster size (dup clusters, not the corpus), so no partition
-    explodes at 100 TB; quality joins on doc_id before the window so the
-    scan is one pass."""
+    "which copy survives".
+
+    Only CLUSTER MEMBERS are windowed: the member map (docs with a dup
+    pair — tiny relative to the corpus) splits the corpus via one
+    broadcastable semi/anti join, singletons pass through map-only as
+    their own canonical, and the rank/size windows run over the members
+    frame alone. The earlier shape windowed the entire corpus by
+    component — a full-data shuffle at 100 TB for rows that are almost
+    all singleton no-ops."""
     from pyspark.sql.window import Window
 
     docs = Catalog(spark, sf_dir).table("documents")
     pairs = dedup.minhash_lsh_pairs(docs, est_threshold=0.25).select("id_a", "id_b")
-    labeled = cluster.label_components(
-        docs.select("doc_id"), "doc_id", pairs, src="id_a", dst="id_b"
+    cc = cluster.connected_components(pairs, src="id_a", dst="id_b")
+    # cc holds non-roots only; a cluster's root re-enters via its component
+    members = (
+        cc.select("id", "component")
+        .unionByName(cc.select(F.col("component").alias("id"), "component"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    scored = labeled.join(
-        docs.select("doc_id", quality_score("text").alias("quality")), "doc_id"
-    )
+    scored = docs.select("doc_id", quality_score("text").alias("quality"))
+    clustered = scored.join(members, scored.doc_id == members.id).drop("id")
     w = Window.partitionBy("component").orderBy(F.desc("quality"), F.asc("doc_id"))
-    return (
-        scored.withColumn(
+    winners = (
+        clustered.withColumn(
             "cluster_size",
             F.count(F.lit(1)).over(Window.partitionBy("component")),
         )
@@ -2141,6 +2150,13 @@ def dedup_canonical_docs(spark, sf_dir):
         .filter(F.col("_rn") == 1)
         .select("component", "doc_id", "quality", "cluster_size")
     )
+    singles = scored.join(members, scored.doc_id == members.id, "left_anti").select(
+        F.col("doc_id").alias("component"),
+        "doc_id",
+        "quality",
+        F.lit(1).cast("long").alias("cluster_size"),
+    )
+    return winners.unionByName(singles)
 
 
 _DOMAIN_CAP = 40

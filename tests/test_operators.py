@@ -897,3 +897,30 @@ def test_grouped_row_number_equals_window(spark):
         for r in df.withColumn("rn", F.row_number().over(w)).collect()
     }
     assert got == want
+
+
+def test_image_roundtrip_properties():
+    """Decode(encode) is the identity on header + buffer for arbitrary
+    dimensions and pixel data (pure Python, no Spark)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 12),
+        ch=st.sampled_from([1, 3]),
+        data=st.binary(min_size=0, max_size=256),
+    )
+    def check(w, h, ch, data):
+        img = multimodal.decode_image(multimodal.encode_ppm(w, h, data, channels=ch))
+        need = w * h * ch
+        assert (img.width, img.height, img.channels) == (w, h, ch)
+        assert img.pixels == data[:need] + b"\x00" * max(0, need - len(data))
+        # resize to self is the identity on the pixel buffer
+        same = multimodal.decode_image(
+            multimodal.resize_image(multimodal.encode_ppm(w, h, data, channels=ch), w, h)
+        )
+        assert same.pixels == img.pixels
+
+    check()
