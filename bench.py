@@ -104,6 +104,7 @@ HEADLINE = [
     "stream_sessionize_native",
     "corpus_block_dedup",
     "curation_shuffle",
+    "pretraining_corpus",
 ]
 
 

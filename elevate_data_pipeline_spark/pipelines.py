@@ -49,3 +49,62 @@ def curate_corpus(
         "quality",
         token_count_ws("text").cast("long").alias("n_tokens"),
     )
+
+
+def pretraining_corpus(
+    docs: DataFrame,
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.5,
+    est_threshold: float = 0.25,
+    block_words: int = 10,
+    min_docs: int = 2,
+    docs_per_shard: int = 256,
+) -> DataFrame:
+    """The full pretraining-data build, every stage an already-tested
+    operator:
+
+    1. corpus-level boilerplate removal (``dedup.block_dedup`` — C4-style
+       repeated-segment strip, so downstream stages see CLEANED text);
+    2. language + quality gates on the cleaned text;
+    3. near-dup canonicalization (minhash/LSH pairs → connected
+       components → keep each cluster's min id);
+    4. deterministic training-order shuffle + shard assignment
+       (engine-portable Knuth hash ranked through the scale-safe global
+       row number).
+
+    Returns (doc_id, lang, quality, n_tokens, pos, shard). Stage order
+    is the cost story at 100 TB: boilerplate removal and the gates run
+    BEFORE the pair stage, so the band-key shuffle sees only the kept
+    in-language slice; the shuffle/shard rank runs last over survivors
+    only. Deterministic end to end — no sampling randomness anywhere.
+    """
+    from .operators.rank import global_row_number
+
+    cleaned = dedup.block_dedup(
+        docs, block_words=block_words, min_docs=min_docs
+    ).select("doc_id", F.col("cleaned_text").alias("text"))
+    base = cleaned.join(docs.select("doc_id", "lang"), "doc_id")
+    f = base.filter(F.col("lang").isin(*langs) & (F.length("text") > 0))
+    f = curation.quality_filter(f, min_quality=min_quality)
+    pairs = dedup.minhash_lsh_pairs(f, est_threshold=est_threshold).select(
+        "id_a", "id_b"
+    )
+    labeled = cluster.label_components(f, "doc_id", pairs, src="id_a", dst="id_b")
+    surv = labeled.filter(F.col("component") == F.col("doc_id")).select(
+        "doc_id",
+        "lang",
+        "quality",
+        token_count_ws("text").cast("long").alias("n_tokens"),
+    )
+    ranked = global_row_number(
+        surv.withColumn("_h", curation._hash32("doc_id")), ["_h", "doc_id"],
+        out_col="pos",
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "quality",
+        "n_tokens",
+        F.col("pos").cast("long").alias("pos"),
+        F.expr(f"(pos - 1) div {docs_per_shard}").cast("long").alias("shard"),
+    )

@@ -2222,6 +2222,10 @@ def ann_hard_negatives(spark, sf_dir):
     return similarity.hard_negative_topk(emb, queries_df, k=5)
 
 
+_SHUFFLE_HASH = "((doc_id % 4294967296) * 2654435761) % 4294967296"
+_DOCS_PER_SHARD = 256
+
+
 @query(
     "corpus_block_dedup",
     """
@@ -2254,8 +2258,68 @@ def corpus_block_dedup(spark, sf_dir):
     return dedup.block_dedup(docs, block_words=10, min_docs=2)
 
 
-_SHUFFLE_HASH = "((doc_id % 4294967296) * 2654435761) % 4294967296"
-_DOCS_PER_SHARD = 256
+@query(
+    "pretraining_corpus",
+    f"""
+    WITH RECURSIVE
+    ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    b AS (
+      SELECT doc_id, CAST(r.range AS INT) AS blk_idx,
+             array_to_string(list_slice(w, r.range * 10 + 1, r.range * 10 + 10), ' ')
+               AS blk
+      FROM ws, range(0, 100000) r
+      WHERE r.range < CAST(ceil(len(w) / 10.0) AS INT)
+    ),
+    dup AS (SELECT blk FROM b GROUP BY blk HAVING count(DISTINCT doc_id) >= 2),
+    c AS (
+      SELECT b.doc_id,
+             coalesce(string_agg(CASE WHEN dup.blk IS NULL THEN b.blk END,
+                                 ' ' ORDER BY b.blk_idx), '') AS text
+      FROM b LEFT JOIN dup ON b.blk = dup.blk
+      GROUP BY b.doc_id
+    ),
+    f AS (
+      SELECT c.doc_id, d2.lang, c.text, {_sql_quality('c.text')} AS quality
+      FROM c JOIN documents d2 USING (doc_id)
+      WHERE d2.lang = 'en' AND len(c.text) > 0
+        AND {_sql_quality('c.text')} >= 0.5
+    ),
+    p AS ({_sql_minhash_pairs(rel="f")}),
+    e AS (SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p),
+    reach(id, m) AS (
+        SELECT doc_id, doc_id FROM f
+        UNION
+        SELECT r.id, e.d FROM reach r JOIN e ON e.s = r.m
+    ),
+    lab AS (SELECT id, MIN(m) AS component FROM reach GROUP BY id),
+    surv AS (
+      SELECT f.doc_id, f.lang, f.quality,
+             CAST(len(string_split(f.text, ' ')) AS BIGINT) AS n_tokens
+      FROM f JOIN lab ON lab.id = f.doc_id
+      WHERE lab.component = f.doc_id
+    )
+    SELECT doc_id AS doc_id, lang AS lang, quality AS quality,
+           n_tokens AS n_tokens,
+           CAST(row_number() OVER (ORDER BY {_SHUFFLE_HASH}, doc_id) AS BIGINT)
+             AS pos,
+           CAST((row_number() OVER (ORDER BY {_SHUFFLE_HASH}, doc_id) - 1)
+                // {_DOCS_PER_SHARD} AS BIGINT) AS shard
+    FROM surv
+    """,
+)
+def pretraining_corpus(spark, sf_dir):
+    """FLAGSHIP composition — the full pretraining-data build in one
+    plan: boilerplate strip (corpus block dedup) -> language + quality
+    gates on the CLEANED text -> minhash/LSH canonical survivors ->
+    deterministic shuffle + shard assignment. Every stage is an
+    already-oracle-checked operator (pipelines.pretraining_corpus); the
+    oracle replays the whole chain as one recursive-CTE SQL program.
+    Gate order is the 100 TB cost lever: the band-key pair shuffle only
+    ever sees the cleaned, gated slice."""
+    from .pipelines import pretraining_corpus as build
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    return build(docs)
 
 
 @query(
