@@ -105,6 +105,8 @@ HEADLINE = [
     "corpus_block_dedup",
     "curation_shuffle",
     "pretraining_corpus",
+    "bpe_merges",
+    "events_drift_score",
 ]
 
 

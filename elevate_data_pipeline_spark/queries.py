@@ -1671,6 +1671,116 @@ def events_anomaly_mad(spark, sf_dir):
     )
 
 
+_DRIFT_SPLIT = "2024-01-16"
+_DRIFT_BUCKET = 25.0
+
+
+@query(
+    "events_drift_buckets",
+    f"""
+    WITH g AS (
+      SELECT CAST(floor(value / {_DRIFT_BUCKET}) AS BIGINT) AS bucket,
+             CAST(CASE WHEN ts <  TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END AS BIGINT) AS r,
+             CAST(CASE WHEN ts >= TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END AS BIGINT) AS c
+      FROM events
+    ),
+    per AS (SELECT bucket, sum(r) AS n_ref, sum(c) AS n_cur FROM g GROUP BY bucket),
+    tot AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM per)
+    SELECT bucket AS bucket, CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           CAST(abs(CAST(n_ref AS DECIMAL(18,0)) * CAST(t_cur AS DECIMAL(18,0))
+                  - CAST(n_cur AS DECIMAL(18,0)) * CAST(t_ref AS DECIMAL(18,0)))
+                AS DECIMAL(38,0)) AS drift_num
+    FROM per, tot
+    """,
+)
+def events_drift_buckets(spark, sf_dir):
+    """Distribution-drift monitor between two time snapshots: bucket the
+    value column, count per bucket on each side of the split in ONE
+    scan (conditional sums — no second pass, no self-join), and emit
+    each bucket's exact drift numerator
+    ``|n_ref*T_cur - n_cur*T_ref|``. All integer/decimal arithmetic —
+    cross-multiplication instead of float shares, so no
+    order-of-summation or libm (ln) divergence anywhere; DECIMAL(18,0)
+    operands keep the product exact up to 1e18-row snapshots. The
+    totals frame is one row, crossJoin-broadcast."""
+    ev = Catalog(spark, sf_dir).table("events")
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    g = ev.select(
+        F.floor(F.col("value") / _DRIFT_BUCKET).cast("long").alias("bucket"),
+        (F.col("ts") < split).cast("long").alias("r"),
+        (F.col("ts") >= split).cast("long").alias("c"),
+    )
+    per = g.groupBy("bucket").agg(
+        F.sum("r").alias("n_ref"), F.sum("c").alias("n_cur")
+    )
+    tot = per.agg(F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur"))
+    d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.abs(d18("n_ref") * d18("t_cur") - d18("n_cur") * d18("t_ref"))
+        .cast("decimal(38,0)")
+        .alias("drift_num"),
+    )
+
+
+@query(
+    "events_drift_score",
+    f"""
+    WITH g AS (
+      SELECT CAST(floor(value / {_DRIFT_BUCKET}) AS BIGINT) AS bucket,
+             CAST(CASE WHEN ts <  TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END AS BIGINT) AS r,
+             CAST(CASE WHEN ts >= TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END AS BIGINT) AS c
+      FROM events
+    ),
+    per AS (SELECT bucket, sum(r) AS n_ref, sum(c) AS n_cur FROM g GROUP BY bucket),
+    tot AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM per)
+    SELECT CAST(t_ref AS BIGINT) AS n_ref_total, CAST(t_cur AS BIGINT) AS n_cur_total,
+           CAST(CAST(sum(abs(CAST(n_ref AS DECIMAL(18,0)) * CAST(t_cur AS DECIMAL(18,0))
+                          - CAST(n_cur AS DECIMAL(18,0)) * CAST(t_ref AS DECIMAL(18,0))))
+                     AS DOUBLE)
+                / (2.0 * CAST(t_ref AS DOUBLE) * CAST(t_cur AS DOUBLE)) AS DOUBLE)
+             AS tvd
+    FROM per, tot GROUP BY t_ref, t_cur
+    """,
+)
+def events_drift_score(spark, sf_dir):
+    """Scalar drift verdict for the same split: total-variation distance
+    ``TVD = sum|n_ref*T_cur - n_cur*T_ref| / (2*T_ref*T_cur)``. The
+    numerator is an exact decimal sum (order-independent), and the ONLY
+    float operation is the final division — correctly rounded IEEE, so
+    both engines agree bit-for-bit (an ln-based PSI would hang the gate
+    on libm rounding)."""
+    ev = Catalog(spark, sf_dir).table("events")
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    g = ev.select(
+        F.floor(F.col("value") / _DRIFT_BUCKET).cast("long").alias("bucket"),
+        (F.col("ts") < split).cast("long").alias("r"),
+        (F.col("ts") >= split).cast("long").alias("c"),
+    )
+    per = g.groupBy("bucket").agg(
+        F.sum("r").alias("n_ref"), F.sum("c").alias("n_cur")
+    )
+    tot = per.agg(F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur"))
+    d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    num = F.abs(d18("n_ref") * d18("t_cur") - d18("n_cur") * d18("t_ref"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .groupBy("t_ref", "t_cur")
+        .agg(F.sum(num).alias("_num"))
+        .select(
+            F.col("t_ref").cast("long").alias("n_ref_total"),
+            F.col("t_cur").cast("long").alias("n_cur_total"),
+            (
+                F.col("_num").cast("double")
+                / (2.0 * F.col("t_ref").cast("double") * F.col("t_cur").cast("double"))
+            ).alias("tvd"),
+        )
+    )
+
+
 from .operators.graph import pagerank_fixed_point, pagerank_oracle_sql  # noqa: E402
 
 _TRANSITION_EDGES_SQL = """

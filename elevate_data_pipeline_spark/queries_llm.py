@@ -2222,6 +2222,23 @@ def ann_hard_negatives(spark, sf_dir):
     return similarity.hard_negative_topk(emb, queries_df, k=5)
 
 
+from .operators.tokenizer import bpe_merges as _bpe_merges  # noqa: E402
+from .operators.tokenizer import bpe_oracle_sql as _bpe_oracle_sql  # noqa: E402
+
+_BPE_N = 4
+
+
+@query("bpe_merges", _bpe_oracle_sql(n_merges=_BPE_N))
+def bpe_merges(spark, sf_dir):
+    """BPE tokenizer-merge training as a fixed-iteration declarative
+    plan (operators/tokenizer.py): per round one pair-count shuffle over
+    the word-level vocabulary, a TakeOrdered top-1, and a broadcast
+    left-to-right replace merge — the same iterate-declaratively family
+    as k-means and PageRank. Output is the learned merge table."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return _bpe_merges(docs, n_merges=_BPE_N)
+
+
 _SHUFFLE_HASH = "((doc_id % 4294967296) * 2654435761) % 4294967296"
 _DOCS_PER_SHARD = 256
 

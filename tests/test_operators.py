@@ -924,3 +924,15 @@ def test_image_roundtrip_properties():
         assert same.pixels == img.pixels
 
     check()
+
+
+def test_bpe_merges_known_corpus(spark):
+    """'low low lower' — classic BPE example: 'l'+'o' wins round 1
+    (weight 3), then 'lo'+'w' (weight 3)."""
+    from elevate_data_pipeline_spark.operators.tokenizer import bpe_merges
+
+    df = spark.createDataFrame([(1, "low low lower")], "doc_id long, text string")
+    out = {r.merge_idx: (r.left, r.right, r.weight)
+           for r in bpe_merges(df, n_merges=2).collect()}
+    assert out[1] == ("l", "o", 3)
+    assert out[2] == ("lo", "w", 3)
