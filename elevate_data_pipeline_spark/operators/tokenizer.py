@@ -104,10 +104,57 @@ def bpe_merges(
     return out
 
 
-def bpe_oracle_sql(n_merges: int = 3, rel: str = "documents") -> str:
-    """Unrolled DuckDB equivalent: w0 -> (p1, m1, w1) -> ... The same
-    char explode, pair comprehension, top-1 ORDER BY ... LIMIT 1, and
-    left-to-right ``replace`` merge — training replayed exactly."""
+def bpe_encode(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges and APPLY them, returning per-doc
+    token accounting under the learned vocabulary:
+    (id, n_tokens_bpe, n_tokens_char). The whole train+apply is one
+    declarative plan — the final word states join back to the exploded
+    corpus words (the word vocabulary is corpus-scale-independent and
+    broadcastable), so encoding is a map-side join + one groupBy(id)."""
+    states = _initial_states(docs, text_col).localCheckpoint(eager=True)
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(states)
+            .orderBy(F.desc("wgt"), "l", "r")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        states = states.crossJoin(F.broadcast(top)).select(
+            "word",
+            "cnt",
+            F.replace(
+                F.col("st"),
+                F.concat(F.col("l"), F.lit(SEP), F.col("r")),
+                F.concat(F.col("l"), F.col("r")),
+            ).alias("st"),
+        ).localCheckpoint(eager=True)
+    tokens_per_word = states.select(
+        "word",
+        F.size(F.split("st", SEP)).cast("long").alias("_bpe"),
+        F.length("word").cast("long").alias("_chars"),
+    )
+    doc_words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+    return (
+        doc_words.join(F.broadcast(tokens_per_word), "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_bpe").alias("n_tokens_bpe"),
+            F.sum("_chars").alias("n_tokens_char"),
+        )
+    )
+
+
+def _bpe_ctes(n_merges: int, rel: str, with_final_state: bool) -> list[str]:
+    """Shared CTE chain for the training oracle: w0 -> (p1, m1, w1) ->
+    ... ``with_final_state`` also emits w{n} (needed to APPLY the
+    merges; training itself stops at m{n})."""
     parts = [
         f"""w0 AS (
   SELECT word, CAST(count(*) AS BIGINT) AS cnt,
@@ -128,7 +175,7 @@ def bpe_oracle_sql(n_merges: int = 3, rel: str = "documents") -> str:
         parts.append(
             f"m{i} AS (SELECT l, r, wgt FROM p{i} ORDER BY wgt DESC, l, r LIMIT 1)"
         )
-        if i < n_merges:
+        if i < n_merges or with_final_state:
             parts.append(
                 f"""w{i} AS (
   SELECT word, cnt,
@@ -136,9 +183,38 @@ def bpe_oracle_sql(n_merges: int = 3, rel: str = "documents") -> str:
                      (SELECT l || r FROM m{i})) AS st
   FROM w{i - 1})"""
             )
+    return parts
+
+
+def bpe_oracle_sql(n_merges: int = 3, rel: str = "documents") -> str:
+    """Unrolled DuckDB equivalent of :func:`bpe_merges`: the same char
+    explode, pair comprehension, top-1 ORDER BY ... LIMIT 1, and
+    left-to-right ``replace`` merge — training replayed exactly."""
+    parts = _bpe_ctes(n_merges, rel, with_final_state=False)
     selects = " UNION ALL ".join(
         f"SELECT {i} AS merge_idx, l AS left, r AS right, "
         f"CAST(wgt AS BIGINT) AS weight FROM m{i}"
         for i in range(1, n_merges + 1)
     )
     return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
+def bpe_encode_oracle_sql(n_merges: int = 3, rel: str = "documents") -> str:
+    """Unrolled DuckDB equivalent of :func:`bpe_encode`: the training
+    chain through w{n}, then per-doc token accounting by joining the
+    exploded corpus words back to their final states."""
+    parts = _bpe_ctes(n_merges, rel, with_final_state=True)
+    parts.append(
+        f"""dw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM {rel})"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT dw.doc_id AS doc_id,
+           CAST(sum(len(string_split(w.st, chr(31)))) AS BIGINT) AS n_tokens_bpe,
+           CAST(sum(len(w.word)) AS BIGINT) AS n_tokens_char
+    FROM dw JOIN w{n_merges} w USING (word)
+    GROUP BY dw.doc_id"""
+    )

@@ -2222,6 +2222,8 @@ def ann_hard_negatives(spark, sf_dir):
     return similarity.hard_negative_topk(emb, queries_df, k=5)
 
 
+from .operators.tokenizer import bpe_encode as _bpe_encode  # noqa: E402
+from .operators.tokenizer import bpe_encode_oracle_sql as _bpe_encode_oracle_sql  # noqa: E402
 from .operators.tokenizer import bpe_merges as _bpe_merges  # noqa: E402
 from .operators.tokenizer import bpe_oracle_sql as _bpe_oracle_sql  # noqa: E402
 
@@ -2237,6 +2239,17 @@ def bpe_merges(spark, sf_dir):
     as k-means and PageRank. Output is the learned merge table."""
     docs = Catalog(spark, sf_dir).table("documents")
     return _bpe_merges(docs, n_merges=_BPE_N)
+
+
+@query("bpe_encode", _bpe_encode_oracle_sql(n_merges=_BPE_N))
+def bpe_encode(spark, sf_dir):
+    """Train-and-apply: the learned merges encode the corpus, giving
+    per-document token counts under the BPE vocabulary (vs. raw char
+    counts). Encoding is a broadcast join of the word-level final
+    states back to the exploded corpus words + one groupBy(doc) —
+    map-side at 100 TB since the vocabulary is corpus-size-independent."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return _bpe_encode(docs, n_merges=_BPE_N)
 
 
 _SHUFFLE_HASH = "((doc_id % 4294967296) * 2654435761) % 4294967296"
