@@ -1711,9 +1711,11 @@ def events_drift_buckets(spark, sf_dir):
         (F.col("ts") < split).cast("long").alias("r"),
         (F.col("ts") >= split).cast("long").alias("c"),
     )
+    # the bucket frame (~tens of rows) feeds both the totals agg and the
+    # final join — pin it so the events scan runs ONCE, not per subtree
     per = g.groupBy("bucket").agg(
         F.sum("r").alias("n_ref"), F.sum("c").alias("n_cur")
-    )
+    ).localCheckpoint(eager=True)
     tot = per.agg(F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur"))
     d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
     return per.crossJoin(F.broadcast(tot)).select(
@@ -1762,7 +1764,7 @@ def events_drift_score(spark, sf_dir):
     )
     per = g.groupBy("bucket").agg(
         F.sum("r").alias("n_ref"), F.sum("c").alias("n_cur")
-    )
+    ).localCheckpoint(eager=True)  # one events scan for both subtrees
     tot = per.agg(F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur"))
     d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
     num = F.abs(d18("n_ref") * d18("t_cur") - d18("n_cur") * d18("t_ref"))

@@ -227,3 +227,27 @@ def test_multimodal_decode_no_shuffle(spark):
     assert "Exchange" not in plan
     # payload built from text only — the scan must not read other columns
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_drift_single_events_scan(spark):
+    plan = _plan(QUERIES["events_drift_score"](spark, SF_DIR))
+    # the bucket frame is pinned, so the events scan appears exactly once
+    # (per-bucket counts come from ONE conditional-sum pass, and the
+    # totals/join subtrees read the pinned rows, not the raw table)
+    assert plan.count("Scan parquet") == 0  # checkpointed: no raw scan left
+    assert "windowspecdefinition" not in plan.lower()
+
+
+def test_pretraining_corpus_no_unpartitioned_window(spark):
+    from elevate_data_pipeline_spark.operators import rank
+
+    rank.PIN_PARTITIONS = False
+    try:
+        plan = _plan(QUERIES["pretraining_corpus"](spark, SF_DIR))
+    finally:
+        rank.PIN_PARTITIONS = True
+    # the only windows: the per-_pid local rank and the 32-row offsets
+    # frame of the shuffle/shard rank — never an unpartitioned window
+    # over corpus rows
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "_pid" in spec, spec
