@@ -20,8 +20,12 @@ from elevate_data_pipeline_spark import queries as _q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return _q.QUERIES["spec_fetchid_order_count"](spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    ``pretraining_corpus`` composes the engine's signature operators in
+    one plan: corpus boilerplate strip -> language/quality gates ->
+    minhash canonical survivors -> deterministic shuffle/shard."""
+    return _q.QUERIES["pretraining_corpus"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

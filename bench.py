@@ -106,6 +106,7 @@ HEADLINE = [
     "curation_shuffle",
     "pretraining_corpus",
     "bpe_merges",
+    "bpe_encode",
     "events_drift_score",
 ]
 

@@ -135,3 +135,33 @@ def test_safe_split_never_splits_a_cluster(spark):
     assert splits <= {"train", "val"}
     train_frac = sum(r.split == "train" for r in rows) / len(rows)
     assert 0.8 < train_frac <= 1.0
+
+
+@pytest.mark.slow
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(TEXT, min_size=1, max_size=6))
+def test_block_dedup_identity_when_threshold_unreachable(spark, texts):
+    """With min_docs > corpus size no block can be boilerplate, so every
+    document reconstructs to its original text (blocks rejoin in order)."""
+    from elevate_data_pipeline_spark.operators.dedup import block_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = block_dedup(df, block_words=3, min_docs=len(texts) + 1).collect()
+    got = {r.doc_id: (r.cleaned_text, r.n_removed) for r in out}
+    for i, t in enumerate(texts):
+        assert got[i] == (t, 0)
+
+
+@pytest.mark.slow
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(text=TEXT)
+def test_block_dedup_strips_shared_blocks_between_copies(spark, text):
+    """Two identical documents: every block of each is shared, so both
+    clean to empty and n_removed == n_blocks."""
+    from elevate_data_pipeline_spark.operators.dedup import block_dedup
+
+    df = spark.createDataFrame([(0, text), (1, text)], "doc_id long, text string")
+    for r in block_dedup(df, block_words=3, min_docs=2).collect():
+        assert r.cleaned_text == "" and r.n_removed == r.n_blocks > 0
