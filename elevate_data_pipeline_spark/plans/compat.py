@@ -15,6 +15,7 @@ only so property tests can assert ``run_per_id(spec) == compile_pipeline
 from __future__ import annotations
 
 import functools
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -26,6 +27,28 @@ from ..plans.compiler import _agg_column, _agg_columns, _is_replace, _join_keys
 from ..spec.model import NestedFetch, PipelineSpec, Script, SingleProcess, SpecError
 
 
+# template values are DATA (fetch-query results); the reference splices
+# them into SQL raw (mentoringFunction2.scala:158 — SURVEY.md §2.8.5's
+# injection quirk). The compat loop keeps raw substitution for the value
+# classes the reference actually feeds it (numeric ids, plain tokens) and
+# refuses anything that could escape the literal context.
+_SAFE_ID = re.compile(r"^[A-Za-z0-9_.\-]+$")
+
+
+def _safe_id(value) -> str:
+    if isinstance(value, bool):
+        raise SpecError(f"unsupported ${{id}} value type: {value!r}")
+    if isinstance(value, (int, float)):
+        return str(value)
+    s = str(value)
+    if not _SAFE_ID.match(s):
+        raise SpecError(
+            f"unsafe ${{id}} template value {s!r}: only [A-Za-z0-9_.-]+ "
+            "substitutes into spec SQL (injection guard, SURVEY.md §2.8.5)"
+        )
+    return s
+
+
 def _task_frame_for_id(
     catalog: Catalog, task: SingleProcess, id_name: str, value, id_type: T.DataType
 ) -> DataFrame:
@@ -35,7 +58,7 @@ def _task_frame_for_id(
     with ``lit(value)`` (P3), which must keep the source dtype so the
     per-ID union's schema matches the decorrelated plan."""
     if "${id}" in task.query:
-        df = catalog.sql(task.query.replace("${id}", str(value)))
+        df = catalog.sql(task.query.replace("${id}", _safe_id(value)))
     else:
         df = catalog.sql(task.query)
         if task.correlate_on:

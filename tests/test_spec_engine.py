@@ -688,3 +688,19 @@ def test_order_limit_validation():
         )
     # bare limit without order_by is legal (LIMIT-sample semantics)
     parse_spec(single(limit=5), None, None)
+
+
+def test_template_id_injection_guarded(catalog, spark):
+    """SURVEY.md §2.8.5: the reference splices ${id} values into SQL raw;
+    the compat loop validates them — a value that could escape the
+    literal context refuses instead of executing."""
+    import pytest
+
+    from elevate_data_pipeline_spark.plans.compat import _safe_id
+    from elevate_data_pipeline_spark.spec.model import SpecError
+
+    assert _safe_id(42) == "42"
+    assert _safe_id("BUILDING") == "BUILDING"
+    for evil in ("1 OR 1=1", "x'; DROP TABLE orders; --", "a b", ""):
+        with pytest.raises(SpecError, match="unsafe|unsupported"):
+            _safe_id(evil)
