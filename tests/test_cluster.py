@@ -139,3 +139,49 @@ def test_kmeans_deterministic(spark):
     a = sorted(map(tuple, kmeans(emb, k=4, n_iter=1).collect()))
     b = sorted(map(tuple, kmeans(emb, k=4, n_iter=1).collect()))
     assert a == b
+
+
+@pytest.mark.slow
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)), max_size=40
+    ),
+    extra_nodes=st.sets(st.integers(0, 35), max_size=8),
+    local_threshold=st.sampled_from([0, 1_000_000]),
+)
+def test_sized_labels_match_window_formulation(spark, edges, extra_nodes,
+                                               local_threshold):
+    """label_components_with_size (map-sized joins) must equal the
+    straightforward label + count-over-component window on arbitrary
+    graphs, on both the local and distributed cc paths."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from elevate_data_pipeline_spark.operators.cluster import (
+        label_components,
+        label_components_with_size,
+    )
+
+    nodes = sorted({n for e in edges for n in e} | extra_nodes) or [0]
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id long")
+    edf = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+
+    fast = {
+        (r.id, r.component, r.cluster_size)
+        for r in label_components_with_size(
+            ndf, "id", edf, local_threshold=local_threshold
+        ).collect()
+    }
+    ref = {
+        (r.id, r.component, r.cluster_size)
+        for r in label_components(ndf, "id", edf,
+                                  local_threshold=local_threshold)
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("component")),
+        )
+        .collect()
+    }
+    assert fast == ref
