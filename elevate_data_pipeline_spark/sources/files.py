@@ -91,3 +91,17 @@ def read_text(
     partition (line mode splits on block boundaries, whole-file mode
     cannot split at all)."""
     return spark.read.text(path, wholetext=whole_file)
+
+
+def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Parquet read across schema generations (``mergeSchema``): columns
+    added over time union by name, older files surface typed NULLs for
+    columns they predate.
+
+    At 100 TB schema merging footer-scans every file — expensive, so the
+    steady state is a table format (Delta/Iceberg) that tracks schema in
+    metadata; this reader is the raw-parquet migration path (backfills,
+    one-off reads across an evolution boundary). Pair with explicit
+    ``.select`` downstream so new columns don't silently widen consumers.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

@@ -128,3 +128,18 @@ def test_text_source_line_and_wholefile(spark, tmp_path):
     assert read_text(spark, str(d)).count() == 3
     whole = read_text(spark, str(d), whole_file=True)
     assert sorted(r.value.strip() for r in whole.collect()) == ["line1\nline2", "only"]
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Files written before a column existed read back with typed NULLs;
+    the merged schema is the union by name."""
+    from elevate_data_pipeline_spark.sources.files import read_parquet_evolving
+
+    p1, p2 = str(tmp_path / "gen1"), str(tmp_path / "gen2")
+    spark.createDataFrame([(1, "a")], "id long, a string").write.parquet(p1)
+    spark.createDataFrame([(2, "b", 9.5)], "id long, a string, score double").write.parquet(p2)
+
+    df = read_parquet_evolving(spark, p1, p2)
+    assert set(df.columns) == {"id", "a", "score"}
+    rows = {r.id: (r.a, r.score) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
