@@ -108,6 +108,7 @@ HEADLINE = [
     "bpe_merges",
     "bpe_encode",
     "events_drift_score",
+    "curation_count_sample",
 ]
 
 

@@ -2352,6 +2352,41 @@ def pretraining_corpus(spark, sf_dir):
     return build(docs)
 
 
+_COUNT_SAMPLE_N = 40
+
+
+@query(
+    "curation_count_sample",
+    f"""
+    SELECT doc_id AS doc_id, lang AS lang
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {_SHUFFLE_HASH}, doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= {_COUNT_SAMPLE_N}
+    """,
+)
+def curation_count_sample(spark, sf_dir):
+    """Exact per-stratum sampling to a TARGET COUNT: exactly N docs per
+    language (rate-based sampling — curation_stratified_sample — cannot
+    hit a budget exactly). Rank within each stratum by the
+    engine-portable Knuth hash (uniform, reproducible, no RNG) via
+    operators/rank.grouped_row_number, so a stratum larger than a window
+    task never funnels through one partition; keep rank <= N."""
+    from .operators.rank import grouped_row_number
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "lang")
+    ranked = grouped_row_number(
+        docs.withColumn("_h", curation._hash32("doc_id")),
+        "lang",
+        ["_h", "doc_id"],
+        out_col="rn",
+    )
+    return ranked.filter(F.col("rn") <= _COUNT_SAMPLE_N).select("doc_id", "lang")
+
+
 @query(
     "curation_shuffle",
     f"""
