@@ -2178,18 +2178,23 @@ _DOMAIN_CAP = 40
 def curation_domain_cap(spark, sf_dir):
     """Domain capping: keep at most N docs per source, best quality
     first — the standard guard against a single crawl domain dominating
-    the training mixture. Per-source top-N via window row_number; at
-    100 TB partial top-N per partition pre-aggregates before the shuffle
-    (rank operators in operators/rank.py), and the per-source state is
-    N rows, never the domain's full doc list."""
-    from pyspark.sql.window import Window
+    the training mixture. Ranked via operators/rank.grouped_row_number
+    (range repartition over (source, -quality, doc_id) + broadcast
+    per-(partition, source) offsets): a ``row_number() OVER (PARTITION
+    BY source)`` window would pull a whole crawl domain — possibly a
+    double-digit share of a 100 TB corpus — through ONE task; the
+    grouped decomposition spreads even a dominant source across the
+    range partitions."""
+    from .operators.rank import grouped_row_number
 
     docs = Catalog(spark, sf_dir).table("documents")
-    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    q = docs.select(
+        "source", "doc_id", quality_score("text").alias("quality")
+    ).withColumn("_negq", -F.col("quality"))  # ascending rank == quality DESC
+    ranked = grouped_row_number(q, "source", ["_negq", "doc_id"], out_col="rnk")
     return (
-        docs.select("source", "doc_id", quality_score("text").alias("quality"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _DOMAIN_CAP)
+        ranked.filter(F.col("rnk") <= _DOMAIN_CAP)
+        .select("source", "doc_id", "quality", F.col("rnk").cast("int").alias("rnk"))
     )
 
 
