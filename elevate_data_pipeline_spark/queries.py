@@ -826,21 +826,32 @@ def q18_large_orders(spark, sf_dir):
     """,
 )
 def topk_orders_per_segment(spark, sf_dir):
-    """Per-group top-k via ranking window — the scalable grouped-top-k
-    shape (no global sort; one shuffle on the group key)."""
-    from pyspark.sql.window import Window
+    """Per-group top-k. The market-segment key has FIVE values, so a
+    ``row_number() OVER (PARTITION BY segment)`` window would drag 20%
+    of all orders through one task; operators/rank.grouped_row_number
+    range-partitions over (segment, -price, key) instead, spreading each
+    segment across partitions with broadcast per-(partition, segment)
+    offsets."""
+    from .operators.rank import grouped_row_number
 
     cat = Catalog(spark, sf_dir)
     o, c = cat.table("orders"), cat.table("customer")
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.desc("o_totalprice"), F.col("o_orderkey")
-    )
-    return (
+    joined = (
         o.join(c, c.c_custkey == o.o_custkey)
         .select("c_mktsegment", "o_orderkey", "o_totalprice")
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 5)
-        .withColumn("o_totalprice", F.col("o_totalprice").cast("double"))
+        .withColumn("_negp", -F.col("o_totalprice"))
+    )
+    ranked = grouped_row_number(
+        joined, "c_mktsegment", ["_negp", "o_orderkey"], out_col="rank"
+    )
+    return (
+        ranked.filter(F.col("rank") <= 5)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("rank").cast("int").alias("rank"),
+        )
     )
 
 
