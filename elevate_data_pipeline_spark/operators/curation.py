@@ -210,19 +210,26 @@ def pack_sequences(
 
     Emits (id, shard, n_tokens, seq_offset, pack_id) where
     ``seq_offset`` is the document's start position in the shard's
-    token stream and ``pack_id = seq_offset div budget``. One shuffle
-    (window partition on the shard column); documents longer than the
-    budget simply span packs — the trainer-side splitter handles the
-    carry, which keeps this stage a pure single-pass window plan.
+    token stream and ``pack_id = seq_offset div budget``. The running
+    total comes from operators/rank.grouped_cumsum (range repartition +
+    broadcast per-(partition, shard) offsets): a per-shard window would
+    push 1/n_shards of the corpus through one task. Documents longer
+    than the budget simply span packs — the trainer-side splitter
+    handles the carry.
     """
-    w = Window.partitionBy(shard_col).orderBy(id_col)
+    from .rank import grouped_cumsum
+
     n_tok = token_count_ws(text_col).cast("long")
+    summed = grouped_cumsum(
+        docs.withColumn("n_tokens", n_tok),
+        shard_col,
+        [id_col],
+        "n_tokens",
+        out_col="_cum",
+    )
     return (
-        docs.withColumn("n_tokens", n_tok)
-        .withColumn(
-            "seq_offset",
-            F.sum("n_tokens").over(w) - F.col("n_tokens"),
-        )
-        .withColumn("pack_id", (F.col("seq_offset") / token_budget).cast("long"))
+        summed.withColumn("seq_offset", F.col("_cum") - F.col("n_tokens"))
+        # integer div: a double quotient loses exactness past 2^53 tokens
+        .withColumn("pack_id", F.expr(f"seq_offset div {int(token_budget)}"))
         .select(id_col, shard_col, "n_tokens", "seq_offset", "pack_id")
     )

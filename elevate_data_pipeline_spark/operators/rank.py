@@ -138,6 +138,52 @@ def global_cumsum(
     )
 
 
+def grouped_cumsum(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    sum_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact per-group running total when single groups are too big for
+    one window partition — the cumsum face of
+    :func:`grouped_row_number`: range repartition over (group, order),
+    partition-local running sums, per-(partition, group) sums cumulated
+    across partition ids and broadcast back as offsets. The running
+    total EXCLUDES the current row's value is NOT assumed — ``out_col``
+    includes the current row (subtract ``sum_col`` for an exclusive
+    offset)."""
+    key_cols = [group_col, *order_cols]
+    part = _pin(
+        df.repartitionByRange(num_partitions, *key_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    sums = part.groupBy("_pid", group_col).agg(F.sum(sum_col).alias("_psum"))
+    woff = (
+        Window.partitionBy(group_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sums.select(
+        "_pid",
+        group_col,
+        F.coalesce(F.sum("_psum").over(woff), F.lit(0)).alias("_off"),
+    )
+    wl = (
+        Window.partitionBy("_pid", group_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        part.withColumn("_lsum", F.sum(sum_col).over(wl))
+        .join(F.broadcast(offsets), ["_pid", group_col])
+        .withColumn(out_col, F.col("_off") + F.col("_lsum"))
+        .drop("_pid", "_lsum", "_off")
+    )
+
+
 def grouped_row_number(
     df: DataFrame,
     group_col: str,

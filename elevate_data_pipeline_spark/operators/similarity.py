@@ -212,12 +212,11 @@ def ivf_centroids(
 ) -> DataFrame:
     """Deterministic cell representatives: the embedding of the minimum
     ID per cell (a medoid proxy — no floating-point averaging, so the
-    index build is reproducible bit-for-bit)."""
-    w = Window.partitionBy(cell_col).orderBy(F.asc(id_col))
-    return (
-        corpus.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(F.col(cell_col).alias("cell"), F.col(vec_col).alias("centroid"))
+    index build is reproducible bit-for-bit). ``min_by`` aggregate, not
+    a per-cell ranking window: one partial-agg shuffle, and a popular
+    cell never funnels through a single window task."""
+    return corpus.groupBy(F.col(cell_col).alias("cell")).agg(
+        F.min_by(vec_col, id_col).alias("centroid")
     )
 
 
