@@ -936,3 +936,30 @@ def test_bpe_merges_known_corpus(spark):
            for r in bpe_merges(df, n_merges=2).collect()}
     assert out[1] == ("l", "o", 3)
     assert out[2] == ("lo", "w", 3)
+
+
+def test_grouped_cumsum_equals_window(spark):
+    import random
+
+    from elevate_data_pipeline_spark.operators import rank
+    from pyspark.sql.window import Window
+
+    rng = random.Random(31)
+    df = spark.createDataFrame(
+        [(i, rng.choice(["a", "b", "c"]), rng.randint(0, 40)) for i in range(211)],
+        "id long, g string, v long",
+    )
+    got = {
+        (r["g"], r["id"]): r["cs"]
+        for r in rank.grouped_cumsum(df, "g", ["id"], "v", out_col="cs",
+                                     num_partitions=7).collect()
+    }
+    w = (
+        Window.partitionBy("g").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r["g"], r["id"]): r["cs"]
+        for r in df.withColumn("cs", F.sum("v").over(w)).collect()
+    }
+    assert got == want
