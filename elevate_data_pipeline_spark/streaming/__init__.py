@@ -10,7 +10,7 @@ from .events import (
     sessionize_stream,
     upsert_sink,
 )
-from .ingest import dedup_ingest_sink
+from .ingest import dedup_ingest_sink, drift_monitor_sink
 
 __all__ = [
     "events_stream_schema",
@@ -24,4 +24,5 @@ __all__ = [
     "enrich_stream",
     "join_streams_interval",
     "dedup_ingest_sink",
+    "drift_monitor_sink",
 ]

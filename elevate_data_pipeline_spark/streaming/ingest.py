@@ -1,5 +1,7 @@
-"""Streaming crawl-ingest dedup: the streaming face of
-``operators/dedup.minhash_lsh_match``.
+"""foreachBatch sinks with compact cross-batch state: crawl-ingest
+dedup (the streaming face of ``operators/dedup.minhash_lsh_match``) and
+the distribution-drift monitor (the streaming face of the batch
+``events_drift_*`` queries).
 
 A document stream is deduplicated against the corpus kept SO FAR: each
 micro-batch (1) drops docs whose MinHash bands match the persisted base
@@ -114,6 +116,105 @@ def dedup_ingest_sink(
 
     return (
         stream_docs.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def drift_monitor_sink(
+    stream_events,
+    reference,
+    state_dir: str,
+    checkpoint: str,
+    value_col: str = "value",
+    bucket_width: float = 25.0,
+):
+    """Streaming distribution-drift monitor: the stream face of the
+    batch ``events_drift_*`` queries.
+
+    The REFERENCE distribution is frozen up front (one batch aggregation
+    to a tens-of-rows bucket frame). Each micro-batch adds its bucket
+    counts into a running parquet state table, then emits one drift row
+    — the exact integer TVD numerator per bucket and the scalar TVD —
+    appended to ``<state_dir>/scores`` with the batch id. All arithmetic
+    matches the batch queries: integer cross-multiplication, one final
+    IEEE division, so a drift alert replays identically offline.
+
+    State is bucket-cardinality-sized (never event-sized); the per-batch
+    cost is one conditional-sum pass over the micro-batch plus a
+    tens-of-rows merge. Returns the started StreamingQuery.
+    """
+    from pyspark.sql import functions as F
+
+    ref = (
+        reference.select(
+            F.floor(F.col(value_col) / bucket_width).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+        .localCheckpoint(eager=True)
+    )
+    counts_path = state_dir + "/counts"
+    scores_path = state_dir + "/scores"
+
+    def step(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        new = (
+            batch_df.select(
+                F.floor(F.col(value_col) / bucket_width).cast("long").alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_cur"))
+        )
+        try:
+            prev = spark.read.parquet(counts_path)
+            merged = (
+                prev.unionByName(new)
+                .groupBy("bucket")
+                .agg(F.sum("n_cur").alias("n_cur"))
+            )
+        except Exception:  # first batch
+            merged = new
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(counts_path)
+
+        joined = ref.join(merged, "bucket", "full").na.fill(
+            0, ["n_ref", "n_cur"]
+        )
+        d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+        tot = joined.agg(
+            F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+        )
+        score = (
+            joined.crossJoin(F.broadcast(tot))
+            .agg(
+                F.first("t_ref").alias("n_ref_total"),
+                F.first("t_cur").alias("n_cur_total"),
+                F.sum(
+                    F.abs(d18("n_ref") * d18("t_cur") - d18("n_cur") * d18("t_ref"))
+                ).alias("_num"),
+            )
+            .select(
+                F.lit(batch_id).alias("batch_id"),
+                F.col("n_ref_total").cast("long"),
+                F.col("n_cur_total").cast("long"),
+                (
+                    F.col("_num").cast("double")
+                    / (
+                        2.0
+                        * F.col("n_ref_total").cast("double")
+                        * F.col("n_cur_total").cast("double")
+                    )
+                ).alias("tvd"),
+            )
+        )
+        score.write.mode("append").parquet(scores_path)
+
+    return (
+        stream_events.writeStream.foreachBatch(step)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -321,3 +321,43 @@ def test_dedup_ingest_sink_cross_batch(spark, tmp_path):
     # the band index covers exactly the kept docs
     idx_ids = {r["_id"] for r in spark.read.parquet(state + "/bands").collect()}
     assert idx_ids == {1, 2, 4}
+
+
+def test_drift_monitor_sink_matches_batch_tvd(spark, tmp_path):
+    """Streaming drift vs a frozen reference across two micro-batches:
+    the final score row equals the batch TVD computed over all streamed
+    events, and the running bucket state accumulates across batches."""
+    from elevate_data_pipeline_spark.streaming import drift_monitor_sink
+
+    ref = spark.createDataFrame(
+        [(float(v),) for v in [10, 10, 35, 60, 60, 60]], "value double"
+    )
+    d = tmp_path / "in"
+    d.mkdir()
+
+    def write_batch(fname, values):
+        spark.createDataFrame([(float(v),) for v in values], "value double") \
+            .coalesce(1).write.parquet(str(d / fname))
+
+    write_batch("b1", [10, 35, 35])
+    write_batch("b2", [85, 85, 10])
+
+    stream = (
+        spark.readStream.schema("value double").format("parquet")
+        .option("maxFilesPerTrigger", "1").load(str(d) + "/b*")
+    )
+    state = str(tmp_path / "state")
+    q = drift_monitor_sink(stream, ref, state, str(tmp_path / "ck"),
+                           bucket_width=25.0)
+    q.awaitTermination(120)
+
+    scores = {r.batch_id: r for r in spark.read.parquet(state + "/scores").collect()}
+    assert len(scores) == 2
+    final = scores[max(scores)]
+    assert final.n_ref_total == 6 and final.n_cur_total == 6
+    # buckets (width 25): ref {0:2, 1:1, 2:3}; cur {0:2, 1:2, 3:2}
+    # num = |2*6-2*6| + |1*6-2*6| + |3*6-0| + |0-2*6| = 0+6+18+12 = 36
+    # tvd = 36 / (2*6*6) = 0.5
+    assert final.tvd == 0.5
+    counts = {r.bucket: r.n_cur for r in spark.read.parquet(state + "/counts").collect()}
+    assert counts == {0: 2, 1: 2, 3: 2}
