@@ -109,6 +109,11 @@ HEADLINE = [
     "bpe_encode",
     "events_drift_score",
     "curation_count_sample",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q20_dominant_suppliers",
+    "q21_sole_late_supplier",
 ]
 
 

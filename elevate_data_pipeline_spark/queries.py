@@ -1855,3 +1855,285 @@ def events_type_pagerank_conserving(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("w"))
     )
     return pagerank_fixed_point(edges, n_iter=3, redistribute_dangling=True)
+
+
+# --------------------------------------------------------------------------
+# TPC-H plan shapes the registry did not yet cover (round 4): correlated
+# min decorrelation (q2), scalar-subquery HAVING (q11), conditional
+# aggregation classes (q12), nested-aggregate semi join (q20), and the
+# double EXISTS / NOT EXISTS self-join (q21).  The driver tables carry no
+# partsupp / l_shipmode / l_commitdate, so each query keeps the *plan
+# shape* of its TPC-H counterpart over the columns that exist
+# (lineitem stands in for partsupp as the part<->supplier relation, and
+# "late" is l_shipdate > o_orderdate + 60 days).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(l_extendedprice AS DECIMAL(18,2))) AS supply_cost
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    ), eu AS (
+      SELECT c.l_partkey, c.l_suppkey, c.supply_cost
+      FROM cost c
+      JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT e.l_partkey AS p_partkey, e.l_suppkey AS s_suppkey,
+           CAST(e.supply_cost AS DOUBLE) AS supply_cost
+    FROM eu e
+    JOIN (SELECT l_partkey, min(supply_cost) AS best
+          FROM eu GROUP BY l_partkey) m
+      ON m.l_partkey = e.l_partkey AND m.best = e.supply_cost
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H q2 shape (reference has no analogue; closest spec op is the
+    correlated fetchId, `mentoringFunction2.scala:41-55`): the correlated
+    `supply_cost = (SELECT min(..) .. WHERE partkey = p.partkey)`
+    subquery decorrelated into a per-part min aggregate joined back on
+    (partkey, cost) equality.  lineitem stands in for partsupp; cost is
+    the exact decimal min so the equality join key is bit-stable on both
+    engines.  Scale: two shuffles on l_partkey(+suppkey); the
+    supplier->nation->region pruning chain is all broadcast (dims are
+    tiny), and the min-cost join reuses the partkey partitioning of the
+    eu frame, so AQE coalesces it shuffle-free."""
+    cat = Catalog(spark, sf_dir)
+    li, s, n, r = (cat.table(t) for t in ("lineitem", "supplier", "nation", "region"))
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("supply_cost"))
+    )
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    eu = cost.join(F.broadcast(eu_supp), cost.l_suppkey == F.col("s_suppkey")).drop(
+        "s_suppkey"
+    )
+    best = eu.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.min("supply_cost").alias("best")
+    )
+    return (
+        eu.join(
+            best,
+            (eu.l_partkey == F.col("_pk")) & (eu.supply_cost == F.col("best")),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.col("supply_cost").cast("double").alias("supply_cost"),
+        )
+    )
+
+
+@query(
+    "q11_important_parts",
+    """
+    WITH v AS (
+      SELECT l.l_partkey,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS part_value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey AS p_partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM v
+    WHERE part_value * 500 > (SELECT sum(part_value) FROM v)
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H q11 shape: per-group aggregate filtered against a global
+    scalar subquery over the same aggregate.  The scalar (total value
+    across NATION_7 suppliers) is a one-row frame cross-joined in — at
+    cluster scale Spark plans the 1-row side as a broadcast, so the
+    HAVING cut is map-side; the per-part frame shuffles once on
+    l_partkey.  The threshold compare multiplies the exact decimal by
+    500 instead of dividing the total (no float ratio, bit-stable)."""
+    cat = Catalog(spark, sf_dir)
+    li, s, n = (cat.table(t) for t in ("lineitem", "supplier", "nation"))
+    nat_supp = (
+        s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_7")),
+               s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey")
+    )
+    v = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("part_value"))
+    )
+    total = v.agg(F.sum("part_value").alias("_total"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") * 500 > F.col("_total"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("part_value").cast("double").alias("part_value"),
+        )
+    )
+
+
+@query(
+    "q12_late_shipment_priority",
+    """
+    SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                THEN 'LATE' ELSE 'ONTIME' END AS ship_class,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+)
+def q12_late_shipment_priority(spark, sf_dir):
+    """TPC-H q12 shape: join + conditional aggregation (sum of CASE) over
+    a derived class column.  No l_shipmode / l_commitdate in the driver
+    tables, so the class is shipping lateness (shipdate > orderdate+60d).
+    Scale: one shuffle on l_orderkey for the join (orders is NOT
+    broadcast-sized at 100 TB), then a two-group map-side partial agg —
+    the groupBy key has cardinality 2 so the final exchange moves ~64
+    rows."""
+    cat = Catalog(spark, sf_dir)
+    li, o = cat.table("lineitem"), cat.table("orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn(
+            "ship_class",
+            F.when(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                F.lit("LATE"),
+            ).otherwise(F.lit("ONTIME")),
+        )
+        .groupBy("ship_class")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q20_dominant_suppliers",
+    """
+    WITH pq AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), pt AS (
+      SELECT l_partkey, sum(supp_qty) AS part_qty FROM pq GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_suppkey AS s_suppkey, s.s_name AS s_name
+    FROM pq JOIN pt ON pt.l_partkey = pq.l_partkey
+    JOIN supplier s ON s.s_suppkey = pq.l_suppkey
+    WHERE pq.supp_qty * 5 > pt.part_qty
+    ORDER BY s_suppkey
+    """,
+)
+def q20_dominant_suppliers(spark, sf_dir):
+    """TPC-H q20 shape: nested aggregate (per-(part,supplier) qty vs the
+    per-part total, i.e. the `ps_availqty > 0.5 * (SELECT sum(..))`
+    correlated cut) feeding a semi join against supplier.  Scale: the
+    part_qty rollup REUSES the (l_partkey, l_suppkey) shuffle output
+    (partial agg on a prefix of the same key — no second wide exchange of
+    lineitem), the dominant cut is integer-free exact decimal (qty*5 > total, i.e. a >20% share
+    — the driver's uniform part->supplier assignment means no supplier
+    ever exceeds 50%), and the supplier lookup joins only the surviving ~|parts|
+    rows.  distinct() collapses multi-part dominance before the join.
+
+    The part-total is a window sum over the AGGREGATED frame rather than
+    a self-join: a join formulation scans lineitem twice (the two pq
+    subtrees prune different columns, so the exchanges are not
+    bit-identical and ReusedExchange never fires — verified on the r4
+    final adaptive plan).  The window partitions by l_partkey whose
+    groups are suppliers-per-part (single digits, unskewed by
+    construction), so it is NOT a per-group hotspot; it costs one
+    agg-sized exchange instead of a second full lineitem scan."""
+    from pyspark.sql.window import Window
+
+    cat = Catalog(spark, sf_dir)
+    li, s = cat.table("lineitem"), cat.table("supplier")
+    pq = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("supp_qty"))
+    )
+    part_qty = F.sum("supp_qty").over(Window.partitionBy("l_partkey"))
+    dominant = (
+        pq.withColumn("part_qty", part_qty)
+        .filter(F.col("supp_qty") * 5 > F.col("part_qty"))
+        .select(F.col("l_suppkey").alias("_sk"))
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(dominant), s.s_suppkey == F.col("_sk"))
+        .select("s_suppkey", "s_name")
+    )
+
+
+@query(
+    "q21_sole_late_supplier",
+    """
+    WITH per_supp AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY l.l_orderkey, l.l_suppkey
+    ), per_order AS (
+      SELECT l_orderkey, count(*) AS n_supp, sum(is_late) AS n_late
+      FROM per_supp GROUP BY l_orderkey
+    )
+    SELECT s.s_name AS s_name, count(*) AS numwait
+    FROM per_supp ps
+    JOIN per_order po ON po.l_orderkey = ps.l_orderkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    WHERE ps.is_late = 1 AND po.n_supp > 1 AND po.n_late = 1
+    GROUP BY s.s_name
+    """,
+)
+def q21_sole_late_supplier(spark, sf_dir):
+    """TPC-H q21 shape: the double-correlated EXISTS (another supplier on
+    the order) AND NOT EXISTS (another LATE supplier on the order)
+    self-join, rewritten as one grouped pass — per-(order, supplier)
+    lateness flags, then per-order counts; `n_supp > 1 AND n_late = 1
+    AND is_late` IS the exists/not-exists conjunction without the two
+    extra self-joins of the literal SQL.  Scale: lineitem shuffles once
+    on l_orderkey (join + both rollups share the partitioning — the
+    per_order agg is a prefix rollup of per_supp's key, planned without
+    a second lineitem-wide exchange), supplier joins the tiny survivor
+    set broadcast-side."""
+    cat = Catalog(spark, sf_dir)
+    li, o, s = cat.table("lineitem"), cat.table("orders"), cat.table("supplier")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+    ).otherwise(0)
+    per_supp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    per_order = per_supp.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    waits = (
+        per_supp.join(per_order, per_supp.l_orderkey == F.col("_ok"))
+        .filter((F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return (
+        s.join(F.broadcast(waits), s.s_suppkey == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("numwait").alias("numwait"))
+    )

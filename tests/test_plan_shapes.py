@@ -251,3 +251,49 @@ def test_pretraining_corpus_no_unpartitioned_window(spark):
     # over corpus rows
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "_pid" in spec, spec
+
+
+def test_q2_dims_broadcast_and_region_pushed(spark):
+    plan = _plan(QUERIES["q2_min_cost_supplier"](spark, SF_DIR))
+    # region pruning reaches the region scan; supplier/nation/region all
+    # join broadcast-side (dims stay tiny at any scale factor)
+    assert "EqualTo(r_name,EUROPE)" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q11_scalar_is_broadcast_not_shuffle(spark):
+    plan = _plan(QUERIES["q11_important_parts"](spark, SF_DIR))
+    # nation filter pushed to the nation scan; the one-row total joins
+    # via BroadcastNestedLoopJoin — the HAVING cut is map-side, never a
+    # shuffled join against a 1-row frame
+    assert "EqualTo(n_name,NATION_7)" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q12_lineitem_scan_pruned(spark):
+    plan = _plan(QUERIES["q12_late_shipment_priority"](spark, SF_DIR))
+    # conditional-agg classes need only (l_orderkey, l_shipdate) from the
+    # fact side — the parquet scan must not read the other 9 columns
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
+    assert m and {c.split(":")[0] for c in m.group(1).split(",")} == {
+        "l_orderkey",
+        "l_shipdate",
+    }, plan
+
+
+def test_q20_single_lineitem_scan(spark):
+    plan = _plan(QUERIES["q20_dominant_suppliers"](spark, SF_DIR))
+    # the part-total is a window over the aggregated frame, not a
+    # self-join: exactly one fact scan (the join formulation scanned
+    # lineitem twice with non-reusable exchanges)
+    fact_scans = re.findall(r"ReadSchema: struct<l_partkey", plan)
+    assert len(fact_scans) == 1, plan
+
+
+def test_q21_per_supp_exchange_reused(spark):
+    df = QUERIES["q21_sole_late_supplier"](spark, SF_DIR)
+    df.collect()  # AQE reuse is only visible in the final adaptive plan
+    plan = _plan(df)
+    # per_supp feeds both the per-order rollup and the final join — the
+    # runtime must compute it once (ReusedExchange), not re-scan lineitem
+    assert "ReusedExchange" in plan, plan
