@@ -114,6 +114,9 @@ HEADLINE = [
     "q12_late_shipment_priority",
     "q20_dominant_suppliers",
     "q21_sole_late_supplier",
+    "text_bm25_topk",
+    "text_inverted_postings",
+    "decontam_semantic",
 ]
 
 

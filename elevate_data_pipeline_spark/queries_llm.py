@@ -2514,3 +2514,200 @@ def text_quality_calibrated(spark, sf_dir):
             ).alias("lang_pctile"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Retrieval scoring + semantic decontamination (round 4)
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "hash", "window", "sort")
+# Log-free BM25: the classic idf is ln((N-df+0.5)/(df+0.5)); libm ln is
+# NOT bit-identical across engines, so the score keeps the RATIONAL odds
+# (N-df+0.5)/(df+0.5) as the idf factor — same ranking monotonicity for
+# the bounded per-term factor, pure IEEE arithmetic (every +,*,/ is
+# correctly rounded and therefore engine-portable). k1=1.2, b=0.75.
+# avgdl enters as dl*N/tdl (one multiply + one divide of exact integers).
+_BM25_SCORE = (
+    "CAST((((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+    " * ((CAST(tf AS DOUBLE) * 2.2)"
+    " / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE))"
+    " * CAST(n AS DOUBLE) / CAST(tdl AS DOUBLE))))) AS DECIMAL(28,6))"
+)
+_BM25_TOPK = 20
+
+
+@query(
+    "text_bm25_topk",
+    f"""
+    WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                      string_split(text, ' ') AS ws
+               FROM documents),
+    w AS (SELECT doc_id, u.w AS w FROM d, unnest(ws) AS u(w)
+          WHERE u.w IN {_BM25_TERMS!r}),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM w GROUP BY doc_id, w),
+    dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    s AS (SELECT count(*) AS n, sum(dl) AS tdl FROM d),
+    scored AS (
+      SELECT tf.doc_id AS doc_id, sum({_BM25_SCORE}) AS sc
+      FROM tf JOIN dfq USING (w) JOIN d USING (doc_id) CROSS JOIN s
+      GROUP BY tf.doc_id)
+    SELECT doc_id AS doc_id, CAST(sc AS DOUBLE) AS score
+    FROM scored ORDER BY sc DESC, doc_id LIMIT {_BM25_TOPK}
+    """,
+)
+def text_bm25_topk(spark, sf_dir):
+    """BM25 retrieval: top-20 documents for a fixed query term set — the
+    index-free scoring half of a search stack (the inverted-index build
+    is text_inverted_postings).
+
+    Engine-exactness: rational log-free idf (see _BM25_SCORE comment);
+    each per-term score is rounded once to DECIMAL(28,6) and the per-doc
+    sum is exact decimal addition — order-independent across partitions,
+    so the Spark shuffle sum and DuckDB's serial sum agree bitwise.
+
+    Scale shape: term filter INSIDE the explode projection (only query
+    terms survive — the exploded frame is |docs| x |query|, not the
+    corpus token stream); tf shuffles on (doc_id, term) with map-side
+    partials; df is a |query|-row broadcast; doc lengths join back on
+    doc_id; the 1-row (N, total_dl) frame broadcasts; the global top-20
+    is orderBy+limit = TakeOrderedAndProject (per-partition heaps, never
+    a full sort)."""
+    from .operators.util import spread
+
+    docs = spread(Catalog(spark, sf_dir).table("documents"))
+    d = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("dl"),
+        F.split(F.col("text"), " ").alias("ws"),
+    )
+    w = d.select("doc_id", F.explode("ws").alias("w")).filter(
+        F.col("w").isin(*_BM25_TERMS)
+    )
+    tf = w.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    s = d.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tdl"))
+    scored = (
+        tf.join(F.broadcast(dfq), "w")
+        .join(d.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(s))
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr(_BM25_SCORE)).alias("sc"))
+    )
+    return (
+        scored.orderBy(F.desc("sc"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+        .select("doc_id", F.col("sc").cast("double").alias("score"))
+    )
+
+
+@query(
+    "text_inverted_postings",
+    f"""
+    WITH w AS (
+      SELECT doc_id, u.w AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           unnest(ws) AS u(w)
+      WHERE u.w IN {_BM25_TERMS!r}),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM w GROUP BY doc_id, w)
+    SELECT w AS term, CAST(df AS BIGINT) AS df, doc_id AS doc_id,
+           CAST(tf AS BIGINT) AS tf, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT w, doc_id, tf,
+             count(*) OVER (PARTITION BY w) AS df,
+             row_number() OVER (PARTITION BY w
+                                ORDER BY tf DESC, doc_id) AS rk
+      FROM tf)
+    WHERE rk <= 5
+    """,
+)
+def text_inverted_postings(spark, sf_dir):
+    """Inverted-index build, posting-list heads: for each query term its
+    document frequency and the 5 highest-tf postings (term -> [(doc,
+    tf)] is THE retrieval index structure; the head is what a
+    tiered-index / impact-ordered layout materializes first).
+
+    Scale shape: the term key has very few distinct values here, exactly
+    the degenerate case where a row_number window hotspots one task per
+    term — so the rank comes from operators/rank.grouped_row_number
+    (range-partition over (term, -tf, doc_id) + broadcast per-partition
+    offsets) and df from a broadcast per-term count, never a per-term
+    window over full posting lists."""
+    from .operators.rank import grouped_row_number
+    from .operators.util import spread
+
+    docs = spread(Catalog(spark, sf_dir).table("documents"))
+    w = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w").isin(*_BM25_TERMS))
+    tf = w.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    ranked = grouped_row_number(
+        tf.withColumn("_negtf", -F.col("tf")), "w", ["_negtf", "doc_id"], out_col="rk"
+    )
+    return (
+        ranked.filter(F.col("rk") <= 5)
+        .join(F.broadcast(dfq), "w")
+        .select(
+            F.col("w").alias("term"),
+            "df",
+            "doc_id",
+            "tf",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+_SEM_DECONTAM_TAU = 0.35
+
+
+@query(
+    "decontam_semantic",
+    f"""
+    WITH bench AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+    corpus AS (SELECT vec_id, embedding FROM embeddings WHERE label != 0),
+    scored AS (
+      SELECT c.vec_id AS vec_id,
+             max({_sql_cosine('c.embedding', 'b.embedding')}) AS max_cos
+      FROM corpus c CROSS JOIN bench b
+      GROUP BY c.vec_id)
+    SELECT vec_id AS vec_id, max_cos AS max_cos,
+           CAST(max_cos >= {_SEM_DECONTAM_TAU} AS BOOLEAN) AS contaminated
+    FROM scored
+    """,
+)
+def decontam_semantic(spark, sf_dir):
+    """Semantic decontamination: flag corpus items whose embedding is
+    too close to any held-out benchmark embedding (the embedding-space
+    complement of the n-gram overlap check in operators/decontam.py —
+    catches paraphrased leakage that exact grams miss). Benchmark set =
+    label 0; tau = {_SEM_DECONTAM_TAU}.
+
+    max(cos) over doubles is order-insensitive and exact, and the cosine
+    itself is the fixed left-to-right fold shared with dedup.cosine — no
+    float-summation drift between engines.
+
+    Scale shape: the benchmark side is broadcast (benchmark suites are
+    thousands of rows, corpora are billions); the corpus side streams
+    partition-local through the nested-loop score + partial max, then
+    one tiny shuffle on vec_id for the final max. No corpus self-join,
+    no corpus shuffle of embedding payloads."""
+    from .operators.dedup import cosine
+    from .operators.util import spread
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    bench = emb.filter(F.col("label") == 0).select(
+        F.col("embedding").alias("_bv")
+    )
+    corpus = spread(emb.filter(F.col("label") != 0)).select(
+        "vec_id", F.col("embedding").alias("_cv")
+    )
+    return (
+        corpus.crossJoin(F.broadcast(bench))
+        .groupBy("vec_id")
+        .agg(F.max(cosine("_cv", "_bv")).alias("max_cos"))
+        .select(
+            "vec_id",
+            "max_cos",
+            (F.col("max_cos") >= _SEM_DECONTAM_TAU).alias("contaminated"),
+        )
+    )
