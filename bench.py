@@ -117,6 +117,8 @@ HEADLINE = [
     "text_bm25_topk",
     "text_inverted_postings",
     "decontam_semantic",
+    "curation_systematic_sample",
+    "corpus_diversity",
 ]
 
 

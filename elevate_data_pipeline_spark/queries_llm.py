@@ -2711,3 +2711,129 @@ def decontam_semantic(spark, sf_dir):
             (F.col("max_cos") >= _SEM_DECONTAM_TAU).alias("contaminated"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted systematic sampling + corpus diversity (round 4)
+# --------------------------------------------------------------------------
+
+_SYS_SAMPLE_N = 100
+
+
+@query(
+    "curation_systematic_sample",
+    f"""
+    WITH d AS (SELECT doc_id, n_chars, {_SHUFFLE_HASH} AS h FROM documents),
+    c AS (SELECT doc_id, n_chars,
+                 sum(n_chars) OVER (ORDER BY h, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d),
+    t AS (SELECT sum(n_chars) AS tot FROM documents)
+    SELECT doc_id AS doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(((cum - n_chars) * {_SYS_SAMPLE_N}) // tot AS BIGINT) AS first_tick,
+           CAST((cum * {_SYS_SAMPLE_N}) // tot
+                - ((cum - n_chars) * {_SYS_SAMPLE_N}) // tot AS BIGINT) AS ticks
+    FROM c CROSS JOIN t
+    WHERE (cum * {_SYS_SAMPLE_N}) // tot
+          > ((cum - n_chars) * {_SYS_SAMPLE_N}) // tot
+    """,
+)
+def curation_systematic_sample(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement-randomness: systematic
+    (every-T/N-th) selection along the cumulative-weight axis, weight =
+    n_chars (sampling proportional to size — the standard way to draw a
+    token-budget-representative subset). A doc is selected iff its
+    weight interval [cum-w, cum) crosses one of the N evenly spaced
+    thresholds k*T/N; `ticks` is how many it crosses (multiplicity, >=2
+    when one doc outweighs a full stride — the with-replacement count a
+    downstream epoch sampler repeats it by).
+
+    Exactness: the classic A-ES exponential-key sampler needs ln(u) —
+    libm, not engine-portable. Threshold crossing is pure int64:
+    (cum*N) div T > ((cum-w)*N) div T, with cum from the scale-safe
+    exact global cumsum (range repartition + broadcast offsets) over the
+    portable Knuth-hash order. cum*N stays < 2^63 for corpora up to
+    ~9e16 total chars at N=100.
+
+    Scale shape: one range-partitioned pass for the cumsum, a broadcast
+    1-row total, and a scan-level filter — no collect, no single
+    partition anywhere."""
+    from .operators.rank import global_cumsum
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "n_chars")
+    d = docs.withColumn("_h", curation._hash32("doc_id"))
+    c = global_cumsum(d, ["_h", "doc_id"], "n_chars", out_col="_cum")
+    tot = docs.agg(F.sum("n_chars").alias("_tot"))
+    n = _SYS_SAMPLE_N
+    hi = F.expr(f"(_cum * {n}) div _tot")
+    lo = F.expr(f"((_cum - n_chars) * {n}) div _tot")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .filter(hi > lo)
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            lo.cast("long").alias("first_tick"),
+            (hi - lo).cast("long").alias("ticks"),
+        )
+    )
+
+
+@query(
+    "corpus_diversity",
+    """
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+               FROM documents),
+    g AS (SELECT source,
+                 unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                         for i in range(1, len(ws) - 1)]) AS g
+          FROM w),
+    per AS (SELECT source, g, count(*) AS c FROM g GROUP BY source, g)
+    SELECT source AS source,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(count(*) AS DOUBLE) / sum(c) AS diversity,
+           CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE) / sum(c)
+             AS repeated_frac
+    FROM per GROUP BY source
+    """,
+)
+def corpus_diversity(spark, sf_dir):
+    """Per-source corpus diversity: word-trigram type/token ratio plus
+    the fraction of trigram tokens that are repeats (Self-BLEU-flavored
+    mode-collapse / templated-content signal — sources whose
+    `repeated_frac` spikes are boilerplate or synthetic-loop suspects).
+
+    Both ratios are a single IEEE division of two exact int64 counts —
+    engine-portable bitwise. Scale shape: trigram assembly is a JVM-side
+    transform over the split array (no Python), the (source, gram)
+    aggregate shuffles once with map-side partials absorbing within-doc
+    repeats, and the per-source rollup reuses that key prefix; gram
+    strings never leave the first aggregate."""
+    from .operators.util import spread
+
+    docs = spread(Catalog(spark, sf_dir).table("documents"))
+    grams = docs.select(
+        "source",
+        F.explode(
+            # sequence(0, n) DESCENDS when n < 0 (it is not empty!), so
+            # docs under 3 words need the explicit empty-array branch to
+            # match the oracle's empty range()
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) < 3 THEN array() "
+                "ELSE transform(sequence(0, size(split(text, ' ')) - 3), "
+                "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], "
+                "split(text, ' ')[i+2])) END"
+            )
+        ).alias("g"),
+    )
+    per = grams.groupBy("source", "g").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy("source").agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c")).alias("diversity"),
+        (
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).cast("double")
+            / F.sum("c")
+        ).alias("repeated_frac"),
+    )
