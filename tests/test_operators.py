@@ -963,3 +963,63 @@ def test_grouped_cumsum_equals_window(spark):
         for r in df.withColumn("cs", F.sum("v").over(w)).collect()
     }
     assert got == want
+
+
+def test_systematic_sample_ticks_partition_n(spark):
+    """The N thresholds are PARTITIONED among selected docs: sum(ticks)
+    == N exactly, ticks >= 1, and re-running yields the same rows."""
+    from elevate_data_pipeline_spark.queries import QUERIES
+
+    from conftest import SF_DIR
+
+    out = QUERIES["curation_systematic_sample"](spark, SF_DIR)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert sum(r.ticks for r in rows.values()) == 100
+    assert all(r.ticks >= 1 for r in rows.values())
+    again = {r.doc_id: r for r in QUERIES["curation_systematic_sample"](spark, SF_DIR).collect()}
+    assert {k: (v.first_tick, v.ticks) for k, v in rows.items()} == {
+        k: (v.first_tick, v.ticks) for k, v in again.items()
+    }
+
+
+def test_systematic_sample_weight_bias(spark):
+    """Size-proportional: mean n_chars of the sample must exceed the
+    corpus mean (long docs cross more thresholds)."""
+    from elevate_data_pipeline_spark.queries import QUERIES
+    from elevate_data_pipeline_spark.sources.catalog import Catalog
+
+    from conftest import SF_DIR
+
+    out = QUERIES["curation_systematic_sample"](spark, SF_DIR).collect()
+    sample_mean = sum(r.n_chars * r.ticks for r in out) / sum(r.ticks for r in out)
+    pop = Catalog(spark, SF_DIR).table("documents").agg(F.avg("n_chars")).first()[0]
+    assert sample_mean > pop
+
+
+def test_bm25_scores_positive_and_bounded(spark):
+    from elevate_data_pipeline_spark.queries import QUERIES
+
+    from conftest import SF_DIR
+
+    rows = QUERIES["text_bm25_topk"](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    assert all(r.score > 0 for r in rows)
+    # descending by score (ties broken by doc_id in the plan)
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_corpus_diversity_bounds(spark):
+    from elevate_data_pipeline_spark.queries import QUERIES
+
+    from conftest import SF_DIR
+
+    rows = QUERIES["corpus_diversity"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.diversity <= 1.0
+        assert 0 <= r.repeated_frac <= 1.0
+        assert r.n_distinct <= r.n_grams
+        # every repeated gram contributes >= 2 tokens: the repeated token
+        # mass and the distinct count must cover the total consistently
+        assert r.n_grams - r.n_distinct <= r.repeated_frac * r.n_grams + 1e-9 * r.n_grams
