@@ -119,6 +119,7 @@ HEADLINE = [
     "decontam_semantic",
     "curation_systematic_sample",
     "corpus_diversity",
+    "events_attribution",
 ]
 
 

@@ -22,6 +22,16 @@ from pyspark.sql import functions as F
 from .functions.text import token_count_ws
 from .operators import cluster, curation, dedup
 
+# Test hook, same contract as operators.rank.PIN_PARTITIONS: plan-shape
+# tests flip this off to inspect the pre-checkpoint plan (localCheckpoint
+# truncates lineage, hiding the scans the pushdown pins assert on).
+# Production paths never touch it.
+PIN_STAGES = True
+
+
+def _pin_stage(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=True) if PIN_STAGES else df
+
 
 def curate_corpus(
     docs: DataFrame,
@@ -42,7 +52,7 @@ def curate_corpus(
     # Same stage boundary as pretraining_corpus: the gated slice feeds
     # the pair, labeling, and survivor subtrees — pin one
     # materialization instead of re-running the gates per consumer.
-    f = f.localCheckpoint(eager=True)
+    f = _pin_stage(f)
     pairs = dedup.minhash_lsh_pairs(f, est_threshold=est_threshold).select(
         "id_a", "id_b"
     )
@@ -98,7 +108,7 @@ def pretraining_corpus(
     # is exactly what a production 100 TB build does between the cheap
     # filter phase and the quadratic-ish dedup phase (write the gated
     # corpus, then dedup it); measured 5.8s -> ~3s at sf0.1.
-    f = f.localCheckpoint(eager=True)
+    f = _pin_stage(f)
     pairs = dedup.minhash_lsh_pairs(f, est_threshold=est_threshold).select(
         "id_a", "id_b"
     )

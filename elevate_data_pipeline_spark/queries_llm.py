@@ -2837,3 +2837,57 @@ def corpus_diversity(spark, sf_dir):
             / F.sum("c")
         ).alias("repeated_frac"),
     )
+
+
+@query(
+    "events_attribution",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, ts, max(event_id) AS click_id FROM events
+               WHERE event_type = 'click' GROUP BY user_id, ts),
+         m AS (SELECT l.event_id, l.user_id, l.ts,
+                      r.ts AS click_ts, r.click_id
+               FROM l ASOF LEFT JOIN r
+                 ON l.user_id = r.user_id AND l.ts >= r.ts)
+    SELECT event_id AS purchase_id, user_id AS user_id, ts AS ts,
+           CASE WHEN click_ts >= ts - INTERVAL 7 DAY THEN click_id END
+             AS click_id,
+           CASE WHEN click_ts >= ts - INTERVAL 7 DAY THEN click_ts END
+             AS click_ts,
+           CAST(click_ts >= ts - INTERVAL 7 DAY AS BOOLEAN) IS TRUE
+             AS attributed
+    FROM m
+    """,
+)
+def events_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase credits the user's most
+    recent click at or before it, but only within a 7-day lookback —
+    older touches expire to NULL (unattributed organic conversion).
+
+    Built on operators/asof.asof_join (union + windowed struct-carry,
+    ONE user_id shuffle, no range self-join); the right side
+    pre-aggregates same-timestamp clicks to max(event_id) so the as-of
+    match is tie-free on both engines. The lookback is applied AFTER the
+    match (as-of semantics allow one inequality): a stale match nulls
+    out rather than falling back to an older in-window click — exactly
+    DuckDB's ASOF JOIN + CASE, so the oracle is the native formulation."""
+    ev = Catalog(spark, sf_dir).table("events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    m = asof.asof_join(left, right, on="user_id", ts="ts", right_ts_out="click_ts")
+    in_window = F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
+    return m.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        F.when(in_window, F.col("click_id")).alias("click_id"),
+        F.when(in_window, F.col("click_ts")).alias("click_ts"),
+        F.coalesce(in_window, F.lit(False)).alias("attributed"),
+    )

@@ -52,7 +52,13 @@ def test_heavy_hitters_total_broadcast(spark):
 
 
 def test_curation_pipeline_filters_pushed(spark):
-    plan = _plan(QUERIES["curation_pipeline"](spark, SF_DIR))
+    from elevate_data_pipeline_spark import pipelines
+
+    pipelines.PIN_STAGES = False  # checkpoint hides the scan the pin asserts on
+    try:
+        plan = _plan(QUERIES["curation_pipeline"](spark, SF_DIR))
+    finally:
+        pipelines.PIN_STAGES = True
     # the language gate must reach the documents scan (quality is an
     # expression filter above it; lang is a plain column predicate)
     assert "EqualTo(lang,en)" in plan
