@@ -120,6 +120,7 @@ HEADLINE = [
     "curation_systematic_sample",
     "corpus_diversity",
     "events_attribution",
+    "events_interpolate_hourly",
 ]
 
 

@@ -213,3 +213,128 @@ def events_resample_hourly(spark, sf_dir):
             F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_ffill"),
         )
     )
+
+
+@query(
+    "events_interpolate_hourly",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT t.event_type, g.hour_ts
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+            FROM bounds) g
+    ),
+    agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    carried AS (
+      SELECT g.event_type, g.hour_ts, a.v,
+             epoch_us(g.hour_ts) // 3600000000 AS hr,
+             last_value(a.v IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hour_ts
+               ROWS UNBOUNDED PRECEDING) AS pv,
+             last_value(CASE WHEN a.v IS NOT NULL
+                             THEN epoch_us(g.hour_ts) // 3600000000 END
+                        IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hour_ts
+               ROWS UNBOUNDED PRECEDING) AS ph,
+             first_value(a.v IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hour_ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN a.v IS NOT NULL
+                              THEN epoch_us(g.hour_ts) // 3600000000 END
+                         IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hour_ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM grid g LEFT JOIN agg a USING (event_type, hour_ts)
+    )
+    SELECT event_type AS event_type, hour_ts AS hour_ts, v AS avg_value,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  pv + (nv - pv) * (CAST(hr - ph AS DOUBLE)
+                                    / CAST(nh - ph AS DOUBLE))
+                ELSE coalesce(pv, nv) END AS value_interp
+    FROM carried
+    """,
+)
+def events_interpolate_hourly(spark, sf_dir):
+    """Per-series linear interpolation onto the hourly grid: missing
+    hours get pv + (nv-pv) * gap_fraction between the bracketing known
+    points; edges hold the nearest known value (ffill/bfill). The
+    complement of events_resample_hourly's forward fill — the standard
+    gap repair before training time-series models.
+
+    Exactness: known points are exact-decimal hourly means; the
+    interpolation is three IEEE ops on doubles in pinned order with the
+    gap fraction from exact integer hour indices (epoch_us div 3600e6)
+    — bitwise identical across engines, no libm.
+
+    Scale shape: the grid is |series| x |hours| (broadcast-joined from a
+    1-row bounds aggregate — never materialized from raw events); all
+    four carries are windows PARTITIONED BY the series key over grid
+    rows, so no single-partition window and state bounded by the time
+    span, not the event count."""
+    ev = Catalog(spark, sf_dir).table("events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(bounds).select(
+                F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias(
+                    "hour_ts"
+                )
+            )
+        )
+    )
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("*")
+        ).alias("v")
+    )
+    hr = (epoch_us(F.col("hour_ts")) / F.lit(3_600_000_000)).cast("long")
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_hr = F.when(F.col("v").isNotNull(), hr)
+    carried = (
+        grid.join(agg, ["event_type", "hour_ts"], "left")
+        .withColumn("_hr", hr)
+        .withColumn("pv", F.last("v", ignorenulls=True).over(back))
+        .withColumn("ph", F.last(known_hr, ignorenulls=True).over(back))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(fwd))
+        .withColumn("nh", F.first(known_hr, ignorenulls=True).over(fwd))
+    )
+    frac = (F.col("_hr") - F.col("ph")).cast("double") / (
+        F.col("nh") - F.col("ph")
+    ).cast("double")
+    return carried.select(
+        "event_type",
+        "hour_ts",
+        F.col("v").alias("avg_value"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+        .otherwise(F.coalesce("pv", "nv"))
+        .alias("value_interp"),
+    )
