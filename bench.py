@@ -121,6 +121,7 @@ HEADLINE = [
     "corpus_diversity",
     "events_attribution",
     "events_interpolate_hourly",
+    "events_trend_slope",
 ]
 
 

@@ -338,3 +338,71 @@ def events_interpolate_hourly(spark, sf_dir):
         .otherwise(F.coalesce("pv", "nv"))
         .alias("value_interp"),
     )
+
+
+@query(
+    "events_trend_slope",
+    """
+    WITH h AS (
+      SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             count(*) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    base AS (SELECT min(hr) AS h0 FROM h),
+    s AS (
+      SELECT event_type,
+             count(*) AS k,
+             sum(hr - h0) AS sx,
+             sum(n) AS sy,
+             sum((hr - h0) * (hr - h0)) AS sxx,
+             sum((hr - h0) * n) AS sxy
+      FROM h CROSS JOIN base GROUP BY event_type
+    )
+    SELECT event_type AS event_type, CAST(k AS BIGINT) AS n_hours,
+           CAST(k * sxy - sx * sy AS DOUBLE)
+             / CAST(k * sxx - sx * sx AS DOUBLE) AS slope_per_hour
+    FROM s
+    """,
+)
+def events_trend_slope(spark, sf_dir):
+    """Per-series volume trend: the OLS slope of hourly event counts
+    against the hour index — the load-growth/decay signal a monitoring
+    stack fits per metric. No libm and no float accumulation: the four
+    sufficient statistics are exact int64 sums over REBASED hour indices
+    (hr - min(hr), keeping k*sxy ~ k*hours²*count far under 2^63 even
+    for decade-long series), and the slope is one IEEE division of two
+    exact integers — bitwise identical across engines.
+
+    Scale shape: the hourly rollup shuffles events once on (series,
+    hour) with map-side partials; the sufficient-statistics rollup
+    reuses that key prefix; the rebase constant is a broadcast 1-row
+    min. Fitting per-series trends over a 100 TB log never moves more
+    than |series| x |hours| rows."""
+    ev = Catalog(spark, sf_dir).table("events")
+    h = ev.groupBy(
+        "event_type",
+        (epoch_us(F.date_trunc("hour", F.col("ts"))) / F.lit(3_600_000_000))
+        .cast("long")
+        .alias("hr"),
+    ).agg(F.count("*").alias("n"))
+    base = h.agg(F.min("hr").alias("h0"))
+    x = F.col("hr") - F.col("h0")
+    s = (
+        h.crossJoin(F.broadcast(base))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(x).alias("sx"),
+            F.sum("n").alias("sy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(x * F.col("n")).alias("sxy"),
+        )
+    )
+    return s.select(
+        "event_type",
+        F.col("k").cast("long").alias("n_hours"),
+        (
+            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("slope_per_hour"),
+    )
