@@ -122,6 +122,7 @@ HEADLINE = [
     "events_attribution",
     "events_interpolate_hourly",
     "events_trend_slope",
+    "dedup_containment",
 ]
 
 

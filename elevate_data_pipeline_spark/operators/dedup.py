@@ -156,6 +156,78 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "source",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Directional near-dup pairs by character-n-gram CONTAINMENT:
+    C(a in b) = |grams(a) n grams(b)| / |grams(a)| — the asymmetric
+    complement of :func:`ngram_jaccard_pairs`. Jaccard misses excerpts
+    (a 100-word quote inside a 10k-word page has tiny Jaccard but
+    containment ~1); this is the signal that catches quotation,
+    aggregation, and partial scrapes.
+
+    Same inverted-index shape as the Jaccard PPJoin, with a ONE-SIDED
+    prefix: C(a in b) >= t bounds only the contained side (a's rarest
+    |a| - ceil(t*|a|) + 1 grams must hit b), so the candidate join runs
+    a-prefix vs b-FULL postings on (block, gram). Verification is the
+    exact intersect over the full gram sets. Returns ordered
+    (contained_id, container_id, containment) with containment >= t.
+    """
+    from pyspark.sql.window import Window
+
+    df = spread(df)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_blk"),
+        char_ngrams(text_col, n).alias("_grams"),
+    ).localCheckpoint(eager=False)  # reused: prefix build + both verify sides
+
+    exploded = base.select(
+        "_id", "_blk", F.size("_grams").alias("_sz"), F.explode("_grams").alias("_g")
+    )
+    freq = exploded.groupBy("_blk", "_g").agg(F.count("*").alias("_df"))
+    ranked = exploded.join(freq, ["_blk", "_g"]).withColumn(
+        "_rn",
+        F.row_number().over(Window.partitionBy("_blk", "_id").orderBy("_df", "_g")),
+    )
+    prefix = ranked.filter(
+        F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+    ).select("_id", "_blk", "_g")
+
+    a, b = prefix.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._g") == F.col("b._g"))
+            & (F.col("a._id") != F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("contained_id"), F.col("b._id").alias("container_id")
+        )
+        .dropDuplicates(["contained_id", "container_id"])
+    )
+
+    ga = base.select(F.col("_id").alias("contained_id"), F.col("_grams").alias("_ga"))
+    gb = base.select(F.col("_id").alias("container_id"), F.col("_grams").alias("_gb"))
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    return (
+        cand.join(ga, "contained_id")
+        .join(gb, "container_id")
+        .select(
+            "contained_id",
+            "container_id",
+            (inter.cast("double") / F.size("_ga").cast("double")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # combiner base for shingle hash = poly-combine of the k token hashes
 SHINGLE_BASE = 1_000_003
 

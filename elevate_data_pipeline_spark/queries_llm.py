@@ -2891,3 +2891,28 @@ def events_attribution(spark, sf_dir):
         F.when(in_window, F.col("click_ts")).alias("click_ts"),
         F.coalesce(in_window, F.lit(False)).alias("attributed"),
     )
+
+
+@query(
+    "dedup_containment",
+    """
+    WITH g AS (
+      SELECT doc_id, source,
+             list_distinct([substr(text, x, 3)
+                            for x in range(1, greatest(len(text) - 2, 1) + 1)]) AS grams
+      FROM documents
+    )
+    SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / CAST(len(a.grams) AS DOUBLE) AS containment
+    FROM g a JOIN g b ON a.source = b.source AND a.doc_id != b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / CAST(len(a.grams) AS DOUBLE) >= 0.55
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Directional char-3-gram containment pairs (excerpt/quotation
+    detection), blocked by source — operators/dedup.containment_pairs
+    with its one-sided PPJoin prefix; oracle is the blocked cross join."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return dedup.containment_pairs(docs, threshold=0.55)

@@ -1023,3 +1023,21 @@ def test_corpus_diversity_bounds(spark):
         # every repeated gram contributes >= 2 tokens: the repeated token
         # mass and the distinct count must cover the total consistently
         assert r.n_grams - r.n_distinct <= r.repeated_frac * r.n_grams + 1e-9 * r.n_grams
+
+
+def test_containment_detects_excerpt(spark):
+    """A doc fully embedded in a longer doc has containment 1.0 in that
+    direction only; unrelated docs never pair."""
+    from elevate_data_pipeline_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps", "s"),
+            (2, "intro text the quick brown fox jumps and much more trailing content", "s"),
+            (3, "unrelated totally different words", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {(r.contained_id, r.container_id): r.containment
+            for r in dedup.containment_pairs(df, threshold=0.8).collect()}
+    assert rows == {(1, 2): 1.0}
