@@ -10,7 +10,7 @@ from .events import (
     sessionize_stream,
     upsert_sink,
 )
-from .ingest import dedup_ingest_sink, drift_monitor_sink
+from .ingest import dedup_ingest_sink, drift_monitor_sink, topk_monitor_sink
 
 __all__ = [
     "events_stream_schema",
@@ -25,4 +25,5 @@ __all__ = [
     "join_streams_interval",
     "dedup_ingest_sink",
     "drift_monitor_sink",
+    "topk_monitor_sink",
 ]

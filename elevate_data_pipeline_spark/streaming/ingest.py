@@ -219,3 +219,63 @@ def drift_monitor_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def topk_monitor_sink(
+    stream_events,
+    state_dir: str,
+    checkpoint: str,
+    key_col: str = "event_type",
+    k: int = 5,
+):
+    """Streaming exact top-k monitor: maintains running per-key counts
+    across micro-batches and emits the current top-k ranking after each
+    batch — the stream face of the batch ``events_heavy_hitters`` query.
+
+    Per batch: ONE map-side-combined aggregate over the micro-batch, a
+    key-cardinality-sized merge into the parquet state table, and a
+    TakeOrdered top-k (per-partition heaps) appended to
+    ``<state_dir>/rankings`` with the batch id. Counts are exact int64
+    — rankings replay identically offline from the same log — and
+    state is |keys| rows, never event-sized. Ties break on the key
+    string so the emitted ranking is deterministic.
+
+    Returns the started StreamingQuery.
+    """
+    from pyspark.sql import functions as F
+
+    counts_path = state_dir + "/counts"
+    rankings_path = state_dir + "/rankings"
+
+    def step(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        new = batch_df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+        try:
+            prev = spark.read.parquet(counts_path)
+            merged = (
+                prev.unionByName(new).groupBy(key_col).agg(F.sum("n").alias("n"))
+            )
+        except Exception:  # first batch
+            merged = new
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(counts_path)
+
+        top = (
+            merged.orderBy(F.desc("n"), F.asc(key_col))
+            .limit(k)
+            .select(
+                F.lit(batch_id).alias("batch_id"),
+                F.col(key_col),
+                F.col("n").cast("long").alias("n"),
+            )
+        )
+        top.write.mode("append").parquet(rankings_path)
+
+    return (
+        stream_events.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -361,3 +361,39 @@ def test_drift_monitor_sink_matches_batch_tvd(spark, tmp_path):
     assert final.tvd == 0.5
     counts = {r.bucket: r.n_cur for r in spark.read.parquet(state + "/counts").collect()}
     assert counts == {0: 2, 1: 2, 3: 2}
+
+
+def test_topk_monitor_sink_accumulates(spark, tmp_path):
+    """Streaming top-k across two micro-batches: the final ranking
+    reflects RUNNING counts (batch 2 flips the leader), ties break on
+    the key, and the state table is key-sized."""
+    from elevate_data_pipeline_spark.streaming import topk_monitor_sink
+
+    d = tmp_path / "in"
+    d.mkdir()
+
+    def write_batch(fname, types):
+        spark.createDataFrame([(t,) for t in types], "event_type string") \
+            .coalesce(1).write.parquet(str(d / fname))
+
+    write_batch("b1", ["a", "a", "b"])
+    write_batch("b2", ["b", "b", "c"])
+
+    stream = (
+        spark.readStream.schema("event_type string").format("parquet")
+        .option("maxFilesPerTrigger", "1").load(str(d) + "/b*")
+    )
+    state = str(tmp_path / "state")
+    q = topk_monitor_sink(stream, state, str(tmp_path / "ck"), k=2)
+    q.awaitTermination(120)
+
+    ranks = spark.read.parquet(state + "/rankings").collect()
+    by_batch = {}
+    for r in ranks:
+        by_batch.setdefault(r.batch_id, []).append((r.event_type, r.n))
+    assert len(by_batch) == 2
+    final = sorted(by_batch[max(by_batch)], key=lambda t: (-t[1], t[0]))
+    # running counts after both batches: a=2, b=3, c=1 -> top-2 = b, a
+    assert final == [("b", 3), ("a", 2)]
+    counts = {r.event_type: r.n for r in spark.read.parquet(state + "/counts").collect()}
+    assert counts == {"a": 2, "b": 3, "c": 1}
