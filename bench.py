@@ -123,6 +123,7 @@ HEADLINE = [
     "events_interpolate_hourly",
     "events_trend_slope",
     "dedup_containment",
+    "dedup_normalized",
 ]
 
 

@@ -2916,3 +2916,28 @@ def dedup_containment(spark, sf_dir):
     with its one-sided PPJoin prefix; oracle is the blocked cross join."""
     docs = Catalog(spark, sf_dir).table("documents")
     return dedup.containment_pairs(docs, threshold=0.55)
+
+
+@query(
+    "dedup_normalized",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             AS norm_md5,
+           min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+    """,
+)
+def dedup_normalized(spark, sf_dir):
+    """Normalization-insensitive exact dedup: case folds, punctuation
+    and whitespace runs collapse to one space, then group by the md5 of
+    the normal form — catches trivially reformatted copies (casing,
+    markdown artifacts, spacing) that byte-exact dedup misses while
+    staying one hash shuffle like dedup_exact. The normalization is
+    ASCII class ops shared verbatim by Java regex and RE2, so both
+    engines produce identical normal forms."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    return docs.groupBy(F.md5(norm).alias("norm_md5")).agg(
+        F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies")
+    )
