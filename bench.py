@@ -124,6 +124,7 @@ HEADLINE = [
     "events_trend_slope",
     "dedup_containment",
     "dedup_normalized",
+    "multimodal_audio_features",
 ]
 
 

@@ -265,3 +265,90 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, FEATURE_SCHEMA)
+
+
+class AudioData:
+    """Decoded PCM audio: sample rate, channel count, bit depth, and the
+    interleaved samples as Python ints."""
+
+    def __init__(self, sample_rate: int, channels: int, bits: int, samples: list):
+        self.sample_rate = sample_rate
+        self.channels = channels
+        self.bits = bits
+        self.samples = samples
+
+
+def encode_wav(samples: list, sample_rate: int = 16000, channels: int = 1) -> bytes:
+    """Minimal RIFF/WAVE writer: PCM, 16-bit little-endian. The inverse
+    of :func:`decode_wav`; used to synthesize test payloads the same way
+    ``encode_ppm`` does for images."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    byte_rate = sample_rate * channels * 2
+    block_align = channels * 2
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, block_align, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> AudioData:
+    """Dependency-free audio decode: RIFF/WAVE with linear PCM 16-bit
+    (format tag 1) — the one audio container a header parse handles
+    without codec libraries. Compressed formats (MP3/AAC/opus/float
+    PCM/...) raise ``NotImplementedError``; truncated or malformed
+    payloads raise ``ValueError`` (a silent garbage decode would poison
+    every downstream feature)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only RIFF/WAVE PCM decodes without codec libraries; got magic %r"
+            % payload[:4]
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            if len(body) < clen:
+                raise ValueError("truncated data chunk")
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, channels, rate, _br, _ba, bits = fmt
+    if tag != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM 16-bit decodes without codec libraries; got tag={tag} bits={bits}"
+        )
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data[: 2 * n]))
+    return AudioData(rate, channels, bits, samples)
+
+
+def audio_features(samples: list) -> dict:
+    """Doc-level PCM features in exact integer arithmetic: sample count,
+    peak |amplitude|, energy (sum of squares), and zero crossings (sign
+    flips with >= 0 as 'positive' — matches the SQL oracle's replay)."""
+    zc = sum(
+        1 for i in range(1, len(samples)) if (samples[i - 1] >= 0) != (samples[i] >= 0)
+    )
+    return {
+        "n_samples": len(samples),
+        "peak": max((abs(s) for s in samples), default=0),
+        "energy": sum(s * s for s in samples),
+        "zero_crossings": zc,
+    }

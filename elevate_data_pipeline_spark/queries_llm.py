@@ -2941,3 +2941,63 @@ def dedup_normalized(spark, sf_dir):
     return docs.groupBy(F.md5(norm).alias("norm_md5")).agg(
         F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies")
     )
+
+
+@query(
+    "multimodal_audio_features",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             [((doc_id * 31 + i * 2053) % 65536) - 32768
+              for i in range(0, CAST(64 + doc_id % 64 AS INT))] AS smp
+      FROM documents)
+    SELECT doc_id AS doc_id,
+           CAST(len(smp) AS BIGINT) AS n_samples,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS peak,
+           CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT) AS energy,
+           CAST(len(list_filter(range(1, len(smp)),
+                                i -> (smp[i] >= 0) != (smp[i+1] >= 0)))
+                AS BIGINT) AS zero_crossings
+    FROM s
+    """,
+)
+def multimodal_audio_features(spark, sf_dir):
+    """REAL audio decode (no stub): deterministic PCM samples per doc
+    are written through ``operators/multimodal.encode_wav`` and parsed
+    back by ``decode_wav`` (RIFF chunk walk, PCM16) inside mapInPandas;
+    features are exact-integer (peak / energy / zero crossings). The
+    oracle replays the sample formula and the feature arithmetic in pure
+    SQL, so the Spark side proves the ENCODE->DECODE round trip byte-for
+    -byte — same pattern as multimodal_decode's pixel checksum. One
+    narrow scan, no shuffle: decode is embarrassingly parallel, the
+    100 TB shape."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n = 64 + did % 64
+                smp = [((did * 31 + i * 2053) % 65536) - 32768 for i in range(n)]
+                audio = multimodal.decode_wav(
+                    multimodal.encode_wav(smp, sample_rate=16000)
+                )
+                f = multimodal.audio_features(audio.samples)
+                rows.append(
+                    (did, f["n_samples"], audio.sample_rate, f["peak"],
+                     f["energy"], f["zero_crossings"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "sample_rate", "peak",
+                         "energy", "zero_crossings"],
+            )
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_samples long, sample_rate int, peak long, "
+        "energy long, zero_crossings long",
+    )

@@ -1041,3 +1041,26 @@ def test_containment_detects_excerpt(spark):
     rows = {(r.contained_id, r.container_id): r.containment
             for r in dedup.containment_pairs(df, threshold=0.8).collect()}
     assert rows == {(1, 2): 1.0}
+
+
+def test_wav_roundtrip_and_rejections():
+    """encode_wav -> decode_wav is lossless for PCM16; non-WAV magic
+    raises NotImplementedError, truncated RIFF raises ValueError."""
+    from elevate_data_pipeline_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    s = [0, 100, -5, 32767, -32768, 7]
+    a = decode_wav(encode_wav(s, sample_rate=8000, channels=1))
+    assert (a.samples, a.sample_rate, a.channels, a.bits) == (s, 8000, 1, 16)
+    f = audio_features(s)
+    assert f["peak"] == 32768 and f["zero_crossings"] == 4
+    assert f["energy"] == sum(x * x for x in s)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_wav(b"OggS" + b"\x00" * 40)
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVE")
