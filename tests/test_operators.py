@@ -1064,3 +1064,31 @@ def test_wav_roundtrip_and_rejections():
         decode_wav(b"OggS" + b"\x00" * 40)
     with _pytest.raises(ValueError):
         decode_wav(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_avi_roundtrip_and_rejections():
+    """encode_avi -> decode_avi is lossless for uncompressed RGB24
+    (including odd-length frame padding); non-AVI magic raises
+    NotImplementedError; header/movi frame-count mismatch raises
+    ValueError."""
+    import struct
+
+    from elevate_data_pipeline_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi,
+    )
+
+    frames = [bytes((i * 7 + p) % 251 for p in range(24)) for i in range(3)]
+    v = decode_avi(encode_avi(frames, 4, 2, 40000))
+    assert (v.width, v.height, v.us_per_frame, v.n_frames) == (4, 2, 40000, 3)
+    assert v.frames == frames
+    assert decode_avi(encode_avi([b"\x01\x02\x03"], 1, 1)).frames == [b"\x01\x02\x03"]
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    bad = encode_avi(frames, 4, 2)
+    idx = bad.find(b"avih") + 8 + 4 * 4
+    bad = bad[:idx] + struct.pack("<I", 99) + bad[idx + 4 :]
+    with _pytest.raises(ValueError):
+        decode_avi(bad)
