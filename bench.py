@@ -126,6 +126,7 @@ HEADLINE = [
     "dedup_normalized",
     "multimodal_audio_features",
     "multimodal_video_decode",
+    "mixture_epoch_plan",
 ]
 
 

@@ -3058,3 +3058,64 @@ def multimodal_video_decode(spark, sf_dir):
         "doc_id long, frame_idx int, width int, height int, n_frames int, "
         "frame_sum long",
     )
+
+
+_EPOCH_BUDGET = 1_000_000  # total training-token budget for the plan
+_EPOCH_CAP = 4.0  # max passes over any source (data-constrained scaling)
+
+
+@query(
+    "mixture_epoch_plan",
+    f"""
+    WITH s AS (
+      SELECT source, sum(n_chars) AS n_tokens,
+             CAST(sqrt(sum(n_chars)) AS DECIMAL(28,12)) AS r
+      FROM documents GROUP BY source),
+    d AS (SELECT sum(r) AS dd FROM s)
+    SELECT source AS source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(r AS DOUBLE) / CAST(dd AS DOUBLE) AS q,
+           (CAST(r AS DOUBLE) / CAST(dd AS DOUBLE)) * {_EPOCH_BUDGET}.0
+             AS target_tokens,
+           least((CAST(r AS DOUBLE) / CAST(dd AS DOUBLE)) * {_EPOCH_BUDGET}.0
+                   / n_tokens, {_EPOCH_CAP}) AS epochs,
+           least((CAST(r AS DOUBLE) / CAST(dd AS DOUBLE)) * {_EPOCH_BUDGET}.0,
+                 {_EPOCH_CAP} * n_tokens) AS planned_tokens
+    FROM s, d
+    """,
+)
+def mixture_epoch_plan(spark, sf_dir):
+    """Epoch schedule for a token budget: τ=0.5 temperature mixture over
+    per-source token counts (q ∝ sqrt(tokens)), each source's target
+    token draw, and the implied number of passes (epochs) CLIPPED at
+    {_EPOCH_CAP} — repeating a small source beyond ~4 epochs stops
+    helping (data-constrained scaling), so the plan caps there and
+    reports the realized planned_tokens. The downstream sampler pairs
+    this with curation_systematic_sample to draw the per-source quota.
+
+    Exactness: sqrt is IEEE-correctly-rounded (not libm-approximate),
+    the mixture denominator sums DECIMAL(28,12) exactly, and every
+    derived column is a pinned-order chain of IEEE ops — bitwise equal
+    across engines. One aggregate (source-keyed, map-side partials) plus
+    a broadcast 1-row denominator: the plan never moves more than
+    |sources| rows."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    s = docs.groupBy("source").agg(
+        F.sum("n_chars").alias("n_tokens"),
+        F.sqrt(F.sum("n_chars")).cast("decimal(28,12)").alias("r"),
+    )
+    d = s.agg(F.sum("r").alias("dd"))
+    q = F.col("r").cast("double") / F.col("dd").cast("double")
+    target = q * F.lit(float(_EPOCH_BUDGET))
+    return (
+        s.crossJoin(F.broadcast(d))
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            q.alias("q"),
+            target.alias("target_tokens"),
+            F.least(target / F.col("n_tokens"), F.lit(_EPOCH_CAP)).alias("epochs"),
+            F.least(target, F.lit(_EPOCH_CAP) * F.col("n_tokens")).alias(
+                "planned_tokens"
+            ),
+        )
+    )
