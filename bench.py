@@ -127,6 +127,7 @@ HEADLINE = [
     "multimodal_audio_features",
     "multimodal_video_decode",
     "mixture_epoch_plan",
+    "basket_part_pairs",
 ]
 
 

@@ -2137,3 +2137,69 @@ def q21_sole_late_supplier(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.sum("numwait").alias("numwait"))
     )
+
+
+@query(
+    "basket_part_pairs",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    pc AS (SELECT l_partkey, count(*) AS n_p FROM op GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey)
+    SELECT part_a AS part_a, part_b AS part_b, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(n_ab * n_orders AS DOUBLE) / CAST(ca.n_p * cb.n_p AS DOUBLE)
+             AS lift
+    FROM pairs
+    JOIN pc ca ON ca.l_partkey = part_a
+    JOIN pc cb ON cb.l_partkey = part_b
+    CROSS JOIN n
+    WHERE n_ab >= 3
+    """,
+)
+def basket_part_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: part pairs bought together in >= 3
+    orders, with lift = P(a,b)/(P(a)P(b)) as one IEEE division of exact
+    integer products. The pair self-join keys on l_orderkey, so its cost
+    is sum over orders of (items-per-order choose 2) — bounded by the
+    per-order line cap (7 in TPC-H, never corpus-quadratic) — and the
+    support cut runs before the per-part count joins, so only
+    significant pairs reach them. One distinct shuffle + one
+    orderkey-keyed join: the association-mining shape at any scale."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    pc = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    ca = pc.select(F.col("l_partkey").alias("part_a"), F.col("n_p").alias("_na"))
+    cb = pc.select(F.col("l_partkey").alias("part_b"), F.col("n_p").alias("_nb"))
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            (
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("_na") * F.col("_nb")).cast("double")
+            ).alias("lift"),
+        )
+    )
