@@ -165,3 +165,41 @@ def test_block_dedup_strips_shared_blocks_between_copies(spark, text):
     df = spark.createDataFrame([(0, text), (1, text)], "doc_id long, text string")
     for r in block_dedup(df, block_words=3, min_docs=2).collect():
         assert r.cleaned_text == "" and r.n_removed == r.n_blocks > 0
+
+
+@pytest.mark.slow
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=10_000),
+                     min_size=1, max_size=60),
+    n_ticks=st.integers(min_value=1, max_value=50),
+)
+def test_systematic_sample_partitions_ticks(spark, weights, n_ticks):
+    """For ANY positive integer weights and tick count: crossings
+    partition the N thresholds exactly (sum(ticks) == N), every selected
+    row crosses at least one, and no row's tick range overlaps another's
+    — the invariants that make the sampler a valid without-replacement
+    size-proportional draw."""
+    from elevate_data_pipeline_spark.operators import curation
+    from elevate_data_pipeline_spark.operators.rank import global_cumsum
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "doc_id long, n_chars long"
+    )
+    d = df.withColumn("_h", curation._hash32("doc_id"))
+    c = global_cumsum(d, ["_h", "doc_id"], "n_chars", out_col="_cum")
+    tot = sum(weights)
+    hi = F.expr(f"(_cum * {n_ticks}) div {tot}")
+    lo = F.expr(f"((_cum - n_chars) * {n_ticks}) div {tot}")
+    rows = (
+        c.filter(hi > lo)
+        .select("doc_id", lo.alias("first_tick"), (hi - lo).alias("ticks"))
+        .collect()
+    )
+    assert sum(r.ticks for r in rows) == n_ticks
+    assert all(r.ticks >= 1 for r in rows)
+    ranges = sorted((r.first_tick, r.first_tick + r.ticks) for r in rows)
+    for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
+        assert a1 <= b0  # tick ranges are disjoint
+    assert ranges[0][0] >= 0 and ranges[-1][1] == n_ticks
