@@ -128,6 +128,7 @@ HEADLINE = [
     "multimodal_video_decode",
     "mixture_epoch_plan",
     "basket_part_pairs",
+    "sql_nation_revenue",
 ]
 
 

@@ -2203,3 +2203,26 @@ def basket_part_pairs(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+_NATION_REVENUE_SQL = """
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS gross,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+"""
+
+
+@query("sql_nation_revenue", _NATION_REVENUE_SQL)
+def sql_nation_revenue(spark, sf_dir):
+    """SQL-surface passthrough: the SAME ANSI text runs unchanged as the
+    Spark query (via Catalog.sql over the registered views) and as the
+    DuckDB oracle — the migration guarantee that a reference user's
+    hand-written SQL needs no translation. Catalyst still plans it like
+    the DataFrame queries: dims broadcast, one fact shuffle, decimal
+    sums exact."""
+    return Catalog(spark, sf_dir).sql(_NATION_REVENUE_SQL)
