@@ -156,26 +156,43 @@ def ngram_jaccard_pairs(
     )
 
 
+def word_ngrams(col: str, n: int = 2) -> Column:
+    """Distinct word n-gram shingles of a text column (JVM-side). A doc
+    shorter than ``n`` words contributes its whole text as one shingle
+    (mirrors :func:`char_ngrams`'s short-input clamp)."""
+    ws = f"split({col}, ' ')"
+    return F.expr(
+        f"array_distinct(transform(sequence(0, greatest(size({ws}) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice({ws}, i + 1, {n}))))"
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     block_col: str = "source",
-    n: int = 3,
-    threshold: float = 0.8,
+    n: int = 2,
+    threshold: float = 0.5,
 ) -> DataFrame:
-    """Directional near-dup pairs by character-n-gram CONTAINMENT:
+    """Directional near-dup pairs by word-n-gram-shingle CONTAINMENT:
     C(a in b) = |grams(a) n grams(b)| / |grams(a)| — the asymmetric
-    complement of :func:`ngram_jaccard_pairs`. Jaccard misses excerpts
-    (a 100-word quote inside a 10k-word page has tiny Jaccard but
-    containment ~1); this is the signal that catches quotation,
-    aggregation, and partial scrapes.
+    complement of :func:`ngram_jaccard_pairs` (Broder's containment).
+    Jaccard misses excerpts (a 100-word quote inside a 10k-word page has
+    tiny Jaccard but containment ~1); this is the signal that catches
+    quotation, aggregation, and partial scrapes.
+
+    The gram unit is the WORD shingle, not the char n-gram: char
+    trigrams saturate (a few-thousand-string space at corpus scale, so
+    every doc spuriously "contains" every other and the inverted index
+    degenerates quadratic); word shingles are near-unique, which is
+    what keeps the posting lists short and the prefix filter selective.
 
     Same inverted-index shape as the Jaccard PPJoin, with a ONE-SIDED
     prefix: C(a in b) >= t bounds only the contained side (a's rarest
-    |a| - ceil(t*|a|) + 1 grams must hit b), so the candidate join runs
-    a-prefix vs b-FULL postings on (block, gram). Verification is the
-    exact intersect over the full gram sets. Returns ordered
+    |a| - ceil(t*|a|) + 1 shingles must hit b), so the candidate join
+    runs a-prefix vs b-FULL postings on (block, shingle). Verification
+    is the exact intersect over the full shingle sets. Returns ordered
     (contained_id, container_id, containment) with containment >= t.
     """
     from pyspark.sql.window import Window
@@ -184,7 +201,7 @@ def containment_pairs(
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("_blk"),
-        char_ngrams(text_col, n).alias("_grams"),
+        word_ngrams(text_col, n).alias("_grams"),
     ).localCheckpoint(eager=False)  # reused: prefix build + both verify sides
 
     exploded = base.select(

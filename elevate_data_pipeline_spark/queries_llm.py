@@ -2898,24 +2898,27 @@ def events_attribution(spark, sf_dir):
     """
     WITH g AS (
       SELECT doc_id, source,
-             list_distinct([substr(text, x, 3)
-                            for x in range(1, greatest(len(text) - 2, 1) + 1)]) AS grams
-      FROM documents
+             list_distinct([array_to_string(ws[i:i+1], ' ')
+                            for i in range(1, greatest(len(ws) - 1, 1) + 1)])
+               AS grams
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+            FROM documents)
     )
     SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
            CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
              / CAST(len(a.grams) AS DOUBLE) AS containment
     FROM g a JOIN g b ON a.source = b.source AND a.doc_id != b.doc_id
     WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-             / CAST(len(a.grams) AS DOUBLE) >= 0.55
+             / CAST(len(a.grams) AS DOUBLE) >= 0.5
     """,
 )
 def dedup_containment(spark, sf_dir):
-    """Directional char-3-gram containment pairs (excerpt/quotation
-    detection), blocked by source — operators/dedup.containment_pairs
-    with its one-sided PPJoin prefix; oracle is the blocked cross join."""
+    """Directional word-bigram-shingle containment pairs (excerpt /
+    quotation detection), blocked by source —
+    operators/dedup.containment_pairs with its one-sided PPJoin prefix;
+    oracle is the blocked cross join over the same shingle sets."""
     docs = Catalog(spark, sf_dir).table("documents")
-    return dedup.containment_pairs(docs, threshold=0.55)
+    return dedup.containment_pairs(docs, threshold=0.5)
 
 
 @query(
