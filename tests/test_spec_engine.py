@@ -704,3 +704,54 @@ def test_template_id_injection_guarded(catalog, spark):
     for evil in ("1 OR 1=1", "x'; DROP TABLE orders; --", "a b", ""):
         with pytest.raises(SpecError, match="unsafe|unsupported"):
             _safe_id(evil)
+
+
+def test_join_type_passthrough_inner_and_semi(catalog, spark):
+    """The compiler hands join_type straight to Spark, so the full join
+    family works from specs: inner drops fetch-ids with no orders,
+    left_semi keeps only matching ids WITHOUT attaching columns."""
+    import json
+
+    from elevate_data_pipeline_spark.plans import compile_pipeline
+    from elevate_data_pipeline_spark.spec import parse_spec
+
+    def spec_for(join_type):
+        return json.dumps(
+            [
+                {
+                    "name": "r",
+                    "fetchId": {
+                        "query": "SELECT c_custkey FROM customer",
+                        "id": "c_custkey",
+                    },
+                    "tasks": [
+                        {
+                            "single_process": {
+                                "input": "t",
+                                "query": "SELECT o_custkey, o_orderkey FROM orders",
+                                "correlate_on": "o_custkey",
+                                "agg": "count",
+                                "agg_on": "o_orderkey",
+                                "join_on": "c_custkey",
+                                "join_type": join_type,
+                                "rename": "n_orders",
+                            }
+                        }
+                    ],
+                }
+            ]
+        )
+
+    customers = catalog.table("customer").count()
+    with_orders = (
+        catalog.table("orders").select("o_custkey").distinct().count()
+    )
+
+    (inner,) = compile_pipeline(catalog, parse_spec(spec_for("inner"), None, None))
+    assert inner.count() == with_orders <= customers
+
+    (semi,) = compile_pipeline(
+        catalog, parse_spec(spec_for("left_semi"), None, None)
+    )
+    assert semi.count() == with_orders
+    assert semi.columns == ["c_custkey"]  # semi attaches nothing
