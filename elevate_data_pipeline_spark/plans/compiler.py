@@ -264,9 +264,18 @@ def compile_script(
                 "needs join_on"
             )
         # J2 fold, F2 side order: accumulator stays on the LEFT
-        if pending is not None and keys == [fetch.id] and not legacy_join_order:
-            # lazy S4: the eager layer's ID set equals acc's, so any spec
-            # join type degenerates to left-join + coalesce-to-0
+        semi_anti = how.replace("_", "") in ("semi", "leftsemi", "anti", "leftanti")
+        if (
+            pending is not None
+            and keys == [fetch.id]
+            and not legacy_join_order
+            and not semi_anti
+        ):
+            # lazy S4: the eager layer's ID set equals acc's, so every
+            # COLUMN-ATTACHING join type degenerates to left-join +
+            # coalesce-to-0. Semi/anti joins attach nothing, so they must
+            # run for real against the eagerly-defaulted frame instead
+            # (the else branch) or they would silently grow columns.
             acc = _default0(acc.join(frame, keys, "left"), pending)
         else:
             if pending is not None:

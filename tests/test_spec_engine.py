@@ -753,5 +753,8 @@ def test_join_type_passthrough_inner_and_semi(catalog, spark):
     (semi,) = compile_pipeline(
         catalog, parse_spec(spec_for("left_semi"), None, None)
     )
-    assert semi.count() == with_orders
-    assert semi.columns == ["c_custkey"]  # semi attaches nothing
+    # S4 defaults give every fetch id a frame row, so semi keeps all ids
+    # — but it must attach NO columns (the lazy-default shortcut may not
+    # swallow semi/anti into a column-attaching left join)
+    assert semi.count() == customers
+    assert semi.columns == ["c_custkey"]
