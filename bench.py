@@ -129,6 +129,7 @@ HEADLINE = [
     "mixture_epoch_plan",
     "basket_part_pairs",
     "sql_nation_revenue",
+    "events_winsorized_stats",
 ]
 
 

@@ -2226,3 +2226,61 @@ def sql_nation_revenue(spark, sf_dir):
     the DataFrame queries: dims broadcast, one fact shuffle, decimal
     sums exact."""
     return Catalog(spark, sf_dir).sql(_NATION_REVENUE_SQL)
+
+
+@query(
+    "events_winsorized_stats",
+    """
+    WITH cuts AS (
+      SELECT event_type,
+             percentile_disc(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+             percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type AS event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN e.value < c.lo OR e.value > c.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           CAST(sum(CAST(least(greatest(e.value, c.lo), c.hi)
+                         AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+             AS winsorized_mean,
+           c.lo AS p05, c.hi AS p95
+    FROM events e JOIN cuts c USING (event_type)
+    GROUP BY e.event_type, c.lo, c.hi
+    """,
+)
+def events_winsorized_stats(spark, sf_dir):
+    """Robust per-type means: values clipped to the exact per-type
+    [p5, p95] band (winsorization — the outlier treatment that keeps
+    sample size, unlike trimming). The cuts are ``percentile_disc``
+    (actual data values, bit-identical across engines — an interpolated
+    percentile is a float formula a 1-ulp difference can flip); the
+    clipped mean is an exact decimal sum over a bigint count with one
+    final IEEE division.
+
+    Scale shape: cuts are one grouped aggregate over the tiny type key,
+    broadcast back; the winsorized rollup is a second single pass with
+    map-side partials. At 100 TB swap percentile_disc for
+    approx_percentile — same plan, sketch-bounded memory."""
+    ev = Catalog(spark, sf_dir).table("events")
+    cuts = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)").alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    out_of_band = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return (
+        ev.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(out_of_band, 1).otherwise(0)).cast("long").alias("n_clipped"),
+            (
+                F.sum(clipped.cast("decimal(18,6)")).cast("double") / F.count("*")
+            ).alias("winsorized_mean"),
+        )
+        .select(
+            "event_type", "n", "n_clipped", "winsorized_mean",
+            F.col("lo").alias("p05"), F.col("hi").alias("p95"),
+        )
+    )
