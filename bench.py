@@ -130,6 +130,7 @@ HEADLINE = [
     "basket_part_pairs",
     "sql_nation_revenue",
     "events_winsorized_stats",
+    "events_rollup_incremental",
 ]
 
 

@@ -2284,3 +2284,64 @@ def events_winsorized_stats(spark, sf_dir):
             F.col("lo").alias("p05"), F.col("hi").alias("p95"),
         )
     )
+
+
+_IVM_CUTOVER = "2024-01-16 00:00:00"
+
+
+@query(
+    "events_rollup_incremental",
+    """
+    SELECT date_trunc('hour', ts) AS hour_ts, event_type AS event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def events_rollup_incremental(spark, sf_dir):
+    """Incremental view maintenance: the hourly rollup is computed as
+    BASE (events before the _IVM_CUTOVER literal) merged with DELTA
+    (events at or after it) — base and delta each aggregate independently, then a
+    keyed full-outer merge sums the partials. The oracle aggregates the
+    WHOLE table in one pass, so the hash match PROVES merge == full
+    recompute: the algebraic property that lets a 100 TB rollup absorb a
+    day's delta without touching history (count and decimal-sum are the
+    mergeable partials; the same split works for any commutative
+    monoid).
+
+    Scale shape: in production the base side is the stored rollup
+    (hours x types rows — no raw history scan at all); here it is
+    derived from the same table to make the equivalence checkable. The
+    merge joins on (hour, type) — rollup-sized, never event-sized."""
+    ev = Catalog(spark, sf_dir).table("events")
+    cut = F.lit(_IVM_CUTOVER).cast("timestamp")
+
+    def rollup(df):
+        return df.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_ts"),
+            "event_type",
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_tv"),
+        )
+
+    base = rollup(ev.filter(F.col("ts") < cut))
+    delta = rollup(ev.filter(F.col("ts") >= cut))
+    merged = (
+        base.withColumnRenamed("n", "_nb").withColumnRenamed("_tv", "_tvb")
+        .join(
+            delta.withColumnRenamed("n", "_nd").withColumnRenamed("_tv", "_tvd"),
+            ["hour_ts", "event_type"],
+            "full_outer",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return merged.select(
+        "hour_ts",
+        "event_type",
+        (F.coalesce("_nb", F.lit(0)) + F.coalesce("_nd", F.lit(0))).alias("n"),
+        (F.coalesce(F.col("_tvb"), zero) + F.coalesce(F.col("_tvd"), zero))
+        .cast("double")
+        .alias("total_value"),
+    )
