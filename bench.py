@@ -131,6 +131,7 @@ HEADLINE = [
     "sql_nation_revenue",
     "events_winsorized_stats",
     "events_rollup_incremental",
+    "embedding_random_projection",
 ]
 
 

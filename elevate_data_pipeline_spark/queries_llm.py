@@ -3122,3 +3122,49 @@ def mixture_epoch_plan(spark, sf_dir):
             ),
         )
     )
+
+
+_RP_IN_DIM = 64
+_RP_OUT_DIM = 16
+
+
+@query(
+    "embedding_random_projection",
+    f"""
+    SELECT vec_id AS vec_id, CAST(j.range AS INT) AS dim,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             [CAST(embedding[i + 1] AS DOUBLE)
+                * (((i * 13 + j.range * 7) % 2) * 2 - 1)
+              for i in range(0, {_RP_IN_DIM})]),
+             (acc, v) -> acc + v) AS value
+    FROM embeddings, range(0, {_RP_OUT_DIM}) j
+    """,
+)
+def embedding_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss dimension reduction with a DETERMINISTIC
+    sign matrix: out[j] = sum_i emb[i] * r(i,j), r(i,j) = ±1 from the
+    hash parity ((i*13 + j*7) mod 2) — no RNG, identical on every
+    engine/run (Achlioptas 2003 shows ±1 entries satisfy the JL lemma).
+    The 64->16 projection is the cheap preprocessing stage for LSH /
+    coarse quantization at scale: 4x smaller vectors before any
+    shuffle-heavy similarity stage.
+
+    Exactness: multiplying by ±1 is sign flip (no rounding), and the
+    accumulation is the same fixed left-to-right double fold as
+    dedup.cosine — bitwise equal across engines. Scale shape: pure
+    row-local JVM expression work fanned out 16 rows per vector; no
+    shuffle, no Python."""
+    from .operators.util import spread
+
+    emb = spread(Catalog(spark, sf_dir).table("embeddings"))
+    j = F.explode(F.expr(f"sequence(0, {_RP_OUT_DIM - 1})")).alias("dim")
+    fold = (
+        f"aggregate(transform(sequence(0, {_RP_IN_DIM - 1}), "
+        f"i -> double(embedding[i]) * (((i * 13 + dim * 7) % 2) * 2 - 1)), "
+        f"double(0), (acc, v) -> acc + v)"
+    )
+    return (
+        emb.select("vec_id", "embedding", j)
+        .select("vec_id", F.col("dim").cast("int").alias("dim"),
+                F.expr(fold).alias("value"))
+    )
