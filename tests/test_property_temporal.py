@@ -78,3 +78,54 @@ def test_range_join_matches_between(spark, pts, ivs):
              .filter((F.col("ts") >= F.col("start")) & (F.col("ts") <= F.col("end")))
              .collect()}
     assert fast == naive
+
+
+@pytest.mark.slow
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),  # ts (hours scale)
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    cut=st.integers(min_value=-10, max_value=510),
+)
+def test_incremental_rollup_merge_equals_full(spark, events, cut):
+    """Base+delta partial rollups merged full-outer must equal the
+    single-pass rollup for ANY event set and ANY cutover — including an
+    empty base (cut before all data) and an empty delta (cut after)."""
+    df = spark.createDataFrame(
+        events or [(0, "a", 0)], "h long, k string, v long"
+    )
+    if not events:
+        df = df.limit(0)
+
+    def rollup(d):
+        return d.groupBy("h", "k").agg(
+            F.count("*").alias("n"), F.sum("v").alias("tv")
+        )
+
+    full = {(r.h, r.k): (r.n, r.tv) for r in rollup(df).collect()}
+    base, delta = rollup(df.filter(F.col("h") < cut)), rollup(
+        df.filter(F.col("h") >= cut)
+    )
+    merged_df = (
+        base.withColumnRenamed("n", "nb").withColumnRenamed("tv", "tvb")
+        .join(
+            delta.withColumnRenamed("n", "nd").withColumnRenamed("tv", "tvd"),
+            ["h", "k"],
+            "full_outer",
+        )
+        .select(
+            "h", "k",
+            (F.coalesce("nb", F.lit(0)) + F.coalesce("nd", F.lit(0))).alias("n"),
+            (F.coalesce("tvb", F.lit(0)) + F.coalesce("tvd", F.lit(0))).alias("tv"),
+        )
+    )
+    merged = {(r.h, r.k): (r.n, r.tv) for r in merged_df.collect()}
+    assert merged == full
