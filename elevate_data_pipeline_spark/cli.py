@@ -101,11 +101,15 @@ def main(argv: list[str] | None = None) -> int:
 
     with open(args.spec) as f:
         doc = json.load(f)
-    spec = parse_spec(
-        doc.get("input_data_schema", doc if isinstance(doc, list) else []),
-        doc.get("data_mapping") if isinstance(doc, dict) else None,
-        doc.get("output_data_schema") if isinstance(doc, dict) else None,
-    )
+    if isinstance(doc, list):
+        # bare spec-tree form: the file IS the input_data_schema list
+        spec = parse_spec(doc, None, None)
+    else:
+        spec = parse_spec(
+            doc.get("input_data_schema", []),
+            doc.get("data_mapping"),
+            doc.get("output_data_schema"),
+        )
 
     spark = get_spark("edp-cli")
     catalog = Catalog(spark, args.data)

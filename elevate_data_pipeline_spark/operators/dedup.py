@@ -194,15 +194,34 @@ def containment_pairs(
     runs a-prefix vs b-FULL postings on (block, shingle). Verification
     is the exact intersect over the full shingle sets. Returns ordered
     (contained_id, container_id, containment) with containment >= t.
+
+    Internally every shingle is replaced by its ``xxhash64`` the moment
+    the distinct gram set is built: the posting explode, df count,
+    prefix rank, candidate join, and intersect verification all run on
+    8-byte longs instead of multi-word strings — a large cut in shuffle
+    bytes and in per-row compare cost for the heaviest join here. Equal
+    strings hash equal, so no candidate or verified pair is ever lost;
+    a 64-bit collision (two distinct shingles, same hash, same doc pair)
+    could only ADD spurious intersection mass at ~2^-64 per pair —
+    negligible even at 100 TB corpus scale.
     """
     from pyspark.sql.window import Window
 
     df = spread(df)
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(block_col).alias("_blk"),
-        word_ngrams(text_col, n).alias("_grams"),
-    ).localCheckpoint(eager=False)  # reused: prefix build + both verify sides
+    # reused: prefix build + both verify sides
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(block_col).alias("_blk"),
+            word_ngrams(text_col, n).alias("_g0"),
+        )
+        .select(
+            "_id",
+            "_blk",
+            F.expr("array_distinct(transform(_g0, x -> xxhash64(x)))").alias("_grams"),
+        )
+        .localCheckpoint(eager=False)
+    )
 
     exploded = base.select(
         "_id", "_blk", F.size("_grams").alias("_sz"), F.explode("_grams").alias("_g")
