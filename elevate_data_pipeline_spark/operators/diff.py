@@ -51,3 +51,84 @@ def snapshot_diff(
         .filter(F.col("status").isNotNull())
         .select(*key_cols, "status")
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+    update_cols: list[str],
+    delete_condition: F.Column | None = None,
+    tag_col: str | None = "action",
+) -> DataFrame:
+    """Lakehouse ``MERGE INTO`` semantics as one full-outer join.
+
+    The resolution of a MERGE (WHEN MATCHED [AND cond] THEN
+    DELETE / UPDATE SET ..., WHEN NOT MATCHED THEN INSERT) against an
+    append-only store is the *materialized post-merge state*; Delta /
+    Iceberg implement it as exactly this join plus a rewrite of the
+    touched files. Semantics here:
+
+    - matched + ``delete_condition`` (evaluated on source columns) →
+      row dropped;
+    - matched otherwise → ``update_cols`` taken from source, all other
+      target columns kept;
+    - source-only → inserted as-is;
+    - target-only → kept unchanged.
+
+    ``tag_col`` (optional) appends the per-row action in
+    {'kept','updated','inserted','deleted'→absent}.
+
+    Scale shape: both sides shuffle once on ``key_cols`` (the same
+    hash partitioning a real table-format MERGE uses to co-locate
+    matches); source columns not present in the target are pruned
+    before the join; no window, no collect. At 100 TB the
+    source is typically ≪ target — Catalyst/AQE will pick a broadcast
+    join on its own when the source stats allow it.
+    """
+    s_cols = [c for c in source.columns if c in set(target.columns)]
+    src = source.select(
+        *[F.col(c).alias(f"_s_{c}") for c in s_cols],
+        F.lit(True).alias("_in_src"),
+        F.coalesce(
+            delete_condition if delete_condition is not None else F.lit(False),
+            F.lit(False),
+        ).alias("_del"),
+    )
+    tgt = target.withColumn("_in_tgt", F.lit(True))
+    cond = [tgt[k] == src[f"_s_{k}"] for k in key_cols]
+    j = tgt.join(src, cond, "full_outer")
+
+    matched = F.col("_in_tgt").isNotNull() & F.col("_in_src").isNotNull()
+    # matched + delete predicate → drop the row entirely
+    j = j.filter(~(matched & F.col("_del")))
+
+    out_cols = []
+    for c in target.columns:
+        if c in key_cols:
+            out_cols.append(F.coalesce(F.col(c), F.col(f"_s_{c}")).alias(c))
+        elif c in update_cols and c in s_cols:
+            # matched OR inserted → source value; target-only → target value
+            out_cols.append(
+                F.when(F.col("_in_src").isNotNull(), F.col(f"_s_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        elif c in s_cols:
+            # not an update column: keep target value on match, but an
+            # INSERT (no target row) still takes the full source row
+            out_cols.append(
+                F.when(F.col("_in_tgt").isNull(), F.col(f"_s_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            out_cols.append(F.col(c))
+    if tag_col:
+        out_cols.append(
+            F.when(matched, F.lit("updated"))
+            .when(F.col("_in_tgt").isNull(), F.lit("inserted"))
+            .otherwise(F.lit("kept"))
+            .alias(tag_col)
+        )
+    return j.select(*out_cols)

@@ -2345,3 +2345,222 @@ def events_rollup_incremental(spark, sf_dir):
         .cast("double")
         .alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Lakehouse MERGE, changelog state reconstruction, salted join, EWMA
+# --------------------------------------------------------------------------
+
+from .operators.diff import merge_upsert  # noqa: E402
+
+
+@query(
+    "orders_merge_upsert",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 != 0
+    ),
+    s AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice + 10.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+           CASE WHEN t.o_orderkey IS NULL THEN s.o_orderstatus
+                ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                ELSE t.o_totalprice END AS o_totalprice,
+           CASE WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+                  THEN 'updated'
+                WHEN t.o_orderkey IS NULL THEN 'inserted'
+                ELSE 'kept' END AS action
+    FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+    WHERE NOT (t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+               AND s.o_totalprice > 300000.0)
+    """,
+)
+def orders_merge_upsert(spark, sf_dir):
+    """Lakehouse ``MERGE INTO`` materialized as one full-outer join
+    (operators/diff.merge_upsert): target = orders minus ``%3`` keys,
+    source = ``%2`` keys with a +10.00 price bump. Matched rows take the
+    source price (update), source-only rows insert whole, matched rows
+    above 300k delete. The +10.0 double sum is exact on both engines
+    (2dp values, correctly-rounded IEEE add), so the oracle compares
+    bitwise. One key shuffle per side; non-target source columns pruned."""
+    orders = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    target = orders.filter(F.col("o_orderkey") % 3 != 0)
+    source = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(10.0)
+    )
+    return merge_upsert(
+        target,
+        source,
+        key_cols=["o_orderkey"],
+        update_cols=["o_totalprice"],
+        delete_condition=F.col("o_totalprice") > F.lit(300000.0),
+    )
+
+
+@query(
+    "events_state_asof",
+    """
+    WITH bnd AS (
+      SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+    ),
+    f AS (
+      SELECT user_id, event_type, epoch_us(ts) AS e, event_id, value
+      FROM events, bnd
+      WHERE epoch_us(ts) <= bnd.lo + (bnd.hi - bnd.lo) // 2
+    )
+    SELECT user_id, event_type, last_value, last_event_id, n_before
+    FROM (
+      SELECT user_id, event_type, value AS last_value,
+             event_id AS last_event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY e DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_before
+      FROM f
+    ) WHERE rn = 1
+    """,
+)
+def events_state_asof(spark, sf_dir):
+    """Point-in-time state reconstruction from a changelog: treat events
+    as upserts keyed by (user_id, event_type) and materialize the state
+    as of the midpoint timestamp — the "time travel" read a CDC consumer
+    performs. No window at all on the Spark side: one groupBy with
+    ``max(struct(e, event_id, value))`` picks the latest row per key
+    (lexicographic struct max == ORDER BY e DESC, event_id DESC LIMIT 1,
+    exact because event_id is unique), so the whole query is a single
+    key-partitioned partial-aggregate shuffle — no per-key sort, scales
+    to any number of keys. The midpoint bound is a broadcast one-row
+    frame, not a driver collect."""
+    ev = Catalog(spark, sf_dir).table("events").select(
+        "user_id", "event_type", epoch_us("ts").alias("e"), "event_id", "value"
+    )
+    bnd = ev.agg(
+        (F.min("e") + F.floor((F.max("e") - F.min("e")) / 2).cast("long")).alias("_t")
+    )
+    return (
+        ev.crossJoin(F.broadcast(bnd))
+        .filter(F.col("e") <= F.col("_t"))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max(F.struct("e", "event_id", "value")).alias("_m"),
+            F.count("*").alias("n_before"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("_m.value").alias("last_value"),
+            F.col("_m.event_id").alias("last_event_id"),
+            "n_before",
+        )
+    )
+
+
+@query(
+    "skew_salted_join",
+    """
+    SELECT c.c_mktsegment AS c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def skew_salted_join(spark, sf_dir):
+    """Salted fact-to-dim join: the fact side gets a deterministic salt
+    ``pmod(xxhash64(event_id), 8)`` and the dim side is exploded 8x with
+    ``sequence(0,7)``, so a hot key's rows spread over 8 reducers
+    instead of one. Results are identical to the plain join (every
+    (key, salt) pair still matches exactly one dim row); the follow-up
+    aggregate is decimal-exact so the oracle compares bitwise. This is
+    the manual form of AQE's skew-join split for when a dim is too big
+    to broadcast but a handful of fact keys dominate; here it also
+    disables broadcast on the salted dim to force the shuffle-join shape
+    being demonstrated."""
+    n_salts = 8
+    ev = Catalog(spark, sf_dir).table("events").select(
+        "user_id", "value", F.pmod(F.xxhash64("event_id"), F.lit(n_salts)).alias("_salt")
+    )
+    cust = (
+        Catalog(spark, sf_dir).table("customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+        .withColumn("_salt", F.col("_salt").cast("long"))
+        .hint("shuffle_hash")
+    )
+    return (
+        ev.join(cust, (ev.user_id == cust.c_custkey) & (ev._salt == cust._salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@query(
+    "events_ewma",
+    """
+    SELECT user_id, event_type, event_id,
+           (((value + 0.5 * COALESCE(l1, 0.0)) + 0.25 * COALESCE(l2, 0.0))
+              + 0.125 * COALESCE(l3, 0.0))
+           / (((1.0 + CASE WHEN l1 IS NULL THEN 0.0 ELSE 0.5 END)
+               + CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.25 END)
+              + CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.125 END) AS ewma
+    FROM (
+      SELECT user_id, event_type, event_id, value,
+             LAG(value, 1) OVER w AS l1,
+             LAG(value, 2) OVER w AS l2,
+             LAG(value, 3) OVER w AS l3
+      FROM (SELECT user_id, event_type, event_id, value, epoch_us(ts) AS e
+            FROM events)
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY e, event_id)
+    )
+    """,
+)
+def events_ewma(spark, sf_dir):
+    """Per-(user, type) exponentially weighted moving average over the
+    last 4 observations, alpha = 1/2. The weights are powers of two, so
+    each product is an exact binary scaling; numerator and denominator
+    are summed with the SAME left-to-right association in both engines
+    (the expressions are parenthesized identically), and the final
+    division is a single IEEE op — bitwise-equal doubles without any
+    decimal detour. The window is partitioned per key (bounded frames,
+    no global sort); at 100 TB this shuffles once on the key like any
+    per-entity sessionization."""
+    from pyspark.sql.window import Window
+
+    ev = Catalog(spark, sf_dir).table("events").select(
+        "user_id", "event_type", "event_id", "value", epoch_us("ts").alias("e")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("e", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        F.lag("value", 1).over(w).alias("l1"),
+        F.lag("value", 2).over(w).alias("l2"),
+        F.lag("value", 3).over(w).alias("l3"),
+    )
+    num = (
+        "((value + 0.5d * COALESCE(l1, 0.0d)) + 0.25d * COALESCE(l2, 0.0d))"
+        " + 0.125d * COALESCE(l3, 0.0d)"
+    )
+    den = (
+        "((1.0d + CASE WHEN l1 IS NULL THEN 0.0d ELSE 0.5d END)"
+        " + CASE WHEN l2 IS NULL THEN 0.0d ELSE 0.25d END)"
+        " + CASE WHEN l3 IS NULL THEN 0.0d ELSE 0.125d END"
+    )
+    return lagged.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr(f"({num}) / ({den})").alias("ewma"),
+    )

@@ -1092,3 +1092,86 @@ def test_avi_roundtrip_and_rejections():
     bad = bad[:idx] + struct.pack("<I", 99) + bad[idx + 4 :]
     with _pytest.raises(ValueError):
         decode_avi(bad)
+
+
+def test_merge_upsert_actions(spark):
+    from elevate_data_pipeline_spark.operators.diff import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, tag string, v double",
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 200.0), (3, "C", 999.0), (4, "d", 40.0)],
+        "k long, tag string, v double",
+    )
+    out = {
+        r["k"]: (r["tag"], r["v"], r["action"])
+        for r in merge_upsert(
+            target, source, ["k"], ["v"],
+            delete_condition=F.col("v") > 500.0,
+        ).collect()
+    }
+    assert out[1] == ("a", 10.0, "kept")
+    # matched: v updated from source, tag (non-update col) kept from target
+    assert out[2] == ("b", 200.0, "updated")
+    assert 3 not in out  # matched + delete condition
+    # insert takes the whole source row, including non-update columns
+    assert out[4] == ("d", 40.0, "inserted")
+
+
+def test_merge_upsert_no_tag_matches_target_schema(spark):
+    from elevate_data_pipeline_spark.operators.diff import merge_upsert
+
+    target = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    source = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    out = merge_upsert(target, source, ["k"], ["v"], tag_col=None)
+    assert out.columns == target.columns
+    assert out.collect()[0]["v"] == 2.0
+
+
+def test_salted_join_equals_plain_join(spark):
+    from elevate_data_pipeline_spark.queries import QUERIES
+
+    salted = QUERIES["skew_salted_join"](spark, SF_DIR)
+    ev = Catalog(spark, SF_DIR).table("events")
+    cust = Catalog(spark, SF_DIR).table("customer")
+    plain = (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_state_asof_matches_window_formulation(spark):
+    from elevate_data_pipeline_spark.queries import QUERIES
+    from pyspark.sql.window import Window
+    from elevate_data_pipeline_spark.operators.util import epoch_us
+
+    got = QUERIES["events_state_asof"](spark, SF_DIR)
+    ev = Catalog(spark, SF_DIR).table("events").select(
+        "user_id", "event_type", epoch_us("ts").alias("e"), "event_id", "value"
+    )
+    bnd = ev.agg(
+        (F.min("e") + F.floor((F.max("e") - F.min("e")) / 2).cast("long")).alias("_t")
+    )
+    f = ev.crossJoin(F.broadcast(bnd)).filter(F.col("e") <= F.col("_t"))
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("e").desc(), F.col("event_id").desc()
+    )
+    ref = (
+        f.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_before", F.count("*").over(Window.partitionBy("user_id", "event_type")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_type",
+            F.col("value").alias("last_value"),
+            F.col("event_id").alias("last_event_id"),
+            "n_before",
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
