@@ -132,6 +132,10 @@ HEADLINE = [
     "events_winsorized_stats",
     "events_rollup_incremental",
     "embedding_random_projection",
+    "orders_merge_upsert",
+    "events_state_asof",
+    "skew_salted_join",
+    "events_ewma",
 ]
 
 

@@ -303,3 +303,35 @@ def test_q21_per_supp_exchange_reused(spark):
     # per_supp feeds both the per-order rollup and the final join — the
     # runtime must compute it once (ReusedExchange), not re-scan lineitem
     assert "ReusedExchange" in plan, plan
+
+
+def test_merge_upsert_prunes_source_and_joins_once(spark):
+    plan = _plan(QUERIES["orders_merge_upsert"](spark, SF_DIR))
+    # both %-filters pushed into the respective parquet scans
+    assert plan.count("Join type: FullOuter") == 1
+    # one full-outer join on the key: no extra shuffles beyond its two
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_state_asof_single_agg_no_window(spark):
+    plan = _plan(QUERIES["events_state_asof"](spark, SF_DIR))
+    assert "Window" not in plan  # max(struct) aggregate, not row_number
+    # bounds frame joins in as a broadcast, the agg is partial+final
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_skew_salted_join_is_shuffle_join(spark):
+    plan = _plan(QUERIES["skew_salted_join"](spark, SF_DIR))
+    # the point of the salt demo: a shuffle hash join spread over
+    # (key, salt), NOT a broadcast of the exploded dim
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_ewma_window_is_key_partitioned(spark):
+    plan = _plan(QUERIES["events_ewma"](spark, SF_DIR))
+    # per-(user,type) lag window: partition keys present, so no
+    # single-partition global sort
+    assert "Window" in plan
+    assert "hashpartitioning(user_id" in plan
