@@ -136,6 +136,7 @@ HEADLINE = [
     "events_state_asof",
     "skew_salted_join",
     "events_ewma",
+    "stream_state_twin",
 ]
 
 

@@ -1174,6 +1174,31 @@ def stream_dedup_twin(spark, sf_dir):
 
 
 @query(
+    "stream_state_twin",
+    """
+    SELECT user_id, event_type, last_value, last_event_id, n_events
+    FROM (
+      SELECT user_id, event_type, value AS last_value,
+             event_id AS last_event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_events
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_state_twin(spark, sf_dir):
+    """Batch twin of the streaming CDC materialized view
+    (``streaming.latest_state``): latest (value, event_id) per
+    (user_id, event_type) via one max-struct aggregate — the exact code
+    the stream runs as a stateful aggregation in update mode
+    (test_latest_state_stream_equals_batch proves stream == batch)."""
+    from .streaming import latest_state
+
+    return latest_state(Catalog(spark, sf_dir).table("events"))
+
+
+@query(
     "events_cube",
     """
     SELECT event_type AS event_type,

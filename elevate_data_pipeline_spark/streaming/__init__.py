@@ -4,6 +4,7 @@ from .events import (
     events_stream_schema,
     hourly_rollup,
     join_streams_interval,
+    latest_state,
     read_events_stream,
     sessionize_batch,
     sessionize_native,
@@ -23,6 +24,7 @@ __all__ = [
     "dedup_stream",
     "enrich_stream",
     "join_streams_interval",
+    "latest_state",
     "dedup_ingest_sink",
     "drift_monitor_sink",
     "topk_monitor_sink",

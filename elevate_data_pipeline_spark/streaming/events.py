@@ -123,6 +123,41 @@ def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def latest_state(events: DataFrame) -> DataFrame:
+    """CDC materialized view: latest (value, event_id) per
+    (user_id, event_type), treating the event log as a stream of upserts.
+
+    One ``max(struct(e, event_id, value))`` aggregate — lexicographic
+    struct max picks the row with the greatest (ts, event_id), which is
+    exact because event_id is unique. Works on both streaming and batch
+    frames: on a stream it is a plain stateful aggregation (state = one
+    struct per live key, updated in place each micro-batch — run it in
+    ``update``/``complete`` output mode; no watermark needed because keys
+    never retire), and the SAME code on the batch frame is its oracle.
+    This is the streaming face of the batch ``events_state_asof`` query
+    (queries.py) without the time-travel bound.
+    """
+    from ..operators.util import epoch_us
+
+    return (
+        events.select(
+            "user_id", "event_type", epoch_us("ts").alias("e"), "event_id", "value"
+        )
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max(F.struct("e", "event_id", "value")).alias("_m"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("_m.value").alias("last_value"),
+            F.col("_m.event_id").alias("last_event_id"),
+            "n_events",
+        )
+    )
+
+
 def upsert_sink(
     stream_df: DataFrame,
     path: str,

@@ -397,3 +397,16 @@ def test_topk_monitor_sink_accumulates(spark, tmp_path):
     assert final == [("b", 3), ("a", 2)]
     counts = {r.event_type: r.n for r in spark.read.parquet(state + "/counts").collect()}
     assert counts == {"a": 2, "b": 3, "c": 1}
+
+
+def test_latest_state_stream_equals_batch(spark, events_dir):
+    from elevate_data_pipeline_spark.streaming import latest_state
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    assert stream.isStreaming
+    name = _run_to_memory(latest_state(stream), "complete")
+
+    batch = latest_state(Catalog(spark, SF_DIR).table("events"))
+    got = {tuple(r) for r in spark.table(name).collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 0
