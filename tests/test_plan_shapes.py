@@ -335,3 +335,10 @@ def test_ewma_window_is_key_partitioned(spark):
     # single-partition global sort
     assert "Window" in plan
     assert "hashpartitioning(user_id" in plan
+
+
+def test_containment_postings_are_hashed_longs(spark):
+    plan = _plan(QUERIES["dedup_containment"](spark, SF_DIR))
+    # shingles are xxhash64-ed before the posting explode: the candidate
+    # join and intersect verification run on int64, not word strings
+    assert "xxhash64" in plan
