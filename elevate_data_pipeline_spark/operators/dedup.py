@@ -167,6 +167,12 @@ def word_ngrams(col: str, n: int = 2) -> Column:
     )
 
 
+# Gram-materialization pin for containment_pairs (reused by three
+# subtrees); tests toggle it off because localCheckpoint truncates the
+# explain output the plan pins assert on. Production never touches it.
+PIN_GRAMS = True
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -209,19 +215,17 @@ def containment_pairs(
 
     df = spread(df)
     # reused: prefix build + both verify sides
-    base = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.col(block_col).alias("_blk"),
-            word_ngrams(text_col, n).alias("_g0"),
-        )
-        .select(
-            "_id",
-            "_blk",
-            F.expr("array_distinct(transform(_g0, x -> xxhash64(x)))").alias("_grams"),
-        )
-        .localCheckpoint(eager=False)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_blk"),
+        word_ngrams(text_col, n).alias("_g0"),
+    ).select(
+        "_id",
+        "_blk",
+        F.expr("array_distinct(transform(_g0, x -> xxhash64(x)))").alias("_grams"),
     )
+    if PIN_GRAMS:  # test-togglable: checkpoint truncates explain output
+        base = base.localCheckpoint(eager=False)
 
     exploded = base.select(
         "_id", "_blk", F.size("_grams").alias("_sz"), F.explode("_grams").alias("_g")

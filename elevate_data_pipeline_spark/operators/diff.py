@@ -86,6 +86,9 @@ def merge_upsert(
     source is typically ≪ target — Catalyst/AQE will pick a broadcast
     join on its own when the source stats allow it.
     """
+    missing = [c for c in update_cols if c not in source.columns]
+    if missing:
+        raise ValueError(f"merge_upsert: update_cols not in source: {missing}")
     s_cols = [c for c in source.columns if c in set(target.columns)]
     src = source.select(
         *[F.col(c).alias(f"_s_{c}") for c in s_cols],
@@ -107,7 +110,7 @@ def merge_upsert(
     for c in target.columns:
         if c in key_cols:
             out_cols.append(F.coalesce(F.col(c), F.col(f"_s_{c}")).alias(c))
-        elif c in update_cols and c in s_cols:
+        elif c in update_cols:
             # matched OR inserted → source value; target-only → target value
             out_cols.append(
                 F.when(F.col("_in_src").isNotNull(), F.col(f"_s_{c}"))

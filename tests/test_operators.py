@@ -1175,3 +1175,24 @@ def test_state_asof_matches_window_formulation(spark):
         )
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_merge_upsert_rejects_missing_update_col(spark):
+    from elevate_data_pipeline_spark.operators.diff import merge_upsert
+
+    target = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    source = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="update_cols not in source"):
+        merge_upsert(target, source, ["k"], ["v"])
+
+
+def test_merge_upsert_null_key_rows(spark):
+    """Null keys never match across sides (SQL equality): a null-key
+    target row is kept, a null-key source row inserts."""
+    from elevate_data_pipeline_spark.operators.diff import merge_upsert
+
+    target = spark.createDataFrame([(None, 1.0), (1, 2.0)], "k long, v double")
+    source = spark.createDataFrame([(None, 9.0)], "k long, v double")
+    out = merge_upsert(target, source, ["k"], ["v"]).collect()
+    actions = sorted((r["v"], r["action"]) for r in out)
+    assert actions == [(1.0, "kept"), (2.0, "kept"), (9.0, "inserted")]

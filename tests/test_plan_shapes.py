@@ -338,7 +338,13 @@ def test_ewma_window_is_key_partitioned(spark):
 
 
 def test_containment_postings_are_hashed_longs(spark):
-    plan = _plan(QUERIES["dedup_containment"](spark, SF_DIR))
+    from elevate_data_pipeline_spark.operators import dedup
+
+    dedup.PIN_GRAMS = False  # checkpoint hides the hashing projection
+    try:
+        plan = _plan(QUERIES["dedup_containment"](spark, SF_DIR))
+    finally:
+        dedup.PIN_GRAMS = True
     # shingles are xxhash64-ed before the posting explode: the candidate
     # join and intersect verification run on int64, not word strings
     assert "xxhash64" in plan
