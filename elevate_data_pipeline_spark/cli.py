@@ -57,6 +57,18 @@ def _build_parser() -> argparse.ArgumentParser:
     run.add_argument("--explain", action="store_true", help="print plans, don't write")
     run.add_argument("--show", type=int, metavar="N", help="show N rows, don't write")
 
+    m = sub.add_parser(
+        "materialize",
+        help="incrementally materialize registry queries to parquet "
+             "(skips queries whose inputs AND plan are unchanged)",
+    )
+    m.add_argument("names", nargs="+", help="registry query names")
+    m.add_argument("--data", default="/root/testdata/sf0.001",
+                   help="parquet data directory")
+    m.add_argument("--out", required=True, help="output root directory")
+    m.add_argument("--force", action="store_true",
+                   help="rematerialize even when fingerprints match")
+
     q = sub.add_parser("query", help="run a registry query by name")
     q.add_argument("name", help="registry query name (or 'list' to enumerate)")
     q.add_argument("--data", default="/root/testdata/sf0.001",
@@ -98,6 +110,16 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "query":
         return _run_query(args)
+
+    if args.cmd == "materialize":
+        from .materialize import materialize
+
+        spark = get_spark("edp-cli")
+        for rec in materialize(
+            spark, args.data, args.out, args.names, force=args.force
+        ):
+            print(json.dumps(rec))
+        return 0
 
     with open(args.spec) as f:
         doc = json.load(f)
