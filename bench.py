@@ -137,6 +137,7 @@ HEADLINE = [
     "skew_salted_join",
     "events_ewma",
     "stream_state_twin",
+    "stream_quota_twin",
 ]
 
 

@@ -1199,6 +1199,29 @@ def stream_state_twin(spark, sf_dir):
 
 
 @query(
+    "stream_quota_twin",
+    """
+    SELECT user_id, event_id, value, rank_in_key
+    FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rank_in_key
+      FROM events
+    ) WHERE rank_in_key <= 5
+    """,
+)
+def stream_quota_twin(spark, sf_dir):
+    """Batch twin of the streaming per-key quota
+    (``streaming.quota_per_key``): first 5 events per user by
+    (ts, event_id). The stream enforces the same quota with one int64 of
+    GroupState per key (test_quota_stream_equals_batch proves stream ==
+    batch over time-ordered ingest files)."""
+    from .streaming import quota_per_key
+
+    return quota_per_key(Catalog(spark, sf_dir).table("events"), n=5)
+
+
+@query(
     "events_cube",
     """
     SELECT event_type AS event_type,

@@ -5,6 +5,7 @@ from .events import (
     hourly_rollup,
     join_streams_interval,
     latest_state,
+    quota_per_key,
     read_events_stream,
     sessionize_batch,
     sessionize_native,
@@ -25,6 +26,7 @@ __all__ = [
     "enrich_stream",
     "join_streams_interval",
     "latest_state",
+    "quota_per_key",
     "dedup_ingest_sink",
     "drift_monitor_sink",
     "topk_monitor_sink",

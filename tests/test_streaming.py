@@ -410,3 +410,40 @@ def test_latest_state_stream_equals_batch(spark, events_dir):
     got = {tuple(r) for r in spark.table(name).collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_quota_stream_equals_batch(spark, tmp_path):
+    """transformWithStateInPandas quota vs the batch window twin, over
+    TIME-SPLIT ingest files (arrival order == event-time order) in
+    multiple micro-batches."""
+    from elevate_data_pipeline_spark.streaming import quota_per_key
+
+    ev = Catalog(spark, SF_DIR).table("events")
+    from elevate_data_pipeline_spark.operators.util import epoch_us
+
+    cut = ev.select(F.median(epoch_us("ts")).cast("long").alias("c")).collect()[0]["c"]
+    d = tmp_path / "quota_stream"
+    d.mkdir()
+    ev.filter(epoch_us("ts") <= cut).coalesce(1).write.parquet(str(d / "f0"))
+    ev.filter(epoch_us("ts") > cut).coalesce(1).write.parquet(str(d / "f1"))
+    # flatten: file source reads a directory of parquet files
+    files = sorted(str(p) for p in d.rglob("*.parquet"))
+    tgt = tmp_path / "arrivals"
+    tgt.mkdir()
+    import time as _time
+
+    t0 = _time.time() - 100
+    for i, f in enumerate(files):
+        dst = tgt / f"part-{i}.parquet"
+        shutil.copy(f, dst)
+        # the file source orders its initial listing by mtime: pin
+        # strictly increasing mtimes so arrival order == time order
+        os.utime(dst, (t0 + i, t0 + i))
+
+    stream = read_events_stream(spark, str(tgt), max_files_per_trigger=1)
+    name = _run_to_memory(quota_per_key(stream, n=5), "append")
+
+    batch = quota_per_key(ev, n=5)
+    got = {tuple(r) for r in spark.table(name).collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 0
