@@ -75,3 +75,17 @@ def test_plan_fingerprint_stable_and_distinct(spark, data_copy):
 def test_materialize_unknown_query_raises(spark, data_copy, tmp_path):
     with pytest.raises(KeyError, match="unknown registry queries"):
         materialize(spark, data_copy, str(tmp_path / "o"), ["nope"])
+
+
+def test_materialize_cleans_stale_tmp_from_crashed_run(spark, data_copy, tmp_path):
+    """A killed run leaves <name>.tmp behind; the next run must ignore
+    the orphan, rebuild cleanly, and leave only the final dataset."""
+    out = str(tmp_path / "out")
+    stale = os.path.join(out, "union_fold.tmp")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "garbage"), "w") as fh:
+        fh.write("partial write from a crashed driver")
+    rec = materialize(spark, data_copy, out, ["union_fold"])[0]
+    assert rec["status"] == "written"
+    assert not os.path.exists(stale)
+    assert spark.read.parquet(os.path.join(out, "union_fold")).count() == rec["rows"]
