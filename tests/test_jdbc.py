@@ -98,3 +98,79 @@ def test_jdbc_partitioned_read(spark, tmp_path):
     ).load()
     assert got.rdd.getNumPartitions() == 4
     assert got.count() == 100
+
+
+def test_jdbc_upsert_idempotent_merge(spark, tmp_path):
+    """write_jdbc_upsert: insert + update via SQL MERGE; replaying the
+    same batch is a no-op (the streaming foreachBatch contract)."""
+    url = _url(tmp_path)
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id int, score double"
+    )
+    jdbc.write_jdbc_upsert(base, url, "t_ups", ["id"], "u", "p", driver=DRIVER)
+
+    def read_all():
+        got = jdbc.read_jdbc_query(
+            spark, url, 'SELECT "id", "score" FROM t_ups', "u", "p", driver=DRIVER
+        ).load()
+        return sorted(map(tuple, got.collect()))
+
+    assert read_all() == [(1, 10.0), (2, 20.0)]
+
+    # update id=2, insert id=3; duplicate key rows in the batch resolve
+    # deterministically to the greatest non-key tuple
+    nxt = spark.createDataFrame(
+        [(2, 25.0), (2, 24.0), (3, 30.0)], "id int, score double"
+    )
+    jdbc.write_jdbc_upsert(nxt, url, "t_ups", ["id"], "u", "p", driver=DRIVER)
+    assert read_all() == [(1, 10.0), (2, 25.0), (3, 30.0)]
+
+    # replay: same staging content, MERGE converges to the same state
+    jdbc.write_jdbc_upsert(nxt, url, "t_ups", ["id"], "u", "p", driver=DRIVER)
+    assert read_all() == [(1, 10.0), (2, 25.0), (3, 30.0)]
+
+
+def test_jdbc_upsert_streaming_sink_replay_safe(spark, tmp_path):
+    """foreachBatch + write_jdbc_upsert: running the SAME file stream
+    twice (fresh checkpoint = full replay) leaves the sink unchanged,
+    where the plain append sink would double every row."""
+    import os as _os
+    import shutil as _shutil
+
+    from conftest import SF_DIR
+
+    url = _url(tmp_path)
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    _shutil.copy(_os.path.join(SF_DIR, "events.parquet"), src / "part-0.parquet")
+
+    from elevate_data_pipeline_spark.streaming import latest_state, read_events_stream
+
+    def run_once(tag):
+        stream = read_events_stream(spark, str(src))
+        q = (
+            latest_state(stream)
+            .writeStream.outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .foreachBatch(
+                lambda df, bid: jdbc.write_jdbc_upsert(
+                    df, url, "t_state", ["user_id", "event_type"], "u", "p",
+                    driver=DRIVER,
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once("a")
+    first = jdbc.read_jdbc_query(
+        spark, url, 'SELECT COUNT(*) AS "n" FROM t_state', "u", "p", driver=DRIVER
+    ).load().collect()[0]["n"]
+    assert first > 0
+
+    run_once("b")  # full replay from scratch
+    second = jdbc.read_jdbc_query(
+        spark, url, 'SELECT COUNT(*) AS "n" FROM t_state', "u", "p", driver=DRIVER
+    ).load().collect()[0]["n"]
+    assert second == first
