@@ -138,6 +138,7 @@ HEADLINE = [
     "events_ewma",
     "stream_state_twin",
     "stream_quota_twin",
+    "basket_triangles",
 ]
 
 

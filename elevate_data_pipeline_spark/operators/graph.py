@@ -138,3 +138,91 @@ def pagerank_oracle_sql(
         + ",\n".join(parts)
         + f"\nSELECT node AS node, CAST(r AS BIGINT) AS rank_scaled FROM r{n_iter}"
     )
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact global triangle count with DEGREE-ORDERED orientation.
+
+    Input: undirected edges (any orientation, self-loops dropped,
+    duplicates collapsed). Each edge is re-oriented from its
+    lower-(degree, id) endpoint to the higher one, then triangles are
+    counted as wedges (u->v, u->w) closed by (v->w). Orienting by degree
+    is what makes this survive power-law graphs at scale: every wedge is
+    charged to its LOWEST-degree vertex, so the join fan-out per vertex
+    is bounded by its oriented out-degree — O(E^1.5) work in total
+    (Schank's algorithm) instead of the hub-quadratic blowup of charging
+    wedges to hub centers. Three shuffles: degree count, wedge build,
+    closing-edge join.
+
+    Output (one row): n_nodes, n_edges, n_wedges (unordered paths of
+    length 2 on the undirected graph), n_triangles, and the global
+    clustering coefficient 3*triangles/wedges (one IEEE division of
+    exact integers).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("_db"))
+    # orient low (deg, id) -> high (deg, id); ties impossible on id
+    lo_is_a = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lo_is_a, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lo_is_a, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lo_is_a, F.struct("_db", "b")).otherwise(F.struct(
+                F.col("_da").alias("_db"), F.col("a").alias("b"))).alias("_vord"),
+        )
+        .select("u", "v", F.col("_vord._db").alias("vdeg"))
+        .localCheckpoint(eager=True)  # reused by wedge sides + closing join
+    )
+    w1 = oriented.select(F.col("u"), F.col("v"), F.col("vdeg"))
+    w2 = oriented.select(
+        F.col("u"), F.col("v").alias("w"), F.col("vdeg").alias("wdeg")
+    )
+    # wedge (u->v, u->w) with ord(v) < ord(w); close with oriented (v->w)
+    vw_lt = (F.col("vdeg") < F.col("wdeg")) | (
+        (F.col("vdeg") == F.col("wdeg")) & (F.col("v") < F.col("w"))
+    )
+    wedges = w1.join(w2, "u").filter(vw_lt).select("v", "w")
+    closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    tri = wedges.join(closing, ["v", "w"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    stats = (
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
+            .cast("long")
+            .alias("n_wedges"),
+            (F.sum("deg") / 2).cast("long").alias("n_edges"),
+        )
+    )
+    return (
+        stats.crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            (
+                (F.col("n_triangles") * 3).cast("double")
+                / F.col("n_wedges").cast("double")
+            ).alias("gcc"),
+        )
+    )

@@ -2253,6 +2253,65 @@ def basket_part_pairs(spark, sf_dir):
     )
 
 
+@query(
+    "basket_triangles",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS s, b.l_partkey AS d
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT node, count(*) AS dg FROM
+        (SELECT s AS node FROM e UNION ALL SELECT d FROM e)
+      GROUP BY node
+    ),
+    tri AS (
+      SELECT count(*) AS t
+      FROM e ab JOIN e ac ON ab.s = ac.s AND ab.d < ac.d
+      JOIN e bc ON bc.s = ab.d AND bc.d = ac.d
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(dg) / 2 AS BIGINT) AS n_edges,
+           CAST(sum(dg * (dg - 1)) / 2 AS BIGINT) AS n_wedges,
+           CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+           CAST((SELECT t FROM tri) * 3 AS DOUBLE)
+             / CAST(sum(dg * (dg - 1)) / 2 AS DOUBLE) AS gcc
+    FROM deg
+    """,
+)
+def basket_triangles(spark, sf_dir):
+    """Exact triangle census of the part-co-occurrence graph (edges =
+    part pairs bought together in >= 2 orders) via
+    operators/graph.triangle_count: degree-ordered orientation charges
+    every wedge to its lowest-degree vertex, bounding the join fan-out
+    on power-law hubs (Schank's O(E^1.5) algorithm). The oracle counts
+    the same triangles with id-canonical edges — orientation changes the
+    work, never the count. gcc = 3*triangles/wedges as one IEEE division
+    of exact integers."""
+    from .operators.graph import triangle_count
+
+    li = Catalog(spark, sf_dir).table("lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_count(edges)
+
+
 _NATION_REVENUE_SQL = """
     SELECT n.n_name AS nation,
            CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)

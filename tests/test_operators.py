@@ -1196,3 +1196,31 @@ def test_merge_upsert_null_key_rows(spark):
     out = merge_upsert(target, source, ["k"], ["v"]).collect()
     actions = sorted((r["v"], r["action"]) for r in out)
     assert actions == [(1.0, "kept"), (2.0, "kept"), (9.0, "inserted")]
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 has 4 triangles, 12 wedges, 6 edges; adding a pendant vertex
+    adds a node and an edge but no triangle."""
+    from elevate_data_pipeline_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(k4 + [(3, 9)], "src long, dst long")
+    r = triangle_count(edges).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (5, 7, 4)
+    # wedges: K4 gives 4*C(3,2)=12; vertex 3 gains deg 4 -> C(4,2)-C(3,2)=3 more;
+    # pendant vertex 9 has deg 1 -> 0
+    assert r.n_wedges == 15
+    assert abs(r.gcc - (12 / 15)) < 1e-12
+
+
+def test_triangle_count_orientation_invariant(spark):
+    """Reversed/duplicated/self-loop edges collapse to the same census."""
+    from elevate_data_pipeline_spark.operators.graph import triangle_count
+
+    clean = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    messy = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 2), (1, 3), (3, 1), (2, 2)], "src long, dst long"
+    )
+    assert triangle_count(clean).collect() == triangle_count(messy).collect()
