@@ -139,6 +139,7 @@ HEADLINE = [
     "stream_state_twin",
     "stream_quota_twin",
     "basket_triangles",
+    "embedding_pq_codes",
 ]
 
 

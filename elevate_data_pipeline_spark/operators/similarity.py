@@ -309,3 +309,43 @@ def quantize_int8(
             f"v -> cast(floor(double(v) / nullif(scale, double(0)) + 0.5) as int))"
         ),
     )
+
+
+def pq_encode(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 1,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product quantization encode: split each vector into ``m``
+    contiguous subvectors, train an independent deterministic k-means
+    codebook per subspace (operators/cluster.kmeans — min-id init,
+    decimal-exact means), and emit each vector's code word
+    ``(code_0..code_{m-1})`` — the nearest centroid per subspace.
+
+    PQ is the memory tier below int8 quantization: m=4, k=8 stores a
+    64-float vector in 4 small ints (codebooks are k*dim floats total,
+    broadcast-sized at any corpus scale). Each subspace's training is
+    the same declarative Lloyd plan kmeans uses; the m chains share the
+    corpus scan and join back on the id — no iteration touches the
+    driver. ADC search then scans codes with a broadcast
+    distance-lookup table instead of raw vectors.
+    """
+    from .cluster import kmeans
+
+    sub = dim // m
+    out = None
+    for s in range(m):
+        sl = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("embedding"),
+        )
+        codes = kmeans(sl, k=k, n_iter=n_iter, vec_col="embedding", id_col=id_col)
+        codes = codes.select(
+            id_col, F.col("cluster").alias(f"code_{s}")
+        )
+        out = codes if out is None else out.join(codes, id_col)
+    return out

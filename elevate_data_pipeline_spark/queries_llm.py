@@ -1779,13 +1779,17 @@ _KMEANS_ITER = 2
 _KMEANS_DIM = 64
 
 
-def _sql_kmeans(k: int = _KMEANS_K, n_iter: int = _KMEANS_ITER,
-                dim: int = _KMEANS_DIM) -> str:
-    """Oracle for embedding_kmeans: the identical fixed-iteration Lloyd
-    unrolled as chained CTEs — same deterministic min-id init, same
-    left-fold squared-L2, same DECIMAL(28,12) order-independent
-    component sums, same ties-to-smaller-cluster argmin."""
+def _kmeans_ctes(
+    k: int, n_iter: int, dim: int, src: str = "embeddings", prefix: str = ""
+) -> tuple[list[str], str]:
+    """Chained-CTE Lloyd unrolling (shared by the kmeans and PQ oracles):
+    deterministic min-id init, left-fold squared-L2, DECIMAL(28,12)
+    order-independent component sums, ties-to-smaller-cluster argmin.
+    ``src`` is any relation exposing (vec_id, embedding); ``prefix``
+    namespaces the CTEs so several chains compose in one query. Returns
+    (cte_list, final_assignment_cte_name)."""
     hi = dim + 1  # range() is end-exclusive in both comprehension and table form
+    p = prefix
 
     def assign(name: str, cents: str) -> str:
         return f"""
@@ -1801,7 +1805,7 @@ def _sql_kmeans(k: int = _KMEANS_K, n_iter: int = _KMEANS_ITER,
                     * (CAST(e.embedding[i] AS DOUBLE) - c.c[i])
                     for i in range(1, {hi})]),
                    (acc, t) -> acc + t) AS dist2
-          FROM embeddings e CROSS JOIN {cents} c))
+          FROM {src} e CROSS JOIN {cents} c))
       WHERE rn = 1)"""
 
     def update(name: str, assigned: str) -> str:
@@ -1817,22 +1821,69 @@ def _sql_kmeans(k: int = _KMEANS_K, n_iter: int = _KMEANS_ITER,
 
     ctes = [
         f"""
-    c0 AS (
+    {p}c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl,
              [CAST(x AS DOUBLE) for x in embedding] AS c
-      FROM (SELECT vec_id, embedding FROM embeddings
+      FROM (SELECT vec_id, embedding FROM {src}
             ORDER BY vec_id LIMIT {k}))"""
     ]
     for it in range(n_iter):
-        ctes.append(assign(f"a{it}", f"c{it}"))
-        ctes.append(update(f"c{it + 1}", f"a{it}"))
-    ctes.append(assign(f"a{n_iter}", f"c{n_iter}"))
-    body = ",".join(ctes)
+        ctes.append(assign(f"{p}a{it}", f"{p}c{it}"))
+        ctes.append(update(f"{p}c{it + 1}", f"{p}a{it}"))
+    ctes.append(assign(f"{p}a{n_iter}", f"{p}c{n_iter}"))
+    return ctes, f"{p}a{n_iter}"
+
+
+def _sql_kmeans(k: int = _KMEANS_K, n_iter: int = _KMEANS_ITER,
+                dim: int = _KMEANS_DIM) -> str:
+    """Oracle for embedding_kmeans (see :func:`_kmeans_ctes`)."""
+    ctes, final = _kmeans_ctes(k, n_iter, dim)
     return f"""
-    WITH {body}
+    WITH {",".join(ctes)}
     SELECT vec_id AS vec_id, CAST(cl AS INTEGER) AS cluster, dist2 AS dist2
-    FROM a{n_iter}
+    FROM {final}
     """
+
+
+def _sql_pq(m: int = 4, k: int = 8, n_iter: int = 1, dim: int = _KMEANS_DIM) -> str:
+    """Oracle for embedding_pq_codes: m independent kmeans chains over
+    the list-sliced subvectors (DuckDB slices are 1-based inclusive),
+    joined back on vec_id — composed from the same :func:`_kmeans_ctes`
+    unrolling the kmeans oracle replays."""
+    sub = dim // m
+    ctes: list[str] = []
+    finals: list[str] = []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        src = (
+            f"(SELECT vec_id, embedding[{lo}:{hi}] AS embedding FROM embeddings)"
+        )
+        chain, final = _kmeans_ctes(k, n_iter, sub, src=src, prefix=f"s{s}_")
+        ctes.extend(chain)
+        finals.append(final)
+    cols = ", ".join(
+        f"CAST(s{s}.cl AS INTEGER) AS code_{s}" for s in range(m)
+    )
+    joins = " ".join(
+        f"JOIN {finals[s]} s{s} ON s{s}.vec_id = s0.vec_id" for s in range(1, m)
+    )
+    return f"""
+    WITH {",".join(ctes)}
+    SELECT s0.vec_id AS vec_id, {cols}
+    FROM {finals[0]} s0 {joins}
+    """
+
+
+@query("embedding_pq_codes", _sql_pq())
+def embedding_pq_codes(spark, sf_dir):
+    """Product-quantization code words (operators/similarity.pq_encode):
+    4 subspaces x 8 centroids over the 64-dim embeddings — a 64-float
+    vector compressed to 4 small ints, the memory tier below int8
+    quantization. Every subspace trains the same declarative
+    deterministic Lloyd plan as embedding_kmeans; the oracle replays all
+    four chains over DuckDB list slices and joins the codes by id."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    return similarity.pq_encode(emb, m=4, k=8, n_iter=1, dim=_KMEANS_DIM)
 
 
 @query("embedding_kmeans", _sql_kmeans())

@@ -1224,3 +1224,27 @@ def test_triangle_count_orientation_invariant(spark):
         [(2, 1), (1, 2), (3, 2), (1, 3), (3, 1), (2, 2)], "src long, dst long"
     )
     assert triangle_count(clean).collect() == triangle_count(messy).collect()
+
+
+def test_pq_codes_reconstruct_subspace_clusters(spark):
+    """PQ code_s must equal a standalone kmeans run on that subvector
+    slice (the operator is kmeans-per-subspace by construction)."""
+    from elevate_data_pipeline_spark.operators import cluster
+    from elevate_data_pipeline_spark.operators.similarity import pq_encode
+
+    emb = Catalog(spark, SF_DIR).table("embeddings")
+    codes = pq_encode(emb, m=4, k=8, n_iter=1, dim=64)
+    assert codes.columns == ["vec_id", "code_0", "code_1", "code_2", "code_3"]
+    sl = emb.select(
+        "vec_id", F.slice("embedding", 17, 16).alias("embedding")
+    )
+    solo = cluster.kmeans(sl, k=8, n_iter=1).select(
+        "vec_id", F.col("cluster").alias("expect")
+    )
+    joined = codes.join(solo, "vec_id")
+    assert joined.filter(F.col("code_1") != F.col("expect")).count() == 0
+    # codes live in [0, 8)
+    agg = codes.agg(
+        F.min("code_0"), F.max("code_0"), F.min("code_3"), F.max("code_3")
+    ).collect()[0]
+    assert agg[0] >= 0 and agg[1] < 8 and agg[2] >= 0 and agg[3] < 8
