@@ -140,6 +140,7 @@ HEADLINE = [
     "stream_quota_twin",
     "basket_triangles",
     "embedding_pq_codes",
+    "ann_pq_adc_topk",
 ]
 
 

@@ -245,6 +245,37 @@ def kmeans(
 
     Returns (id, cluster, dist2) for the final assignment.
     """
+    cents, assign = _lloyd(df, k, n_iter, vec_col, id_col)
+    return assign(cents).select(
+        F.col("_id").alias(id_col),
+        F.col("_cl").cast("int").alias("cluster"),
+        "dist2",
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The trained codebook of :func:`kmeans`: the centroid frame after
+    ``n_iter`` update rounds — exactly the centroids the final
+    assignment scores against (same deterministic loop), so codes from
+    :func:`kmeans` and lookups against this frame always agree. Returns
+    (cluster int, centroid array<double>), k rows — broadcast-sized for
+    any corpus."""
+    cents, _assign = _lloyd(df, k, n_iter, vec_col, id_col)
+    return cents.select(
+        F.col("_cl").cast("int").alias("cluster"), F.col("_c").alias("centroid")
+    )
+
+
+def _lloyd(
+    df: DataFrame, k: int, n_iter: int, vec_col: str, id_col: str
+):
+    """Shared Lloyd loop: returns (final centroid frame, assign fn)."""
     from .util import spread
 
     vecs = spread(df).select(
@@ -294,9 +325,4 @@ def kmeans(
 
     for _ in range(n_iter):
         cents = update(assign(cents))
-
-    return assign(cents).select(
-        F.col("_id").alias(id_col),
-        F.col("_cl").cast("int").alias("cluster"),
-        "dist2",
-    )
+    return cents, assign

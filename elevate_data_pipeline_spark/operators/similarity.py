@@ -349,3 +349,71 @@ def pq_encode(
         )
         out = codes if out is None else out.join(codes, id_col)
     return out
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    n_queries: int = 5,
+    topk: int = 5,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 1,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes.
+
+    The search tier on top of :func:`pq_encode`: instead of scanning raw
+    vectors, each query precomputes an m x k distance-lookup table
+    (exact squared-L2 from its subvector to every subspace centroid),
+    and a candidate's approximate distance is the SUM of m table
+    lookups keyed by its code word. The corpus-side scan touches only
+    the code columns (m small ints per vector); the lookup tables are
+    (n_queries * k) rows per subspace — broadcast joins at any corpus
+    scale. The final per-query sum is associated left-to-right so the
+    DuckDB replay is bit-identical.
+    """
+    from .cluster import kmeans, kmeans_centroids
+
+    sub = dim // m
+    d2 = F.expr(
+        "aggregate(zip_with(qv, centroid, (x, y) -> "
+        "(double(x) - double(y)) * (double(x) - double(y))), "
+        "double(0), (acc, t) -> acc + t)"
+    )
+    total = None
+    for s in range(m):
+        sl = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("embedding"),
+        )
+        cents = kmeans_centroids(sl, k=k, n_iter=n_iter, id_col=id_col)
+        codes = kmeans(sl, k=k, n_iter=n_iter, id_col=id_col).select(
+            id_col, F.col("cluster").alias("_code")
+        )
+        qs = df.filter(F.col(id_col) < n_queries).select(
+            F.col(id_col).alias("query_id"),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("qv"),
+        )
+        dtab = (
+            qs.crossJoin(F.broadcast(cents))
+            .select("query_id", F.col("cluster").alias("_code"), d2.alias(f"_d{s}"))
+        )
+        part = codes.join(F.broadcast(dtab), "_code").select(
+            id_col, "query_id", f"_d{s}"
+        )
+        total = part if total is None else total.join(part, [id_col, "query_id"])
+
+    adc = F.expr("((_d0 + _d1) + _d2) + _d3") if m == 4 else sum(
+        [F.col(f"_d{s}") for s in range(m)]
+    )
+    scored = total.filter(F.col(id_col) != F.col("query_id")).select(
+        "query_id", F.col(id_col).alias("neighbor_id"), adc.alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

@@ -1874,6 +1874,70 @@ def _sql_pq(m: int = 4, k: int = 8, n_iter: int = 1, dim: int = _KMEANS_DIM) -> 
     """
 
 
+def _sql_pq_adc(
+    m: int = 4, k: int = 8, n_iter: int = 1, dim: int = _KMEANS_DIM,
+    nq: int = 5, topk: int = 5,
+) -> str:
+    """Oracle for ann_pq_adc_topk: the m subspace chains of
+    :func:`_sql_pq`, plus per-query distance-lookup tables against each
+    subspace's final centroid CTE, summed left-to-right like the engine."""
+    sub = dim // m
+    ctes: list[str] = []
+    assigns: list[str] = []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        src = f"(SELECT vec_id, embedding[{lo}:{hi}] AS embedding FROM embeddings)"
+        chain, final = _kmeans_ctes(k, n_iter, sub, src=src, prefix=f"s{s}_")
+        ctes.extend(chain)
+        assigns.append(final)
+        ctes.append(f"""
+    dt{s} AS (
+      SELECT q.vec_id AS query_id, c.cl AS cl,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               [(CAST(q.embedding[{lo} + i - 1] AS DOUBLE) - c.c[i])
+                * (CAST(q.embedding[{lo} + i - 1] AS DOUBLE) - c.c[i])
+                for i in range(1, {sub + 1})]),
+               (acc, t) -> acc + t) AS d
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {nq}) q
+      CROSS JOIN s{s}_c{n_iter} c)""")
+    a_joins = " ".join(
+        f"JOIN {assigns[s]} a{s} ON a{s}.vec_id = a0.vec_id" for s in range(1, m)
+    )
+    d_joins = " ".join(
+        f"JOIN dt{s} d{s} ON d{s}.cl = a{s}.cl AND d{s}.query_id = d0.query_id"
+        for s in range(1, m)
+    )
+    adc = "((d0.d + d1.d) + d2.d) + d3.d"
+    return f"""
+    WITH {",".join(ctes)},
+    tot AS (
+      SELECT d0.query_id AS query_id, a0.vec_id AS neighbor_id,
+             {adc} AS adc_dist
+      FROM {assigns[0]} a0 {a_joins}
+      JOIN dt0 d0 ON d0.cl = a0.cl {d_joins}
+      WHERE a0.vec_id != d0.query_id)
+    SELECT query_id AS query_id, neighbor_id AS neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, neighbor_id) AS INT) AS rank,
+           adc_dist AS adc_dist
+    FROM tot
+    QUALIFY rank <= {topk}
+    """
+
+
+@query("ann_pq_adc_topk", _sql_pq_adc())
+def ann_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance search (operators/similarity.pq_adc_topk):
+    each query precomputes an m x k exact distance table to the subspace
+    centroids, and candidates are ranked by the sum of m table lookups
+    keyed on their PQ codes — the corpus scan touches 4 small ints per
+    vector instead of 64 floats. Lookup tables broadcast; the replayed
+    oracle sums in the same left-to-right order for bit equality."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    return similarity.pq_adc_topk(emb, n_queries=5, topk=5, m=4, k=8, n_iter=1,
+                                  dim=_KMEANS_DIM)
+
+
 @query("embedding_pq_codes", _sql_pq())
 def embedding_pq_codes(spark, sf_dir):
     """Product-quantization code words (operators/similarity.pq_encode):

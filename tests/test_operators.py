@@ -1248,3 +1248,32 @@ def test_pq_codes_reconstruct_subspace_clusters(spark):
         F.min("code_0"), F.max("code_0"), F.min("code_3"), F.max("code_3")
     ).collect()[0]
     assert agg[0] >= 0 and agg[1] < 8 and agg[2] >= 0 and agg[3] < 8
+
+
+def test_pq_adc_close_to_exact_l2(spark):
+    """ADC ranks by quantized distance; sanity: for every query the ADC
+    top-1 must be among the exact-L2 top half of the corpus (coarse
+    bound that catches sign/order bugs without overfitting recall)."""
+    from elevate_data_pipeline_spark.operators.similarity import pq_adc_topk
+
+    emb = Catalog(spark, SF_DIR).table("embeddings")
+    adc = pq_adc_topk(emb, n_queries=3, topk=1).collect()
+    d2 = F.expr(
+        "aggregate(zip_with(qv, embedding, (x, y) -> "
+        "(double(x) - double(y)) * (double(x) - double(y))), "
+        "double(0), (acc, t) -> acc + t)"
+    )
+    n = emb.count()
+    for r in adc:
+        q = emb.filter(F.col("vec_id") == r.query_id).select(
+            F.col("embedding").alias("qv")
+        )
+        exact = (
+            emb.crossJoin(q)
+            .filter(F.col("vec_id") != r.query_id)
+            .select("vec_id", d2.alias("d"))
+            .orderBy("d", "vec_id")
+            .limit(n // 2)
+            .collect()
+        )
+        assert r.neighbor_id in {x.vec_id for x in exact}
