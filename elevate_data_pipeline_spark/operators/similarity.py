@@ -374,11 +374,16 @@ def pq_adc_topk(
     scale. The final per-query sum is associated left-to-right so the
     DuckDB replay is bit-identical.
     """
-    from .cluster import kmeans, kmeans_centroids
+    from .cluster import kmeans_centroids
 
     sub = dim // m
     d2 = F.expr(
         "aggregate(zip_with(qv, centroid, (x, y) -> "
+        "(double(x) - double(y)) * (double(x) - double(y))), "
+        "double(0), (acc, t) -> acc + t)"
+    )
+    d2e = F.expr(
+        "aggregate(zip_with(embedding, centroid, (x, y) -> "
         "(double(x) - double(y)) * (double(x) - double(y))), "
         "double(0), (acc, t) -> acc + t)"
     )
@@ -389,8 +394,18 @@ def pq_adc_topk(
             F.slice(F.col(vec_col), s * sub + 1, sub).alias("embedding"),
         )
         cents = kmeans_centroids(sl, k=k, n_iter=n_iter, id_col=id_col)
-        codes = kmeans(sl, k=k, n_iter=n_iter, id_col=id_col).select(
-            id_col, F.col("cluster").alias("_code")
+        # assign codes against the SAME codebook with one broadcast
+        # cross + min_by aggregate (ties to the smaller cluster id, the
+        # kmeans order) — no second Lloyd loop, no per-vector window
+        codes = (
+            sl.crossJoin(F.broadcast(cents))
+            .select(id_col, "cluster", d2e.alias("_d"))
+            .groupBy(id_col)
+            .agg(
+                F.min_by(
+                    "cluster", F.struct(F.col("_d"), F.col("cluster"))
+                ).alias("_code")
+            )
         )
         qs = df.filter(F.col(id_col) < n_queries).select(
             F.col(id_col).alias("query_id"),
