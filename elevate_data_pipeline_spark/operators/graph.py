@@ -159,6 +159,9 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     clustering coefficient 3*triangles/wedges (one IEEE division of
     exact integers).
     """
+    # e and deg are each referenced by several subtrees below; pin them
+    # so an expensive upstream edge derivation (e.g. a co-occurrence
+    # self-join) runs once, not once per reference
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -166,12 +169,14 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
     )
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("_da"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("_db"))
