@@ -141,6 +141,8 @@ HEADLINE = [
     "basket_triangles",
     "embedding_pq_codes",
     "ann_pq_adc_topk",
+    "ann_pq_recall",
+    "embedding_cluster_purity",
 ]
 
 

@@ -1874,13 +1874,15 @@ def _sql_pq(m: int = 4, k: int = 8, n_iter: int = 1, dim: int = _KMEANS_DIM) -> 
     """
 
 
-def _sql_pq_adc(
+def _pq_adc_parts(
     m: int = 4, k: int = 8, n_iter: int = 1, dim: int = _KMEANS_DIM,
-    nq: int = 5, topk: int = 5,
-) -> str:
-    """Oracle for ann_pq_adc_topk: the m subspace chains of
-    :func:`_sql_pq`, plus per-query distance-lookup tables against each
-    subspace's final centroid CTE, summed left-to-right like the engine."""
+    nq: int = 5,
+) -> tuple[list[str], str]:
+    """Shared CTE builder for the ADC oracles: the m subspace chains of
+    :func:`_sql_pq`, per-query distance-lookup tables against each
+    subspace's final centroid CTE, and a ``tot`` CTE holding
+    (query_id, neighbor_id, adc_dist) with the engine's left-to-right
+    sum. Returns (cte_list, "tot")."""
     sub = dim // m
     ctes: list[str] = []
     assigns: list[str] = []
@@ -1908,19 +1910,29 @@ def _sql_pq_adc(
         for s in range(1, m)
     )
     adc = "((d0.d + d1.d) + d2.d) + d3.d"
-    return f"""
-    WITH {",".join(ctes)},
+    ctes.append(f"""
     tot AS (
       SELECT d0.query_id AS query_id, a0.vec_id AS neighbor_id,
              {adc} AS adc_dist
       FROM {assigns[0]} a0 {a_joins}
       JOIN dt0 d0 ON d0.cl = a0.cl {d_joins}
-      WHERE a0.vec_id != d0.query_id)
+      WHERE a0.vec_id != d0.query_id)""")
+    return ctes, "tot"
+
+
+def _sql_pq_adc(
+    m: int = 4, k: int = 8, n_iter: int = 1, dim: int = _KMEANS_DIM,
+    nq: int = 5, topk: int = 5,
+) -> str:
+    """Oracle for ann_pq_adc_topk (see :func:`_pq_adc_parts`)."""
+    ctes, tot = _pq_adc_parts(m, k, n_iter, dim, nq)
+    return f"""
+    WITH {",".join(ctes)}
     SELECT query_id AS query_id, neighbor_id AS neighbor_id,
            CAST(row_number() OVER (PARTITION BY query_id
                                    ORDER BY adc_dist, neighbor_id) AS INT) AS rank,
            adc_dist AS adc_dist
-    FROM tot
+    FROM {tot}
     QUALIFY rank <= {topk}
     """
 
@@ -1936,6 +1948,151 @@ def ann_pq_adc_topk(spark, sf_dir):
     emb = Catalog(spark, sf_dir).table("embeddings")
     return similarity.pq_adc_topk(emb, n_queries=5, topk=5, m=4, k=8, n_iter=1,
                                   dim=_KMEANS_DIM)
+
+
+def _sql_pq_recall(
+    m: int = 4, k: int = 8, n_iter: int = 1, dim: int = _KMEANS_DIM,
+    nq: int = 5, topk: int = 5,
+) -> str:
+    """Oracle for ann_pq_recall: ADC top-k (via :func:`_pq_adc_parts`)
+    left-joined against the exact full-dim L2 top-k; recall@k per query
+    as one IEEE division."""
+    ctes, tot = _pq_adc_parts(m, k, n_iter, dim, nq)
+    hi = dim + 1
+    return f"""
+    WITH {",".join(ctes)},
+    adc_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, neighbor_id) AS rn
+        FROM {tot}) WHERE rn <= {topk}),
+    ex AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   [(CAST(q.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))
+                    * (CAST(q.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))
+                    for i in range(1, {hi})]),
+                   (acc, t) -> acc + t), e.vec_id) AS rn
+        FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {nq}) q
+        JOIN embeddings e ON e.vec_id != q.vec_id
+      ) WHERE rn <= {topk})
+    SELECT a.query_id AS query_id,
+           CAST(sum(CASE WHEN ex.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_hits,
+           CAST(sum(CASE WHEN ex.neighbor_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+             / {topk} AS recall
+    FROM adc_top a LEFT JOIN ex
+      ON ex.query_id = a.query_id AND ex.neighbor_id = a.neighbor_id
+    GROUP BY a.query_id
+    """
+
+
+@query("ann_pq_recall", _sql_pq_recall())
+def ann_pq_recall(spark, sf_dir):
+    """Recall@5 of the PQ/ADC index against exact full-dim L2 top-5 —
+    the evaluation every approximate index ships with. Both sides are
+    existing plans (pq_adc_topk and a brute-force window); the metric is
+    hits/k as one IEEE division. At corpus scale the exact side runs on
+    a held-out query sample, which is precisely this shape."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    topk = 5
+    adc = similarity.pq_adc_topk(
+        emb, n_queries=5, topk=topk, m=4, k=8, n_iter=1, dim=_KMEANS_DIM
+    ).select("query_id", "neighbor_id")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(qv, embedding, (x, y) -> "
+        "(double(x) - double(y)) * (double(x) - double(y))), "
+        "double(0), (acc, t) -> acc + t)"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    )
+    return (
+        adc.join(exact, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_h"))
+        .select(
+            "query_id",
+            F.col("_h").cast("long").alias("n_hits"),
+            (F.col("_h").cast("double") / topk).alias("recall"),
+        )
+    )
+
+
+def _sql_purity() -> str:
+    """Oracle for embedding_cluster_purity: the embedding_kmeans chain,
+    assignments joined to the source labels, majority label per cluster
+    (ties to the smaller label), purity as one IEEE division."""
+    ctes, final = _kmeans_ctes(_KMEANS_K, _KMEANS_ITER, _KMEANS_DIM)
+    return f"""
+    WITH {",".join(ctes)},
+    lab AS (
+      SELECT a.cl AS cluster, e.label AS label
+      FROM {final} a JOIN embeddings e ON e.vec_id = a.vec_id),
+    cnt AS (
+      SELECT cluster, label, count(*) AS c FROM lab GROUP BY cluster, label),
+    best AS (
+      SELECT cluster, label AS top_label, c AS top_count FROM (
+        SELECT cluster, label, c,
+               row_number() OVER (PARTITION BY cluster
+                                  ORDER BY c DESC, label) AS rn
+        FROM cnt) WHERE rn = 1),
+    sz AS (SELECT cluster, count(*) AS n_members FROM lab GROUP BY cluster)
+    SELECT s.cluster AS cluster,
+           CAST(s.n_members AS BIGINT) AS n_members,
+           CAST(b.top_label AS INTEGER) AS top_label,
+           CAST(b.top_count AS BIGINT) AS top_count,
+           CAST(b.top_count AS DOUBLE) / s.n_members AS purity
+    FROM sz s JOIN best b ON b.cluster = s.cluster
+    """
+
+
+@query("embedding_cluster_purity", _sql_purity())
+def embedding_cluster_purity(spark, sf_dir):
+    """Cluster-vs-label agreement of the deterministic k-means: per
+    cluster, the majority source label (ties to the smaller label) and
+    purity = top_count/n_members — the standard external clustering
+    evaluation, here exactly replayable. One label join + two grouped
+    aggregates after the kmeans assignment; the majority pick is a
+    max(struct) over (count, -label), no per-cluster window."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    assign = cluster.kmeans(emb, k=_KMEANS_K, n_iter=_KMEANS_ITER)
+    lab = assign.join(emb.select("vec_id", "label"), "vec_id")
+    cnt = lab.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("c"))
+    best = (
+        cnt.groupBy("cluster")
+        .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("_nl"))).alias("_m"))
+        .select(
+            "cluster",
+            (-F.col("_m._nl")).cast("int").alias("top_label"),
+            F.col("_m.c").cast("long").alias("top_count"),
+        )
+    )
+    sz = lab.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        sz.join(best, "cluster")
+        .select(
+            "cluster",
+            F.col("n_members").cast("long").alias("n_members"),
+            "top_label",
+            "top_count",
+            (F.col("top_count").cast("double") / F.col("n_members")).alias("purity"),
+        )
+    )
 
 
 @query("embedding_pq_codes", _sql_pq())
