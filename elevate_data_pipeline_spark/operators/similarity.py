@@ -311,6 +311,140 @@ def quantize_int8(
     )
 
 
+_SQ_L2 = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "(double(x) - double(y)) * (double(x) - double(y))), "
+    "double(0), (acc, t) -> acc + t)"
+)
+
+# Trained PQ index cache: (session id, source parquet files, params) ->
+# (session ref, (codebooks, codes)). Training the m Lloyd chains is
+# by far the dominant cost of the PQ family (encode / ADC search / recall
+# eval all need the SAME index), and a real deployment trains the index
+# once and serves many searches from it — so the codebooks (k*m rows)
+# and the code assignments (the PQ index itself: id + m small ints per
+# vector) are eagerly localCheckpoint-pinned and reused for any later
+# call in the same session over the same source files with the same
+# parameters. Frames with no stable file lineage (in-memory test data)
+# are never cached. The session object is held in the value so its id()
+# cannot be recycled while an entry is alive.
+_PQ_CACHE: dict = {}
+
+
+def pq_index(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 1,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Train (or fetch from the session cache) the PQ index, both frames
+    keyed by the subspace id ``_s``:
+
+    - codebooks ``(_s, _cl, _c array<double>)`` — k*m rows, broadcast-
+      sized at any corpus scale;
+    - codes ``(_id, _s, _code)`` — the index itself, m small ints per
+      vector, what ADC search scans instead of raw vectors.
+
+    Codes are assigned against the trained codebook with one broadcast
+    join + ``min(struct(dist, cl))`` partial aggregation (ties to the
+    smaller cluster id — the same rule as the Lloyd assignment, so the
+    result is bit-identical to running
+    :func:`..operators.cluster.kmeans` per subspace end-to-end, which
+    the DuckDB oracles replay)."""
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:  # pragma: no cover - defensive; plain frames analyze fine
+        files = ()
+    sess = df.sparkSession
+    key = (id(sess), files, m, k, n_iter, dim, vec_col, id_col)
+    if files and key in _PQ_CACHE:
+        return _PQ_CACHE[key][1]
+
+    # All m subspaces train in ONE keyed Lloyd chain: explode each vector
+    # into (_id, _s, _v[sub]) rows and carry the subspace id _s through
+    # init / assign / update, instead of running m separate plans whose
+    # eager checkpoints serialize (m=4 sequential chains cost ~10 s of
+    # pure stage/codegen overhead on a 500-row corpus). The math per
+    # subspace is identical to operators/cluster.kmeans — min-id init,
+    # left-to-right squared-L2 fold, argmin ties to the smaller cluster
+    # id (min over (dist, cl) structs), DECIMAL(28,12) component sums —
+    # so the oracle replay of the per-subspace chains is bit-identical.
+    sub = dim // m
+    slices = F.array(*[
+        F.struct(
+            F.lit(s).alias("_s"),
+            F.expr(
+                f"transform(slice({vec_col}, {s * sub + 1}, {sub}), x -> double(x))"
+            ).alias("_v"),
+        )
+        for s in range(m)
+    ])
+    vecs = df.select(
+        F.col(id_col).alias("_id"), F.explode(slices).alias("_e")
+    ).select("_id", F.col("_e._s").alias("_s"), F.col("_e._v").alias("_v"))
+
+    d2 = F.expr(_SQ_L2.format(a="_v", b="_c"))
+
+    def assign_min(frame: DataFrame, cents: DataFrame) -> DataFrame:
+        """(_id, _s, _v, _cl): nearest centroid per (vector, subspace) —
+        broadcast join on the subspace key + map-side min(struct) partial
+        aggregation; no per-vector window, no extra shuffle of the k-fold
+        scored rows."""
+        return (
+            frame.join(F.broadcast(cents), "_s")
+            .select("_id", "_s", "_v", F.struct(d2.alias("_d"), F.col("_cl")).alias("_sc"))
+            .groupBy("_id", "_s", "_v")
+            .agg(F.min("_sc").alias("_m"))
+            .select("_id", "_s", "_v", F.col("_m._cl").alias("_cl"))
+        )
+
+    # init: the k smallest ids' slices, cluster ids 0..k-1 by id rank —
+    # identical to cluster._lloyd's init. The id frame is k rows before
+    # the explode, so the ranking window is k*m rows, never corpus-sized.
+    w0 = Window.partitionBy("_s").orderBy("_id")
+    init_ids = df.select(F.col(id_col).alias("_id")).orderBy("_id").limit(k)
+    cents = (
+        vecs.join(F.broadcast(init_ids), "_id")
+        .withColumn("_cl", F.row_number().over(w0).cast("int") - 1)
+        .select("_s", "_cl", F.col("_v").alias("_c"))
+    )
+
+    for _ in range(n_iter):
+        comp = assign_min(vecs, cents).select(
+            "_s", "_cl", F.posexplode("_v").alias("_d", "_x")
+        )
+        means = comp.groupBy("_s", "_cl", "_d").agg(
+            (
+                F.sum(F.col("_x").cast("double").cast("decimal(28,12)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("_m")
+        )
+        cents = means.groupBy("_s", "_cl").agg(
+            F.expr("transform(array_sort(collect_list(struct(_d, _m))), s -> s._m)")
+            .alias("_c")
+        )
+
+    cents = cents.localCheckpoint(eager=True)  # k*m rows
+    codes = (
+        vecs.join(F.broadcast(cents), "_s")
+        .select(
+            "_id", "_s",
+            F.struct(d2.alias("_d"), F.col("_cl")).alias("_sc"),
+        )
+        .groupBy("_id", "_s")
+        .agg(F.min("_sc").alias("_m"))
+        .select("_id", "_s", F.col("_m._cl").cast("int").alias("_code"))
+        .localCheckpoint(eager=True)  # the PQ index: m small ints per vector
+    )
+    if files:
+        _PQ_CACHE[key] = (sess, (cents, codes))
+    return cents, codes
+
+
 def pq_encode(
     df: DataFrame,
     m: int = 4,
@@ -328,27 +462,20 @@ def pq_encode(
 
     PQ is the memory tier below int8 quantization: m=4, k=8 stores a
     64-float vector in 4 small ints (codebooks are k*dim floats total,
-    broadcast-sized at any corpus scale). Each subspace's training is
-    the same declarative Lloyd plan kmeans uses; the m chains share the
-    corpus scan and join back on the id — no iteration touches the
-    driver. ADC search then scans codes with a broadcast
-    distance-lookup table instead of raw vectors.
+    broadcast-sized at any corpus scale). Training happens at most once
+    per (session, source, params) via :func:`pq_index`; encode, ADC
+    search and recall evaluation all reuse the same pinned index, the
+    way a deployed index is trained once and served many times. The code
+    word is laid out wide with one pivot over the subspace key (exactly
+    one code per (vector, subspace), so ``first`` is deterministic) —
+    one shuffle, not m self-joins.
     """
-    from .cluster import kmeans
-
-    sub = dim // m
-    out = None
-    for s in range(m):
-        sl = df.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * sub + 1, sub).alias("embedding"),
-        )
-        codes = kmeans(sl, k=k, n_iter=n_iter, vec_col="embedding", id_col=id_col)
-        codes = codes.select(
-            id_col, F.col("cluster").alias(f"code_{s}")
-        )
-        out = codes if out is None else out.join(codes, id_col)
-    return out
+    _cents, codes = pq_index(df, m, k, n_iter, dim, vec_col, id_col)
+    piv = codes.groupBy("_id").pivot("_s", list(range(m))).agg(F.first("_code"))
+    return piv.select(
+        F.col("_id").alias(id_col),
+        *[F.col(str(s)).alias(f"code_{s}") for s in range(m)],
+    )
 
 
 def pq_adc_topk(
@@ -369,62 +496,49 @@ def pq_adc_topk(
     (exact squared-L2 from its subvector to every subspace centroid),
     and a candidate's approximate distance is the SUM of m table
     lookups keyed by its code word. The corpus-side scan touches only
-    the code columns (m small ints per vector); the lookup tables are
-    (n_queries * k) rows per subspace — broadcast joins at any corpus
-    scale. The final per-query sum is associated left-to-right so the
-    DuckDB replay is bit-identical.
+    the code columns (m small ints per vector); the lookup table is
+    (n_queries * k * m) rows — one broadcast join at any corpus scale.
+    Codebooks and codes come from the shared trained index
+    (:func:`pq_index` — train once, search many); the per-subspace
+    partial distances are laid out wide with one pivot on the subspace
+    key and summed left-to-right (((d0+d1)+d2)+d3) so the DuckDB replay
+    is bit-identical.
     """
-    from .cluster import kmeans_centroids
+    import functools
+    import operator as _op
 
     sub = dim // m
-    d2 = F.expr(
-        "aggregate(zip_with(qv, centroid, (x, y) -> "
-        "(double(x) - double(y)) * (double(x) - double(y))), "
-        "double(0), (acc, t) -> acc + t)"
-    )
-    d2e = F.expr(
-        "aggregate(zip_with(embedding, centroid, (x, y) -> "
-        "(double(x) - double(y)) * (double(x) - double(y))), "
-        "double(0), (acc, t) -> acc + t)"
-    )
-    total = None
-    for s in range(m):
-        sl = df.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * sub + 1, sub).alias("embedding"),
-        )
-        cents = kmeans_centroids(sl, k=k, n_iter=n_iter, id_col=id_col)
-        # assign codes against the SAME codebook with one broadcast
-        # cross + min_by aggregate (ties to the smaller cluster id, the
-        # kmeans order) — no second Lloyd loop, no per-vector window
-        codes = (
-            sl.crossJoin(F.broadcast(cents))
-            .select(id_col, "cluster", d2e.alias("_d"))
-            .groupBy(id_col)
-            .agg(
-                F.min_by(
-                    "cluster", F.struct(F.col("_d"), F.col("cluster"))
-                ).alias("_code")
-            )
-        )
-        qs = df.filter(F.col(id_col) < n_queries).select(
-            F.col(id_col).alias("query_id"),
-            F.slice(F.col(vec_col), s * sub + 1, sub).alias("qv"),
-        )
-        dtab = (
-            qs.crossJoin(F.broadcast(cents))
-            .select("query_id", F.col("cluster").alias("_code"), d2.alias(f"_d{s}"))
-        )
-        part = codes.join(F.broadcast(dtab), "_code").select(
-            id_col, "query_id", f"_d{s}"
-        )
-        total = part if total is None else total.join(part, [id_col, "query_id"])
+    cents, codes = pq_index(df, m, k, n_iter, dim, vec_col, id_col)
 
-    adc = F.expr("((_d0 + _d1) + _d2) + _d3") if m == 4 else sum(
-        [F.col(f"_d{s}") for s in range(m)]
+    # query-side: the same (query_id, _s, qv) explode as the index build
+    qslices = F.array(*[
+        F.struct(
+            F.lit(s).alias("_s"),
+            F.expr(
+                f"transform(slice({vec_col}, {s * sub + 1}, {sub}), x -> double(x))"
+            ).alias("_qv"),
+        )
+        for s in range(m)
+    ])
+    qs = (
+        df.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), F.explode(qslices).alias("_e"))
+        .select("query_id", F.col("_e._s").alias("_s"), F.col("_e._qv").alias("_qv"))
     )
-    scored = total.filter(F.col(id_col) != F.col("query_id")).select(
-        "query_id", F.col(id_col).alias("neighbor_id"), adc.alias("adc_dist")
+    d2 = F.expr(_SQ_L2.format(a="_qv", b="_c"))
+    dtab = qs.join(F.broadcast(cents), "_s").select(
+        "query_id", "_s", F.col("_cl").cast("int").alias("_code"), d2.alias("_d")
+    )
+    part = codes.join(F.broadcast(dtab), ["_s", "_code"]).select(
+        "_id", "query_id", "_s", "_d"
+    )
+    # exactly one row per (_id, query_id, _s) — first() is deterministic
+    piv = part.groupBy("_id", "query_id").pivot("_s", list(range(m))).agg(
+        F.first("_d")
+    )
+    adc = functools.reduce(_op.add, [F.col(str(s)) for s in range(m)])
+    scored = piv.filter(F.col("_id") != F.col("query_id")).select(
+        "query_id", F.col("_id").alias("neighbor_id"), adc.alias("adc_dist")
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return (
