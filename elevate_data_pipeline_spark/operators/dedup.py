@@ -235,17 +235,37 @@ def containment_pairs(
         "_rn",
         F.row_number().over(Window.partitionBy("_blk", "_id").orderBy("_df", "_g")),
     )
+    if PIN_GRAMS:  # ranked feeds both the prefix side and the postings side
+        ranked = ranked.localCheckpoint(eager=False)
     prefix = ranked.filter(
         F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
-    ).select("_id", "_blk", "_g")
+    ).select("_id", "_blk", "_g", "_sz", "_rn")
 
-    a, b = prefix.alias("a"), exploded.alias("b")
+    # PPJoin+-style positional filter (Xiao et al.): both sides carry the
+    # matched gram's position in the SAME (df, gram) total order, so for a
+    # match at positions (pa, pb) the true intersection is bounded by
+    # min(pa-1, pb-1) + 1 + min(|a|-pa, |b|-pb) — common grams before g
+    # must precede g in both lists, those after must follow in both. A row
+    # whose bound falls below ceil(t*|a|) cannot witness a qualifying
+    # pair, so it is dropped BEFORE the pair dedup and the verify joins
+    # (a pair is only lost when every generating row fails, which proves
+    # containment < t; survivors are still exactly verified below).
+    a, b = prefix.alias("a"), ranked.alias("b")
+    required = F.ceil(F.lit(threshold) * F.col("a._sz"))
+    bound = (
+        F.least(F.col("a._rn") - 1, F.col("b._rn") - 1)
+        + 1
+        + F.least(
+            F.col("a._sz") - F.col("a._rn"), F.col("b._sz") - F.col("b._rn")
+        )
+    )
     cand = (
         a.join(
             b,
             (F.col("a._blk") == F.col("b._blk"))
             & (F.col("a._g") == F.col("b._g"))
-            & (F.col("a._id") != F.col("b._id")),
+            & (F.col("a._id") != F.col("b._id"))
+            & (bound >= required),
         )
         .select(
             F.col("a._id").alias("contained_id"), F.col("b._id").alias("container_id")
