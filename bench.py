@@ -101,6 +101,7 @@ HEADLINE = [
     "text_quality_calibrated",
     "events_type_pagerank_conserving",
     "multimodal_decode",
+    "multimodal_png_decode",
     "stream_sessionize_native",
     "corpus_block_dedup",
     "curation_shuffle",

@@ -2,10 +2,13 @@
 
 Images / audio / video ride through the pipeline as ``binary`` columns
 with metadata structs; decode and feature extraction run as Arrow-batched
-``mapInPandas`` stages. The decode step itself is STUBBED (no image/audio
-codecs in this environment — see ``decode_image``): the Spark-side
-plumbing — schema, batch iteration, partitioning — is real and tested,
-and a deterministic byte-level feature extractor stands in for a model.
+``mapInPandas`` stages. Decoders are REAL and dependency-free where the
+format allows: netpbm P5/P6, uncompressed 24-bit BMP, 8-bit RGB/gray PNG
+(stdlib zlib inflate + unfilter), RIFF/WAVE PCM16, RIFF/AVI RGB24.
+Compressed codecs (JPEG/WebP, MP3/AAC, H.26x) raise a documented
+``NotImplementedError`` — they need codec libraries this environment
+does not ship; a deterministic byte-level feature extractor stands in
+for a learned model behind the same signatures.
 
 At 100 TB: binary payloads dominate I/O, so (a) keep them in their own
 column to let column pruning skip them for metadata-only queries,
@@ -71,14 +74,19 @@ def encode_ppm(width: int, height: int, pixels: bytes, channels: int = 3) -> byt
     return magic + b"\n%d %d\n255\n" % (width, height) + buf
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
 def decode_image(payload: bytes) -> ImageData:
-    """Dependency-free image decode for the formats a header parse can
+    """Dependency-free image decode for the formats stdlib parsing can
     handle without codec libraries:
 
     - netpbm **P6** (binary RGB) and **P5** (binary grayscale);
-    - **BMP** (BITMAPINFOHEADER, uncompressed 24-bit).
+    - **BMP** (BITMAPINFOHEADER, uncompressed 24-bit);
+    - **PNG** (8-bit RGB / grayscale, non-interlaced — stdlib ``zlib``
+      inflate + per-row unfilter, all five filter types).
 
-    Other formats (JPEG/PNG/...) still raise ``NotImplementedError`` —
+    Other formats (JPEG/WebP/...) still raise ``NotImplementedError`` —
     they need real codec libraries. Returns :class:`ImageData` with the
     de-padded row-major pixel buffer; raises ``ValueError`` on a
     truncated or malformed payload (a decode that silently returns
@@ -88,9 +96,11 @@ def decode_image(payload: bytes) -> ImageData:
         return _decode_pnm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == PNG_SIG:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "only netpbm P5/P6 and uncompressed 24-bit BMP decode without codec "
-        "libraries; got magic %r" % payload[:2]
+        "only netpbm P5/P6, uncompressed 24-bit BMP, and 8-bit RGB/gray "
+        "PNG decode without codec libraries; got magic %r" % payload[:2]
     )
 
 
@@ -153,6 +163,168 @@ def _decode_bmp(payload: bytes) -> ImageData:
     if flip:
         rows.reverse()
     return ImageData(width, height, 3, 255, b"".join(rows))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4): the neighbor (left, up, up-left)
+    closest to the linear estimate a + b - c, ties left > up > up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+    """Minimal PNG writer: 8-bit RGB (color type 2) or grayscale (color
+    type 0), non-interlaced, stdlib ``zlib`` deflate. ``pixels`` is the
+    interleaved row-major buffer, zero-padded / truncated to exactly
+    ``width*height*channels`` bytes. Each scanline is filtered with type
+    ``row % 5`` — deliberately cycling through all five PNG filters so a
+    decode round-trip exercises every unfilter path, not just None. The
+    inverse of :func:`_decode_png`; used to synthesize test payloads the
+    same way ``encode_ppm``/``encode_wav`` do."""
+    import struct
+    import zlib
+
+    if channels not in (1, 3):
+        raise ValueError(f"unsupported channel count {channels}")
+    stride = width * channels
+    need = stride * height
+    buf = pixels[:need] + b"\x00" * max(0, need - len(pixels))
+    raw = bytearray()
+    prev = b"\x00" * stride
+    for r in range(height):
+        row = buf[r * stride : (r + 1) * stride]
+        ft = r % 5
+        raw.append(ft)
+        if ft == 0:  # None
+            raw += row
+        elif ft == 1:  # Sub
+            raw += bytes(
+                (row[i] - (row[i - channels] if i >= channels else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 2:  # Up
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+        elif ft == 3:  # Average
+            raw += bytes(
+                (row[i] - ((row[i - channels] if i >= channels else 0) + prev[i]) // 2)
+                & 0xFF
+                for i in range(stride)
+            )
+        else:  # Paeth
+            raw += bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - channels] if i >= channels else 0,
+                        prev[i],
+                        prev[i - channels] if i >= channels else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        prev = row
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    color_type = 2 if channels == 3 else 0
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> ImageData:
+    """PNG decode via stdlib only: chunk walk with CRC verification, IDAT
+    concatenation + ``zlib`` inflate, per-scanline unfilter (None / Sub /
+    Up / Average / Paeth). Supports bit depth 8, color types 2 (RGB) and
+    0 (grayscale), non-interlaced — the common uncompressed-training-data
+    case; palette / alpha / 16-bit / Adam7 raise ``NotImplementedError``."""
+    import struct
+    import zlib
+
+    if len(payload) < 8 + 25:
+        raise ValueError("truncated PNG")
+    pos = 8
+    width = height = channels = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError("truncated PNG chunk %r" % ctype)
+        (crc,) = struct.unpack(">I", payload[pos + 8 + clen : pos + 12 + clen])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk %r fails CRC" % ctype)
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in (0, 2):
+                raise NotImplementedError(
+                    f"only 8-bit gray/RGB PNG decodes here (depth={depth} color={color})"
+                )
+            if interlace != 0:
+                raise NotImplementedError("Adam7 interlacing not supported")
+            if comp != 0 or filt != 0:
+                raise ValueError(f"bad PNG header (comp={comp} filter={filt})")
+            channels = 3 if color == 2 else 1
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt IDAT stream: {exc}") from exc
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"inflated size {len(raw)} != expected {(stride + 1) * height}"
+        )
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    for r in range(height):
+        ft = raw[r * (stride + 1)]
+        line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        if ft == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                ul = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft} on row {r}")
+        out[r * stride : (r + 1) * stride] = line
+        prev = line
+    return ImageData(width, height, channels, 255, bytes(out))
 
 
 def _byte_histogram_features(payload: bytes) -> list[float]:

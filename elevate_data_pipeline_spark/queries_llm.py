@@ -1592,6 +1592,54 @@ def multimodal_decode(spark, sf_dir):
 
 
 @query(
+    "multimodal_png_decode",
+    """
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS total,
+             greatest(1, least(32, octet_length(encode(text)) // 6)) AS w,
+             [ascii(substr(text, x, 1)) for x in range(1, 1 + len(text))] AS codes
+      FROM documents
+    )
+    SELECT doc_id AS doc_id, CAST(w AS INT) AS width, 2 AS height,
+           3 AS channels, 255 AS maxval,
+           CAST(coalesce(list_sum(codes[1:CAST(least(total, w * 6) AS INT)]), 0)
+                AS BIGINT) AS checksum
+    FROM b
+    """,
+)
+def multimodal_png_decode(spark, sf_dir):
+    """REAL PNG decode (stdlib zlib only, no codec libraries): each
+    document's bytes become an 8-bit RGB PNG whose scanlines cycle
+    through all five PNG filter types; ``operators/multimodal
+    ._decode_png`` walks the chunks (CRC-checked), inflates the IDAT
+    stream, and unfilters every row (None/Sub/Up/Average/Paeth) inside
+    mapInPandas. The round-trip reproduces the raw buffer exactly, so
+    the oracle is the same pixel-sum replay as multimodal_decode (ASCII
+    => byte == codepoint; padding contributes 0). One narrow scan, no
+    shuffle — decode is embarrassingly parallel, the 100 TB shape."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                w = max(1, min(32, len(data) // 6))
+                img = multimodal.decode_image(multimodal.encode_png(w, 2, data))
+                rows.append(
+                    (doc_id, img.width, img.height, img.channels, img.maxval,
+                     sum(img.pixels))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "channels", "maxval", "checksum"],
+            )
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    return docs.mapInPandas(run, _DECODE_SCHEMA)
+
+
+@query(
     "multimodal_resize",
     """
     WITH b AS (

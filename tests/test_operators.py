@@ -161,6 +161,49 @@ def test_bmp_decode_matches_rows():
     assert img.pixels == rows[0] + rows[1]
 
 
+def test_png_roundtrip_all_filters():
+    """encode_png cycles filter types per row, so a >=5-row image
+    exercises every unfilter path (None/Sub/Up/Average/Paeth)."""
+    import random
+
+    rnd = random.Random(11)
+    for channels in (1, 3):
+        pixels = bytes(rnd.randrange(256) for _ in range(4 * 6 * channels))
+        img = multimodal.decode_image(multimodal.encode_png(4, 6, pixels, channels))
+        assert (img.width, img.height, img.channels, img.maxval) == (4, 6, channels, 255)
+        assert img.pixels == pixels
+
+
+def test_png_zero_pads_short_buffer():
+    img = multimodal.decode_image(multimodal.encode_png(4, 2, b"\x01\x02"))
+    assert img.pixels == b"\x01\x02" + b"\x00" * 22
+
+
+def test_png_resize_path():
+    src = multimodal.encode_png(2, 1, bytes([1, 2, 3, 4, 5, 6]))
+    out = multimodal.decode_image(multimodal.resize_image(src, 4, 1))
+    assert out.pixels == bytes([1, 2, 3, 1, 2, 3, 4, 5, 6, 4, 5, 6])
+
+
+def test_png_rejects_corruption_and_unsupported():
+    import struct
+    import zlib
+
+    payload = multimodal.encode_png(3, 3, bytes(27))
+    flipped = payload[:40] + bytes([payload[40] ^ 0xFF]) + payload[41:]
+    with pytest.raises(ValueError):  # CRC mismatch
+        multimodal.decode_image(flipped)
+    with pytest.raises(ValueError):  # truncated
+        multimodal.decode_image(payload[:20])
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    ch = (
+        struct.pack(">I", len(ihdr16)) + b"IHDR" + ihdr16
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr16) & 0xFFFFFFFF)
+    )
+    with pytest.raises(NotImplementedError):  # 16-bit depth
+        multimodal.decode_image(multimodal.PNG_SIG + ch)
+
+
 def test_resize_nearest_neighbor():
     # 2x1 -> 4x1: each source pixel repeats twice
     src = multimodal.encode_ppm(2, 1, bytes([1, 2, 3, 4, 5, 6]))
