@@ -15,9 +15,11 @@ and records a manifest with two fingerprints:
   strategy, an added filter — perturbs it even when inputs didn't move.
 
 On the next run, a query whose both fingerprints match is SKIPPED; the
-rest re-materialize atomically (write to ``<dir>.tmp`` then rename), so
-a killed run never leaves a half-written dataset behind a fresh
-manifest. This is deliberately dependency-free (no Delta/Iceberg in the
+rest re-materialize safely: write to ``<dir>.tmp``, rename the live dir
+to ``<dir>.old``, rename the tmp in, delete the old. A crash between
+any two steps leaves a complete dataset on disk (old or new — never a
+destroyed-but-unreplaced gap), and stale ``.tmp``/``.old`` dirs are
+reclaimed by the next run. This is deliberately dependency-free (no Delta/Iceberg in the
 container); with a table format available the same fingerprints become
 the snapshot predicate of a ``REPLACE TABLE AS SELECT``.
 """
@@ -146,8 +148,17 @@ def materialize(
                 },
                 fh,
             )
-        shutil.rmtree(out_dir, ignore_errors=True)
+        # publish without a destroy-first window: rename the live dir
+        # aside, swap the new one in, then delete the old — a crash
+        # between any two steps leaves either the old or the new dataset
+        # fully in place (plus at worst a stale .old/.tmp, which the
+        # rmtree calls here reclaim on the next run)
+        old_dir = out_dir + ".old"
+        shutil.rmtree(old_dir, ignore_errors=True)
+        if os.path.exists(out_dir):
+            os.rename(out_dir, old_dir)
         os.rename(tmp_dir, out_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
         results.append(
             {
                 "name": name,

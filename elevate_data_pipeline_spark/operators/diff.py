@@ -60,8 +60,18 @@ def merge_upsert(
     update_cols: list[str],
     delete_condition: F.Column | None = None,
     tag_col: str | None = "action",
+    on_duplicate_keys: str = "fanout",
 ) -> DataFrame:
     """Lakehouse ``MERGE INTO`` semantics as one full-outer join.
+
+    **Precondition:** the source must be unique per ``key_cols``. A real
+    MERGE raises on multiple source matches; this join-based form
+    instead fans out one output row per duplicate (``on_duplicate_keys
+    = "fanout"``, the default — zero-cost when the precondition holds).
+    Pass ``on_duplicate_keys="dedup"`` to enforce uniqueness first: the
+    greatest non-key tuple wins per key (deterministic regardless of
+    partition order — the same rule ``write_jdbc_upsert`` applies), at
+    the cost of one extra aggregate shuffle on the source.
 
     The resolution of a MERGE (WHEN MATCHED [AND cond] THEN
     DELETE / UPDATE SET ..., WHEN NOT MATCHED THEN INSERT) against an
@@ -89,6 +99,18 @@ def merge_upsert(
     missing = [c for c in update_cols if c not in source.columns]
     if missing:
         raise ValueError(f"merge_upsert: update_cols not in source: {missing}")
+    if on_duplicate_keys not in ("fanout", "dedup"):
+        raise ValueError(
+            f"on_duplicate_keys must be fanout|dedup, got {on_duplicate_keys!r}"
+        )
+    if on_duplicate_keys == "dedup":
+        nk = [c for c in source.columns if c not in key_cols]
+        if nk:
+            source = source.groupBy(*key_cols).agg(
+                F.max(F.struct(*nk)).alias("_m")
+            ).select(*key_cols, *[F.col(f"_m.{c}").alias(c) for c in nk])
+        else:
+            source = source.dropDuplicates(key_cols)
     s_cols = [c for c in source.columns if c in set(target.columns)]
     src = source.select(
         *[F.col(c).alias(f"_s_{c}") for c in s_cols],

@@ -137,7 +137,14 @@ def read_parquet_resilient(
                     try:
                         pq.ParquetFile(fp).metadata
                     except Exception:
-                        shutil.move(fp, os.path.join(quarantine, f))
+                        # preserve the relative path: identically-named
+                        # part files under different partition dirs must
+                        # not overwrite each other in quarantine — the
+                        # payload exists for forensics
+                        rel = os.path.relpath(fp, p)
+                        dest = os.path.join(quarantine, rel)
+                        os.makedirs(os.path.dirname(dest) or quarantine, exist_ok=True)
+                        shutil.move(fp, dest)
     return (
         spark.read.option("ignoreCorruptFiles", "true")
         .option("mergeSchema", "true")

@@ -124,6 +124,20 @@ def write_jdbc_append(
     )
 
 
+import re
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _safe_ident(name: str, kind: str = "identifier") -> str:
+    """Validate a SQL identifier before it is interpolated into
+    driver-side DDL/MERGE text. Config-sourced table/key names are an
+    injection surface otherwise; one chokepoint keeps the rule uniform."""
+    if not _IDENT_RE.match(name):
+        raise ValueError(f"unsafe SQL {kind}: {name!r}")
+    return name
+
+
 def write_jdbc_upsert(
     df: DataFrame,
     url: str,
@@ -141,18 +155,34 @@ def write_jdbc_upsert(
 
     1. the frame is deduplicated per key (greatest non-key tuple wins —
        deterministic regardless of partition order);
-    2. it overwrites a staging table ``<table>_stage`` (plain JDBC
-       write, parallel executors);
+    2. it writes a staging table with a per-invocation unique suffix
+       (plain JDBC write, parallel executors) — two concurrent writers
+       upserting the same target can never clobber each other's staged
+       rows mid-MERGE;
     3. one driver-side ``MERGE INTO target USING stage`` statement
        updates matches and inserts the rest — transactional in the
        target database, and a no-op when re-run with the same staging
-       content.
+       content. The staging table is dropped afterwards (best-effort
+       even when the MERGE fails).
+
+    Table, key, and column names are validated as plain SQL identifiers
+    before any interpolation (:func:`_safe_ident`) — names arriving from
+    untrusted config cannot smuggle SQL into the driver-side statements.
 
     At scale the staging write is the only data movement (executor-
     parallel JDBC inserts); the MERGE is set-based SQL inside the sink
     database, not a row loop on the Spark driver.
     """
+    import uuid
+
     from pyspark.sql import functions as F
+
+    _safe_ident(table, "table name")
+    for c in df.columns:
+        _safe_ident(c, "column name")
+    for k in keys:
+        if k not in df.columns:
+            raise ValueError(f"upsert key {k!r} not in frame columns {df.columns}")
 
     non_keys = [c for c in df.columns if c not in keys]
     if non_keys:
@@ -163,7 +193,7 @@ def write_jdbc_upsert(
     else:
         df = df.dropDuplicates(keys)
 
-    stage = f"{table}_stage"
+    stage = f"{table}_stg_{uuid.uuid4().hex[:10]}"
     writer = (
         df.write.format("jdbc")
         .mode("overwrite")
@@ -212,6 +242,10 @@ def write_jdbc_upsert(
             )
             stmt.executeUpdate(merge)
         finally:
+            try:
+                stmt.executeUpdate(f"DROP TABLE {stage}")
+            except Exception:
+                pass  # best-effort cleanup; a leftover stage is inert
             stmt.close()
     finally:
         conn.close()

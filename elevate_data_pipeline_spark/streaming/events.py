@@ -124,7 +124,7 @@ def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
 
 
 def quota_per_key(
-    events: DataFrame, n: int = 5, key: str = "user_id"
+    events: DataFrame, n: int = 5, key: str = "user_id", out_of_order: str = "warn"
 ) -> DataFrame:
     """Stateful quota enforcement: emit only the FIRST ``n`` events per
     key, ordered by (ts, event_id) — the crawl-ingest primitive that
@@ -144,7 +144,19 @@ def quota_per_key(
     Batch path is the same contract as one per-key window: row_number
     over (e, event_id), filter <= n. Output: (key, event_id, value,
     rank_in_key).
+
+    Out-of-order guard: the stream state also tracks the last-admitted
+    (ts, event_id) per key, so a micro-batch carrying rows OLDER than
+    something already admitted — the case where stream and batch twin
+    can diverge — is no longer silent. ``out_of_order="warn"`` (default)
+    logs a per-key warning to the executor log; ``"error"`` fails the
+    batch (strict mode for pipelines that must guarantee batch parity);
+    ``"ignore"`` restores the old silent behavior.
     """
+    if out_of_order not in ("warn", "error", "ignore"):
+        raise ValueError(
+            f"out_of_order must be warn|error|ignore, got {out_of_order!r}"
+        )
     from ..operators.util import epoch_us
 
     base = events.select(
@@ -173,17 +185,42 @@ def quota_per_key(
             .withColumnRenamed("k", key)
         )
 
-    state_schema = StructType([StructField("seen", LongType())])
+    state_schema = StructType(
+        [
+            StructField("seen", LongType()),
+            StructField("last_e", LongType()),
+            StructField("last_id", LongType()),
+        ]
+    )
 
     def _quota(
         key_: Tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        seen = state.get[0] if state.exists else 0
+        seen, last_e, last_id = state.get if state.exists else (0, None, None)
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(["e", "event_id"], kind="mergesort")
+        if last_e is not None and len(batch) and out_of_order != "ignore":
+            head_e = int(batch["e"].iloc[0])
+            head_id = int(batch["event_id"].iloc[0])
+            if (head_e, head_id) <= (int(last_e), int(last_id)):
+                msg = (
+                    f"quota_per_key: key {key_} received event "
+                    f"({head_e}, {head_id}) not after last admitted "
+                    f"({last_e}, {last_id}) — micro-batch arrival order is "
+                    "behind event-time order; stream may diverge from the "
+                    "batch twin"
+                )
+                if out_of_order == "error":
+                    raise ValueError(msg)
+                import warnings
+
+                warnings.warn(msg)
         room = max(0, n - int(seen))
         take = batch.iloc[:room]
-        state.update((int(seen) + len(take),))
+        if len(take):
+            last_e = int(take["e"].iloc[-1])
+            last_id = int(take["event_id"].iloc[-1])
+        state.update((int(seen) + len(take), last_e, last_id))
         if len(take):
             yield pd.DataFrame(
                 {

@@ -174,3 +174,33 @@ def test_jdbc_upsert_streaming_sink_replay_safe(spark, tmp_path):
         spark, url, 'SELECT COUNT(*) AS "n" FROM t_state', "u", "p", driver=DRIVER
     ).load().collect()[0]["n"]
     assert second == first
+
+
+def test_jdbc_upsert_rejects_unsafe_identifiers(spark, tmp_path):
+    """Identifier validation fires before any connection is opened."""
+    import pytest
+
+    df = spark.createDataFrame([(1, 1.0)], "id int, score double")
+    with pytest.raises(ValueError, match="unsafe SQL table name"):
+        jdbc.write_jdbc_upsert(df, "jdbc:x", 'T; DROP TABLE x', ["id"], "u", "p")
+    with pytest.raises(ValueError, match="not in frame columns"):
+        jdbc.write_jdbc_upsert(df, "jdbc:x", "t_ok", ["nope"], "u", "p")
+
+
+def test_jdbc_upsert_leaves_no_staging_table(spark, tmp_path):
+    """The per-invocation staging table is dropped after the MERGE."""
+    url = _url(tmp_path)
+    df = spark.createDataFrame([(1, 1.0)], "id int, score double")
+    jdbc.write_jdbc_upsert(df, url, "t_clean", ["id"], "u", "p", driver=DRIVER)
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(DRIVER)
+    conn = jvm.java.sql.DriverManager.getConnection(url, "u", "p")
+    try:
+        rs = conn.getMetaData().getTables(None, None, "T_CLEAN%", None)
+        names = []
+        while rs.next():
+            names.append(rs.getString(3))
+        rs.close()
+    finally:
+        conn.close()
+    assert names == ["T_CLEAN"]

@@ -1320,3 +1320,22 @@ def test_pq_adc_close_to_exact_l2(spark):
             .collect()
         )
         assert r.neighbor_id in {x.vec_id for x in exact}
+
+
+def test_merge_upsert_dedup_mode(spark):
+    """on_duplicate_keys="dedup": greatest non-key tuple wins per key,
+    so duplicate source keys no longer fan out the matched target row."""
+    from elevate_data_pipeline_spark.operators.diff import merge_upsert
+
+    tgt = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id int, v double")
+    src = spark.createDataFrame([(2, 25.0), (2, 24.0), (3, 30.0)], "id int, v double")
+    out = merge_upsert(
+        tgt, src, key_cols=["id"], update_cols=["v"],
+        tag_col=None, on_duplicate_keys="dedup",
+    )
+    assert sorted(map(tuple, out.collect())) == [(1, 10.0), (2, 25.0), (3, 30.0)]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="on_duplicate_keys"):
+        merge_upsert(tgt, src, ["id"], ["v"], on_duplicate_keys="bogus")

@@ -19,3 +19,22 @@ def test_read_parquet_resilient_skips_and_quarantines(spark, tmp_path):
     assert got2.count() == 10
     assert not bad.exists()
     assert (q / "part-corrupt.parquet").exists()
+
+
+def test_quarantine_preserves_relative_paths(spark, tmp_path):
+    """Two corrupt files with the SAME basename under different
+    partition dirs must both survive quarantine (no overwrite)."""
+    from elevate_data_pipeline_spark.sources.files import read_parquet_resilient
+
+    d = tmp_path / "ds2"
+    base = spark.range(10)
+    base.withColumn("p", (base["id"] % 2).cast("int")) \
+        .write.partitionBy("p").parquet(str(d))
+    (d / "p=0" / "part-corrupt.parquet").write_bytes(b"PAR1 garbage A")
+    (d / "p=1" / "part-corrupt.parquet").write_bytes(b"PAR1 garbage BB")
+
+    q = tmp_path / "quarantine2"
+    got = read_parquet_resilient(spark, str(d), quarantine=str(q))
+    assert got.count() == 10
+    assert (q / "p=0" / "part-corrupt.parquet").read_bytes() == b"PAR1 garbage A"
+    assert (q / "p=1" / "part-corrupt.parquet").read_bytes() == b"PAR1 garbage BB"

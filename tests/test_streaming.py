@@ -412,6 +412,55 @@ def test_latest_state_stream_equals_batch(spark, events_dir):
     assert got == want and len(want) > 0
 
 
+def test_quota_out_of_order_strict_mode_fails_batch(spark, tmp_path):
+    """With arrival order REVERSED against event-time order, strict mode
+    (out_of_order="error") must fail the stream instead of silently
+    admitting the wrong events."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from elevate_data_pipeline_spark.streaming import quota_per_key
+    from elevate_data_pipeline_spark.operators.util import epoch_us
+
+    ev = Catalog(spark, SF_DIR).table("events")
+    cut = ev.select(F.median(epoch_us("ts")).cast("long").alias("c")).collect()[0]["c"]
+    d = tmp_path / "quota_ooo"
+    d.mkdir()
+    # f0 = LATER events, f1 = EARLIER events; pin mtimes so the newer
+    # half arrives first
+    ev.filter(epoch_us("ts") > cut).coalesce(1).write.parquet(str(d / "f0"))
+    ev.filter(epoch_us("ts") <= cut).coalesce(1).write.parquet(str(d / "f1"))
+    files = sorted(str(p) for p in d.rglob("*.parquet"))
+    tgt = tmp_path / "arrivals_ooo"
+    tgt.mkdir()
+    import time as _time
+
+    t0 = _time.time() - 100
+    for i, f in enumerate(files):
+        dst = tgt / f"part-{i}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    stream = read_events_stream(spark, str(tgt), max_files_per_trigger=1)
+    q = (
+        quota_per_key(stream, n=5, out_of_order="error")
+        .writeStream.format("memory")
+        .queryName("t" + uuid.uuid4().hex[:12])
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="not after last admitted"):
+        q.awaitTermination(120)
+
+
+def test_quota_rejects_bad_out_of_order_mode(spark):
+    from elevate_data_pipeline_spark.streaming import quota_per_key
+
+    ev = Catalog(spark, SF_DIR).table("events")
+    with pytest.raises(ValueError, match="out_of_order"):
+        quota_per_key(ev, n=5, out_of_order="nope")
+
+
 def test_quota_stream_equals_batch(spark, tmp_path):
     """transformWithStateInPandas quota vs the batch window twin, over
     TIME-SPLIT ingest files (arrival order == event-time order) in
