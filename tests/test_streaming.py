@@ -496,3 +496,66 @@ def test_quota_stream_equals_batch(spark, tmp_path):
     got = {tuple(r) for r in spark.table(name).collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_rate_source_dedup_and_sessionize_twins(spark):
+    """Drive dedup_stream and sessionize_native from the built-in
+    rate-micro-batch source — a continuous, non-replayable source with
+    no files behind it — and assert the same batch equivalence the
+    file-backed tests pin. Rows are deterministic (value = 0,1,2,...),
+    every event attribute derives from value, and the stream is capped
+    with a filter, so the converged sink state equals the batch twin."""
+    import time as _time
+
+    from elevate_data_pipeline_spark.streaming import dedup_stream, sessionize_native
+
+    def shape(df):
+        # 200 raw rows -> 40 distinct events, each re-delivered 5x with
+        # IDENTICAL attributes (the at-least-once duplicate shape);
+        # event-time derives from the id, not the rate timestamp
+        v = F.col("value") % 40
+        return df.filter(F.col("value") < 200).select(
+            v.alias("event_id"),
+            (v % 7).alias("user_id"),
+            F.timestamp_micros(
+                1_700_000_000_000_000 + (v % 20 + F.floor(v / 20) * 300) * 60_000_000
+            ).alias("ts"),  # two 20-minute clusters 5h apart -> 2 sessions/user
+            (v * 1.0).alias("value"),
+        )
+
+    def run_until(make_query, want, mode):
+        raw = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", 100)  # 2 batches cover values 0..199
+            .option("numPartitions", 2)
+            .load()
+        )
+        name = "t" + uuid.uuid4().hex[:12]
+        q = (
+            make_query(shape(raw))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .start()
+        )
+        try:
+            deadline = _time.time() + 120
+            got = None
+            while _time.time() < deadline:
+                got = {tuple(r) for r in spark.table(name).collect()}
+                if got == want:
+                    break
+                _time.sleep(0.5)
+            return got
+        finally:
+            q.stop()
+
+    batch = shape(spark.range(200).select(F.col("id").alias("value")))
+    want_d = {tuple(r) for r in dedup_stream(batch).collect()}
+    want_s = {tuple(r) for r in sessionize_native(batch).collect()}
+    assert len(want_d) == 40 and len(want_s) == 14  # 7 users x 2 sessions
+
+    got_d = run_until(dedup_stream, want_d, "append")
+    assert got_d == want_d
+    got_s = run_until(sessionize_native, want_s, "complete")
+    assert got_s == want_s
