@@ -140,6 +140,8 @@ HEADLINE = [
     "stream_state_twin",
     "stream_quota_twin",
     "basket_triangles",
+    "basket_communities",
+    "dedup_sorted_neighborhood",
     "embedding_pq_codes",
     "ann_pq_adc_topk",
     "ann_pq_recall",

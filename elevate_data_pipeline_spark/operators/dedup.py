@@ -288,6 +288,76 @@ def containment_pairs(
     )
 
 
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 5,
+    n: int = 3,
+    threshold: float = 0.5,
+    key_len: int = 24,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Sorted-neighborhood (SNM) dedup blocking (Hernández & Stolfo,
+    SIGMOD '95): sort the corpus ONCE by a cheap deterministic blocking
+    key, slide a width-``window`` window down the sorted order, and
+    verify only pairs that co-occur in a window — O(n·w) candidate
+    pairs instead of per-block quadratics, and the knob (w) bounds work
+    independently of how skewed the key distribution is. The
+    complementary blocking strategy to the inverted-index/prefix-filter
+    family above: SNM wins when near-dups share a prefix-stable key
+    (titles, URLs, normalized leads) but differ deep in the text.
+
+    - blocking key: lowercased, alnum-collapsed first ``key_len`` chars
+      (deterministic, engine-replayable);
+    - global position: operators/rank.global_row_number — range
+      repartition + broadcast per-partition offsets, NO single-partition
+      window, so the sort scales like any shuffle;
+    - candidates: each row joined to the ``window - 1`` successor ranks
+      via an exploded offset + equi-join on the rank (an equi-shuffle,
+      not a range join);
+    - verify: exact char-``n``-gram Jaccard (same math as
+      :func:`ngram_jaccard_pairs`).
+
+    Returns (id_a, id_b, jaccard >= threshold), ids in sort order.
+    """
+    from .rank import global_row_number
+
+    key = F.expr(
+        f"substring(regexp_replace(lower({text_col}), '[^a-z0-9 ]', ''), 1, {key_len})"
+    )
+    base = spread(df).select(
+        F.col(id_col).alias("_id"),
+        key.alias("_key"),
+        char_ngrams(text_col, n).alias("_grams"),
+    )
+    pos = global_row_number(
+        base, ["_key", "_id"], out_col="_rn", num_partitions=num_partitions
+    ).localCheckpoint(eager=False)  # both join sides reuse the ranked frame
+
+    a = pos.select(
+        F.col("_id").alias("id_a"),
+        F.col("_grams").alias("_ga"),
+        F.explode(
+            F.expr(f"transform(sequence(1, {window - 1}), d -> _rn + d)")
+        ).alias("_rnb"),
+    )
+    b = pos.select(
+        F.col("_id").alias("id_b"),
+        F.col("_grams").alias("_gb"),
+        F.col("_rn").alias("_rnb"),
+    )
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    jac = inter.cast("double") / (
+        F.size("_ga") + F.size("_gb") - inter
+    ).cast("double")
+    return (
+        a.join(b, "_rnb")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # combiner base for shingle hash = poly-combine of the k token hashes
 SHINGLE_BASE = 1_000_003
 

@@ -231,3 +231,58 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             ).alias("gcc"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = "w",
+) -> DataFrame:
+    """Synchronous weighted label propagation (Raghavan et al. 2007) —
+    near-linear community detection over ``edges(src, dst[, w])``.
+
+    Every node starts labeled with its own id; each round, every node
+    adopts the label with the greatest total incident edge weight among
+    its neighbors' previous-round labels, ties to the SMALLEST label
+    (``max(struct(score, -label))`` — deterministic on every engine, no
+    random visit order like the original formulation). Fixed ``n_iter``
+    synchronous rounds rather than convergence detection keeps the plan
+    finite and the result exactly replayable.
+
+    Scale shape: the undirected edge list is derived once and pinned;
+    each round is one node-keyed join (labels are one row per node) +
+    one (node, label) aggregate — the same bounded per-iteration cost
+    PageRank pays, no windows, no driver state. Labels frames are
+    checkpointed per round so lineage stays flat.
+
+    Returns ``(node, community)`` — one row per non-isolated node.
+    """
+    w = F.col(weight) if weight else F.lit(1)
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("_w"))
+        .unionAll(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"), w.alias("_w"))
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("_w").alias("_w"))
+        .localCheckpoint(eager=False)
+    )
+    labels = und.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(n_iter):
+        nb = und.join(
+            labels.select(F.col("node").alias("b"), F.col("label").alias("_lb")), "b"
+        )
+        scores = nb.groupBy("a", "_lb").agg(F.sum("_w").alias("_s"))
+        labels = (
+            scores.groupBy("a")
+            .agg(
+                F.max(F.struct(F.col("_s"), (-F.col("_lb")).alias("_nl"))).alias("_m")
+            )
+            .select(F.col("a").alias("node"), (-F.col("_m._nl")).alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -2312,6 +2312,68 @@ def basket_triangles(spark, sf_dir):
     return triangle_count(edges)
 
 
+def _lpa_oracle_sql(n_iter: int = 3) -> str:
+    """Unrolled synchronous weighted LPA over the supported co-purchase
+    graph (>= 3 shared orders): one CTE per round, most-weight label
+    with ties to the smallest — the replay of
+    operators/graph.label_propagation."""
+    ctes = [
+        "op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """pe AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS w
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 3)""",
+        "und AS (SELECT pa AS a, pb AS b, w FROM pe "
+        "UNION ALL SELECT pb, pa, w FROM pe)",
+        "l0 AS (SELECT DISTINCT a AS node, a AS label FROM und)",
+    ]
+    for t in range(1, n_iter + 1):
+        ctes.append(f"""l{t} AS (
+      SELECT a AS node, label FROM (
+        SELECT u.a, l.label, sum(u.w) AS s,
+               row_number() OVER (PARTITION BY u.a
+                                  ORDER BY sum(u.w) DESC, l.label) AS rn
+        FROM und u JOIN l{t - 1} l ON l.node = u.b
+        GROUP BY u.a, l.label) WHERE rn = 1)""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f" SELECT node AS part, CAST(label AS BIGINT) AS community FROM l{n_iter}"
+    )
+
+
+@query("basket_communities", _lpa_oracle_sql(3))
+def basket_communities(spark, sf_dir):
+    """Community detection on the part co-purchase graph
+    (operators/graph.label_propagation): parts bought together in >= 3
+    orders form weighted edges; 3 synchronous LPA rounds assign each
+    part the heaviest-incident-weight label (ties to the smallest id) —
+    the near-linear community algorithm, made deterministic with fixed
+    rounds and struct-max ties. Per round: one node-keyed join + one
+    (node, label) aggregate, labels checkpointed — the same bounded
+    iteration shape as PageRank, no windows, no driver state."""
+    from .operators.graph import label_propagation
+
+    li = Catalog(spark, sf_dir).table("lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 3)
+    )
+    return label_propagation(edges, n_iter=3).select(
+        F.col("node").alias("part"), F.col("community").cast("long").alias("community")
+    )
+
+
 _NATION_REVENUE_SQL = """
     SELECT n.n_name AS nation,
            CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)

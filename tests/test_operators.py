@@ -1339,3 +1339,42 @@ def test_merge_upsert_dedup_mode(spark):
 
     with pytest.raises(ValueError, match="on_duplicate_keys"):
         merge_upsert(tgt, src, ["id"], ["v"], on_duplicate_keys="bogus")
+
+
+def test_sorted_neighborhood_finds_adjacent_dups(spark):
+    """Near-identical docs share the normalized prefix key, so they land
+    adjacent in sort order and inside the window; an unrelated doc
+    between two distant near-dups does NOT create a candidate beyond
+    the window width."""
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog tonight!"),  # near dup of 1
+        (3, "zebra stripes pattern analysis in wild populations"),
+        (4, "completely different content about database systems"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.sorted_neighborhood_pairs(
+            df, window=3, n=3, threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] > 0.8
+    assert all({a, b} == {1, 2} for a, b in got)
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by one weak bridge: LPA assigns each clique
+    its minimum node id as the community label."""
+    from elevate_data_pipeline_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 5), (1, 3, 5),
+         (10, 11, 5), (11, 12, 5), (10, 12, 5),
+         (3, 10, 1)],  # weak bridge
+        "src long, dst long, w long",
+    )
+    got = {r.node: r.community for r in label_propagation(edges, n_iter=3).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[10] == got[11] == got[12]
+    assert got[1] != got[10]
