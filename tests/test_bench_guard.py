@@ -21,16 +21,21 @@ import os
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-BENCH_JSON = os.path.join(REPO, "bench_last.json")
+# the committed contract; falls back to the latest local bench run
+BENCH_JSONS = (
+    os.path.join(REPO, "docs", "bench_medians.json"),
+    os.path.join(REPO, "bench_last.json"),
+)
 N_SLOWEST = 10
 FACTOR = 3.0
 ABS_SLACK = 1.0  # seconds
 
 
 def _bench_record():
-    if not os.path.exists(BENCH_JSON):
-        pytest.skip("no bench_last.json committed")
-    with open(BENCH_JSON) as fh:
+    path = next((p for p in BENCH_JSONS if os.path.exists(p)), None)
+    if path is None:
+        pytest.skip("no bench medians committed")
+    with open(path) as fh:
         rec = json.loads(fh.read())
     sf_dir = f"/root/testdata/sf{rec['sf']:g}"
     if not os.path.isdir(sf_dir):
