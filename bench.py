@@ -134,6 +134,7 @@ HEADLINE = [
     "events_rollup_incremental",
     "embedding_random_projection",
     "orders_merge_upsert",
+    "orders_ivm_join_delta",
     "events_state_asof",
     "skew_salted_join",
     "events_ewma",

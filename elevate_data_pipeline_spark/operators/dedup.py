@@ -1020,3 +1020,55 @@ def block_dedup(
             " ",
         ).alias("cleaned_text"),
     )
+
+
+def plan_lsh_bands(
+    threshold: float, n_hashes: int = N_HASHES
+) -> dict:
+    """Choose the (bands, rows-per-band) split of an ``n_hashes`` MinHash
+    signature for a target Jaccard ``threshold`` — the index-design step
+    that precedes any LSH build (Leskovec/Rajaraman/Ullman, MMDS ch. 3).
+
+    For b bands of r rows, a pair with true similarity s collides with
+    probability ``p(s) = 1 - (1 - s^r)^b`` (the S-curve). The planner
+    scores every divisor split by the sum of the false-positive area
+    (integral of p below the threshold — wasted verification work) and
+    the false-negative area (integral of 1-p above it — missed dups),
+    evaluated by midpoint rule on a fixed grid so the choice is
+    deterministic, and returns the argmin with the curve's threshold
+    ``(1/b)^(1/r)`` and the collision probability AT the target.
+
+    Driver-side arithmetic on index PARAMETERS, not data: at 100 TB the
+    cost of a mis-planned index (a band too coarse floods verification;
+    too fine drops real dups) dwarfs any query, which is why the
+    planner is part of the operator family. Weight the two areas via
+    ``fp_weight`` in a wrapper if verification cost dominates recall.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    best = None
+    grid = 200
+    for r in range(1, n_hashes + 1):
+        if n_hashes % r:
+            continue
+        b = n_hashes // r
+        fp = fn = 0.0
+        for i in range(grid):
+            s = (i + 0.5) / grid
+            p = 1.0 - (1.0 - s ** r) ** b
+            if s < threshold:
+                fp += p / grid
+            else:
+                fn += (1.0 - p) / grid
+        score = fp + fn
+        if best is None or score < best["error_area"]:
+            best = {
+                "bands": b,
+                "rows_per_band": r,
+                "error_area": score,
+                "fp_area": fp,
+                "fn_area": fn,
+                "curve_threshold": (1.0 / b) ** (1.0 / r),
+                "p_at_threshold": 1.0 - (1.0 - threshold ** r) ** b,
+            }
+    return best

@@ -157,3 +157,42 @@ def merge_upsert(
             .alias(tag_col)
         )
     return j.select(*out_cols)
+
+
+def incremental_join_delta(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: list[str],
+    tag_col: str | None = "ivm_term",
+) -> DataFrame:
+    """Delta of an inner join under insert-only updates — incremental
+    view maintenance (IVM) for a materialized join:
+
+        (A + dA) join (B + dB) = A join B  +  dA join B
+                                          +  A join dB  +  dA join dB
+
+    so a maintained view appends exactly the three delta terms and never
+    rescans ``A join B``. This is how a recurring 100 TB pipeline keeps a
+    materialized fact-join current: the old sides are the (large) stored
+    tables, the deltas the (small) new partitions, and every term is a
+    key-partitioned join where Catalyst/AQE broadcasts the delta side
+    when stats allow — cost scales with the CHANGE, not the corpus.
+    The three terms are disjoint by construction (a row's A-side is in
+    exactly one of dA / A, likewise B), so the union is exact for
+    multiset semantics; ``tag_col`` (optional) records which term
+    produced each row ('delta_a', 'delta_b', 'both_delta') for audit.
+
+    Deletions/updates are CDC retractions — compose with
+    :func:`snapshot_diff` to derive signed deltas first; this operator
+    implements the insert-only (append-only ingest) case, which is the
+    reference pipeline's write model.
+    """
+    def _t(df: DataFrame, tag: str) -> DataFrame:
+        return df.withColumn(tag_col, F.lit(tag)) if tag_col else df
+
+    t1 = _t(a_delta.join(b_old, on), "delta_a")
+    t2 = _t(a_old.join(b_delta, on), "delta_b")
+    t3 = _t(a_delta.join(b_delta, on), "both_delta")
+    return t1.unionByName(t2).unionByName(t3)

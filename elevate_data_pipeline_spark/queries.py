@@ -2524,6 +2524,50 @@ from .operators.diff import merge_upsert  # noqa: E402
 
 
 @query(
+    "orders_ivm_join_delta",
+    """
+    WITH ao AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 7 != 0),
+    ad AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 7 = 0),
+    bo AS (SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+           WHERE (l_orderkey + l_linenumber) % 5 != 0),
+    bd AS (SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+           WHERE (l_orderkey + l_linenumber) % 5 = 0)
+    SELECT ad.o_orderkey AS o_orderkey, ad.o_custkey AS o_custkey,
+           bo.l_partkey AS l_partkey, bo.l_linenumber AS l_linenumber,
+           'delta_a' AS ivm_term
+    FROM ad JOIN bo ON bo.l_orderkey = ad.o_orderkey
+    UNION ALL
+    SELECT ao.o_orderkey, ao.o_custkey, bd.l_partkey, bd.l_linenumber, 'delta_b'
+    FROM ao JOIN bd ON bd.l_orderkey = ao.o_orderkey
+    UNION ALL
+    SELECT ad.o_orderkey, ad.o_custkey, bd.l_partkey, bd.l_linenumber, 'both_delta'
+    FROM ad JOIN bd ON bd.l_orderkey = ad.o_orderkey
+    """,
+)
+def orders_ivm_join_delta(spark, sf_dir):
+    """Incremental view maintenance of a materialized orders x lineitem
+    join (operators/diff.incremental_join_delta): with both tables split
+    into stored-old + newly-ingested-delta partitions, the view appends
+    exactly dA*B + A*dB + dA*dB and never rescans the old join — cost
+    scales with the change, not the corpus. Three key-partitioned joins
+    (AQE broadcasts the delta sides), terms disjoint by construction,
+    each row tagged with its producing term for audit."""
+    from .operators.diff import incremental_join_delta
+
+    cat = Catalog(spark, sf_dir)
+    o = cat.table("orders").select("o_orderkey", "o_custkey")
+    li = cat.table("lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_partkey", "l_linenumber"
+    )
+    a_old = o.filter(F.col("o_orderkey") % 7 != 0)
+    a_delta = o.filter(F.col("o_orderkey") % 7 == 0)
+    b_split = (F.col("o_orderkey") + F.col("l_linenumber")) % 5
+    b_old = li.filter(b_split != 0)
+    b_delta = li.filter(b_split == 0)
+    return incremental_join_delta(a_old, a_delta, b_old, b_delta, on=["o_orderkey"])
+
+
+@query(
     "orders_merge_upsert",
     """
     WITH t AS (

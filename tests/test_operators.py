@@ -1378,3 +1378,45 @@ def test_label_propagation_two_cliques(spark):
     assert got[1] == got[2] == got[3]
     assert got[10] == got[11] == got[12]
     assert got[1] != got[10]
+
+
+def test_plan_lsh_bands_matches_default_and_monotone():
+    """The planner independently derives the module's hardcoded 4x4
+    banding as optimal for t=0.5, and moves toward more selective bands
+    (larger r) as the target threshold rises."""
+    from elevate_data_pipeline_spark.operators.dedup import N_HASHES, plan_lsh_bands
+
+    p = plan_lsh_bands(0.5)
+    assert (p["bands"], p["rows_per_band"]) == (4, 4)
+    assert p["bands"] * p["rows_per_band"] == N_HASHES
+    rs = [plan_lsh_bands(t)["rows_per_band"] for t in (0.2, 0.5, 0.9)]
+    assert rs == sorted(rs) and rs[0] < rs[-1]
+    assert 0 < p["p_at_threshold"] < 1
+    with pytest.raises(ValueError):
+        plan_lsh_bands(1.5)
+
+
+def test_incremental_join_delta_invariant(spark):
+    """IVM identity: old_join (+) delta_terms == full new join, as
+    multisets, with the three terms disjoint."""
+    from elevate_data_pipeline_spark.operators.diff import incremental_join_delta
+
+    a = spark.createDataFrame([(k, k * 10) for k in range(1, 9)], "k long, av long")
+    b = spark.createDataFrame(
+        [(k, j) for k in range(1, 9) for j in range(k % 3 + 1)], "k long, bv long"
+    )
+    a_old, a_delta = a.filter("k % 2 = 0"), a.filter("k % 2 = 1")
+    b_old, b_delta = b.filter("bv % 2 = 0"), b.filter("bv % 2 = 1")
+
+    delta = incremental_join_delta(a_old, a_delta, b_old, b_delta, on=["k"])
+    rows = delta.collect()
+    full = a.join(b, "k")
+    old = a_old.join(b_old, "k")
+    assert old.count() + len(rows) == full.count()
+    got = sorted((r.k, r.av, r.bv) for r in rows)
+    want_full = sorted((r.k, r.av, r.bv) for r in full.collect())
+    want_old = sorted((r.k, r.av, r.bv) for r in old.collect())
+    for t in want_old:
+        want_full.remove(t)
+    assert got == want_full
+    assert set(r.ivm_term for r in rows) <= {"delta_a", "delta_b", "both_delta"}
