@@ -288,14 +288,18 @@ def _lloyd(
             "(double(x) - double(y)) * (double(x) - double(y))), "
             "double(0), (acc, t) -> acc + t)"
         )
+        # argmin via min(struct(dist2, _cl)) — identical tie rule to the
+        # former row_number-over-(dist2, _cl) window (lexicographic min,
+        # ties to the smaller cluster id; dist2 is never NaN), but the
+        # partial aggregation collapses the k-fold scored rows map-side:
+        # the exchange carries one row per vector, not k
         scored = vecs.join(F.broadcast(cents), how="cross").select(
-            "_id", "_v", "_cl", d2.alias("dist2")
+            "_id", "_v", F.struct(d2.alias("dist2"), F.col("_cl")).alias("_sc")
         )
-        w = Window.partitionBy("_id").orderBy(F.asc("dist2"), F.asc("_cl"))
         return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("_id", "_v", "_cl", "dist2")
+            scored.groupBy("_id", "_v")
+            .agg(F.min("_sc").alias("_m"))
+            .select("_id", "_v", F.col("_m._cl").alias("_cl"), F.col("_m.dist2").alias("dist2"))
         )
 
     def update(assigned: DataFrame) -> DataFrame:
