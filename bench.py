@@ -108,6 +108,7 @@ HEADLINE = [
     "pretraining_corpus",
     "bpe_merges",
     "bpe_encode",
+    "bpe_fertility",
     "events_drift_score",
     "curation_count_sample",
     "q2_min_cost_supplier",
@@ -146,6 +147,7 @@ HEADLINE = [
     "embedding_pq_codes",
     "ann_pq_adc_topk",
     "ann_pq_recall",
+    "ann_matryoshka_recall",
     "embedding_cluster_purity",
 ]
 

@@ -327,8 +327,11 @@ _SQ_L2 = (
 # call in the same session over the same source files with the same
 # parameters. Frames with no stable file lineage (in-memory test data)
 # are never cached. The session object is held in the value so its id()
-# cannot be recycled while an entry is alive.
+# cannot be recycled while an entry is alive. Bounded FIFO (oldest
+# trained index evicted past _PQ_CACHE_MAX) so a long-lived session
+# sweeping many sources cannot pin unbounded checkpoint blocks.
 _PQ_CACHE: dict = {}
+_PQ_CACHE_MAX = 8
 
 
 def pq_index(
@@ -441,6 +444,8 @@ def pq_index(
         .localCheckpoint(eager=True)  # the PQ index: m small ints per vector
     )
     if files:
+        while len(_PQ_CACHE) >= _PQ_CACHE_MAX:
+            _PQ_CACHE.pop(next(iter(_PQ_CACHE)))
         _PQ_CACHE[key] = (sess, (cents, codes))
     return cents, codes
 

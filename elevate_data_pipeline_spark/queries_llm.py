@@ -2118,6 +2118,90 @@ def ann_pq_recall(spark, sf_dir):
     )
 
 
+def _sql_matryoshka_recall(
+    prefix_dim: int = 16, dim: int = _KMEANS_DIM, nq: int = 5, topk: int = 5,
+) -> str:
+    """Oracle for ann_matryoshka_recall: exact L2 top-k on the first
+    ``prefix_dim`` dims, left-joined against the full-dim exact top-k;
+    recall@k per query as one IEEE division."""
+    def ex(name: str, hi: int) -> str:
+        return f"""
+    {name} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   [(CAST(q.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))
+                    * (CAST(q.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))
+                    for i in range(1, {hi + 1})]),
+                   (acc, t) -> acc + t), e.vec_id) AS rn
+        FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {nq}) q
+        JOIN embeddings e ON e.vec_id != q.vec_id
+      ) WHERE rn <= {topk})"""
+
+    return f"""
+    WITH {ex("trunc_top", prefix_dim)}, {ex("full_top", dim)}
+    SELECT t.query_id AS query_id,
+           CAST(sum(CASE WHEN f.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_hits,
+           CAST(sum(CASE WHEN f.neighbor_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+             / {topk} AS recall
+    FROM trunc_top t LEFT JOIN full_top f
+      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+    """
+
+
+@query("ann_matryoshka_recall", _sql_matryoshka_recall())
+def ann_matryoshka_recall(spark, sf_dir):
+    """Matryoshka-style truncation evaluation: recall@5 of exact search
+    on the first 16 embedding dims against exact full-64-dim search —
+    the measurement behind serving truncated (nested) representations,
+    where a 4x narrower scan answers first and the full vector only
+    reranks. Both sides are the brute-force window shape; the truncated
+    side's scan touches a quarter of the vector bytes, which is exactly
+    the economics being evaluated. One broadcast of the 5 query rows;
+    recall is one IEEE division."""
+    topk, nq, pdim = 5, 5, 16
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    q = emb.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+    def topk_frame(ndim: int, hit_tag: bool) -> "DataFrame":
+        d2 = F.expr(
+            f"aggregate(zip_with(slice(qv, 1, {ndim}), slice(embedding, 1, {ndim}), "
+            "(x, y) -> (double(x) - double(y)) * (double(x) - double(y))), "
+            "double(0), (acc, t) -> acc + t)"
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+        out = (
+            emb.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"), d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= topk)
+        )
+        if hit_tag:
+            return out.select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+        return out.select("query_id", "neighbor_id")
+
+    trunc = topk_frame(pdim, False)
+    full = topk_frame(_KMEANS_DIM, True)
+    return (
+        trunc.join(full, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_h"))
+        .select(
+            "query_id",
+            F.col("_h").cast("long").alias("n_hits"),
+            (F.col("_h").cast("double") / topk).alias("recall"),
+        )
+    )
+
+
 def _sql_purity() -> str:
     """Oracle for embedding_cluster_purity: the embedding_kmeans chain,
     assignments joined to the source labels, majority label per cluster
@@ -2612,6 +2696,52 @@ def bpe_encode(spark, sf_dir):
     map-side at 100 TB since the vocabulary is corpus-size-independent."""
     docs = Catalog(spark, sf_dir).table("documents")
     return _bpe_encode(docs, n_merges=_BPE_N)
+
+
+@query(
+    "bpe_fertility",
+    f"""
+    WITH wc AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+                FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(wc.nw) AS BIGINT) AS total_words,
+           CAST(sum(enc.n_tokens_bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST(sum(enc.n_tokens_bpe) AS DOUBLE) / CAST(sum(wc.nw) AS DOUBLE)
+             AS fertility,
+           CAST(sum(enc.n_tokens_char) AS DOUBLE)
+             / CAST(sum(enc.n_tokens_bpe) AS DOUBLE) AS chars_per_token
+    FROM ({_bpe_encode_oracle_sql(n_merges=_BPE_N)}) enc
+    JOIN wc ON wc.doc_id = enc.doc_id
+    """,
+)
+def bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility evaluation: corpus-level tokens-per-word and
+    chars-per-token under the trained BPE merges — the standard metric
+    for judging whether a vocabulary is worth its size (fertility drops
+    toward 1.0 as merges absorb frequent words). One broadcast join of
+    the word-level token table onto the corpus + a single global
+    aggregate; the ratios are IEEE divisions of exact integer sums."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    enc = _bpe_encode(docs, n_merges=_BPE_N)
+    wc = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("nw")
+    )
+    return (
+        enc.join(wc, "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nw").cast("long").alias("total_words"),
+            F.sum("n_tokens_bpe").cast("long").alias("total_bpe_tokens"),
+            (
+                F.sum("n_tokens_bpe").cast("double")
+                / F.sum("nw").cast("double")
+            ).alias("fertility"),
+            (
+                F.sum("n_tokens_char").cast("double")
+                / F.sum("n_tokens_bpe").cast("double")
+            ).alias("chars_per_token"),
+        )
+    )
 
 
 _SHUFFLE_HASH = "((doc_id % 4294967296) * 2654435761) % 4294967296"
