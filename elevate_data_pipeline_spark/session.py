@@ -55,3 +55,61 @@ def get_spark(app_name: str = "elevate_data_pipeline_spark", **overrides: str) -
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+TARGET_SHUFFLE_PARTITION_BYTES = 192 << 20  # middle of the 128-256 MB band
+MAX_SCAN_SPLIT_BYTES = 256 << 20
+MIN_SCAN_SPLIT_BYTES = 16 << 20
+
+
+def size_shuffle(
+    input_bytes: int,
+    n_executors: int = 1,
+    cores_per_executor: int = 8,
+    shuffle_fraction: float = 1.0,
+    target_partition_bytes: int = TARGET_SHUFFLE_PARTITION_BYTES,
+) -> dict:
+    """Spill-aware conf sizing for a given input scale — the arithmetic
+    behind "would this partition strategy hold at 1000x the data".
+
+    - ``spark.sql.shuffle.partitions``: ceil(shuffle bytes /
+      ``target_partition_bytes``), rounded UP to a whole number of task
+      waves (a multiple of total cores, never below one wave). Each
+      reduce partition then holds ~128-256 MB — comfortably inside
+      executor memory, so sorts/aggregations stay in-memory instead of
+      spilling; AQE coalesces the excess at runtime when the real
+      post-filter volume is smaller.
+    - ``spark.sql.files.maxPartitionBytes``: scan splits sized so the
+      map stage runs at least two waves across the cluster (clamped to
+      [16 MB, 256 MB]) — full parallelism without a per-file task storm.
+
+    ``shuffle_fraction`` is the measured bytes-after-pruning ratio
+    (projection + filter pushdown mean the shuffle usually carries far
+    less than the scan); pass 1.0 when unknown for the safe bound.
+
+    Returns ``{"shuffle_partitions", "max_partition_bytes", "waves",
+    "conf"}`` where ``conf`` plugs straight into
+    ``get_spark(**sized["conf"])``.
+    """
+    if input_bytes <= 0 or n_executors <= 0 or cores_per_executor <= 0:
+        raise ValueError("input_bytes, n_executors, cores_per_executor must be > 0")
+    if not 0.0 < shuffle_fraction <= 1.0:
+        raise ValueError(f"shuffle_fraction must be in (0,1], got {shuffle_fraction}")
+    total_cores = n_executors * cores_per_executor
+    shuffle_bytes = int(input_bytes * shuffle_fraction)
+    need = max(1, -(-shuffle_bytes // target_partition_bytes))
+    waves = max(1, -(-need // total_cores))
+    partitions = waves * total_cores
+    scan_split = min(
+        MAX_SCAN_SPLIT_BYTES,
+        max(MIN_SCAN_SPLIT_BYTES, input_bytes // (total_cores * 2) or 1),
+    )
+    return {
+        "shuffle_partitions": partitions,
+        "max_partition_bytes": scan_split,
+        "waves": waves,
+        "conf": {
+            "spark.sql.shuffle.partitions": str(partitions),
+            "spark.sql.files.maxPartitionBytes": str(scan_split),
+        },
+    }
