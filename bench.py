@@ -102,6 +102,7 @@ HEADLINE = [
     "events_type_pagerank_conserving",
     "multimodal_decode",
     "multimodal_png_decode",
+    "multimodal_jpeg_decode",
     "stream_sessionize_native",
     "corpus_block_dedup",
     "curation_shuffle",

@@ -4,11 +4,13 @@ Images / audio / video ride through the pipeline as ``binary`` columns
 with metadata structs; decode and feature extraction run as Arrow-batched
 ``mapInPandas`` stages. Decoders are REAL and dependency-free where the
 format allows: netpbm P5/P6, uncompressed 24-bit BMP, 8-bit RGB/gray PNG
-(stdlib zlib inflate + unfilter), RIFF/WAVE PCM16, RIFF/AVI RGB24.
-Compressed codecs (JPEG/WebP, MP3/AAC, H.26x) raise a documented
-``NotImplementedError`` — they need codec libraries this environment
-does not ship; a deterministic byte-level feature extractor stands in
-for a learned model behind the same signatures.
+(stdlib zlib inflate + unfilter), baseline JPEG (full Huffman entropy
+decode + dequant + IDCT; gray and 4:4:4 YCbCr), RIFF/WAVE PCM16,
+RIFF/AVI RGB24. The remaining codecs (progressive/subsampled JPEG,
+WebP/AVIF, MP3/AAC, H.26x) raise a documented ``NotImplementedError`` —
+they need codec libraries this environment does not ship; a
+deterministic byte-level feature extractor stands in for a learned
+model behind the same signatures.
 
 At 100 TB: binary payloads dominate I/O, so (a) keep them in their own
 column to let column pruning skip them for metadata-only queries,
@@ -84,9 +86,12 @@ def decode_image(payload: bytes) -> ImageData:
     - netpbm **P6** (binary RGB) and **P5** (binary grayscale);
     - **BMP** (BITMAPINFOHEADER, uncompressed 24-bit);
     - **PNG** (8-bit RGB / grayscale, non-interlaced — stdlib ``zlib``
-      inflate + per-row unfilter, all five filter types).
+      inflate + per-row unfilter, all five filter types);
+    - **JPEG** (baseline sequential DCT, 8-bit, grayscale or 4:4:4
+      YCbCr — full Huffman entropy decode, dequant, zigzag, IDCT;
+      progressive / arithmetic / subsampled variants raise).
 
-    Other formats (JPEG/WebP/...) still raise ``NotImplementedError`` —
+    Other formats (WebP/AVIF/...) still raise ``NotImplementedError`` —
     they need real codec libraries. Returns :class:`ImageData` with the
     de-padded row-major pixel buffer; raises ``ValueError`` on a
     truncated or malformed payload (a decode that silently returns
@@ -98,9 +103,12 @@ def decode_image(payload: bytes) -> ImageData:
         return _decode_bmp(payload)
     if payload[:8] == PNG_SIG:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     raise NotImplementedError(
-        "only netpbm P5/P6, uncompressed 24-bit BMP, and 8-bit RGB/gray "
-        "PNG decode without codec libraries; got magic %r" % payload[:2]
+        "only netpbm P5/P6, uncompressed 24-bit BMP, 8-bit RGB/gray PNG, "
+        "and baseline JPEG decode without codec libraries; got magic %r"
+        % payload[:2]
     )
 
 
@@ -325,6 +333,427 @@ def _decode_png(payload: bytes) -> ImageData:
         out[r * stride : (r + 1) * stride] = line
         prev = line
     return ImageData(width, height, channels, 255, bytes(out))
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU T.81): dependency-free decode + a coefficient-level
+# encoder used to synthesize test/oracle payloads. Public-spec constants:
+# the Annex K "typical" Huffman tables and the zigzag order.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# Annex K tables: (BITS[1..16], HUFFVAL)
+_DC_LUM = (
+    (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+_DC_CHR = (
+    (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+_AC_LUM = (
+    (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D),
+    (
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ),
+)
+_AC_CHR = (
+    (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+    (
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ),
+)
+
+
+def _huff_codes(bits, vals):
+    """Canonical Huffman (T.81 C.2): symbol -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits, vals):
+    """(length, code) -> symbol, for the bit-at-a-time decoder."""
+    return {(ln, code): sym for sym, (code, ln) in _huff_codes(bits, vals).items()}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, value: int, n_bits: int) -> None:
+        for i in range(n_bits - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self._acc = self._n = 0
+
+    def flush(self) -> None:
+        if self._n:
+            self.put((1 << (8 - self._n)) - 1, 8 - self._n)  # pad with 1s
+
+
+class _BitReader:
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.buf):
+                raise ValueError("truncated JPEG entropy stream")
+            b = self.buf[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.buf[self.pos] if self.pos < len(self.buf) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed data byte
+                else:
+                    raise ValueError("hit marker inside entropy stream")
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def receive_extend(self, t: int) -> int:
+        if t == 0:
+            return 0
+        v = 0
+        for _ in range(t):
+            v = (v << 1) | self.bit()
+        return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+    def huff(self, table) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _idct_block(coef: list) -> list:
+    """Exact-definition 2D IDCT (T.81 A.3.3), float separable basis.
+    DC-only blocks short-circuit to the constant dequantDC/8 — the
+    mathematically identical fast path real decoders also take."""
+    import math
+
+    if not any(coef[1:]):
+        c = coef[0] / 8.0
+        return [c] * 64
+    cu = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+    cos = [[math.cos((2 * x + 1) * u * math.pi / 16.0) for x in range(8)] for u in range(8)]
+    out = [0.0] * 64
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                for u in range(8):
+                    f = coef[v * 8 + u]
+                    if f:
+                        s += cu[u] * cu[v] * f * cos[u][x] * cos[v][y]
+            out[y * 8 + x] = s / 4.0
+    return out
+
+
+def encode_jpeg_blocks(
+    width: int,
+    height: int,
+    comp_blocks: list,
+    quant: int = 8,
+) -> bytes:
+    """Coefficient-level baseline JPEG writer (the synthesis twin of
+    :func:`_decode_jpeg`): ``comp_blocks`` is one list per component
+    (1 = grayscale, 3 = YCbCr 4:4:4), each a raster-ordered list of
+    8x8 QUANTIZED coefficient blocks in natural (row-major) order.
+    One flat quantization table (all entries ``quant``), Annex K Huffman
+    tables. With DC-only blocks and ``quant=8``, decoded pixels are
+    EXACTLY dc + 128 per constant block (dequant/8 is integer) — which
+    is what makes JPEG decode oracle-checkable end to end."""
+    import struct
+
+    n_comp = len(comp_blocks)
+    if n_comp not in (1, 3):
+        raise ValueError("1 (gray) or 3 (YCbCr) components")
+    out = bytearray(b"\xff\xd8")  # SOI
+    qt = bytes([quant] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qt  # DQT id 0
+    # SOF0
+    sof = struct.pack(">BHHB", 8, height, width, n_comp)
+    for c in range(n_comp):
+        sof += bytes([c + 1, 0x11, 0])  # id, 1x1 sampling, quant table 0
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT: DC/AC luminance (+ chrominance when color)
+    tables = [(0x00, _DC_LUM), (0x10, _AC_LUM)]
+    if n_comp == 3:
+        tables += [(0x01, _DC_CHR), (0x11, _AC_CHR)]
+    for tc, (bits, vals) in tables:
+        body = bytes([tc]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    # SOS
+    sos = bytes([n_comp])
+    for c in range(n_comp):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    enc = [
+        (
+            _huff_codes(*(_DC_LUM if c == 0 else _DC_CHR)),
+            _huff_codes(*(_AC_LUM if c == 0 else _AC_CHR)),
+        )
+        for c in range(n_comp)
+    ]
+    w = _BitWriter()
+    n_blocks = -(-width // 8) * (-(-height) // 8)
+    n_bx = -(-width // 8)
+    n_by = -(-height // 8)
+    n_blocks = n_bx * n_by
+    pred = [0] * n_comp
+    for b in range(n_blocks):
+        for c in range(n_comp):
+            blk = comp_blocks[c][b]
+            zz = [blk[_ZIGZAG[i]] for i in range(64)]
+            diff = zz[0] - pred[c]
+            pred[c] = zz[0]
+            t = diff.bit_length() if diff > 0 else (-diff).bit_length()
+            code, ln = enc[c][0][t]
+            w.put(code, ln)
+            if t:
+                w.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                if zz[i] == 0:
+                    run += 1
+                    if run == 16:
+                        code, ln = enc[c][1][0xF0]  # ZRL
+                        w.put(code, ln)
+                        run = 0
+                    continue
+                s = zz[i].bit_length() if zz[i] > 0 else (-zz[i]).bit_length()
+                code, ln = enc[c][1][(run << 4) | s]
+                w.put(code, ln)
+                w.put(zz[i] if zz[i] >= 0 else zz[i] + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                code, ln = enc[c][1][0x00]  # EOB
+                w.put(code, ln)
+    w.flush()
+    out += w.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_gray_dc(block_values: list, blocks_per_row: int, quant: int = 8) -> bytes:
+    """DC-only grayscale baseline JPEG: entry i of ``block_values`` is
+    the constant pixel value (0-255) of 8x8 block i in raster order.
+    With ``quant=8`` the decode round-trip is exact per pixel."""
+    rows = -(-len(block_values) // blocks_per_row)
+    blocks = []
+    for i in range(rows * blocks_per_row):
+        v = block_values[i] if i < len(block_values) else 0
+        dc = (8 * (v - 128)) // quant
+        blocks.append([dc] + [0] * 63)
+    return encode_jpeg_blocks(blocks_per_row * 8, rows * 8, [blocks], quant)
+
+
+def _decode_jpeg(payload: bytes) -> ImageData:
+    """Baseline sequential JPEG decode, stdlib only: marker walk, DQT /
+    DHT / SOF0 / SOS parse, Huffman entropy decode with byte-unstuffing
+    and restart-marker handling, dequantize, de-zigzag, IDCT, level
+    shift; YCbCr -> RGB (JFIF) for 3-component 4:4:4. Progressive
+    (SOF2), arithmetic coding, 12-bit, and subsampled chroma raise
+    ``NotImplementedError``; malformed streams raise ``ValueError``."""
+    import struct
+
+    pos = 2
+    qtabs: dict[int, list] = {}
+    htabs: dict[tuple, dict] = {}
+    comps = None
+    width = height = None
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                qtabs[tq] = list(body[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0xF
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(body[p + 17 : p + 17 + n])
+                htabs[(tc, th)] = _huff_decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            prec, height, width, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled chroma (4:2:0/4:2:2) unsupported"
+                    )
+                comps.append({"id": cid, "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only baseline sequential JPEG supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c : 3 + 2 * c]
+                comp = next((x for x in comps or [] if x["id"] == cs), None)
+                if comp is None:
+                    raise ValueError("SOS references unknown component")
+                scan.append({"comp": comp, "td": tt >> 4, "ta": tt & 0xF})
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if comps is None or scan is None or width is None:
+        raise ValueError("missing SOF/SOS in JPEG")
+
+    r = _BitReader(payload, pos)
+    n_bx, n_by = -(-width // 8), -(-height // 8)
+    n_comp = len(scan)
+    planes = [bytearray(n_bx * 8 * n_by * 8) for _ in range(n_comp)]
+    pred = [0] * n_comp
+    mcu = 0
+    for by in range(n_by):
+        for bx in range(n_bx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                r._n = 0  # byte-align
+                if (
+                    r.pos + 2 <= len(r.buf)
+                    and r.buf[r.pos] == 0xFF
+                    and 0xD0 <= r.buf[r.pos + 1] <= 0xD7
+                ):
+                    r.pos += 2
+                    pred = [0] * n_comp
+                else:
+                    raise ValueError("missing restart marker")
+            mcu += 1
+            for ci, sc in enumerate(scan):
+                dc_tab = htabs.get((0, sc["td"]))
+                ac_tab = htabs.get((1, sc["ta"]))
+                q = qtabs.get(sc["comp"]["tq"])
+                if dc_tab is None or ac_tab is None or q is None:
+                    raise ValueError("scan references missing tables")
+                zz = [0] * 64
+                t = r.huff(dc_tab)
+                pred[ci] += r.receive_extend(t)
+                zz[0] = pred[ci] * q[0]
+                i = 1
+                while i < 64:
+                    rs = r.huff(ac_tab)
+                    run, size = rs >> 4, rs & 0xF
+                    if size == 0:
+                        if run == 15:
+                            i += 16  # ZRL
+                            continue
+                        break  # EOB
+                    i += run
+                    if i > 63:
+                        raise ValueError("AC run past block end")
+                    zz[i] = r.receive_extend(size) * q[i]
+                    i += 1
+                coef = [0] * 64
+                for k in range(64):
+                    coef[_ZIGZAG[k]] = zz[k]
+                px = _idct_block(coef)
+                plane = planes[ci]
+                stride = n_bx * 8
+                for yy in range(8):
+                    row = (by * 8 + yy) * stride + bx * 8
+                    for xx in range(8):
+                        v = int(round(px[yy * 8 + xx])) + 128
+                        plane[row + xx] = 0 if v < 0 else (255 if v > 255 else v)
+
+    stride = n_bx * 8
+    if n_comp == 1:
+        buf = bytearray(width * height)
+        for y in range(height):
+            buf[y * width : (y + 1) * width] = planes[0][y * stride : y * stride + width]
+        return ImageData(width, height, 1, 255, bytes(buf))
+    if n_comp != 3:
+        raise NotImplementedError(f"{n_comp}-component JPEG unsupported")
+    buf = bytearray(width * height * 3)
+    for y in range(height):
+        for x in range(width):
+            yv = planes[0][y * stride + x]
+            cb = planes[1][y * stride + x] - 128
+            cr = planes[2][y * stride + x] - 128
+            d = (y * width + x) * 3
+            for j, val in enumerate(
+                (yv + 1.402 * cr, yv - 0.344136 * cb - 0.714136 * cr, yv + 1.772 * cb)
+            ):
+                iv = int(round(val))
+                buf[d + j] = 0 if iv < 0 else (255 if iv > 255 else iv)
+    return ImageData(width, height, 3, 255, bytes(buf))
 
 
 def _byte_histogram_features(payload: bytes) -> list[float]:

@@ -1677,6 +1677,58 @@ def multimodal_png_decode(spark, sf_dir):
 
 
 @query(
+    "multimodal_jpeg_decode",
+    """
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS total,
+             greatest(1, least(24, octet_length(encode(text)) // 8)) AS nblk,
+             [ascii(substr(text, x, 1)) for x in range(1, 1 + len(text))] AS codes
+      FROM documents
+    )
+    SELECT doc_id AS doc_id, CAST(nblk * 8 AS INT) AS width, 8 AS height,
+           1 AS channels, 255 AS maxval,
+           CAST(64 * coalesce(list_sum(codes[1:CAST(least(total, nblk) AS INT)]), 0)
+                AS BIGINT) AS checksum
+    FROM b
+    """,
+)
+def multimodal_jpeg_decode(spark, sf_dir):
+    """REAL baseline JPEG decode (stdlib only — no codec libraries):
+    each document's leading bytes become the constant values of 8x8
+    blocks in a DC-only grayscale baseline JPEG (Annex K Huffman tables,
+    flat quant 8); ``operators/multimodal._decode_jpeg`` runs the full
+    marker walk, Huffman entropy decode, dequant, zigzag, and IDCT
+    inside mapInPandas. DC-only blocks make the lossy format exact
+    (dequantized DC / 8 is integer), so the pixel checksum is
+    64 x sum(bytes) and the oracle replays it — a full correctness gate
+    on a JPEG decode, not a rows-only check. One narrow scan, no
+    shuffle: decode is embarrassingly parallel, the 100 TB shape."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                n = max(1, min(24, len(data) // 8))
+                vals = list(data[:n]) or [0]
+                img = multimodal.decode_image(
+                    multimodal.encode_jpeg_gray_dc(vals, blocks_per_row=n)
+                )
+                rows.append(
+                    (doc_id, img.width, img.height, img.channels, img.maxval,
+                     sum(img.pixels))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "channels", "maxval", "checksum"],
+            )
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    return docs.mapInPandas(run, _DECODE_SCHEMA)
+
+
+@query(
     "multimodal_resize",
     """
     WITH b AS (

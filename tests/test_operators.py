@@ -1420,3 +1420,71 @@ def test_incremental_join_delta_invariant(spark):
         want_full.remove(t)
     assert got == want_full
     assert set(r.ivm_term for r in rows) <= {"delta_a", "delta_b", "both_delta"}
+
+
+def test_jpeg_dc_only_exact_roundtrip():
+    """DC-only blocks with flat quant 8 decode EXACTLY (dequantized DC/8
+    is integer) — the property the oracle-checked JPEG query rests on."""
+    vals = [0, 1, 17, 127, 128, 200, 255, 64, 99]
+    img = multimodal.decode_image(multimodal.encode_jpeg_gray_dc(vals, blocks_per_row=3))
+    assert (img.width, img.height, img.channels, img.maxval) == (24, 24, 1, 255)
+    for i, v in enumerate(vals):
+        by, bx = divmod(i, 3)
+        block = [img.pixels[(by * 8 + y) * 24 + bx * 8 + x] for y in range(8) for x in range(8)]
+        assert set(block) == {v}
+    assert sum(img.pixels) == 64 * sum(vals)
+
+
+def test_jpeg_ac_blocks_match_reference_idct():
+    """Blocks with AC coefficients: the decoder's Huffman+dequant+IDCT
+    chain matches an independent numpy IDCT implementation per pixel."""
+    import random
+
+    import numpy as np
+
+    rnd = random.Random(3)
+    blocks = []
+    for _ in range(4):
+        blk = [0] * 64
+        blk[0] = rnd.randint(-100, 100)
+        for _ in range(6):
+            blk[rnd.randrange(1, 64)] = rnd.randint(-20, 20)
+        blocks.append(blk)
+    img = multimodal.decode_image(
+        multimodal.encode_jpeg_blocks(16, 16, [blocks], quant=4)
+    )
+
+    C = np.array([1 / np.sqrt(2)] + [1.0] * 7)
+    cos = np.array([[np.cos((2 * x + 1) * u * np.pi / 16) for x in range(8)] for u in range(8)])
+
+    def ref_idct(coef):
+        F = np.array(coef, dtype=float).reshape(8, 8)
+        out = np.zeros((8, 8))
+        for y in range(8):
+            for x in range(8):
+                out[y, x] = sum(
+                    C[u] * C[v] * F[v, u] * cos[u][x] * cos[v][y]
+                    for v in range(8) for u in range(8)
+                ) / 4
+        return out
+
+    for b, blk in enumerate(blocks):
+        want = np.clip(np.round(ref_idct([c * 4 for c in blk])) + 128, 0, 255).astype(int)
+        by, bx = divmod(b, 2)
+        for yy in range(8):
+            for xx in range(8):
+                assert img.pixels[(by * 8 + yy) * 16 + bx * 8 + xx] == want[yy, xx]
+
+
+def test_jpeg_color_neutral_chroma_and_rejections():
+    yb = [[(8 * (200 - 128)) // 8] + [0] * 63]
+    zeros = [[0] * 64]
+    img = multimodal.decode_image(
+        multimodal.encode_jpeg_blocks(8, 8, [yb, zeros, zeros], quant=8)
+    )
+    assert img.channels == 3 and set(img.pixels) == {200}
+    with pytest.raises(NotImplementedError):  # progressive SOF2
+        multimodal.decode_image(b"\xff\xd8\xff\xc2\x00\x04\x00\x00")
+    with pytest.raises(ValueError):  # truncated entropy stream
+        payload = multimodal.encode_jpeg_gray_dc([9, 9, 9, 9], blocks_per_row=2)
+        multimodal.decode_image(payload[:40])
