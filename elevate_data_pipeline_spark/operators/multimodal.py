@@ -5,9 +5,10 @@ with metadata structs; decode and feature extraction run as Arrow-batched
 ``mapInPandas`` stages. Decoders are REAL and dependency-free where the
 format allows: netpbm P5/P6, uncompressed 24-bit BMP, 8-bit RGB/gray PNG
 (stdlib zlib inflate + unfilter), baseline JPEG (full Huffman entropy
-decode + dequant + IDCT; gray and 4:4:4 YCbCr), RIFF/WAVE PCM16,
-RIFF/AVI RGB24. The remaining codecs (progressive/subsampled JPEG,
-WebP/AVIF, MP3/AAC, H.26x) raise a documented ``NotImplementedError`` —
+decode + dequant + IDCT; gray, 4:4:4, and subsampled 4:2:0/4:2:2
+YCbCr), RIFF/WAVE PCM16, RIFF/AVI RGB24. The remaining codecs
+(progressive JPEG, WebP/AVIF, MP3/AAC, H.26x) raise a documented
+``NotImplementedError`` —
 they need codec libraries this environment does not ship; a
 deterministic byte-level feature extractor stands in for a learned
 model behind the same signatures.
@@ -87,9 +88,10 @@ def decode_image(payload: bytes) -> ImageData:
     - **BMP** (BITMAPINFOHEADER, uncompressed 24-bit);
     - **PNG** (8-bit RGB / grayscale, non-interlaced — stdlib ``zlib``
       inflate + per-row unfilter, all five filter types);
-    - **JPEG** (baseline sequential DCT, 8-bit, grayscale or 4:4:4
-      YCbCr — full Huffman entropy decode, dequant, zigzag, IDCT;
-      progressive / arithmetic / subsampled variants raise).
+    - **JPEG** (baseline sequential DCT, 8-bit; grayscale, 4:4:4, and
+      subsampled 4:2:0 / 4:2:2 YCbCr — full Huffman entropy decode,
+      dequant, zigzag, IDCT, MCU de-interleave, nearest-neighbor chroma
+      upsampling; progressive / arithmetic variants raise).
 
     Other formats (WebP/AVIF/...) still raise ``NotImplementedError`` —
     they need real codec libraries. Returns :class:`ImageData` with the
@@ -508,27 +510,35 @@ def encode_jpeg_blocks(
     height: int,
     comp_blocks: list,
     quant: int = 8,
+    sampling: list | None = None,
 ) -> bytes:
     """Coefficient-level baseline JPEG writer (the synthesis twin of
     :func:`_decode_jpeg`): ``comp_blocks`` is one list per component
-    (1 = grayscale, 3 = YCbCr 4:4:4), each a raster-ordered list of
-    8x8 QUANTIZED coefficient blocks in natural (row-major) order.
-    One flat quantization table (all entries ``quant``), Annex K Huffman
-    tables. With DC-only blocks and ``quant=8``, decoded pixels are
-    EXACTLY dc + 128 per constant block (dequant/8 is integer) — which
-    is what makes JPEG decode oracle-checkable end to end."""
+    (1 = grayscale, 3 = YCbCr), each a raster-ordered list of 8x8
+    QUANTIZED coefficient blocks covering that component's OWN plane
+    (mcux*h blocks wide). ``sampling`` gives per-component (h, v)
+    factors — e.g. ``[(2, 2), (1, 1), (1, 1)]`` for 4:2:0 — defaulting
+    to all 1x1 (4:4:4). One flat quantization table (all entries
+    ``quant``), Annex K Huffman tables, MCU-interleaved entropy data.
+    With DC-only blocks and ``quant=8``, decoded pixels are EXACTLY
+    dc + 128 per constant block (dequant/8 is integer) — which is what
+    makes JPEG decode oracle-checkable end to end."""
     import struct
 
     n_comp = len(comp_blocks)
     if n_comp not in (1, 3):
         raise ValueError("1 (gray) or 3 (YCbCr) components")
+    sampling = sampling or [(1, 1)] * n_comp
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
     out = bytearray(b"\xff\xd8")  # SOI
     qt = bytes([quant] * 64)
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qt  # DQT id 0
     # SOF0
     sof = struct.pack(">BHHB", 8, height, width, n_comp)
     for c in range(n_comp):
-        sof += bytes([c + 1, 0x11, 0])  # id, 1x1 sampling, quant table 0
+        h, v = sampling[c]
+        sof += bytes([c + 1, (h << 4) | v, 0])  # id, sampling, quant table 0
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     # DHT: DC/AC luminance (+ chrominance when color)
     tables = [(0x00, _DC_LUM), (0x10, _AC_LUM)]
@@ -552,40 +562,46 @@ def encode_jpeg_blocks(
         for c in range(n_comp)
     ]
     w = _BitWriter()
-    n_blocks = -(-width // 8) * (-(-height) // 8)
-    n_bx = -(-width // 8)
-    n_by = -(-height // 8)
-    n_blocks = n_bx * n_by
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
     pred = [0] * n_comp
-    for b in range(n_blocks):
-        for c in range(n_comp):
-            blk = comp_blocks[c][b]
-            zz = [blk[_ZIGZAG[i]] for i in range(64)]
-            diff = zz[0] - pred[c]
-            pred[c] = zz[0]
-            t = diff.bit_length() if diff > 0 else (-diff).bit_length()
-            code, ln = enc[c][0][t]
+
+    def emit_block(c: int, blk: list) -> None:
+        zz = [blk[_ZIGZAG[i]] for i in range(64)]
+        diff = zz[0] - pred[c]
+        pred[c] = zz[0]
+        t = diff.bit_length() if diff > 0 else (-diff).bit_length()
+        code, ln = enc[c][0][t]
+        w.put(code, ln)
+        if t:
+            w.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for i in range(1, last_nz + 1):
+            if zz[i] == 0:
+                run += 1
+                if run == 16:
+                    code, ln = enc[c][1][0xF0]  # ZRL
+                    w.put(code, ln)
+                    run = 0
+                continue
+            s = zz[i].bit_length() if zz[i] > 0 else (-zz[i]).bit_length()
+            code, ln = enc[c][1][(run << 4) | s]
             w.put(code, ln)
-            if t:
-                w.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            w.put(zz[i] if zz[i] >= 0 else zz[i] + (1 << s) - 1, s)
             run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-            for i in range(1, last_nz + 1):
-                if zz[i] == 0:
-                    run += 1
-                    if run == 16:
-                        code, ln = enc[c][1][0xF0]  # ZRL
-                        w.put(code, ln)
-                        run = 0
-                    continue
-                s = zz[i].bit_length() if zz[i] > 0 else (-zz[i]).bit_length()
-                code, ln = enc[c][1][(run << 4) | s]
-                w.put(code, ln)
-                w.put(zz[i] if zz[i] >= 0 else zz[i] + (1 << s) - 1, s)
-                run = 0
-            if last_nz < 63:
-                code, ln = enc[c][1][0x00]  # EOB
-                w.put(code, ln)
+        if last_nz < 63:
+            code, ln = enc[c][1][0x00]  # EOB
+            w.put(code, ln)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in range(n_comp):
+                h, v = sampling[c]
+                for by in range(v):
+                    for bx in range(h):
+                        b = (my * v + by) * (mcux * h) + (mx * h + bx)
+                        emit_block(c, comp_blocks[c][b])
     w.flush()
     out += w.out
     out += b"\xff\xd9"  # EOI
@@ -653,11 +669,12 @@ def _decode_jpeg(payload: bytes) -> ImageData:
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
+                h, v = hv >> 4, hv & 0xF
+                if not (1 <= h <= 2 and 1 <= v <= 2):
                     raise NotImplementedError(
-                        "subsampled chroma (4:2:0/4:2:2) unsupported"
+                        f"sampling factors {h}x{v} unsupported (1-2 only)"
                     )
-                comps.append({"id": cid, "tq": tq})
+                comps.append({"id": cid, "tq": tq, "h": h, "v": v})
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("only baseline sequential JPEG supported")
         elif marker == 0xDD:  # DRI
@@ -678,13 +695,22 @@ def _decode_jpeg(payload: bytes) -> ImageData:
         raise ValueError("missing SOF/SOS in JPEG")
 
     r = _BitReader(payload, pos)
-    n_bx, n_by = -(-width // 8), -(-height // 8)
     n_comp = len(scan)
-    planes = [bytearray(n_bx * 8 * n_by * 8) for _ in range(n_comp)]
+    hs = [sc["comp"]["h"] for sc in scan]
+    vs = [sc["comp"]["v"] for sc in scan]
+    hmax, vmax = max(hs), max(vs)
+    if any(hmax % h or vmax % v for h, v in zip(hs, vs)):
+        raise NotImplementedError("non-integer chroma sampling ratio")
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    strides = [mcux * h * 8 for h in hs]
+    planes = [
+        bytearray(strides[i] * mcuy * vs[i] * 8) for i in range(n_comp)
+    ]
     pred = [0] * n_comp
     mcu = 0
-    for by in range(n_by):
-        for bx in range(n_bx):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 r._n = 0  # byte-align
                 if (
@@ -703,38 +729,49 @@ def _decode_jpeg(payload: bytes) -> ImageData:
                 q = qtabs.get(sc["comp"]["tq"])
                 if dc_tab is None or ac_tab is None or q is None:
                     raise ValueError("scan references missing tables")
-                zz = [0] * 64
-                t = r.huff(dc_tab)
-                pred[ci] += r.receive_extend(t)
-                zz[0] = pred[ci] * q[0]
-                i = 1
-                while i < 64:
-                    rs = r.huff(ac_tab)
-                    run, size = rs >> 4, rs & 0xF
-                    if size == 0:
-                        if run == 15:
-                            i += 16  # ZRL
-                            continue
-                        break  # EOB
-                    i += run
-                    if i > 63:
-                        raise ValueError("AC run past block end")
-                    zz[i] = r.receive_extend(size) * q[i]
-                    i += 1
-                coef = [0] * 64
-                for k in range(64):
-                    coef[_ZIGZAG[k]] = zz[k]
-                px = _idct_block(coef)
-                plane = planes[ci]
-                stride = n_bx * 8
-                for yy in range(8):
-                    row = (by * 8 + yy) * stride + bx * 8
-                    for xx in range(8):
-                        v = int(round(px[yy * 8 + xx])) + 128
-                        plane[row + xx] = 0 if v < 0 else (255 if v > 255 else v)
+                for by in range(vs[ci]):
+                    for bx in range(hs[ci]):
+                        zz = [0] * 64
+                        t = r.huff(dc_tab)
+                        pred[ci] += r.receive_extend(t)
+                        zz[0] = pred[ci] * q[0]
+                        i = 1
+                        while i < 64:
+                            rs = r.huff(ac_tab)
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run == 15:
+                                    i += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            i += run
+                            if i > 63:
+                                raise ValueError("AC run past block end")
+                            zz[i] = r.receive_extend(size) * q[i]
+                            i += 1
+                        coef = [0] * 64
+                        for k in range(64):
+                            coef[_ZIGZAG[k]] = zz[k]
+                        px = _idct_block(coef)
+                        plane = planes[ci]
+                        stride = strides[ci]
+                        oy = (my * vs[ci] + by) * 8
+                        ox = (mx * hs[ci] + bx) * 8
+                        for yy in range(8):
+                            row = (oy + yy) * stride + ox
+                            for xx in range(8):
+                                v = int(round(px[yy * 8 + xx])) + 128
+                                plane[row + xx] = 0 if v < 0 else (255 if v > 255 else v)
 
-    stride = n_bx * 8
+    def sample(ci: int, x: int, y: int) -> int:
+        """Component sample at full-resolution pixel (x, y): integer-
+        scaled index = nearest-neighbor chroma replication."""
+        return planes[ci][
+            (y * vs[ci] // vmax) * strides[ci] + (x * hs[ci] // hmax)
+        ]
+
     if n_comp == 1:
+        stride = strides[0]
         buf = bytearray(width * height)
         for y in range(height):
             buf[y * width : (y + 1) * width] = planes[0][y * stride : y * stride + width]
@@ -744,9 +781,9 @@ def _decode_jpeg(payload: bytes) -> ImageData:
     buf = bytearray(width * height * 3)
     for y in range(height):
         for x in range(width):
-            yv = planes[0][y * stride + x]
-            cb = planes[1][y * stride + x] - 128
-            cr = planes[2][y * stride + x] - 128
+            yv = sample(0, x, y)
+            cb = sample(1, x, y) - 128
+            cr = sample(2, x, y) - 128
             d = (y * width + x) * 3
             for j, val in enumerate(
                 (yv + 1.402 * cr, yv - 0.344136 * cb - 0.714136 * cr, yv + 1.772 * cb)

@@ -1488,3 +1488,31 @@ def test_jpeg_color_neutral_chroma_and_rejections():
     with pytest.raises(ValueError):  # truncated entropy stream
         payload = multimodal.encode_jpeg_gray_dc([9, 9, 9, 9], blocks_per_row=2)
         multimodal.decode_image(payload[:40])
+
+
+def test_jpeg_420_subsampling():
+    """4:2:0 MCU interleave + chroma replication: neutral-chroma
+    quadrants decode exactly; shared chroma applies to each 2x2 group."""
+    def dcb(v):
+        return [(8 * (v - 128)) // 8] + [0] * 63
+
+    p = multimodal.encode_jpeg_blocks(
+        16, 16, [[dcb(50), dcb(100), dcb(150), dcb(220)], [dcb(128)], [dcb(128)]],
+        quant=8, sampling=[(2, 2), (1, 1), (1, 1)],
+    )
+    img = multimodal.decode_image(p)
+    assert (img.width, img.height, img.channels) == (16, 16, 3)
+    for (qy, qx), v in zip([(0, 0), (0, 1), (1, 0), (1, 1)], [50, 100, 150, 220]):
+        d = ((qy * 8 + 3) * 16 + qx * 8 + 4) * 3
+        assert tuple(img.pixels[d : d + 3]) == (v, v, v)
+
+    p = multimodal.encode_jpeg_blocks(
+        16, 16, [[dcb(128)] * 4, [dcb(160)], [dcb(100)]],
+        quant=8, sampling=[(2, 2), (1, 1), (1, 1)],
+    )
+    img = multimodal.decode_image(p)
+    want = tuple(
+        max(0, min(255, int(round(v))))
+        for v in (128 + 1.402 * -28, 128 - 0.344136 * 32 - 0.714136 * -28, 128 + 1.772 * 32)
+    )
+    assert {tuple(img.pixels[i : i + 3]) for i in range(0, len(img.pixels), 3)} == {want}
