@@ -108,8 +108,12 @@ def test_multimodal_features_shape(docs):
 
 
 def test_multimodal_decode_unsupported_format_raises():
-    # JPEG magic: still needs a real codec library
+    # WebP: still needs a real codec library (JPEG/PNG/BMP/netpbm are
+    # decoded natively now)
     with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    # truncated JPEG is malformed, not unsupported
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff")
 
 
