@@ -103,6 +103,7 @@ HEADLINE = [
     "multimodal_decode",
     "multimodal_png_decode",
     "multimodal_jpeg_decode",
+    "multimodal_gif_decode",
     "stream_sessionize_native",
     "corpus_block_dedup",
     "curation_shuffle",

@@ -6,7 +6,8 @@ with metadata structs; decode and feature extraction run as Arrow-batched
 format allows: netpbm P5/P6, uncompressed 24-bit BMP, 8-bit RGB/gray PNG
 (stdlib zlib inflate + unfilter), baseline JPEG (full Huffman entropy
 decode + dequant + IDCT; gray, 4:4:4, and subsampled 4:2:0/4:2:2
-YCbCr), RIFF/WAVE PCM16, RIFF/AVI RGB24. The remaining codecs
+YCbCr), GIF (full LZW decompression), RIFF/WAVE PCM16, RIFF/AVI
+RGB24. The remaining codecs
 (progressive JPEG, WebP/AVIF, MP3/AAC, H.26x) raise a documented
 ``NotImplementedError`` —
 they need codec libraries this environment does not ship; a
@@ -91,7 +92,10 @@ def decode_image(payload: bytes) -> ImageData:
     - **JPEG** (baseline sequential DCT, 8-bit; grayscale, 4:4:4, and
       subsampled 4:2:0 / 4:2:2 YCbCr — full Huffman entropy decode,
       dequant, zigzag, IDCT, MCU de-interleave, nearest-neighbor chroma
-      upsampling; progressive / arithmetic variants raise).
+      upsampling; progressive / arithmetic variants raise);
+    - **GIF** (87a/89a — full LZW decompression with width escalation
+      and clear-code resets, interlace de-interleave, palette mapping;
+      first frame of animations).
 
     Other formats (WebP/AVIF/...) still raise ``NotImplementedError`` —
     they need real codec libraries. Returns :class:`ImageData` with the
@@ -107,9 +111,11 @@ def decode_image(payload: bytes) -> ImageData:
         return _decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     raise NotImplementedError(
         "only netpbm P5/P6, uncompressed 24-bit BMP, 8-bit RGB/gray PNG, "
-        "and baseline JPEG decode without codec libraries; got magic %r"
+        "baseline JPEG, and GIF decode without codec libraries; got magic %r"
         % payload[:2]
     )
 
@@ -1077,3 +1083,199 @@ def decode_avi(payload: bytes) -> VideoData:
             f"avih declares {declared} frames but movi carries {len(frames)}"
         )
     return VideoData(width, height, us_per_frame, frames)
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a): dependency-free LZW decode + an encoder for synthesis.
+# ---------------------------------------------------------------------------
+
+
+def encode_gif(width: int, height: int, indices: bytes, palette: list) -> bytes:
+    """Minimal GIF89a writer: one image, a global color table, real LZW
+    compression (dictionary growth, width escalation, 4094-entry reset).
+    ``indices`` are palette indexes (row-major, zero-padded/truncated to
+    width*height); ``palette`` is a list of (r, g, b) tuples whose length
+    is padded to the next power of two (max 256)."""
+    import struct
+
+    need = width * height
+    idx = indices[:need] + b"\x00" * max(0, need - len(indices))
+    n = len(palette)
+    if not 0 < n <= 256:
+        raise ValueError("palette must hold 1..256 entries")
+    depth = max(1, (n - 1).bit_length())
+    table = list(palette) + [(0, 0, 0)] * ((1 << depth) - n)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | (depth - 1), 0, 0])  # GCT present, size 2^depth
+    for r, g, b in table:
+        out += bytes([r, g, b])
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+
+    mcs = max(2, depth)  # LZW minimum code size
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out.append(mcs)
+
+    buf = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width_: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width_
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    # standard LZW: longest known prefix, emit, extend dictionary
+    codes = {bytes([i]): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+    width_ = mcs + 1
+    put(clear, width_)
+    prefix = b""
+    for byte in idx:
+        trial = prefix + bytes([byte])
+        if trial in codes:
+            prefix = trial
+            continue
+        put(codes[prefix], width_)
+        codes[trial] = next_code
+        next_code += 1
+        if next_code == (1 << width_) + 1 and width_ < 12:
+            width_ += 1
+        if next_code >= 4095:
+            put(clear, width_)
+            codes = {bytes([i]): i for i in range(1 << mcs)}
+            next_code = eoi + 1
+            width_ = mcs + 1
+        prefix = bytes([byte])
+    if prefix:
+        put(codes[prefix], width_)
+    put(eoi, width_)
+    if nbits:
+        buf.append(acc & 0xFF)
+
+    for i in range(0, len(buf), 255):
+        chunk = buf[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def _decode_gif(payload: bytes) -> ImageData:
+    """GIF87a/89a decode, stdlib only: logical-screen + color-table
+    parse, extension skip, full LZW decompression (width escalation,
+    clear-code reset, KwKwK case), interlace de-interleave, palette
+    mapping to RGB. Only the first image of an animation is returned;
+    a missing trailer or corrupt LZW stream raises ``ValueError``."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("bad GIF signature")
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        sz = 2 << (flags & 0x07)
+        gct = [tuple(payload[pos + 3 * i : pos + 3 * i + 3]) for i in range(sz)]
+        pos += 3 * sz
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            raise ValueError("GIF contains no image data")
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, width, height = struct.unpack_from("<HHHH", payload, pos + 1)
+        iflags = payload[pos + 9]
+        pos += 10
+        table = gct
+        if iflags & 0x80:
+            sz = 2 << (iflags & 0x07)
+            table = [tuple(payload[pos + 3 * i : pos + 3 * i + 3]) for i in range(sz)]
+            pos += 3 * sz
+        if table is None:
+            raise ValueError("GIF image without a color table")
+        interlaced = bool(iflags & 0x40)
+        mcs = payload[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(payload) and payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        dict_: list = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+        width_ = mcs + 1
+        acc = nbits = dpos = 0
+        prev: bytes | None = None
+        out = bytearray()
+        need = width * height
+        while True:
+            while nbits < width_:
+                if dpos >= len(data):
+                    raise ValueError("truncated GIF LZW stream")
+                acc |= data[dpos] << nbits
+                nbits += 8
+                dpos += 1
+            code = acc & ((1 << width_) - 1)
+            acc >>= width_
+            nbits -= width_
+            if code == clear:
+                dict_ = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+                width_ = mcs + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                if code >= len(dict_):
+                    raise ValueError("bad first GIF code")
+                entry = dict_[code]
+            elif code < len(dict_):
+                entry = dict_[code]
+                dict_.append(prev + entry[:1])
+            elif code == len(dict_):
+                entry = prev + prev[:1]  # KwKwK
+                dict_.append(entry)
+            else:
+                raise ValueError("GIF code out of range")
+            out += entry
+            prev = entry
+            if len(dict_) == (1 << width_) and width_ < 12:
+                width_ += 1
+            if len(out) >= need:
+                pass  # keep draining until EOI for stream integrity
+        if len(out) < need:
+            raise ValueError(f"GIF pixel shortfall {len(out)}/{need}")
+        idx = out[:need]
+        if interlaced:
+            rows = [idx[r * width : (r + 1) * width] for r in range(height)]
+            order = (
+                list(range(0, height, 8))
+                + list(range(4, height, 8))
+                + list(range(2, height, 4))
+                + list(range(1, height, 2))
+            )
+            de = [b""] * height
+            for src, dst in enumerate(order):
+                de[dst] = rows[src]
+            idx = bytearray().join(bytes(r) for r in de)
+        buf = bytearray(need * 3)
+        for i, ci in enumerate(idx):
+            if ci >= len(table):
+                raise ValueError("GIF index outside color table")
+            buf[3 * i : 3 * i + 3] = bytes(table[ci])
+        return ImageData(width, height, 3, 255, bytes(buf))
+    raise ValueError("truncated GIF")

@@ -1729,6 +1729,56 @@ def multimodal_jpeg_decode(spark, sf_dir):
 
 
 @query(
+    "multimodal_gif_decode",
+    """
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS total,
+             greatest(1, least(48, octet_length(encode(text)))) AS w,
+             [ascii(substr(text, x, 1)) for x in range(1, 1 + len(text))] AS codes
+      FROM documents
+    )
+    SELECT doc_id AS doc_id, CAST(w AS INT) AS width, 2 AS height,
+           3 AS channels, 255 AS maxval,
+           CAST(3 * coalesce(list_sum(codes[1:CAST(least(total, w) AS INT)]), 0)
+                AS BIGINT) AS checksum
+    FROM b
+    """,
+)
+def multimodal_gif_decode(spark, sf_dir):
+    """REAL GIF decode (stdlib only): each document's leading bytes
+    become palette indices of a GIF89a image over the 256-entry identity
+    grayscale palette; ``operators/multimodal._decode_gif`` runs the
+    full LZW decompression (dictionary growth, width escalation,
+    clear-code resets) inside mapInPandas. LZW is lossless, so the RGB
+    checksum is exactly 3 x sum(bytes) (second row zero-padded) and the
+    oracle replays it. One narrow scan, no shuffle."""
+    from collections.abc import Iterator
+
+    _pal = [(i, i, i) for i in range(256)]
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                w = max(1, min(48, len(data)))
+                img = multimodal.decode_image(
+                    multimodal.encode_gif(w, 2, data[:w], _pal)
+                )
+                rows.append(
+                    (doc_id, img.width, img.height, img.channels, img.maxval,
+                     sum(img.pixels))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "channels", "maxval", "checksum"],
+            )
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    return docs.mapInPandas(run, _DECODE_SCHEMA)
+
+
+@query(
     "multimodal_resize",
     """
     WITH b AS (

@@ -1520,3 +1520,35 @@ def test_jpeg_420_subsampling():
         for v in (128 + 1.402 * -28, 128 - 0.344136 * 32 - 0.714136 * -28, 128 + 1.772 * 32)
     )
     assert {tuple(img.pixels[i : i + 3]) for i in range(0, len(img.pixels), 3)} == {want}
+
+
+def test_gif_lzw_roundtrip_and_growth():
+    """GIF LZW is lossless: random indices round-trip exactly, including
+    streams long enough to grow the dictionary and hit the KwKwK case."""
+    import random
+
+    rnd = random.Random(5)
+    pal = [(i, i, i) for i in range(256)]
+    idx = bytes(rnd.randrange(256) for _ in range(31 * 17))
+    img = multimodal.decode_image(multimodal.encode_gif(31, 17, idx, pal))
+    assert (img.width, img.height, img.channels) == (31, 17, 3)
+    assert bytes(img.pixels[3 * i] for i in range(31 * 17)) == idx
+
+    runs = (b"\x07" * 500) + (b"\x09\x07" * 300) + bytes(
+        rnd.randrange(256) for _ in range(64 * 32 - 1100)
+    )
+    img = multimodal.decode_image(multimodal.encode_gif(64, 32, runs, pal))
+    assert bytes(img.pixels[3 * i] for i in range(64 * 32)) == runs[: 64 * 32]
+
+    pal4 = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    idx4 = bytes(rnd.randrange(4) for _ in range(40 * 9))
+    img = multimodal.decode_image(multimodal.encode_gif(40, 9, idx4, pal4))
+    assert [tuple(img.pixels[3 * i : 3 * i + 3]) for i in range(40 * 9)] == [
+        pal4[i] for i in idx4
+    ]
+
+    with pytest.raises(ValueError):  # no image data
+        multimodal.decode_image(b"GIF89a" + b"\x00" * 20)
+    with pytest.raises(ValueError):  # truncated LZW stream
+        payload = multimodal.encode_gif(8, 8, bytes(64), pal)
+        multimodal.decode_image(payload[:30])
