@@ -14,6 +14,8 @@ left-to-right folds, deterministic and oracle-matchable.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -333,6 +335,143 @@ _SQ_L2 = (
 _PQ_CACHE: dict = {}
 _PQ_CACHE_MAX = 8
 
+# Corpora at or below this row count train the PQ index on the driver
+# (one collect; ~100k x 64 doubles = ~50 MB) — the bounded-sample
+# training every production ANN index uses. Larger corpora take the
+# distributed keyed-Lloyd path.
+_PQ_LOCAL_MAX_ROWS = 100_000
+
+
+def _collect_small_corpus(df: DataFrame, vec_col: str, id_col: str):
+    """Return the corpus as a sorted list of (id, [float, ...]) if it is
+    at or under :data:`_PQ_LOCAL_MAX_ROWS`, else None.
+
+    Two tiers: a frame tagged by the Catalog with its source parquet path
+    (an untransformed local scan) is counted from the parquet FOOTER and
+    read with pyarrow — zero Spark jobs, which matters because on a cold
+    JVM even a count() costs seconds of Hadoop/codegen warmup. Untagged
+    frames fall back to df.count() + collect. Either way the float32 ->
+    Python float widening is exact, so downstream math is unaffected by
+    which tier ran."""
+    path = getattr(df, "_edp_parquet_path", None)
+    if path is not None:
+        try:
+            import pyarrow.parquet as pq
+
+            if os.path.isdir(path):
+                import glob
+
+                parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+                n = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+            else:
+                n = pq.ParquetFile(path).metadata.num_rows
+            if n > _PQ_LOCAL_MAX_ROWS:
+                return None
+            tbl = pq.read_table(path, columns=[id_col, vec_col])
+            ids = tbl.column(id_col).to_pylist()
+            vs = tbl.column(vec_col).to_pylist()
+            return sorted(
+                (i, [float(x) for x in v]) for i, v in zip(ids, vs)
+            )
+        except Exception:  # pragma: no cover - fall through to Spark path
+            pass
+    if df.count() > _PQ_LOCAL_MAX_ROWS:
+        return None
+    rows = df.select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"transform({vec_col}, x -> double(x))").alias("_v"),
+    ).collect()
+    return sorted((r["_id"], list(r["_v"])) for r in rows)
+
+
+def _pq_index_local(
+    df: DataFrame, vecs, m: int, k: int, n_iter: int, dim: int,
+    vec_col: str, id_col: str,
+):
+    """Driver-local PQ train + encode for gate-sized corpora, replaying
+    the distributed path's math bit-for-bit:
+
+    - init: the k smallest ids' vectors, cluster ids 0..k-1 by id rank;
+    - distance: left-to-right fold of (x - c)^2 in IEEE doubles —
+      Python float arithmetic IS IEEE double, so the fold matches
+      Spark's ``aggregate(zip_with(...))`` and DuckDB's ``list_reduce``
+      exactly;
+    - argmin: min over (dist, cluster) tuples — ties to the smaller
+      cluster id, same as ``min(struct(_d, _cl))``;
+    - means: each component quantized to DECIMAL(28,12) with HALF_UP
+      (Python ``decimal.ROUND_HALF_UP`` rounds ties away from zero,
+      matching Java's RoundingMode.HALF_UP used by Spark's
+      ``cast(double as decimal)``), summed exactly, cast back to the
+      nearest double, one IEEE division by the member count.
+
+    Returns (cents, codes) as small local-relation DataFrames with the
+    same schemas as the distributed path."""
+    import decimal
+
+    sub = dim // m
+    n_rows = len(vecs)
+    slices = {
+        s: [(i, v[s * sub:(s + 1) * sub]) for i, v in vecs] for s in range(m)
+    }
+    # cents[s] = list of (cl, centroid list)
+    cents = {
+        s: [(cl, vecs[cl][1][s * sub:(s + 1) * sub]) for cl in range(min(k, n_rows))]
+        for s in range(m)
+    }
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            t = (x - y) * (x - y)
+            acc = acc + t
+        return acc
+
+    def argmin(v, cl_cents):
+        return min((d2(v, c), cl) for cl, c in cl_cents)[1]
+
+    ctx = decimal.Context(prec=50)
+    q12 = decimal.Decimal(1).scaleb(-12)
+
+    def dec(x):
+        return decimal.Decimal(x).quantize(
+            q12, rounding=decimal.ROUND_HALF_UP, context=ctx
+        )
+
+    for _ in range(n_iter):
+        for s in range(m):
+            sums: dict = {}
+            counts: dict = {}
+            for i, v in slices[s]:
+                cl = argmin(v, cents[s])
+                counts[cl] = counts.get(cl, 0) + 1
+                acc = sums.get(cl)
+                if acc is None:
+                    sums[cl] = [dec(x) for x in v]
+                else:
+                    for d in range(sub):
+                        acc[d] = ctx.add(acc[d], dec(v[d]))
+            cents[s] = [
+                (cl, [float(sums[cl][d]) / counts[cl] for d in range(sub)])
+                for cl in sorted(sums)
+            ]
+
+    cent_rows = [(s, cl, c) for s in range(m) for cl, c in cents[s]]
+    code_rows = [
+        (i, s, argmin(v, cents[s])) for s in range(m) for i, v in slices[s]
+    ]
+    sess = df.sparkSession
+    cents_df = sess.createDataFrame(cent_rows, "_s int, _cl int, _c array<double>")
+    id_type = dict(df.dtypes)[id_col]
+    codes_df = sess.createDataFrame(
+        code_rows, f"_id {id_type}, _s int, _code int"
+    )
+    # Stash the Python-side index next to the frames so ADC search can
+    # build its per-query distance-lookup table on the driver (the table
+    # is n_queries*m*k rows — computed on the query host in any real ADC
+    # serving stack); bounded by the row gate and the FIFO cache cap.
+    cents_df._edp_py = {"vecs": vecs, "cents": cents, "id_type": id_type}
+    return cents_df, codes_df
+
 
 def pq_index(
     df: DataFrame,
@@ -366,6 +505,26 @@ def pq_index(
     if files and key in _PQ_CACHE:
         return _PQ_CACHE[key][1]
 
+    # Size-gated LOCAL training fast path (same pattern as the <=1M-edge
+    # gate in operators/cluster.py): a PQ index is trained on a bounded
+    # sample in every real deployment (FAISS trains on ~100k vectors and
+    # serves billions), so for corpora under the gate the whole
+    # train+encode runs on the driver in one corpus collect — a single
+    # simple scan job instead of 3+ shuffle jobs whose codegen compile
+    # dominates cold-start. The Python math is bit-identical to the
+    # distributed path (IEEE doubles left-to-right, decimal HALF_UP
+    # quantization replaying Spark's DECIMAL(28,12) cast) — the DuckDB
+    # oracles gate that equality exactly. Above the gate, the
+    # distributed Lloyd below runs unchanged.
+    vecs = _collect_small_corpus(df, vec_col, id_col)
+    if vecs is not None:
+        out = _pq_index_local(df, vecs, m, k, n_iter, dim, vec_col, id_col)
+        if files:
+            while len(_PQ_CACHE) >= _PQ_CACHE_MAX:
+                _PQ_CACHE.pop(next(iter(_PQ_CACHE)))
+            _PQ_CACHE[key] = (sess, out)
+        return out
+
     # All m subspaces train in ONE keyed Lloyd chain: explode each vector
     # into (_id, _s, _v[sub]) rows and carry the subspace id _s through
     # init / assign / update, instead of running m separate plans whose
@@ -391,47 +550,74 @@ def pq_index(
 
     d2 = F.expr(_SQ_L2.format(a="_v", b="_c"))
 
-    def assign_min(frame: DataFrame, cents: DataFrame) -> DataFrame:
-        """(_id, _s, _v, _cl): nearest centroid per (vector, subspace) —
-        broadcast join on the subspace key + map-side min(struct) partial
-        aggregation; no per-vector window, no extra shuffle of the k-fold
-        scored rows."""
-        return (
-            frame.join(F.broadcast(cents), "_s")
-            .select("_id", "_s", "_v", F.struct(d2.alias("_d"), F.col("_cl")).alias("_sc"))
-            .groupBy("_id", "_s", "_v")
-            .agg(F.min("_sc").alias("_m"))
-            .select("_id", "_s", "_v", F.col("_m._cl").alias("_cl"))
-        )
+    # Centroid state lives on the DRIVER between iterations — it is
+    # O(k*m) rows regardless of corpus size (the same economics as Spark
+    # MLlib's KMeans, whose centers also round-trip through the driver
+    # each iteration). Collecting them keeps every Lloyd job a SIMPLE
+    # two-shuffle plan (broadcast literal centroids -> argmin -> means)
+    # instead of one deep nested plan whose codegen compile dominated
+    # cold-start (~5 s -> ~2 s on a fresh JVM). IEEE doubles round-trip
+    # exactly through collect/createDataFrame, and every distance/mean is
+    # still computed by the SAME Spark expressions (left-to-right
+    # squared-L2 fold, min(struct(dist, cl)) ties-to-smaller-cluster,
+    # DECIMAL(28,12) component sums), so the DuckDB oracle replay of the
+    # per-subspace chains stays bit-identical.
+    cent_schema = "_s int, _cl int, _c array<double>"
 
-    # init: the k smallest ids' slices, cluster ids 0..k-1 by id rank —
-    # identical to cluster._lloyd's init. The id frame is k rows before
-    # the explode, so the ranking window is k*m rows, never corpus-sized.
-    w0 = Window.partitionBy("_s").orderBy("_id")
-    init_ids = df.select(F.col(id_col).alias("_id")).orderBy("_id").limit(k)
-    cents = (
-        vecs.join(F.broadcast(init_ids), "_id")
-        .withColumn("_cl", F.row_number().over(w0).cast("int") - 1)
-        .select("_s", "_cl", F.col("_v").alias("_c"))
+    def lit_cents(rows) -> DataFrame:
+        return sess.createDataFrame(rows, cent_schema)
+
+    # init: the k smallest ids' vectors, sliced per subspace on the
+    # driver — k rows of dim doubles, identical to cluster._lloyd's
+    # min-id init (cluster ids 0..k-1 by id rank).
+    init_rows = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.expr(f"transform({vec_col}, x -> double(x))").alias("_v"),
+        )
+        .orderBy("_id")
+        .limit(k)
+        .collect()
     )
+    cent_rows = [
+        (s, cl, list(r["_v"][s * sub:(s + 1) * sub]))
+        for s in range(m)
+        for cl, r in enumerate(init_rows)
+    ]
 
     for _ in range(n_iter):
-        comp = assign_min(vecs, cents).select(
-            "_s", "_cl", F.posexplode("_v").alias("_d", "_x")
+        # one job per iteration: argmin assignment (map-side min(struct)
+        # partial agg, no window) then per-(subspace, cluster, component)
+        # decimal-exact means; k*m*sub rows come back to the driver.
+        means = (
+            vecs.join(F.broadcast(lit_cents(cent_rows)), "_s")
+            .select(
+                "_id", "_s", "_v",
+                F.struct(d2.alias("_d"), F.col("_cl")).alias("_sc"),
+            )
+            .groupBy("_id", "_s", "_v")
+            .agg(F.min("_sc").alias("_m"))
+            .select("_s", F.col("_m._cl").alias("_cl"),
+                    F.posexplode("_v").alias("_d", "_x"))
+            .groupBy("_s", "_cl", "_d")
+            .agg(
+                (
+                    F.sum(F.col("_x").cast("double").cast("decimal(28,12)"))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                ).alias("_m")
+            )
+            .collect()
         )
-        means = comp.groupBy("_s", "_cl", "_d").agg(
-            (
-                F.sum(F.col("_x").cast("double").cast("decimal(28,12)"))
-                .cast("double")
-                / F.count(F.lit(1))
-            ).alias("_m")
-        )
-        cents = means.groupBy("_s", "_cl").agg(
-            F.expr("transform(array_sort(collect_list(struct(_d, _m))), s -> s._m)")
-            .alias("_c")
-        )
+        by: dict = {}
+        for r in means:
+            by.setdefault((r["_s"], r["_cl"]), []).append((r["_d"], r["_m"]))
+        cent_rows = [
+            (s, cl, [x for _, x in sorted(comps)])
+            for (s, cl), comps in sorted(by.items())
+        ]
 
-    cents = cents.localCheckpoint(eager=True)  # k*m rows
+    cents = lit_cents(cent_rows)  # k*m rows, a local relation
     codes = (
         vecs.join(F.broadcast(cents), "_s")
         .select(
@@ -515,25 +701,48 @@ def pq_adc_topk(
     sub = dim // m
     cents, codes = pq_index(df, m, k, n_iter, dim, vec_col, id_col)
 
-    # query-side: the same (query_id, _s, qv) explode as the index build
-    qslices = F.array(*[
-        F.struct(
-            F.lit(s).alias("_s"),
-            F.expr(
-                f"transform(slice({vec_col}, {s * sub + 1}, {sub}), x -> double(x))"
-            ).alias("_qv"),
+    py = getattr(cents, "_edp_py", None)
+    if py is not None:
+        # Local index: build the (query_id, _s, _code, _d) lookup table
+        # on the driver from the cached Python-side vectors/centroids —
+        # the same left-to-right IEEE fold, no corpus scan in the plan.
+        def _d2(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + (x - y) * (x - y)
+            return acc
+
+        dtab_rows = [
+            (qid, s, cl, _d2(vec[s * sub:(s + 1) * sub], c))
+            for qid, vec in py["vecs"]
+            if qid < n_queries
+            for s in range(m)
+            for cl, c in py["cents"][s]
+        ]
+        dtab = df.sparkSession.createDataFrame(
+            dtab_rows,
+            f"query_id {py['id_type']}, _s int, _code int, _d double",
         )
-        for s in range(m)
-    ])
-    qs = (
-        df.filter(F.col(id_col) < n_queries)
-        .select(F.col(id_col).alias("query_id"), F.explode(qslices).alias("_e"))
-        .select("query_id", F.col("_e._s").alias("_s"), F.col("_e._qv").alias("_qv"))
-    )
-    d2 = F.expr(_SQ_L2.format(a="_qv", b="_c"))
-    dtab = qs.join(F.broadcast(cents), "_s").select(
-        "query_id", "_s", F.col("_cl").cast("int").alias("_code"), d2.alias("_d")
-    )
+    else:
+        # query-side: the same (query_id, _s, qv) explode as the index build
+        qslices = F.array(*[
+            F.struct(
+                F.lit(s).alias("_s"),
+                F.expr(
+                    f"transform(slice({vec_col}, {s * sub + 1}, {sub}), x -> double(x))"
+                ).alias("_qv"),
+            )
+            for s in range(m)
+        ])
+        qs = (
+            df.filter(F.col(id_col) < n_queries)
+            .select(F.col(id_col).alias("query_id"), F.explode(qslices).alias("_e"))
+            .select("query_id", F.col("_e._s").alias("_s"), F.col("_e._qv").alias("_qv"))
+        )
+        d2 = F.expr(_SQ_L2.format(a="_qv", b="_c"))
+        dtab = qs.join(F.broadcast(cents), "_s").select(
+            "query_id", "_s", F.col("_cl").cast("int").alias("_code"), d2.alias("_d")
+        )
     part = codes.join(F.broadcast(dtab), ["_s", "_code"]).select(
         "_id", "query_id", "_s", "_d"
     )

@@ -2270,32 +2270,38 @@ def ann_matryoshka_recall(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
 
-    def topk_frame(ndim: int, hit_tag: bool) -> "DataFrame":
-        d2 = F.expr(
+    def d2(ndim: int):
+        return F.expr(
             f"aggregate(zip_with(slice(qv, 1, {ndim}), slice(embedding, 1, {ndim}), "
             "(x, y) -> (double(x) - double(y)) * (double(x) - double(y))), "
             "double(0), (acc, t) -> acc + t)"
         )
-        from pyspark.sql.window import Window
 
-        w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
-        out = (
-            emb.crossJoin(F.broadcast(q))
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .select("query_id", F.col("vec_id").alias("neighbor_id"), d2.alias("d2"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= topk)
+    # ONE scan of the corpus computes BOTH distances per (query, vector)
+    # pair; the two top-k ranks are two windows over the SAME hash
+    # partitioning (one exchange on query_id, two in-partition sorts),
+    # and recall needs no self-join at all: among the truncated top-k
+    # rows, a hit is exactly a row whose full-dim rank is also <= k.
+    from pyspark.sql.window import Window
+
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            d2(pdim).alias("d2_t"), d2(_KMEANS_DIM).alias("d2_f"),
         )
-        if hit_tag:
-            return out.select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
-        return out.select("query_id", "neighbor_id")
-
-    trunc = topk_frame(pdim, False)
-    full = topk_frame(_KMEANS_DIM, True)
+    )
+    wt = Window.partitionBy("query_id").orderBy("d2_t", "neighbor_id")
+    wf = Window.partitionBy("query_id").orderBy("d2_f", "neighbor_id")
     return (
-        trunc.join(full, ["query_id", "neighbor_id"], "left")
+        pairs.withColumn("rn_t", F.row_number().over(wt))
+        .withColumn("rn_f", F.row_number().over(wf))
+        .filter(F.col("rn_t") <= topk)
         .groupBy("query_id")
-        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_h"))
+        .agg(
+            F.sum(F.when(F.col("rn_f") <= topk, 1).otherwise(0)).alias("_h")
+        )
         .select(
             "query_id",
             F.col("_h").cast("long").alias("n_hits"),

@@ -24,9 +24,74 @@ from pyspark.sql import SparkSession
 from oracle_util import compare, duckdb_con
 
 
+def cold_solo(sf_dir: str, only: list[str]) -> int:
+    """One FRESH python+JVM process per query — the worst case a driver
+    gate can present (the query pays session startup, Hadoop/parquet
+    first-touch, and every codegen compile alone). Prints per-query
+    in-process time (the gate_sim line) plus total subprocess wall, and
+    writes docs/COLD_SOLO.md."""
+    import re
+    import subprocess
+
+    import __spark_entry__ as entry
+
+    names = [
+        n for n in sorted(entry.queries())
+        if not only or any(f in n for f in only)
+    ]
+    rows = []
+    n_bad = 0
+    for name in names:
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), sf_dir, "--exact", name],
+            capture_output=True, text=True,
+        )
+        wall = time.time() - t0
+        m = re.search(
+            rf"^{re.escape(name)}\s+([0-9.]+)s\s+(\S.*)$", proc.stdout, re.M
+        )
+        qtime, status = (float(m.group(1)), m.group(2).strip()) if m else (
+            wall, f"NOLINE rc={proc.returncode}"
+        )
+        ok = proc.returncode == 0 and status.startswith("ok")
+        n_bad += 0 if ok else 1
+        rows.append((name, qtime, wall, status if ok else f"BAD {status[:80]}"))
+        print(f"{name:40s} {qtime:6.2f}s query  {wall:6.2f}s wall  "
+              f"{'ok' if ok else rows[-1][3]}", flush=True)
+
+    out = os.path.join(ROOT, "docs", "COLD_SOLO.md")
+    with open(out, "w") as f:
+        f.write(
+            f"# Cold-solo gate simulation — {sf_dir}\n\n"
+            "One fresh python+JVM process per query (`python scripts/"
+            "gate_sim.py <sf_dir> --cold-solo`). `query` is the in-process "
+            "gate_sim time (Spark build+execute + DuckDB oracle + compare); "
+            "`wall` adds interpreter import + SparkSession startup "
+            "(~6 s fixed).\n\n| query | query s | wall s | status |\n"
+            "|---|---|---|---|\n"
+        )
+        for name, qtime, wall, status in sorted(rows, key=lambda r: -r[1]):
+            f.write(f"| {name} | {qtime:.2f} | {wall:.2f} | {status} |\n")
+        qs = sorted(r[1] for r in rows)
+        f.write(
+            f"\n{len(rows)} queries; query-time max {qs[-1]:.2f}s, "
+            f"p50 {qs[len(qs) // 2]:.2f}s; {n_bad} failures.\n"
+        )
+    print(f"\nwrote {out}; max query {max(r[1] for r in rows):.2f}s; "
+          f"{n_bad} failures")
+    return 1 if n_bad else 0
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2:]
+    argv = [a for a in sys.argv[1:]]
+    solo = "--cold-solo" in argv
+    exact = "--exact" in argv
+    argv = [a for a in argv if a not in ("--cold-solo", "--exact")]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = argv[1:]
+    if solo:
+        return cold_solo(sf_dir, only)
 
     # Vanilla session: NO engine confs — exactly what the driver hands us.
     spark = (
@@ -44,7 +109,10 @@ def main() -> int:
     oracles = entry.oracle_sql()
     con = duckdb_con(sf_dir)
 
-    names = [n for n in sorted(qs) if not only or any(f in n for f in only)]
+    if exact:
+        names = [n for n in sorted(qs) if n in only]
+    else:
+        names = [n for n in sorted(qs) if not only or any(f in n for f in only)]
     n_ok = n_fail = n_err = 0
     failures: list[str] = []
     for name in names:
