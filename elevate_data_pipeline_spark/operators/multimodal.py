@@ -3,12 +3,14 @@
 Images / audio / video ride through the pipeline as ``binary`` columns
 with metadata structs; decode and feature extraction run as Arrow-batched
 ``mapInPandas`` stages. Decoders are REAL and dependency-free where the
-format allows: netpbm P5/P6, uncompressed 24-bit BMP, 8-bit RGB/gray PNG
-(stdlib zlib inflate + unfilter), baseline JPEG (full Huffman entropy
-decode + dequant + IDCT; gray, 4:4:4, and subsampled 4:2:0/4:2:2
-YCbCr), GIF (full LZW decompression), RIFF/WAVE PCM16, RIFF/AVI
-RGB24. The remaining codecs
-(progressive JPEG, WebP/AVIF, MP3/AAC, H.26x) raise a documented
+format allows: netpbm P5/P6, uncompressed 24-bit BMP, full still-image
+PNG (all five color types incl. palette/alpha, bit depths 1-16, Adam7
+interlacing — stdlib zlib inflate + unfilter), JPEG both baseline AND
+progressive SOF2 (full Huffman entropy decode incl. successive
+approximation / spectral selection + dequant + IDCT; gray, 4:4:4, and
+subsampled 4:2:0/4:2:2 YCbCr), GIF (full LZW decompression), RIFF/WAVE
+PCM16, RIFF/AVI RGB24. The remaining codecs
+(WebP/AVIF, MP3/AAC, H.26x, arithmetic-coded JPEG) raise a documented
 ``NotImplementedError`` —
 they need codec libraries this environment does not ship; a
 deterministic byte-level feature extractor stands in for a learned
@@ -87,12 +89,15 @@ def decode_image(payload: bytes) -> ImageData:
 
     - netpbm **P6** (binary RGB) and **P5** (binary grayscale);
     - **BMP** (BITMAPINFOHEADER, uncompressed 24-bit);
-    - **PNG** (8-bit RGB / grayscale, non-interlaced — stdlib ``zlib``
-      inflate + per-row unfilter, all five filter types);
-    - **JPEG** (baseline sequential DCT, 8-bit; grayscale, 4:4:4, and
-      subsampled 4:2:0 / 4:2:2 YCbCr — full Huffman entropy decode,
-      dequant, zigzag, IDCT, MCU de-interleave, nearest-neighbor chroma
-      upsampling; progressive / arithmetic variants raise);
+    - **PNG** (all still-image variants: gray / RGB / palette /
+      gray+alpha / RGBA, bit depths 1-16, interlace 0 and Adam7 —
+      stdlib ``zlib`` inflate + per-pass unfilter, all five filter
+      types);
+    - **JPEG** (baseline sequential AND progressive SOF2, 8-bit;
+      grayscale, 4:4:4, and subsampled 4:2:0 / 4:2:2 YCbCr — full
+      Huffman entropy decode incl. successive approximation and
+      spectral selection, dequant, zigzag, IDCT, MCU de-interleave,
+      nearest-neighbor chroma upsampling; arithmetic coding raises);
     - **GIF** (87a/89a — full LZW decompression with width escalation
       and clear-code resets, interlace de-interleave, palette mapping;
       first frame of animations).
@@ -114,9 +119,9 @@ def decode_image(payload: bytes) -> ImageData:
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
     raise NotImplementedError(
-        "only netpbm P5/P6, uncompressed 24-bit BMP, 8-bit RGB/gray PNG, "
-        "baseline JPEG, and GIF decode without codec libraries; got magic %r"
-        % payload[:2]
+        "only netpbm P5/P6, uncompressed 24-bit BMP, PNG (all still-image "
+        "variants), baseline+progressive JPEG, and GIF decode without codec "
+        "libraries; got magic %r" % payload[:2]
     )
 
 
@@ -264,19 +269,221 @@ def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> byt
     )
 
 
+def sample_sum(img: ImageData) -> int:
+    """Sum of decoded SAMPLE values — equals ``sum(img.pixels)`` for
+    8-bit-or-less images; for 16-bit images re-pairs the big-endian
+    bytes so the checksum covers full-precision values."""
+    if img.maxval == 65535:
+        p = img.pixels
+        return sum((p[i] << 8) | p[i + 1] for i in range(0, len(p), 2))
+    return sum(img.pixels)
+
+
+def encode_png_ext(
+    width: int,
+    height: int,
+    samples,
+    color_type: int = 2,
+    depth: int = 8,
+    interlace: int = 0,
+    palette=None,
+) -> bytes:
+    """Full-variant PNG writer for synthesizing test/oracle payloads:
+    any legal (color type, bit depth) combination, optional Adam7
+    interlacing, per-scanline filters cycling through all five types.
+    ``samples`` is the flat row-major list of integer sample values
+    (``width*height*spp`` entries, each < 2^depth); ``palette`` is the
+    list of (r, g, b) tuples for color type 3. The exact inverse of
+    :func:`_decode_png` over its full coverage."""
+    import struct
+    import zlib
+
+    if color_type not in _PNG_SPP or depth not in _PNG_DEPTHS[color_type]:
+        raise ValueError(f"illegal depth/color ({depth}/{color_type})")
+    if color_type == 3 and not palette:
+        raise ValueError("palette required for color type 3")
+    spp = _PNG_SPP[color_type]
+    need = width * height * spp
+    samples = list(samples[:need]) + [0] * max(0, need - len(samples))
+    maxs = (1 << depth) - 1
+    if any(not (0 <= v <= maxs) for v in samples):
+        raise ValueError(f"sample out of range for depth {depth}")
+    bpp = max(1, spp * depth // 8)
+
+    def pack_row(vals) -> bytearray:
+        if depth == 8:
+            return bytearray(vals)
+        if depth == 16:
+            out = bytearray()
+            for v in vals:
+                out += struct.pack(">H", v)
+            return out
+        out = bytearray(((len(vals) * depth) + 7) // 8)
+        for i, v in enumerate(vals):
+            shift = 8 - depth * (i % (8 // depth) + 1)
+            out[i // (8 // depth)] |= v << shift
+        return out
+
+    def filt(rows) -> bytearray:
+        raw = bytearray()
+        prev = bytearray(len(rows[0]) if rows else 0)
+        for r, row in enumerate(rows):
+            ft = r % 5
+            raw.append(ft)
+            n = len(row)
+            if ft == 0:
+                enc = bytes(row)
+            elif ft == 1:
+                enc = bytes(
+                    (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
+                    for i in range(n)
+                )
+            elif ft == 2:
+                enc = bytes((row[i] - prev[i]) & 0xFF for i in range(n))
+            elif ft == 3:
+                enc = bytes(
+                    (row[i] - ((row[i - bpp] if i >= bpp else 0) + prev[i]) // 2)
+                    & 0xFF
+                    for i in range(n)
+                )
+            else:
+                enc = bytes(
+                    (
+                        row[i]
+                        - _paeth(
+                            row[i - bpp] if i >= bpp else 0,
+                            prev[i],
+                            prev[i - bpp] if i >= bpp else 0,
+                        )
+                    )
+                    & 0xFF
+                    for i in range(n)
+                )
+            raw += enc
+            prev = row
+        return raw
+
+    passes = [(0, 0, 1, 1)] if interlace == 0 else list(_ADAM7)
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        rows = []
+        for r in range(ph):
+            y = y0 + r * dy
+            vals = []
+            for c in range(pw):
+                x = x0 + c * dx
+                base = (y * width + x) * spp
+                vals.extend(samples[base : base + spp])
+            rows.append(pack_row(vals))
+        raw += filt(rows)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, interlace)
+    parts = [PNG_SIG, chunk(b"IHDR", ihdr)]
+    if color_type == 3:
+        parts.append(chunk(b"PLTE", b"".join(bytes(p) for p in palette)))
+    parts.append(chunk(b"IDAT", zlib.compress(bytes(raw))))
+    parts.append(chunk(b"IEND", b""))
+    return b"".join(parts)
+
+
+# samples per pixel and legal bit depths per PNG color type (spec §11.2.2)
+_PNG_SPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+# Adam7 pass grid: (x_start, y_start, x_step, y_step), spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw, off: int, height: int, stride: int, bpp: int) -> bytearray:
+    """Undo per-scanline filtering for one (sub-)image of ``height`` rows
+    of ``stride`` bytes; ``bpp`` is the filter byte-offset (whole bytes
+    per pixel, min 1). Returns the concatenated unfiltered rows and
+    raises ValueError on an unknown filter type."""
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    for r in range(height):
+        ft = raw[off + r * (stride + 1)]
+        s = off + r * (stride + 1) + 1
+        line = bytearray(raw[s : s + stride])
+        if ft == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft} on row {r}")
+        out[r * stride : (r + 1) * stride] = line
+        prev = line
+    return out
+
+
+def _png_row_samples(line, width: int, spp: int, depth: int) -> list:
+    """Extract the ``width*spp`` integer samples of one unfiltered
+    scanline: MSB-first bit unpacking below 8 bits, big-endian pairs at
+    16 (spec §7.2)."""
+    n = width * spp
+    if depth == 8:
+        return list(line[:n])
+    if depth == 16:
+        return [(line[2 * i] << 8) | line[2 * i + 1] for i in range(n)]
+    vals = []
+    mask = (1 << depth) - 1
+    per_byte = 8 // depth
+    for i in range(n):
+        b = line[i // per_byte]
+        shift = 8 - depth * (i % per_byte + 1)
+        vals.append((b >> shift) & mask)
+    return vals
+
+
 def _decode_png(payload: bytes) -> ImageData:
     """PNG decode via stdlib only: chunk walk with CRC verification, IDAT
     concatenation + ``zlib`` inflate, per-scanline unfilter (None / Sub /
-    Up / Average / Paeth). Supports bit depth 8, color types 2 (RGB) and
-    0 (grayscale), non-interlaced — the common uncompressed-training-data
-    case; palette / alpha / 16-bit / Adam7 raise ``NotImplementedError``."""
+    Up / Average / Paeth with the correct whole-byte pixel offset).
+
+    Full still-image coverage: color types 0 (gray), 2 (RGB), 3
+    (palette -> expanded to RGB), 4 (gray+alpha), 6 (RGBA); bit depths
+    1/2/4/8/16 as the spec allows per type; interlace 0 and Adam7. Output
+    conventions: palette images expand to 8-bit RGB (channels=3,
+    maxval=255); 16-bit images keep full precision as big-endian sample
+    pairs with maxval=65535; sub-8-bit grayscale keeps raw sample values
+    with maxval=2^depth-1 (no scaling — checksum oracles replay exact
+    sample sums). Ancillary chunks are skipped (still CRC-verified).
+    Reference semantics: multimodal feature extraction over binary
+    columns; cf. reference test corpus image handling."""
     import struct
     import zlib
 
     if len(payload) < 8 + 25:
         raise ValueError("truncated PNG")
     pos = 8
-    width = height = channels = None
+    width = height = depth = color = interlace = None
+    palette = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         (clen,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -291,15 +498,18 @@ def _decode_png(payload: bytes) -> ImageData:
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8 or color not in (0, 2):
-                raise NotImplementedError(
-                    f"only 8-bit gray/RGB PNG decodes here (depth={depth} color={color})"
+            if color not in _PNG_SPP or depth not in _PNG_DEPTHS[color]:
+                raise ValueError(
+                    f"illegal PNG depth/color combination ({depth}/{color})"
                 )
-            if interlace != 0:
-                raise NotImplementedError("Adam7 interlacing not supported")
             if comp != 0 or filt != 0:
                 raise ValueError(f"bad PNG header (comp={comp} filter={filt})")
-            channels = 3 if color == 2 else 1
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace method {interlace}")
+        elif ctype == b"PLTE":
+            if clen % 3 != 0 or clen == 0:
+                raise ValueError("bad PLTE length")
+            palette = [tuple(body[i : i + 3]) for i in range(0, clen, 3)]
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -307,40 +517,63 @@ def _decode_png(payload: bytes) -> ImageData:
         pos += 12 + clen
     if width is None or not idat:
         raise ValueError("missing IHDR/IDAT")
+    if color == 3 and palette is None:
+        raise ValueError("palette PNG without PLTE")
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt IDAT stream: {exc}") from exc
-    stride = width * channels
-    if len(raw) != (stride + 1) * height:
-        raise ValueError(
-            f"inflated size {len(raw)} != expected {(stride + 1) * height}"
-        )
-    out = bytearray(stride * height)
-    prev = bytearray(stride)
-    for r in range(height):
-        ft = raw[r * (stride + 1)]
-        line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
-        if ft == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
-        elif ft == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ft == 3:  # Average
-            for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
-                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
-        elif ft == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
-                ul = prev[i - channels] if i >= channels else 0
-                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
-        elif ft != 0:
-            raise ValueError(f"bad PNG filter type {ft} on row {r}")
-        out[r * stride : (r + 1) * stride] = line
-        prev = line
-    return ImageData(width, height, channels, 255, bytes(out))
+
+    spp = _PNG_SPP[color]
+    bpp = max(1, spp * depth // 8)
+
+    def pass_stride(w: int) -> int:
+        return (w * spp * depth + 7) // 8
+
+    samples = [0] * (width * height * spp)
+    if interlace == 0:
+        passes = [(0, 0, 1, 1)]
+    else:
+        passes = list(_ADAM7)
+    expect = 0
+    dims = []
+    for x0, y0, dx, dy in passes:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        dims.append((pw, ph))
+        if pw > 0 and ph > 0:
+            expect += (pass_stride(pw) + 1) * ph
+    if len(raw) != expect:
+        raise ValueError(f"inflated size {len(raw)} != expected {expect}")
+    off = 0
+    for (x0, y0, dx, dy), (pw, ph) in zip(passes, dims):
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pass_stride(pw)
+        sub = _png_unfilter(raw, off, ph, stride, bpp)
+        off += (stride + 1) * ph
+        for r in range(ph):
+            vals = _png_row_samples(sub[r * stride : (r + 1) * stride], pw, spp, depth)
+            y = y0 + r * dy
+            for c in range(pw):
+                x = x0 + c * dx
+                base = (y * width + x) * spp
+                samples[base : base + spp] = vals[c * spp : (c + 1) * spp]
+
+    if color == 3:
+        out = bytearray()
+        for idx in samples:
+            if idx >= len(palette):
+                raise ValueError(f"palette index {idx} out of range")
+            out += bytes(palette[idx])
+        return ImageData(width, height, 3, 255, bytes(out))
+    if depth == 16:
+        out = bytearray(len(samples) * 2)
+        for i, v in enumerate(samples):
+            out[2 * i] = v >> 8
+            out[2 * i + 1] = v & 0xFF
+        return ImageData(width, height, spp, 65535, bytes(out))
+    return ImageData(width, height, spp, (1 << depth) - 1, bytes(samples))
 
 
 # ---------------------------------------------------------------------------
@@ -469,12 +702,17 @@ class _BitReader:
         self._n -= 1
         return (self._acc >> self._n) & 1
 
-    def receive_extend(self, t: int) -> int:
-        if t == 0:
-            return 0
+    def receive(self, t: int) -> int:
+        """Raw ``t``-bit big-endian read (EOB-run lengths, refinements)."""
         v = 0
         for _ in range(t):
             v = (v << 1) | self.bit()
+        return v
+
+    def receive_extend(self, t: int) -> int:
+        if t == 0:
+            return 0
+        v = self.receive(t)
         return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
     def huff(self, table) -> int:
@@ -627,28 +865,468 @@ def encode_jpeg_gray_dc(block_values: list, blocks_per_row: int, quant: int = 8)
     return encode_jpeg_blocks(blocks_per_row * 8, rows * 8, [blocks], quant)
 
 
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    comp_blocks: list,
+    quant: int = 8,
+    sampling: list | None = None,
+    dc_al: int = 1,
+    ac_al: int = 1,
+) -> bytes:
+    """Coefficient-level PROGRESSIVE JPEG writer (SOF2, Huffman): the
+    synthesis twin of :func:`_decode_jpeg`'s progressive path, with a
+    real scan script —
+
+    1. interleaved DC-first scan at successive-approximation ``Al=dc_al``
+       (point transform = arithmetic shift, T.81 G.1.2.1);
+    2. DC refinement scans down to Al=0 (one raw bit per block);
+    3. per-component AC-first scans (Ss=1..63) at ``Al=ac_al`` with
+       per-block EOB and ZRL runs;
+    4. per-component AC refinement scans emitting newly-significant
+       coefficients plus the positional correction bits for
+       already-significant ones (magnitude model, G.1.2.3).
+
+    ``comp_blocks`` has the same shape as :func:`encode_jpeg_blocks`
+    (QUANTIZED coefficients, raster blocks over each component's padded
+    plane). Inputs/limits mirror the baseline writer."""
+    import struct
+
+    n_comp = len(comp_blocks)
+    if n_comp not in (1, 3):
+        raise ValueError("1 (gray) or 3 (YCbCr) components")
+    sampling = sampling or [(1, 1)] * n_comp
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    qt = bytes([quant] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qt
+    sof = struct.pack(">BHHB", 8, height, width, n_comp)
+    for c in range(n_comp):
+        h, v = sampling[c]
+        sof += bytes([c + 1, (h << 4) | v, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    tables = [(0x00, _DC_LUM), (0x10, _AC_LUM)]
+    if n_comp == 3:
+        tables += [(0x01, _DC_CHR), (0x11, _AC_CHR)]
+    for tc, (bits, vals) in tables:
+        body = bytes([tc]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    enc = [
+        (
+            _huff_codes(*(_DC_LUM if c == 0 else _DC_CHR)),
+            _huff_codes(*(_AC_LUM if c == 0 else _AC_CHR)),
+        )
+        for c in range(n_comp)
+    ]
+
+    def sos(scan_comps: list, Ss: int, Se: int, Ah: int, Al: int, data: bytes) -> None:
+        nonlocal out
+        body = bytes([len(scan_comps)])
+        for c in scan_comps:
+            body += bytes([c + 1, (0x00 if c == 0 else 0x11)])
+        body += bytes([Ss, Se, (Ah << 4) | Al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body + data
+
+    def zz_of(c: int, b: int) -> list:
+        blk = comp_blocks[c][b]
+        return [blk[_ZIGZAG[i]] for i in range(64)]
+
+    def mcu_blocks(c: int):
+        """Block indices of component c in interleaved MCU order."""
+        h, v = sampling[c]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(v):
+                    for bx in range(h):
+                        yield (my * v + by) * (mcux * h) + (mx * h + bx)
+
+    def comp_band_blocks(c: int):
+        """Non-padded block indices of component c, raster order (the
+        non-interleaved scan order of T.81 A.2.2)."""
+        h, v = sampling[c]
+        cw = -(-width * h // hmax)
+        ch = -(-height * v // vmax)
+        nbw, nbh = -(-cw // 8), -(-ch // 8)
+        for by in range(nbh):
+            for bx in range(nbw):
+                yield by * (mcux * h) + bx
+
+    def put_mag(w: _BitWriter, table, run: int, val: int) -> None:
+        s = abs(val).bit_length()
+        code, ln = table[(run << 4) | s]
+        w.put(code, ln)
+        w.put(val if val >= 0 else val + (1 << s) - 1, s)
+
+    # --- scan 1: interleaved DC first, Al=dc_al -------------------------
+    w = _BitWriter()
+    pred = [0] * n_comp
+    if n_comp == 1:
+        order = [(0, b) for b in mcu_blocks(0)]
+    else:
+        order = []
+        per = [mcu_blocks(c) for c in range(n_comp)]
+        for _my in range(mcuy):
+            for _mx in range(mcux):
+                for c in range(n_comp):
+                    h, v = sampling[c]
+                    for _ in range(h * v):
+                        order.append((c, next(per[c])))
+    for c, b in order:
+        dc = zz_of(c, b)[0] >> dc_al  # arithmetic shift: DC two's-complement
+        diff = dc - pred[c]
+        pred[c] = dc
+        t = abs(diff).bit_length()
+        code, ln = enc[c][0][t]
+        w.put(code, ln)
+        if t:
+            w.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    w.flush()
+    sos(list(range(n_comp)), 0, 0, 0, dc_al, bytes(w.out))
+
+    # --- DC refinement scans down to Al=0 ------------------------------
+    for al in range(dc_al - 1, -1, -1):
+        w = _BitWriter()
+        for c, b in order:
+            w.put((zz_of(c, b)[0] >> al) & 1, 1)
+        w.flush()
+        sos(list(range(n_comp)), 0, 0, al + 1, al, bytes(w.out))
+
+    # --- per-component AC first at Al=ac_al ----------------------------
+    for c in range(n_comp):
+        w = _BitWriter()
+        for b in comp_band_blocks(c):
+            zz = zz_of(c, b)
+            vals = [
+                (1 if zz[k] >= 0 else -1) * (abs(zz[k]) >> ac_al)
+                for k in range(64)
+            ]
+            last = max((k for k in range(1, 64) if vals[k]), default=0)
+            run = 0
+            for k in range(1, last + 1):
+                if vals[k] == 0:
+                    run += 1
+                    if run == 16:
+                        code, ln = enc[c][1][0xF0]
+                        w.put(code, ln)
+                        run = 0
+                    continue
+                put_mag(w, enc[c][1], run, vals[k])
+                run = 0
+            if last < 63:
+                code, ln = enc[c][1][0x00]  # per-block EOB
+                w.put(code, ln)
+        w.flush()
+        sos([c], 1, 63, 0, ac_al, bytes(w.out))
+
+    # --- per-component AC refinement scans down to Al=0 ----------------
+    for al in range(ac_al - 1, -1, -1):
+        ah = al + 1
+        for c in range(n_comp):
+            w = _BitWriter()
+            for b in comp_band_blocks(c):
+                zz = zz_of(c, b)
+                k = 1
+                while k <= 63:
+                    run = 0
+                    corr: list[int] = []
+                    kk = None
+                    j = k
+                    pos = k  # the decoder's position after the last symbol
+                    while j <= 63:
+                        mag = abs(zz[j])
+                        if mag >> ah:  # already significant: correction bit
+                            corr.append((mag >> al) & 1)
+                        elif (mag >> al) & 1:  # newly significant here
+                            kk = j
+                            break
+                        else:
+                            run += 1
+                            if run == 16:
+                                code, ln = enc[c][1][0xF0]  # ZRL
+                                w.put(code, ln)
+                                for bit in corr:
+                                    w.put(bit, 1)
+                                run = 0
+                                corr = []
+                                pos = j + 1
+                        j += 1
+                    if kk is None:
+                        # the decoder reads an EOB only if its position
+                        # is still inside the band (a ZRL whose 16th zero
+                        # lands on Se ends the block with no EOB symbol)
+                        if pos <= 63:
+                            code, ln = enc[c][1][0x00]  # EOB (incl. this block)
+                            w.put(code, ln)
+                            for bit in corr:
+                                w.put(bit, 1)
+                        break
+                    code, ln = enc[c][1][(run << 4) | 1]
+                    w.put(code, ln)
+                    w.put(1 if zz[kk] > 0 else 0, 1)
+                    for bit in corr:
+                        w.put(bit, 1)
+                    k = kk + 1
+            w.flush()
+            sos([c], 1, 63, ah, al, bytes(w.out))
+
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_gray_dc_progressive(
+    block_values: list, blocks_per_row: int, quant: int = 8
+) -> bytes:
+    """Progressive twin of :func:`encode_jpeg_gray_dc`: DC-only
+    grayscale SOF2 payload with a DC-first (Al=1) + DC-refine + AC-first
+    + AC-refine scan script. With ``quant=8`` the decode round-trip is
+    exact per pixel, so the same closed-form checksum oracle gates the
+    progressive decode path end to end."""
+    rows = -(-len(block_values) // blocks_per_row)
+    blocks = []
+    for i in range(rows * blocks_per_row):
+        v = block_values[i] if i < len(block_values) else 0
+        dc = (8 * (v - 128)) // quant
+        blocks.append([dc] + [0] * 63)
+    return encode_jpeg_progressive(
+        blocks_per_row * 8, rows * 8, [blocks], quant
+    )
+
+
 def _decode_jpeg(payload: bytes) -> ImageData:
-    """Baseline sequential JPEG decode, stdlib only: marker walk, DQT /
-    DHT / SOF0 / SOS parse, Huffman entropy decode with byte-unstuffing
-    and restart-marker handling, dequantize, de-zigzag, IDCT, level
-    shift; YCbCr -> RGB (JFIF) for 3-component 4:4:4. Progressive
-    (SOF2), arithmetic coding, 12-bit, and subsampled chroma raise
-    ``NotImplementedError``; malformed streams raise ``ValueError``."""
+    """JPEG decode, stdlib only — baseline sequential (SOF0/1) AND
+    progressive (SOF2, Huffman): marker walk, DQT/DHT/SOF/DRI/SOS parse,
+    then per-scan entropy decode ACCUMULATING quantized coefficients
+    (T.81 §G: DC-first/DC-refine via successive approximation, AC-first
+    with EOB-run spans, AC-refine with correction bits), and one final
+    dequantize + de-zigzag + IDCT + level shift per block; YCbCr -> RGB
+    (JFIF), 4:4:4 / 4:2:0 / 4:2:2 chroma with nearest-neighbor
+    upsampling. For a single-scan baseline file the coefficient values
+    are identical to inline decoding, so this path is bit-equal to the
+    previous baseline-only decoder. Arithmetic coding, 12-bit precision,
+    lossless/hierarchical modes raise ``NotImplementedError``; malformed
+    streams raise ``ValueError``."""
     import struct
 
     pos = 2
     qtabs: dict[int, list] = {}
     htabs: dict[tuple, dict] = {}
-    comps = None
+    comps: list | None = None
     width = height = None
     restart_interval = 0
-    scan = None
-    while pos + 4 <= len(payload):
+    progressive = False
+    hmax = vmax = mcux = mcuy = 0
+    # per component: padded block grid (bw x bh), non-padded (nbw x nbh),
+    # and the accumulated zigzag-order coefficient blocks
+    coefs: list = []
+    geom: list = []
+    saw_scan = False
+
+    def setup_geometry() -> None:
+        nonlocal hmax, vmax, mcux, mcuy
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        if any(hmax % c["h"] or vmax % c["v"] for c in comps):
+            raise NotImplementedError("non-integer chroma sampling ratio")
+        mcux = -(-width // (8 * hmax))
+        mcuy = -(-height // (8 * vmax))
+        for c in comps:
+            bw, bh = mcux * c["h"], mcuy * c["v"]
+            cw = -(-width * c["h"] // hmax)
+            ch = -(-height * c["v"] // vmax)
+            geom.append((bw, bh, -(-cw // 8), -(-ch // 8)))
+            coefs.append([[0] * 64 for _ in range(bw * bh)])
+
+    def decode_scan(scan, Ss, Se, Ah, Al, start: int) -> int:
+        """Entropy-decode one scan starting at byte ``start``; returns
+        the byte offset of the next marker."""
+        r = _BitReader(payload, start)
+        interleaved = len(scan) > 1
+        pred = [0] * len(scan)
+        state = {"eobrun": 0}
+
+        def check_tables(sc, need_dc: bool, need_ac: bool):
+            dc_tab = htabs.get((0, sc["td"])) if need_dc else None
+            ac_tab = htabs.get((1, sc["ta"])) if need_ac else None
+            if (need_dc and dc_tab is None) or (need_ac and ac_tab is None):
+                raise ValueError("scan references missing tables")
+            return dc_tab, ac_tab
+
+        def block_baseline(si, sc, blk) -> None:
+            dc_tab, ac_tab = check_tables(sc, True, True)
+            t = r.huff(dc_tab)
+            pred[si] += r.receive_extend(t)
+            blk[0] = pred[si]
+            i = 1
+            while i < 64:
+                rs = r.huff(ac_tab)
+                run, size = rs >> 4, rs & 0xF
+                if size == 0:
+                    if run == 15:
+                        i += 16  # ZRL
+                        continue
+                    break  # EOB
+                i += run
+                if i > 63:
+                    raise ValueError("AC run past block end")
+                blk[i] = r.receive_extend(size)
+                i += 1
+
+        def block_dc(si, sc, blk) -> None:
+            if Ah == 0:
+                dc_tab, _ = check_tables(sc, True, False)
+                t = r.huff(dc_tab)
+                pred[si] += r.receive_extend(t)
+                blk[0] = pred[si] << Al
+            else:
+                blk[0] |= r.bit() << Al
+
+        def block_ac_first(sc, blk) -> None:
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                return
+            _, ac_tab = check_tables(sc, False, True)
+            k = Ss
+            while k <= Se:
+                rs = r.huff(ac_tab)
+                run, size = rs >> 4, rs & 0xF
+                if size == 0:
+                    if run < 15:
+                        state["eobrun"] = (1 << run) - 1
+                        if run:
+                            state["eobrun"] += r.receive(run)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > Se:
+                    raise ValueError("AC run past band end")
+                blk[k] = r.receive_extend(size) << Al
+                k += 1
+
+        def block_ac_refine(sc, blk) -> None:
+            # T.81 G.1.2.3 correction-bit decoding (the libjpeg-style
+            # control flow every Huffman progressive decoder implements)
+            p1, m1 = 1 << Al, -1 << Al
+
+            def correct(k: int) -> None:
+                if r.bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+
+            k = Ss
+            if state["eobrun"] == 0:
+                _, ac_tab = check_tables(sc, False, True)
+                while k <= Se:
+                    rs = r.huff(ac_tab)
+                    run, size = rs >> 4, rs & 0xF
+                    newval = 0
+                    if size == 0:
+                        if run < 15:
+                            # NOTE: unlike AC-first, the refine EOB run
+                            # INCLUDES the current block — its remaining
+                            # correction bits are read below
+                            state["eobrun"] = 1 << run
+                            if run:
+                                state["eobrun"] += r.receive(run)
+                            break
+                        # run == 15: skip 16 zero-history coefficients
+                    else:
+                        if size != 1:
+                            raise ValueError("bad size in AC refinement")
+                        newval = p1 if r.bit() else m1
+                    while k <= Se:
+                        if blk[k] != 0:
+                            correct(k)
+                        else:
+                            if run == 0:
+                                break
+                            run -= 1
+                        k += 1
+                    if newval and k <= Se:
+                        blk[k] = newval
+                    k += 1
+            if state["eobrun"] > 0:
+                while k <= Se:
+                    if blk[k] != 0:
+                        correct(k)
+                    k += 1
+                state["eobrun"] -= 1
+
+        def decode_unit(unit: int) -> None:
+            if interleaved:
+                my, mx = divmod(unit, mcux)
+                for si, sc in enumerate(scan):
+                    c = sc["comp"]
+                    ci = comps.index(c)
+                    bw = geom[ci][0]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            b = (my * c["v"] + by) * bw + (mx * c["h"] + bx)
+                            blk = coefs[ci][b]
+                            if not progressive:
+                                block_baseline(si, sc, blk)
+                            else:
+                                if Ss != 0:
+                                    raise ValueError(
+                                        "interleaved progressive AC scan"
+                                    )
+                                block_dc(si, sc, blk)
+            else:
+                sc = scan[0]
+                c = sc["comp"]
+                ci = comps.index(c)
+                bw, _, nbw, _ = geom[ci]
+                by, bx = divmod(unit, nbw)
+                blk = coefs[ci][by * bw + bx]
+                if not progressive:
+                    block_baseline(0, sc, blk)
+                elif Ss == 0:
+                    block_dc(0, sc, blk)
+                elif Ah == 0:
+                    block_ac_first(sc, blk)
+                else:
+                    block_ac_refine(sc, blk)
+
+        if interleaved:
+            n_units = mcux * mcuy
+        else:
+            ci = comps.index(scan[0]["comp"])
+            n_units = geom[ci][2] * geom[ci][3]
+        for unit in range(n_units):
+            if restart_interval and unit and unit % restart_interval == 0:
+                r._n = 0  # byte-align
+                if (
+                    r.pos + 2 <= len(r.buf)
+                    and r.buf[r.pos] == 0xFF
+                    and 0xD0 <= r.buf[r.pos + 1] <= 0xD7
+                ):
+                    r.pos += 2
+                    pred[:] = [0] * len(scan)
+                    state["eobrun"] = 0
+                else:
+                    raise ValueError("missing restart marker")
+            decode_unit(unit)
+        # skip any padding bits, then find the next marker
+        p = r.pos
+        while p + 1 < len(payload):
+            if payload[p] == 0xFF and payload[p + 1] not in (0x00,) and not (
+                0xD0 <= payload[p + 1] <= 0xD7
+            ):
+                return p
+            p += 1
+        return len(payload)
+
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG")
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT
@@ -668,7 +1346,8 @@ def _decode_jpeg(payload: bytes) -> ImageData:
                 vals = list(body[p + 17 : p + 17 + n])
                 htabs[(tc, th)] = _huff_decode_table(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (seq) / SOF2 (progressive)
+            progressive = marker == 0xC2
             prec, height, width, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -681,93 +1360,59 @@ def _decode_jpeg(payload: bytes) -> ImageData:
                         f"sampling factors {h}x{v} unsupported (1-2 only)"
                     )
                 comps.append({"id": cid, "tq": tq, "h": h, "v": v})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline sequential JPEG supported")
+            setup_geometry()
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "lossless / hierarchical / arithmetic JPEG unsupported"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
+            if comps is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
             scan = []
             for c in range(ns):
                 cs, tt = body[1 + 2 * c : 3 + 2 * c]
-                comp = next((x for x in comps or [] if x["id"] == cs), None)
+                comp = next((x for x in comps if x["id"] == cs), None)
                 if comp is None:
                     raise ValueError("SOS references unknown component")
                 scan.append({"comp": comp, "td": tt >> 4, "ta": tt & 0xF})
-            pos = pos + 2 + seglen
-            break
+            Ss, Se, aa = body[1 + 2 * ns : 4 + 2 * ns]
+            Ah, Al = aa >> 4, aa & 0xF
+            if not progressive and (Ss, Se, Ah, Al) != (0, 63, 0, 0):
+                raise ValueError("bad spectral selection in sequential scan")
+            saw_scan = True
+            pos = decode_scan(scan, Ss, Se, Ah, Al, pos + 2 + seglen)
+            continue
         pos += 2 + seglen
-    if comps is None or scan is None or width is None:
+    if comps is None or not saw_scan or width is None:
         raise ValueError("missing SOF/SOS in JPEG")
 
-    r = _BitReader(payload, pos)
-    n_comp = len(scan)
-    hs = [sc["comp"]["h"] for sc in scan]
-    vs = [sc["comp"]["v"] for sc in scan]
-    hmax, vmax = max(hs), max(vs)
-    if any(hmax % h or vmax % v for h, v in zip(hs, vs)):
-        raise NotImplementedError("non-integer chroma sampling ratio")
-    mcux = -(-width // (8 * hmax))
-    mcuy = -(-height // (8 * vmax))
+    # dequantize + de-zigzag + IDCT + level shift, one pass per block
+    n_comp = len(comps)
+    hs = [c["h"] for c in comps]
+    vs = [c["v"] for c in comps]
     strides = [mcux * h * 8 for h in hs]
-    planes = [
-        bytearray(strides[i] * mcuy * vs[i] * 8) for i in range(n_comp)
-    ]
-    pred = [0] * n_comp
-    mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                r._n = 0  # byte-align
-                if (
-                    r.pos + 2 <= len(r.buf)
-                    and r.buf[r.pos] == 0xFF
-                    and 0xD0 <= r.buf[r.pos + 1] <= 0xD7
-                ):
-                    r.pos += 2
-                    pred = [0] * n_comp
-                else:
-                    raise ValueError("missing restart marker")
-            mcu += 1
-            for ci, sc in enumerate(scan):
-                dc_tab = htabs.get((0, sc["td"]))
-                ac_tab = htabs.get((1, sc["ta"]))
-                q = qtabs.get(sc["comp"]["tq"])
-                if dc_tab is None or ac_tab is None or q is None:
-                    raise ValueError("scan references missing tables")
-                for by in range(vs[ci]):
-                    for bx in range(hs[ci]):
-                        zz = [0] * 64
-                        t = r.huff(dc_tab)
-                        pred[ci] += r.receive_extend(t)
-                        zz[0] = pred[ci] * q[0]
-                        i = 1
-                        while i < 64:
-                            rs = r.huff(ac_tab)
-                            run, size = rs >> 4, rs & 0xF
-                            if size == 0:
-                                if run == 15:
-                                    i += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            i += run
-                            if i > 63:
-                                raise ValueError("AC run past block end")
-                            zz[i] = r.receive_extend(size) * q[i]
-                            i += 1
-                        coef = [0] * 64
-                        for k in range(64):
-                            coef[_ZIGZAG[k]] = zz[k]
-                        px = _idct_block(coef)
-                        plane = planes[ci]
-                        stride = strides[ci]
-                        oy = (my * vs[ci] + by) * 8
-                        ox = (mx * hs[ci] + bx) * 8
-                        for yy in range(8):
-                            row = (oy + yy) * stride + ox
-                            for xx in range(8):
-                                v = int(round(px[yy * 8 + xx])) + 128
-                                plane[row + xx] = 0 if v < 0 else (255 if v > 255 else v)
+    planes = [bytearray(strides[i] * mcuy * vs[i] * 8) for i in range(n_comp)]
+    for ci, c in enumerate(comps):
+        q = qtabs.get(c["tq"])
+        if q is None:
+            raise ValueError("component references missing quant table")
+        bw, bh = geom[ci][0], geom[ci][1]
+        plane, stride = planes[ci], strides[ci]
+        for b, zz in enumerate(coefs[ci]):
+            coef = [0] * 64
+            for k in range(64):
+                if zz[k]:
+                    coef[_ZIGZAG[k]] = zz[k] * q[k]
+            px = _idct_block(coef)
+            oy, ox = (b // bw) * 8, (b % bw) * 8
+            for yy in range(8):
+                row = (oy + yy) * stride + ox
+                for xx in range(8):
+                    v = int(round(px[yy * 8 + xx])) + 128
+                    plane[row + xx] = 0 if v < 0 else (255 if v > 255 else v)
 
     def sample(ci: int, x: int, y: int) -> int:
         """Component sample at full-resolution pixel (x, y): integer-

@@ -1729,6 +1729,149 @@ def multimodal_jpeg_decode(spark, sf_dir):
 
 
 @query(
+    "multimodal_png_variants",
+    """
+    WITH b AS (
+      SELECT doc_id, doc_id % 4 AS v,
+             octet_length(encode(text)) AS total,
+             greatest(1, least(16, octet_length(encode(text)) // 8)) AS w,
+             [ascii(substr(text, x, 1)) for x in range(1, 1 + len(text))] AS codes
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, v, w, codes,
+             CAST(least(total,
+               w * 4 * (CASE v WHEN 0 THEN 1 WHEN 1 THEN 4
+                               WHEN 2 THEN 1 ELSE 2 END)) AS INT) AS used
+      FROM b
+    )
+    SELECT doc_id AS doc_id,
+           CAST(w AS INT) AS width, 4 AS height,
+           CAST(CASE v WHEN 0 THEN 3 WHEN 1 THEN 4
+                       WHEN 2 THEN 1 ELSE 2 END AS INT) AS channels,
+           CAST(CASE WHEN v = 2 THEN 65535 ELSE 255 END AS INT) AS maxval,
+           CAST(CASE v
+             WHEN 0 THEN 255 * w * 4
+                  + 7 * coalesce(list_sum([c % 16 for c in codes[1:used]]), 0)
+             WHEN 2 THEN 257 * coalesce(list_sum(codes[1:used]), 0)
+             ELSE coalesce(list_sum(codes[1:used]), 0)
+           END AS BIGINT) AS checksum
+    FROM d
+    """,
+)
+def multimodal_png_variants(spark, sf_dir):
+    """REAL decode of the PNG variants a live crawl actually contains —
+    palette (4-bit, PLTE expansion to RGB), RGBA with Adam7 interlacing,
+    16-bit grayscale (full-precision big-endian samples), and
+    gray+alpha with Adam7 — per document, variant chosen by doc_id % 4.
+    Every payload is synthesized from the document text with
+    ``encode_png_ext`` and decoded with ``_decode_png``'s single generic
+    path (chunk walk + CRC, inflate, per-pass unfilter with the correct
+    byte offset, bit unpacking, palette mapping, Adam7 reassembly);
+    the palette is (17i, 255-17i, 7i) so the expanded-RGB checksum is
+    the closed form 255*npix + 7*sum(index) the oracle replays. Exact
+    sample-sum gate on all four variants. One narrow scan, no shuffle —
+    embarrassingly parallel, the 100 TB shape."""
+    from collections.abc import Iterator
+
+    pal16 = [(17 * i, 255 - 17 * i, 7 * i) for i in range(16)]
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                w = max(1, min(16, len(data) // 8))
+                v = int(doc_id) % 4
+                if v == 0:
+                    payload = multimodal.encode_png_ext(
+                        w, 4, [b % 16 for b in data[: w * 4]],
+                        color_type=3, depth=4, palette=pal16,
+                    )
+                elif v == 1:
+                    payload = multimodal.encode_png_ext(
+                        w, 4, list(data[: w * 16]), color_type=6, interlace=1
+                    )
+                elif v == 2:
+                    payload = multimodal.encode_png_ext(
+                        w, 4, [b * 257 for b in data[: w * 4]],
+                        color_type=0, depth=16,
+                    )
+                else:
+                    payload = multimodal.encode_png_ext(
+                        w, 4, list(data[: w * 8]), color_type=4, interlace=1
+                    )
+                img = multimodal.decode_image(payload)
+                rows.append(
+                    (doc_id, img.width, img.height, img.channels, img.maxval,
+                     multimodal.sample_sum(img))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "channels", "maxval", "checksum"],
+            )
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    return docs.mapInPandas(run, _DECODE_SCHEMA)
+
+
+@query(
+    "multimodal_jpeg_progressive",
+    """
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS total,
+             greatest(1, least(24, octet_length(encode(text)) // 8)) AS nblk,
+             [ascii(substr(text, x, 1)) for x in range(1, 1 + len(text))] AS codes
+      FROM documents
+    )
+    SELECT doc_id AS doc_id, CAST(nblk * 8 AS INT) AS width, 8 AS height,
+           1 AS channels, 255 AS maxval,
+           CAST(64 * coalesce(list_sum(codes[1:CAST(least(total, nblk) AS INT)]), 0)
+                AS BIGINT) AS checksum
+    FROM b
+    """,
+)
+def multimodal_jpeg_progressive(spark, sf_dir):
+    """REAL progressive JPEG decode (SOF2, stdlib only) — the most
+    common JPEG flavor on the web: the same DC-only payloads as
+    ``multimodal_jpeg_decode``, but entropy-coded as a four-scan
+    progressive script (DC first at Al=1, DC refinement bit-plane,
+    AC-first spectral band, AC refinement with EOB-run correction
+    bits); ``operators/multimodal._decode_jpeg`` accumulates
+    coefficients across the scans (T.81 §G successive approximation +
+    spectral selection) and runs one final dequant/zigzag/IDCT. DC-only
+    blocks keep the decode exact, so the checksum oracle is the same
+    closed form as the baseline query — a full correctness gate on the
+    progressive path. One narrow scan, no shuffle: embarrassingly
+    parallel, the 100 TB shape."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                n = max(1, min(24, len(data) // 8))
+                vals = list(data[:n]) or [0]
+                img = multimodal.decode_image(
+                    multimodal.encode_jpeg_gray_dc_progressive(
+                        vals, blocks_per_row=n
+                    )
+                )
+                rows.append(
+                    (doc_id, img.width, img.height, img.channels, img.maxval,
+                     sum(img.pixels))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "channels", "maxval", "checksum"],
+            )
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    return docs.mapInPandas(run, _DECODE_SCHEMA)
+
+
+@query(
     "multimodal_gif_decode",
     """
     WITH b AS (

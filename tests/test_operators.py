@@ -199,13 +199,71 @@ def test_png_rejects_corruption_and_unsupported():
         multimodal.decode_image(flipped)
     with pytest.raises(ValueError):  # truncated
         multimodal.decode_image(payload[:20])
-    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)  # 16-bit palette
     ch = (
-        struct.pack(">I", len(ihdr16)) + b"IHDR" + ihdr16
-        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr16) & 0xFFFFFFFF)
+        struct.pack(">I", len(bad)) + b"IHDR" + bad
+        + struct.pack(">I", zlib.crc32(b"IHDR" + bad) & 0xFFFFFFFF)
     )
-    with pytest.raises(NotImplementedError):  # 16-bit depth
+    with pytest.raises(ValueError):  # illegal depth/color combination
         multimodal.decode_image(multimodal.PNG_SIG + ch)
+
+
+def test_png_variants_roundtrip_exact():
+    """encode_png_ext <-> _decode_png over every legal (color, depth,
+    interlace) combination, random samples, odd sizes that stress the
+    Adam7 pass geometry and sub-byte bit packing."""
+    import random
+
+    rnd = random.Random(13)
+    for color in (0, 2, 3, 4, 6):
+        for depth in multimodal._PNG_DEPTHS[color]:
+            for interlace in (0, 1):
+                for (w, h) in ((1, 1), (3, 2), (7, 5), (13, 3)):
+                    spp = multimodal._PNG_SPP[color]
+                    maxs = (1 << depth) - 1
+                    samples = [rnd.randint(0, maxs) for _ in range(w * h * spp)]
+                    pal = (
+                        [(rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+                         for _ in range(maxs + 1)]
+                        if color == 3 else None
+                    )
+                    payload = multimodal.encode_png_ext(
+                        w, h, samples, color, depth, interlace, pal
+                    )
+                    img = multimodal._decode_png(payload)
+                    assert (img.width, img.height) == (w, h)
+                    if color == 3:
+                        assert (img.channels, img.maxval) == (3, 255)
+                        assert img.pixels == b"".join(bytes(pal[s]) for s in samples)
+                    elif depth == 16:
+                        assert (img.channels, img.maxval) == (spp, 65535)
+                        got = [
+                            (img.pixels[i] << 8) | img.pixels[i + 1]
+                            for i in range(0, len(img.pixels), 2)
+                        ]
+                        assert got == samples
+                        assert multimodal.sample_sum(img) == sum(samples)
+                    else:
+                        assert (img.channels, img.maxval) == (spp, maxs)
+                        assert list(img.pixels) == samples
+
+
+def test_png_palette_index_out_of_range():
+    payload = multimodal.encode_png_ext(
+        2, 1, [0, 3], color_type=3, depth=2,
+        palette=[(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)],
+    )
+    multimodal._decode_png(payload)  # 4-entry palette: fine
+    short = multimodal.encode_png_ext(
+        2, 1, [0, 1], color_type=3, depth=2, palette=[(1, 2, 3), (4, 5, 6)]
+    )
+    # hand-shrink: re-encode with an index beyond the palette
+    bad = multimodal.encode_png_ext(
+        2, 1, [0, 3], color_type=3, depth=2, palette=[(1, 2, 3), (4, 5, 6)]
+    )
+    with pytest.raises(ValueError):
+        multimodal._decode_png(bad)
+    assert short  # silence lint: legal payload built fine
 
 
 def test_resize_nearest_neighbor():
@@ -1487,11 +1545,93 @@ def test_jpeg_color_neutral_chroma_and_rejections():
         multimodal.encode_jpeg_blocks(8, 8, [yb, zeros, zeros], quant=8)
     )
     assert img.channels == 3 and set(img.pixels) == {200}
-    with pytest.raises(NotImplementedError):  # progressive SOF2
-        multimodal.decode_image(b"\xff\xd8\xff\xc2\x00\x04\x00\x00")
+    with pytest.raises(NotImplementedError):  # arithmetic-coded SOF9
+        multimodal.decode_image(b"\xff\xd8\xff\xc9\x00\x04\x00\x00")
     with pytest.raises(ValueError):  # truncated entropy stream
         payload = multimodal.encode_jpeg_gray_dc([9, 9, 9, 9], blocks_per_row=2)
         multimodal.decode_image(payload[:40])
+
+
+def test_jpeg_progressive_dc_only_exact():
+    """Progressive (SOF2) DC-only payloads decode to EXACTLY the same
+    pixels as their baseline twins — the property the checksum oracle
+    gates."""
+    vals = [7, 130, 255, 0, 99, 201, 64]
+    prog = multimodal.decode_image(
+        multimodal.encode_jpeg_gray_dc_progressive(vals, blocks_per_row=4)
+    )
+    base = multimodal.decode_image(
+        multimodal.encode_jpeg_gray_dc(vals, blocks_per_row=4)
+    )
+    assert (prog.width, prog.height, prog.channels) == (32, 16, 1)
+    assert prog.pixels == base.pixels
+
+
+def test_jpeg_progressive_matches_baseline_random_coefficients():
+    """Progressive scans (DC successive approximation + per-component
+    spectral AC-first + AC refinement with correction bits / EOB runs /
+    ZRL) accumulate to the same coefficients as one baseline scan, so
+    the decoded pixels are identical for any block content and any
+    (dc_al, ac_al) split."""
+    import random
+
+    rnd = random.Random(42)
+    for _ in range(6):
+        w_blk, h_blk = rnd.choice([(1, 1), (3, 2), (4, 3)])
+        blocks = []
+        for _ in range(w_blk * h_blk):
+            blk = [0] * 64
+            blk[0] = rnd.randint(-64, 64)
+            for _ in range(rnd.randint(0, 20)):
+                blk[rnd.randrange(64)] = rnd.randint(-31, 31)
+            blocks.append(blk)
+        width, height = w_blk * 8, h_blk * 8
+        base = multimodal.decode_image(
+            multimodal.encode_jpeg_blocks(width, height, [blocks])
+        )
+        for dc_al, ac_al in ((1, 1), (2, 2), (0, 1), (1, 0), (2, 3), (0, 0)):
+            prog = multimodal.decode_image(
+                multimodal.encode_jpeg_progressive(
+                    width, height, [blocks], dc_al=dc_al, ac_al=ac_al
+                )
+            )
+            assert prog.pixels == base.pixels, (w_blk, h_blk, dc_al, ac_al)
+
+
+def test_jpeg_progressive_color_subsampled():
+    """Progressive color: interleaved DC scan over 4:2:0 / 4:2:2 MCUs +
+    non-interleaved per-component AC scans reproduce the baseline decode,
+    including non-MCU-aligned dimensions (padded vs. non-padded grids)."""
+    import random
+
+    rnd = random.Random(9)
+    for width, height in ((16, 16), (20, 12), (17, 9)):
+        for sampling in ([(2, 2), (1, 1), (1, 1)], [(2, 1), (1, 1), (1, 1)]):
+            hmax = max(h for h, _ in sampling)
+            vmax = max(v for _, v in sampling)
+            mcux, mcuy = -(-width // (8 * hmax)), -(-height // (8 * vmax))
+            comp_blocks = []
+            for (h, v) in sampling:
+                blks = []
+                for _ in range(mcux * h * mcuy * v):
+                    blk = [0] * 64
+                    blk[0] = rnd.randint(-40, 40)
+                    for _ in range(rnd.randint(0, 10)):
+                        blk[rnd.randrange(64)] = rnd.randint(-15, 15)
+                    blks.append(blk)
+                comp_blocks.append(blks)
+            base = multimodal.decode_image(
+                multimodal.encode_jpeg_blocks(
+                    width, height, comp_blocks, sampling=sampling
+                )
+            )
+            prog = multimodal.decode_image(
+                multimodal.encode_jpeg_progressive(
+                    width, height, comp_blocks, sampling=sampling,
+                    dc_al=1, ac_al=2,
+                )
+            )
+            assert prog.pixels == base.pixels, (width, height, sampling)
 
 
 def test_jpeg_420_subsampling():
