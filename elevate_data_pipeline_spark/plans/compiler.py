@@ -138,8 +138,12 @@ def _compile_single(
             df = df.groupBy(*keys).agg(*cols)
             if having:
                 df = df.filter(F.expr(having))
+            if getattr(task, "window", None):
+                return _apply_window(df, task.window), None
             if task.default_on_empty and not task.groupby and ids_distinct is not None:
                 return df, zero_names
+        elif getattr(task, "window", None):
+            df = _apply_window(df, task.window)
         return df, None
 
     # uncorrelated task: optional global/grouped aggregate
@@ -151,7 +155,55 @@ def _compile_single(
             df = df.agg(*cols)
         if having:
             df = df.filter(F.expr(having))
+    if getattr(task, "window", None):
+        df = _apply_window(df, task.window)
     return _order_limit(df, task), None
+
+
+def _apply_window(df: DataFrame, w) -> DataFrame:
+    """Spec-language window block (engine extension): ranking / lag-lead
+    / rolling-aggregate columns plus per-partition top-N over one
+    Window definition.
+
+    Scale shape: ONE hash exchange on the partition keys serves every
+    function and the top-N filter; top_n compiles to a row_number
+    predicate, which Spark executes with WindowGroupLimit (per-partition
+    group limit before the final window, no global sort, no skew beyond
+    the partition key's own) — the same plan the hand-written
+    ``topk_orders_per_segment`` registry query gets. The reference's
+    spec language has no per-partition construct at all (task queries
+    are scans + one aggregate, mentoringFunction2.scala:147-207); this
+    is the "top 3 sessions per mentor" ask its users hand-roll in SQL."""
+    from pyspark.sql.window import Window as W
+
+    order_cols = []
+    for entry in w.order_by:
+        parts = entry.split()
+        c = F.col(parts[0])
+        order_cols.append(
+            c.desc() if len(parts) > 1 and parts[1].lower() == "desc" else c.asc()
+        )
+    base = W.partitionBy(*w.partition_by)
+    ordered = base.orderBy(*order_cols) if order_cols else base
+
+    for fn in w.select:
+        if fn.fn in ("row_number", "rank", "dense_rank", "percent_rank", "cume_dist"):
+            col = getattr(F, fn.fn)().over(ordered)
+        elif fn.fn in ("lag", "lead"):
+            col = getattr(F, fn.fn)(fn.col, fn.offset).over(ordered)
+        elif fn.rows_preceding is not None:
+            frame = ordered.rowsBetween(-fn.rows_preceding, W.currentRow)
+            col = F.expr(f"{fn.fn}({fn.col})").over(frame)
+        else:  # partition-wide aggregate (no frame, no order needed)
+            col = F.expr(f"{fn.fn}({fn.col})").over(base)
+        df = df.withColumn(fn.out, col)
+
+    if w.top_n is not None:
+        rn = F.row_number().over(ordered)
+        df = df.withColumn("_w_rn", rn).filter(
+            F.col("_w_rn") <= w.top_n
+        ).drop("_w_rn")
+    return df
 
 
 def _order_limit(df: DataFrame, task: SingleProcess) -> DataFrame:

@@ -366,6 +366,67 @@ def spec_topn_priorities(spark, sf_dir):
 
 
 @query(
+    "spec_window_topn",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rn, prev_price FROM (
+      SELECT c.c_mktsegment AS c_mktsegment, o.o_orderkey AS o_orderkey,
+             o.o_totalprice AS o_totalprice,
+             CAST(row_number() OVER w AS INT) AS rn,
+             lag(o.o_totalprice, 1) OVER w AS prev_price
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WINDOW w AS (PARTITION BY c.c_mktsegment
+                   ORDER BY o.o_totalprice DESC, o.o_orderkey)
+    ) WHERE rn <= 3
+    """,
+)
+def spec_window_topn(spark, sf_dir):
+    """Engine-extension ``window`` block in the SPEC LANGUAGE: "top 3
+    orders per market segment, with the previous order's price" —
+    declarative partition_by / order_by / ranking + lag columns / top_n,
+    the per-partition ask the reference's task language cannot express
+    (its tasks are scan + one aggregate). One hash exchange on the
+    partition key serves the ranking, the lag, and the top-N filter;
+    Spark executes the row_number predicate with WindowGroupLimit
+    (per-partition group limit, no global sort)."""
+    return _spec_df(
+        spark,
+        sf_dir,
+        [
+            {
+                "tasks": [
+                    {
+                        "single_process": {
+                            "input": "window_topn",
+                            "query": (
+                                "SELECT c_mktsegment, o_orderkey, o_totalprice "
+                                "FROM orders JOIN customer "
+                                "ON c_custkey = o_custkey"
+                            ),
+                            "window": {
+                                "partition_by": ["c_mktsegment"],
+                                "order_by": ["o_totalprice desc", "o_orderkey"],
+                                "select": [
+                                    {"fn": "row_number", "as": "rn"},
+                                    {
+                                        "fn": "lag",
+                                        "col": "o_totalprice",
+                                        "as": "prev_price",
+                                        "offset": 1,
+                                    },
+                                ],
+                                "top_n": 3,
+                            },
+                            "join_on": "none",
+                            "join_type": "none",
+                        }
+                    }
+                ]
+            }
+        ],
+    )
+
+
+@query(
     "spec_having_filter",
     """
     SELECT l_returnflag AS l_returnflag, count(l_orderkey) AS n_items

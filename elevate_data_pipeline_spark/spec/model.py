@@ -102,6 +102,89 @@ class AggSpec:
         return self.rename or f"{self.agg}_{self.agg_on}"
 
 
+_WINDOW_RANKING = frozenset({"row_number", "rank", "dense_rank", "percent_rank",
+                             "cume_dist"})
+_WINDOW_OFFSET = frozenset({"lag", "lead"})
+_WINDOW_AGG = frozenset({"sum", "avg", "min", "max", "count"})
+
+
+@dataclass
+class WindowFnSpec:
+    """One windowed column: a ranking function, a lag/lead offset, or a
+    (rolling) aggregate over the partition."""
+
+    fn: str
+    out: str
+    col: str | None = None
+    offset: int = 1  # lag/lead distance
+    rows_preceding: int | None = None  # rolling frame: N rows back..current
+
+    def __post_init__(self) -> None:
+        import re as _re
+
+        if self.fn not in _WINDOW_RANKING | _WINDOW_OFFSET | _WINDOW_AGG:
+            raise SpecError(f"window fn {self.fn!r} not in allowlist")
+        if not _re.fullmatch(r"\w+", self.out):
+            raise SpecError(f"bad window output name {self.out!r}")
+        if self.fn in _WINDOW_OFFSET | _WINDOW_AGG:
+            if not self.col or not _re.fullmatch(r"\w+", self.col):
+                raise SpecError(f"window fn {self.fn!r} needs a source col")
+        if self.fn in _WINDOW_RANKING and self.rows_preceding is not None:
+            raise SpecError(f"window fn {self.fn!r} takes no frame")
+        if not isinstance(self.offset, int) or self.offset < 0:
+            raise SpecError("window offset must be a non-negative int")
+        if self.rows_preceding is not None and (
+            not isinstance(self.rows_preceding, int) or self.rows_preceding < 0
+        ):
+            raise SpecError("rows_preceding must be a non-negative int")
+
+
+@dataclass
+class WindowSpec:
+    """Engine extension: declarative window block on a task — the
+    per-partition concern the reference's task language cannot express
+    (a real user's "top 3 sessions per mentor"). ``select`` adds
+    windowed columns; ``top_n`` keeps the first N rows per partition in
+    ``order_by`` order (compiled as a row_number filter, which Spark
+    executes with WindowGroupLimit pushdown — per-partition top-N, no
+    global sort). Offset/ranking/rolling functions need ``order_by``."""
+
+    partition_by: list[str]
+    order_by: list[str] = field(default_factory=list)
+    select: list[WindowFnSpec] = field(default_factory=list)
+    top_n: int | None = None
+
+    def __post_init__(self) -> None:
+        import re as _re
+
+        if not self.partition_by:
+            raise SpecError("window needs at least one partition_by column")
+        for c in self.partition_by:
+            if not _re.fullmatch(r"\w+", c):
+                raise SpecError(f"bad window partition_by column {c!r}")
+        for entry in self.order_by:
+            if not _re.fullmatch(r"\w+( (?i:asc|desc))?", entry):
+                raise SpecError(
+                    f"bad window order_by entry {entry!r} "
+                    "(want 'col' or 'col asc|desc')"
+                )
+        if self.top_n is not None and (
+            not isinstance(self.top_n, int) or self.top_n <= 0
+        ):
+            raise SpecError("window top_n must be a positive int")
+        needs_order = self.top_n is not None or any(
+            f.fn in _WINDOW_RANKING | _WINDOW_OFFSET or f.rows_preceding is not None
+            for f in self.select
+        )
+        if needs_order and not self.order_by:
+            raise SpecError(
+                "window with ranking/offset/rolling functions or top_n "
+                "needs order_by"
+            )
+        if not self.select and self.top_n is None:
+            raise SpecError("window block does nothing (no select, no top_n)")
+
+
 @dataclass
 class SingleProcess:
     """One task: scan → fill → (agg) → tag → fold-join
@@ -146,6 +229,10 @@ class SingleProcess:
     # per-ID top-N is a window concern, not a task-level one.
     order_by: list[str] | None = None
     limit: int | None = None
+    # Engine extension: declarative per-partition window block (ranking /
+    # lag-lead / rolling aggregates / top-N) applied after the task's
+    # aggregate+having — see :class:`WindowSpec`.
+    window: "WindowSpec | None" = None
 
     def __post_init__(self) -> None:
         if self.aggs is not None and self.agg is not None:

@@ -21,6 +21,8 @@ from .model import (
     Script,
     SingleProcess,
     SpecError,
+    WindowFnSpec,
+    WindowSpec,
 )
 
 
@@ -51,6 +53,7 @@ def _parse_single(obj: dict) -> SingleProcess:
         "having",
         "order_by",
         "limit",
+        "window",
     }
     extra = set(obj) - known
     if extra:
@@ -65,6 +68,26 @@ def _parse_single(obj: dict) -> SingleProcess:
             clean[k] = obj[k]
     if clean.get("aggs"):
         clean["aggs"] = [AggSpec(**a) for a in clean["aggs"]]
+    if clean.get("window"):
+        w = clean["window"]
+        if not isinstance(w, dict):
+            raise SpecError("window must be an object")
+        fns = [
+            WindowFnSpec(
+                fn=f.get("fn", ""),
+                out=f.get("as", f.get("out", "")),
+                col=f.get("col"),
+                offset=f.get("offset", 1),
+                rows_preceding=f.get("rows_preceding"),
+            )
+            for f in w.get("select", [])
+        ]
+        clean["window"] = WindowSpec(
+            partition_by=list(w.get("partition_by", [])),
+            order_by=list(w.get("order_by", [])),
+            select=fns,
+            top_n=w.get("top_n"),
+        )
     return SingleProcess(**clean)
 
 

@@ -690,6 +690,116 @@ def test_order_limit_validation():
     parse_spec(single(limit=5), None, None)
 
 
+def test_window_block_rolling_and_topn(spark, catalog):
+    """Spec-language window extension: rolling sum + rank + top-N in one
+    declarative block compile to one Window chain, matching a
+    hand-written DataFrame equivalent row for row."""
+    import json
+
+    from elevate_data_pipeline_spark.plans import compile_pipeline
+    from elevate_data_pipeline_spark.spec import parse_spec
+    from pyspark.sql.window import Window
+
+    spec = parse_spec(
+        json.dumps(
+            [
+                {
+                    "tasks": [
+                        {
+                            "single_process": {
+                                "input": "w",
+                                "query": (
+                                    "SELECT o_custkey, o_orderkey, o_totalprice "
+                                    "FROM orders WHERE o_custkey < 20"
+                                ),
+                                "window": {
+                                    "partition_by": ["o_custkey"],
+                                    "order_by": ["o_orderkey"],
+                                    "select": [
+                                        {"fn": "row_number", "as": "rn"},
+                                        {
+                                            "fn": "sum",
+                                            "col": "o_totalprice",
+                                            "as": "run_sum",
+                                            "rows_preceding": 2,
+                                        },
+                                        {
+                                            "fn": "lead",
+                                            "col": "o_orderkey",
+                                            "as": "next_key",
+                                            "offset": 1,
+                                        },
+                                    ],
+                                    "top_n": 4,
+                                },
+                                "join_on": "none",
+                                "join_type": "none",
+                            }
+                        }
+                    ]
+                }
+            ]
+        ),
+        None,
+        None,
+    )
+    (df,) = compile_pipeline(catalog, spec)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    want_df = (
+        catalog.table("orders")
+        .filter("o_custkey < 20")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "run_sum",
+            F.sum("o_totalprice").over(w.rowsBetween(-2, Window.currentRow)),
+        )
+        .withColumn("next_key", F.lead("o_orderkey", 1).over(w))
+        .filter(F.col("rn") <= 4)
+    )
+    key = lambda r: (r.o_custkey, r.o_orderkey)
+    assert sorted(df.collect(), key=key) == sorted(want_df.collect(), key=key)
+
+
+def test_window_block_validation():
+    import json
+
+    from elevate_data_pipeline_spark.spec import parse_spec
+
+    def single(window):
+        base = {
+            "input": "w",
+            "query": "SELECT o_orderkey FROM orders",
+            "join_on": "none",
+            "join_type": "none",
+            "window": window,
+        }
+        return json.dumps([{"tasks": [{"single_process": base}]}])
+
+    with pytest.raises(SpecError):  # no partition key
+        parse_spec(single({"partition_by": [], "top_n": 3,
+                           "order_by": ["o_orderkey"]}), None, None)
+    with pytest.raises(SpecError):  # ranking without order_by
+        parse_spec(single({"partition_by": ["o_custkey"],
+                           "select": [{"fn": "row_number", "as": "rn"}]}),
+                   None, None)
+    with pytest.raises(SpecError):  # fn not in allowlist
+        parse_spec(single({"partition_by": ["o_custkey"],
+                           "order_by": ["o_orderkey"],
+                           "select": [{"fn": "expr", "as": "x",
+                                       "col": "o_orderkey"}]}), None, None)
+    with pytest.raises(SpecError):  # injection in partition key
+        parse_spec(single({"partition_by": ["o_custkey; drop"],
+                           "order_by": ["o_orderkey"], "top_n": 1}),
+                   None, None)
+    with pytest.raises(SpecError):  # empty block
+        parse_spec(single({"partition_by": ["o_custkey"]}), None, None)
+    with pytest.raises(SpecError):  # lag needs a column
+        parse_spec(single({"partition_by": ["o_custkey"],
+                           "order_by": ["o_orderkey"],
+                           "select": [{"fn": "lag", "as": "x"}]}), None, None)
+
+
 def test_template_id_injection_guarded(catalog, spark):
     """SURVEY.md §2.8.5: the reference splices ${id} values into SQL raw;
     the compat loop validates them — a value that could escape the
