@@ -138,6 +138,10 @@ def _safe_ident(name: str, kind: str = "identifier") -> str:
     return name
 
 
+# see write_jdbc_upsert: test-only fault-injection hook
+_between_stage_and_merge = None
+
+
 def write_jdbc_upsert(
     df: DataFrame,
     url: str,
@@ -213,6 +217,12 @@ def write_jdbc_upsert(
             ", ".join(f"{c} VARCHAR(1024)" for c in str_cols),
         )
     writer.save()
+
+    # Fault-injection seam: crash-recovery tests hook here to kill the
+    # batch at the most dangerous point — staging rows durably written,
+    # MERGE not yet run. Always None in production.
+    if _between_stage_and_merge is not None:
+        _between_stage_and_merge(stage)
 
     spark = df.sparkSession
     jvm = spark._jvm

@@ -176,6 +176,95 @@ def test_jdbc_upsert_streaming_sink_replay_safe(spark, tmp_path):
     assert second == first
 
 
+def test_jdbc_upsert_mid_batch_crash_exactly_once(spark, tmp_path):
+    """Exactly-once across a simulated MID-BATCH crash: the batch dies
+    BETWEEN the durable staging write and the MERGE (the most dangerous
+    point — data landed, transaction didn't), the query is restarted
+    from the SAME checkpoint, and the replayed batch converges the
+    target to exactly the batch-oracle state. A further replay of the
+    already-committed batch (crash after MERGE, before the checkpoint
+    commit) is then a MERGE no-op."""
+    import os as _os
+    import shutil as _shutil
+
+    import pytest
+    from conftest import SF_DIR
+
+    url = _url(tmp_path)
+    src = tmp_path / "crash_src"
+    src.mkdir()
+    _shutil.copy(_os.path.join(SF_DIR, "events.parquet"), src / "part-0.parquet")
+
+    from elevate_data_pipeline_spark.streaming import latest_state, read_events_stream
+
+    ckpt = str(tmp_path / "ckpt_crash")
+
+    def body(df, bid):
+        jdbc.write_jdbc_upsert(
+            df, url, "t_crash", ["user_id", "event_type"], "u", "p", driver=DRIVER
+        )
+
+    def run():
+        q = (
+            latest_state(read_events_stream(spark, str(src)))
+            .writeStream.outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(body)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return q
+
+    class Boom(Exception):
+        pass
+
+    def crash(stage):
+        raise Boom(f"simulated crash after staging {stage}")
+
+    jdbc._between_stage_and_merge = crash
+    try:
+        with pytest.raises(Exception):  # StreamingQueryException wraps Boom
+            run()
+    finally:
+        jdbc._between_stage_and_merge = None
+
+    # the crash killed the batch before the MERGE: no committed target
+    conn_rows = jdbc.read_jdbc_query(
+        spark, url,
+        "SELECT TABLENAME FROM SYS.SYSTABLES WHERE TABLENAME = 'T_CRASH'",
+        "u", "p", driver=DRIVER,
+    ).load().collect()
+    assert conn_rows == []  # target table never created
+
+    # restart from the SAME checkpoint: the batch replays end to end
+    run()
+    got = sorted(
+        map(tuple,
+            jdbc.read_jdbc_query(
+                spark, url,
+                'SELECT "user_id", "event_type", "last_value" FROM t_crash',
+                "u", "p", driver=DRIVER,
+            ).load().collect())
+    )
+    want_df = latest_state(spark.read.parquet(str(src)))
+    want = sorted((r["user_id"], r["event_type"], r["last_value"])
+                  for r in want_df.collect())
+    assert got == want and len(got) > 0
+
+    # crash-after-MERGE recovery = replaying a committed batch: no-op
+    body(want_df, 0)
+    again = sorted(
+        map(tuple,
+            jdbc.read_jdbc_query(
+                spark, url,
+                'SELECT "user_id", "event_type", "last_value" FROM t_crash',
+                "u", "p", driver=DRIVER,
+            ).load().collect())
+    )
+    assert again == want
+
+
 def test_jdbc_upsert_rejects_unsafe_identifiers(spark, tmp_path):
     """Identifier validation fires before any connection is opened."""
     import pytest
