@@ -1,0 +1,87 @@
+"""Shared-scan registry sweep: run EVERY registry query in one session,
+with and without the Catalog's shared-scan cache, and write the
+comparison to docs/SHARED_SCANS.md.
+
+The bench runs each query as an independent job re-scanning the same
+parquet; a registry sweep (the driver gate, a user's full-suite run) can
+instead materialize the hot tables once into Spark's columnar cache
+(`SPARK_GRAFT_SHARED_SCANS=1`, sources/catalog.py) and serve every later
+query from InMemoryTableScan. Methodology:
+
+1. warmup pass at sf0.001 (codegen/JIT — identical plans, negligible data);
+2. timed pass A: plain per-query scans (the bench shape);
+3. timed pass B: shared scans (cache cleared, then populated by the
+   sweep itself — the first query per table pays the materialization).
+
+Usage: python scripts/run_all.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def sweep(queries, spark, sf_dir: str) -> dict[str, float]:
+    times: dict[str, float] = {}
+    for name in sorted(queries):
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).collect()
+        times[name] = time.perf_counter() - t0
+    return times
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    from elevate_data_pipeline_spark.queries import QUERIES
+    from elevate_data_pipeline_spark.session import get_spark
+    from elevate_data_pipeline_spark.sources import catalog as cat
+
+    spark = get_spark("edp-run-all")
+
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in sorted(QUERIES):
+        try:
+            QUERIES[name](spark, warm_dir).collect()
+        except Exception:
+            pass
+
+    os.environ.pop("SPARK_GRAFT_SHARED_SCANS", None)
+    plain = sweep(QUERIES, spark, sf_dir)
+
+    os.environ["SPARK_GRAFT_SHARED_SCANS"] = "1"
+    cat._SHARED_CACHE.clear()
+    shared = sweep(QUERIES, spark, sf_dir)
+    os.environ.pop("SPARK_GRAFT_SHARED_SCANS", None)
+
+    sp, ss = sum(plain.values()), sum(shared.values())
+    out = os.path.join(ROOT, "docs", "SHARED_SCANS.md")
+    with open(out, "w") as f:
+        f.write(
+            f"# Shared-scan registry sweep — {sf_dir}\n\n"
+            "One warm session; pass A = plain per-query parquet scans "
+            "(the bench shape), pass B = `SPARK_GRAFT_SHARED_SCANS=1` "
+            "(tables persisted into the columnar cache on first touch, "
+            "including materialization cost inside the timed pass).\n\n"
+            f"- pass A (plain) total: **{sp:.1f} s**\n"
+            f"- pass B (shared) total: **{ss:.1f} s**\n"
+            f"- speedup: **{(sp - ss) / sp * 100:.1f}%** over "
+            f"{len(plain)} queries\n\n"
+            "| query | plain s | shared s |\n|---|---|---|\n"
+        )
+        for name in sorted(plain, key=lambda n: -(plain[n] - shared.get(n, 0))):
+            f.write(f"| {name} | {plain[name]:.2f} | {shared[name]:.2f} |\n")
+    print(f"plain {sp:.1f}s shared {ss:.1f}s "
+          f"({(sp - ss) / sp * 100:.1f}% faster); wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
