@@ -211,6 +211,12 @@ def label_components_with_size(
     )
 
 
+# Corpora at or below this row count train centroids on the driver (one
+# pyarrow/collect read, ~100k x 64 doubles = ~50 MB); larger corpora take
+# the fully-declarative distributed chain.
+_LLOYD_LOCAL_MAX_ROWS = 100_000
+
+
 def kmeans(
     df: DataFrame,
     k: int = 8,
@@ -275,8 +281,22 @@ def kmeans_centroids(
 def _lloyd(
     df: DataFrame, k: int, n_iter: int, vec_col: str, id_col: str
 ):
-    """Shared Lloyd loop: returns (final centroid frame, assign fn)."""
-    from .util import spread
+    """Shared Lloyd loop: returns (final centroid frame, assign fn).
+
+    Size-gated local fast path (same pattern as the <=1M-edge gate in
+    :func:`connected_components` and the PQ trainer): k-means CENTROIDS
+    are trained on a bounded sample in every production system (MLlib
+    itself round-trips centers through the driver each iteration), so
+    for corpora under :data:`_LLOYD_LOCAL_MAX_ROWS` the ``n_iter``
+    update rounds run driver-side on a single pyarrow/collect read —
+    bit-identical math (``util.lloyd_local``) — and only the FINAL
+    assignment runs as a Spark job against the broadcast literal
+    centroids. That keeps a cold session's cost to ONE simple job
+    instead of a deep ``n_iter``-round chained plan whose codegen
+    compile dominates gate-scale latency. The assignment (corpus-sized)
+    is distributed in both tiers; above the gate the fully-declarative
+    chain below runs unchanged."""
+    from .util import collect_small_corpus, lloyd_local, spread
 
     vecs = spread(df).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
@@ -317,6 +337,14 @@ def _lloyd(
             F.expr("transform(array_sort(collect_list(struct(_d, _m))), s -> s._m)")
             .alias("_c")
         )
+
+    local = collect_small_corpus(df, vec_col, id_col, _LLOYD_LOCAL_MAX_ROWS)
+    if local is not None:
+        cent_rows = lloyd_local(local, k, n_iter)
+        cents = df.sparkSession.createDataFrame(
+            cent_rows, "_cl int, _c array<double>"
+        )
+        return cents, assign
 
     # deterministic cluster ids: rank init centroids by source id
     w0 = Window.orderBy("_id")

@@ -343,45 +343,11 @@ _PQ_LOCAL_MAX_ROWS = 100_000
 
 
 def _collect_small_corpus(df: DataFrame, vec_col: str, id_col: str):
-    """Return the corpus as a sorted list of (id, [float, ...]) if it is
-    at or under :data:`_PQ_LOCAL_MAX_ROWS`, else None.
+    """See :func:`..operators.util.collect_small_corpus` — gate at
+    :data:`_PQ_LOCAL_MAX_ROWS`."""
+    from .util import collect_small_corpus
 
-    Two tiers: a frame tagged by the Catalog with its source parquet path
-    (an untransformed local scan) is counted from the parquet FOOTER and
-    read with pyarrow — zero Spark jobs, which matters because on a cold
-    JVM even a count() costs seconds of Hadoop/codegen warmup. Untagged
-    frames fall back to df.count() + collect. Either way the float32 ->
-    Python float widening is exact, so downstream math is unaffected by
-    which tier ran."""
-    path = getattr(df, "_edp_parquet_path", None)
-    if path is not None:
-        try:
-            import pyarrow.parquet as pq
-
-            if os.path.isdir(path):
-                import glob
-
-                parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
-                n = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
-            else:
-                n = pq.ParquetFile(path).metadata.num_rows
-            if n > _PQ_LOCAL_MAX_ROWS:
-                return None
-            tbl = pq.read_table(path, columns=[id_col, vec_col])
-            ids = tbl.column(id_col).to_pylist()
-            vs = tbl.column(vec_col).to_pylist()
-            return sorted(
-                (i, [float(x) for x in v]) for i, v in zip(ids, vs)
-            )
-        except Exception:  # pragma: no cover - fall through to Spark path
-            pass
-    if df.count() > _PQ_LOCAL_MAX_ROWS:
-        return None
-    rows = df.select(
-        F.col(id_col).alias("_id"),
-        F.expr(f"transform({vec_col}, x -> double(x))").alias("_v"),
-    ).collect()
-    return sorted((r["_id"], list(r["_v"])) for r in rows)
+    return collect_small_corpus(df, vec_col, id_col, _PQ_LOCAL_MAX_ROWS)
 
 
 def _pq_index_local(
@@ -406,54 +372,23 @@ def _pq_index_local(
 
     Returns (cents, codes) as small local-relation DataFrames with the
     same schemas as the distributed path."""
-    import decimal
+    from .util import lloyd_local
 
     sub = dim // m
-    n_rows = len(vecs)
     slices = {
         s: [(i, v[s * sub:(s + 1) * sub]) for i, v in vecs] for s in range(m)
     }
-    # cents[s] = list of (cl, centroid list)
-    cents = {
-        s: [(cl, vecs[cl][1][s * sub:(s + 1) * sub]) for cl in range(min(k, n_rows))]
-        for s in range(m)
-    }
+    # cents[s] = list of (cl, centroid list); one Lloyd chain per subspace
+    cents = {s: lloyd_local(slices[s], k, n_iter) for s in range(m)}
 
     def d2(a, b):
         acc = 0.0
         for x, y in zip(a, b):
-            t = (x - y) * (x - y)
-            acc = acc + t
+            acc = acc + (x - y) * (x - y)
         return acc
 
     def argmin(v, cl_cents):
         return min((d2(v, c), cl) for cl, c in cl_cents)[1]
-
-    ctx = decimal.Context(prec=50)
-    q12 = decimal.Decimal(1).scaleb(-12)
-
-    def dec(x):
-        return decimal.Decimal(x).quantize(
-            q12, rounding=decimal.ROUND_HALF_UP, context=ctx
-        )
-
-    for _ in range(n_iter):
-        for s in range(m):
-            sums: dict = {}
-            counts: dict = {}
-            for i, v in slices[s]:
-                cl = argmin(v, cents[s])
-                counts[cl] = counts.get(cl, 0) + 1
-                acc = sums.get(cl)
-                if acc is None:
-                    sums[cl] = [dec(x) for x in v]
-                else:
-                    for d in range(sub):
-                        acc[d] = ctx.add(acc[d], dec(v[d]))
-            cents[s] = [
-                (cl, [float(sums[cl][d]) / counts[cl] for d in range(sub)])
-                for cl in sorted(sums)
-            ]
 
     cent_rows = [(s, cl, c) for s in range(m) for cl, c in cents[s]]
     code_rows = [

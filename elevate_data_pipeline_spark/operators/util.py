@@ -36,3 +36,96 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def collect_small_corpus(
+    df: DataFrame, vec_col: str, id_col: str, max_rows: int
+):
+    """Return an embedding corpus as a sorted list of (id, [float, ...])
+    if it is at or under ``max_rows``, else None — the gate for
+    driver-local training fast paths (PQ codebooks, k-means centroids).
+
+    Two tiers: a frame tagged by the Catalog with its source parquet
+    path (an untransformed local scan) is counted from the parquet
+    FOOTER and read with pyarrow — zero Spark jobs, which matters
+    because on a cold JVM even a count() costs seconds of Hadoop/codegen
+    warmup. Untagged frames fall back to df.count() + collect. Either
+    way the float32 -> Python float widening is exact, so downstream
+    math is unaffected by which tier ran."""
+    import os
+
+    path = getattr(df, "_edp_parquet_path", None)
+    if path is not None:
+        try:
+            import pyarrow.parquet as pq
+
+            if os.path.isdir(path):
+                import glob
+
+                parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+                n = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+            else:
+                n = pq.ParquetFile(path).metadata.num_rows
+            if n > max_rows:
+                return None
+            tbl = pq.read_table(path, columns=[id_col, vec_col])
+            ids = tbl.column(id_col).to_pylist()
+            vs = tbl.column(vec_col).to_pylist()
+            return sorted(
+                (i, [float(x) for x in v]) for i, v in zip(ids, vs)
+            )
+        except Exception:  # pragma: no cover - fall through to Spark path
+            pass
+    if df.count() > max_rows:
+        return None
+    rows = df.select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"transform({vec_col}, x -> double(x))").alias("_v"),
+    ).collect()
+    return sorted((r["_id"], list(r["_v"])) for r in rows)
+
+
+def lloyd_local(vecs, k: int, n_iter: int):
+    """Driver-local Lloyd iterations over a small corpus, replaying the
+    distributed chain's math bit-for-bit (see operators/cluster._lloyd):
+    min-id init with cluster ids by id rank; left-to-right IEEE squared-
+    L2 fold; argmin ties to the smaller cluster id; component means as
+    exact DECIMAL(28,12) sums (HALF_UP per-element quantization — the
+    semantics of Spark's cast(double as decimal)) divided by the member
+    count in one IEEE division. Returns [(cluster_id, [centroid...])].
+    Centroid state is O(k*dim) at any corpus scale — the same
+    driver-resident economics as Spark MLlib's KMeans."""
+    import decimal
+
+    ctx = decimal.Context(prec=50)
+    q12 = decimal.Decimal(1).scaleb(-12)
+
+    def dec(x):
+        return decimal.Decimal(x).quantize(
+            q12, rounding=decimal.ROUND_HALF_UP, context=ctx
+        )
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    cents = [(cl, vecs[cl][1]) for cl in range(min(k, len(vecs)))]
+    for _ in range(n_iter):
+        sums: dict = {}
+        counts: dict = {}
+        for _i, v in vecs:
+            cl = min((d2(v, c), c_id) for c_id, c in cents)[1]
+            counts[cl] = counts.get(cl, 0) + 1
+            acc = sums.get(cl)
+            if acc is None:
+                sums[cl] = [dec(x) for x in v]
+            else:
+                for d in range(len(v)):
+                    acc[d] = ctx.add(acc[d], dec(v[d]))
+        cents = [
+            (cl, [float(sums[cl][d]) / counts[cl] for d in range(len(sums[cl]))])
+            for cl in sorted(sums)
+        ]
+    return cents
