@@ -29,6 +29,37 @@ from pyspark.sql import functions as F
 SCALE = 1_000_000_000_000  # fixed-point unit: 1e12 == rank 1.0
 
 
+# Graphs at or below this many edges iterate on the driver; larger ones
+# take the declarative join+groupBy loop.
+_PAGERANK_LOCAL_MAX_EDGES = 1_000_000
+
+
+def _pagerank_local(triples, n_iter: int, redistribute: bool):
+    """Driver-local replay of the fixed-point loop below — identical
+    truncating-int64 arithmetic on non-negative values, so the result is
+    bit-equal to the distributed chain (and to its DuckDB oracle)."""
+    out_w: dict = {}
+    for s, _d, w in triples:
+        out_w[s] = out_w.get(s, 0) + w
+    nodes = {s for s, _d, _w in triples} | {d for _s, d, _w in triples}
+    n = len(nodes)
+    if n == 0:
+        return []
+    r = {v: SCALE // n for v in nodes}
+    base = (SCALE * 15 // 100) // n
+    for _ in range(n_iter):
+        q = {s: ((r[s] * 85) // 100) // out_w[s] for s in out_w}
+        contrib: dict = {}
+        for s, d, w in triples:
+            contrib[d] = contrib.get(d, 0) + q[s] * w
+        extra = 0
+        if redistribute:
+            dang = sum(r[v] for v in nodes if v not in out_w)
+            extra = ((dang * 85) // 100) // n
+        r = {v: base + contrib.get(v, 0) + extra for v in nodes}
+    return sorted(r.items())
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     n_iter: int = 3,
@@ -54,7 +85,27 @@ def pagerank_fixed_point(
     """
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
-    ).localCheckpoint(eager=False)
+    )
+
+    # Size-gated LOCAL iteration fast path (the <=1M-edge gate pattern of
+    # operators/cluster.connected_components): the rank vector is O(nodes)
+    # and every iteration is pure truncating int64 arithmetic, so for
+    # small aggregated graphs (event-type transition graphs are a few
+    # hundred edges after their corpus-sized groupBy) the n_iter rounds
+    # run on the driver — Python ints replay Spark's non-negative `div`
+    # (floor == truncate) and order-independent integer sums EXACTLY.
+    # One limit-guarded collect replaces ~4 chained stages per iteration;
+    # larger graphs take the declarative loop below unchanged.
+    rows = e.limit(_PAGERANK_LOCAL_MAX_EDGES + 1).collect()
+    if len(rows) <= _PAGERANK_LOCAL_MAX_EDGES:
+        triples = [(r["src"], r["dst"], r["w"]) for r in rows]
+        ranks = _pagerank_local(triples, n_iter, redistribute_dangling)
+        node_t = dict(e.dtypes)["src"]
+        return edges.sparkSession.createDataFrame(
+            ranks, f"node {node_t}, rank_scaled bigint"
+        )
+
+    e = e.localCheckpoint(eager=False)
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     nodes = (
         e.select(F.col("src").alias("node"))
