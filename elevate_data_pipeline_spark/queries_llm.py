@@ -1621,7 +1621,9 @@ def multimodal_decode(spark, sf_dir):
                 columns=["doc_id", "width", "height", "channels", "maxval", "checksum"],
             )
 
-    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    )
     out = docs.mapInPandas(run, _DECODE_SCHEMA)
     return out.select(
         "doc_id", "width", "height", "channels", "maxval", "checksum"
@@ -1672,7 +1674,9 @@ def multimodal_png_decode(spark, sf_dir):
                 columns=["doc_id", "width", "height", "channels", "maxval", "checksum"],
             )
 
-    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    )
     return docs.mapInPandas(run, _DECODE_SCHEMA)
 
 
@@ -1724,7 +1728,9 @@ def multimodal_jpeg_decode(spark, sf_dir):
                 columns=["doc_id", "width", "height", "channels", "maxval", "checksum"],
             )
 
-    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    )
     return docs.mapInPandas(run, _DECODE_SCHEMA)
 
 
@@ -1811,7 +1817,9 @@ def multimodal_png_variants(spark, sf_dir):
                 columns=["doc_id", "width", "height", "channels", "maxval", "checksum"],
             )
 
-    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    )
     return docs.mapInPandas(run, _DECODE_SCHEMA)
 
 
@@ -1867,7 +1875,9 @@ def multimodal_jpeg_progressive(spark, sf_dir):
                 columns=["doc_id", "width", "height", "channels", "maxval", "checksum"],
             )
 
-    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    )
     return docs.mapInPandas(run, _DECODE_SCHEMA)
 
 
@@ -1917,7 +1927,9 @@ def multimodal_gif_decode(spark, sf_dir):
                 columns=["doc_id", "width", "height", "channels", "maxval", "checksum"],
             )
 
-    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    )
     return docs.mapInPandas(run, _DECODE_SCHEMA)
 
 
@@ -1970,7 +1982,9 @@ def multimodal_resize(spark, sf_dir):
                  "v": pd.array(vs, dtype="int32")}
             )
 
-    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    )
     return docs.mapInPandas(run, schema)
 
 
@@ -3736,7 +3750,9 @@ def multimodal_audio_features(spark, sf_dir):
                          "energy", "zero_crossings"],
             )
 
-    docs = Catalog(spark, sf_dir).table("documents").select("doc_id")
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
     return docs.mapInPandas(
         run,
         "doc_id long, n_samples long, sample_rate int, peak long, "
@@ -3793,7 +3809,9 @@ def multimodal_video_decode(spark, sf_dir):
                          "frame_sum"],
             )
 
-    docs = Catalog(spark, sf_dir).table("documents").select("doc_id")
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
     return docs.mapInPandas(
         run,
         "doc_id long, frame_idx int, width int, height int, n_frames int, "

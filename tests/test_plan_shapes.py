@@ -175,7 +175,21 @@ def test_kmeans_assignment_broadcasts_centroids(spark):
     # a shuffle join here would re-shuffle the corpus once per iteration
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    # centroid means are two-phase decimal sums
+
+
+def test_kmeans_distributed_tier_two_phase_means(spark):
+    # force the fully-declarative distributed chain (corpora above the
+    # driver-local training gate): centroid means must be two-phase sums
+    from elevate_data_pipeline_spark.operators import cluster
+
+    gate = cluster._LLOYD_LOCAL_MAX_ROWS
+    cluster._LLOYD_LOCAL_MAX_ROWS = 0
+    try:
+        plan = _plan(QUERIES["embedding_kmeans"](spark, SF_DIR))
+    finally:
+        cluster._LLOYD_LOCAL_MAX_ROWS = gate
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
     assert "partial_sum" in plan
 
 
@@ -229,8 +243,14 @@ def test_cc_clusters_no_component_window(spark):
 
 def test_multimodal_decode_no_shuffle(spark):
     plan = _plan(QUERIES["multimodal_decode"](spark, SF_DIR))
-    # decode is embarrassingly parallel: scan -> mapInPandas, no Exchange
-    assert "Exchange" not in plan
+    # decode is embarrassingly parallel: scan -> mapInPandas. The only
+    # allowed Exchange is the cpu_parallelize round-robin fan-out that
+    # spreads a too-few-splits scan across the cores (no-op at scale,
+    # where the scan already yields >= core-count splits); never a hash
+    # shuffle — there is no key to shuffle on.
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(k == "RoundRobinPartitioning" for k in exchanges), exchanges
+    assert len(exchanges) <= 1
     # payload built from text only — the scan must not read other columns
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
 
