@@ -1610,11 +1610,12 @@ def encode_wav(samples: list, sample_rate: int = 16000, channels: int = 1) -> by
 
 def decode_wav(payload: bytes) -> AudioData:
     """Dependency-free audio decode: RIFF/WAVE with linear PCM 16-bit
-    (format tag 1) — the one audio container a header parse handles
-    without codec libraries. Compressed formats (MP3/AAC/opus/float
-    PCM/...) raise ``NotImplementedError``; truncated or malformed
-    payloads raise ``ValueError`` (a silent garbage decode would poison
-    every downstream feature)."""
+    (format tag 1) or IMA/DVI ADPCM 4-bit (format tag 0x11 — REAL
+    compressed-audio decompression, pure integer arithmetic). Other
+    compressed formats (MP3/AAC/opus/float PCM/...) raise
+    ``NotImplementedError``; truncated or malformed payloads raise
+    ``ValueError`` (a silent garbage decode would poison every
+    downstream feature)."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -1622,7 +1623,7 @@ def decode_wav(payload: bytes) -> AudioData:
             "only RIFF/WAVE PCM decodes without codec libraries; got magic %r"
             % payload[:4]
         )
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact = 12, None, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
@@ -1630,18 +1631,49 @@ def decode_wav(payload: bytes) -> AudioData:
         if cid == b"fmt ":
             if len(body) < 16:
                 raise ValueError("truncated fmt chunk")
-            fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt = struct.unpack("<HHIIHH", body[:16]) + (body[16:],)
         elif cid == b"data":
             if len(body) < clen:
                 raise ValueError("truncated data chunk")
             data = body
+        elif cid == b"fact":
+            if len(body) >= 4:
+                (fact,) = struct.unpack("<I", body[:4])
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    tag, channels, rate, _br, _ba, bits = fmt
+    tag, channels, rate, _br, block_align, bits, ext = fmt
+    if tag == 0x11:
+        if bits != 4 or channels != 1:
+            raise NotImplementedError(
+                f"only mono 4-bit IMA ADPCM decodes; got channels={channels} bits={bits}"
+            )
+        if block_align < 4:
+            raise ValueError("IMA ADPCM block_align below header size")
+        samples: list = []
+        for off in range(0, len(data), block_align):
+            block = data[off : off + block_align]
+            if len(block) < 4:
+                raise ValueError("truncated IMA ADPCM block")
+            pred0, idx0, _rsv = struct.unpack("<hBB", block[:4])
+            if not 0 <= idx0 <= 88:
+                raise ValueError(f"IMA ADPCM step index {idx0} out of range")
+            nibbles = []
+            for b in block[4:]:
+                nibbles.append(b & 0xF)
+                nibbles.append(b >> 4)
+            samples.extend(ima_adpcm_decode_nibbles(nibbles, pred0, idx0))
+        if fact is not None:
+            if fact > len(samples):
+                raise ValueError(
+                    f"fact declares {fact} frames but data decodes {len(samples)}"
+                )
+            samples = samples[:fact]
+        return AudioData(rate, channels, bits, samples)
     if tag != 1 or bits != 16:
         raise NotImplementedError(
-            f"only PCM 16-bit decodes without codec libraries; got tag={tag} bits={bits}"
+            f"only PCM 16-bit and IMA ADPCM decode without codec libraries; "
+            f"got tag={tag} bits={bits}"
         )
     n = len(data) // 2
     samples = list(struct.unpack(f"<{n}h", data[: 2 * n]))
@@ -1661,6 +1693,82 @@ def audio_features(samples: list) -> dict:
         "energy": sum(s * s for s in samples),
         "zero_crossings": zc,
     }
+
+
+# ---------------------------------------------------------------------------
+# IMA/DVI ADPCM (WAVE format tag 0x11): the standard 4-bit compressed-audio
+# codec a pure-integer decoder handles without codec libraries. Tables are
+# the public IMA "Recommended Practices for Enhancing Digital Audio
+# Compatibility" step/index tables (same constants as Microsoft's
+# mmreg.h DVI ADPCM and ffmpeg adpcm_ima_wav).
+# ---------------------------------------------------------------------------
+
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def ima_adpcm_decode_nibbles(nibbles: list, pred0: int, index0: int) -> list:
+    """Decode a 4-bit IMA ADPCM nibble stream given the block-header
+    state; returns ``[pred0] + one sample per nibble`` (the header
+    predictor IS the block's first sample, per the WAVE tag-0x11
+    layout). Pure integer arithmetic — bit-exact across platforms, so
+    an oracle can replay it."""
+    pred, idx = pred0, index0
+    out = [pred]
+    for nib in nibbles:
+        step = _IMA_STEP_TABLE[idx]
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + _IMA_INDEX_TABLE[nib]))
+        out.append(pred)
+    return out
+
+
+def encode_wav_ima_adpcm(
+    nibbles: list, pred0: int, index0: int, sample_rate: int = 8000
+) -> bytes:
+    """RIFF/WAVE writer for IMA ADPCM (format tag 0x11), mono, one
+    block: 20-byte fmt chunk (cbSize=2 + wSamplesPerBlock), a fact
+    chunk with the true frame count, and a data block of
+    ``int16 predictor, uint8 stepIndex, uint8 reserved`` followed by
+    the nibble bytes (low nibble first). The inverse of the tag-0x11
+    path in :func:`decode_wav`."""
+    import struct
+
+    n_samples = 1 + len(nibbles)
+    nib_bytes = bytearray()
+    for i in range(0, len(nibbles) & ~1, 2):
+        nib_bytes.append((nibbles[i] & 0xF) | ((nibbles[i + 1] & 0xF) << 4))
+    if len(nibbles) & 1:
+        nib_bytes.append(nibbles[-1] & 0xF)
+    block = struct.pack("<hBB", pred0, index0, 0) + bytes(nib_bytes)
+    block_align = len(block)
+    byte_rate = (sample_rate * block_align + n_samples - 1) // max(1, n_samples)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4, 2, n_samples
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_samples)
+        + b"data" + struct.pack("<I", len(block)) + block
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 class VideoData:
@@ -1702,12 +1810,51 @@ def encode_avi(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_avi_mjpeg(
+    jpeg_frames: list, width: int, height: int, us_per_frame: int = 40000
+) -> bytes:
+    """RIFF/AVI writer for Motion JPEG: 'avih' main header, a 'strl'
+    stream list whose 'strh' declares fccHandler 'MJPG', and a 'movi'
+    list of compressed '00dc' chunks each carrying one complete
+    baseline/progressive JPEG payload (the MJPEG convention — every
+    frame is an independent still). The inverse of the MJPG path in
+    :func:`decode_avi`."""
+    import struct
+
+    avih_body = struct.pack(
+        "<14I",
+        us_per_frame, 0, 0, 0x10, len(jpeg_frames), 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    avih = b"avih" + struct.pack("<I", len(avih_body)) + avih_body
+    strh_body = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, us_per_frame, 1_000_000,
+                      0, len(jpeg_frames), 0, 0, 0)
+        + struct.pack("<4h", 0, 0, width, height)
+    )
+    strh = b"strh" + struct.pack("<I", len(strh_body)) + strh_body
+    strl_body = b"strl" + strh
+    strl = b"LIST" + struct.pack("<I", len(strl_body)) + strl_body
+    hdrl_body = b"hdrl" + avih + strl
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    movi_body = b"movi" + b"".join(
+        b"00dc" + struct.pack("<I", len(f)) + f + (b"\x00" if len(f) & 1 else b"")
+        for f in jpeg_frames
+    )
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_avi(payload: bytes) -> VideoData:
     """Dependency-free video decode: RIFF/AVI with uncompressed '00db'
-    RGB24 frames — the one video container a chunk walk handles without
-    codec libraries. Compressed streams ('00dc' or anything else) raise
-    ``NotImplementedError``; truncated or inconsistent payloads raise
-    ``ValueError`` (header frame count must match the movi chunks)."""
+    RGB24 frames, or Motion JPEG '00dc' frames when the stream header
+    declares fccHandler 'MJPG' (REAL compressed-video decompression —
+    each frame runs the full in-repo JPEG decoder: Huffman entropy
+    decode, dequant, zigzag, IDCT; decoded pixel buffers land in
+    ``frames``). Other compressed streams raise ``NotImplementedError``;
+    truncated or inconsistent payloads raise ``ValueError`` (header
+    frame count must match the movi chunks)."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
@@ -1716,10 +1863,11 @@ def decode_avi(payload: bytes) -> VideoData:
             "libraries; got magic %r" % payload[:4]
         )
     width = height = us_per_frame = declared = None
+    handler = None
     frames: list = []
 
     def walk(buf: bytes) -> None:
-        nonlocal width, height, us_per_frame, declared
+        nonlocal width, height, us_per_frame, declared, handler
         pos = 0
         while pos + 8 <= len(buf):
             cid = buf[pos : pos + 4]
@@ -1732,12 +1880,19 @@ def decode_avi(payload: bytes) -> VideoData:
             elif cid == b"avih":
                 f = struct.unpack("<14I", body[:56])
                 us_per_frame, declared, width, height = f[0], f[4], f[8], f[9]
+            elif cid == b"strh":
+                if body[:4] == b"vids":
+                    handler = bytes(body[4:8])
             elif cid == b"00db":
                 frames.append(bytes(body))
             elif cid == b"00dc":
-                raise NotImplementedError(
-                    "compressed AVI frames need a codec library"
-                )
+                if handler == b"MJPG":
+                    frames.append(bytes(_decode_jpeg(bytes(body)).pixels))
+                else:
+                    raise NotImplementedError(
+                        "compressed AVI frames (handler %r) need a codec library"
+                        % handler
+                    )
             pos += 8 + clen + (clen & 1)
 
     walk(payload[12:])

@@ -1199,6 +1199,68 @@ def test_avi_roundtrip_and_rejections():
         decode_avi(bad)
 
 
+def test_ima_adpcm_roundtrip_and_rejections():
+    """encode_wav_ima_adpcm -> decode_wav (tag 0x11) reproduces the
+    reference nibble recursion exactly, honours the fact-chunk frame
+    count (odd nibble counts), and rejects stereo / out-of-range step
+    indices / fact overruns."""
+    import pytest as _pytest
+
+    from elevate_data_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_ima_adpcm,
+        ima_adpcm_decode_nibbles,
+    )
+
+    nibs = [(i * 13 + 7) % 16 for i in range(33)]  # odd count -> padded byte
+    a = decode_wav(encode_wav_ima_adpcm(nibs, pred0=-123, index0=40,
+                                        sample_rate=8000))
+    assert (a.sample_rate, a.channels, a.bits) == (8000, 1, 4)
+    assert a.samples == ima_adpcm_decode_nibbles(nibs, -123, 40)
+    assert len(a.samples) == 34  # header predictor + one per nibble
+    assert all(-32768 <= s <= 32767 for s in a.samples)
+    # saturating clamp: all-max nibbles from a high predictor pin at 32767
+    hot = ima_adpcm_decode_nibbles([7] * 50, 32000, 88)
+    assert max(hot) == 32767
+    # step index out of range is data corruption, not a format gap
+    bad = bytearray(encode_wav_ima_adpcm(nibs, 0, 0))
+    bad[bad.find(b"data") + 8 + 2] = 99  # block-header stepIndex byte
+    with _pytest.raises(ValueError):
+        decode_wav(bytes(bad))
+    # fact chunk declaring more frames than the data decodes
+    over = bytearray(encode_wav_ima_adpcm(nibs, 0, 0))
+    fidx = over.find(b"fact") + 8
+    over[fidx:fidx + 4] = (1000).to_bytes(4, "little")
+    with _pytest.raises(ValueError):
+        decode_wav(bytes(over))
+
+
+def test_avi_mjpeg_roundtrip_and_rejections():
+    """encode_avi_mjpeg -> decode_avi runs the real JPEG decoder per
+    '00dc' frame; DC-only payloads make the decode exact. Non-MJPG
+    compressed streams still raise NotImplementedError."""
+    import pytest as _pytest
+
+    from elevate_data_pipeline_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi_mjpeg,
+        encode_jpeg_gray_dc,
+    )
+
+    frames = [encode_jpeg_gray_dc([40, 200], blocks_per_row=2),
+              encode_jpeg_gray_dc([0, 255], blocks_per_row=2)]
+    v = decode_avi(encode_avi_mjpeg(frames, width=16, height=8))
+    assert (v.width, v.height, v.n_frames) == (16, 8, 2)
+    assert len(v.frames) == 2 and all(len(f) == 16 * 8 for f in v.frames)
+    assert sum(v.frames[0]) == 64 * (40 + 200)
+    assert sum(v.frames[1]) == 64 * (0 + 255)
+    # a non-MJPG handler with compressed chunks is still a format gap
+    other = encode_avi_mjpeg(frames, width=16, height=8).replace(
+        b"MJPG", b"H264")
+    with _pytest.raises(NotImplementedError):
+        decode_avi(other)
+
+
 def test_merge_upsert_actions(spark):
     from elevate_data_pipeline_spark.operators.diff import merge_upsert
 
