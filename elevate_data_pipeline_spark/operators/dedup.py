@@ -108,40 +108,93 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("_blk"),
         char_ngrams(text_col, n).alias("_grams"),
-    ).localCheckpoint(eager=False)  # reused: prefix build + both verify sides
+    )
 
     # J(a,b) >= t implies |a∩b| >= t*|a| and >= t*|b|, so under any
     # consistent gram order the smallest common gram falls inside BOTH
     # docs' prefixes of size |g| - ceil(t*|g|) + 1. Order rarest-first
     # (per-block doc-frequency) so prefixes hold the most selective grams.
+    # Every downstream stage works on the gram's integer dense rank in
+    # that order (_gid), not the gram string: the prefix join shuffles
+    # ints, and the verify intersect hashes ints — ~5x cheaper than
+    # string sets at sf0.1. (The per-block rank window is skew-prone
+    # when one block dominates the corpus; at that scale swap _gid for
+    # a fingerprint — the exactness contract here keeps the bijective
+    # rank so the DuckDB oracle matches bit-for-bit.)
     exploded = base.select(
         "_id", "_blk", F.size("_grams").alias("_sz"), F.explode("_grams").alias("_g")
     )
     freq = exploded.groupBy("_blk", "_g").agg(F.count("*").alias("_df"))
-    ranked = exploded.join(freq, ["_blk", "_g"]).withColumn(
-        "_rn",
-        F.row_number().over(
-            Window.partitionBy("_blk", "_id").orderBy("_df", "_g")
-        ),
+    # Rank grams on the DISTINCT-gram frame (one row per (block, gram) —
+    # ~5x smaller than the exploded postings), then join the int id back;
+    # the per-doc position window then sorts plain ints. row_number (not
+    # dense_rank) is fine here: (_df, _g) is unique within a block.
+    gids = freq.withColumn(
+        "_gid",
+        F.row_number().over(Window.partitionBy("_blk").orderBy("_df", "_g")),
+    ).select("_blk", "_g", "_gid")
+    ranked = (
+        exploded.join(gids, ["_blk", "_g"])
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("_blk", "_id").orderBy("_gid")),
+        )
+        .select("_id", "_blk", "_sz", "_gid", "_rn")
+        .localCheckpoint(eager=False)  # reused: doc int-sets + prefix postings
+    )
+    docints = ranked.groupBy("_id").agg(
+        F.sort_array(F.collect_list("_gid")).alias("_gi"),
+        F.max("_sz").alias("_sz"),
     )
     prefix = ranked.filter(
         F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
-    ).select("_id", "_blk", "_g")
+    ).select("_id", "_blk", "_gid", "_sz", F.col("_rn").alias("_p"))
 
+    # PPJoin pruning (Xiao et al. 2008 — the filters that took
+    # dedup_containment 6.4s -> 2.8s in r4):
+    #  - length filter INLINE in the join: J >= t forces
+    #    min(|a|,|b|) >= t * max(|a|,|b|);
+    #  - EXACT positional filter after grouping to the pair's FIRST
+    #    common prefix gram (both matched positions are minimized by the
+    #    same gram — positions grow together along the shared rarest-
+    #    first order): overlap <= 1 + min(|a|-pa0, |b|-pb0), and J >= t
+    #    needs overlap >= ceil(t/(1+t) * (|a|+|b|)).
+    sa, sb = F.col("a._sz"), F.col("b._sz")
     a, b = prefix.alias("a"), prefix.alias("b")
+    matches = a.join(
+        b,
+        (F.col("a._blk") == F.col("b._blk"))
+        & (F.col("a._gid") == F.col("b._gid"))
+        & (F.col("a._id") < F.col("b._id"))
+        & (F.least(sa, sb) >= threshold * F.greatest(sa, sb)),
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        sa.alias("_sa"),
+        sb.alias("_sb"),
+        F.col("a._p").alias("_pa"),
+        F.col("b._p").alias("_pb"),
+    )
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("_sa") + F.col("_sb"))
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a._blk") == F.col("b._blk"))
-            & (F.col("a._g") == F.col("b._g"))
-            & (F.col("a._id") < F.col("b._id")),
+        matches.groupBy("id_a", "id_b")
+        .agg(
+            F.min("_pa").alias("_pa0"),
+            F.min("_pb").alias("_pb0"),
+            F.max("_sa").alias("_sa"),
+            F.max("_sb").alias("_sb"),
         )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .filter(
+            1 + F.least(F.col("_sa") - F.col("_pa0"), F.col("_sb") - F.col("_pb0"))
+            >= alpha
+        )
+        .select("id_a", "id_b")
     )
 
-    ga = base.select(F.col("_id").alias("id_a"), F.col("_grams").alias("_ga"))
-    gb = base.select(F.col("_id").alias("id_b"), F.col("_grams").alias("_gb"))
+    ga = docints.select(F.col("_id").alias("id_a"), F.col("_gi").alias("_ga"))
+    gb = docints.select(F.col("_id").alias("id_b"), F.col("_gi").alias("_gb"))
     inter = F.size(F.array_intersect("_ga", "_gb"))
     union = F.size("_ga") + F.size("_gb") - inter
     return (
@@ -693,25 +746,26 @@ def simhash_pairs_global(
         ).alias("_c"),
     ).select("_id", "_sh", "_c.ci", "_c.cv")
     a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
+    # The Hamming verify runs INLINE in the join stage, before the pair
+    # dedup: with 32/(d+1)-bit chunk values the candidate buckets are
+    # fat, and shuffling every candidate into dropDuplicates first was
+    # ~20x the cost of this plan (bit_count is one codegen instruction;
+    # the dedup exchange now carries only true near-dup pairs).
+    ham = F.expr("bit_count(a._sh ^ b._sh)")
+    return (
         a.join(
             b,
             (F.col("a.ci") == F.col("b.ci"))
             & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col("a._id") < F.col("b._id")),
+            & (F.col("a._id") < F.col("b._id"))
+            & (ham <= max_hamming),
         )
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.col("a._sh").alias("_sa"),
-            F.col("b._sh").alias("_sb"),
+            ham.cast("int").alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
-    )
-    ham = F.expr("bit_count(_sa ^ _sb)")
-    return (
-        cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
     )
 
 
