@@ -1495,6 +1495,47 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     return encode_ppm(width, height, bytes(out), channels=ch)
 
 
+def ahash64(img: ImageData) -> tuple[int, int]:
+    """64-bit average hash (aHash) of a decoded image — the classic
+    perceptual near-dup signature for image corpora (each bit: is this
+    cell brighter than the image mean?). The image is reduced to an
+    8x8 grid of integer cell means (floor; exact 8x8 inputs pass
+    through untouched), color via integer luma (r*299+g*587+b*114)//1000.
+    Bit i is ``cell_i * 64 > sum(cells)`` — kept as pure integer
+    comparisons so an oracle can replay the hash bit-for-bit. Returns
+    the hash as (lo32, hi32) halves: two nonneg ints avoid int64
+    sign traps in engines where ``1 << 63`` overflows."""
+    w, h, ch = img.width, img.height, img.channels
+    if w < 8 or h < 8:
+        raise ValueError(f"ahash64 needs >= 8x8 pixels; got {w}x{h}")
+    px = img.pixels
+    if ch == 3:
+        gray = [
+            (px[i] * 299 + px[i + 1] * 587 + px[i + 2] * 114) // 1000
+            for i in range(0, w * h * 3, 3)
+        ]
+    elif ch == 1:
+        gray = list(px)
+    else:
+        raise ValueError(f"ahash64 supports 1 or 3 channels; got {ch}")
+    cells = []
+    for cy in range(8):
+        y0, y1 = cy * h // 8, (cy + 1) * h // 8
+        for cx in range(8):
+            x0, x1 = cx * w // 8, (cx + 1) * w // 8
+            s = sum(gray[y * w + x] for y in range(y0, y1) for x in range(x0, x1))
+            cells.append(s // ((y1 - y0) * (x1 - x0)))
+    total = sum(cells)
+    lo = hi = 0
+    for i, c in enumerate(cells):
+        if c * 64 > total:
+            if i < 32:
+                lo |= 1 << i
+            else:
+                hi |= 1 << (i - 32)
+    return lo, hi
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

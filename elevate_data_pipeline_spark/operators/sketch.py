@@ -18,7 +18,7 @@ this family.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -52,6 +52,200 @@ def approx_quantiles(
     probs = ", ".join(repr(float(p)) for p in probabilities)
     agg = F.expr(f"approx_percentile({col}, array({probs}), {accuracy})").alias("qs")
     return df.groupBy(*group_by).agg(agg) if group_by else df.agg(agg)
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog: unlike approx_distinct above (Spark's HLL++, whose
+# registers no other engine can reproduce), this builds the registers from an
+# ENGINE-PORTABLE integer-only hash (two Knuth/xxhash-prime multiply rounds
+# with xor folds, every intermediate < 2^48 so int64 never overflows) and an
+# integer-only leading-zero rank (a CASE chain — Spark's log2 is
+# Math.log(x)/Math.log(2) and is NOT guaranteed to floor identically to
+# DuckDB's std::log2 at integer boundaries). Register maxima, the scaled
+# harmonic sum, and the zero-register count are all exact integers, and the
+# final estimate is one IEEE double division + floor — bit-identical on any
+# IEEE-754 engine — so a DuckDB oracle can gate the sketch EXACTLY.
+# (Flajolet et al. 2007 raw estimator; the small-range linear-counting
+# correction m*ln(m/V) is applied through a baked m-entry integer table —
+# V has only m possible values — because ln() is not cross-engine exact.)
+# ---------------------------------------------------------------------------
+
+_HLL_RING = 4_294_967_296  # 2^32
+_HLL_HALF = 65_536  # 2^16
+_HLL_K1 = 2_654_435_761  # Knuth multiplicative (2^32 / phi)
+_HLL_K2 = 2_246_822_519  # xxhash32 PRIME2
+
+
+def _hll_alpha_const(p: int) -> float:
+    """``alpha_m * m^2 * 2^33`` — the numerator of the raw estimate over
+    the 2^33-scaled harmonic sum. Emitted as a repr() literal in both
+    engines so each parses the identical double."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m * float(1 << 33)
+
+
+def hll_hash_sql(key: str) -> str:
+    """The portable 32-bit hash as engine-neutral SQL text (works in
+    Spark SQL and DuckDB: only ``%``, ``//``/``div``-free integer ``*``,
+    ``+`` and ``xor``). Kept textually tiny by nesting; the Spark Column
+    twin is :func:`_hll_hash_col` — property tests pin them equal."""
+
+    def splitmul(v: str, k: int) -> str:
+        return (
+            f"((((({v}) // {_HLL_HALF}) * {k}) % {_HLL_HALF}) * {_HLL_HALF}"
+            f" + (({v}) % {_HLL_HALF}) * {k}) % {_HLL_RING}"
+        )
+
+    id32 = f"(({key}) % {_HLL_RING} + {_HLL_RING}) % {_HLL_RING}"
+    r1 = f"({splitmul(id32, _HLL_K1)})"
+    x1 = f"xor({r1}, {r1} // {_HLL_HALF})"
+    r2 = f"({splitmul(f'({x1})', _HLL_K2)})"
+    return f"xor({r2}, {r2} // 8192)"
+
+
+def _hll_hash_col(key: Column) -> Column:
+    """Spark Column twin of :func:`hll_hash_sql` (same constants, same
+    operation order; ``div``/``pmod`` keep everything on int64)."""
+
+    def splitmul(v: Column, k: int) -> Column:
+        hi = F.floor(v / _HLL_HALF).cast("long")
+        return (hi * k % _HLL_HALF * _HLL_HALF + v % _HLL_HALF * k) % _HLL_RING
+
+    id32 = F.pmod(key.cast("long"), F.lit(_HLL_RING))
+    r1 = splitmul(id32, _HLL_K1)
+    x1 = r1.bitwiseXOR(F.floor(r1 / _HLL_HALF).cast("long"))
+    r2 = splitmul(x1, _HLL_K2)
+    return r2.bitwiseXOR(F.floor(r2 / 8192).cast("long"))
+
+
+def _hll_rho_col(w: Column, wbits: int) -> Column:
+    """Leading-zero rank of the ``wbits``-bit suffix, integer-only:
+    rho = 1 for the top bit set ... wbits for w == 1, wbits+1 for w == 0."""
+    expr = F.when(w == 0, F.lit(wbits + 1))
+    for rho in range(1, wbits + 1):
+        expr = expr.when(w >= (1 << (wbits - rho)), F.lit(rho))
+    return expr
+
+
+def hll_rho_sql(w: str, wbits: int) -> str:
+    branches = "".join(
+        f" WHEN ({w}) >= {1 << (wbits - rho)} THEN {rho}"
+        for rho in range(1, wbits + 1)
+    )
+    return f"CASE WHEN ({w}) = 0 THEN {wbits + 1}{branches} END"
+
+
+def _hll_lc_table(p: int) -> list[int]:
+    """``floor(m * ln(m / V))`` for V = 1..m, precomputed in Python —
+    the linear-counting estimate as a pure integer lookup. V has only m
+    possible values, so baking the table makes the small-range branch
+    cross-engine exact with ZERO libm in either engine (ln is not
+    IEEE-guaranteed identical across Spark's Math.log and DuckDB's
+    std::log; this is the same move as the IMA ADPCM step table)."""
+    import math
+
+    m = 1 << p
+    return [int(math.floor(m * math.log(m / v))) for v in range(1, m + 1)]
+
+
+def portable_hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_by: list[str] | None = None,
+    p: int = 9,
+) -> DataFrame:
+    """Cross-engine-exact HyperLogLog distinct count of ``key_col``
+    (optionally per group). Returns one row per group with
+
+    - ``hll_est``       — the full estimator with the standard
+                          small-range correction: linear counting
+                          ``floor(m*ln(m/V))`` (via the baked integer
+                          table — no ln in either engine) when the raw
+                          estimate <= 2.5m and V > 0, else the raw
+                          estimate;
+    - ``hll_raw``       — floor(alpha_m * m^2 / sum_j 2^-M_j), the raw
+                          Flajolet estimator as BIGINT;
+    - ``hll_zero_regs`` — V, the zero-register count;
+    - ``hll_harmonic``  — the 2^33-scaled harmonic sum (exact integer;
+                          registers of two partial sketches merge by
+                          MAX, so this column is re-derivable after a
+                          merge — mergeability is what makes HLL the
+                          100 TB replacement for countDistinct: the
+                          shuffle carries m small ints per group, not
+                          every distinct key).
+    """
+    group_by = group_by or []
+    m = 1 << p
+    wbits = 32 - p
+    h = _hll_hash_col(F.col(key_col))
+    bucket = F.floor(h / (1 << wbits)).cast("long").alias("_bkt")
+    rho = _hll_rho_col(h % (1 << wbits), wbits).alias("_rho")
+    regs = (
+        df.select(*group_by, bucket, rho)
+        .groupBy(*group_by, "_bkt")
+        .agg(F.max("_rho").alias("_M"))
+    )
+    per_group = regs.groupBy(*group_by).agg(
+        F.count(F.lit(1)).alias("_present"),
+        F.sum(F.expr("shiftleft(1L, 33 - _M)")).alias("_sumpow"),
+    )
+    harmonic = F.col("_sumpow") + (F.lit(m) - F.col("_present")) * (1 << 33)
+    v = (F.lit(m) - F.col("_present")).cast("long")
+    raw = F.floor(F.lit(_hll_alpha_const(p)) / harmonic.cast("double")).cast("long")
+    lc_arr = F.array(*[F.lit(x).cast("long") for x in _hll_lc_table(p)])
+    best = F.when(
+        (raw <= int(2.5 * m)) & (v > 0), F.element_at(lc_arr, v.cast("int"))
+    ).otherwise(raw)
+    return per_group.select(
+        *group_by,
+        v.alias("hll_zero_regs"),
+        harmonic.cast("long").alias("hll_harmonic"),
+        raw.alias("hll_raw"),
+        best.alias("hll_est"),
+    )
+
+
+def portable_hll_sql(
+    table: str, key: str, group_by: list[str] | None = None, p: int = 9
+) -> str:
+    """The ANSI-SQL twin of :func:`portable_hll_distinct` (DuckDB
+    dialect: ``//`` integer division, ``xor()``, ``<<``)."""
+    group_by = group_by or []
+    m = 1 << p
+    wbits = 32 - p
+    gcols = ", ".join(group_by)
+    gsel = f"{gcols}, " if group_by else ""
+    gby = f"GROUP BY {gcols}" if group_by else ""
+    return f"""
+    WITH h0 AS (
+      SELECT {gsel}({hll_hash_sql(key)}) AS h FROM {table}
+    ), hashed AS (
+      SELECT {gsel}h // {1 << wbits} AS bkt,
+             {hll_rho_sql(f'h % {1 << wbits}', wbits)} AS rho
+      FROM h0
+    ), regs AS (
+      SELECT {gsel}bkt, max(rho) AS M FROM hashed GROUP BY {gsel}bkt
+    ), per_group AS (
+      SELECT {gsel}count(*) AS present,
+             sum((1::BIGINT << (33 - M))) AS sumpow
+      FROM regs {gby}
+    ), est AS (
+      SELECT {gsel}CAST({m} - present AS BIGINT) AS hll_zero_regs,
+             CAST(sumpow + ({m} - present) * (1::BIGINT << 33) AS BIGINT)
+               AS hll_harmonic,
+             CAST(floor({_hll_alpha_const(p)!r}
+                  / CAST(sumpow + ({m} - present) * (1::BIGINT << 33) AS DOUBLE))
+               AS BIGINT) AS hll_raw
+      FROM per_group
+    )
+    SELECT {gsel}hll_zero_regs, hll_harmonic, hll_raw,
+           CAST(CASE WHEN hll_raw <= {int(2.5 * m)} AND hll_zero_regs > 0
+                THEN ([{", ".join(str(x) for x in _hll_lc_table(p))}])
+                     [hll_zero_regs]
+                ELSE hll_raw END AS BIGINT) AS hll_est
+    FROM est
+    """
 
 
 def frequent_items(

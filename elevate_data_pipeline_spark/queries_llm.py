@@ -1297,15 +1297,20 @@ def dedup_simhash_pairs(spark, sf_dir):
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
     FROM s a JOIN s b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.sh, b.sh)) <= 6
+    WHERE bit_count(xor(a.sh, b.sh)) <= 1
     """,
 )
 def dedup_simhash_global(spark, sf_dir):
-    """ALL SimHash pairs at Hamming <= 6, no blocking column: pigeonhole
-    chunk index generates exact candidates (the oracle brute-forces the
-    full cross join — same result set)."""
+    """ALL SimHash pairs at Hamming <= 1, no blocking column: pigeonhole
+    chunk index (2 chunks x 16 bits) generates exact candidates; the
+    oracle brute-forces the full cross join — same result set. Radius 1
+    is the defensible near-dup threshold on a 32-bit fingerprint: on
+    this corpus Hamming <= 6 admits 61% of ALL pairs (the sf0.1 bench
+    collected 7.6M pairs — a quadratic result set, i.e. no dedup signal
+    at that radius), while <= 1 keeps ~1%. Wider radii belong to a
+    64-bit fingerprint, not a looser cut."""
     docs = Catalog(spark, sf_dir).table("documents")
-    return dedup.simhash_pairs_global(docs, max_hamming=6)
+    return dedup.simhash_pairs_global(docs, max_hamming=1)
 
 
 @query(
@@ -2006,6 +2011,53 @@ def events_heavy_hitters(spark, sf_dir):
     both engines."""
     ev = Catalog(spark, sf_dir).table("events")
     return sketch.frequent_items(ev, "user_id", min_share=0.002)
+
+
+@query(
+    "sketch_hll_portable",
+    f"""
+    WITH hll AS ({sketch.portable_hll_sql("events", "user_id",
+                                          group_by=["event_type"], p=9)}),
+    exact AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY event_type
+    )
+    SELECT h.event_type AS event_type, h.hll_est AS est_users,
+           h.hll_raw AS raw_est, e.exact_users AS exact_users,
+           h.hll_zero_regs AS zero_regs, h.hll_harmonic AS harmonic,
+           abs(h.hll_est - e.exact_users) * 1000000 // e.exact_users AS err_ppm
+    FROM hll h JOIN exact e USING (event_type)
+    """,
+)
+def sketch_hll_portable(spark, sf_dir):
+    """Cross-engine-EXACT HyperLogLog (operators/sketch.portable_hll_distinct):
+    distinct users per event type as a mergeable 512-register sketch built
+    from an engine-portable integer hash, reported next to the exact
+    countDistinct with the integer-ppm error. Unlike approx_count_distinct
+    (Spark-private HLL++ registers), every output column here — register
+    harmonic sum, zero-register count, raw estimate, and the
+    small-range-corrected estimate (linear counting via a baked integer
+    ln-table, so neither engine touches libm) — is replayed bit-exactly
+    by the DuckDB oracle: the GATE is exact even though the OPERATOR is
+    approximate. The 100 TB story is the shuffle shape: countDistinct
+    shuffles every distinct (event_type, user_id) pair; this shuffles at
+    most m=512 register maxima per group."""
+    ev = Catalog(spark, sf_dir).table("events")
+    est = sketch.portable_hll_distinct(ev, "user_id", ["event_type"], p=9)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        F.col("hll_est").alias("est_users"),
+        F.col("hll_raw").alias("raw_est"),
+        "exact_users",
+        F.col("hll_zero_regs").alias("zero_regs"),
+        F.col("hll_harmonic").alias("harmonic"),
+        F.expr(
+            "abs(hll_est - exact_users) * 1000000L div exact_users"
+        ).alias("err_ppm"),
+    )
 
 
 _SQL_SUMSQ = (
@@ -3962,6 +4014,109 @@ def multimodal_mjpeg_decode(spark, sf_dir):
         run,
         "doc_id long, frame_idx int, width int, height int, n_frames int, "
         "frame_sum long",
+    )
+
+
+@query(
+    "multimodal_ahash_neardup",
+    """
+    WITH px AS (
+      SELECT doc_id, CAST(r.range AS INT) AS i,
+             CASE WHEN r.range < doc_id % 4
+                  THEN 255 - ((doc_id // 4) * 37 + r.range * 11) % 256
+                  ELSE ((doc_id // 4) * 37 + r.range * 11) % 256 END AS v
+      FROM documents, range(0, 64) r
+    ), h AS (
+      SELECT doc_id,
+             sum(CASE WHEN v * 64 > t AND i < 32
+                      THEN (1::BIGINT << i) ELSE 0 END) AS lo,
+             sum(CASE WHEN v * 64 > t AND i >= 32
+                      THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS hi
+      FROM (SELECT doc_id, i, v, sum(v) OVER (PARTITION BY doc_id) AS t
+            FROM px)
+      GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, lo, hi,
+             CASE b.range WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+                          WHEN 2 THEN hi % 65536 ELSE hi // 65536 END
+               AS band_val,
+             CAST(b.range AS INT) AS band_idx
+      FROM h, range(0, 4) b
+    )
+    SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi))
+             AS INT) AS hamming
+    FROM bands a JOIN bands c
+      ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+     AND a.doc_id < c.doc_id
+    WHERE bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi)) <= 3
+    """,
+)
+def multimodal_ahash_neardup(spark, sf_dir):
+    """Image near-dup detection via perceptual average-hash (aHash) +
+    Hamming pigeonhole banding — the LAION-style image-dedup shape. Per
+    doc, a deterministic 8x8 grayscale PGM is encoded, run through the
+    REAL decode path (operators/multimodal.decode_image), and hashed by
+    operators/multimodal.ahash64 (integer mean-threshold bits, emitted
+    as lo/hi 32-bit halves — no int64 sign traps). Candidate pairs come
+    from 4x16-bit band equality (pigeonhole: hamming <= 3 guarantees an
+    intact band), verified by exact ``bit_count(xor)`` Hamming distance
+    — both stages pure JVM. The oracle replays pixels, threshold bits,
+    banding, and Hamming in closed form, so the whole decode->hash->
+    block->verify chain is exactly gated. 100 TB shape: the only
+    shuffle is the band-key equi-join (bounded candidates), never
+    all-pairs."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                base, r = did // 4, did % 4
+                px = bytes(
+                    (255 - (base * 37 + i * 11) % 256)
+                    if i < r else (base * 37 + i * 11) % 256
+                    for i in range(64)
+                )
+                img = multimodal.decode_image(
+                    multimodal.encode_ppm(8, 8, px, channels=1)
+                )
+                lo, hi = multimodal.ahash64(img)
+                rows.append((did, lo, hi))
+            yield pd.DataFrame(rows, columns=["doc_id", "lo", "hi"])
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    hashes = docs.mapInPandas(run, "doc_id long, lo long, hi long")
+    bands = hashes.select(
+        "doc_id", "lo", "hi",
+        F.posexplode(
+            F.array(
+                F.col("lo") % 65536, F.expr("lo div 65536"),
+                F.col("hi") % 65536, F.expr("hi div 65536"),
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, c = bands.alias("a"), bands.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.band_idx") == F.col("c.band_idx"))
+        & (F.col("a.band_val") == F.col("c.band_val"))
+        & (F.col("a.doc_id") < F.col("c.doc_id")),
+    )
+    ham = F.expr(
+        "bit_count(a.lo ^ c.lo) + bit_count(a.hi ^ c.hi)"
+    ).cast("int")
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("c.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
     )
 
 

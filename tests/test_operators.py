@@ -1199,6 +1199,83 @@ def test_avi_roundtrip_and_rejections():
         decode_avi(bad)
 
 
+def test_portable_hll_hash_matches_sql_twin(spark):
+    """The Spark Column hash and the SQL-text hash are the same function
+    — checked value-by-value through DuckDB over edge-case keys (0, 1,
+    2^32 boundaries, int64 max, negatives)."""
+    import duckdb
+
+    from elevate_data_pipeline_spark.operators.sketch import (
+        _hll_hash_col,
+        hll_hash_sql,
+    )
+
+    keys = [0, 1, 7, 65535, 65536, 2**31 - 1, 2**32 - 1, 2**32,
+            2**52 + 12345, 2**63 - 1, -1, -(2**31)]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {r.k: r.h for r in df.select("k", _hll_hash_col(F.col("k")).alias("h")).collect()}
+    con = duckdb.connect()
+    for k in keys:
+        (want,) = con.execute(
+            f"SELECT {hll_hash_sql(f'{k}::BIGINT')}"
+        ).fetchone()
+        assert got[k] == want, f"hash mismatch for key {k}: {got[k]} != {want}"
+        assert 0 <= want < 2**32
+
+
+def test_portable_hll_accuracy_and_duplicate_insensitivity(spark):
+    """hll_est (raw estimator + baked linear-counting correction) lands
+    within ~3 standard errors of the truth at m=512 for both a large-n
+    (5000) and a small-n (150, linear-counting regime) cardinality, and
+    duplicated input changes nothing."""
+    import math
+
+    from elevate_data_pipeline_spark.operators.sketch import portable_hll_distinct
+
+    m = 512
+    for n in (5000, 150):
+        df = spark.range(n).withColumnRenamed("id", "k")
+        row = portable_hll_distinct(df, "k", p=9).collect()[0]
+        assert abs(row.hll_est - n) / n < 3 * 1.04 / math.sqrt(m), row
+        dup = df.union(df).union(df)
+        assert portable_hll_distinct(dup, "k", p=9).collect()[0] == row
+
+
+def test_ahash64_properties():
+    """aHash bits are the integer mean-threshold of the 8x8 cell means;
+    identical images hash equal, a single flipped pixel moves Hamming
+    distance by only a few bits, color uses integer luma, and undersized
+    images are rejected."""
+    import pytest as _pytest
+
+    from elevate_data_pipeline_spark.operators.multimodal import (
+        ImageData,
+        ahash64,
+        decode_image,
+        encode_ppm,
+    )
+
+    px = bytes((i * 11 + 3) % 256 for i in range(64))
+    img = decode_image(encode_ppm(8, 8, px, channels=1))
+    lo, hi = ahash64(img)
+    total = sum(px)
+    want_lo = sum(1 << i for i in range(32) if px[i] * 64 > total)
+    want_hi = sum(1 << (i - 32) for i in range(32, 64) if px[i] * 64 > total)
+    assert (lo, hi) == (want_lo, want_hi)
+    # one flipped pixel -> small Hamming move
+    px2 = bytes([255 - px[0]]) + px[1:]
+    lo2, hi2 = ahash64(decode_image(encode_ppm(8, 8, px2, channels=1)))
+    assert 1 <= bin((lo ^ lo2)).count("1") + bin(hi ^ hi2).count("1") <= 8
+    # 16x16 downsample: constant image has no above-mean cells
+    flat = ImageData(16, 16, 1, 255, bytes([77]) * 256)
+    assert ahash64(flat) == (0, 0)
+    # RGB uses integer luma: pure-gray RGB equals its grayscale twin
+    rgb = ImageData(8, 8, 3, 255, bytes(b for v in px for b in (v, v, v)))
+    assert ahash64(rgb) == (lo, hi)
+    with _pytest.raises(ValueError):
+        ahash64(ImageData(4, 4, 1, 255, bytes(16)))
+
+
 def test_ima_adpcm_roundtrip_and_rejections():
     """encode_wav_ima_adpcm -> decode_wav (tag 0x11) reproduces the
     reference nibble recursion exactly, honours the fact-chunk frame
