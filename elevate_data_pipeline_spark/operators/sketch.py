@@ -248,6 +248,70 @@ def portable_hll_sql(
     """
 
 
+# ---------------------------------------------------------------------------
+# KMV / theta sketch (Bar-Yossef et al. 2002, Beyer et al. 2007): keep the
+# k smallest distinct PORTABLE hash values per group. Everything the sketch
+# emits — the kept hashes, the k-th minimum (theta), the unbiased estimate
+# (k-1)*2^32 div theta — is an exact integer, so the DuckDB oracle gates it
+# bit-for-bit. The capability HLL lacks: kept-hash sets support SET ALGEBRA
+# (union by re-ranking the merged sets, intersection by the union-sample
+# estimator), which is how a 100 TB catalog answers "how much do these two
+# corpora overlap" from two 1 KB sketches instead of a distinct-join.
+# 32-bit hashes keep the build oracle-portable; a production build widens
+# to 64-bit to push the birthday bound past crawl-scale cardinalities.
+# ---------------------------------------------------------------------------
+
+
+def kmv_kept(
+    df: DataFrame, key_col: str, group_by: str, k: int = 128
+) -> DataFrame:
+    """The sketch itself: per group, the k smallest distinct portable
+    hashes of ``key_col`` with their rank. Ranking goes through the
+    scale-safe grouped rank (range repartition + broadcast offsets), so
+    one huge group never funnels through a single window task."""
+    from .rank import grouped_row_number
+
+    hashed = df.select(
+        F.col(group_by).alias("_grp"), _hll_hash_col(F.col(key_col)).alias("_h")
+    ).distinct()
+    ranked = grouped_row_number(hashed, "_grp", ["_h"], out_col="_rn")
+    return ranked.filter(F.col("_rn") <= k)
+
+
+def kmv_distinct(
+    df: DataFrame, key_col: str, group_by: str, k: int = 128
+) -> DataFrame:
+    """KMV distinct-count estimate per group: exact count when the whole
+    hash set fits in the sketch (n < k), else the unbiased estimator
+    (k-1) * 2^32 div theta — pure integer division, no libm anywhere.
+    Returns (group, kmv_theta, kmv_kept_n, kmv_est)."""
+    kept = kmv_kept(df, key_col, group_by, k)
+    agg = kept.groupBy("_grp").agg(
+        F.count(F.lit(1)).alias("_n"), F.max("_h").alias("_theta")
+    )
+    est = F.when(F.col("_n") < k, F.col("_n")).otherwise(
+        F.expr(f"{(k - 1) * _HLL_RING}L div _theta")
+    )
+    return agg.select(
+        F.col("_grp").alias(group_by),
+        F.col("_theta").cast("long").alias("kmv_theta"),
+        F.col("_n").cast("long").alias("kmv_kept_n"),
+        est.cast("long").alias("kmv_est"),
+    )
+
+
+def kmv_sql(table: str, key: str, group_by: str, k: int = 128) -> str:
+    """ANSI-SQL twin of :func:`kmv_kept` (DuckDB dialect) as a CTE body:
+    SELECT grp, h, rn of the kept hashes."""
+    return f"""
+      SELECT {group_by} AS _grp, h AS _h,
+             row_number() OVER (PARTITION BY {group_by} ORDER BY h) AS _rn
+      FROM (SELECT DISTINCT {group_by}, ({hll_hash_sql(key)}) AS h
+            FROM {table})
+      QUALIFY _rn <= {k}
+    """
+
+
 def frequent_items(
     df: DataFrame, col: str, min_share: float = 0.01
 ) -> DataFrame:

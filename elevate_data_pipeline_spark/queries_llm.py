@@ -2060,6 +2060,188 @@ def sketch_hll_portable(spark, sf_dir):
     )
 
 
+_KMV_K = 128
+_KMV_NUM = (_KMV_K - 1) * 4_294_967_296  # (k-1) * 2^32, exact int64
+
+
+@query(
+    "sketch_kmv_users",
+    f"""
+    WITH kept AS ({sketch.kmv_sql("events", "user_id", "event_type", _KMV_K)}),
+    agg AS (SELECT _grp, count(*) AS n, max(_h) AS theta
+            FROM kept GROUP BY _grp),
+    exact AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+              FROM events GROUP BY event_type),
+    est AS (
+      SELECT _grp AS event_type, CAST(theta AS BIGINT) AS kmv_theta,
+             CAST(n AS BIGINT) AS kmv_kept_n,
+             CAST(CASE WHEN n < {_KMV_K} THEN n
+                  ELSE {_KMV_NUM} // theta END AS BIGINT) AS est_users
+      FROM agg)
+    SELECT s.event_type AS event_type, s.kmv_theta AS kmv_theta,
+           s.kmv_kept_n AS kmv_kept_n, s.est_users AS est_users,
+           e.exact_users AS exact_users,
+           abs(s.est_users - e.exact_users) * 1000000 // e.exact_users
+             AS err_ppm
+    FROM est s JOIN exact e USING (event_type)
+    """,
+)
+def sketch_kmv_users(spark, sf_dir):
+    """KMV/theta-sketch distinct users per event type
+    (operators/sketch.kmv_distinct): k=128 smallest distinct portable
+    hashes; exact count when the set fits, else (k-1)*2^32 div theta —
+    pure integer arithmetic end to end, so the DuckDB oracle gates the
+    SKETCH CONTENT itself (theta, kept-n, estimate), not just bounds.
+    Build ranks hashes through the scale-safe grouped rank, so one hot
+    group never funnels through a single window task."""
+    ev = Catalog(spark, sf_dir).table("events")
+    est = sketch.kmv_distinct(ev, "user_id", "event_type", k=_KMV_K)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "kmv_theta",
+        "kmv_kept_n",
+        F.col("kmv_est").alias("est_users"),
+        "exact_users",
+        F.expr("abs(kmv_est - exact_users) * 1000000L div exact_users").alias(
+            "err_ppm"
+        ),
+    )
+
+
+@query(
+    "sketch_kmv_overlap",
+    f"""
+    WITH kept AS ({sketch.kmv_sql("events", "user_id", "event_type", _KMV_K)}),
+    pairs AS (
+      SELECT a._grp AS ta, b._grp AS tb
+      FROM (SELECT DISTINCT _grp FROM kept) a
+      JOIN (SELECT DISTINCT _grp FROM kept) b ON a._grp < b._grp),
+    m AS (
+      SELECT p.ta, p.tb, k._h AS h, 1 AS ina, 0 AS inb
+      FROM pairs p JOIN kept k ON k._grp = p.ta
+      UNION ALL
+      SELECT p.ta, p.tb, k._h AS h, 0 AS ina, 1 AS inb
+      FROM pairs p JOIN kept k ON k._grp = p.tb),
+    g AS (SELECT ta, tb, h, max(ina) AS ina, max(inb) AS inb
+          FROM m GROUP BY ta, tb, h),
+    r AS (SELECT *, row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+          FROM g),
+    ku AS (SELECT ta, tb, count(*) AS n, sum(ina * inb) AS nboth,
+                  max(h) AS theta
+           FROM r WHERE rn <= {_KMV_K} GROUP BY ta, tb),
+    sk AS (
+      SELECT ta, tb, nboth, n,
+             CAST(CASE WHEN n < {_KMV_K} THEN n
+                  ELSE {_KMV_NUM} // theta END AS BIGINT) AS union_est
+      FROM ku),
+    ex AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             count(DISTINCT a.user_id) AS inter_exact
+      FROM (SELECT DISTINCT event_type, user_id FROM events) a
+      JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type),
+    cnt AS (SELECT event_type, count(DISTINCT user_id) AS nd
+            FROM events GROUP BY event_type)
+    SELECT sk.ta AS type_a, sk.tb AS type_b,
+           sk.union_est AS union_est,
+           CAST(sk.nboth * sk.union_est // sk.n AS BIGINT) AS inter_est,
+           CAST(sk.nboth * 1000000 // sk.n AS BIGINT) AS jaccard_ppm,
+           CAST(coalesce(ex.inter_exact, 0) * 1000000
+                // (ca.nd + cb.nd - coalesce(ex.inter_exact, 0)) AS BIGINT)
+             AS exact_jaccard_ppm
+    FROM sk
+    LEFT JOIN ex ON ex.ta = sk.ta AND ex.tb = sk.tb
+    JOIN cnt ca ON ca.event_type = sk.ta
+    JOIN cnt cb ON cb.event_type = sk.tb
+    """,
+)
+def sketch_kmv_overlap(spark, sf_dir):
+    """Corpus-overlap estimation from KMV sketches — the set algebra HLL
+    cannot do: for every pair of event types, merge the two kept-hash
+    sets, re-rank to the k smallest (the union sketch), and estimate
+    Jaccard as the fraction of the union sample present in BOTH sets
+    (Beyer et al. 2007), intersection as jaccard x union-estimate. All
+    counts and divisions are integers, so the oracle replays the sketch
+    bit-for-bit; the exact Jaccard rides along for the accuracy story.
+    At 100 TB the point is the state size: two 1 KB sketches answer
+    'how much do these corpora overlap' — the exact comparator joins
+    every distinct (type, user) pair."""
+    ev = Catalog(spark, sf_dir).table("events")
+    kept = sketch.kmv_kept(ev, "user_id", "event_type", k=_KMV_K)
+    types = kept.select(F.col("_grp").alias("ta")).distinct()
+    pairs = types.join(
+        kept.select(F.col("_grp").alias("tb")).distinct(),
+        F.col("ta") < F.col("tb"),
+    )
+    ka = pairs.join(
+        kept.select(F.col("_grp").alias("ta"), "_h"), "ta"
+    ).select("ta", "tb", "_h", F.lit(1).alias("ina"), F.lit(0).alias("inb"))
+    kb = pairs.join(
+        kept.select(F.col("_grp").alias("tb"), "_h"), "tb"
+    ).select("ta", "tb", "_h", F.lit(0).alias("ina"), F.lit(1).alias("inb"))
+    from pyspark.sql.window import Window
+
+    g = (
+        ka.unionByName(kb)
+        .groupBy("ta", "tb", "_h")
+        .agg(F.max("ina").alias("ina"), F.max("inb").alias("inb"))
+    )
+    r = g.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("ta", "tb").orderBy("_h"))
+    )
+    ku = (
+        r.filter(F.col("rn") <= _KMV_K)
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("ina") * F.col("inb")).alias("nboth"),
+            F.max("_h").alias("theta"),
+        )
+    )
+    sk = ku.withColumn(
+        "union_est",
+        F.when(F.col("n") < _KMV_K, F.col("n"))
+        .otherwise(F.expr(f"{_KMV_NUM}L div theta"))
+        .cast("long"),
+    )
+    du = Catalog(spark, sf_dir).table("events").select(
+        "event_type", "user_id"
+    ).distinct()
+    ex = (
+        du.alias("a")
+        .join(
+            du.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+        .agg(F.countDistinct("a.user_id").alias("inter_exact"))
+    )
+    cnt = du.groupBy("event_type").agg(F.countDistinct("user_id").alias("nd"))
+    return (
+        sk.join(ex, ["ta", "tb"], "left")
+        .join(cnt.select(F.col("event_type").alias("ta"), F.col("nd").alias("na")), "ta")
+        .join(cnt.select(F.col("event_type").alias("tb"), F.col("nd").alias("nb")), "tb")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "union_est",
+            F.expr("nboth * union_est div n").cast("long").alias("inter_est"),
+            F.expr("nboth * 1000000L div n").cast("long").alias("jaccard_ppm"),
+            F.expr(
+                "coalesce(inter_exact, 0L) * 1000000L"
+                " div (na + nb - coalesce(inter_exact, 0L))"
+            ).cast("long").alias("exact_jaccard_ppm"),
+        )
+    )
+
+
 _SQL_SUMSQ = (
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
     "[CAST(embedding[x] AS DOUBLE) * CAST(embedding[x] AS DOUBLE) "

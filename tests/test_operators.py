@@ -1241,6 +1241,30 @@ def test_portable_hll_accuracy_and_duplicate_insensitivity(spark):
         assert portable_hll_distinct(dup, "k", p=9).collect()[0] == row
 
 
+def test_kmv_distinct_exact_small_and_estimates_large(spark):
+    """KMV is EXACT below k (the whole hash set is kept), within ~3
+    standard errors (RSE ~ 1/sqrt(k-1)) above it, and insensitive to
+    duplicated input."""
+    import math
+
+    from elevate_data_pipeline_spark.operators.sketch import kmv_distinct
+
+    k = 128
+    small = spark.range(50).select(
+        (F.col("id") % 2).cast("string").alias("g"), F.col("id").alias("u")
+    )
+    rows = {r.g: r for r in kmv_distinct(small, "u", "g", k=k).collect()}
+    assert rows["0"].kmv_est == 25 and rows["1"].kmv_est == 25
+    assert rows["0"].kmv_kept_n == 25
+
+    big = spark.range(5000).select(F.lit("x").alias("g"), F.col("id").alias("u"))
+    row = kmv_distinct(big, "u", "g", k=k).collect()[0]
+    assert row.kmv_kept_n == k
+    assert abs(row.kmv_est - 5000) / 5000 < 3 / math.sqrt(k - 1), row
+    dup = big.union(big)
+    assert kmv_distinct(dup, "u", "g", k=k).collect()[0] == row
+
+
 def test_ahash64_properties():
     """aHash bits are the integer mean-threshold of the 8x8 cell means;
     identical images hash equal, a single flipped pixel moves Hamming
