@@ -312,6 +312,98 @@ def kmv_sql(table: str, key: str, group_by: str, k: int = 128) -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): d rows of w counters;
+# row r buckets a key by the portable hash of xor(key, salt_r). Point
+# estimate = min over rows of the probed counters — always >= the true
+# count, within eps*N with probability 1-delta for w = e/eps, d = ln(1/delta).
+# Counters are plain integer sums, the row hashes are the same portable
+# integer pipeline as the HLL/KMV sketches, so the DuckDB oracle replays
+# the ENTIRE sketch (every counter and every probe) bit-for-bit.
+# ---------------------------------------------------------------------------
+
+# public xxhash/murmur-style odd constants; any fixed distinct salts work,
+# they only need to decorrelate the d row hashes
+CMS_SALTS = (0, 2_654_435_761, 2_246_822_519, 3_266_489_917)
+
+
+def cms_build(
+    df: DataFrame, key_col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Build the sketch: one row per non-empty (row, bucket) counter —
+    at most width*depth rows regardless of key cardinality (the reason
+    CMS replaces exact per-key counts when even #distinct explodes at
+    100 TB; sketches merge by adding counters). Returns (_r, _c, _n)."""
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("_r"),
+                    (
+                        _hll_hash_col(
+                            F.col(key_col)
+                            .cast("long")
+                            .bitwiseXOR(F.lit(CMS_SALTS[r]))
+                        )
+                        % width
+                    ).alias("_c"),
+                )
+                for r in range(depth)
+            ]
+        )
+    ).alias("_rc")
+    return (
+        df.select(rows)
+        .select("_rc._r", "_rc._c")
+        .groupBy("_r", "_c")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+
+
+def cms_probe(
+    sketch_df: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query the sketch for every key in ``probes``: est = min over
+    rows of the probed counter (0-counter buckets never materialize, but
+    a probed key always hit all its d buckets when it was counted, so
+    the min is over d present rows). Adds ``cms_est``."""
+    probe_rc = probes.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("_r"),
+                        (
+                            _hll_hash_col(
+                                F.col(key_col)
+                                .cast("long")
+                                .bitwiseXOR(F.lit(CMS_SALTS[r]))
+                            )
+                            % width
+                        ).alias("_c"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_rc"),
+    ).select(key_col, "_rc._r", "_rc._c")
+    return (
+        probe_rc.join(F.broadcast(sketch_df), ["_r", "_c"])
+        .groupBy(key_col)
+        .agg(F.min("_n").cast("long").alias("cms_est"))
+    )
+
+
+def cms_hash_sql(key: str, r: int, width: int) -> str:
+    """SQL twin of one CMS row hash (DuckDB dialect)."""
+    return f"({hll_hash_sql(f'xor({key}, {CMS_SALTS[r]})')}) % {width}"
+
+
 def frequent_items(
     df: DataFrame, col: str, min_share: float = 0.01
 ) -> DataFrame:

@@ -1282,6 +1282,89 @@ def stream_quota_twin(spark, sf_dir):
     return quota_per_key(Catalog(spark, sf_dir).table("events"), n=5)
 
 
+def _stream_hll_oracle() -> str:
+    from .operators.sketch import (
+        _hll_alpha_const,
+        _hll_lc_table,
+        hll_hash_sql,
+        hll_rho_sql,
+    )
+
+    p, m = 6, 64
+    wbits = 32 - p
+    lc = ", ".join(str(x) for x in _hll_lc_table(p))
+    return f"""
+    WITH h0 AS (
+      SELECT date_trunc('hour', ts) AS hour_ts,
+             ({hll_hash_sql("user_id")}) AS h
+      FROM events
+    ), reg AS (
+      SELECT hour_ts, h // {1 << wbits} AS bkt,
+             max({hll_rho_sql(f"h % {1 << wbits}", wbits)}) AS m
+      FROM h0 GROUP BY hour_ts, bkt
+    ), fold AS (
+      SELECT hour_ts, count(*) AS present,
+             sum((1::BIGINT << (33 - m))) AS sumpow
+      FROM reg GROUP BY hour_ts
+    ), est AS (
+      SELECT hour_ts, CAST({m} - present AS BIGINT) AS zero_regs,
+             CAST(floor({_hll_alpha_const(p)!r}
+                  / CAST(sumpow + ({m} - present) * (1::BIGINT << 33)
+                         AS DOUBLE)) AS BIGINT) AS raw
+      FROM fold
+    ), ex AS (
+      SELECT date_trunc('hour', ts) AS hour_ts,
+             count(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY hour_ts
+    )
+    SELECT e.hour_ts AS hour_ts,
+           CAST(CASE WHEN e.raw <= {int(2.5 * m)} AND e.zero_regs > 0
+                THEN ([{lc}])[e.zero_regs] ELSE e.raw END AS BIGINT)
+             AS est_users,
+           x.exact_users AS exact_users, e.zero_regs AS zero_regs
+    FROM est e JOIN ex x USING (hour_ts)
+    """
+
+
+@query("stream_hll_twin", _stream_hll_oracle())
+def stream_hll_twin(spark, sf_dir):
+    """Batch twin of the streaming bounded-state distinct sketch
+    (``streaming.hourly_distinct_hll``): distinct users per tumbling
+    hour from 64 portable-HLL registers — the stream keeps 64 register
+    maxima per window instead of every user id, and
+    test_hourly_hll_stream_equals_batch proves the stream emits the
+    bit-identical register frame. This query folds the registers into
+    the small-range-corrected estimate (baked integer ln-table, no
+    libm) next to the exact count; every column replays exactly in the
+    DuckDB oracle."""
+    from .operators.sketch import _hll_alpha_const, _hll_lc_table
+    from .streaming import hourly_distinct_hll
+
+    p, m = 6, 64
+    regs = hourly_distinct_hll(Catalog(spark, sf_dir).table("events"), p=p)
+    fold = regs.groupBy("hour_ts").agg(
+        F.count(F.lit(1)).alias("present"),
+        F.sum(F.expr("shiftleft(1L, 33 - m)")).alias("sumpow"),
+    )
+    v = (F.lit(m) - F.col("present")).cast("long")
+    harmonic = (F.col("sumpow") + v * (1 << 33)).cast("double")
+    raw = F.floor(F.lit(_hll_alpha_const(p)) / harmonic).cast("long")
+    lc_arr = F.array(*[F.lit(x).cast("long") for x in _hll_lc_table(p)])
+    best = F.when(
+        (raw <= int(2.5 * m)) & (v > 0), F.element_at(lc_arr, v.cast("int"))
+    ).otherwise(raw)
+    est = fold.select("hour_ts", best.alias("est_users"), v.alias("zero_regs"))
+    exact = (
+        Catalog(spark, sf_dir)
+        .table("events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return est.join(exact, "hour_ts").select(
+        "hour_ts", "est_users", "exact_users", "zero_regs"
+    )
+
+
 @query(
     "events_cube",
     """

@@ -2242,6 +2242,69 @@ def sketch_kmv_overlap(spark, sf_dir):
     )
 
 
+_CMS_W, _CMS_D = 1024, 4
+
+
+def _cms_case_sql(key: str) -> str:
+    whens = " ".join(
+        f"WHEN {r} THEN {sketch.cms_hash_sql(key, r, _CMS_W)}"
+        for r in range(_CMS_D)
+    )
+    return f"CASE r.range {whens} END"
+
+
+@query(
+    "sketch_cms_counts",
+    f"""
+    WITH c AS (SELECT user_id, count(*) AS exact_n FROM events
+               GROUP BY user_id),
+    top AS (SELECT user_id, exact_n FROM c
+            ORDER BY exact_n DESC, user_id LIMIT 20),
+    b AS (
+      SELECT CAST(r.range AS INT) AS _r, {_cms_case_sql("user_id")} AS _c
+      FROM events, range(0, {_CMS_D}) r
+    ),
+    cnt AS (SELECT _r, _c, count(*) AS _n FROM b GROUP BY _r, _c),
+    p AS (
+      SELECT t.user_id, t.exact_n, CAST(r.range AS INT) AS _r,
+             {_cms_case_sql("t.user_id")} AS _c
+      FROM top t, range(0, {_CMS_D}) r
+    )
+    SELECT p.user_id AS user_id,
+           CAST(min(cnt._n) AS BIGINT) AS est_n,
+           CAST(p.exact_n AS BIGINT) AS exact_n,
+           CAST(min(cnt._n) - p.exact_n AS BIGINT) AS overcount
+    FROM p JOIN cnt ON cnt._r = p._r AND cnt._c = p._c
+    GROUP BY p.user_id, p.exact_n
+    """,
+)
+def sketch_cms_counts(spark, sf_dir):
+    """Count-min sketch (operators/sketch.cms_build/cms_probe): event
+    counts per user compressed into 4x1024 integer counters (bounded
+    memory however many distinct users exist; sketches merge by adding
+    counters), probed for the 20 heaviest users next to their exact
+    counts. est >= exact always; overcount is the CMS collision noise.
+    Counters and probes are pure integer arithmetic on the portable
+    hash, so the oracle replays the whole sketch bit-for-bit. 100 TB
+    shape: the build is one partial-agg shuffle capped at w*d counter
+    keys; the probe broadcasts the 4 KB sketch."""
+    ev = Catalog(spark, sf_dir).table("events")
+    cms = sketch.cms_build(ev, "user_id", width=_CMS_W, depth=_CMS_D)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(20)
+    )
+    est = sketch.cms_probe(cms, top, "user_id", width=_CMS_W, depth=_CMS_D)
+    return est.join(top, "user_id").select(
+        "user_id",
+        F.col("cms_est").alias("est_n"),
+        F.col("exact_n").cast("long").alias("exact_n"),
+        (F.col("cms_est") - F.col("exact_n")).cast("long").alias("overcount"),
+    )
+
+
 _SQL_SUMSQ = (
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
     "[CAST(embedding[x] AS DOUBLE) * CAST(embedding[x] AS DOUBLE) "

@@ -123,6 +123,40 @@ def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def hourly_distinct_hll(
+    events: DataFrame, p: int = 6, watermark: str = "2 hours"
+) -> DataFrame:
+    """Approximate distinct users per tumbling hour as portable-HLL
+    REGISTERS — the canonical bounded-state streaming sketch: state per
+    window is at most 2^p register maxima however many users the hour
+    sees (exact distinct state grows with #users). Returns one row per
+    (hour_ts, bkt) with the register maximum M; folding registers into
+    the estimate is the reader's one-liner (a second aggregation, which
+    streaming append mode cannot chain — and does not need to: the
+    register frame IS the sketch, and sketches from different streams /
+    days merge by MAX on the same rows).
+
+    Works on both streaming and batch frames (withWatermark is a no-op
+    in batch), so the batch run is the oracle for the stream —
+    bit-exact, because registers are pure integer arithmetic
+    (operators/sketch: portable hash + CASE-chain leading-zero rank)."""
+    from ..operators.sketch import _hll_hash_col, _hll_rho_col
+
+    df = events.withWatermark("ts", watermark) if events.isStreaming else events
+    wbits = 32 - p
+    h = _hll_hash_col(F.col("user_id"))
+    return (
+        df.select(
+            F.window("ts", "1 hour").alias("w"),
+            F.floor(h / (1 << wbits)).cast("long").alias("bkt"),
+            _hll_rho_col(h % (1 << wbits), wbits).alias("_rho"),
+        )
+        .groupBy("w", "bkt")
+        .agg(F.max("_rho").alias("m"))
+        .select(F.col("w.start").alias("hour_ts"), "bkt", "m")
+    )
+
+
 def quota_per_key(
     events: DataFrame, n: int = 5, key: str = "user_id", out_of_order: str = "warn"
 ) -> DataFrame:

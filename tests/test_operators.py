@@ -1265,6 +1265,27 @@ def test_kmv_distinct_exact_small_and_estimates_large(spark):
     assert kmv_distinct(dup, "u", "g", k=k).collect()[0] == row
 
 
+def test_cms_never_undercounts_and_bounds_error(spark):
+    """CMS point estimates are >= the true count for every key, exact
+    for most keys at this load factor (n << w), and the sketch is
+    bounded at width*depth counters."""
+    from elevate_data_pipeline_spark.operators.sketch import cms_build, cms_probe
+
+    # skewed counts: key i appears i+1 times
+    rows = [(i,) for i in range(200) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, "k long")
+    cms = cms_build(df, "k", width=256, depth=4)
+    assert cms.count() <= 256 * 4
+    probes = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    got = {r.k: r.cms_est for r in cms_probe(cms, probes, "k", 256, 4).collect()}
+    exact = {i: i + 1 for i in range(200)}
+    assert all(got[i] >= exact[i] for i in range(200))
+    n_total = sum(exact.values())
+    # CM guarantee: err <= e/w * N with prob 1 - (1/2)^d per key; assert
+    # the loose deterministic-ish bound on the max observed overcount
+    assert max(got[i] - exact[i] for i in range(200)) <= n_total // 32
+
+
 def test_ahash64_properties():
     """aHash bits are the integer mean-threshold of the 8x8 cell means;
     identical images hash equal, a single flipped pixel moves Hamming

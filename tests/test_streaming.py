@@ -55,6 +55,25 @@ def test_hourly_rollup_stream_equals_batch(spark, events_dir):
     assert got == want and len(want) > 0
 
 
+def test_hourly_hll_stream_equals_batch(spark, events_dir):
+    """The bounded-state distinct sketch emits the bit-identical
+    register frame on stream and batch (registers are pure integer
+    arithmetic), and the per-window state is capped at 2^p rows."""
+    from elevate_data_pipeline_spark.streaming import hourly_distinct_hll
+
+    stream = read_events_stream(spark, events_dir)
+    name = _run_to_memory(hourly_distinct_hll(stream, p=6), "complete")
+
+    batch = hourly_distinct_hll(Catalog(spark, SF_DIR).table("events"), p=6)
+    got = {tuple(r) for r in spark.table(name).collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 0
+    per_window: dict = {}
+    for hour_ts, _bkt, _m in want:
+        per_window[hour_ts] = per_window.get(hour_ts, 0) + 1
+    assert max(per_window.values()) <= 64
+
+
 def test_sessionize_stream_equals_batch(spark, events_dir):
     stream = read_events_stream(spark, events_dir)
     # single batch + emit_open: every session (closed and open) is emitted
