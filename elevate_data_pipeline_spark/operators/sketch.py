@@ -404,6 +404,74 @@ def cms_hash_sql(key: str, r: int, width: int) -> str:
     return f"({hll_hash_sql(f'xor({key}, {CMS_SALTS[r]})')}) % {width}"
 
 
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) on the same portable integer pipeline: k bit
+# positions per key via xor-salted hashes. Membership probes can false-
+# positive (never false-negative); both the bit set and every probe are
+# integer arithmetic, so a DuckDB oracle replays them exactly — including
+# the false positives themselves, which is what makes FP ACCOUNTING (bloom
+# hits minus exact hits) an exactly-gateable output instead of a bound.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(key: Column, m_bits: int, depth: int) -> Column:
+    return F.array_distinct(
+        F.array(
+            *[
+                (
+                    _hll_hash_col(
+                        key.cast("long").bitwiseXOR(F.lit(CMS_SALTS[r]))
+                    )
+                    % m_bits
+                )
+                for r in range(depth)
+            ]
+        )
+    )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 262_144, depth: int = 4
+) -> DataFrame:
+    """Build the filter from integer keys: the DISTINCT set bit
+    positions (at most m_bits rows however many keys went in; filters
+    merge by set union / bitwise OR). Returns a one-column frame
+    ``_bit``."""
+    return (
+        df.select(
+            F.explode(
+                _bloom_positions(F.col(key_col), m_bits, depth)
+            ).alias("_bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bits: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    m_bits: int = 262_144,
+    depth: int = 4,
+) -> DataFrame:
+    """Probe: a key hits iff ALL its (distinct) bit positions are set.
+    The bit set broadcasts — a 256K-bit filter is 32 KB as a bitmap and
+    at most m_bits join keys here. Adds boolean ``bloom_hit``."""
+    pr = probes.withColumn(
+        "_bits", _bloom_positions(F.col(key_col), m_bits, depth)
+    ).withColumn("_bit", F.explode("_bits"))
+    marked = pr.join(
+        F.broadcast(bits.withColumn("_set", F.lit(1))), "_bit", "left"
+    )
+    gcols = [c for c in probes.columns]
+    return (
+        marked.groupBy(*gcols)
+        .agg(
+            (F.count("_set") == F.count(F.lit(1))).alias("bloom_hit"),
+        )
+    )
+
+
 def frequent_items(
     df: DataFrame, col: str, min_share: float = 0.01
 ) -> DataFrame:

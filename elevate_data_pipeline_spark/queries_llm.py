@@ -613,6 +613,103 @@ def corpus_decontaminate(spark, sf_dir):
     return decontam.ngram_contamination(eval_docs, bench, n=5)
 
 
+_BLOOM_M, _BLOOM_D = 262_144, 4
+
+
+def _bloom_pos_sql(key: str) -> str:
+    from .operators.sketch import CMS_SALTS, hll_hash_sql
+
+    exprs = ", ".join(
+        f"({hll_hash_sql(f'xor({key}, {CMS_SALTS[r]})')}) % {_BLOOM_M}"
+        for r in range(_BLOOM_D)
+    )
+    return f"list_distinct([{exprs}])"
+
+
+@query(
+    "decontam_bloom",
+    f"""
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+               FROM documents),
+    g AS (
+      SELECT doc_id, source, u.g AS gram
+      FROM w, unnest(list_distinct(
+        [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
+      )) AS u(g)
+      WHERE len(ws) >= 5),
+    bh AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+    bp AS (SELECT {_sql_polyhash('gram')} AS ph FROM bh),
+    bits AS (SELECT DISTINCT u.b AS bit
+             FROM bp, unnest({_bloom_pos_sql('ph')}) AS u(b)),
+    eg AS (SELECT doc_id, gram, {_sql_polyhash('gram')} AS ph
+           FROM g WHERE source <> 'src0'),
+    ep AS (SELECT doc_id, gram, {_bloom_pos_sql('ph')} AS pl FROM eg),
+    epx AS (SELECT doc_id, gram, len(pl) AS nb, u.b AS pos
+            FROM ep, unnest(pl) AS u(b)),
+    hit AS (SELECT epx.doc_id, epx.gram, max(epx.nb) AS nb,
+                   count(bits.bit) AS nhit
+            FROM epx LEFT JOIN bits ON bits.bit = epx.pos
+            GROUP BY epx.doc_id, epx.gram),
+    ex AS (SELECT e.doc_id, e.gram,
+                  CASE WHEN bh.gram IS NULL THEN 0 ELSE 1 END AS is_exact
+           FROM (SELECT doc_id, gram FROM g WHERE source <> 'src0') e
+           LEFT JOIN bh USING (gram))
+    SELECT h.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN h.nhit = h.nb THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom,
+           CAST(sum(x.is_exact) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN h.nhit = h.nb THEN 1 ELSE 0 END)
+                - sum(x.is_exact) AS BIGINT) AS bloom_fp
+    FROM hit h JOIN ex x ON x.doc_id = h.doc_id AND x.gram = h.gram
+    GROUP BY h.doc_id
+    """,
+)
+def decontam_bloom(spark, sf_dir):
+    """Bloom-filter decontamination (operators/sketch.bloom_build/
+    bloom_probe): the benchmark gram set compresses into a 256K-bit
+    filter (32 KB as a bitmap — what actually ships to every executor
+    when the benchmark outgrows a broadcast string set), corpus grams
+    probe it by 4 xor-salted portable hashes of the gram's Rabin-Karp
+    fingerprint. Bloom can false-positive but never false-negative, and
+    because the whole pipeline is integer arithmetic the oracle replays
+    the EXACT false positives: n_bloom >= n_exact per doc with
+    bloom_fp their difference — FP accounting as an exactly-gated
+    output, not a bound. Sizing note: 2^18 bits is ~50 bits/element at
+    this benchmark size; production sizes m ~ 10-15 bits/element and
+    the FP rate follows (1 - e^(-kn/m))^k."""
+    from .functions.text import polyhash
+    from .operators.decontam import _distinct_word_ngrams
+    from .operators.util import spread
+
+    docs = spread(Catalog(spark, sf_dir).table("documents"))
+    bench = docs.filter(F.col("source") == "src0")
+    eval_docs = docs.filter(F.col("source") != "src0")
+    bench_grams = _distinct_word_ngrams(bench, 5, [], "text").distinct()
+    doc_grams = _distinct_word_ngrams(eval_docs, 5, ["doc_id"], "text")
+
+    bits = sketch.bloom_build(
+        bench_grams.select(polyhash("gram").alias("ph")),
+        "ph", m_bits=_BLOOM_M, depth=_BLOOM_D,
+    )
+    probes = doc_grams.select("doc_id", "gram", polyhash("gram").alias("ph"))
+    hits = sketch.bloom_probe(bits, probes, "ph", m_bits=_BLOOM_M, depth=_BLOOM_D)
+    exact = doc_grams.join(
+        F.broadcast(bench_grams.withColumn("_e", F.lit(1))), "gram", "left"
+    )
+    return (
+        hits.join(exact, ["doc_id", "gram"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom"),
+            F.count("_e").alias("n_exact"),
+            (
+                F.sum(F.col("bloom_hit").cast("long")) - F.count("_e")
+            ).alias("bloom_fp"),
+        )
+    )
+
+
 @query(
     "text_chunking",
     """

@@ -1286,6 +1286,23 @@ def test_cms_never_undercounts_and_bounds_error(spark):
     assert max(got[i] - exact[i] for i in range(200)) <= n_total // 32
 
 
+def test_bloom_no_false_negatives(spark):
+    """Every inserted key probes true; FP rate on disjoint probes stays
+    near the analytic (1-e^(-kn/m))^k at this load."""
+    from elevate_data_pipeline_spark.operators.sketch import bloom_build, bloom_probe
+
+    members = spark.range(1000).withColumnRenamed("id", "k")
+    bits = bloom_build(members, "k", m_bits=16384, depth=4)
+    in_probe = bloom_probe(bits, members, "k", m_bits=16384, depth=4)
+    assert in_probe.filter(~F.col("bloom_hit")).count() == 0
+    out = spark.range(1000).select((F.col("id") + 1_000_000).alias("k"))
+    fp = bloom_probe(bits, out, "k", m_bits=16384, depth=4).filter(
+        F.col("bloom_hit")
+    ).count()
+    # load kn/m = 0.244 -> FP ~ (1-e^-0.244)^4 ~ 0.22%; allow 10x slack
+    assert fp <= 25, fp
+
+
 def test_ahash64_properties():
     """aHash bits are the integer mean-threshold of the 8x8 cell means;
     identical images hash equal, a single flipped pixel moves Hamming
