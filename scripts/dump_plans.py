@@ -51,6 +51,11 @@ SHOWCASE = [
     ("basket_communities", "label propagation: per-round node-keyed join + (node,label) aggregate, pinned labels"),
     ("orders_ivm_join_delta", "incremental join maintenance: three delta-term joins, AQE broadcasts the delta sides"),
     ("multimodal_png_decode", "PNG decode: pruned 2-column scan into one MapInPandas stage, no shuffle"),
+    ("sketch_hll_portable", "portable HLL: register partial-agg (<=512 keys/group), one IEEE division, exact join to countDistinct"),
+    ("sketch_kmv_overlap", "KMV set algebra: kept-hash frames re-ranked per type pair, all-integer estimates, broadcast joins"),
+    ("sketch_cms_counts", "count-min: w*d-capped counter shuffle, 4 KB sketch broadcast onto the probes"),
+    ("decontam_bloom", "Bloom decontamination: 32 KB bit set broadcast, gram stream probed without materializing the benchmark strings"),
+    ("multimodal_ahash_neardup", "image near-dup: decode->aHash in MapInPandas, band-key equi-join, bit_count verify"),
 ]
 
 
