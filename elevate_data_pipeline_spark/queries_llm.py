@@ -2402,6 +2402,64 @@ def sketch_cms_counts(spark, sf_dir):
     )
 
 
+@query(
+    "sketch_cms_join_size",
+    f"""
+    WITH a AS (SELECT user_id FROM events
+               WHERE event_type IN ('click', 'view')),
+    b AS (SELECT user_id FROM events
+          WHERE event_type NOT IN ('click', 'view')),
+    ca AS (
+      SELECT CAST(r.range AS INT) AS _r, {_cms_case_sql("user_id")} AS _c,
+             count(*) AS n
+      FROM a, range(0, {_CMS_D}) r GROUP BY 1, 2),
+    cb AS (
+      SELECT CAST(r.range AS INT) AS _r, {_cms_case_sql("user_id")} AS _c,
+             count(*) AS n
+      FROM b, range(0, {_CMS_D}) r GROUP BY 1, 2),
+    dot AS (SELECT ca._r, sum(ca.n * cb.n) AS d
+            FROM ca JOIN cb ON ca._r = cb._r AND ca._c = cb._c
+            GROUP BY ca._r),
+    est AS (SELECT CASE WHEN count(*) < {_CMS_D} THEN 0
+                   ELSE min(d) END AS est_join_rows FROM dot),
+    ex AS (SELECT count(*) AS exact_join_rows
+           FROM a JOIN b ON a.user_id = b.user_id)
+    SELECT CAST(est.est_join_rows AS BIGINT) AS est_join_rows,
+           CAST(ex.exact_join_rows AS BIGINT) AS exact_join_rows,
+           CAST((est.est_join_rows - ex.exact_join_rows) * 1000000
+                // ex.exact_join_rows AS BIGINT) AS over_ppm
+    FROM est, ex
+    """,
+)
+def sketch_cms_join_size(spark, sf_dir):
+    """Join-cardinality estimation from sketches
+    (operators/sketch.cms_inner_product): |A join B| on user_id between
+    the click/view slice and the rest, estimated as the min over CMS
+    rows of the counter dot-product — never an undercount, exact
+    integer arithmetic, oracle replays every counter. THE optimizer
+    statistic at 100 TB: deciding broadcast vs shuffle vs pre-bucketing
+    from two 4 KB sketches instead of a key-join dry run; the exact
+    join count rides along to show the overcount in ppm."""
+    ev = Catalog(spark, sf_dir).table("events")
+    a = ev.filter(F.col("event_type").isin("click", "view")).select("user_id")
+    b = ev.filter(~F.col("event_type").isin("click", "view")).select("user_id")
+    est = sketch.cms_inner_product(
+        sketch.cms_build(a, "user_id", width=_CMS_W, depth=_CMS_D),
+        sketch.cms_build(b, "user_id", width=_CMS_W, depth=_CMS_D),
+        depth=_CMS_D,
+    )
+    exact = a.join(b, "user_id").agg(
+        F.count(F.lit(1)).alias("exact_join_rows")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_join_rows",
+        "exact_join_rows",
+        F.expr(
+            "(est_join_rows - exact_join_rows) * 1000000L div exact_join_rows"
+        ).alias("over_ppm"),
+    )
+
+
 _SQL_SUMSQ = (
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
     "[CAST(embedding[x] AS DOUBLE) * CAST(embedding[x] AS DOUBLE) "

