@@ -3596,6 +3596,79 @@ def curation_count_sample(spark, sf_dir):
     return ranked.filter(F.col("rn") <= _COUNT_SAMPLE_N).select("doc_id", "lang")
 
 
+_PPS_K = 25
+
+
+@query(
+    "curation_pps_sample",
+    f"""
+    WITH ordered AS (
+      SELECT doc_id, lang, n_chars,
+             sum(n_chars) OVER (ORDER BY {_SHUFFLE_HASH}, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS c
+      FROM documents
+    ),
+    tot AS (SELECT sum(n_chars) AS w FROM documents)
+    SELECT doc_id AS doc_id, lang AS lang,
+           CAST(n_chars AS BIGINT) AS weight,
+           CAST(least({_PPS_K}, ((c + 1) * {_PPS_K} - 1) // w)
+                - least({_PPS_K}, ((c - n_chars + 1) * {_PPS_K} - 1) // w)
+                AS BIGINT) AS hits
+    FROM ordered, tot
+    WHERE least({_PPS_K}, ((c + 1) * {_PPS_K} - 1) // w)
+          - least({_PPS_K}, ((c - n_chars + 1) * {_PPS_K} - 1) // w) >= 1
+    """,
+)
+def curation_pps_sample(spark, sf_dir):
+    """Weighted sampling with inclusion probability proportional to size
+    (PPS systematic sampling, Madow 1949): draw a budget of K = 25 docs
+    where a doc's chance of selection is proportional to its n_chars —
+    the standard way to subsample a corpus so the SAMPLE's token mass
+    mirrors the population's (plain uniform sampling under-represents
+    long documents' tokens). Unlike Efraimidis-Spirakis A-ES keys
+    (u^(1/w) — transcendental floats whose last-ulp differs across
+    libm implementations), the lattice test is INTEGER-exact: order
+    docs by the engine-portable Knuth hash, take the running total c of
+    n_chars, and select every doc whose weight interval (c - w, c]
+    contains a lattice point floor(j*W/K), counted closed-form as
+    f(c) - f(c - w) with f(x) = min(K, ((x+1)*K - 1) div W). Total
+    hits over the corpus is exactly K; a doc longer than W/K may be hit
+    more than once (its multiplicity, standard PPS). Scale path: the
+    running total is operators/rank.global_cumsum (range repartition +
+    broadcast per-partition offsets — no single-partition window), the
+    1-row corpus total joins in as a broadcast. Reference parity: the
+    spec engine's samplers (SURVEY.md S2 compat scans) are uniform-only;
+    this is the weighted complement a 100 TB curation pass needs."""
+    from .operators.rank import global_cumsum
+
+    docs = Catalog(spark, sf_dir).table("documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    c = global_cumsum(
+        docs.withColumn("_h", curation._hash32("doc_id")),
+        ["_h", "doc_id"],
+        "n_chars",
+        out_col="_c",
+    )
+    tot = docs.agg(F.sum("n_chars").alias("_w"))
+    f_hi = F.least(F.lit(_PPS_K), F.expr(f"((_c + 1) * {_PPS_K} - 1) div _w"))
+    f_lo = F.least(
+        F.lit(_PPS_K), F.expr(f"((_c - n_chars + 1) * {_PPS_K} - 1) div _w")
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn("hits", (f_hi - f_lo).cast("long"))
+        .filter(F.col("hits") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("long").alias("weight"),
+            "hits",
+        )
+    )
+
+
 @query(
     "curation_shuffle",
     f"""
