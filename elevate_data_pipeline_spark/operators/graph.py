@@ -48,10 +48,16 @@ def _pagerank_local(triples, n_iter: int, redistribute: bool):
     r = {v: SCALE // n for v in nodes}
     base = (SCALE * 15 // 100) // n
     for _ in range(n_iter):
-        q = {s: ((r[s] * 85) // 100) // out_w[s] for s in out_w}
+        # skip sources whose weights sum to 0: they contribute nothing
+        # but stay NON-dangling (they have out-edges). The distributed
+        # chain filters the same rows out of q before its div (which
+        # would throw under ANSI mode); dividing locally would raise
+        # ZeroDivisionError on the same input.
+        q = {s: ((r[s] * 85) // 100) // out_w[s] for s in out_w if out_w[s] != 0}
         contrib: dict = {}
         for s, d, w in triples:
-            contrib[d] = contrib.get(d, 0) + q[s] * w
+            if s in q:
+                contrib[d] = contrib.get(d, 0) + q[s] * w
         extra = 0
         if redistribute:
             dang = sum(r[v] for v in nodes if v not in out_w)
@@ -123,7 +129,11 @@ def pagerank_fixed_point(
 
     base = F.expr(f"({SCALE} * 15 div 100) div _n")
     for _ in range(n_iter):
-        q = ranks.join(out_w, ranks.node == out_w.src).select(
+        # out_w == 0 sources contribute nothing (and under ANSI mode the
+        # div would throw); they keep their out_w row so the dangling
+        # anti-join below still treats them as NON-dangling — the local
+        # replay implements the identical rule.
+        q = ranks.join(out_w.where(F.col("out_w") != 0), ranks.node == out_w.src).select(
             "src", F.expr("((r * 85) div 100) div out_w").alias("q")
         )
         contrib = (

@@ -368,9 +368,11 @@ def cms_probe(
     depth: int = 4,
 ) -> DataFrame:
     """Point-query the sketch for every key in ``probes``: est = min over
-    rows of the probed counter (0-counter buckets never materialize, but
-    a probed key always hit all its d buckets when it was counted, so
-    the min is over d present rows). Adds ``cms_est``."""
+    rows of the probed counter. 0-counter buckets never materialize in
+    ``sketch_df``, so the probe LEFT-joins and coalesces absent counters
+    to 0 — a key that was never counted gets its true CMS estimate (0
+    unless all d buckets collide) instead of silently vanishing from the
+    output. Adds ``cms_est``."""
     probe_rc = probes.select(
         key_col,
         F.explode(
@@ -393,9 +395,9 @@ def cms_probe(
         ).alias("_rc"),
     ).select(key_col, "_rc._r", "_rc._c")
     return (
-        probe_rc.join(F.broadcast(sketch_df), ["_r", "_c"])
+        probe_rc.join(F.broadcast(sketch_df), ["_r", "_c"], "left")
         .groupBy(key_col)
-        .agg(F.min("_n").cast("long").alias("cms_est"))
+        .agg(F.min(F.coalesce("_n", F.lit(0))).cast("long").alias("cms_est"))
     )
 
 

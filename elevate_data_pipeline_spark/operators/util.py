@@ -101,7 +101,12 @@ def lloyd_local(vecs, k: int, n_iter: int):
     q12 = decimal.Decimal(1).scaleb(-12)
 
     def dec(x):
-        return decimal.Decimal(x).quantize(
+        # quantize from the SHORTEST repr, not the exact binary expansion:
+        # Spark's cast(double as decimal(28,12)) goes through
+        # Double.toString (shortest round-trip decimal), so at half-ulp
+        # ties on the 12th place the two representations would round
+        # differently under HALF_UP if we fed Decimal the full expansion.
+        return decimal.Decimal(repr(x)).quantize(
             q12, rounding=decimal.ROUND_HALF_UP, context=ctx
         )
 

@@ -72,6 +72,18 @@ def _parse_single(obj: dict) -> SingleProcess:
         w = clean["window"]
         if not isinstance(w, dict):
             raise SpecError("window must be an object")
+        # strict key validation, mirroring _parse_single's task-level
+        # check: a typo like 'topn' or 'partitionby' must fail the spec,
+        # not silently drop the clause.
+        _w_extra = set(w) - {"partition_by", "order_by", "select", "top_n"}
+        if _w_extra:
+            raise SpecError(f"unknown window keys: {sorted(_w_extra)}")
+        for f in w.get("select", []):
+            if not isinstance(f, dict):
+                raise SpecError("window select entries must be objects")
+            _f_extra = set(f) - {"fn", "as", "out", "col", "offset", "rows_preceding"}
+            if _f_extra:
+                raise SpecError(f"unknown window fn keys: {sorted(_f_extra)}")
         fns = [
             WindowFnSpec(
                 fn=f.get("fn", ""),

@@ -1286,6 +1286,22 @@ def test_cms_never_undercounts_and_bounds_error(spark):
     assert max(got[i] - exact[i] for i in range(200)) <= n_total // 32
 
 
+def test_cms_probe_unknown_key_returns_estimate(spark):
+    """A probed key that was never counted must still yield a cms_est
+    row (0 unless all d buckets collide), not silently vanish — the
+    left-join + coalesce(0) contract."""
+    from elevate_data_pipeline_spark.operators.sketch import cms_build, cms_probe
+
+    df = spark.createDataFrame([(i,) for i in range(50) for _ in range(3)], "k long")
+    cms = cms_build(df, "k", width=256, depth=4)
+    probes = spark.createDataFrame([(1,), (7,), (100000,), (200000,)], "k long")
+    got = {r.k: r.cms_est for r in cms_probe(cms, probes, "k", 256, 4).collect()}
+    assert set(got) == {1, 7, 100000, 200000}  # every probe key present
+    assert got[1] >= 3 and got[7] >= 3
+    # never-counted keys: estimate is collision noise, >= 0 (usually 0)
+    assert got[100000] >= 0 and got[200000] >= 0
+
+
 def test_cms_inner_product_join_size(spark):
     """The CMS dot-product never undercounts the true join size, is
     within the analytic slack at this load, and detects a provably

@@ -798,6 +798,14 @@ def test_window_block_validation():
         parse_spec(single({"partition_by": ["o_custkey"],
                            "order_by": ["o_orderkey"],
                            "select": [{"fn": "lag", "as": "x"}]}), None, None)
+    with pytest.raises(SpecError):  # typo'd window key must fail, not drop
+        parse_spec(single({"partition_by": ["o_custkey"],
+                           "order_by": ["o_orderkey"], "topn": 3}), None, None)
+    with pytest.raises(SpecError):  # typo'd fn key must fail, not drop
+        parse_spec(single({"partition_by": ["o_custkey"],
+                           "order_by": ["o_orderkey"],
+                           "select": [{"fn": "lag", "as": "x",
+                                       "column": "o_orderkey"}]}), None, None)
 
 
 def test_template_id_injection_guarded(catalog, spark):
