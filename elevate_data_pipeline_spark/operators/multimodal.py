@@ -9,8 +9,9 @@ interlacing — stdlib zlib inflate + unfilter), JPEG both baseline AND
 progressive SOF2 (full Huffman entropy decode incl. successive
 approximation / spectral selection + dequant + IDCT; gray, 4:4:4, and
 subsampled 4:2:0/4:2:2 YCbCr), GIF (full LZW decompression), RIFF/WAVE
-PCM16, RIFF/AVI RGB24. The remaining codecs
-(WebP/AVIF, MP3/AAC, H.26x, arithmetic-coded JPEG) raise a documented
+PCM16, RIFF/AVI RGB24, WebP lossless (VP8L, all four transforms).
+The remaining codecs
+(AVIF, lossy WebP, MP3/AAC, H.26x, arithmetic-coded JPEG) raise a documented
 ``NotImplementedError`` —
 they need codec libraries this environment does not ship; a
 deterministic byte-level feature extractor stands in for a learned
@@ -120,9 +121,13 @@ def decode_image(payload: bytes) -> ImageData:
       nearest-neighbor chroma upsampling; arithmetic coding raises);
     - **GIF** (87a/89a — full LZW decompression with width escalation
       and clear-code resets, interlace de-interleave, palette mapping;
-      first frame of animations).
+      first frame of animations);
+    - **WebP lossless** (VP8L — LSB-first bit reading, simple + normal
+      canonical prefix codes, LZ77 with the 2D distance map, color
+      cache, and all four transforms: predictor, color, subtract-green,
+      color-indexing incl. pixel bundling; lossy VP8/VP8X raises).
 
-    Other formats (WebP/AVIF/...) still raise ``NotImplementedError`` —
+    Other formats (AVIF, lossy WebP, ...) still raise ``NotImplementedError`` —
     they need real codec libraries. Returns :class:`ImageData` with the
     de-padded row-major pixel buffer; raises ``ValueError`` on a
     truncated or malformed payload (a decode that silently returns
@@ -138,10 +143,12 @@ def decode_image(payload: bytes) -> ImageData:
         return _decode_jpeg(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return _decode_webp(payload)
     raise NotImplementedError(
         "only netpbm P5/P6, uncompressed 24-bit BMP, PNG (all still-image "
-        "variants), baseline+progressive JPEG, and GIF decode without codec "
-        "libraries; got magic %r" % payload[:2]
+        "variants), baseline+progressive JPEG, GIF, and WebP lossless "
+        "(VP8L) decode without codec libraries; got magic %r" % payload[:2]
     )
 
 
@@ -2140,3 +2147,818 @@ def _decode_gif(payload: bytes) -> ImageData:
             buf[3 * i : 3 * i + 3] = bytes(table[ci])
         return ImageData(width, height, 3, 255, bytes(buf))
     raise ValueError("truncated GIF")
+
+
+# --------------------------------------------------------------------------
+# WebP lossless (VP8L) — dependency-free encoder + decoder.
+#
+# Spec parity: "WebP Lossless Bitstream Specification" (RFC 9649 §3 /
+# developers.google.com/speed/webp/docs/webp_lossless_bitstream_specification).
+# The decoder implements the full still-image VP8L path except
+# meta-prefix groups (the optional spatially-varying Huffman partition —
+# raises NotImplementedError): LSB-first bit reading, simple and
+# normal (code-length-coded) canonical prefix codes, the LZ77
+# green/length/distance scheme with the 120-entry 2D distance map,
+# the color cache, and all four transforms (predictor with its 14
+# modes, cross-channel color transform, subtract-green, color-indexing
+# incl. sub-byte pixel bundling). The encoder produces conformant
+# streams with one transform at a time, optional color cache, and
+# distance-1 run backreferences — enough to round-trip any raster and
+# exercise every decoder path. Reference parity note: the reference
+# repo has no multimodal surface at all (SURVEY.md §2); this extends
+# the LLM-pipeline scope alongside PNG/JPEG/GIF.
+
+_VP8L_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+# (dx, dy) close-neighborhood offsets for distance codes 1..120
+# (spec "Decoding the distance"); dist = dx + dy * xsize, min 1.
+_VP8L_DIST_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+
+
+class _LsbBitWriter:
+    """LSB-first bit packer (VP8L convention); Huffman codes are emitted
+    bit-by-bit MSB-of-code-first via :meth:`code`."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def bits(self, value: int, n: int) -> None:
+        self._acc |= (value & ((1 << n) - 1)) << self._n
+        self._n += n
+        while self._n >= 8:
+            self.out.append(self._acc & 0xFF)
+            self._acc >>= 8
+            self._n -= 8
+
+    def code(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.bits((code >> i) & 1, 1)
+
+    def flush(self) -> bytes:
+        if self._n:
+            self.out.append(self._acc & 0xFF)
+            self._acc = self._n = 0
+        return bytes(self.out)
+
+
+class _LsbBitReader:
+    """LSB-first bit reader over the VP8L payload."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def bits(self, n: int) -> int:
+        while self._n < n:
+            if self.pos >= len(self.buf):
+                raise ValueError("truncated VP8L stream")
+            self._acc |= self.buf[self.pos] << self._n
+            self.pos += 1
+            self._n += 8
+        v = self._acc & ((1 << n) - 1)
+        self._acc >>= n
+        self._n -= n
+        return v
+
+
+def _vp8l_limited_huffman(freqs: list, max_len: int) -> list:
+    """Code lengths for a canonical prefix code over ``freqs``, depth
+    capped at ``max_len`` (zlib-style clamp + Kraft repair). A single
+    used symbol gets length 1 (the stored-bitstream convention; readers
+    decode single-symbol trees with 0 bits)."""
+    import heapq
+
+    used = [i for i, f in enumerate(freqs) if f > 0]
+    lengths = [0] * len(freqs)
+    if not used:
+        return lengths
+    if len(used) == 1:
+        lengths[used[0]] = 1
+        return lengths
+    heap = [(f, i, ("leaf", i)) for i, f in enumerate(freqs) if f > 0]
+    heapq.heapify(heap)
+    tick = len(freqs)
+    while len(heap) > 1:
+        f1, _, n1 = heapq.heappop(heap)
+        f2, _, n2 = heapq.heappop(heap)
+        heapq.heappush(heap, (f1 + f2, tick, ("node", n1, n2)))
+        tick += 1
+
+    def walk(node, depth):
+        if node[0] == "leaf":
+            lengths[node[1]] = max(1, depth)
+        else:
+            walk(node[1], depth + 1)
+            walk(node[2], depth + 1)
+
+    walk(heap[0][2], 0)
+    if max(lengths) <= max_len:
+        return lengths
+    # clamp overdeep codes, then restore Kraft <= 1 by deepening the
+    # longest still-shallow codes (always feasible: n_used <= 2^max_len)
+    for i in used:
+        if lengths[i] > max_len:
+            lengths[i] = max_len
+    scale = 1 << max_len
+
+    def kraft():
+        return sum(1 << (max_len - lengths[i]) for i in used)
+
+    while kraft() > scale:
+        cand = max(
+            (i for i in used if lengths[i] < max_len),
+            key=lambda i: (lengths[i], -freqs[i]),
+        )
+        lengths[cand] += 1
+    return lengths
+
+
+def _vp8l_canonical_codes(lengths: list) -> dict:
+    """symbol -> (code, length), canonical (sorted by length then
+    symbol, DEFLATE-style). A single used symbol maps to (0, 0)."""
+    used = sorted((l, s) for s, l in enumerate(lengths) if l > 0)
+    if not used:
+        raise ValueError("empty Huffman code")
+    if len(used) == 1:
+        return {used[0][1]: (0, 0)}
+    out, code, prev = {}, 0, used[0][0]
+    for l, s in used:
+        code <<= l - prev
+        out[s] = (code, l)
+        code += 1
+        prev = l
+    return out
+
+
+def _vp8l_decode_tree(lengths: list) -> dict:
+    """(length, code) -> symbol for bit-at-a-time decode, plus the
+    single-symbol special case under key ``"single"``. Rejects
+    over-/under-subscribed (non-Kraft-complete) codes."""
+    used = [(l, s) for s, l in enumerate(lengths) if l > 0]
+    if not used:
+        raise ValueError("empty Huffman code")
+    if len(used) == 1:
+        return {"single": used[0][1]}
+    max_l = max(l for l, _ in used)
+    if sum(1 << (max_l - l) for l, _ in used) != 1 << max_l:
+        raise ValueError("invalid (incomplete) Huffman code")
+    return {
+        (l, code): s for s, (code, l) in _vp8l_canonical_codes(lengths).items()
+    }
+
+
+def _vp8l_read_symbol(br: "_LsbBitReader", tree: dict) -> int:
+    single = tree.get("single")
+    if single is not None:
+        return single
+    code = 0
+    for length in range(1, 16):
+        code = (code << 1) | br.bits(1)
+        sym = tree.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in VP8L stream")
+
+
+def _vp8l_read_code(br: "_LsbBitReader", alphabet_size: int) -> dict:
+    """Read one prefix code (simple or normal form) -> decode tree."""
+    if br.bits(1):  # simple
+        num = br.bits(1) + 1
+        s0 = br.bits(8) if br.bits(1) else br.bits(1)
+        if num == 1:
+            return {"single": s0}
+        s1 = br.bits(8)
+        return {(1, 0): s0, (1, 1): s1}
+    num_codes = br.bits(4) + 4
+    cl_lengths = [0] * 19
+    for i in range(num_codes):
+        cl_lengths[_VP8L_ORDER[i]] = br.bits(3)
+    cl_tree = _vp8l_decode_tree(cl_lengths)
+    if br.bits(1):  # explicit max-symbol count
+        nbits = 2 + 2 * br.bits(3)
+        max_symbol = 2 + br.bits(nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev, i = 8, 0
+    while i < alphabet_size and max_symbol > 0:
+        max_symbol -= 1
+        s = _vp8l_read_symbol(br, cl_tree)
+        if s < 16:
+            lengths[i] = s
+            i += 1
+            if s:
+                prev = s
+        elif s == 16:
+            rep = 3 + br.bits(2)
+            if i + rep > alphabet_size:
+                raise ValueError("code-length repeat overruns alphabet")
+            for _ in range(rep):
+                lengths[i] = prev
+                i += 1
+        else:
+            rep = (3 + br.bits(3)) if s == 17 else (11 + br.bits(7))
+            if i + rep > alphabet_size:
+                raise ValueError("code-length zero-run overruns alphabet")
+            i += rep
+    return _vp8l_decode_tree(lengths)
+
+
+def _vp8l_prefix_decode(br: "_LsbBitReader", s: int) -> int:
+    """LZ77 length/distance prefix code -> value (spec: 24/40 codes)."""
+    if s < 4:
+        return s + 1
+    extra = (s - 2) >> 1
+    offset = (2 + (s & 1)) << extra
+    return offset + br.bits(extra) + 1
+
+
+def _vp8l_prefix_encode(v: int) -> tuple:
+    """value -> (prefix code, extra bits value, extra bit count)."""
+    u = v - 1
+    if u < 4:
+        return u, 0, 0
+    b = u.bit_length() - 1
+    extra = b - 1
+    return 2 * b + ((u >> extra) & 1), u & ((1 << extra) - 1), extra
+
+
+def _vp8l_cache_hash(argb: int, bits: int) -> int:
+    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - bits)
+
+
+def _vp8l_decode_spatial(
+    br: "_LsbBitReader", width: int, height: int, allow_meta: bool
+) -> list:
+    """Decode one entropy-coded image (the ARGB image when
+    ``allow_meta``, else a transform/palette sub-image) to a list of
+    width*height ARGB ints."""
+    cache_bits = br.bits(4) if br.bits(1) else 0
+    if cache_bits and not 1 <= cache_bits <= 11:
+        raise ValueError("invalid color-cache size")
+    if allow_meta and br.bits(1):
+        raise NotImplementedError(
+            "VP8L meta-prefix groups (spatially varying Huffman codes) "
+            "need the entropy-image recursion; single-group images only"
+        )
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green = _vp8l_read_code(br, 256 + 24 + cache_size)
+    red = _vp8l_read_code(br, 256)
+    blue = _vp8l_read_code(br, 256)
+    alpha = _vp8l_read_code(br, 256)
+    dist = _vp8l_read_code(br, 40)
+    cache = [0] * cache_size
+    n = width * height
+    out: list = []
+    while len(out) < n:
+        s = _vp8l_read_symbol(br, green)
+        if s < 256:
+            g = s
+            r = _vp8l_read_symbol(br, red)
+            b = _vp8l_read_symbol(br, blue)
+            a = _vp8l_read_symbol(br, alpha)
+            px = (a << 24) | (r << 16) | (g << 8) | b
+            out.append(px)
+            if cache_size:
+                cache[_vp8l_cache_hash(px, cache_bits)] = px
+        elif s < 280:
+            length = _vp8l_prefix_decode(br, s - 256)
+            dcode = _vp8l_prefix_decode(br, _vp8l_read_symbol(br, dist))
+            if dcode > 120:
+                d = dcode - 120
+            else:
+                dx, dy = _VP8L_DIST_MAP[dcode - 1]
+                d = max(1, dx + dy * width)
+            if d > len(out):
+                raise ValueError("VP8L backreference before image start")
+            if len(out) + length > n:
+                raise ValueError("VP8L backreference overruns image")
+            for _ in range(length):
+                px = out[-d]
+                out.append(px)
+                if cache_size:
+                    cache[_vp8l_cache_hash(px, cache_bits)] = px
+        else:
+            if not cache_size or s - 280 >= cache_size:
+                raise ValueError("color-cache symbol without/outside cache")
+            out.append(cache[s - 280])
+    return out
+
+
+def _vp8l_write_code(bw: "_LsbBitWriter", lengths: list) -> dict:
+    """Write one prefix code (simple form when <=2 used symbols <256,
+    else normal form with literal code-length symbols); returns the
+    symbol -> (code, length) encoding map."""
+    used = [s for s, l in enumerate(lengths) if l > 0]
+    if 1 <= len(used) <= 2 and all(s < 256 for s in used):
+        bw.bits(1, 1)
+        bw.bits(len(used) - 1, 1)
+        if used[0] >= 2:
+            bw.bits(1, 1)
+            bw.bits(used[0], 8)
+        else:
+            bw.bits(0, 1)
+            bw.bits(used[0], 1)
+        if len(used) == 2:
+            bw.bits(used[1], 8)
+            return {used[0]: (0, 1), used[1]: (1, 1)}
+        return {used[0]: (0, 0)}
+    bw.bits(0, 1)
+    cl_freqs = [0] * 19
+    for l in lengths:
+        cl_freqs[l] += 1
+    cl_lengths = _vp8l_limited_huffman(cl_freqs, 7)
+    num_codes = 19
+    while num_codes > 4 and cl_lengths[_VP8L_ORDER[num_codes - 1]] == 0:
+        num_codes -= 1
+    bw.bits(num_codes - 4, 4)
+    for i in range(num_codes):
+        bw.bits(cl_lengths[_VP8L_ORDER[i]], 3)
+    bw.bits(0, 1)  # no explicit max-symbol
+    cl_codes = _vp8l_canonical_codes(cl_lengths)
+    for l in lengths:
+        c, ln = cl_codes[l]
+        bw.code(c, ln)
+    return _vp8l_canonical_codes(lengths)
+
+
+def _vp8l_encode_spatial(
+    bw: "_LsbBitWriter",
+    argb: list,
+    width: int,
+    is_argb_image: bool,
+    cache_bits: int = 0,
+    use_backrefs: bool = False,
+) -> None:
+    """Entropy-code ``argb`` into ``bw``: optional color cache,
+    distance-1 run backreferences, one Huffman group."""
+    if cache_bits:
+        bw.bits(1, 1)
+        bw.bits(cache_bits, 4)
+    else:
+        bw.bits(0, 1)
+    if is_argb_image:
+        bw.bits(0, 1)  # no meta-prefix groups
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [0] * cache_size
+
+    # tokenize: (0, argb) literal | (1, length) run-of-previous | (2, idx) cache hit
+    tokens: list = []
+    i, n = 0, len(argb)
+    # distance 1 -> neighborhood code 2 ((1, 0) is _VP8L_DIST_MAP[1])
+    while i < n:
+        px = argb[i]
+        if use_backrefs and i > 0 and px == argb[i - 1]:
+            run = 1
+            while i + run < n and argb[i + run] == px and run < 4096:
+                run += 1
+            tokens.append((1, run))
+            if cache_size:
+                cache[_vp8l_cache_hash(px, cache_bits)] = px
+            i += run
+            continue
+        if cache_size:
+            h = _vp8l_cache_hash(px, cache_bits)
+            if cache[h] == px and tokens:
+                tokens.append((2, h))
+                i += 1
+                continue
+            cache[h] = px
+        tokens.append((0, px))
+        i += 1
+
+    gf = [0] * (256 + 24 + cache_size)
+    rf, bf, af, df = [0] * 256, [0] * 256, [0] * 256, [0] * 40
+    for kind, v in tokens:
+        if kind == 0:
+            gf[(v >> 8) & 0xFF] += 1
+            rf[(v >> 16) & 0xFF] += 1
+            bf[v & 0xFF] += 1
+            af[(v >> 24) & 0xFF] += 1
+        elif kind == 1:
+            gf[256 + _vp8l_prefix_encode(v)[0]] += 1
+            df[_vp8l_prefix_encode(2)[0]] += 1  # distance code 2 == offset (1,0)
+        else:
+            gf[280 + v] += 1
+    if not any(df):
+        df[0] = 1  # codes must be present even if unused
+    if not any(af):
+        af[0xFF] = 1
+
+    g_codes = _vp8l_write_code(bw, _vp8l_limited_huffman(gf, 15))
+    r_codes = _vp8l_write_code(bw, _vp8l_limited_huffman(rf, 15))
+    b_codes = _vp8l_write_code(bw, _vp8l_limited_huffman(bf, 15))
+    a_codes = _vp8l_write_code(bw, _vp8l_limited_huffman(af, 15))
+    d_codes = _vp8l_write_code(bw, _vp8l_limited_huffman(df, 15))
+
+    for kind, v in tokens:
+        if kind == 0:
+            bw.code(*g_codes[(v >> 8) & 0xFF])
+            bw.code(*r_codes[(v >> 16) & 0xFF])
+            bw.code(*b_codes[v & 0xFF])
+            bw.code(*a_codes[(v >> 24) & 0xFF])
+        elif kind == 1:
+            lc, lextra, lbits = _vp8l_prefix_encode(v)
+            bw.code(*g_codes[256 + lc])
+            if lbits:
+                bw.bits(lextra, lbits)
+            dc, dextra, dbits = _vp8l_prefix_encode(2)
+            bw.code(*d_codes[dc])
+            if dbits:
+                bw.bits(dextra, dbits)
+        else:
+            bw.code(*g_codes[280 + v])
+
+
+def _vp8l_pred_helpers():
+    def ch(p, shift):
+        return (p >> shift) & 0xFF
+
+    def avg2(a, b):
+        return tuple((ch(a, s) + ch(b, s)) >> 1 for s in (24, 16, 8, 0))
+
+    def pack(t):
+        return (t[0] << 24) | (t[1] << 16) | (t[2] << 8) | t[3]
+
+    def clamp(v):
+        return 0 if v < 0 else 255 if v > 255 else v
+
+    return ch, avg2, pack, clamp
+
+
+def _vp8l_predict(mode: int, L: int, T: int, TL: int, TR: int) -> int:
+    """The 14 spatial predictors (spec §4.2.2), per-channel byte math."""
+    ch, avg2, pack, clamp = _vp8l_pred_helpers()
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return pack(avg2(pack(avg2(L, TR)), T))
+    if mode == 6:
+        return pack(avg2(L, TL))
+    if mode == 7:
+        return pack(avg2(L, T))
+    if mode == 8:
+        return pack(avg2(TL, T))
+    if mode == 9:
+        return pack(avg2(T, TR))
+    if mode == 10:
+        return pack(avg2(pack(avg2(L, TL)), pack(avg2(T, TR))))
+    if mode == 11:  # Select
+        p = [ch(L, s) + ch(T, s) - ch(TL, s) for s in (24, 16, 8, 0)]
+        pL = sum(abs(p[i] - c) for i, c in enumerate(ch(L, s) for s in (24, 16, 8, 0)))
+        pT = sum(abs(p[i] - c) for i, c in enumerate(ch(T, s) for s in (24, 16, 8, 0)))
+        return L if pL < pT else T
+    if mode == 12:  # ClampAddSubtractFull
+        return pack(tuple(clamp(ch(L, s) + ch(T, s) - ch(TL, s)) for s in (24, 16, 8, 0)))
+    if mode == 13:  # ClampAddSubtractHalf
+        ave = avg2(L, T)
+        return pack(tuple(clamp(ave[i] + (ave[i] - ch(TL, s)) // 2)
+                          for i, s in enumerate((24, 16, 8, 0))))
+    raise ValueError(f"invalid predictor mode {mode}")
+
+
+def _vp8l_add_px(a: int, b: int) -> int:
+    return (
+        (((a >> 24) + (b >> 24)) & 0xFF) << 24
+        | ((((a >> 16) + (b >> 16)) & 0xFF) << 16)
+        | ((((a >> 8) + (b >> 8)) & 0xFF) << 8)
+        | ((a + b) & 0xFF)
+    )
+
+
+def _vp8l_sub_px(a: int, b: int) -> int:
+    return (
+        (((a >> 24) - (b >> 24)) & 0xFF) << 24
+        | ((((a >> 16) - (b >> 16)) & 0xFF) << 16)
+        | ((((a >> 8) - (b >> 8)) & 0xFF) << 8)
+        | ((a - b) & 0xFF)
+    )
+
+
+def _vp8l_ct_delta(t: int, c: int) -> int:
+    """Color-transform delta: (int8(t) * int8(c)) >> 5 (arithmetic)."""
+    t8 = t - 256 if t > 127 else t
+    c8 = c - 256 if c > 127 else c
+    return (t8 * c8) >> 5
+
+
+def _vp8l_xbits(palette_size: int) -> int:
+    if palette_size <= 2:
+        return 3
+    if palette_size <= 4:
+        return 2
+    if palette_size <= 16:
+        return 1
+    return 0
+
+
+def encode_webp_lossless(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    transform: object = "subtract-green",
+    cache_bits: int = 0,
+    use_backrefs: bool = True,
+) -> bytes:
+    """VP8L (WebP lossless) encoder. ``pixels`` is the interleaved
+    row-major buffer (gray, RGB, or RGBA per ``channels``), zero-padded /
+    truncated to width*height*channels like :func:`encode_ppm`.
+
+    ``transform`` selects the single spatial transform to apply:
+
+    - ``"subtract-green"`` (default) — the ubiquitous decorrelator;
+    - ``"palette"`` — color-indexing incl. sub-byte pixel bundling for
+      palettes of <=16 colors (raises if >256 distinct colors);
+    - ``("predictor", mode)`` — uniform spatial predictor 0..13;
+    - ``("color", (g2r, g2b, r2b))`` — uniform cross-channel transform;
+    - ``None`` — plain ARGB literals.
+
+    ``cache_bits`` > 0 enables the color cache; ``use_backrefs`` emits
+    distance-1 LZ77 run copies. Output is the full RIFF/WEBP container.
+    """
+    need = width * height * channels
+    buf = pixels[:need] + b"\x00" * max(0, need - len(pixels))
+    argb = []
+    for i in range(width * height):
+        if channels == 1:
+            r = g = b = buf[i]
+            a = 255
+        elif channels == 3:
+            r, g, b = buf[3 * i], buf[3 * i + 1], buf[3 * i + 2]
+            a = 255
+        elif channels == 4:
+            r, g, b, a = buf[4 * i], buf[4 * i + 1], buf[4 * i + 2], buf[4 * i + 3]
+        else:
+            raise ValueError("channels must be 1, 3, or 4")
+        argb.append((a << 24) | (r << 16) | (g << 8) | b)
+
+    bw = _LsbBitWriter()
+    bw.bits(0x2F, 8)
+    bw.bits(width - 1, 14)
+    bw.bits(height - 1, 14)
+    bw.bits(1 if channels == 4 else 0, 1)
+    bw.bits(0, 3)  # version
+
+    enc_w = width
+    if transform == "subtract-green":
+        bw.bits(1, 1)
+        bw.bits(2, 2)
+        argb = [
+            (p & 0xFF00FF00)
+            | (((p >> 16) - (p >> 8)) & 0xFF) << 16
+            | ((p - (p >> 8)) & 0xFF)
+            for p in argb
+        ]
+    elif transform == "palette":
+        seen: dict = {}
+        for p in argb:
+            if p not in seen:
+                seen[p] = len(seen)
+        if len(seen) > 256:
+            raise ValueError("palette transform needs <=256 distinct colors")
+        palette = list(seen)
+        bw.bits(1, 1)
+        bw.bits(3, 2)
+        bw.bits(len(palette) - 1, 8)
+        deltas = [
+            palette[0] if i == 0 else _vp8l_sub_px(palette[i], palette[i - 1])
+            for i in range(len(palette))
+        ]
+        _vp8l_encode_spatial(bw, deltas, len(palette), False)
+        xbits = _vp8l_xbits(len(palette))
+        if xbits:
+            per = 8 >> xbits  # bits per index
+            span = 1 << xbits  # indices per packed pixel
+            enc_w = (width + span - 1) >> xbits
+            packed = []
+            for y in range(height):
+                for px in range(enc_w):
+                    gch = 0
+                    for k in range(span):
+                        x = (px << xbits) + k
+                        if x < width:
+                            gch |= seen[argb[y * width + x]] << (k * per)
+                    packed.append(0xFF000000 | (gch << 8))
+            argb = packed
+        else:
+            argb = [0xFF000000 | (seen[p] << 8) for p in argb]
+    elif isinstance(transform, tuple) and transform[0] == "predictor":
+        mode = transform[1]
+        bw.bits(1, 1)
+        bw.bits(0, 2)
+        size_bits = 9  # 512x512 tiles — one mode tile up to that size
+        bw.bits(size_bits - 2, 3)
+        bs = 1 << size_bits
+        tw, th = (width + bs - 1) >> size_bits, (height + bs - 1) >> size_bits
+        _vp8l_encode_spatial(
+            bw, [0xFF000000 | (mode << 8)] * (tw * th), tw, False
+        )
+        res = []
+        for y in range(height):
+            for x in range(width):
+                i = y * width + x
+                if x == 0 and y == 0:
+                    pred = 0xFF000000
+                elif y == 0:
+                    pred = argb[i - 1]
+                elif x == 0:
+                    pred = argb[i - width]
+                else:
+                    pred = _vp8l_predict(
+                        mode, argb[i - 1], argb[i - width],
+                        argb[i - width - 1], argb[i - width + 1],
+                    )
+                res.append(_vp8l_sub_px(argb[i], pred))
+        argb = res
+    elif isinstance(transform, tuple) and transform[0] == "color":
+        g2r, g2b, r2b = transform[1]
+        bw.bits(1, 1)
+        bw.bits(1, 2)
+        size_bits = 9
+        bw.bits(size_bits - 2, 3)
+        bs = 1 << size_bits
+        tw, th = (width + bs - 1) >> size_bits, (height + bs - 1) >> size_bits
+        elt = 0xFF000000 | ((r2b & 0xFF) << 16) | ((g2b & 0xFF) << 8) | (g2r & 0xFF)
+        _vp8l_encode_spatial(bw, [elt] * (tw * th), tw, False)
+        res = []
+        for p in argb:
+            a, r, g, b = p >> 24, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF
+            # r2b delta keys on the ORIGINAL red — the decoder restores
+            # red first, then uses the restored (== original) value
+            nr = (r - _vp8l_ct_delta(g2r & 0xFF, g)) & 0xFF
+            nb = (b - _vp8l_ct_delta(g2b & 0xFF, g) - _vp8l_ct_delta(r2b & 0xFF, r)) & 0xFF
+            res.append((a << 24) | (nr << 16) | (g << 8) | nb)
+        argb = res
+    elif transform is not None:
+        raise ValueError(f"unknown transform {transform!r}")
+    bw.bits(0, 1)  # end of transforms
+
+    _vp8l_encode_spatial(bw, argb, enc_w, True, cache_bits, use_backrefs)
+    payload = bw.flush()
+
+    chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def _decode_webp(payload: bytes) -> ImageData:
+    """RIFF/WEBP VP8L (lossless) decoder — see the section comment for
+    coverage. Lossy VP8 and extended VP8X raise ``NotImplementedError``;
+    malformed streams raise ``ValueError``."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP container")
+    pos, data = 12, None
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8L":
+            data = body
+            break
+        if fourcc in (b"VP8 ", b"VP8X"):
+            raise NotImplementedError(
+                "lossy VP8 / extended VP8X WebP needs a DCT codec; only "
+                "VP8L lossless decodes dependency-free"
+            )
+        pos += 8 + size + (size & 1)
+    if data is None:
+        raise ValueError("no VP8L chunk in WEBP container")
+
+    br = _LsbBitReader(data)
+    if br.bits(8) != 0x2F:
+        raise ValueError("bad VP8L signature")
+    width = br.bits(14) + 1
+    height = br.bits(14) + 1
+    alpha_hint = br.bits(1)
+    if br.bits(3) != 0:
+        raise ValueError("unknown VP8L version")
+
+    transforms: list = []
+    seen_types: set = set()
+    cur_w = width
+    while br.bits(1):
+        t = br.bits(2)
+        if t in seen_types:
+            raise ValueError("duplicate VP8L transform")
+        seen_types.add(t)
+        if t in (0, 1):  # predictor / color, tile-coded
+            size_bits = br.bits(3) + 2
+            bs = 1 << size_bits
+            tw, th = (cur_w + bs - 1) >> size_bits, (height + bs - 1) >> size_bits
+            sub = _vp8l_decode_spatial(br, tw, th, False)
+            transforms.append((t, (size_bits, tw, sub, cur_w)))
+        elif t == 2:
+            transforms.append((2, cur_w))
+        else:  # color-indexing
+            psize = br.bits(8) + 1
+            deltas = _vp8l_decode_spatial(br, psize, 1, False)
+            palette, acc = [], 0
+            for d in deltas:
+                acc = _vp8l_add_px(acc, d) if palette else d
+                palette.append(acc)
+            xbits = _vp8l_xbits(psize)
+            transforms.append((3, (palette, xbits, cur_w)))
+            if xbits:
+                cur_w = (cur_w + (1 << xbits) - 1) >> xbits
+
+    argb = _vp8l_decode_spatial(br, cur_w, height, True)
+
+    for t, info in reversed(transforms):
+        if t == 2:  # add-green
+            argb = [
+                (p & 0xFF00FF00)
+                | (((p >> 16) + (p >> 8)) & 0xFF) << 16
+                | ((p + (p >> 8)) & 0xFF)
+                for p in argb
+            ]
+        elif t == 0:  # predictor inverse
+            size_bits, tw, sub, w = info
+            out: list = []
+            for y in range(height):
+                for x in range(w):
+                    i = y * w + x
+                    if x == 0 and y == 0:
+                        pred = 0xFF000000
+                    elif y == 0:
+                        pred = out[i - 1]
+                    elif x == 0:
+                        pred = out[i - w]
+                    else:
+                        mode = (sub[(y >> size_bits) * tw + (x >> size_bits)] >> 8) & 0xFF
+                        pred = _vp8l_predict(
+                            mode, out[i - 1], out[i - w],
+                            out[i - w - 1], out[i - w + 1],
+                        )
+                    out.append(_vp8l_add_px(argb[i], pred))
+            argb = out
+        elif t == 1:  # color transform inverse
+            size_bits, tw, sub, w = info
+            out = []
+            for y in range(height):
+                for x in range(w):
+                    p = argb[y * w + x]
+                    elt = sub[(y >> size_bits) * tw + (x >> size_bits)]
+                    g2r, g2b, r2b = elt & 0xFF, (elt >> 8) & 0xFF, (elt >> 16) & 0xFF
+                    a, r, g, b = p >> 24, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF
+                    r = (r + _vp8l_ct_delta(g2r, g)) & 0xFF
+                    b = (b + _vp8l_ct_delta(g2b, g) + _vp8l_ct_delta(r2b, r)) & 0xFF
+                    out.append((a << 24) | (r << 16) | (g << 8) | b)
+            argb = out
+        else:  # color-indexing inverse (+ bundling unpack)
+            palette, xbits, w = info
+            out = []
+            if xbits:
+                per = 8 >> xbits
+                mask = (1 << per) - 1
+                packed_w = (w + (1 << xbits) - 1) >> xbits
+                for y in range(height):
+                    for x in range(w):
+                        gch = (argb[y * packed_w + (x >> xbits)] >> 8) & 0xFF
+                        idx = (gch >> ((x & ((1 << xbits) - 1)) * per)) & mask
+                        out.append(palette[idx] if idx < len(palette) else 0)
+            else:
+                for p in argb:
+                    idx = (p >> 8) & 0xFF
+                    out.append(palette[idx] if idx < len(palette) else 0)
+            argb = out
+
+    channels = 4 if alpha_hint else 3
+    buf = bytearray(width * height * channels)
+    for i, p in enumerate(argb):
+        o = i * channels
+        buf[o] = (p >> 16) & 0xFF
+        buf[o + 1] = (p >> 8) & 0xFF
+        buf[o + 2] = p & 0xFF
+        if channels == 4:
+            buf[o + 3] = p >> 24
+    return ImageData(width, height, channels, 255, bytes(buf))

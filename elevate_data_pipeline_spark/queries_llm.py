@@ -2036,6 +2036,60 @@ def multimodal_gif_decode(spark, sf_dir):
 
 
 @query(
+    "multimodal_webp_decode",
+    """
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS total,
+             greatest(1, least(16, octet_length(encode(text)) // 6)) AS w,
+             [ascii(substr(text, x, 1)) for x in range(1, 1 + len(text))] AS codes
+      FROM documents
+    )
+    SELECT doc_id AS doc_id, CAST(w AS INT) AS width, 2 AS height,
+           3 AS channels, 255 AS maxval,
+           CAST(coalesce(list_sum(codes[1:CAST(least(total, 6 * w) AS INT)]), 0)
+                AS BIGINT) AS checksum
+    FROM b
+    """,
+)
+def multimodal_webp_decode(spark, sf_dir):
+    """REAL WebP lossless decode (VP8L, stdlib only): each document's
+    leading bytes become a (w x 2) RGB raster encoded as a conformant
+    VP8L stream — subtract-green transform, 6-bit color cache, LZ77 run
+    backreferences, canonical prefix codes — and decoded back by
+    ``operators/multimodal._decode_webp`` inside mapInPandas. VP8L is
+    lossless, so the checksum is exactly the sum of the encoded bytes
+    (zero-padded past the text) and the oracle replays it in closed
+    form. One narrow scan, no shuffle: embarrassingly parallel, the
+    100 TB shape."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                w = max(1, min(16, len(data) // 6))
+                img = multimodal.decode_image(
+                    multimodal.encode_webp_lossless(
+                        w, 2, data[: w * 6], 3, cache_bits=6
+                    )
+                )
+                rows.append(
+                    (doc_id, img.width, img.height, img.channels, img.maxval,
+                     sum(img.pixels))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "channels", "maxval", "checksum"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    )
+    return docs.mapInPandas(run, _DECODE_SCHEMA)
+
+
+@query(
     "multimodal_resize",
     """
     WITH b AS (

@@ -1932,3 +1932,58 @@ def test_gif_lzw_roundtrip_and_growth():
     with pytest.raises(ValueError):  # truncated LZW stream
         payload = multimodal.encode_gif(8, 8, bytes(64), pal)
         multimodal.decode_image(payload[:30])
+
+
+def test_webp_lossless_roundtrip_all_modes():
+    """VP8L encoder/decoder round-trips exactly across every transform,
+    the color cache, and LZ77 run backreferences."""
+    import random
+
+    from elevate_data_pipeline_spark.operators import multimodal as mm
+
+    rng = random.Random(4242)
+    modes = (
+        ["subtract-green", None, "palette"]
+        + [("predictor", m) for m in range(14)]
+        + [("color", (9, 77, 200)), ("color", (255, 1, 64))]
+    )
+    for trial in range(60):
+        w, h = rng.randrange(1, 40), rng.randrange(1, 12)
+        ch = rng.choice([1, 3, 3, 4])
+        t = rng.choice(modes)
+        cb = rng.choice([0, 0, 4, 8])
+        if t == "palette":  # bounded palette incl. bundled sub-byte widths
+            px = bytes(rng.randrange(5) * 31 for _ in range(w * h * ch))
+        else:
+            px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        enc = mm.encode_webp_lossless(
+            w, h, px, ch, transform=t, cache_bits=cb,
+            use_backrefs=rng.choice([True, False]),
+        )
+        img = mm.decode_image(enc)
+        exp = bytes(b for v in px for b in (v, v, v)) if ch == 1 else px
+        assert (img.width, img.height) == (w, h)
+        assert img.channels == (4 if ch == 4 else 3)
+        assert img.pixels == exp, (w, h, ch, t, cb)
+
+
+def test_webp_runs_compress_and_rejections():
+    from elevate_data_pipeline_spark.operators import multimodal as mm
+    import pytest as _pytest
+
+    px = bytes([(i // 90) % 256 for i in range(60 * 10 * 3)])
+    enc = mm.encode_webp_lossless(60, 10, px, 3, cache_bits=6)
+    assert len(enc) < len(px) // 4  # LZ77 runs actually compress
+    assert mm.decode_image(enc).pixels == px
+
+    with _pytest.raises(ValueError):  # truncated payload
+        mm.decode_image(enc[: len(enc) // 2])
+    with _pytest.raises(NotImplementedError):  # lossy VP8 chunk
+        mm.decode_image(b"RIFF\x10\x00\x00\x00WEBPVP8 \x00\x00\x00\x00")
+    with _pytest.raises(ValueError):  # bad VP8L signature
+        bad = bytearray(enc)
+        bad[20] ^= 0xFF if bad[20] != 0x2F else 0x01
+        sig_at = enc.index(b"VP8L") + 8
+        bad = bytearray(enc)
+        bad[sig_at] = 0x00
+        mm.decode_image(bytes(bad))
