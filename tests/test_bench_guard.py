@@ -11,6 +11,9 @@ threshold is 3x the committed median AND >= 1 s absolute slack — wide
 enough that the observed full-bench interference (~1.5x swings on
 sub-2 s queries) never false-fires, tight enough that a genuine plan
 regression (the pins this repo relies on are worth 2.5-10x) still trips.
+On a breach the query is re-timed once (best-of-2) before failing, so a
+single co-tenant spike cannot redden the suite (round-5 false positive:
+dedup_simhash_pairs tripped purely under a concurrent sweep's load).
 """
 
 from __future__ import annotations
@@ -58,13 +61,36 @@ def test_slowest_queries_within_committed_medians(spark):
     for name, _ in slowest:
         QUERIES[name](spark, warm_dir).collect()
 
-    failures = []
-    for name, committed in slowest:
+    def timed(name):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).collect()
-        took = time.perf_counter() - t0
+        return time.perf_counter() - t0
+
+    failures = []
+    for name, committed in slowest:
         limit = max(committed * FACTOR, committed + ABS_SLACK)
+        took = timed(name)
+        if took > limit:
+            # best-of-2: a noisy-neighbor spike passes on retry; a real
+            # plan regression is just as slow the second time
+            took = min(took, timed(name))
         if took > limit:
             failures.append(f"{name}: {took:.2f}s > limit {limit:.2f}s "
-                            f"(committed median {committed:.2f}s)")
+                            f"(committed median {committed:.2f}s, retried)")
     assert not failures, "bench regression tripwire:\n" + "\n".join(failures)
+
+
+def test_guard_retry_logic_catches_real_regressions():
+    """Unit-check the best-of-2 rule with fake timings: one spike passes
+    on retry; two consecutive breaches still fail."""
+    def evaluate(timings, committed=1.0):
+        limit = max(committed * FACTOR, committed + ABS_SLACK)
+        it = iter(timings)
+        took = next(it)
+        if took > limit:
+            took = min(took, next(it))
+        return took <= limit
+
+    assert evaluate([10.0, 1.2])      # co-tenant spike, retry clean
+    assert not evaluate([10.0, 9.8])  # real 3x regression persists
+    assert evaluate([1.5])            # within limit, no retry consumed

@@ -20,6 +20,15 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
+def _simple_plan(df) -> str:
+    """simple-mode tree: node arguments print inline (an `Exchange
+    SinglePartition` literal exists HERE, never in formatted mode)."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    return buf.getvalue()
+
+
 def test_q19_envelope_reaches_both_scans(spark):
     plan = _plan(QUERIES["q19_bracket_revenue"](spark, SF_DIR))
     # part side: brand IN (...) and size bounds pushed to the parquet scan
@@ -87,11 +96,28 @@ def test_deciles_no_single_partition_sort(spark):
     # exact-ntile rewrite: the total order lives in a range repartition,
     # never a global (single-partition) window sort over customer rows
     assert "rangepartitioning(c_acctbal" in plan
-    # the only single-partition exchange feeds the per-partition-count
-    # offsets window — 32 rows, one per range partition
-    assert plan.count("Exchange SinglePartition") <= 1
     # the big-side window is keyed on _pid (row_number per partition)
     assert "partitionBy=[_pid" in plan or "[_pid#" in plan
+
+
+def test_deciles_single_partition_exchanges_bounded(spark):
+    """Simple-mode twin of the guard above (formatted mode never prints
+    the `Exchange SinglePartition` literal): every single-partition
+    exchange in the deciles plan is fed by a partial/keyed aggregate of
+    at most one row per partition."""
+    from elevate_data_pipeline_spark.operators import rank
+
+    rank.PIN_PARTITIONS = False
+    try:
+        plan = _simple_plan(QUERIES["customer_balance_deciles"](spark, SF_DIR))
+    finally:
+        rank.PIN_PARTITIONS = True
+    lines = plan.splitlines()
+    hits = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
+    assert hits, "expected the bounded offsets/total exchanges in simple mode"
+    for i in hits:
+        child = lines[i + 1]
+        assert ("keys=[_pid" in child) or ("keys=[], functions=[partial_" in child), child
 
 
 def test_pii_scrub_is_pure_projection(spark):
@@ -368,3 +394,50 @@ def test_containment_postings_are_hashed_longs(spark):
     # shingles are xxhash64-ed before the posting explode: the candidate
     # join and intersect verification run on int64, not word strings
     assert "xxhash64" in plan
+
+
+def _window_feeds_from(plan: str, marker: str) -> bool:
+    """True if the first global Window node in a simple-mode plan has
+    ``marker`` somewhere BELOW it (its input subtree) — i.e. the
+    single-partition window runs over the bounded frame the marker
+    identifies, not over the full corpus."""
+    lines = plan.splitlines()
+    win = next((i for i, ln in enumerate(lines) if "Window " in ln or ln.strip().startswith("Window")), None)
+    assert win is not None, "expected a Window node:\n" + plan
+    return any(marker in ln for ln in lines[win:])
+
+
+def test_corpus_vocab_window_input_is_topk_limit(spark):
+    """The coverage window in corpus_vocab is global (no partition key)
+    — safe only because its input is the top-K limited vocab frame.
+    Pin that: the Window must sit above a TakeOrderedAndProject, and
+    the full token explode must NOT feed any window directly."""
+    plan = _simple_plan(QUERIES["corpus_vocab"](spark, SF_DIR))
+    assert _window_feeds_from(plan, "TakeOrderedAndProject")
+
+
+def test_interpolate_hourly_window_input_is_grid(spark):
+    """The forward-fill window in events_interpolate_hourly is global —
+    bounded because it runs over the hourly GRID (one row per hour
+    between min/max ts), not over raw events: the grid generator
+    (sequence explode) must appear in the window's input subtree."""
+    plan = _simple_plan(QUERIES["events_interpolate_hourly"](spark, SF_DIR))
+    assert _window_feeds_from(plan, "sequence(")
+
+
+def test_kmeans_distributed_init_window_is_k_limited(spark, monkeypatch):
+    """The distributed Lloyd init ranks the k seed centroids with a
+    global row_number window — bounded by the limit(k) frame beneath
+    it. Force the local gate off and pin the GlobalLimit under the
+    Window."""
+    from elevate_data_pipeline_spark.operators import cluster
+
+    monkeypatch.setattr(cluster, "_LLOYD_LOCAL_MAX_ROWS", -1)
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)]) for i in range(10)],
+        "vec_id bigint, embedding array<double>",
+    )
+    plan = _simple_plan(cluster.kmeans(df, k=3, n_iter=1))
+    assert _window_feeds_from(plan, "GlobalLimit 3") or _window_feeds_from(
+        plan, "TakeOrderedAndProject(limit=3"
+    )
