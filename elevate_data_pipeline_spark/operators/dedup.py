@@ -283,42 +283,34 @@ def containment_pairs(
     exploded = base.select(
         "_id", "_blk", F.size("_grams").alias("_sz"), F.explode("_grams").alias("_g")
     )
+    if PIN_GRAMS:  # exploded feeds both the prefix build and the postings side
+        exploded = exploded.localCheckpoint(eager=False)
     freq = exploded.groupBy("_blk", "_g").agg(F.count("*").alias("_df"))
     ranked = exploded.join(freq, ["_blk", "_g"]).withColumn(
         "_rn",
         F.row_number().over(Window.partitionBy("_blk", "_id").orderBy("_df", "_g")),
     )
-    if PIN_GRAMS:  # ranked feeds both the prefix side and the postings side
-        ranked = ranked.localCheckpoint(eager=False)
     prefix = ranked.filter(
         F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
-    ).select("_id", "_blk", "_g", "_sz", "_rn")
+    ).select("_id", "_blk", "_g")
 
-    # PPJoin+-style positional filter (Xiao et al.): both sides carry the
-    # matched gram's position in the SAME (df, gram) total order, so for a
-    # match at positions (pa, pb) the true intersection is bounded by
-    # min(pa-1, pb-1) + 1 + min(|a|-pa, |b|-pb) — common grams before g
-    # must precede g in both lists, those after must follow in both. A row
-    # whose bound falls below ceil(t*|a|) cannot witness a qualifying
-    # pair, so it is dropped BEFORE the pair dedup and the verify joins
-    # (a pair is only lost when every generating row fails, which proves
-    # containment < t; survivors are still exactly verified below).
-    a, b = prefix.alias("a"), ranked.alias("b")
-    required = F.ceil(F.lit(threshold) * F.col("a._sz"))
-    bound = (
-        F.least(F.col("a._rn") - 1, F.col("b._rn") - 1)
-        + 1
-        + F.least(
-            F.col("a._sz") - F.col("a._rn"), F.col("b._sz") - F.col("b._rn")
-        )
-    )
+    # NO PPJoin+ positional filter here, deliberately (round-6 revert of
+    # the round-5 8c10d1c rewrite): word shingles are near-unique, so the
+    # rare-gram prefix postings have df≈1-2 and match positions almost
+    # never prune beyond what the prefix already did — measured at sf0.1
+    # the positional bound returned the IDENTICAL candidate set 26%
+    # slower (3.41s vs 2.52s median), paying for the ranked (windowed)
+    # postings side without removing a single row. The positional filter
+    # stays in ngram_jaccard_pairs, whose char-gram postings are long
+    # enough for it to win. The candidate join is a-prefix vs plain
+    # postings; survivors are exactly verified below.
+    a, b = prefix.alias("a"), exploded.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a._blk") == F.col("b._blk"))
             & (F.col("a._g") == F.col("b._g"))
-            & (F.col("a._id") != F.col("b._id"))
-            & (bound >= required),
+            & (F.col("a._id") != F.col("b._id")),
         )
         .select(
             F.col("a._id").alias("contained_id"), F.col("b._id").alias("container_id")

@@ -390,10 +390,22 @@ def _pq_index_local(
     def argmin(v, cl_cents):
         return min((d2(v, c), cl) for cl, c in cl_cents)[1]
 
+    from .util import _np_matrix, lloyd_assign_np
+
     cent_rows = [(s, cl, c) for s in range(m) for cl, c in cents[s]]
-    code_rows = [
-        (i, s, argmin(v, cents[s])) for s in range(m) for i, v in slices[s]
-    ]
+    code_rows = []
+    for s in range(m):
+        Xs = _np_matrix(slices[s])
+        if Xs is not None:
+            # vectorized dim-by-dim fold + first-min argmin — bit-equal
+            # to the scalar min((d2, cl)) rule (see util.lloyd_assign_np)
+            order = [cl for cl, _ in cents[s]]
+            rows = lloyd_assign_np(Xs, [c for _, c in cents[s]])
+            code_rows.extend(
+                (i, s, order[r]) for (i, _v), r in zip(slices[s], rows)
+            )
+        else:  # pragma: no cover - numpy is baked into the env
+            code_rows.extend((i, s, argmin(v, cents[s])) for i, v in slices[s])
     sess = df.sparkSession
     cents_df = sess.createDataFrame(cent_rows, "_s int, _cl int, _c array<double>")
     id_type = dict(df.dtypes)[id_col]

@@ -117,20 +117,71 @@ def lloyd_local(vecs, k: int, n_iter: int):
         return acc
 
     cents = [(cl, vecs[cl][1]) for cl in range(min(k, len(vecs)))]
+    X = _np_matrix(vecs)
     for _ in range(n_iter):
+        if X is not None:
+            # vectorized over rows, dim-by-dim left-to-right — each
+            # element's op sequence is the same IEEE-double fold as the
+            # scalar loop, so results (incl. ties) are bit-identical
+            rows = lloyd_assign_np(X, [c for _, c in cents])
+            order = [c_id for c_id, _ in cents]
+            assigned = (order[r] for r in rows)
+        else:
+            assigned = (
+                min((d2(v, c), c_id) for c_id, c in cents)[1] for _i, v in vecs
+            )
+        # exact component sums: quantized values are multiples of 1e-12,
+        # accumulated as scaled INTEGERS (same decimal value as the
+        # former Decimal.add chain, order-independent, faster)
         sums: dict = {}
         counts: dict = {}
-        for _i, v in vecs:
-            cl = min((d2(v, c), c_id) for c_id, c in cents)[1]
+        for cl, (_i, v) in zip(assigned, vecs):
             counts[cl] = counts.get(cl, 0) + 1
             acc = sums.get(cl)
             if acc is None:
-                sums[cl] = [dec(x) for x in v]
+                sums[cl] = [int(dec(x).scaleb(12)) for x in v]
             else:
                 for d in range(len(v)):
-                    acc[d] = ctx.add(acc[d], dec(v[d]))
+                    acc[d] += int(dec(v[d]).scaleb(12))
         cents = [
-            (cl, [float(sums[cl][d]) / counts[cl] for d in range(len(sums[cl]))])
+            (
+                cl,
+                [
+                    float(decimal.Decimal(sums[cl][d]).scaleb(-12, context=ctx))
+                    / counts[cl]
+                    for d in range(len(sums[cl]))
+                ],
+            )
             for cl in sorted(sums)
         ]
     return cents
+
+
+def _np_matrix(vecs):
+    """(n x dim) float64 matrix of the corpus, or None when numpy is
+    unavailable / the corpus is empty (callers fall back to scalar)."""
+    try:
+        import numpy as np
+    except ImportError:  # pragma: no cover - numpy is baked into the env
+        return None
+    if not vecs:
+        return None
+    return np.asarray([v for _i, v in vecs], dtype=np.float64)
+
+
+def lloyd_assign_np(X, cent_list):
+    """Vectorized Lloyd assignment: argmin over squared-L2 computed as a
+    dim-by-dim left-to-right fold (bit-identical to the scalar/Spark
+    fold); ``argmin`` returns the FIRST minimum, which with centroid
+    columns in ascending cluster order is the ties-to-smaller-id rule."""
+    import numpy as np
+
+    n = X.shape[0]
+    D = np.empty((n, len(cent_list)), dtype=np.float64)
+    for j, c in enumerate(cent_list):
+        acc = np.zeros(n, dtype=np.float64)
+        for d in range(X.shape[1]):
+            t = X[:, d] - c[d]
+            acc = acc + t * t
+        D[:, j] = acc
+    return D.argmin(axis=1)
