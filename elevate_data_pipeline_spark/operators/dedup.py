@@ -446,70 +446,90 @@ def minhash_signature(col: str) -> Column:
     )
 
 
+def _minhash_kernel(texts) -> np.ndarray:
+    """Vectorized minhash signatures for a batch of texts — the shared
+    numpy kernel behind both :func:`minhash_signature_arrow` (executor
+    side, per Arrow batch) and the driver-local tier in
+    :func:`_signature_frame`. Bit-identical to
+    :func:`minhash_signature`: same constants, same integer arithmetic —
+    all intermediates < 2^63 so numpy int64 never wraps. Returns an
+    ``(len(texts), N_HASHES)`` int64 array.
+    """
+    coef = np.array(MINHASH_COEFFS, dtype=np.int64)
+    # Word-level polyhash with a per-batch cache: real corpora repeat
+    # words constantly, so the char-level fold runs once per distinct
+    # word, not once per occurrence. Shingle folding and the 16
+    # permutations then run as batch-wide numpy ops — the minimum
+    # over duplicate shingles equals the minimum over the unique
+    # set, so no per-doc set() is needed.
+    vocab: dict[str, int] = {}
+    flat: list[int] = []
+    lens = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        lens[i] = len(toks)
+        for w in toks:
+            h = vocab.get(w)
+            if h is None:
+                h = 0
+                for ch in w:
+                    h = (h * POLY_BASE + ord(ch)) % POLY_MOD
+                vocab[w] = h
+            flat.append(h)
+    T = np.asarray(flat, dtype=np.int64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+
+    result = np.empty((len(texts), N_HASHES), dtype=np.int64)
+    big = np.nonzero(lens >= 3)[0]
+    if big.size:
+        # window starts for all >=3-token docs: positions p with
+        # p+2 still inside the same doc, marked via a run-length
+        # +1/-1 sweep (no per-doc Python loop)
+        n_win = lens[big] - 2
+        run = np.zeros(T.size + 1, dtype=np.int64)
+        run[starts[big]] += 1
+        run[starts[big] + n_win] -= 1
+        ws = np.nonzero(np.cumsum(run[:-1]) > 0)[0]
+        h1 = (T[ws] * SHINGLE_BASE + T[ws + 1]) % POLY_MOD
+        sh = (h1 * SHINGLE_BASE + T[ws + 2]) % POLY_MOD
+        perm = (coef[:, 0:1] * sh[None, :] + coef[:, 1:2]) % MERSENNE61
+        wb = np.concatenate(([0], np.cumsum(n_win)[:-1]))
+        result[big] = np.minimum.reduceat(perm, wb, axis=1).T
+    for i in np.nonzero(lens < 3)[0]:
+        # 1- or 2-token doc: the single shingle folds ALL tokens
+        h = 0
+        for x in flat[int(starts[i]) : int(ends[i])]:
+            h = (h * SHINGLE_BASE + x) % POLY_MOD
+        result[i] = (coef[:, 0] * h + coef[:, 1]) % MERSENNE61
+    return result
+
+
 def minhash_signature_arrow(text_col: str = "text") -> Column:
     """MinHash signature via an Arrow-batched Pandas UDF.
 
-    Bit-identical to :func:`minhash_signature` (same constants, same
-    integer arithmetic — all intermediates < 2^63 so numpy int64 never
-    wraps) but ~2x faster: the 16 affine permutations and minima run as
-    one vectorized numpy op per document instead of 16 nested
-    higher-order-function evaluations.
+    Bit-identical to :func:`minhash_signature` (see
+    :func:`_minhash_kernel`) but ~2x faster: the 16 affine permutations
+    and minima run as one vectorized numpy op per document instead of 16
+    nested higher-order-function evaluations.
     """
     from pyspark.sql.types import ArrayType, LongType
 
-    coef = np.array(MINHASH_COEFFS, dtype=np.int64)
-
     @F.pandas_udf(ArrayType(LongType()))
     def _mh(texts: pd.Series) -> pd.Series:
-        # Word-level polyhash with a per-batch cache: real corpora repeat
-        # words constantly, so the char-level fold runs once per distinct
-        # word, not once per occurrence. Shingle folding and the 16
-        # permutations then run as batch-wide numpy ops — the minimum
-        # over duplicate shingles equals the minimum over the unique
-        # set, so no per-doc set() is needed.
-        vocab: dict[str, int] = {}
-        flat: list[int] = []
-        lens = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = t.split(" ")
-            lens[i] = len(toks)
-            for w in toks:
-                h = vocab.get(w)
-                if h is None:
-                    h = 0
-                    for ch in w:
-                        h = (h * POLY_BASE + ord(ch)) % POLY_MOD
-                    vocab[w] = h
-                flat.append(h)
-        T = np.asarray(flat, dtype=np.int64)
-        ends = np.cumsum(lens)
-        starts = ends - lens
-
-        result = np.empty((len(texts), N_HASHES), dtype=np.int64)
-        big = np.nonzero(lens >= 3)[0]
-        if big.size:
-            # window starts for all >=3-token docs: positions p with
-            # p+2 still inside the same doc, marked via a run-length
-            # +1/-1 sweep (no per-doc Python loop)
-            n_win = lens[big] - 2
-            run = np.zeros(T.size + 1, dtype=np.int64)
-            run[starts[big]] += 1
-            run[starts[big] + n_win] -= 1
-            ws = np.nonzero(np.cumsum(run[:-1]) > 0)[0]
-            h1 = (T[ws] * SHINGLE_BASE + T[ws + 1]) % POLY_MOD
-            sh = (h1 * SHINGLE_BASE + T[ws + 2]) % POLY_MOD
-            perm = (coef[:, 0:1] * sh[None, :] + coef[:, 1:2]) % MERSENNE61
-            wb = np.concatenate(([0], np.cumsum(n_win)[:-1]))
-            result[big] = np.minimum.reduceat(perm, wb, axis=1).T
-        for i in np.nonzero(lens < 3)[0]:
-            # 1- or 2-token doc: the single shingle folds ALL tokens
-            h = 0
-            for x in flat[int(starts[i]) : int(ends[i])]:
-                h = (h * SHINGLE_BASE + x) % POLY_MOD
-            result[i] = (coef[:, 0] * h + coef[:, 1]) % MERSENNE61
-        return pd.Series(list(result))
+        return pd.Series(list(_minhash_kernel(texts)))
 
     return _mh(text_col)
+
+
+# Gate for the driver-local signature tier (same pattern as
+# cluster._LLOYD_LOCAL_MAX_ROWS / similarity._PQ_LOCAL_MAX_ROWS):
+# an untransformed Catalog scan at or under this many rows computes
+# signatures on the driver via the shared numpy kernel — zero Python
+# workers, zero UDF codegen, which cuts seconds off a COLD process.
+# Larger or transformed inputs take the distributed Arrow path; the
+# two tiers are bit-identical (pinned by test_local_vs_distributed).
+_MINHASH_LOCAL_MAX_ROWS = 100_000
 
 
 def _signature_frame(
@@ -517,6 +537,27 @@ def _signature_frame(
 ) -> DataFrame:
     """(_id, _sig) minhash signatures, checkpointed so downstream
     self-joins compute them once."""
+    if impl == "arrow":
+        from .util import collect_small_columns
+
+        local = collect_small_columns(
+            df, [id_col, text_col], _MINHASH_LOCAL_MAX_ROWS
+        )
+        if local is not None:
+            from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+            ids, texts = local
+            sigs = _minhash_kernel(texts)
+            schema = StructType(
+                [
+                    StructField("_id", df.schema[id_col].dataType),
+                    StructField("_sig", ArrayType(LongType())),
+                ]
+            )
+            return df.sparkSession.createDataFrame(
+                [(i, [int(x) for x in row]) for i, row in zip(ids, sigs)],
+                schema,
+            )
     df = spread(df)  # parallelize the signature UDF when the scan gave one split
     sig_col = (
         minhash_signature_arrow(text_col) if impl == "arrow" else minhash_signature(text_col)

@@ -2838,18 +2838,21 @@ def _decode_webp(payload: bytes) -> ImageData:
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a RIFF/WEBP container")
     pos, data = 12, None
-    while pos + 8 <= len(payload):
+    while pos + 4 <= len(payload):
         fourcc = payload[pos : pos + 4]
-        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
-        body = payload[pos + 8 : pos + 8 + size]
-        if fourcc == b"VP8L":
-            data = body
-            break
+        # classify the fourcc BEFORE requiring size bytes: a truncated
+        # "VP8 " header is still identifiably a lossy stream we don't do
         if fourcc in (b"VP8 ", b"VP8X"):
             raise NotImplementedError(
                 "lossy VP8 / extended VP8X WebP needs a DCT codec; only "
                 "VP8L lossless decodes dependency-free"
             )
+        if pos + 8 > len(payload):
+            break
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if fourcc == b"VP8L":
+            data = payload[pos + 8 : pos + 8 + size]
+            break
         pos += 8 + size + (size & 1)
     if data is None:
         raise ValueError("no VP8L chunk in WEBP container")

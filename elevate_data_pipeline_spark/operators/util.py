@@ -85,6 +85,36 @@ def collect_small_corpus(
     return sorted((r["_id"], list(r["_v"])) for r in rows)
 
 
+def collect_small_columns(df: DataFrame, cols: list, max_rows: int):
+    """Column lists for a SMALL, untransformed Catalog scan, read via
+    pyarrow with zero Spark jobs — or None when the frame is untagged
+    (any transformation drops the tag) or larger than ``max_rows``.
+    Unlike :func:`collect_small_corpus` there is no ``df.count()``
+    fallback: an untagged frame simply takes the distributed path, so
+    the gate itself never costs a Spark job."""
+    import os
+
+    path = getattr(df, "_edp_parquet_path", None)
+    if path is None:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            import glob
+
+            parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            n = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+        else:
+            n = pq.ParquetFile(path).metadata.num_rows
+        if n > max_rows:
+            return None
+        tbl = pq.read_table(path, columns=cols)
+        return [tbl.column(c).to_pylist() for c in cols]
+    except Exception:  # pragma: no cover - fall back to the Spark path
+        return None
+
+
 def lloyd_local(vecs, k: int, n_iter: int):
     """Driver-local Lloyd iterations over a small corpus, replaying the
     distributed chain's math bit-for-bit (see operators/cluster._lloyd):
