@@ -115,6 +115,29 @@ def test_minhash_signatures_local_equals_distributed(spark, monkeypatch, catalog
     assert got_local == _rows(jvm)
 
 
+def test_pretraining_corpus_local_equals_distributed(spark, monkeypatch, catalog):
+    """The driver-local pipeline replay (block dedup -> gates -> LSH
+    components -> survivor rank) must equal the distributed chain
+    bit-for-bit — including the IEEE-double quality scores."""
+    from elevate_data_pipeline_spark import pipelines
+
+    docs = catalog.table("documents")
+    got_local = _rows(pipelines.pretraining_corpus(docs))
+    assert len(got_local) > 0
+    monkeypatch.setattr(pipelines, "_PIPELINE_LOCAL_MAX_ROWS", -1)
+    assert got_local == _rows(pipelines.pretraining_corpus(docs))
+
+
+def test_curate_corpus_local_equals_distributed(spark, monkeypatch, catalog):
+    from elevate_data_pipeline_spark import pipelines
+
+    docs = catalog.table("documents")
+    got_local = _rows(pipelines.curate_corpus(docs))
+    assert len(got_local) > 0
+    monkeypatch.setattr(pipelines, "_PIPELINE_LOCAL_MAX_ROWS", -1)
+    assert got_local == _rows(pipelines.curate_corpus(docs))
+
+
 def test_pq_index_local_equals_distributed(spark, monkeypatch):
     df = _vectors(spark, n=48, dim=8)
     cents_l, codes_l = similarity.pq_index(df, m=2, k=3, n_iter=1, dim=8)

@@ -291,13 +291,19 @@ def test_drift_single_events_scan(spark):
 
 
 def test_pretraining_corpus_no_unpartitioned_window(spark):
+    from elevate_data_pipeline_spark import pipelines
     from elevate_data_pipeline_spark.operators import rank
 
+    # force the driver-local replay off: this guard pins the DISTRIBUTED
+    # plan's window shapes
     rank.PIN_PARTITIONS = False
+    gate = pipelines._PIPELINE_LOCAL_MAX_ROWS
+    pipelines._PIPELINE_LOCAL_MAX_ROWS = -1
     try:
         plan = _plan(QUERIES["pretraining_corpus"](spark, SF_DIR))
     finally:
         rank.PIN_PARTITIONS = True
+        pipelines._PIPELINE_LOCAL_MAX_ROWS = gate
     # the only windows: the per-_pid local rank and the 32-row offsets
     # frame of the shuffle/shard rank — never an unpartitioned window
     # over corpus rows
