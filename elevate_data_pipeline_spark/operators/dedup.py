@@ -942,28 +942,91 @@ def gram_hashes_arrow(col: str, k: int) -> Column:
     """
     from pyspark.sql.types import ArrayType, LongType
 
-    pows = [(POLY_BASE ** (k - 1 - j)) % POLY_MOD for j in range(k)]
+    pows = _gram_pows(k)
 
     @F.pandas_udf(ArrayType(LongType()))
     def _grams(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.int64)
-            # match Spark ascii() on non-ASCII: codepoint per character
-            if b.max(initial=0) > 127:
-                b = np.array([ord(c) for c in t], dtype=np.int64)
-            n = len(b)
-            if n >= k:
-                h = sum(b[j : n - k + 1 + j] * p for j, p in enumerate(pows)) % POLY_MOD
-                out.append(h.tolist())
-            else:  # one partial gram covering the whole (short) text
-                acc = 0
-                for x in b:
-                    acc = (acc * POLY_BASE + int(x)) % POLY_MOD
-                out.append([acc])
-        return pd.Series(out)
+        return pd.Series([_gram_kernel(t, k, pows).tolist() for t in texts])
 
     return _grams(col)
+
+
+def _gram_pows(k: int) -> list:
+    """Mod-reduced power ladder for the k-gram dot product."""
+    return [(POLY_BASE ** (k - 1 - j)) % POLY_MOD for j in range(k)]
+
+
+def _gram_kernel(t: str, k: int, pows: list) -> np.ndarray:
+    """Rolling k-gram hashes of one text as an int64 array — the shared
+    numpy kernel behind :func:`gram_hashes_arrow` and the driver-local
+    tier in :func:`substring_dup_spans`."""
+    b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+    # match Spark ascii() on non-ASCII: codepoint per character
+    if b.max(initial=0) > 127:
+        b = np.array([ord(c) for c in t], dtype=np.int64)
+    n = len(b)
+    if n >= k:
+        return sum(b[j : n - k + 1 + j] * p for j, p in enumerate(pows)) % POLY_MOD
+    acc = 0  # one partial gram covering the whole (short) text
+    for x in b:
+        acc = (acc * POLY_BASE + int(x)) % POLY_MOD
+    return np.array([acc], dtype=np.int64)
+
+
+# Gate for the driver-local span tier (pattern of _MINHASH_LOCAL_MAX_ROWS):
+# the whole-corpus gram sweep is numpy-vectorized end to end, so even the
+# gate maximum (~100k docs * ~kB texts ~ 200M grams) stays in-core; the
+# distributed chain is the same math at any scale.
+_SPANS_LOCAL_MAX_ROWS = 100_000
+
+
+def _spans_local(spark, local, k: int, min_docs: int, id_col: str) -> DataFrame:
+    """Driver-local replay of :func:`substring_dup_spans` for gate-sized
+    tagged scans — same gram hashes (shared kernel), same distinct-doc
+    cut, same gaps-and-islands merge, all as whole-corpus numpy ops.
+    Bit-identical to the distributed chain (forced-off equality test in
+    tests/test_local_vs_distributed.py)."""
+    ids, texts = local
+    pows = _gram_pows(k)
+    per_doc = [_gram_kernel(t, k, pows) for t in texts]
+    H = np.concatenate(per_doc) if per_doc else np.empty(0, dtype=np.int64)
+    D = np.repeat(np.arange(len(ids), dtype=np.int64), [len(h) for h in per_doc])
+    P = np.concatenate([np.arange(len(h), dtype=np.int64) for h in per_doc]) if per_doc else np.empty(0, dtype=np.int64)
+
+    # hashes present in >= min_docs DISTINCT docs
+    order = np.lexsort((D, H))
+    Hs, Ds = H[order], D[order]
+    first = np.ones(len(Hs), dtype=bool)
+    first[1:] = (Hs[1:] != Hs[:-1]) | (Ds[1:] != Ds[:-1])
+    uh, nd = np.unique(Hs[first], return_counts=True)
+    dup = uh[nd >= min_docs]
+
+    hit = np.isin(H, dup)  # rows are (doc, pos) grouped by doc, pos ascending
+    hd, hp = D[hit], P[hit]
+    brk = np.ones(len(hd), dtype=bool)
+    if len(hd) > 1:
+        brk[1:] = (hd[1:] != hd[:-1]) | (hp[1:] - hp[:-1] > k - 1)
+    starts = np.nonzero(brk)[0]
+    n_spans = np.zeros(len(ids), dtype=np.int64)
+    dup_chars = np.zeros(len(ids), dtype=np.int64)
+    if len(starts):
+        ends = np.append(starts[1:], len(hd)) - 1
+        span_doc = hd[starts]
+        span_chars = hp[ends] - hp[starts] + k
+        np.add.at(n_spans, span_doc, 1)
+        np.add.at(dup_chars, span_doc, span_chars)
+
+    rows = []
+    for i, (did, t) in enumerate(zip(ids, texts)):
+        n_chars = len(t)
+        dc = min(int(dup_chars[i]), n_chars)
+        frac = float(dc) / float(n_chars) if n_chars else float("nan")
+        rows.append((did, n_chars, int(n_spans[i]), dc, frac))
+    return spark.createDataFrame(
+        rows,
+        f"{id_col} long, n_chars int, n_dup_spans long, dup_chars long,"
+        " dup_frac double",
+    )
 
 
 def substring_dup_spans(
@@ -997,6 +1060,12 @@ def substring_dup_spans(
     span, so the output is a total quality signal like text_quality.
     """
     from pyspark.sql.window import Window
+
+    from .util import collect_small_columns
+
+    local = collect_small_columns(df, [id_col, text_col], _SPANS_LOCAL_MAX_ROWS)
+    if local is not None:
+        return _spans_local(df.sparkSession, local, k, min_docs, id_col)
 
     df = spread(df)
     grams = df.select(

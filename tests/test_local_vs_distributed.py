@@ -138,6 +138,16 @@ def test_curate_corpus_local_equals_distributed(spark, monkeypatch, catalog):
     assert got_local == _rows(pipelines.curate_corpus(docs))
 
 
+def test_substring_spans_local_equals_distributed(spark, monkeypatch, catalog):
+    from elevate_data_pipeline_spark.operators import dedup
+
+    docs = catalog.table("documents")
+    got_local = _rows(dedup.substring_dup_spans(docs))
+    assert len(got_local) > 0
+    monkeypatch.setattr(dedup, "_SPANS_LOCAL_MAX_ROWS", -1)
+    assert got_local == _rows(dedup.substring_dup_spans(docs))
+
+
 def test_pq_index_local_equals_distributed(spark, monkeypatch):
     df = _vectors(spark, n=48, dim=8)
     cents_l, codes_l = similarity.pq_index(df, m=2, k=3, n_iter=1, dim=8)
