@@ -9,7 +9,9 @@ interlacing — stdlib zlib inflate + unfilter), JPEG both baseline AND
 progressive SOF2 (full Huffman entropy decode incl. successive
 approximation / spectral selection + dequant + IDCT; gray, 4:4:4, and
 subsampled 4:2:0/4:2:2 YCbCr), GIF (full LZW decompression), RIFF/WAVE
-PCM16, RIFF/AVI RGB24, WebP lossless (VP8L, all four transforms).
+PCM16, RIFF/AVI RGB24, WebP lossless (VP8L, all four transforms), IMA
+ADPCM compressed audio, Motion-JPEG compressed video, and FLAC (RFC
+9639 — fixed/LPC prediction, Rice partitions, CRC-8/16, PCM MD5).
 The remaining codecs
 (AVIF, lossy WebP, MP3/AAC, H.26x, arithmetic-coded JPEG) raise a documented
 ``NotImplementedError`` —
@@ -1660,7 +1662,8 @@ def decode_wav(payload: bytes) -> AudioData:
     """Dependency-free audio decode: RIFF/WAVE with linear PCM 16-bit
     (format tag 1) or IMA/DVI ADPCM 4-bit (format tag 0x11 — REAL
     compressed-audio decompression, pure integer arithmetic). Other
-    compressed formats (MP3/AAC/opus/float PCM/...) raise
+    compressed formats (MP3/AAC/opus/float PCM/...) raise — native FLAC
+    streams decode via :func:`decode_flac`;
     ``NotImplementedError``; truncated or malformed payloads raise
     ``ValueError`` (a silent garbage decode would poison every
     downstream feature)."""
@@ -2965,3 +2968,515 @@ def _decode_webp(payload: bytes) -> ImageData:
         if channels == 4:
             buf[o + 3] = p >> 24
     return ImageData(width, height, channels, 255, bytes(buf))
+
+
+# --------------------------------------------------------------------------
+# FLAC (RFC 9639) — lossless compressed audio, pure integer arithmetic.
+#
+# Decoder: STREAMINFO parse, frame sync + header (CRC-8 checked), all four
+# subframe families (constant, verbatim, fixed orders 0-4, LPC any order),
+# Rice-coded residuals with partitioning and the 5-bit escape, frame CRC-16,
+# and the STREAMINFO MD5 gate over the decoded PCM. Mid/side stereo
+# decorrelation raises NotImplementedError (a documented boundary — the
+# encoder below never emits it); malformed streams raise ValueError.
+# Encoder: conformant mono streams, blocksize-framed, per-subframe choice of
+# constant / verbatim / best fixed predictor (order 0-4), Rice parameter
+# sweep, optional forced pseudo-LPC subframes to exercise the decoder's LPC
+# path. Everything is exact integer math end to end (prediction, Rice,
+# CRCs), so a lossless round trip is a bit-exact equality gate — the same
+# oracle pattern as PNG/GIF. Reference parity note: the reference repo has
+# no multimodal surface at all (SURVEY.md §2); this extends the
+# LLM-pipeline scope alongside WAV/ADPCM.
+# --------------------------------------------------------------------------
+
+
+class _MsbBitWriter:
+    """MSB-first bit packer (FLAC convention)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def bits(self, value: int, n: int) -> None:
+        self._acc = (self._acc << n) | (value & ((1 << n) - 1))
+        self._n += n
+        while self._n >= 8:
+            self._n -= 8
+            self.out.append((self._acc >> self._n) & 0xFF)
+        self._acc &= (1 << self._n) - 1
+
+    def unary(self, q: int) -> None:
+        """FLAC unary: q zero bits then a one bit."""
+        while q >= 32:
+            self.bits(0, 32)
+            q -= 32
+        self.bits(1, q + 1)
+
+    def align(self) -> None:
+        if self._n:
+            self.bits(0, 8 - self._n)
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+class _MsbBitReader:
+    """MSB-first bit reader (FLAC convention)."""
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos  # byte position of the NEXT refill
+        self._acc = 0
+        self._n = 0
+
+    def bits(self, n: int) -> int:
+        while self._n < n:
+            if self.pos >= len(self.buf):
+                raise ValueError("truncated FLAC stream")
+            self._acc = (self._acc << 8) | self.buf[self.pos]
+            self.pos += 1
+            self._n += 8
+        self._n -= n
+        v = (self._acc >> self._n) & ((1 << n) - 1)
+        self._acc &= (1 << self._n) - 1
+        return v
+
+    def signed(self, n: int) -> int:
+        v = self.bits(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.bits(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self._n = 0
+        self._acc = 0
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8 + x^2 + x + 1 (0x07), init 0 (FLAC frame
+    header CRC)."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0 (FLAC
+    whole-frame CRC)."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+def _flac_utf8_number(n: int) -> bytes:
+    """FLAC's extended-UTF-8 coding of frame/sample numbers (RFC 9639
+    §9.1.5 — UTF-8-style up to 7 bytes, values to 2^36-1)."""
+    if n < 0x80:
+        return bytes([n])
+    prefixes = [0xC0, 0xE0, 0xF0, 0xF8, 0xFC, 0xFE]
+    # count continuation bytes needed: with `extra` continuations the
+    # head byte holds 6 - extra payload bits
+    extra = 1
+    while extra < 6 and n >= (1 << (6 * extra + (6 - extra))):
+        extra += 1
+    cont = [(0x80 | ((n >> (6 * i)) & 0x3F)) for i in range(extra)][::-1]
+    head = prefixes[extra - 1] | (n >> (6 * extra))
+    return bytes([head] + cont)
+
+
+def _flac_read_utf8_number(br: "_MsbBitReader") -> int:
+    b0 = br.bits(8)
+    if b0 < 0x80:
+        return b0
+    extra = 0
+    mask = 0x40
+    while b0 & mask:
+        extra += 1
+        mask >>= 1
+    if extra == 0 or extra > 6:
+        raise ValueError("invalid FLAC UTF-8 coded number")
+    n = b0 & (mask - 1)
+    for _ in range(extra):
+        c = br.bits(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("invalid FLAC UTF-8 continuation byte")
+        n = (n << 6) | (c & 0x3F)
+    return n
+
+
+_FLAC_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _rice_cost(residuals: list, param: int) -> int:
+    """Exact bit cost of Rice-coding ``residuals`` with ``param``."""
+    cost = 0
+    for r in residuals:
+        # zigzag: non-negative -> 2r, negative -> -2r-1
+        z = (r << 1) if r >= 0 else (((-r) << 1) - 1)
+        cost += (z >> param) + 1 + param
+    return cost
+
+
+def _write_residuals(bw: "_MsbBitWriter", residuals: list) -> None:
+    """Rice residual block, coding method 0, partition order 0, with the
+    best 4-bit parameter (escape 0b1111 -> 5-bit raw width when even the
+    widest parameter loses to raw storage)."""
+    best_p, best_c = 0, None
+    for p in range(15):
+        c = _rice_cost(residuals, p)
+        if best_c is None or c < best_c:
+            best_p, best_c = p, c
+    raw_bits = max(
+        (x if x >= 0 else ~x).bit_length() + 1 for x in residuals
+    ) if residuals else 1
+    bw.bits(0, 2)  # coding method 0: 4-bit Rice parameters
+    bw.bits(0, 4)  # partition order 0
+    if best_c is not None and best_c <= len(residuals) * raw_bits + 5:
+        bw.bits(best_p, 4)
+        for r in residuals:
+            z = (r << 1) if r >= 0 else (((-r) << 1) - 1)
+            bw.unary(z >> best_p)
+            if best_p:
+                bw.bits(z & ((1 << best_p) - 1), best_p)
+    else:
+        bw.bits(0xF, 4)  # escape: raw residuals
+        bw.bits(raw_bits, 5)
+        for r in residuals:
+            bw.bits(r & ((1 << raw_bits) - 1), raw_bits)
+
+
+def _read_residuals(br: "_MsbBitReader", block_size: int, order: int) -> list:
+    method = br.bits(2)
+    if method > 1:
+        raise ValueError("reserved FLAC residual coding method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = br.bits(4)
+    nparts = 1 << porder
+    if block_size % nparts or (block_size >> porder) <= order and porder:
+        # spec: block size must be divisible; first partition has
+        # (block_size >> porder) - order samples which must be positive
+        if block_size % nparts:
+            raise ValueError("FLAC partition order does not divide block size")
+    out = []
+    for part in range(nparts):
+        n = (block_size >> porder) - (order if part == 0 else 0)
+        if n < 0:
+            raise ValueError("FLAC predictor order exceeds first partition")
+        p = br.bits(pbits)
+        if p == escape:
+            width = br.bits(5)
+            for _ in range(n):
+                out.append(br.signed(width) if width else 0)
+        else:
+            for _ in range(n):
+                q = br.unary()
+                z = (q << p) | (br.bits(p) if p else 0)
+                out.append((z >> 1) ^ -(z & 1))  # un-zigzag
+    return out
+
+
+def _encode_subframe(bw: "_MsbBitWriter", samples: list, bps: int, force: str | None) -> None:
+    n = len(samples)
+    if force is None and n and all(s == samples[0] for s in samples):
+        bw.bits(0, 1)
+        bw.bits(0, 6)  # constant
+        bw.bits(0, 1)
+        bw.bits(samples[0] & ((1 << bps) - 1), bps)
+        return
+    if force == "verbatim" or (force == "lpc" and n <= 3):
+        # a tail block shorter than the LPC order stores verbatim
+        bw.bits(0, 1)
+        bw.bits(1, 6)
+        bw.bits(0, 1)
+        for s in samples:
+            bw.bits(s & ((1 << bps) - 1), bps)
+        return
+    if force == "lpc":
+        # pseudo-LPC: fixed integer coefficients [3,-3,1] shift 1, order 3
+        # — any (coef, shift) pair is conformant since the residual is
+        # computed against the SAME prediction the decoder replays; this
+        # exists to exercise the decoder's LPC path with exact math.
+        order, coefs, shift, prec = 3, [3, -3, 1], 1, 4
+        if n <= order:
+            raise ValueError("block too short for forced LPC subframe")
+        bw.bits(0, 1)
+        bw.bits(0x20 | (order - 1), 6)
+        bw.bits(0, 1)
+        for s in samples[:order]:
+            bw.bits(s & ((1 << bps) - 1), bps)
+        bw.bits(prec - 1, 4)
+        bw.bits(shift & 0x1F, 5)
+        for c in coefs:
+            bw.bits(c & ((1 << prec) - 1), prec)
+        res = [
+            samples[i]
+            - (sum(c * samples[i - 1 - j] for j, c in enumerate(coefs)) >> shift)
+            for i in range(order, n)
+        ]
+        _write_residuals(bw, res)
+        return
+    # best fixed predictor by total absolute residual (the standard
+    # order-selection heuristic)
+    best = None
+    for order, coefs in _FLAC_FIXED_COEFS.items():
+        if n <= order:
+            continue
+        res = [
+            samples[i] - sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+            for i in range(order, n)
+        ]
+        score = sum(abs(r) for r in res)
+        if best is None or score < best[0]:
+            best = (score, order, res)
+    if best is None:  # degenerate tiny block
+        bw.bits(0, 1)
+        bw.bits(1, 6)
+        bw.bits(0, 1)
+        for s in samples:
+            bw.bits(s & ((1 << bps) - 1), bps)
+        return
+    _, order, res = best
+    bw.bits(0, 1)
+    bw.bits(0x08 | order, 6)  # fixed subframe, order 0-4
+    bw.bits(0, 1)
+    for s in samples[:order]:
+        bw.bits(s & ((1 << bps) - 1), bps)
+    _write_residuals(bw, res)
+
+
+def encode_flac(
+    samples: list,
+    sample_rate: int = 8000,
+    bps: int = 16,
+    block_size: int = 4096,
+    force: str | None = None,
+) -> bytes:
+    """Conformant mono FLAC stream: fLaC marker + STREAMINFO (with the
+    real PCM MD5), then blocksize-framed audio. ``force`` pins every
+    subframe to "verbatim" or "lpc" (pseudo-LPC) to exercise those
+    decoder paths; default picks constant or the best fixed predictor."""
+    import hashlib
+    import struct
+
+    n_total = len(samples)
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    if samples and not all(lo <= s <= hi for s in samples):
+        raise ValueError(f"sample out of {bps}-bit range")
+    pcm = b"".join(
+        int(s).to_bytes((bps + 7) // 8, "little", signed=True) for s in samples
+    )
+    md5 = hashlib.md5(pcm).digest()
+    frames = []
+    frame_no = 0
+    for off in range(0, max(n_total, 1), block_size):
+        blk = samples[off : off + block_size]
+        if not blk:
+            break
+        hdr = _MsbBitWriter()
+        hdr.bits(0b11111111111110, 14)
+        hdr.bits(0, 1)  # reserved
+        hdr.bits(0, 1)  # fixed blocking strategy: coded number = frame #
+        hdr.bits(0b0111, 4)  # block size: 16-bit value-1 at header end
+        hdr.bits(0, 4)  # sample rate: from STREAMINFO
+        hdr.bits(0, 4)  # channel assignment: 1 channel (mono)
+        hdr.bits({8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110, 32: 0b111}[bps], 3)
+        hdr.bits(0, 1)  # reserved
+        head = hdr.flush() + _flac_utf8_number(frame_no) + struct.pack(
+            ">H", len(blk) - 1
+        )
+        head += bytes([_crc8(head)])
+        bw = _MsbBitWriter()
+        _encode_subframe(bw, blk, bps, force)
+        body = head + bw.flush()
+        frames.append(body + struct.pack(">H", _crc16(body)))
+        frame_no += 1
+    si = _MsbBitWriter()
+    si.bits(block_size if n_total else 16, 16)  # min block size
+    si.bits(block_size if n_total else 16, 16)  # max block size
+    si.bits(0, 24)  # min frame size unknown
+    si.bits(0, 24)  # max frame size unknown
+    si.bits(sample_rate, 20)
+    si.bits(0, 3)  # channels - 1
+    si.bits(bps - 1, 5)
+    si.bits(n_total, 36)
+    streaminfo = si.flush() + md5
+    meta = bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    return b"fLaC" + meta + b"".join(frames)
+
+
+def decode_flac(payload: bytes, verify_md5: bool = True) -> AudioData:
+    """Decode a FLAC stream (mono or independent-channel stereo+) to PCM.
+
+    Full integer decode: fixed and LPC predictors, Rice partitions with
+    escapes, CRC-8/CRC-16 verification, and the STREAMINFO MD5 check
+    over the reconstructed PCM (the spec's own end-to-end gate).
+    Mid/side channel decorrelation raises ``NotImplementedError``."""
+    import hashlib
+    import struct
+
+    if payload[:4] != b"fLaC":
+        raise NotImplementedError(
+            "only native FLAC streams decode dependency-free; got magic %r"
+            % payload[:4]
+        )
+    pos = 4
+    streaminfo = None
+    while pos + 4 <= len(payload):
+        hdr = payload[pos]
+        last = hdr & 0x80
+        btype = hdr & 0x7F
+        size = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + size]
+        if btype == 0:
+            streaminfo = body
+        pos += 4 + size
+        if last:
+            break
+    if streaminfo is None or len(streaminfo) < 34:
+        raise ValueError("missing or truncated FLAC STREAMINFO")
+    sbr = _MsbBitReader(streaminfo)
+    sbr.bits(16)
+    sbr.bits(16)
+    sbr.bits(24)
+    sbr.bits(24)
+    sample_rate = sbr.bits(20)
+    channels = sbr.bits(3) + 1
+    bps_si = sbr.bits(5) + 1
+    n_total = sbr.bits(36)
+    md5_expect = streaminfo[18:34]
+
+    out_ch = [[] for _ in range(channels)]
+    br = _MsbBitReader(payload, pos)
+    while br.pos < len(payload) and sum(len(c) for c in out_ch) < n_total * channels:
+        frame_start = br.pos
+        if br.bits(14) != 0b11111111111110:
+            raise ValueError("lost FLAC frame sync")
+        br.bits(1)
+        br.bits(1)  # blocking strategy (number semantics only)
+        bs_code = br.bits(4)
+        sr_code = br.bits(4)
+        ch_code = br.bits(4)
+        size_code = br.bits(3)
+        br.bits(1)
+        if ch_code >= 8:
+            raise NotImplementedError(
+                "mid/side FLAC stereo decorrelation not implemented"
+            )
+        n_ch = ch_code + 1
+        if n_ch != channels:
+            raise ValueError("FLAC frame channel count != STREAMINFO")
+        _flac_read_utf8_number(br)
+        if bs_code == 0:
+            raise ValueError("reserved FLAC block size code")
+        elif bs_code == 1:
+            block_size = 192
+        elif bs_code <= 5:
+            block_size = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            block_size = br.bits(8) + 1
+        elif bs_code == 7:
+            block_size = br.bits(16) + 1
+        else:
+            block_size = 256 << (bs_code - 8)
+        if sr_code == 12:
+            br.bits(8)
+        elif sr_code in (13, 14):
+            br.bits(16)
+        elif sr_code == 15:
+            raise ValueError("invalid FLAC sample rate code")
+        bps = {
+            0: bps_si, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32,
+        }.get(size_code)
+        if bps is None:
+            raise ValueError("reserved FLAC sample size code")
+        # CRC-8 covers the header bytes; reader is byte-aligned here
+        if _crc8(payload[frame_start : br.pos]) != br.bits(8):
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+        for ch in range(n_ch):
+            if br.bits(1):
+                raise ValueError("FLAC subframe padding bit set")
+            stype = br.bits(6)
+            wasted = 0
+            if br.bits(1):
+                wasted = br.unary() + 1
+            eff = bps - wasted
+            if stype == 0:
+                v = _MsbBitReader.signed(br, eff)
+                sub = [v] * block_size
+            elif stype == 1:
+                sub = [br.signed(eff) for _ in range(block_size)]
+            elif 8 <= stype <= 12:
+                order = stype - 8
+                warm = [br.signed(eff) for _ in range(order)]
+                res = _read_residuals(br, block_size, order)
+                coefs = _FLAC_FIXED_COEFS[order]
+                sub = list(warm)
+                for r in res:
+                    sub.append(
+                        r + sum(c * sub[-1 - j] for j, c in enumerate(coefs))
+                    )
+            elif stype >= 32:
+                order = (stype & 0x1F) + 1
+                warm = [br.signed(eff) for _ in range(order)]
+                prec = br.bits(4) + 1
+                if prec == 16:
+                    raise ValueError("invalid FLAC LPC precision code")
+                shift = br.bits(5)
+                if shift >= 16:
+                    raise ValueError("negative FLAC LPC shift")
+                coefs = [br.signed(prec) for _ in range(order)]
+                res = _read_residuals(br, block_size, order)
+                sub = list(warm)
+                for r in res:
+                    sub.append(
+                        r
+                        + (sum(c * sub[-1 - j] for j, c in enumerate(coefs)) >> shift)
+                    )
+            else:
+                raise ValueError(f"reserved FLAC subframe type {stype}")
+            if wasted:
+                sub = [s << wasted for s in sub]
+            out_ch[ch].extend(sub)
+        br.align()
+        body_end = br.pos
+        if body_end + 2 > len(payload):
+            raise ValueError("truncated FLAC frame (missing CRC-16)")
+        if _crc16(payload[frame_start:body_end]) != struct.unpack(
+            ">H", payload[body_end : body_end + 2]
+        )[0]:
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        br = _MsbBitReader(payload, body_end + 2)
+
+    # interleave and truncate to the STREAMINFO sample count
+    per_ch = n_total if n_total else min(len(c) for c in out_ch)
+    samples = []
+    for i in range(per_ch):
+        for ch in range(channels):
+            samples.append(out_ch[ch][i])
+    if verify_md5 and md5_expect != b"\x00" * 16:
+        pcm = b"".join(
+            int(s).to_bytes((bps_si + 7) // 8, "little", signed=True)
+            for s in samples
+        )
+        if hashlib.md5(pcm).digest() != md5_expect:
+            raise ValueError("FLAC PCM MD5 mismatch")
+    return AudioData(sample_rate, channels, bps_si, samples)

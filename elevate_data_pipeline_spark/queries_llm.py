@@ -2090,6 +2090,74 @@ def multimodal_webp_decode(spark, sf_dir):
 
 
 @query(
+    "multimodal_flac_decode",
+    """
+    WITH cfg AS (
+      SELECT doc_id, CAST(64 + doc_id % 192 AS INT) AS n FROM documents
+    ), s AS (
+      SELECT doc_id, n,
+             CASE WHEN doc_id % 10 = 0 THEN doc_id % 100
+                  ELSE (doc_id * 31 + r.range * r.range * 7) % 4001 - 2000
+             END AS v
+      FROM cfg, range(0, 256) r WHERE r.range < n
+    )
+    SELECT doc_id AS doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(max(abs(v)) AS BIGINT) AS peak,
+           CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS energy
+    FROM s GROUP BY doc_id
+    """,
+)
+def multimodal_flac_decode(spark, sf_dir):
+    """REAL lossless compressed-audio decode (no stub): a deterministic
+    PCM signal per doc is compressed through
+    ``operators/multimodal.encode_flac`` (RFC 9639 — STREAMINFO, framed
+    Rice-coded fixed/LPC/verbatim/constant subframes, CRC-8/16, PCM MD5)
+    and decompressed by ``decode_flac`` inside mapInPandas. The doc id
+    steers the subframe family (constant for id%10=0, forced pseudo-LPC
+    for id%7=3, forced verbatim for id%7=5, best-fixed otherwise) and
+    blocksize 128 makes longer docs multi-frame, so every decoder path
+    runs under the oracle. FLAC is lossless and all-integer, so
+    peak/energy equal the closed-form input signal — a bit-exact gate on
+    the decompressor. One narrow scan, no shuffle: embarrassingly
+    parallel, the 100 TB shape."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n = 64 + did % 192
+                if did % 10 == 0:
+                    sig = [did % 100] * n
+                else:
+                    sig = [(did * 31 + i * i * 7) % 4001 - 2000 for i in range(n)]
+                force = {3: "lpc", 5: "verbatim"}.get(did % 7)
+                audio = multimodal.decode_flac(
+                    multimodal.encode_flac(
+                        sig, sample_rate=8000, block_size=128, force=force
+                    )
+                )
+                rows.append(
+                    (did, len(audio.samples), audio.sample_rate,
+                     max(abs(s) for s in audio.samples),
+                     sum(s * s for s in audio.samples))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "sample_rate", "peak", "energy"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run, "doc_id long, n_samples long, sample_rate int, peak long, energy long"
+    )
+
+
+@query(
     "multimodal_resize",
     """
     WITH b AS (

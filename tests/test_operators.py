@@ -1987,3 +1987,50 @@ def test_webp_runs_compress_and_rejections():
         bad = bytearray(enc)
         bad[sig_at] = 0x00
         mm.decode_image(bytes(bad))
+
+
+def test_flac_roundtrip_all_subframe_families():
+    """FLAC encode/decode round-trips bit-exactly across constant,
+    verbatim, every fixed order, forced pseudo-LPC, Rice escapes, and
+    multi-frame streams (RFC 9639; MD5 gate verifies the PCM)."""
+    import random
+
+    from elevate_data_pipeline_spark.operators import multimodal as mm
+
+    rng = random.Random(99)
+    cases = [
+        [0] * 64,                                   # constant
+        [-7] * 200,                                 # constant negative
+        [42],                                       # single sample
+        list(range(-500, 500)),                     # linear: fixed order 2
+        [(i * i - 3 * i) % 20000 - 10000 for i in range(300)],  # quadratic-ish
+        [rng.randrange(-32768, 32768) for _ in range(700)],  # noise/escape
+        [(i * 37) % 256 - 128 for i in range(9000)],         # multi-frame
+    ]
+    for sig in cases:
+        for force in (None, "verbatim"):
+            dec = mm.decode_flac(mm.encode_flac(sig, force=force))
+            assert dec.samples == sig
+            assert (dec.sample_rate, dec.channels, dec.bits) == (8000, 1, 16)
+    dec = mm.decode_flac(mm.encode_flac(cases[4], force="lpc", block_size=128))
+    assert dec.samples == cases[4]
+    # linear ramp must actually compress (predictor + Rice do real work)
+    ramp = list(range(4096))
+    assert len(mm.encode_flac(ramp)) < 4096 * 2 // 8
+
+
+def test_flac_rejections():
+    import pytest as _pytest
+
+    from elevate_data_pipeline_spark.operators import multimodal as mm
+
+    enc = mm.encode_flac([(i * i) % 1000 - 500 for i in range(400)])
+    with _pytest.raises(NotImplementedError):  # not a FLAC stream
+        mm.decode_flac(b"RIFF1234WAVE")
+    for pos in (30, 60, -3, -10):  # corruption anywhere -> ValueError
+        bad = bytearray(enc)
+        bad[pos] ^= 0xFF
+        with _pytest.raises(ValueError):
+            mm.decode_flac(bytes(bad))
+    with _pytest.raises(ValueError):  # truncated mid-frame
+        mm.decode_flac(enc[: len(enc) - 8])
