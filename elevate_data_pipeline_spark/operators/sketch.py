@@ -527,3 +527,66 @@ def frequent_items(
         .filter(F.col("share") > min_share)
         .drop("_total")
     )
+
+
+def mg_heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
+    """EXACT heavy hitters — every value of ``col`` with frequency
+    strictly above n/k — via a Misra-Gries candidate pass plus an exact
+    recount, never a full-cardinality shuffle.
+
+    :func:`frequent_items` groups by the raw column, which shuffles one
+    row per DISTINCT value — fine until the column is a long-tail id at
+    crawl scale. This is the standard two-pass fix (Misra-Gries 1982;
+    merge bound per Agarwal et al., "Mergeable Summaries", PODS'12):
+
+    1. each partition builds a capacity-``k`` MG summary (Arrow-batched:
+       per-batch value_counts folded into the summary, then one batch
+       decrement — equivalent to element-wise MG and preserves the
+       guarantee). Pigeonhole: a value with global count > n/k exceeds
+       n_p/k in at least one partition, so the union of partition
+       summaries is a SUPERSET of the true heavy hitters. Output size
+       is bounded by partitions x k, independent of cardinality.
+    2. candidates broadcast back for one exact filtered recount; the
+       strict ``count * k > n`` cut then makes the result exactly
+       {v : freq(v) > n/k} — deterministic regardless of partitioning
+       (the candidate set may vary; the final set cannot).
+
+    Returns (value, n, share) like :func:`frequent_items`. At 100 TB the
+    only shuffle is the candidate-row recount, and the broadcast is at
+    most partitions x k values.
+    """
+    import pandas as pd
+
+    field = df.schema[col]
+
+    def _mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf[col].value_counts()
+            for v, c in vc.items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                # batched decrement: subtracting the (k+1)-th largest
+                # count from all keeps every counter that element-wise
+                # MG would keep (same error bound, one pass)
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    v: c - cut for v, c in counters.items() if c - cut > 0
+                }
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    candidates = (
+        df.select(col)
+        .mapInPandas(_mg, df.select(col).schema)
+        .dropDuplicates([col])
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        df.join(F.broadcast(candidates), col)
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n") * F.lit(k) > F.col("_total"))
+        .withColumn("share", F.col("n") / F.col("_total").cast("double"))
+        .drop("_total")
+    )

@@ -2525,6 +2525,32 @@ def sketch_cms_counts(spark, sf_dir):
 
 
 @query(
+    "sketch_mg_heavy_hitters",
+    """
+    WITH b AS (SELECT len(text) // 50 AS bucket FROM documents),
+         t AS (SELECT count(*) AS total FROM b)
+    SELECT bucket AS bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) AS DOUBLE) / total AS share
+    FROM b, t GROUP BY bucket, total HAVING count(*) * 8 > total
+    """,
+)
+def sketch_mg_heavy_hitters(spark, sf_dir):
+    """EXACT heavy hitters without a full-cardinality shuffle
+    (operators/sketch.mg_heavy_hitters): per-partition Misra-Gries
+    candidate summaries (capacity 8 — smaller than the 12 distinct
+    length buckets, so eviction really runs), then one exact recount of
+    the broadcast candidates with the strict n*k > total cut. The MG
+    superset guarantee (a value above total/k must exceed its share in
+    some partition) makes the final set exactly {v : freq(v) > n/k}
+    whatever the partitioning — so a plain GROUP BY ... HAVING oracle
+    checks it. 100 TB shape: shuffle volume is bounded by partitions*k
+    candidates, independent of column cardinality."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    b = docs.select(F.expr("length(text) div 50").alias("bucket"))
+    return sketch.mg_heavy_hitters(b, "bucket", k=8)
+
+
+@query(
     "sketch_cms_join_size",
     f"""
     WITH a AS (SELECT user_id FROM events

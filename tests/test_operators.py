@@ -2034,3 +2034,25 @@ def test_flac_rejections():
             mm.decode_flac(bytes(bad))
     with _pytest.raises(ValueError):  # truncated mid-frame
         mm.decode_flac(enc[: len(enc) - 8])
+
+
+def test_mg_heavy_hitters_exact_on_long_tail(spark):
+    """Misra-Gries two-pass heavy hitters must return EXACTLY the values
+    with frequency > n/k, on a long-tail column whose cardinality far
+    exceeds the summary capacity (forcing per-partition evictions), and
+    must agree with the exact groupBy baseline."""
+    from elevate_data_pipeline_spark.operators import sketch
+
+    # 2 heavy values (1200 + 800 of 4000) + 2000 singleton-tail values
+    rows = [(7,)] * 1200 + [(13,)] * 800 + [(1000 + i,) for i in range(2000)]
+    df = spark.createDataFrame(rows, "v long").repartition(8)
+    got = {
+        r["v"]: (r["n"], r["share"])
+        for r in sketch.mg_heavy_hitters(df, "v", k=10).collect()
+    }
+    n = len(rows)
+    assert set(got) == {7, 13}
+    assert got[7] == (1200, 1200 / n)
+    assert got[13] == (800, 800 / n)
+    # k large enough that nothing qualifies -> empty, not an error
+    assert sketch.mg_heavy_hitters(df.limit(0), "v", k=5).count() == 0

@@ -63,11 +63,16 @@ def test_heavy_hitters_total_broadcast(spark):
 def test_curation_pipeline_filters_pushed(spark):
     from elevate_data_pipeline_spark import pipelines
 
-    pipelines.PIN_STAGES = False  # checkpoint hides the scan the pin asserts on
+    # checkpoint hides the scan the pin asserts on; the driver-local
+    # replay tier hides the whole distributed plan — force both off
+    pipelines.PIN_STAGES = False
+    gate = pipelines._PIPELINE_LOCAL_MAX_ROWS
+    pipelines._PIPELINE_LOCAL_MAX_ROWS = -1
     try:
         plan = _plan(QUERIES["curation_pipeline"](spark, SF_DIR))
     finally:
         pipelines.PIN_STAGES = True
+        pipelines._PIPELINE_LOCAL_MAX_ROWS = gate
     # the language gate must reach the documents scan (quality is an
     # expression filter above it; lang is a plain column predicate)
     assert "EqualTo(lang,en)" in plan
@@ -188,7 +193,16 @@ def test_corpus_vocab_topk_no_global_sort(spark):
 
 
 def test_substring_spans_no_cartesian(spark):
-    plan = _plan(QUERIES["dedup_substring_spans"](spark, SF_DIR))
+    from elevate_data_pipeline_spark.operators import dedup
+
+    # force the driver-local replay off: this guard pins the DISTRIBUTED
+    # plan's join/window shapes
+    gate = dedup._SPANS_LOCAL_MAX_ROWS
+    dedup._SPANS_LOCAL_MAX_ROWS = -1
+    try:
+        plan = _plan(QUERIES["dedup_substring_spans"](spark, SF_DIR))
+    finally:
+        dedup._SPANS_LOCAL_MAX_ROWS = gate
     assert "CartesianProduct" not in plan
     # gram-hash hit join keys on the hash; island merge windows per doc
     assert "hashpartitioning(_h" in plan or "hashpartitioning(_id" in plan
