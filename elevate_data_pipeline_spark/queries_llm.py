@@ -36,7 +36,7 @@ from .functions.text import (
     token_count_ws,
     winnow_fingerprints_arrow as text_winnow,
 )
-from .operators import asof, cluster, curation, decontam, dedup, multimodal, profile, similarity, sketch, skew
+from .operators import asof, cluster, curation, decontam, dedup, multimodal, profile, similarity, sketch, skew, suffix
 from .operators.dedup import MERSENNE61, MINHASH_COEFFS, N_BANDS, N_HASHES, ROWS_PER_BAND
 from .queries import query
 from .sources.catalog import Catalog
@@ -1487,6 +1487,72 @@ def dedup_substring_spans(spark, sf_dir):
     return out.withColumn("n_chars", F.col("n_chars").cast("long")).withColumn(
         "n_dup_spans", F.col("n_dup_spans").cast("long")
     ).withColumn("dup_chars", F.col("dup_chars").cast("long"))
+
+
+_SA_ORACLE_POS = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    pos AS (SELECT doc_id, CAST(r.range AS INT) AS off,
+                   ws[CAST(r.range + 1 AS INT):CAST(r.range + 8 AS INT)] AS pre
+            FROM toks, range(0, 128) r WHERE r.range < len(ws))
+"""
+
+
+@query(
+    "dedup_suffix_array",
+    f"""
+    WITH {_SA_ORACLE_POS}
+    SELECT CAST(row_number() OVER (ORDER BY pre, doc_id, off) AS BIGINT)
+             AS rank,
+           doc_id AS doc_id, off AS off
+    FROM pos
+    """,
+)
+def dedup_suffix_array(spark, sf_dir):
+    """Word-level corpus suffix array by distributed prefix doubling
+    (operators/suffix.suffix_array — Manber-Myers over token ranks; Lee
+    et al. 2022 use this structure for exact substring dedup, built
+    there with a sequential suffix-array algorithm). Comparison depth 8
+    tokens, (doc, off) tiebreak, so the order is total and the oracle is
+    a plain ORDER BY over token slices. Scale shape: ceil(log2(depth))
+    rounds of ONE range exchange each (fused dense rank — sort, boundary
+    flags, 32-row offsets window), never a global window over corpus
+    rows."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return suffix.suffix_array(docs, depth=8)
+
+
+@query(
+    "dedup_repeated_phrases",
+    f"""
+    WITH {_SA_ORACLE_POS},
+    sa AS (SELECT row_number() OVER (ORDER BY pre, doc_id, off) AS rank,
+                  doc_id, off, pre FROM pos),
+    adj AS (SELECT a.rank AS rank, a.doc_id AS doc_a, a.off AS off_a,
+                   a.pre AS pa, b.doc_id AS doc_b, b.off AS off_b,
+                   b.pre AS pb
+            FROM sa a JOIN sa b ON b.rank = a.rank + 1
+            WHERE a.doc_id != b.doc_id),
+    l AS (SELECT *, CAST(len(list_filter(
+                 range(1, least(len(pa), len(pb)) + 1),
+                 i -> list_slice(pa, 1, i) = list_slice(pb, 1, i)))
+               AS INT) AS lcp_words
+          FROM adj)
+    SELECT rank AS rank, doc_a AS doc_a, off_a AS off_a, doc_b AS doc_b,
+           off_b AS off_b, lcp_words AS lcp_words,
+           array_to_string(list_slice(pa, 1, lcp_words), ' ') AS phrase
+    FROM l WHERE lcp_words >= 4
+    """,
+)
+def dedup_repeated_phrases(spark, sf_dir):
+    """Cross-document repeated word sequences from suffix-array
+    adjacency (operators/suffix.repeated_phrases): every repeated
+    substring appears as neighboring suffixes, so one rank+1 self-join
+    finds 4+-word cross-doc repeats with their longest-common-prefix
+    length and the phrase itself — no quadratic candidate stage. The
+    oracle replays the suffix order and the token-wise LCP with list
+    slices."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return suffix.repeated_phrases(docs, depth=8, min_words=4)
 
 
 # --------------------------------------------------------------------------

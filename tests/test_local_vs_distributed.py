@@ -148,6 +148,18 @@ def test_substring_spans_local_equals_distributed(spark, monkeypatch, catalog):
     assert got_local == _rows(dedup.substring_dup_spans(docs))
 
 
+def test_suffix_array_local_equals_distributed(spark, monkeypatch, catalog):
+    """The numpy doubling replay must equal the distributed prefix-
+    doubling chain rank-for-rank."""
+    from elevate_data_pipeline_spark.operators import suffix
+
+    docs = catalog.table("documents")
+    got_local = _rows(suffix.suffix_array(docs))
+    assert len(got_local) > 0
+    monkeypatch.setattr(suffix, "_SA_LOCAL_MAX_ROWS", -1)
+    assert got_local == _rows(suffix.suffix_array(docs))
+
+
 def test_pq_index_local_equals_distributed(spark, monkeypatch):
     df = _vectors(spark, n=48, dim=8)
     cents_l, codes_l = similarity.pq_index(df, m=2, k=3, n_iter=1, dim=8)
