@@ -86,6 +86,7 @@ WAIVERS: dict[str, str] = {
     "q22_idle_rich_customers": f"{_SCALAR}; avg(c_acctbal) threshold scalar (TPC-H Q22 subquery)",
     "q6_forecast_revenue": f"{_SCALAR}; single-row forecast-revenue result",
     "sketch_cms_join_size": f"{_SCALAR}; min over d=4 CMS row estimates + exact-count twin row",
+    "sketch_mg_heavy_hitters": f"{_SCALAR}; total row count scalar → n*k > total support cut",
     "text_bm25_topk": f"{_SCALAR}; corpus N & avgdl scalars for the BM25 idf/length norm",
     "text_dsir_score": f"{_SCALAR}; language prior-count scalars for the DSIR importance ratio",
     "text_rarity": f"{_SCALAR}; total token count scalar → corpus frequencies",
