@@ -527,9 +527,14 @@ def minhash_signature_arrow(text_col: str = "text") -> Column:
 # an untransformed Catalog scan at or under this many rows computes
 # signatures on the driver via the shared numpy kernel — zero Python
 # workers, zero UDF codegen, which cuts seconds off a COLD process.
-# Larger or transformed inputs take the distributed Arrow path; the
-# two tiers are bit-identical (pinned by test_local_vs_distributed).
-_MINHASH_LOCAL_MAX_ROWS = 100_000
+# Unlike the PQ/Lloyd training gates the work here scales with corpus
+# TEXT, not a fixed codebook: measured crossover is ~2k docs (at 5k
+# docs the single-threaded kernel costs ~0.6 s/run while the 32-way
+# Arrow path amortizes to ~0.3 s warm), so the gate stays at the
+# cold-start scale instead of the generic 100k. Larger or transformed
+# inputs take the distributed Arrow path; the two tiers are
+# bit-identical (pinned by test_local_vs_distributed).
+_MINHASH_LOCAL_MAX_ROWS = 2_000
 
 
 def _signature_frame(
