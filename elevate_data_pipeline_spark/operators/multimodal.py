@@ -3480,3 +3480,20 @@ def decode_flac(payload: bytes, verify_md5: bool = True) -> AudioData:
         if hashlib.md5(pcm).digest() != md5_expect:
             raise ValueError("FLAC PCM MD5 mismatch")
     return AudioData(sample_rate, channels, bps_si, samples)
+
+
+def decode_audio(payload: bytes) -> AudioData:
+    """Dependency-free audio decode, dispatching on the container magic
+    the way :func:`decode_image` does for rasters: RIFF/WAVE (PCM16 or
+    IMA ADPCM) -> :func:`decode_wav`; native FLAC -> :func:`decode_flac`.
+    Anything else raises ``NotImplementedError`` (MP3/AAC/opus need
+    codec libraries this environment does not ship); malformed streams
+    of a recognized format raise ``ValueError``."""
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    if payload[:4] == b"fLaC":
+        return decode_flac(payload)
+    raise NotImplementedError(
+        "only RIFF/WAVE and FLAC decode dependency-free; got magic %r"
+        % payload[:4]
+    )

@@ -2056,3 +2056,13 @@ def test_mg_heavy_hitters_exact_on_long_tail(spark):
     assert got[13] == (800, 800 / n)
     # k large enough that nothing qualifies -> empty, not an error
     assert sketch.mg_heavy_hitters(df.limit(0), "v", k=5).count() == 0
+
+
+def test_decode_audio_dispatch():
+    from elevate_data_pipeline_spark.operators import multimodal as mm
+
+    sig = [((i * 11) % 2001) - 1000 for i in range(200)]
+    assert mm.decode_audio(mm.encode_wav(sig, 16000)).samples == sig
+    assert mm.decode_audio(mm.encode_flac(sig, 16000)).samples == sig
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"ID3\x04tag-of-an-mp3")
