@@ -3269,15 +3269,22 @@ def encode_flac(
     bps: int = 16,
     block_size: int = 4096,
     force: str | None = None,
+    channels: int = 1,
 ) -> bytes:
-    """Conformant mono FLAC stream: fLaC marker + STREAMINFO (with the
-    real PCM MD5), then blocksize-framed audio. ``force`` pins every
-    subframe to "verbatim" or "lpc" (pseudo-LPC) to exercise those
+    """Conformant FLAC stream: fLaC marker + STREAMINFO (with the real
+    PCM MD5), then blocksize-framed audio. ``samples`` are interleaved
+    when ``channels`` > 1 (independent channel assignment — each channel
+    gets its own subframe; no mid/side decorrelation). ``force`` pins
+    every subframe to "verbatim" or "lpc" (pseudo-LPC) to exercise those
     decoder paths; default picks constant or the best fixed predictor."""
     import hashlib
     import struct
 
-    n_total = len(samples)
+    if channels < 1 or channels > 8:
+        raise ValueError("FLAC supports 1-8 channels")
+    if len(samples) % channels:
+        raise ValueError("interleaved sample count not divisible by channels")
+    n_total = len(samples) // channels  # inter-channel samples
     lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
     if samples and not all(lo <= s <= hi for s in samples):
         raise ValueError(f"sample out of {bps}-bit range")
@@ -3288,8 +3295,8 @@ def encode_flac(
     frames = []
     frame_no = 0
     for off in range(0, max(n_total, 1), block_size):
-        blk = samples[off : off + block_size]
-        if not blk:
+        blk_n = min(block_size, n_total - off)
+        if blk_n <= 0:
             break
         hdr = _MsbBitWriter()
         hdr.bits(0b11111111111110, 14)
@@ -3297,15 +3304,17 @@ def encode_flac(
         hdr.bits(0, 1)  # fixed blocking strategy: coded number = frame #
         hdr.bits(0b0111, 4)  # block size: 16-bit value-1 at header end
         hdr.bits(0, 4)  # sample rate: from STREAMINFO
-        hdr.bits(0, 4)  # channel assignment: 1 channel (mono)
+        hdr.bits(channels - 1, 4)  # independent channel assignment
         hdr.bits({8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110, 32: 0b111}[bps], 3)
         hdr.bits(0, 1)  # reserved
         head = hdr.flush() + _flac_utf8_number(frame_no) + struct.pack(
-            ">H", len(blk) - 1
+            ">H", blk_n - 1
         )
         head += bytes([_crc8(head)])
         bw = _MsbBitWriter()
-        _encode_subframe(bw, blk, bps, force)
+        for ch in range(channels):
+            blk = samples[(off + 0) * channels + ch : (off + blk_n) * channels : channels]
+            _encode_subframe(bw, blk, bps, force)
         body = head + bw.flush()
         frames.append(body + struct.pack(">H", _crc16(body)))
         frame_no += 1
@@ -3315,7 +3324,7 @@ def encode_flac(
     si.bits(0, 24)  # min frame size unknown
     si.bits(0, 24)  # max frame size unknown
     si.bits(sample_rate, 20)
-    si.bits(0, 3)  # channels - 1
+    si.bits(channels - 1, 3)
     si.bits(bps - 1, 5)
     si.bits(n_total, 36)
     streaminfo = si.flush() + md5

@@ -2066,3 +2066,17 @@ def test_decode_audio_dispatch():
     assert mm.decode_audio(mm.encode_flac(sig, 16000)).samples == sig
     with pytest.raises(NotImplementedError):
         mm.decode_audio(b"ID3\x04tag-of-an-mp3")
+
+
+def test_flac_stereo_roundtrip():
+    """Independent-channel FLAC: interleaved stereo round-trips exactly,
+    multi-frame, with the MD5 gate over the interleaved PCM."""
+    from elevate_data_pipeline_spark.operators import multimodal as mm
+
+    left = [((i * 13) % 4001) - 2000 for i in range(700)]
+    right = [((i * 29 + 5) % 3001) - 1500 for i in range(700)]
+    inter = [s for pair in zip(left, right) for s in pair]
+    dec = mm.decode_flac(mm.encode_flac(inter, channels=2, block_size=256))
+    assert dec.channels == 2 and dec.samples == inter
+    with pytest.raises(ValueError):  # odd interleave
+        mm.encode_flac([1, 2, 3], channels=2)
