@@ -244,3 +244,57 @@ def quality_score(col: str) -> Column:
         )
         + F.lit(0.25) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
     )
+
+
+# --------------------------------------------------------------------------
+# HTML -> text extraction (web-crawl ingestion). A real parser-based
+# extractor (stdlib html.parser — proper tag nesting, entity references,
+# script/style exclusion), run as an Arrow-batched pandas UDF. The
+# pretraining ingest shape: crawled pages arrive as markup; everything
+# downstream (quality, dedup, tokenization) wants visible text only.
+# --------------------------------------------------------------------------
+
+_HTML_SKIP_TAGS = ("script", "style")
+
+
+def html_to_text(payload: str) -> str:
+    """Visible text of an HTML document: concatenated character data
+    outside <script>/<style>, with entity and charref resolution —
+    stdlib ``html.parser`` (convert_charrefs=True), no dependencies.
+    No whitespace is added or collapsed; the page's own text spacing
+    survives verbatim so downstream token counts are reproducible."""
+    from html.parser import HTMLParser
+
+    class _X(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.skip = 0
+            self.parts: list[str] = []
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _HTML_SKIP_TAGS:
+                self.skip += 1
+
+        def handle_endtag(self, tag):
+            if tag in _HTML_SKIP_TAGS and self.skip:
+                self.skip -= 1
+
+        def handle_data(self, data):
+            if not self.skip:
+                self.parts.append(data)
+
+    x = _X()
+    x.feed(payload)
+    x.close()
+    return "".join(x.parts)
+
+
+def html_extract_arrow(col: str = "html") -> Column:
+    """Arrow-batched :func:`html_to_text` over a markup column."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def _ex(pages: pd.Series) -> pd.Series:
+        return pd.Series([html_to_text(p) for p in pages])
+
+    return _ex(col)

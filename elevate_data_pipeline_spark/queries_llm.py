@@ -148,6 +148,53 @@ def text_stats(spark, sf_dir):
     )
 
 
+@query(
+    "text_html_extract",
+    f"""
+    WITH exp AS (
+      SELECT doc_id,
+             'doc' || substr(text, 1, 10) || text || ' & tail <x>' AS extracted
+      FROM documents)
+    SELECT doc_id AS doc_id,
+           CAST(len(extracted) AS BIGINT) AS n_chars,
+           CAST(len(string_split(extracted, ' ')) AS BIGINT) AS n_tokens,
+           {_sql_polyhash('extracted')} AS fp
+    FROM exp
+    """,
+)
+def text_html_extract(spark, sf_dir):
+    """REAL HTML -> visible-text extraction (web-crawl ingestion): each
+    document is wrapped in a deterministic page — head with <script>
+    (containing decoy markup in a JS string) and <style>, body with
+    an <h1>, nested tags, and entity references — and extracted by the
+    stdlib-parser ``functions/text.html_to_text`` (tag nesting, CDATA
+    script/style exclusion, charref resolution) inside an Arrow UDF.
+    The synthesis is closed-form, so the oracle states the expected
+    visible text directly — length, token count, and full-text
+    fingerprint gate the extractor end to end. Pure projection: no
+    shuffle, the 100 TB crawl-ingest shape."""
+    from .functions.text import html_extract_arrow
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    page = F.concat(
+        F.lit(
+            '<html><head><title>doc</title><script>var x = "<p>skip</p>";'
+            "</script><style>.c{color:red}</style></head><body><h1>"
+        ),
+        F.substring("text", 1, 10),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(" &amp; tail &lt;x&gt;</p></body></html>"),
+    )
+    ext = docs.select("doc_id", html_extract_arrow(page.alias("html")).alias("extracted"))
+    return ext.select(
+        "doc_id",
+        F.length("extracted").cast("long").alias("n_chars"),
+        token_count_ws("extracted").cast("long").alias("n_tokens"),
+        fingerprint("extracted").alias("fp"),
+    )
+
+
 def _sql_langid() -> str:
     scores = {l: _sql_marker_hits("text", m) for l, m in LANG_MARKERS.items()}
     g = "greatest(" + ", ".join(scores[l] for l in LANG_ORDER) + ")"

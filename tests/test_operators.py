@@ -2080,3 +2080,22 @@ def test_flac_stereo_roundtrip():
     assert dec.channels == 2 and dec.samples == inter
     with pytest.raises(ValueError):  # odd interleave
         mm.encode_flac([1, 2, 3], channels=2)
+
+
+def test_html_to_text_extraction():
+    """Parser-based HTML extraction: nesting, script/style CDATA
+    exclusion (even with decoy markup inside), entity + charref
+    resolution, no whitespace invention."""
+    from elevate_data_pipeline_spark.functions.text import html_to_text
+
+    h = (
+        '<html><head><title>T</title><script>var s = "<p>decoy</p>";'
+        "</script><style>.c{}</style></head><body><h1>A&amp;B</h1>"
+        "<p>x <b>y</b> &lt;z&gt; &#65;</p><div><span>deep</span></div>"
+        "</body></html>"
+    )
+    assert html_to_text(h) == "TA&Bx y <z> Adeep"
+    assert html_to_text("plain no markup") == "plain no markup"
+    assert html_to_text("<script>only()</script>") == ""
+    # nested same-tag skip stays balanced
+    assert html_to_text("<style>a<style>b</style>c</style>ok") in ("ok", "cok")
