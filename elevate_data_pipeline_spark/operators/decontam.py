@@ -71,3 +71,136 @@ def ngram_contamination(
             "contamination_frac"
         ),
     )
+
+
+# Gate for the driver-local Bloom-decontamination tier (pattern of
+# dedup._SPANS_LOCAL_MAX_ROWS): gram extraction, polyhash, bloom bit
+# math and the exact-set compare are all integer replays over Python
+# sets/dicts — fine in-core at the gate maximum; the distributed chain
+# is the same math at any scale.
+_BLOOM_LOCAL_MAX_ROWS = 100_000
+
+
+def _hll_hash_py(v: int) -> int:
+    """Integer replay of sketch._hll_hash_col (same constants, same
+    op order; exact by unbounded Python ints)."""
+    ring, half, k1, k2 = 4_294_967_296, 65_536, 2_654_435_761, 2_246_822_519
+    v %= ring
+
+    def splitmul(x: int, k: int) -> int:
+        return (x // half * k % half * half + x % half * k) % ring
+
+    r1 = splitmul(v, k1)
+    x1 = r1 ^ (r1 // half)
+    r2 = splitmul(x1, k2)
+    return r2 ^ (r2 // 8192)
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    bench_source: str = "src0",
+    n: int = 5,
+    m_bits: int = 262_144,
+    depth: int = 4,
+) -> DataFrame:
+    """Bloom-filter decontamination with exact FP accounting: benchmark
+    docs (``source == bench_source``) compress into an m-bit filter;
+    every other doc's distinct word n-grams probe it by ``depth``
+    xor-salted portable hashes of the gram's Rabin-Karp fingerprint.
+    Returns per eval doc (doc_id, n_grams, n_bloom, n_exact, bloom_fp)
+    — Bloom hits, exact hits, and their difference (the filter's actual
+    false positives, an exactly-gated output because the whole pipeline
+    is integer arithmetic).
+
+    Driver-local tier for gate-sized tagged scans (bit-identical —
+    forced-off equality test in tests/test_local_vs_distributed.py);
+    distributed chain otherwise: gram explode -> distinct -> bit
+    explode/distinct build (at most m_bits rows), broadcast bit-set
+    semi-probe, one per-doc aggregate.
+    """
+    from ..functions.text import POLY_BASE, POLY_MOD, polyhash
+    from . import sketch
+    from .sketch import CMS_SALTS
+    from .util import collect_small_columns, spread
+
+    local = collect_small_columns(
+        docs, ["doc_id", "text", "source"], _BLOOM_LOCAL_MAX_ROWS
+    )
+    if local is not None:
+        ids, texts, sources = local
+
+        def grams(t: str) -> list:
+            ws = t.split(" ")
+            seen, out = set(), []
+            for i in range(len(ws) - n + 1):
+                g = " ".join(ws[i : i + n])
+                if g not in seen:
+                    seen.add(g)
+                    out.append(g)
+            return out
+
+        def ph(g: str) -> int:
+            a = 0
+            for ch in g:
+                a = (a * POLY_BASE + ord(ch)) % POLY_MOD
+            return a
+
+        bench_grams: set = set()
+        for t, s in zip(texts, sources):
+            if s == bench_source:
+                bench_grams.update(grams(t))
+        bits: set = set()
+        pos_cache: dict[str, tuple] = {}
+
+        def positions(g: str) -> tuple:
+            p = pos_cache.get(g)
+            if p is None:
+                h = ph(g)
+                p = tuple({_hll_hash_py(h ^ salt) % m_bits for salt in CMS_SALTS})
+                pos_cache[g] = p
+            return p
+
+        for g in bench_grams:
+            bits.update(positions(g))
+        rows = []
+        for did, t, s in zip(ids, texts, sources):
+            if s == bench_source:
+                continue
+            gs = grams(t)
+            if not gs:
+                continue
+            n_bloom = sum(1 for g in gs if all(b in bits for b in positions(g)))
+            n_exact = sum(1 for g in gs if g in bench_grams)
+            rows.append((did, len(gs), n_bloom, n_exact, n_bloom - n_exact))
+        return docs.sparkSession.createDataFrame(
+            rows,
+            "doc_id long, n_grams bigint, n_bloom bigint, n_exact bigint,"
+            " bloom_fp bigint",
+        )
+
+    docs = spread(docs)
+    bench = docs.filter(F.col("source") == bench_source)
+    eval_docs = docs.filter(F.col("source") != bench_source)
+    bench_grams = _distinct_word_ngrams(bench, n, [], "text").distinct()
+    doc_grams = _distinct_word_ngrams(eval_docs, n, ["doc_id"], "text")
+    bits = sketch.bloom_build(
+        bench_grams.select(polyhash("gram").alias("ph")),
+        "ph", m_bits=m_bits, depth=depth,
+    )
+    probes = doc_grams.select("doc_id", "gram", polyhash("gram").alias("ph"))
+    hits = sketch.bloom_probe(bits, probes, "ph", m_bits=m_bits, depth=depth)
+    exact = doc_grams.join(
+        F.broadcast(bench_grams.withColumn("_e", F.lit(1))), "gram", "left"
+    )
+    return (
+        hits.join(exact, ["doc_id", "gram"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom"),
+            F.count("_e").alias("n_exact"),
+            (
+                F.sum(F.col("bloom_hit").cast("long")) - F.count("_e")
+            ).alias("bloom_fp"),
+        )
+    )

@@ -333,6 +333,13 @@ def containment_pairs(
     )
 
 
+# Gate for the driver-local SNM tier: the O(n*w) window verify does
+# Python set intersections (~50us each at ~1-2k grams/doc), so the
+# crossover sits near 10k docs — well under the generic 100k (same
+# work-shaped-gate reasoning as _MINHASH_LOCAL_MAX_ROWS).
+_SNM_LOCAL_MAX_ROWS = 10_000
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -367,6 +374,34 @@ def sorted_neighborhood_pairs(
     Returns (id_a, id_b, jaccard >= threshold), ids in sort order.
     """
     from .rank import global_row_number
+    from .util import collect_small_columns
+
+    local = collect_small_columns(df, [id_col, text_col], _SNM_LOCAL_MAX_ROWS)
+    if local is not None:
+        import re as _re
+
+        ids, texts = local
+        recs = []
+        for did, t in zip(ids, texts):
+            k = _re.sub(r"[^a-z0-9 ]", "", t.lower())[:key_len]
+            if len(t) >= n:
+                grams = frozenset(t[i : i + n] for i in range(len(t) - n + 1))
+            else:
+                grams = frozenset((t,))  # one truncated partial gram
+            recs.append((k, did, grams))
+        recs.sort(key=lambda r: (r[0], r[1]))
+        out = []
+        for i in range(len(recs)):
+            ga = recs[i][2]
+            for j in range(i + 1, min(i + window, len(recs))):
+                gb = recs[j][2]
+                inter = len(ga & gb)
+                jac = float(inter) / float(len(ga) + len(gb) - inter)
+                if jac >= threshold:
+                    out.append((recs[i][1], recs[j][1], jac))
+        return df.sparkSession.createDataFrame(
+            out, "id_a long, id_b long, jaccard double"
+        )
 
     key = F.expr(
         f"substring(regexp_replace(lower({text_col}), '[^a-z0-9 ]', ''), 1, {key_len})"

@@ -724,36 +724,9 @@ def decontam_bloom(spark, sf_dir):
     output, not a bound. Sizing note: 2^18 bits is ~50 bits/element at
     this benchmark size; production sizes m ~ 10-15 bits/element and
     the FP rate follows (1 - e^(-kn/m))^k."""
-    from .functions.text import polyhash
-    from .operators.decontam import _distinct_word_ngrams
-    from .operators.util import spread
-
-    docs = spread(Catalog(spark, sf_dir).table("documents"))
-    bench = docs.filter(F.col("source") == "src0")
-    eval_docs = docs.filter(F.col("source") != "src0")
-    bench_grams = _distinct_word_ngrams(bench, 5, [], "text").distinct()
-    doc_grams = _distinct_word_ngrams(eval_docs, 5, ["doc_id"], "text")
-
-    bits = sketch.bloom_build(
-        bench_grams.select(polyhash("gram").alias("ph")),
-        "ph", m_bits=_BLOOM_M, depth=_BLOOM_D,
-    )
-    probes = doc_grams.select("doc_id", "gram", polyhash("gram").alias("ph"))
-    hits = sketch.bloom_probe(bits, probes, "ph", m_bits=_BLOOM_M, depth=_BLOOM_D)
-    exact = doc_grams.join(
-        F.broadcast(bench_grams.withColumn("_e", F.lit(1))), "gram", "left"
-    )
-    return (
-        hits.join(exact, ["doc_id", "gram"])
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom"),
-            F.count("_e").alias("n_exact"),
-            (
-                F.sum(F.col("bloom_hit").cast("long")) - F.count("_e")
-            ).alias("bloom_fp"),
-        )
+    docs = Catalog(spark, sf_dir).table("documents")
+    return decontam.bloom_decontaminate(
+        docs, bench_source="src0", n=5, m_bits=_BLOOM_M, depth=_BLOOM_D
     )
 
 

@@ -148,6 +148,28 @@ def test_substring_spans_local_equals_distributed(spark, monkeypatch, catalog):
     assert got_local == _rows(dedup.substring_dup_spans(docs))
 
 
+def test_bloom_decontaminate_local_equals_distributed(spark, monkeypatch, catalog):
+    from elevate_data_pipeline_spark.operators import decontam
+
+    docs = catalog.table("documents")
+    got_local = _rows(decontam.bloom_decontaminate(docs))
+    assert len(got_local) > 0
+    monkeypatch.setattr(decontam, "_BLOOM_LOCAL_MAX_ROWS", -1)
+    assert got_local == _rows(decontam.bloom_decontaminate(docs))
+
+
+def test_snm_local_equals_distributed(spark, monkeypatch, catalog):
+    from elevate_data_pipeline_spark.operators import dedup
+
+    docs = catalog.table("documents")
+    got_local = _rows(dedup.sorted_neighborhood_pairs(docs, window=5, n=3, threshold=0.5))
+    assert len(got_local) > 0
+    monkeypatch.setattr(dedup, "_SNM_LOCAL_MAX_ROWS", -1)
+    assert got_local == _rows(
+        dedup.sorted_neighborhood_pairs(docs, window=5, n=3, threshold=0.5)
+    )
+
+
 def test_suffix_array_local_equals_distributed(spark, monkeypatch, catalog):
     """The numpy doubling replay must equal the distributed prefix-
     doubling chain rank-for-rank."""
