@@ -156,7 +156,9 @@ def bloom_decontaminate(
             p = pos_cache.get(g)
             if p is None:
                 h = ph(g)
-                p = tuple({_hll_hash_py(h ^ salt) % m_bits for salt in CMS_SALTS})
+                p = tuple(
+                    {_hll_hash_py(h ^ salt) % m_bits for salt in CMS_SALTS[:depth]}
+                )
                 pos_cache[g] = p
             return p
 

@@ -2293,6 +2293,24 @@ def _vp8l_limited_huffman(freqs: list, max_len: int) -> list:
             key=lambda i: (lengths[i], -freqs[i]),
         )
         lengths[cand] += 1
+    # deepening subtracts 2^(max_len-l-1) per step, which can overshoot
+    # below scale (under-subscribed code -> decoder rejects the stream).
+    # Restore exact Kraft completeness: every term is a multiple of the
+    # deepest code's increment, so the deficit is always reachable by
+    # shortening deepest-first.
+    while True:
+        deficit = scale - kraft()
+        if deficit == 0:
+            break
+        cand = max(
+            (
+                i
+                for i in used
+                if lengths[i] > 1 and (1 << (max_len - lengths[i])) <= deficit
+            ),
+            key=lambda i: (lengths[i], freqs[i]),
+        )
+        lengths[cand] -= 1
     return lengths
 
 
@@ -3171,11 +3189,13 @@ def _read_residuals(br: "_MsbBitReader", block_size: int, order: int) -> list:
     escape = (1 << pbits) - 1
     porder = br.bits(4)
     nparts = 1 << porder
-    if block_size % nparts or (block_size >> porder) <= order and porder:
-        # spec: block size must be divisible; first partition has
-        # (block_size >> porder) - order samples which must be positive
-        if block_size % nparts:
-            raise ValueError("FLAC partition order does not divide block size")
+    # spec (RFC 9639): block size must be divisible by the partition
+    # count; with porder > 0 the first partition has
+    # (block_size >> porder) - order samples which must be positive
+    if block_size % nparts:
+        raise ValueError("FLAC partition order does not divide block size")
+    if porder and (block_size >> porder) <= order:
+        raise ValueError("FLAC predictor order exceeds first partition")
     out = []
     for part in range(nparts):
         n = (block_size >> porder) - (order if part == 0 else 0)

@@ -70,14 +70,16 @@ def main() -> int:
     # the other shared economy: one warm session vs per-query cold
     # sessions (docs/COLD_SOLO.md sums the fresh-JVM-per-query times)
     cold_sum = None
+    cold_n = 0
     try:
         import re
 
-        cold_sum = sum(
+        cold_times = [
             float(m.group(1))
             for ln in open(os.path.join(ROOT, "docs", "COLD_SOLO.md"))
             if (m := re.match(r"\| *`?\w+`? *\| *([\d.]+)", ln))
-        )
+        ]
+        cold_sum, cold_n = sum(cold_times), len(cold_times)
     except OSError:
         pass
     out = os.path.join(ROOT, "docs", "SHARED_SCANS.md")
@@ -99,7 +101,7 @@ def main() -> int:
         if cold_sum:
             f.write(
                 f"- vs the sum of individual cold runs: one warm sweep "
-                f"(pass A) costs {sp:.1f} s at this sf; 185 per-query cold "
+                f"(pass A) costs {sp:.1f} s at this sf; {cold_n} per-query cold "
                 f"sessions sum to {cold_sum:.0f} s at sf0.01 "
                 f"(docs/COLD_SOLO.md) — session/codegen/scan sharing, not "
                 f"the columnar cache, is the dominant shared economy.\n"

@@ -153,9 +153,14 @@ def test_bloom_decontaminate_local_equals_distributed(spark, monkeypatch, catalo
 
     docs = catalog.table("documents")
     got_local = _rows(decontam.bloom_decontaminate(docs))
+    # non-default depth: the local tier must honor depth too (it once
+    # iterated all CMS_SALTS regardless, diverging from the distributed
+    # tier's CMS_SALTS[:depth] — advisor finding)
+    got_local_d2 = _rows(decontam.bloom_decontaminate(docs, depth=2))
     assert len(got_local) > 0
     monkeypatch.setattr(decontam, "_BLOOM_LOCAL_MAX_ROWS", -1)
     assert got_local == _rows(decontam.bloom_decontaminate(docs))
+    assert got_local_d2 == _rows(decontam.bloom_decontaminate(docs, depth=2))
 
 
 def test_snm_local_equals_distributed(spark, monkeypatch, catalog):

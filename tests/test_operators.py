@@ -1989,6 +1989,68 @@ def test_webp_runs_compress_and_rejections():
         mm.decode_image(bytes(bad))
 
 
+def test_vp8l_limited_huffman_kraft_complete_on_skewed_freqs():
+    """Depth-limited Huffman lengths must stay exactly Kraft-complete:
+    the clamp+deepen repair can overshoot below 2^max_len on heavy-tailed
+    frequency vectors, yielding an under-subscribed code the decoder
+    rejects (advisor finding, ~1/600 round-trip failures on Zipf/Pareto
+    pixel data)."""
+    import random
+
+    from elevate_data_pipeline_spark.operators import multimodal as mm
+
+    rng = random.Random(991)
+    for trial in range(400):
+        n = rng.randrange(2, 300)
+        shape = rng.choice(["zipf", "pareto", "uniform", "spike"])
+        if shape == "zipf":
+            freqs = [max(1, int(10000 / (i + 1) ** 1.7)) for i in range(n)]
+        elif shape == "pareto":
+            freqs = [max(1, int(rng.paretovariate(0.6))) for _ in range(n)]
+        elif shape == "spike":
+            freqs = [1] * n
+            freqs[rng.randrange(n)] = 10**6
+        else:
+            freqs = [rng.randrange(1, 50) for _ in range(n)]
+        # sparse vectors too: zero out a random subset
+        for i in range(n):
+            if rng.random() < 0.2:
+                freqs[i] = 0
+        if sum(1 for f in freqs if f > 0) < 2:
+            freqs[0], freqs[-1] = 3, 5
+        n_used = sum(1 for f in freqs if f > 0)
+        # a depth-max_len code exists iff n_used <= 2^max_len (VP8L's
+        # 7-bit limit only applies to the 19-symbol code-length alphabet)
+        max_len = rng.choice([m for m in (7, 8, 15) if n_used <= (1 << m)])
+        lengths = mm._vp8l_limited_huffman(freqs, max_len)
+        assert max(lengths) <= max_len
+        used = [l for l in lengths if l > 0]
+        assert sum(2 ** (max_len - l) for l in used) == 2**max_len, (
+            shape, n, max_len,
+        )
+        # the decoder must accept the code (raises on incomplete trees)
+        mm._vp8l_decode_tree(lengths)
+
+
+def test_webp_lossless_roundtrip_heavy_tailed_pixels():
+    """End-to-end VP8L round-trip on Zipf/Pareto pixel distributions —
+    the distributions that trip the Kraft-repair overshoot."""
+    import random
+
+    from elevate_data_pipeline_spark.operators import multimodal as mm
+
+    rng = random.Random(2718)
+    for trial in range(40):
+        w, h = rng.randrange(8, 64), rng.randrange(4, 24)
+        vals = [min(255, int(rng.paretovariate(0.5))) for _ in range(256)]
+        px = bytes(vals[rng.randrange(256)] for _ in range(w * h * 3))
+        enc = mm.encode_webp_lossless(
+            w, h, px, 3, cache_bits=rng.choice([0, 6]),
+            use_backrefs=rng.choice([True, False]),
+        )
+        assert mm.decode_image(enc).pixels == px, (trial, w, h)
+
+
 def test_flac_roundtrip_all_subframe_families():
     """FLAC encode/decode round-trips bit-exactly across constant,
     verbatim, every fixed order, forced pseudo-LPC, Rice escapes, and
@@ -2034,6 +2096,29 @@ def test_flac_rejections():
             mm.decode_flac(bytes(bad))
     with _pytest.raises(ValueError):  # truncated mid-frame
         mm.decode_flac(enc[: len(enc) - 8])
+
+    # malformed residual headers must raise, not decode a wrong-length
+    # subframe (RFC 9639: 2^porder | block_size; first partition must
+    # keep >0 samples after the predictor warm-up)
+    def residuals(porder, block_size, order):
+        bw = mm._MsbBitWriter()
+        bw.bits(0, 2)  # method 0 (4-bit Rice)
+        bw.bits(porder, 4)
+        for part in range(1 << porder):
+            bw.bits(0, 4)  # rice param 0
+            n = (block_size >> porder) - (order if part == 0 else 0)
+            for _ in range(max(0, n)):
+                bw.unary(0)  # residual value 0
+        bw.align()
+        return mm._MsbBitReader(bytes(bw.out))
+
+    with _pytest.raises(ValueError, match="partition order"):
+        mm._read_residuals(residuals(3, 104, 2), block_size=100, order=2)
+    with _pytest.raises(ValueError, match="first partition"):
+        # 64 >> 4 = 4 <= order 4 -> zero samples in first partition
+        mm._read_residuals(residuals(4, 64, 4), block_size=64, order=4)
+    # and the boundary case stays legal: 64 >> 4 = 4 > order 3
+    assert mm._read_residuals(residuals(4, 64, 3), 64, 3) == [0] * 61
 
 
 def test_mg_heavy_hitters_exact_on_long_tail(spark):
