@@ -62,16 +62,18 @@ def _dense_rank(df: DataFrame, key_cols: list, out: str) -> DataFrame:
     flagged = part.withColumn(
         "_new", (prev.isNull() | (struct_key != prev)).cast("long")
     )
-    stats = part.groupBy("_pid").agg(
-        F.min(struct_key).alias("_first"), F.max(struct_key).alias("_last")
+    # one pid-keyed aggregate (<= n_part rows) — also the bounded feeder
+    # the plan audit verifies under the SinglePartition exchange below
+    stats = flagged.groupBy("_pid").agg(
+        F.min(struct_key).alias("_first"),
+        F.max(struct_key).alias("_last"),
+        F.sum("_new").alias("_ng"),
     )
-    gcounts = flagged.groupBy("_pid").agg(F.sum("_new").alias("_ng"))
     # bounded window: one row per partition (<= 32 rows)
     wo = Window.orderBy("_pid")
     woff = wo.rowsBetween(Window.unboundedPreceding, -1)
     adj = (
-        stats.join(gcounts, "_pid")
-        .withColumn(
+        stats.withColumn(
             "_cont",  # partition continues the previous partition's group
             (F.lag("_last").over(wo) == F.col("_first")).cast("long"),
         )

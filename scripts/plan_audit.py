@@ -92,6 +92,15 @@ WAIVERS: dict[str, str] = {
     "text_rarity": f"{_SCALAR}; total token count scalar → corpus frequencies",
     "text_tfidf_topterms": f"{_SCALAR}; corpus N scalar for the idf term",
     "validate_lineitem": f"{_SCALAR}; single-row rule-violation summary",
+    # -- gates-off only: distributed chains of the locally-tiered ops --
+    "dedup_suffix_array": f"{_PID}; per-pid group stats (≤32 rows/round) + "
+    "row-number offsets in the doubling dense rank (suffix._dense_rank)",
+    "dedup_repeated_phrases": f"{_PID}; same suffix-array dense-rank frames "
+    "(two suffix_array subtrees in the rank-adjacency self-join)",
+    "events_type_pagerank": f"{_SCALAR}; n_vertices count scalar per "
+    "iteration (dangling-mass redistribution denominator)",
+    "events_type_pagerank_conserving": f"{_SCALAR}; n_vertices count + "
+    "rank-mass sum scalars per iteration (conservation renormalizer)",
     # -- rank-rewrite per-partition offset frames (≤32 rows) --
     "compaction_plan": f"{_PID}; global cumsum offsets for bin packing",
     "curation_shuffle": f"{_PID}; global row_number offsets for the deterministic shuffle",
@@ -104,6 +113,42 @@ WAIVERS: dict[str, str] = {
     "events_value_buckets": f"{_PID} + {_SCALAR}; count offsets + total-count scalar for bucket cuts",
 }
 
+# The 9 driver-local fast tiers (docs/LOCAL_TIERS.md). At audit scale
+# their gates make the tiered queries compile to a trivial
+# createDataFrame, so the gates-ON sweep never sees their distributed
+# chains — the 100 TB path. The gates-OFF sweep forces every gate to -1
+# so those chains are planned and scanned too (round-6 VERDICT task #1).
+_TIER_GATES: list[tuple[str, str]] = [
+    ("elevate_data_pipeline_spark.operators.cluster", "_LLOYD_LOCAL_MAX_ROWS"),
+    ("elevate_data_pipeline_spark.operators.decontam", "_BLOOM_LOCAL_MAX_ROWS"),
+    ("elevate_data_pipeline_spark.operators.dedup", "_SPANS_LOCAL_MAX_ROWS"),
+    ("elevate_data_pipeline_spark.operators.dedup", "_SNM_LOCAL_MAX_ROWS"),
+    ("elevate_data_pipeline_spark.operators.dedup", "_MINHASH_LOCAL_MAX_ROWS"),
+    ("elevate_data_pipeline_spark.operators.graph", "_PAGERANK_LOCAL_MAX_EDGES"),
+    ("elevate_data_pipeline_spark.operators.similarity", "_PQ_LOCAL_MAX_ROWS"),
+    ("elevate_data_pipeline_spark.operators.suffix", "_SA_LOCAL_MAX_ROWS"),
+    ("elevate_data_pipeline_spark.pipelines", "_PIPELINE_LOCAL_MAX_ROWS"),
+]
+
+
+@contextlib.contextmanager
+def tier_gates_off():
+    """Force every driver-local tier gate to -1 so the tiered operators
+    build their distributed chains regardless of input size."""
+    import importlib
+
+    saved = []
+    try:
+        for mod_name, attr in _TIER_GATES:
+            mod = importlib.import_module(mod_name)
+            saved.append((mod, attr, getattr(mod, attr)))
+            setattr(mod, attr, -1)
+        yield
+    finally:
+        for mod, attr, val in saved:
+            setattr(mod, attr, val)
+
+
 _RX_SINGLE = re.compile(r"Exchange SinglePartition")
 _RX_CARTESIAN = re.compile(r"CartesianProduct")
 _RX_PYUDF = re.compile(r"BatchEvalPython")
@@ -111,7 +156,9 @@ _RX_PYUDF = re.compile(r"BatchEvalPython")
 _RX_SCALAR_FEED = re.compile(
     r"(HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[\], functions=\[partial_"
 )
-_RX_PID_FEED = re.compile(r"HashAggregate\(keys=\[_pid")
+# SortAggregate prints key= (singular) and is what Spark picks for
+# struct-typed min/max (e.g. the fused per-pid stats in suffix._dense_rank)
+_RX_PID_FEED = re.compile(r"(Hash|Sort|ObjectHash)Aggregate\(keys?=\[_pid")
 
 
 def classify_single_partition(plan_lines: list[str], idx: int) -> str:
@@ -163,8 +210,14 @@ def audit_query(name: str, df) -> tuple[list[str], list[tuple[str, str]]]:
     return waived, findings
 
 
-def run_audit(spark, sf_dir: str):
-    """Sweep the whole registry; returns (report_lines, findings)."""
+def run_audit(spark, sf_dir: str, gates_off: bool = False):
+    """Sweep the whole registry; returns (report_lines, findings).
+
+    With ``gates_off`` every driver-local tier gate is forced to -1 so
+    the tiered operators plan their DISTRIBUTED chains (the 100 TB
+    path) instead of the trivial createDataFrame the gate yields at
+    audit scale.
+    """
     from elevate_data_pipeline_spark.queries import QUERIES
     from elevate_data_pipeline_spark import pipelines
     from elevate_data_pipeline_spark.operators import rank
@@ -179,50 +232,69 @@ def run_audit(spark, sf_dir: str):
     findings: list[tuple[str, str]] = []
     n_waived = 0
     clean = 0
-    lines = [
-        "# Plan audit — scale anti-pattern sweep over the whole registry",
-        "",
-        "Generated by `scripts/plan_audit.py`: every registry query's",
-        "physical plan (driver-side `explain('simple')`, nothing executed)",
-        "scanned for `CartesianProduct`, `Exchange SinglePartition`, and",
-        "row-at-a-time `BatchEvalPython`. A single-partition exchange is",
-        "waived only when BOTH (a) the audit structurally verifies its",
-        "feeder is bounded — a `keys=[]` partial aggregate (≤1 row/task)",
-        "or a `keys=[_pid]` offsets frame (≤1 row/partition id) — and",
-        "(b) the query carries a documented waiver in `WAIVERS`. Anything",
-        "else fails the audit (exit 1 — `tests/test_plan_audit.py` runs",
-        "this sweep in-process, so CI pins the registry's plan hygiene).",
-        "",
-        "| Query | Result |",
-        "|---|---|",
-    ]
+    if gates_off:
+        lines = [
+            "## Gates-off sweep — distributed chains of the locally-tiered operators",
+            "",
+            "Same scan, with every driver-local tier gate forced to -1",
+            f"({len(_TIER_GATES)} gates, docs/LOCAL_TIERS.md). At audit scale the",
+            "tiers would otherwise compile the tiered queries to a trivial",
+            "`createDataFrame`, leaving their distributed chains — the 100 TB",
+            "path — invisible to the anti-pattern scan.",
+            "",
+            "| Query | Result |",
+            "|---|---|",
+        ]
+    else:
+        lines = [
+            "# Plan audit — scale anti-pattern sweep over the whole registry",
+            "",
+            "Generated by `scripts/plan_audit.py`: every registry query's",
+            "physical plan (driver-side `explain('simple')`, nothing executed)",
+            "scanned for `CartesianProduct`, `Exchange SinglePartition`, and",
+            "row-at-a-time `BatchEvalPython`. A single-partition exchange is",
+            "waived only when BOTH (a) the audit structurally verifies its",
+            "feeder is bounded — a `keys=[]` partial aggregate (≤1 row/task)",
+            "or a `keys=[_pid]` offsets frame (≤1 row/partition id) — and",
+            "(b) the query carries a documented waiver in `WAIVERS`. Anything",
+            "else fails the audit (exit 1 — `tests/test_plan_audit.py` runs",
+            "BOTH sweeps in-process, so CI pins the registry's plan hygiene).",
+            "",
+            "## Gates-on sweep — plans as shipped",
+            "",
+            "| Query | Result |",
+            "|---|---|",
+        ]
 
+    gate_cm = tier_gates_off() if gates_off else contextlib.nullcontext()
     try:
-        for name in sorted(QUERIES):
-            try:
-                df = QUERIES[name](spark, sf_dir)
-                waived, found = audit_query(name, df)
-            except Exception as exc:  # planning itself failed
-                findings.append((name, f"EXPLAIN ERROR: {exc}"))
-                lines.append(f"| `{name}` | EXPLAIN ERROR |")
-                continue
-            findings.extend(found)
-            n_waived += len(waived)
-            cell = [f"**FINDING: {what}**" for _, what in found] + waived
-            if not cell:
-                clean += 1
-                lines.append(f"| `{name}` | clean |")
-            else:
-                lines.append(f"| `{name}` | {'; '.join(cell)} |")
+        with gate_cm:
+            for name in sorted(QUERIES):
+                try:
+                    df = QUERIES[name](spark, sf_dir)
+                    waived, found = audit_query(name, df)
+                except Exception as exc:  # planning itself failed
+                    findings.append((name, f"EXPLAIN ERROR: {exc}"))
+                    lines.append(f"| `{name}` | EXPLAIN ERROR |")
+                    continue
+                findings.extend(found)
+                n_waived += len(waived)
+                cell = [f"**FINDING: {what}**" for _, what in found] + waived
+                if not cell:
+                    clean += 1
+                    lines.append(f"| `{name}` | clean |")
+                else:
+                    lines.append(f"| `{name}` | {'; '.join(cell)} |")
     finally:
         pipelines.PIN_STAGES = old_pin_stages
         rank.PIN_PARTITIONS = old_pin_parts
 
     from elevate_data_pipeline_spark.queries import QUERIES as _Q
 
+    label = "gates-off" if gates_off else "gates-on"
     lines += [
         "",
-        f"**{clean} clean / {n_waived} waived / {len(findings)} findings** "
+        f"**{label}: {clean} clean / {n_waived} waived / {len(findings)} findings** "
         f"of {len(_Q)} queries.",
     ]
     return lines, findings
@@ -236,10 +308,13 @@ def main() -> int:
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     lines, findings = run_audit(spark, sf_dir)
+    lines_off, findings_off = run_audit(spark, sf_dir, gates_off=True)
     print("\n".join(lines))
-    for name, what in findings:
+    print()
+    print("\n".join(lines_off))
+    for name, what in findings + findings_off:
         print(f"FINDING {name}: {what}", file=sys.stderr)
-    return 1 if findings else 0
+    return 1 if findings or findings_off else 0
 
 
 if __name__ == "__main__":

@@ -97,6 +97,59 @@ def test_full_registry_audit_clean(spark):
     assert f"of {len(QUERIES)} queries" in lines[-1]
 
 
+@pytest.mark.slow
+def test_full_registry_audit_clean_gates_off(spark):
+    """Same sweep with every driver-local tier gate forced to -1 so the
+    DISTRIBUTED chains of the 9 locally-tiered operators (the 100 TB
+    path — invisible to the gates-on sweep at audit scale, round-6
+    VERDICT task #1) pass the CartesianProduct / SinglePartition /
+    BatchEvalPython scan too."""
+    lines, findings = plan_audit.run_audit(spark, SF_DIR, gates_off=True)
+    assert findings == [], "gates-off plan audit findings:\n" + "\n".join(
+        f"{n}: {w}" for n, w in findings
+    )
+
+
+def test_tier_gates_off_covers_every_gate():
+    """The forced-off gate list must stay in sync with the gates that
+    actually exist in the package — a new tier whose gate is missing
+    here would silently escape the gates-off sweep."""
+    import importlib
+    import pkgutil
+
+    import elevate_data_pipeline_spark as pkg
+
+    found = set()
+    for m in pkgutil.walk_packages(pkg.__path__, pkg.__name__ + "."):
+        if m.name.endswith("__main__"):
+            continue
+        try:
+            mod = importlib.import_module(m.name)
+        except Exception:
+            continue
+        for attr in vars(mod):
+            if "_LOCAL_MAX_" in attr and attr.startswith("_") and attr.isupper():
+                found.add((m.name, attr))
+    assert found == set(plan_audit._TIER_GATES), (
+        f"missing from _TIER_GATES: {sorted(found - set(plan_audit._TIER_GATES))}; "
+        f"stale: {sorted(set(plan_audit._TIER_GATES) - found)}"
+    )
+
+
+def test_pid_feed_regex_accepts_sort_aggregate():
+    """SortAggregate prints key= (singular); Spark picks it for
+    struct-typed min/max — the suffix._dense_rank stats feeder."""
+    assert plan_audit._RX_PID_FEED.search(
+        "+- SortAggregate(key=[_pid#396], functions=[min(struct(...))])"
+    )
+    assert plan_audit._RX_PID_FEED.search(
+        "+- HashAggregate(keys=[_pid#502], functions=[count(1)])"
+    )
+    assert not plan_audit._RX_PID_FEED.search(
+        "+- SortAggregate(key=[user_id#3], functions=[min(x)])"
+    )
+
+
 def test_waivers_reference_only_registry_queries():
     from elevate_data_pipeline_spark.queries import QUERIES
 
