@@ -3,6 +3,8 @@ SparkSession at sf0.01 and compare against its DuckDB oracle with the
 driver's canonicalization (order-insensitive, columns sorted by name).
 
 Usage:  python scripts/gate_sim.py [sf_dir] [name_filter...]
+        python scripts/gate_sim.py [sf_dir] --exact name [name...]
+        python scripts/gate_sim.py [sf_dir] --cold-solo [name_filter...]
 
 Prints one line per query (ok/FAIL/ERR) and a summary; exit code 1 on any
 failure. This is the strongest local predictor of CORRECTNESS_r{N}.json.
@@ -10,6 +12,7 @@ failure. This is the strongest local predictor of CORRECTNESS_r{N}.json.
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 import time
@@ -19,17 +22,15 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 sys.path.insert(0, os.path.join(ROOT, "tests"))
 
-from pyspark.sql import SparkSession
-
-from oracle_util import compare, duckdb_con
-
 
 def cold_solo(sf_dir: str, only: list[str]) -> int:
     """One FRESH python+JVM process per query — the worst case a driver
     gate can present (the query pays session startup, Hadoop/parquet
     first-touch, and every codegen compile alone). Prints per-query
-    in-process time (the gate_sim line) plus total subprocess wall, and
-    writes docs/COLD_SOLO.md."""
+    in-process time (the gate_sim line) plus total subprocess wall.
+    Writes docs/COLD_SOLO.md ONLY for full sweeps — a filtered run
+    would silently clobber the committed full-sweep record, so it
+    writes /tmp/COLD_SOLO_partial.md instead."""
     import re
     import subprocess
 
@@ -39,6 +40,7 @@ def cold_solo(sf_dir: str, only: list[str]) -> int:
         n for n in sorted(entry.queries())
         if not only or any(f in n for f in only)
     ]
+    full_sweep = len(names) == len(entry.queries())
     rows = []
     n_bad = 0
     for name in names:
@@ -60,7 +62,11 @@ def cold_solo(sf_dir: str, only: list[str]) -> int:
         print(f"{name:40s} {qtime:6.2f}s query  {wall:6.2f}s wall  "
               f"{'ok' if ok else rows[-1][3]}", flush=True)
 
-    out = os.path.join(ROOT, "docs", "COLD_SOLO.md")
+    out = (
+        os.path.join(ROOT, "docs", "COLD_SOLO.md")
+        if full_sweep
+        else "/tmp/COLD_SOLO_partial.md"
+    )
     with open(out, "w") as f:
         f.write(
             f"# Cold-solo gate simulation — {sf_dir}\n\n"
@@ -78,20 +84,48 @@ def cold_solo(sf_dir: str, only: list[str]) -> int:
             f"\n{len(rows)} queries; query-time max {qs[-1]:.2f}s, "
             f"p50 {qs[len(qs) // 2]:.2f}s; {n_bad} failures.\n"
         )
-    print(f"\nwrote {out}; max query {max(r[1] for r in rows):.2f}s; "
-          f"{n_bad} failures")
+    print(f"\nwrote {out}"
+          + ("" if full_sweep else " (partial run — docs/COLD_SOLO.md untouched)")
+          + f"; max query {max(r[1] for r in rows):.2f}s; {n_bad} failures")
     return 1 if n_bad else 0
 
 
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description=__doc__.split("\n\n")[0],
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    p.add_argument(
+        "sf_dir", nargs="?", default="/root/testdata/sf0.01",
+        help="testdata directory (default: %(default)s)",
+    )
+    p.add_argument(
+        "names", nargs="*",
+        help="substring filters; with --exact, exact query names",
+    )
+    p.add_argument(
+        "--exact", action="store_true",
+        help="treat names as exact registry keys instead of substrings",
+    )
+    p.add_argument(
+        "--cold-solo", action="store_true",
+        help="one fresh python+JVM subprocess per query; a FULL sweep "
+        "writes docs/COLD_SOLO.md, a filtered one writes "
+        "/tmp/COLD_SOLO_partial.md",
+    )
+    return p
+
+
 def main() -> int:
-    argv = [a for a in sys.argv[1:]]
-    solo = "--cold-solo" in argv
-    exact = "--exact" in argv
-    argv = [a for a in argv if a not in ("--cold-solo", "--exact")]
-    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    only = argv[1:]
-    if solo:
+    # intermixed: positionals may follow flags (`sf_dir --exact name ...`)
+    args = _build_parser().parse_intermixed_args()
+    sf_dir, only = args.sf_dir, args.names
+    if args.cold_solo:
         return cold_solo(sf_dir, only)
+
+    from pyspark.sql import SparkSession
+
+    from oracle_util import compare, duckdb_con
 
     # Vanilla session: NO engine confs — exactly what the driver hands us.
     spark = (
@@ -109,7 +143,7 @@ def main() -> int:
     oracles = entry.oracle_sql()
     con = duckdb_con(sf_dir)
 
-    if exact:
+    if args.exact:
         names = [n for n in sorted(qs) if n in only]
     else:
         names = [n for n in sorted(qs) if not only or any(f in n for f in only)]
