@@ -76,9 +76,11 @@ def ngram_contamination(
 # Gate for the driver-local Bloom-decontamination tier (pattern of
 # dedup._SPANS_LOCAL_MAX_ROWS): gram extraction, polyhash, bloom bit
 # math and the exact-set compare are all integer replays over Python
-# sets/dicts — fine in-core at the gate maximum; the distributed chain
-# is the same math at any scale.
-_BLOOM_LOCAL_MAX_ROWS = 100_000
+# sets/dicts. Set at the measured warm crossover (docs/TIER_CROSSOVER.md:
+# local 4.4 s vs distributed 4.2 s at 5k docs, 2.2x slower at 20k,
+# 2.8x at 50k) — the single-threaded gram/set replay scales linearly in
+# corpus text while the distributed chain amortizes across cores.
+_BLOOM_LOCAL_MAX_ROWS = 5_000
 
 
 def _hll_hash_py(v: int) -> int:

@@ -1014,10 +1014,11 @@ def _gram_kernel(t: str, k: int, pows: list) -> np.ndarray:
 
 
 # Gate for the driver-local span tier (pattern of _MINHASH_LOCAL_MAX_ROWS):
-# the whole-corpus gram sweep is numpy-vectorized end to end, so even the
-# gate maximum (~100k docs * ~kB texts ~ 200M grams) stays in-core; the
-# distributed chain is the same math at any scale.
-_SPANS_LOCAL_MAX_ROWS = 100_000
+# the whole-corpus gram sweep is numpy-vectorized end to end. Set at the
+# measured warm crossover (docs/TIER_CROSSOVER.md: 14.5 s local vs
+# 13.7 s distributed at 50k docs, 3.4x slower at 100k) — the lexsort
+# grows superlinearly while the distributed gram-key shuffle spreads.
+_SPANS_LOCAL_MAX_ROWS = 50_000
 
 
 def _spans_local(spark, local, k: int, min_docs: int, id_col: str) -> DataFrame:

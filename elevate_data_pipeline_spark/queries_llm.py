@@ -3704,11 +3704,12 @@ _DOCS_PER_SHARD = 256
     """
     WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     b AS (
-      SELECT doc_id, CAST(r.range AS INT) AS blk_idx,
-             array_to_string(list_slice(w, r.range * 10 + 1, r.range * 10 + 10), ' ')
+      SELECT doc_id, CAST(r AS INT) AS blk_idx,
+             array_to_string(list_slice(w, r * 10 + 1, r * 10 + 10), ' ')
                AS blk
-      FROM ws, range(0, 100000) r
-      WHERE r.range < CAST(ceil(len(w) / 10.0) AS INT)
+      FROM (SELECT doc_id, w,
+              unnest(range(0, CAST(ceil(len(w) / 10.0) AS INT))) AS r
+            FROM ws)
     ),
     d AS (SELECT blk FROM b GROUP BY blk HAVING count(DISTINCT doc_id) >= 2)
     SELECT b.doc_id AS doc_id,
@@ -3737,11 +3738,12 @@ def corpus_block_dedup(spark, sf_dir):
     WITH RECURSIVE
     ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     b AS (
-      SELECT doc_id, CAST(r.range AS INT) AS blk_idx,
-             array_to_string(list_slice(w, r.range * 10 + 1, r.range * 10 + 10), ' ')
+      SELECT doc_id, CAST(r AS INT) AS blk_idx,
+             array_to_string(list_slice(w, r * 10 + 1, r * 10 + 10), ' ')
                AS blk
-      FROM ws, range(0, 100000) r
-      WHERE r.range < CAST(ceil(len(w) / 10.0) AS INT)
+      FROM (SELECT doc_id, w,
+              unnest(range(0, CAST(ceil(len(w) / 10.0) AS INT))) AS r
+            FROM ws)
     ),
     dup AS (SELECT blk FROM b GROUP BY blk HAVING count(DISTINCT doc_id) >= 2),
     c AS (
