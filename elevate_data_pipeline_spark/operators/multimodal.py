@@ -1721,14 +1721,102 @@ def decode_wav(payload: bytes) -> AudioData:
                 )
             samples = samples[:fact]
         return AudioData(rate, channels, bits, samples)
+    if tag in (6, 7):  # G.711 A-law / µ-law log-PCM
+        if bits != 8 or channels != 1:
+            raise NotImplementedError(
+                f"only mono 8-bit G.711 decodes; got channels={channels} bits={bits}"
+            )
+        expand = _alaw_to_linear if tag == 6 else _ulaw_to_linear
+        samples = [expand(b) for b in data]
+        if fact is not None:
+            if fact > len(samples):
+                raise ValueError(
+                    f"fact declares {fact} frames but data decodes {len(samples)}"
+                )
+            samples = samples[:fact]
+        return AudioData(rate, channels, bits, samples)
     if tag != 1 or bits != 16:
         raise NotImplementedError(
-            f"only PCM 16-bit and IMA ADPCM decode without codec libraries; "
-            f"got tag={tag} bits={bits}"
+            f"only PCM 16-bit, IMA ADPCM, and G.711 decode without codec "
+            f"libraries; got tag={tag} bits={bits}"
         )
     n = len(data) // 2
     samples = list(struct.unpack(f"<{n}h", data[: 2 * n]))
     return AudioData(rate, channels, bits, samples)
+
+
+# ---------------------------------------------------------------------------
+# ITU-T G.711 companding (WAVE format tags 6 = A-law, 7 = µ-law): the
+# classic telephony 8-bit log-PCM codecs. Pure integer segment/mantissa
+# arithmetic; decode reconstructs the canonical mid-bin values (µ-law
+# peak 32124, A-law peak 32256 — the standard table endpoints).
+
+_ULAW_BIAS = 0x84  # 132
+_ULAW_CLIP = 32635
+
+
+def _linear_to_ulaw(s: int) -> int:
+    sign = 0x80 if s < 0 else 0
+    m = min(-s if s < 0 else s, _ULAW_CLIP) + _ULAW_BIAS
+    e = (m >> 7).bit_length() - 1  # m in [132, 32767] -> e in [0, 7]
+    mant = (m >> (e + 3)) & 0x0F
+    return ~(sign | (e << 4) | mant) & 0xFF
+
+
+def _ulaw_to_linear(b: int) -> int:
+    u = ~b & 0xFF
+    t = (((u & 0x0F) << 3) + _ULAW_BIAS) << ((u & 0x70) >> 4)
+    return (_ULAW_BIAS - t) if (u & 0x80) else (t - _ULAW_BIAS)
+
+
+def _linear_to_alaw(s: int) -> int:
+    sign = 0x80 if s >= 0 else 0  # A-law sign bit SET means positive
+    m = s if s >= 0 else -s - 1
+    if m < 0x100:
+        seg, mant = 0, m >> 4
+    else:
+        seg = m.bit_length() - 8  # m <= 32767 -> seg in [1, 7]
+        mant = (m >> (seg + 3)) & 0x0F
+    return (sign | (seg << 4) | mant) ^ 0x55
+
+
+def _alaw_to_linear(b: int) -> int:
+    a = b ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+def encode_wav_g711(
+    samples: list, law: str = "ulaw", sample_rate: int = 8000
+) -> bytes:
+    """RIFF/WAVE writer for G.711 (format tag 7 = µ-law, 6 = A-law),
+    mono 8-bit: companded bytes + a fact chunk with the frame count."""
+    import struct
+
+    if law == "ulaw":
+        tag, comp = 7, _linear_to_ulaw
+    elif law == "alaw":
+        tag, comp = 6, _linear_to_alaw
+    else:
+        raise ValueError(f"unknown G.711 law {law!r}")
+    data = bytes(comp(int(s)) for s in samples)
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 26 + 12 + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHHH", 18, tag, 1, sample_rate, sample_rate, 1, 8, 0)
+        + b"fact"
+        + struct.pack("<II", 4, len(data))
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
 
 
 def audio_features(samples: list) -> dict:

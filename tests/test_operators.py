@@ -2143,6 +2143,46 @@ def test_mg_heavy_hitters_exact_on_long_tail(spark):
     assert sketch.mg_heavy_hitters(df.limit(0), "v", k=5).count() == 0
 
 
+def test_g711_companding_roundtrip():
+    """G.711 A-law/µ-law: canonical table endpoints, codeword
+    idempotence, bounded quantization error, and WAV round-trip through
+    both format tags."""
+    import random
+
+    from elevate_data_pipeline_spark.operators import multimodal as mm
+
+    # canonical constants every conformant table shares
+    assert mm._linear_to_ulaw(0) == 0xFF and mm._ulaw_to_linear(0xFF) == 0
+    assert max(mm._ulaw_to_linear(b) for b in range(256)) == 32124
+    assert max(mm._alaw_to_linear(b) for b in range(256)) == 32256
+    assert min(mm._alaw_to_linear(b) for b in range(256)) == -32256
+    # every codeword is a fixed point of decode->encode->decode
+    for b in range(256):
+        assert mm._ulaw_to_linear(mm._linear_to_ulaw(mm._ulaw_to_linear(b))) \
+            == mm._ulaw_to_linear(b)
+        assert mm._alaw_to_linear(mm._linear_to_alaw(mm._alaw_to_linear(b))) \
+            == mm._alaw_to_linear(b)
+    # quantization error bounded by the top segment's half step
+    rng = random.Random(7)
+    for _ in range(5000):
+        s = rng.randrange(-32768, 32768)
+        assert abs(mm._ulaw_to_linear(mm._linear_to_ulaw(s)) - s) <= 643
+        assert abs(mm._alaw_to_linear(mm._linear_to_alaw(s)) - s) <= 512
+
+    sig = [((i * i * 7) % 65536) - 32768 for i in range(211)]
+    for law, expand in (("ulaw", mm._ulaw_to_linear), ("alaw", mm._alaw_to_linear)):
+        enc = mm.encode_wav_g711(sig, law, sample_rate=8000)
+        audio = mm.decode_wav(enc)
+        exp = [expand(
+            mm._linear_to_ulaw(s) if law == "ulaw" else mm._linear_to_alaw(s)
+        ) for s in sig]
+        assert audio.samples == exp
+        assert (audio.sample_rate, audio.bits) == (8000, 8)
+        assert mm.decode_audio(enc).samples == exp  # container dispatch
+    with pytest.raises(ValueError):
+        mm.encode_wav_g711(sig, "dpcm")
+
+
 def test_decode_audio_dispatch():
     from elevate_data_pipeline_spark.operators import multimodal as mm
 
