@@ -876,3 +876,39 @@ def test_join_type_passthrough_inner_and_semi(catalog, spark):
     # swallow semi/anti into a column-attaching left join)
     assert semi.count() == customers
     assert semi.columns == ["c_custkey"]
+
+
+def test_cms_join_advisor_hints_broadcast(catalog, caplog):
+    """Opt-in sketch advisor (round-6 VERDICT task #7): a fold join whose
+    frame side the CMS row-count shows is small gets a broadcast() hint
+    plus a log line; the default compile is untouched and results are
+    identical either way. legacy_join_order forces the real-join branch
+    (the lazy S4 path never joins)."""
+    import contextlib
+    import io
+    import logging
+
+    spec = mentor_style_spec()
+
+    def plan_text(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(extended=True)
+        return buf.getvalue()
+
+    with caplog.at_level(logging.INFO,
+                         logger="elevate_data_pipeline_spark.plans.compiler"):
+        (hinted,) = compile_pipeline(
+            catalog, spec, legacy_join_order=True, cms_join_advisor=True
+        )
+    assert "ResolvedHint" in plan_text(hinted)
+    assert any("cms-advisor" in r.message and "broadcast hint" in r.message
+               for r in caplog.records)
+    # the estimate the advisor logged is a never-undercount bound
+    assert any("est_join_rows" in r.message for r in caplog.records)
+
+    (plain,) = compile_pipeline(catalog, spec, legacy_join_order=True)
+    assert "ResolvedHint" not in plan_text(plain)
+    # advisory only: identical results
+    key = lambda r: tuple(str(v) for v in r)
+    assert sorted(map(key, hinted.collect())) == sorted(map(key, plain.collect()))
