@@ -1978,8 +1978,10 @@ def test_webp_runs_compress_and_rejections():
 
     with _pytest.raises(ValueError):  # truncated payload
         mm.decode_image(enc[: len(enc) // 2])
-    with _pytest.raises(NotImplementedError):  # lossy VP8 chunk
+    with _pytest.raises(ValueError):  # empty VP8 frame is malformed
         mm.decode_image(b"RIFF\x10\x00\x00\x00WEBPVP8 \x00\x00\x00\x00")
+    with _pytest.raises(NotImplementedError):  # extended VP8X container
+        mm.decode_image(b"RIFF\x10\x00\x00\x00WEBPVP8X\x00\x00\x00\x00")
     with _pytest.raises(ValueError):  # bad VP8L signature
         bad = bytearray(enc)
         bad[20] ^= 0xFF if bad[20] != 0x2F else 0x01
@@ -2049,6 +2051,101 @@ def test_webp_lossless_roundtrip_heavy_tailed_pixels():
             use_backrefs=rng.choice([True, False]),
         )
         assert mm.decode_image(enc).pixels == px, (trial, w, h)
+
+
+def test_vp8_bool_coder_roundtrip():
+    """RFC 6386 boolean range coder: encoder and decoder are exact
+    inverses over random bit/probability streams (incl. carry chains)."""
+    import random
+
+    from elevate_data_pipeline_spark.operators import multimodal as mm
+
+    rng = random.Random(11)
+    for trial in range(60):
+        n = rng.randrange(1, 500)
+        bits = [rng.randrange(2) for _ in range(n)]
+        probs = [rng.randrange(1, 255) for _ in range(n)]
+        be = mm._Vp8BoolEncoder()
+        for b, p in zip(bits, probs):
+            be.put(b, p)
+        bd = mm._Vp8BoolDecoder(be.flush())
+        assert [bd.get(p) for p in probs] == bits, trial
+
+
+def test_vp8_token_blocks_roundtrip():
+    """Coefficient token tree: random blocks (every token category,
+    zero runs, EOB-after-zero suppression) for all block types."""
+    import random
+
+    from elevate_data_pipeline_spark.operators import multimodal as mm
+
+    rng = random.Random(13)
+    for trial in range(300):
+        bt = rng.choice([0, 1, 2])
+        first = 1 if bt == 0 else 0
+        co = [0] * 16
+        for i in range(first, 16):
+            if rng.random() < 0.4:
+                co[mm.VP8_ZIGZAG[i]] = rng.choice(
+                    [1, -1, 2, 4, 5, -8, 19, 40, -70, 300, -2000, 2114]
+                )
+        ctx = rng.randrange(3)
+        be = mm._Vp8BoolEncoder()
+        nz_e = mm._vp8_put_tokens(be, bt, first, ctx, co)
+        got, nz_d = mm._vp8_get_tokens(mm._Vp8BoolDecoder(be.flush()), bt, first, ctx)
+        assert got == co and nz_e == nz_d, (trial, co, got)
+
+
+def test_vp8_keyframe_roundtrip_and_rejections():
+    """Full VP8 key-frame path: encode -> decode reconstructs each MB
+    as a uniform patch within half a quantizer step of its mean; DC
+    prediction chains across MB rows AND columns; malformed streams
+    raise."""
+    import random
+
+    from elevate_data_pipeline_spark.operators import multimodal as mm
+
+    rng = random.Random(17)
+    for trial in range(8):
+        mbw, mbh = rng.randrange(1, 4), rng.randrange(1, 3)
+        w, h = mbw * 16, mbh * 16
+        gray = bytes(rng.randrange(256) for _ in range(w * h))
+        qi = rng.randrange(128)
+        img = mm.decode_image(mm.encode_vp8(w, h, gray, qi=qi))
+        assert (img.width, img.height, img.channels) == (w, h, 3)
+        step = mm._vp8_quants(qi)[2] / 8  # y2dc step in pixel units
+        for my in range(mbh):
+            for mx in range(mbw):
+                vals = {
+                    img.pixels[((my * 16 + r) * w + mx * 16 + c) * 3]
+                    for r in range(16) for c in range(16)
+                }
+                assert len(vals) == 1  # flat reconstruction, R=G=B
+                mean = sum(
+                    gray[(my * 16 + r) * w + mx * 16 + c]
+                    for r in range(16) for c in range(16)
+                ) / 256
+                v = vals.pop()
+                if 2 < mean < 253:  # away from the clip rails
+                    # step/2 from quantization + ~2 from the integer mean
+                    # and the two >>3 roundings in the decode chain
+                    assert abs(v - mean) <= step / 2 + 2.0, (trial, mean, v)
+
+    enc = mm.encode_vp8(32, 16, bytes(32 * 16), qi=10)
+    with pytest.raises(ValueError):  # bad start code
+        bad = bytearray(enc)
+        at = enc.index(b"\x9d\x01\x2a")
+        bad[at] = 0
+        mm.decode_image(bytes(bad))
+    with pytest.raises(NotImplementedError):  # interframe bit
+        frame_at = enc.index(b"VP8 ") + 8
+        bad = bytearray(enc)
+        bad[frame_at] |= 1
+        mm.decode_image(bytes(bad))
+    with pytest.raises((ValueError, NotImplementedError)):  # truncation
+        mm.decode_image(enc[: len(enc) - 6])
+    with pytest.raises(ValueError):
+        mm.encode_vp8(30, 16, bytes(30 * 16))  # not 16-aligned
 
 
 def test_flac_roundtrip_all_subframe_families():
