@@ -108,10 +108,12 @@ def test_multimodal_features_shape(docs):
 
 
 def test_multimodal_decode_unsupported_format_raises():
-    # WebP: still needs a real codec library (JPEG/PNG/BMP/netpbm are
-    # decoded natively now)
-    with pytest.raises(NotImplementedError):
+    # a bare truncated VP8 chunk header is malformed (lossless VP8L and
+    # key-frame VP8 both decode natively now); VP8X stays unsupported
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8X")
     # truncated JPEG is malformed, not unsupported
     with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff")
