@@ -76,11 +76,12 @@ def ngram_contamination(
 # Gate for the driver-local Bloom-decontamination tier (pattern of
 # dedup._SPANS_LOCAL_MAX_ROWS): gram extraction, polyhash, bloom bit
 # math and the exact-set compare are all integer replays over Python
-# sets/dicts. Set at the measured warm crossover (docs/TIER_CROSSOVER.md:
-# local 4.4 s vs distributed 4.2 s at 5k docs, 2.2x slower at 20k,
-# 2.8x at 50k) — the single-threaded gram/set replay scales linearly in
-# corpus text while the distributed chain amortizes across cores.
-_BLOOM_LOCAL_MAX_ROWS = 5_000
+# sets/dicts. Set BELOW the measured crossover with margin
+# (docs/TIER_CROSSOVER.md, 3-run medians: local wins through 4k docs —
+# 2.39 s vs 2.82 s — ties at 5k (4.40 vs 4.21), loses 2.2x at 20k) —
+# the single-threaded gram/set replay scales linearly in corpus text
+# while the distributed chain amortizes across cores.
+_BLOOM_LOCAL_MAX_ROWS = 3_000
 
 
 def _hll_hash_py(v: int) -> int:

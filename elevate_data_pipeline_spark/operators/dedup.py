@@ -1014,11 +1014,12 @@ def _gram_kernel(t: str, k: int, pows: list) -> np.ndarray:
 
 
 # Gate for the driver-local span tier (pattern of _MINHASH_LOCAL_MAX_ROWS):
-# the whole-corpus gram sweep is numpy-vectorized end to end. Set at the
-# measured warm crossover (docs/TIER_CROSSOVER.md: 14.5 s local vs
-# 13.7 s distributed at 50k docs, 3.4x slower at 100k) — the lexsort
-# grows superlinearly while the distributed gram-key shuffle spreads.
-_SPANS_LOCAL_MAX_ROWS = 50_000
+# the whole-corpus gram sweep is numpy-vectorized end to end. Set BELOW
+# the measured crossover with margin (docs/TIER_CROSSOVER.md, 3-run
+# medians: local WINS at 10k docs — 2.14 s vs 2.30 s — and loses from
+# 20k up, 4.35 s vs 2.91 s) — the lexsort grows superlinearly while the
+# distributed gram-key shuffle spreads across cores.
+_SPANS_LOCAL_MAX_ROWS = 10_000
 
 
 def _spans_local(spark, local, k: int, min_docs: int, id_col: str) -> DataFrame:

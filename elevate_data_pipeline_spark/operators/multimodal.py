@@ -1805,9 +1805,13 @@ def encode_wav_g711(
     else:
         raise ValueError(f"unknown G.711 law {law!r}")
     data = bytes(comp(int(s)) for s in samples)
+    # RIFF chunks are word-aligned: an odd-length data chunk gets one pad
+    # byte AFTER it, excluded from the data size field but included in
+    # the RIFF size (strict external parsers reject unpadded files).
+    pad = b"\x00" if len(data) & 1 else b""
     hdr = (
         b"RIFF"
-        + struct.pack("<I", 4 + 26 + 12 + 8 + len(data))
+        + struct.pack("<I", 4 + 26 + 12 + 8 + len(data) + len(pad))
         + b"WAVE"
         + b"fmt "
         + struct.pack("<IHHIIHHH", 18, tag, 1, sample_rate, sample_rate, 1, 8, 0)
@@ -1816,7 +1820,7 @@ def encode_wav_g711(
         + b"data"
         + struct.pack("<I", len(data))
     )
-    return hdr + data
+    return hdr + data + pad
 
 
 def audio_features(samples: list) -> dict:
@@ -2967,9 +2971,16 @@ class _Vp8BoolEncoder:
 
     def _carry(self):
         i = len(self.out) - 1
-        while self.out[i] == 255:
+        while i >= 0 and self.out[i] == 255:
             self.out[i] = 0
             i -= 1
+        if i < 0:
+            # Unreachable for streams this encoder produces (the first
+            # emitted byte can never be 0xFF when a later carry fires —
+            # the same invariant libvpx relies on), but if it were ever
+            # violated, Python's negative indexing would silently wrap
+            # to the buffer tail and corrupt the stream. Fail loud.
+            raise AssertionError("VP8 bool-encoder carry past stream start")
         self.out[i] += 1
 
     def put(self, bit: int, prob: int) -> None:
@@ -3522,6 +3533,28 @@ def _decode_vp8(frame: bytes) -> ImageData:
                         ylum[y0 + br + r][x0 + bc + c] = max(
                             0, min(255, pred + res[4 * r + c])
                         )
+
+    # Fail-loud guard for FOREIGN streams: this decoder's entropy/quant
+    # tables are repo-defined swap-ins, not the RFC 6386 empirical
+    # values, so a real-crawl VP8 key frame would parse through the same
+    # path into silently wrong pixels. Self-produced streams are exactly
+    # re-encodable (the DC-only subset is idempotent on its own
+    # reconstructions — pytest-pinned), so verify by re-encoding the
+    # reconstruction and comparing bytes; anything else raises unless
+    # the caller explicitly opts in via SPARK_GRAFT_VP8_FOREIGN=1.
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_VP8_FOREIGN") != "1":
+        gray = bytes(v for row in ylum for v in row)
+        ver = encode_vp8(width, height, gray, qi)
+        vsz = int.from_bytes(ver[16:20], "little")
+        if ver[20 : 20 + vsz] != frame:
+            raise NotImplementedError(
+                "foreign VP8 stream: decoder uses repo-defined (non-RFC-"
+                "6386) entropy tables, so this decode would be silently "
+                "non-conformant; set SPARK_GRAFT_VP8_FOREIGN=1 to decode "
+                "anyway"
+            )
 
     # flat 128 chroma -> BT.601 collapses to R=G=B=Y
     px = bytearray(width * height * 3)

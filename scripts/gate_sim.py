@@ -23,7 +23,7 @@ sys.path.insert(0, ROOT)
 sys.path.insert(0, os.path.join(ROOT, "tests"))
 
 
-def cold_solo(sf_dir: str, only: list[str]) -> int:
+def cold_solo(sf_dir: str, only: list[str], exact: bool = False) -> int:
     """One FRESH python+JVM process per query — the worst case a driver
     gate can present (the query pays session startup, Hadoop/parquet
     first-touch, and every codegen compile alone). Prints per-query
@@ -36,10 +36,13 @@ def cold_solo(sf_dir: str, only: list[str]) -> int:
 
     import __spark_entry__ as entry
 
-    names = [
-        n for n in sorted(entry.queries())
-        if not only or any(f in n for f in only)
-    ]
+    if exact:
+        names = [n for n in sorted(entry.queries()) if n in only]
+    else:
+        names = [
+            n for n in sorted(entry.queries())
+            if not only or any(f in n for f in only)
+        ]
     full_sweep = len(names) == len(entry.queries())
     rows = []
     n_bad = 0
@@ -96,8 +99,12 @@ def _build_parser() -> argparse.ArgumentParser:
         formatter_class=argparse.RawDescriptionHelpFormatter,
     )
     p.add_argument(
+        # NOTE: literal default in the help string — parse_intermixed_args
+        # temporarily sets positional defaults to SUPPRESS, so a
+        # %(default)s placeholder here raises KeyError when -h fires
+        # mid-parse (CPython bpo; reproduced on 3.11).
         "sf_dir", nargs="?", default="/root/testdata/sf0.01",
-        help="testdata directory (default: %(default)s)",
+        help="testdata directory (default: /root/testdata/sf0.01)",
     )
     p.add_argument(
         "names", nargs="*",
@@ -121,7 +128,7 @@ def main() -> int:
     args = _build_parser().parse_intermixed_args()
     sf_dir, only = args.sf_dir, args.names
     if args.cold_solo:
-        return cold_solo(sf_dir, only)
+        return cold_solo(sf_dir, only, exact=args.exact)
 
     from pyspark.sql import SparkSession
 

@@ -301,6 +301,11 @@ def run_audit(spark, sf_dir: str, gates_off: bool = False):
 
 
 def main() -> int:
+    if any(a in ("-h", "--help") for a in sys.argv[1:]):
+        print(__doc__.strip())
+        print("\nUsage: python scripts/plan_audit.py [sf_dir]"
+              "  (default: /root/testdata/sf0.001)")
+        return 0
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
     from elevate_data_pipeline_spark.session import get_spark

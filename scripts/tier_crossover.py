@@ -369,8 +369,13 @@ def render() -> None:
         "demonstrates the replay cost the gate avoids paying — in",
         "production only the distributed column exists there. The gate",
         "column is the LIVE module value: four gates were lowered to",
-        "these measured crossovers (bloom 100k->5k, spans 100k->50k,",
-        "lloyd 100k->8k, pagerank 1M->500k).",
+        "measured crossovers in round 7 (bloom 100k->5k, spans",
+        "100k->50k, lloyd 100k->8k, pagerank 1M->500k), then round 8",
+        "measured BELOW the spans/bloom gates (10k/20k/30k and",
+        "2k/3k/4k, 3-run medians) and moved both gates under their",
+        "crossovers with margin: spans 50k->10k (local wins at 10k,",
+        "loses from 20k), bloom 5k->3k (local wins through 4k, ties",
+        "at 5k).",
         "",
         "| family | gate | n | local s | distributed s | winner |",
         "|---|---|---|---|---|---|",
@@ -425,6 +430,9 @@ def render() -> None:
 
 def main() -> int:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "bench"
+    if cmd in ("-h", "--help"):
+        print(__doc__.strip())
+        return 0
     if cmd == "gen":
         gen()
         return 0

@@ -2292,6 +2292,82 @@ def test_decode_audio_dispatch():
         mm.decode_audio(b"ID3\x04tag-of-an-mp3")
 
 
+def test_vp8_reencode_idempotent_and_foreign_guard(monkeypatch):
+    """The VP8 fail-loud guard for foreign streams rests on re-encode
+    idempotence: a self-produced stream's reconstruction re-encodes to
+    the identical bytes, so decode verifies cheaply; any stream that
+    fails the byte-compare (real-crawl VP8 with RFC 6386 tables, or a
+    corrupted token partition) raises NotImplementedError unless the
+    caller opts in via SPARK_GRAFT_VP8_FOREIGN=1."""
+    import random
+
+    from elevate_data_pipeline_spark.operators import multimodal as mm
+
+    monkeypatch.delenv("SPARK_GRAFT_VP8_FOREIGN", raising=False)
+    rng = random.Random(99)
+    for _ in range(6):
+        w, h = 16 * rng.randrange(1, 4), 16 * rng.randrange(1, 3)
+        qi = rng.randrange(128)
+        gray = bytes(rng.randrange(256) for _ in range(w * h))
+        payload = mm.encode_vp8(w, h, gray, qi=qi)
+        img = mm.decode_image(payload)  # guard passes on own streams
+        recon = bytes(img.pixels[i * 3] for i in range(w * h))
+        assert mm.encode_vp8(w, h, recon, qi=qi) == payload  # idempotent
+
+    # corrupt token-partition bytes until one decodes structurally but
+    # fails the verify -> the foreign guard must fire, and the explicit
+    # opt-in must let the same stream through
+    payload = mm.encode_vp8(48, 32, bytes((i * 7) % 256 for i in range(48 * 32)), qi=30)
+    foreign = None
+    for pos in range(len(payload) - 1, len(payload) - 40, -1):
+        bad = bytearray(payload)
+        bad[pos] ^= 0x40
+        try:
+            mm.decode_image(bytes(bad))
+        except NotImplementedError as e:
+            if "foreign VP8" in str(e):
+                foreign = bytes(bad)
+                break
+        except ValueError:
+            continue
+    assert foreign is not None, "no corruption triggered the foreign guard"
+    monkeypatch.setenv("SPARK_GRAFT_VP8_FOREIGN", "1")
+    img = mm.decode_image(foreign)  # opt-in decodes without error
+    assert (img.width, img.height) == (48, 32)
+
+
+def test_vp8_bool_encoder_carry_guard():
+    """_carry past the stream start must fail loud (AssertionError), not
+    wrap via negative indexing into silent stream corruption."""
+    from elevate_data_pipeline_spark.operators import multimodal as mm
+
+    enc = mm._Vp8BoolEncoder()
+    enc.out = bytearray(b"\xff\xff")
+    with pytest.raises(AssertionError):
+        enc._carry()
+    enc.out = bytearray(b"\x01\xff")
+    enc._carry()
+    assert enc.out == bytearray(b"\x02\x00")
+
+
+def test_g711_wav_word_alignment():
+    """RIFF chunks are word-aligned: an odd sample count gets one pad
+    byte after the data chunk (excluded from the data size field,
+    included in the RIFF size), and the decode is unaffected."""
+    from elevate_data_pipeline_spark.operators import multimodal as mm
+
+    for n in (210, 211):
+        sig = [((i * 31) % 4001) - 2000 for i in range(n)]
+        enc = mm.encode_wav_g711(sig, "ulaw")
+        assert len(enc) % 2 == 0  # file ends word-aligned
+        riff_size = int.from_bytes(enc[4:8], "little")
+        assert riff_size == len(enc) - 8  # pad included in RIFF size
+        data_at = enc.index(b"data")
+        data_size = int.from_bytes(enc[data_at + 4 : data_at + 8], "little")
+        assert data_size == n  # pad excluded from the chunk size
+        assert len(mm.decode_wav(enc).samples) == n
+
+
 def test_flac_stereo_roundtrip():
     """Independent-channel FLAC: interleaved stereo round-trips exactly,
     multi-frame, with the MD5 gate over the interleaved PCM."""
