@@ -616,6 +616,62 @@ def pq_encode(
     )
 
 
+def _adc_dtab(
+    df: DataFrame,
+    cents: DataFrame,
+    n_queries: int,
+    m: int,
+    sub: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-query ADC distance-lookup table ``(query_id, _s, _code, _d)``
+    — exact squared-L2 from each query subvector to every subspace
+    centroid, (n_queries * k * m) rows, broadcast-sized at any corpus
+    scale. Shared by :func:`pq_adc_topk` and :func:`ivf_pq_topk`; the
+    local-index fast path builds it on the driver from the cached
+    Python-side vectors/centroids with the same left-to-right IEEE
+    fold, so both tiers stay bit-identical."""
+    py = getattr(cents, "_edp_py", None)
+    if py is not None:
+        def _d2(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + (x - y) * (x - y)
+            return acc
+
+        dtab_rows = [
+            (qid, s, cl, _d2(vec[s * sub:(s + 1) * sub], c))
+            for qid, vec in py["vecs"]
+            if qid < n_queries
+            for s in range(m)
+            for cl, c in py["cents"][s]
+        ]
+        return df.sparkSession.createDataFrame(
+            dtab_rows,
+            f"query_id {py['id_type']}, _s int, _code int, _d double",
+        )
+    # query-side: the same (query_id, _s, qv) explode as the index build
+    qslices = F.array(*[
+        F.struct(
+            F.lit(s).alias("_s"),
+            F.expr(
+                f"transform(slice({vec_col}, {s * sub + 1}, {sub}), x -> double(x))"
+            ).alias("_qv"),
+        )
+        for s in range(m)
+    ])
+    qs = (
+        df.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), F.explode(qslices).alias("_e"))
+        .select("query_id", F.col("_e._s").alias("_s"), F.col("_e._qv").alias("_qv"))
+    )
+    d2 = F.expr(_SQ_L2.format(a="_qv", b="_c"))
+    return qs.join(F.broadcast(cents), "_s").select(
+        "query_id", "_s", F.col("_cl").cast("int").alias("_code"), d2.alias("_d")
+    )
+
+
 def pq_adc_topk(
     df: DataFrame,
     n_queries: int = 5,
@@ -648,48 +704,7 @@ def pq_adc_topk(
     sub = dim // m
     cents, codes = pq_index(df, m, k, n_iter, dim, vec_col, id_col)
 
-    py = getattr(cents, "_edp_py", None)
-    if py is not None:
-        # Local index: build the (query_id, _s, _code, _d) lookup table
-        # on the driver from the cached Python-side vectors/centroids —
-        # the same left-to-right IEEE fold, no corpus scan in the plan.
-        def _d2(a, b):
-            acc = 0.0
-            for x, y in zip(a, b):
-                acc = acc + (x - y) * (x - y)
-            return acc
-
-        dtab_rows = [
-            (qid, s, cl, _d2(vec[s * sub:(s + 1) * sub], c))
-            for qid, vec in py["vecs"]
-            if qid < n_queries
-            for s in range(m)
-            for cl, c in py["cents"][s]
-        ]
-        dtab = df.sparkSession.createDataFrame(
-            dtab_rows,
-            f"query_id {py['id_type']}, _s int, _code int, _d double",
-        )
-    else:
-        # query-side: the same (query_id, _s, qv) explode as the index build
-        qslices = F.array(*[
-            F.struct(
-                F.lit(s).alias("_s"),
-                F.expr(
-                    f"transform(slice({vec_col}, {s * sub + 1}, {sub}), x -> double(x))"
-                ).alias("_qv"),
-            )
-            for s in range(m)
-        ])
-        qs = (
-            df.filter(F.col(id_col) < n_queries)
-            .select(F.col(id_col).alias("query_id"), F.explode(qslices).alias("_e"))
-            .select("query_id", F.col("_e._s").alias("_s"), F.col("_e._qv").alias("_qv"))
-        )
-        d2 = F.expr(_SQ_L2.format(a="_qv", b="_c"))
-        dtab = qs.join(F.broadcast(cents), "_s").select(
-            "query_id", "_s", F.col("_cl").cast("int").alias("_code"), d2.alias("_d")
-        )
+    dtab = _adc_dtab(df, cents, n_queries, m, sub, vec_col, id_col)
     part = codes.join(F.broadcast(dtab), ["_s", "_code"]).select(
         "_id", "query_id", "_s", "_d"
     )
@@ -706,4 +721,87 @@ def pq_adc_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= topk)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    n_queries: int = 5,
+    topk: int = 5,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 1,
+    dim: int = 64,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Composed IVF-PQ ANN — the production serving shape at crawl
+    scale: a coarse quantizer routes each query to its best IVF cell
+    (max cosine to the cell's deterministic medoid, ties -> smaller
+    cell id, exactly :func:`ivf_topk`'s probe), then an asymmetric-
+    distance scan over the PQ CODES of that cell only ranks candidates
+    (exactly :func:`pq_adc_topk`'s table-lookup sum, via the shared
+    trained index).
+
+    Scale shape: the cell probe is two broadcast joins over O(#cells)
+    rows; the candidate scan is pruned to the probed cell BEFORE any
+    distance work (codes join cell labels join broadcast best-cell), so
+    the per-query cost is |cell| * m small-int lookups — never a full-
+    corpus scan of raw vectors. Both halves reuse oracle-gated parts:
+    adc_dist per pair is bit-identical to pq_adc_topk's, the probe is
+    bit-identical to ivf_topk's, so the DuckDB replay composes the two
+    proven CTE chains.
+
+    Returns (query_id, cell, neighbor_id, rank, adc_dist). Approximate
+    on two axes (cell recall x code quantization); recall@k against the
+    exact brute-force cosine top-k is pinned in pytest.
+    """
+    import functools
+    import operator as _op
+
+    sub = dim // m
+    cents_pq, codes = pq_index(corpus, m, k, n_iter, dim, vec_col, id_col)
+    dtab = _adc_dtab(corpus, cents_pq, n_queries, m, sub, vec_col, id_col)
+
+    # coarse probe: identical routing to ivf_topk (cosine to medoid,
+    # ties -> smaller cell id)
+    cells = ivf_centroids(corpus, cell_col, vec_col, id_col)
+    q = corpus.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    routed = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cells))
+        .select("query_id", "cell", cosine("_qv", "centroid").alias("_ccos"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("_ccos"), F.asc("cell"))
+    best = (
+        routed.withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", "cell")
+    )
+
+    # in-cell ADC: prune codes to the probed cell BEFORE the lookup join
+    lbl = spread(corpus).select(
+        F.col(id_col).alias("_id"), F.col(cell_col).alias("cell")
+    )
+    cand = codes.join(lbl, "_id").join(F.broadcast(best), "cell")
+    part = cand.join(F.broadcast(dtab), ["query_id", "_s", "_code"]).select(
+        "_id", "query_id", "cell", "_s", "_d"
+    )
+    # exactly one row per (_id, query_id, _s) — first() is deterministic
+    piv = part.groupBy("_id", "query_id", "cell").pivot(
+        "_s", list(range(m))
+    ).agg(F.first("_d"))
+    adc = functools.reduce(_op.add, [F.col(str(s)) for s in range(m)])
+    scored = piv.filter(F.col("_id") != F.col("query_id")).select(
+        "query_id", "cell", F.col("_id").alias("neighbor_id"),
+        adc.alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "cell", "neighbor_id", "rank", "adc_dist")
     )

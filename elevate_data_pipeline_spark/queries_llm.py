@@ -3063,6 +3063,66 @@ def ann_pq_recall(spark, sf_dir):
     )
 
 
+def _sql_ivf_pq(
+    m: int = 4, k: int = 8, n_iter: int = 1, dim: int = _KMEANS_DIM,
+    nq: int = 5, topk: int = 5,
+) -> str:
+    """Oracle for ann_ivf_pq_topk: composes the two proven CTE chains —
+    the IVF best-cell probe (ann_ivf_topk's cents/routed/best, cosine to
+    the min-id medoid, ties -> smaller cell) and the PQ/ADC distance
+    CTEs (:func:`_pq_adc_parts`) — and keeps only candidates whose label
+    equals the query's probed cell. Per-pair adc_dist is the identical
+    left-to-right sum, so filtering after scoring replays the engine's
+    prune-before-scoring plan exactly."""
+    ctes, tot = _pq_adc_parts(m, k, n_iter, dim, nq)
+    return f"""
+    WITH {",".join(ctes)},
+    cents AS (
+      SELECT label AS cell, embedding AS centroid FROM embeddings e
+      WHERE vec_id = (SELECT min(vec_id) FROM embeddings x WHERE x.label = e.label)
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {nq}),
+    routed AS (
+      SELECT q.query_id, c.cell,
+             {_sql_cosine('q.qv', 'c.centroid')} AS ccos
+      FROM q, cents c
+    ),
+    best AS (
+      SELECT query_id, cell FROM routed
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cell) = 1
+    ),
+    incell AS (
+      SELECT t.query_id AS query_id, b.cell AS cell,
+             t.neighbor_id AS neighbor_id, t.adc_dist AS adc_dist
+      FROM {tot} t
+      JOIN best b ON b.query_id = t.query_id
+      JOIN embeddings e ON e.vec_id = t.neighbor_id AND e.label = b.cell
+    )
+    SELECT query_id AS query_id, cell AS cell, neighbor_id AS neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, neighbor_id) AS INT) AS rank,
+           adc_dist AS adc_dist
+    FROM incell
+    QUALIFY rank <= {topk}
+    """
+
+
+@query("ann_ivf_pq_topk", _sql_ivf_pq())
+def ann_ivf_pq_topk(spark, sf_dir):
+    """Composed IVF-PQ ANN (operators/similarity.ivf_pq_topk) — the
+    production serving shape at crawl scale: the coarse quantizer routes
+    each query to its best IVF cell, then an asymmetric-distance scan
+    over that cell's PQ codes ranks candidates. Both halves reuse
+    already-oracle-gated parts (ivf_topk's probe, pq_adc_topk's shared
+    trained index); the corpus-side scan is pruned to the probed cell
+    BEFORE any distance work, so per-query cost is |cell| * m small-int
+    lookups at any corpus size."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    return similarity.ivf_pq_topk(
+        emb, n_queries=5, topk=5, m=4, k=8, n_iter=1, dim=_KMEANS_DIM
+    )
+
+
 def _sql_matryoshka_recall(
     prefix_dim: int = 16, dim: int = _KMEANS_DIM, nq: int = 5, topk: int = 5,
 ) -> str:

@@ -1626,6 +1626,70 @@ def test_pq_adc_close_to_exact_l2(spark):
         assert r.neighbor_id in {x.vec_id for x in exact}
 
 
+def test_ivf_pq_topk_composed_shape_and_recall(spark):
+    """Composed IVF-PQ serving path: every returned neighbor must live
+    in the query's probed cell with the exact pq_adc_topk distance for
+    that pair, and recall@5 against the exact brute-force cosine top-5
+    is pinned (>= 0.5 mean on the testdata embeddings — two-axis
+    approximation, cell recall x code quantization, must still find
+    half the true neighbors)."""
+    from elevate_data_pipeline_spark.operators.similarity import (
+        brute_force_topk, ivf_pq_topk, pq_adc_topk,
+    )
+
+    emb = Catalog(spark, SF_DIR).table("embeddings")
+    res = ivf_pq_topk(emb, n_queries=5, topk=5).collect()
+    assert res and all(r.rank <= 5 for r in res)
+
+    # (a) neighbors live in the probed cell; one cell per query
+    cells = dict(
+        emb.select("vec_id", "label").rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    per_q = {}
+    for r in res:
+        per_q.setdefault(r.query_id, set()).add(r.cell)
+        assert cells[r.neighbor_id] == r.cell
+    assert all(len(cs) == 1 for cs in per_q.values())
+
+    # (b) adc_dist per pair is bit-identical to the unrestricted ADC scan
+    full = {
+        (r.query_id, r.neighbor_id): r.adc_dist
+        for r in pq_adc_topk(emb, n_queries=5, topk=10**9).collect()
+    }
+    for r in res:
+        assert full[(r.query_id, r.neighbor_id)] == r.adc_dist
+
+    # (c) pinned recall@5 vs exact cosine top-5 — on a corpus whose
+    # cells MATCH the geometry (testdata labels are deliberately
+    # uncorrelated with cosine neighborhoods, so IVF there exercises
+    # the mechanics but not the recall story): 4 well-separated
+    # direction clusters, label = cluster, 12 points each.
+    import math
+
+    rows = []
+    for i in range(48):
+        c = i % 4
+        base = [
+            math.cos(c * 1.5 + j * 0.2) + 0.02 * math.sin(i * 0.7 + j)
+            for j in range(8)
+        ]
+        rows.append((i, [float(x) for x in base], c))
+    clustered = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    res_c = ivf_pq_topk(clustered, n_queries=5, topk=5, m=4, k=8, dim=8).collect()
+    q = clustered.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(clustered, q, k=5).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(
+        1 for r in res_c if r.neighbor_id in truth.get(r.query_id, set())
+    )
+    recall = hits / sum(len(v) for v in truth.values())
+    assert recall >= 0.8, f"mean recall@5 {recall:.2f} below pinned floor"
+
+
 def test_merge_upsert_dedup_mode(spark):
     """on_duplicate_keys="dedup": greatest non-key tuple wins per key,
     so duplicate source keys no longer fan out the matched target row."""
