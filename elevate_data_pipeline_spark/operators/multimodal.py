@@ -4245,3 +4245,216 @@ def decode_audio(payload: bytes) -> AudioData:
         "only RIFF/WAVE and FLAC decode dependency-free; got magic %r"
         % payload[:4]
     )
+
+
+# ---------------------------------------------------------------------------
+# EXIF / TIFF metadata (TIFF 6.0 IFD structure; EXIF 2.x tag layout):
+# byte-exact IFD walk — header endianness (II/MM + magic 42), 12-byte
+# entries (tag u16, type u16, count u32, inline-or-offset value field,
+# values >4 bytes in a data area), IFD0 chained to the EXIF private
+# sub-IFD via tag 0x8769, RATIONAL as u32 pairs. The most common
+# real-image metadata need (orientation, resolution, camera fields,
+# exposure) — dependency-free, same chunk-walk discipline as the PNG/
+# JPEG parsers above. JPEG carriage is the APP1 "Exif\0\0" segment.
+# ---------------------------------------------------------------------------
+
+# type code -> (element size in bytes, struct letter)
+_TIFF_TYPES = {
+    1: (1, "B"),   # BYTE
+    2: (1, None),  # ASCII (NUL-terminated)
+    3: (2, "H"),   # SHORT
+    4: (4, "I"),   # LONG
+    5: (8, None),  # RATIONAL (two u32: numerator, denominator)
+    7: (1, None),  # UNDEFINED (opaque bytes)
+    9: (4, "i"),   # SLONG
+    10: (8, None),  # SRATIONAL (two s32)
+}
+
+_EXIF_SUBIFD_TAG = 0x8769
+
+
+def _exif_pack_values(typ: int, values, end: str) -> bytes:
+    """Serialize a tag's value list to its on-disk byte form."""
+    import struct
+
+    if typ == 2:  # ASCII: one string, NUL-terminated
+        (s,) = values
+        return s.encode("ascii") + b"\x00"
+    if typ == 7:  # UNDEFINED: raw bytes
+        (b,) = values
+        return bytes(b)
+    if typ in (5, 10):  # (S)RATIONAL: (num, den) pairs
+        letter = "I" if typ == 5 else "i"
+        out = b""
+        for num, den in values:
+            out += struct.pack(end + letter * 2, num, den)
+        return out
+    size, letter = _TIFF_TYPES[typ]
+    return struct.pack(end + letter * len(values), *values)
+
+
+def _exif_count(typ: int, values) -> int:
+    if typ == 2:
+        return len(values[0].encode("ascii")) + 1
+    if typ == 7:
+        return len(values[0])
+    return len(values)
+
+
+def encode_exif(
+    ifd0: list, exif_ifd: list | None = None, byte_order: str = "II"
+) -> bytes:
+    """TIFF/EXIF writer: header + IFD0 (+ EXIF sub-IFD via tag 0x8769),
+    values >4 bytes spilled to a data area after each IFD, inline values
+    left-justified in the 4-byte field per TIFF 6.0. Entries are
+    ``(tag, type, [values])`` with ASCII as one string, RATIONAL as
+    (num, den) tuples; entries are written sorted by tag as the spec
+    requires."""
+    import struct
+
+    if byte_order not in ("II", "MM"):
+        raise ValueError("byte_order must be 'II' or 'MM'")
+    end = "<" if byte_order == "II" else ">"
+
+    def build_ifd(entries: list, ifd_at: int, next_off: int) -> bytes:
+        # layout: count, entries, next-IFD offset (0), then data area
+        data_at = ifd_at + 2 + 12 * len(entries) + 4
+        head = struct.pack(end + "H", len(entries))
+        body, data = b"", b""
+        for tag, typ, values in sorted(entries):
+            raw = _exif_pack_values(typ, values, end)
+            cnt = _exif_count(typ, values)
+            if len(raw) <= 4:
+                field = raw + b"\x00" * (4 - len(raw))
+            else:
+                field = struct.pack(end + "I", data_at + len(data))
+                data += raw
+                if len(raw) & 1:  # keep offsets word-aligned
+                    data += b"\x00"
+            body += struct.pack(end + "HHI", tag, typ, cnt) + field
+        return head + body + struct.pack(end + "I", next_off) + data
+
+    header = byte_order.encode() + struct.pack(end + "HI", 42, 8)
+    if exif_ifd is not None:
+        # two-pass: IFD0 size depends only on its entry list, so the
+        # sub-IFD offset is known once IFD0's data length is
+        probe = build_ifd(
+            ifd0 + [(_EXIF_SUBIFD_TAG, 4, [0])], 8, 0
+        )
+        sub_at = 8 + len(probe)
+        ifd0_full = ifd0 + [(_EXIF_SUBIFD_TAG, 4, [sub_at])]
+        return (
+            header
+            + build_ifd(ifd0_full, 8, 0)
+            + build_ifd(exif_ifd, sub_at, 0)
+        )
+    return header + build_ifd(ifd0, 8, 0)
+
+
+def encode_exif_jpeg(
+    ifd0: list, exif_ifd: list | None = None, byte_order: str = "II"
+) -> bytes:
+    """Minimal JPEG carrying an APP1 Exif segment (SOI + APP1 + EOI):
+    the standard on-disk carriage for camera metadata."""
+    tiff = encode_exif(ifd0, exif_ifd, byte_order)
+    seg = b"Exif\x00\x00" + tiff
+    if len(seg) + 2 > 0xFFFF:
+        raise ValueError("EXIF payload exceeds one APP1 segment")
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe1" + (len(seg) + 2).to_bytes(2, "big") + seg
+        + b"\xff\xd9"
+    )
+
+
+def decode_exif(tiff: bytes) -> list:
+    """Byte-exact TIFF/EXIF IFD walk. Returns one row per entry:
+    ``(ifd, tag, type, count, value)`` with ``ifd`` in {"IFD0","EXIF"},
+    RATIONAL rendered ``num/den``, multi-valued numerics space-joined,
+    ASCII stripped of its terminating NUL, UNDEFINED hex-encoded.
+    Malformed structures raise ``ValueError`` (a silent partial walk
+    would poison downstream metadata features)."""
+    import struct
+
+    if len(tiff) < 8:
+        raise ValueError("truncated TIFF header")
+    order = tiff[:2]
+    if order == b"II":
+        end = "<"
+    elif order == b"MM":
+        end = ">"
+    else:
+        raise ValueError(f"bad TIFF byte order {order!r}")
+    magic, ifd_at = struct.unpack(end + "HI", tiff[2:8])
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic}")
+
+    rows: list = []
+    sub_offsets: list = []
+
+    def walk(at: int, name: str) -> None:
+        if at + 2 > len(tiff):
+            raise ValueError(f"{name} offset past end of stream")
+        (n,) = struct.unpack(end + "H", tiff[at : at + 2])
+        base = at + 2
+        if base + 12 * n + 4 > len(tiff):
+            raise ValueError(f"truncated {name}")
+        for i in range(n):
+            e = base + 12 * i
+            tag, typ, cnt = struct.unpack(end + "HHI", tiff[e : e + 8])
+            if typ not in _TIFF_TYPES:
+                raise ValueError(f"unknown TIFF type {typ} (tag 0x{tag:04x})")
+            size = _TIFF_TYPES[typ][0] * cnt
+            if size <= 4:
+                raw = tiff[e + 8 : e + 8 + size]
+            else:
+                (off,) = struct.unpack(end + "I", tiff[e + 8 : e + 12])
+                if off + size > len(tiff):
+                    raise ValueError(f"tag 0x{tag:04x} value past end")
+                raw = tiff[off : off + size]
+            if typ == 2:
+                value = raw.split(b"\x00")[0].decode("ascii", "replace")
+            elif typ == 7:
+                value = raw.hex()
+            elif typ in (5, 10):
+                letter = "I" if typ == 5 else "i"
+                parts = struct.unpack(end + letter * 2 * cnt, raw)
+                value = " ".join(
+                    f"{parts[2 * j]}/{parts[2 * j + 1]}" for j in range(cnt)
+                )
+            else:
+                letter = _TIFF_TYPES[typ][1]
+                vals = struct.unpack(end + letter * cnt, raw)
+                value = " ".join(str(v) for v in vals)
+            if tag == _EXIF_SUBIFD_TAG and typ == 4 and cnt == 1:
+                sub_offsets.append(int(value))
+            rows.append((name, tag, typ, cnt, value))
+
+    walk(ifd_at, "IFD0")
+    for off in sub_offsets:
+        walk(off, "EXIF")
+    return rows
+
+
+def decode_exif_jpeg(payload: bytes) -> list:
+    """Locate the APP1 "Exif\\0\\0" segment in a JPEG stream and walk
+    its TIFF structure (:func:`decode_exif`). Raises ``ValueError`` when
+    no EXIF segment exists — metadata absence must be explicit."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0xD9):  # SOI/EOI carry no length
+            pos += 2
+            continue
+        seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            return decode_exif(body[6:])
+        if marker == 0xDA:  # entropy-coded data follows; no APP1 found
+            break
+        pos += 2 + seg_len
+    raise ValueError("no APP1 Exif segment in JPEG stream")

