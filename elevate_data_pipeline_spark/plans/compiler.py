@@ -275,6 +275,13 @@ def _compile_nested(
 # autoBroadcastJoinThreshold is 10 MB ~ a few hundred-k small rows).
 CMS_ADVISOR_MAX_BROADCAST_ROWS = 100_000
 
+# Skew warning: estimated max-key share at or above this fraction of a
+# side's rows flags the fold join as skew-prone (a shuffle join funnels
+# that key's rows through ONE task at 100 TB); tiny sides are exempt
+# (skew on a broadcastable side is harmless).
+CMS_ADVISOR_SKEW_SHARE = 0.2
+CMS_ADVISOR_SKEW_MIN_ROWS = 100
+
 
 def _cms_broadcast_hint(acc: DataFrame, frame: DataFrame, keys: list[str]):
     """Sketch-driven broadcast advisor (opt-in): build a count-min
@@ -308,6 +315,34 @@ def _cms_broadcast_hint(acc: DataFrame, frame: DataFrame, keys: list[str]):
             or 0
         )
         est = sketch.cms_inner_product(sk_a, sk_f).first()["est_join_rows"]
+
+        # Skew detection from the SAME sketches (no extra scan): each
+        # CMS row's max counter overestimates the heaviest key's count
+        # (collisions only add), so min-over-rows of max(_n) is the
+        # standard never-undercount bound on the max key frequency.
+        # A side whose heaviest key holds >= CMS_ADVISOR_SKEW_SHARE of
+        # its rows makes the shuffled fold join skew-prone: that key's
+        # rows all land in ONE task. Advisory only — the warning points
+        # at operators/skew (skew_salted_agg / salted join).
+        n_acc = (
+            sk_a.filter(F.col("_r") == 0).agg(F.sum("_n").alias("_t"))
+            .first()["_t"] or 0
+        )
+        for side, sk, n in (("fetch", sk_a, n_acc), ("frame", sk_f, n_frame)):
+            if n < CMS_ADVISOR_SKEW_MIN_ROWS:
+                continue
+            mx = (
+                sk.groupBy("_r").agg(F.max("_n").alias("_m"))
+                .agg(F.min("_m").alias("_mm")).first()["_mm"] or 0
+            )
+            if mx / n >= CMS_ADVISOR_SKEW_SHARE:
+                log.warning(
+                    "cms-advisor: skewed join key %r on the %s side - "
+                    "est max-key share %.0f%% of %d rows; a shuffle join "
+                    "funnels that key through one task: consider "
+                    "operators/skew.skew_salted_agg or salting the key",
+                    key, side, 100.0 * mx / n, n,
+                )
     except Exception as exc:  # advisory only — never fail the compile
         log.warning("cms-advisor: estimate failed (%s); no hint", exc)
         return frame

@@ -912,3 +912,64 @@ def test_cms_join_advisor_hints_broadcast(catalog, caplog):
     # advisory only: identical results
     key = lambda r: tuple(str(v) for v in r)
     assert sorted(map(key, hinted.collect())) == sorted(map(key, plain.collect()))
+
+
+def test_cms_join_advisor_warns_on_skewed_key(catalog, caplog):
+    """Skew extension of the CMS advisor (round-7 VERDICT task #8): a
+    fold join whose fetch side piles >= 20% of its rows onto one key id
+    gets a heavy-hitter warning pointing at operators/skew — from the
+    SAME sketches the broadcast hint already builds, advisory-only
+    (identical results with the advisor off)."""
+    import json
+    import logging
+
+    # half of all orders collapse onto key 1 -> est max-key share ~50%
+    skewed = [
+        {
+            "name": "skew_report",
+            "fetchId": {
+                "query": "SELECT CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 "
+                         "ELSE o_orderkey END AS BIGINT) AS c_custkey FROM orders",
+                "id": "c_custkey",
+            },
+            "tasks": [
+                {
+                    "single_process": {
+                        "input": "order_value",
+                        "query": "SELECT o_custkey, o_totalprice FROM orders",
+                        "correlate_on": "o_custkey",
+                        "agg": "sum",
+                        "agg_on": "o_totalprice",
+                        "join_on": "c_custkey",
+                        "join_type": "left",
+                        "rename": "total_value",
+                    }
+                },
+            ],
+        }
+    ]
+    spec = parse_spec(json.dumps(skewed), None, None)
+    with caplog.at_level(logging.INFO,
+                         logger="elevate_data_pipeline_spark.plans.compiler"):
+        (hinted,) = compile_pipeline(
+            catalog, spec, legacy_join_order=True, cms_join_advisor=True
+        )
+    warns = [r for r in caplog.records
+             if "skewed join key" in r.message and r.levelname == "WARNING"]
+    assert warns, "skew warning did not fire on a 50%-one-key fetch side"
+    assert any("skew_salted_agg" in r.message for r in warns)
+
+    # advisory only: identical results with the advisor off
+    (plain,) = compile_pipeline(catalog, spec, legacy_join_order=True)
+    key = lambda r: tuple(str(v) for v in r)
+    assert sorted(map(key, hinted.collect())) == sorted(map(key, plain.collect()))
+
+    # the un-skewed mentor spec must NOT warn (no false positives)
+    caplog.clear()
+    with caplog.at_level(logging.INFO,
+                         logger="elevate_data_pipeline_spark.plans.compiler"):
+        compile_pipeline(
+            catalog, mentor_style_spec(), legacy_join_order=True,
+            cms_join_advisor=True,
+        )
+    assert not any("skewed join key" in r.message for r in caplog.records)
