@@ -4230,20 +4230,45 @@ def decode_flac(payload: bytes, verify_md5: bool = True) -> AudioData:
     return AudioData(sample_rate, channels, bps_si, samples)
 
 
+def _skip_id3v2(payload: bytes) -> bytes:
+    """Skip a leading ID3v2 tag (the usual MP3 file prefix): 10-byte
+    header with a synchsafe 28-bit size, optional footer flag."""
+    if payload[:3] != b"ID3":
+        return payload
+    if len(payload) < 10:
+        raise ValueError("truncated ID3v2 header")
+    size = 0
+    for b in payload[6:10]:
+        if b & 0x80:
+            raise ValueError("bad ID3v2 synchsafe size byte")
+        size = (size << 7) | b
+    end = 10 + size + (10 if payload[5] & 0x10 else 0)
+    if end > len(payload):
+        raise ValueError("ID3v2 tag runs past end of stream")
+    return payload[end:]
+
+
 def decode_audio(payload: bytes) -> AudioData:
     """Dependency-free audio decode, dispatching on the container magic
-    the way :func:`decode_image` does for rasters: RIFF/WAVE (PCM16 or
-    IMA ADPCM) -> :func:`decode_wav`; native FLAC -> :func:`decode_flac`.
-    Anything else raises ``NotImplementedError`` (MP3/AAC/opus need
+    the way :func:`decode_image` does for rasters: RIFF/WAVE (PCM16,
+    IMA ADPCM, or G.711) -> :func:`decode_wav`; native FLAC ->
+    :func:`decode_flac`; MPEG audio frames (optionally behind an ID3v2
+    tag) -> :func:`decode_mp3` (MPEG-1 Layer III mono structural subset
+    — anything outside it raises NotImplementedError from the parse).
+    Other formats raise ``NotImplementedError`` (AAC/opus/vorbis need
     codec libraries this environment does not ship); malformed streams
     of a recognized format raise ``ValueError``."""
     if payload[:4] == b"RIFF":
         return decode_wav(payload)
     if payload[:4] == b"fLaC":
         return decode_flac(payload)
+    if payload[:3] == b"ID3":
+        return decode_mp3(_skip_id3v2(payload))
+    if len(payload) >= 2 and payload[0] == 0xFF and payload[1] & 0xE0 == 0xE0:
+        return decode_mp3(payload)
     raise NotImplementedError(
-        "only RIFF/WAVE and FLAC decode dependency-free; got magic %r"
-        % payload[:4]
+        "only RIFF/WAVE, FLAC, and MPEG-1 Layer III decode dependency-"
+        "free; got magic %r" % payload[:4]
     )
 
 
@@ -4458,3 +4483,290 @@ def decode_exif_jpeg(payload: bytes) -> list:
             break
         pos += 2 + seg_len
     raise ValueError("no APP1 Exif segment in JPEG stream")
+
+
+# ---------------------------------------------------------------------------
+# MP3 (MPEG-1 Audio Layer III, ISO/IEC 11172-3) — mono keyframe-style
+# subset on the VP8 model: the full BITSTREAM STRUCTURE is per spec
+# (11-bit sync + version/layer header, bitrate/samplerate indices,
+# 17-byte mono side info with per-granule part2_3_length / big_values /
+# global_gain / table_select / region counts, Huffman-coded big-values
+# pairs with sign bits, pow-4/3 requantization, 36-point IMDCT with the
+# long-block window, inter-granule overlap-add, and a per-subband-sample
+# 32-tap synthesis stage), while the spec's EMPIRICAL constants are
+# REPO-DEFINED swap-in module constants below:
+#   - MP3_POW43: the |is|^(4/3) requant nonlinearity at x4 fixed point
+#     (the spec evaluates it in floating point);
+#   - MP3_C36 / MP3_WIN: the spec's own IMDCT cosine and sin window
+#     FORMULAS (11172-3 2.4.3.4.6) rounded to x64 integer fixed point so
+#     every decode is integer-exact and SQL-replayable;
+#   - the big-values Huffman tables: an Elias-gamma prefix code per
+#     magnitude (table_select id 1) standing in for the 32 empirical
+#     spec tables (unavailable in this offline container);
+#   - MP3_SYN: a 32-tap cosine synthesis window applied directly per
+#     subband sample, standing in for the 512-coefficient empirical D
+#     table + V-FIFO (same single-swap-in-point contract as the VP8
+#     entropy tables: substituting the spec constants makes the path
+#     conformant; until then the codec is exact against its own encoder
+#     and refuses foreign structure loudly).
+# Subset gates (each raises NotImplementedError, never silent): stereo
+# modes, bit reservoir (main_data_begin != 0), short/mixed blocks,
+# scalefactors, preflag/scalefac_scale, count1 region, spectral lines
+# outside subband 0, and gains not on the 2^((gg-210)/4) integer grid.
+# ---------------------------------------------------------------------------
+
+MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+MP3_RATES = (44100, 48000, 32000)
+MP3_POW43 = tuple(round((v ** (4.0 / 3.0)) * 4) for v in range(16))
+MP3_C36 = tuple(
+    tuple(
+        round(64 * __import__("math").cos(
+            __import__("math").pi / 72.0 * (2 * n + 1 + 18) * (2 * i + 1)
+        ))
+        for n in range(36)
+    )
+    for i in range(18)
+)
+MP3_WIN = tuple(
+    round(64 * __import__("math").sin(__import__("math").pi / 36.0 * (n + 0.5)))
+    for n in range(36)
+)
+MP3_SYN = tuple(
+    round(64 * __import__("math").cos((2 * p + 1) * __import__("math").pi / 64.0))
+    for p in range(32)
+)
+MP3_SHIFT = 21  # one final round-half-up >> after the exact integer chain
+
+
+def _mp3_put_gamma(bw, v: int) -> None:
+    """Elias-gamma magnitude code (repo-defined big-values table id 1):
+    k zero bits then the (k+1)-bit binary of v+1."""
+    g = v + 1
+    k = g.bit_length() - 1
+    bw.bits(0, k)
+    bw.bits(g, k + 1)
+
+
+def _mp3_get_gamma(br) -> int:
+    k = 0
+    while br.bits(1) == 0:
+        k += 1
+        if k > 16:
+            raise ValueError("runaway gamma code in MP3 main data")
+    rest = br.bits(k) if k else 0
+    return ((1 << k) | rest) - 1
+
+
+def encode_mp3(granules: list, sample_rate: int = 44100) -> bytes:
+    """MPEG-1 Layer III mono encoder for the structural subset: each
+    granule is ``(values, gain_e)`` with ``values`` a list of up to 9
+    signed quantized spectral lines (magnitude 0..15, lines 0..17 =
+    subband 0) and ``gain_e`` in 0..7 (global_gain = 210 + 4*gain_e).
+    Two granules per frame; len(granules) must be even. 32 kbps frames,
+    no bit reservoir, ancillary bits zero-padded."""
+    if len(granules) % 2:
+        raise ValueError("granules come in pairs (2 per MPEG-1 frame)")
+    if sample_rate not in MP3_RATES:
+        raise ValueError(f"unsupported MP3 sample rate {sample_rate}")
+    sr_idx = MP3_RATES.index(sample_rate)
+    br_idx = 1  # 32 kbps
+    frame_len = 144 * MP3_BITRATES[br_idx] * 1000 // sample_rate
+    out = bytearray()
+    for f in range(0, len(granules), 2):
+        pair = granules[f : f + 2]
+        mains, fields = [], []
+        for values, gain_e in pair:
+            if not 0 <= gain_e <= 7:
+                raise ValueError("gain_e out of the subset's 0..7 grid")
+            if len(values) > 9 * 2:
+                raise ValueError("subset codes subband 0 only (18 lines)")
+            vals = list(values) + [0] * (len(values) % 2)  # whole pairs
+            for v in vals:
+                if not -15 <= v <= 15:
+                    raise ValueError("big-values magnitude above 15")
+            mw = _MsbBitWriter()
+            for i in range(0, len(vals), 2):
+                for v in (vals[i], vals[i + 1]):
+                    _mp3_put_gamma(mw, abs(v))
+                    if v:
+                        mw.bits(1 if v < 0 else 0, 1)
+            nbits = len(mw.out) * 8 + mw._n
+            fields.append((len(vals) // 2, 210 + 4 * gain_e, nbits))
+            mains.append(mw)
+        bw = _MsbBitWriter()
+        # header: sync(11)=all ones, ID(2)=11 (MPEG-1), layer(2)=01,
+        # prot(1)=1 (no CRC)
+        bw.bits(0x7FF, 11)
+        bw.bits(0b11, 2)
+        bw.bits(0b01, 2)
+        bw.bits(1, 1)
+        bw.bits(br_idx, 4)
+        bw.bits(sr_idx, 2)
+        bw.bits(0, 1)  # padding
+        bw.bits(0, 1)  # private
+        bw.bits(0b11, 2)  # mode: single channel
+        bw.bits(0, 2)  # mode extension
+        bw.bits(0, 1)  # copyright
+        bw.bits(0, 1)  # original
+        bw.bits(0, 2)  # emphasis
+        # side info, mono: 17 bytes
+        bw.bits(0, 9)  # main_data_begin = 0 (no reservoir)
+        bw.bits(0, 5)  # private
+        bw.bits(0, 4)  # scfsi
+        for big_values, gg, nbits in fields:
+            bw.bits(nbits, 12)  # part2_3_length (no scalefactor bits)
+            bw.bits(big_values, 9)
+            bw.bits(gg, 8)
+            bw.bits(0, 4)  # scalefac_compress
+            bw.bits(0, 1)  # window_switching
+            bw.bits(1, 5)  # table_select region0 = repo gamma table id 1
+            bw.bits(0, 5)
+            bw.bits(0, 5)
+            bw.bits(0, 4)  # region0_count
+            bw.bits(0, 3)  # region1_count
+            bw.bits(0, 1)  # preflag
+            bw.bits(0, 1)  # scalefac_scale
+            bw.bits(0, 1)  # count1table_select
+        for mw in mains:
+            bw.bits(int.from_bytes(bytes(mw.out), "big"), len(mw.out) * 8)
+            if mw._n:
+                bw.bits(mw._acc, mw._n)
+        frame = bytearray(bw.flush())
+        if len(frame) > frame_len:
+            raise ValueError("granule pair overflows one 32 kbps frame")
+        frame.extend(b"\x00" * (frame_len - len(frame)))  # ancillary pad
+        out += frame
+    return bytes(out)
+
+
+def _mp3_granule_pcm(xr: list, prev: list) -> tuple:
+    """One granule through the exact integer chain: 36-point IMDCT of
+    the 18 subband-0 lines (MP3_C36), long-block window (MP3_WIN),
+    overlap-add with the previous granule's tail, then the 32-tap
+    synthesis stage per subband sample. Returns (576 raw accumulator
+    values, new 18-value overlap tail) — everything linear in xr, one
+    rounding applied by the caller."""
+    sw = [
+        sum(xr[i] * MP3_C36[i][n] for i in range(18) if xr[i]) * MP3_WIN[n]
+        for n in range(36)
+    ]
+    z = [sw[j] + prev[j] for j in range(18)]
+    acc = [0] * 576
+    for j in range(18):
+        zj = z[j]
+        if zj:
+            base = 32 * j
+            for p in range(32):
+                acc[base + p] = zj * MP3_SYN[p]
+    return acc, sw[18:36]
+
+
+def decode_mp3(payload: bytes) -> AudioData:
+    """MPEG-1 Layer III mono decoder for the structural subset above:
+    header + side-info parse per ISO 11172-3, Huffman big-values decode
+    (repo gamma table), pow-4/3 requantization on the integer gain grid,
+    IMDCT + window + overlap-add + synthesis in exact integers, one
+    round-half-up >> MP3_SHIFT and int16 clip per sample. 1152 samples
+    per frame. Structure outside the subset raises
+    ``NotImplementedError``; malformed streams raise ``ValueError``."""
+    pos = 0
+    samples: list = []
+    prev = [0] * 18
+    while pos < len(payload):
+        if pos + 21 > len(payload):
+            raise ValueError("truncated MP3 frame header/side info")
+        hdr = _MsbBitReader(payload, pos)
+        if hdr.bits(11) != 0x7FF:
+            raise ValueError("bad MP3 sync word")
+        if hdr.bits(2) != 0b11:
+            raise NotImplementedError("only MPEG-1 audio decodes")
+        if hdr.bits(2) != 0b01:
+            raise NotImplementedError("only Layer III decodes")
+        hdr.bits(1)  # protection (CRC absent when 1)
+        br_idx = hdr.bits(4)
+        sr_idx = hdr.bits(2)
+        padding = hdr.bits(1)
+        hdr.bits(1)  # private
+        if hdr.bits(2) != 0b11:
+            raise NotImplementedError("only single-channel (mono) decodes")
+        hdr.bits(6)  # mode ext / copyright / original / emphasis
+        if br_idx in (0, 15) or sr_idx > 2:
+            raise ValueError("bad MP3 bitrate/samplerate index")
+        sample_rate = MP3_RATES[sr_idx]
+        frame_len = 144 * MP3_BITRATES[br_idx] * 1000 // sample_rate + padding
+        if pos + frame_len > len(payload):
+            raise ValueError("truncated MP3 frame")
+        si = _MsbBitReader(payload, pos + 4)
+        if si.bits(9) != 0:
+            raise NotImplementedError("MP3 bit reservoir (main_data_begin != 0)")
+        si.bits(5)  # private
+        if si.bits(4) != 0:
+            raise NotImplementedError("MP3 scfsi scalefactor sharing")
+        gr_fields = []
+        for _g in range(2):
+            part23 = si.bits(12)
+            big_values = si.bits(9)
+            gg = si.bits(8)
+            if si.bits(4) != 0:
+                raise NotImplementedError("MP3 scalefactors")
+            if si.bits(1) != 0:
+                raise NotImplementedError("MP3 short/mixed blocks")
+            if si.bits(5) != 1:
+                raise NotImplementedError("only the repo gamma table (id 1) decodes")
+            si.bits(10)  # table_select for the empty regions 1/2
+            si.bits(7)  # region0_count(4) + region1_count(3)
+            if si.bits(1) != 0:
+                raise NotImplementedError("MP3 preflag")
+            if si.bits(1) != 0:
+                raise NotImplementedError("MP3 scalefac_scale")
+            if si.bits(1) != 0:
+                raise NotImplementedError("MP3 count1 table B")
+            if big_values > 9:
+                raise NotImplementedError("subset decodes subband 0 only")
+            if (gg - 210) % 4:
+                raise NotImplementedError("gain off the 2^((gg-210)/4) grid")
+            gr_fields.append((part23, big_values, (gg - 210) // 4))
+        md = _MsbBitReader(payload, pos + 21)
+        for part23, big_values, gain_e in gr_fields:
+            start_bits = md.pos * 8 - md._n
+            xr = [0] * 18
+            for i in range(big_values * 2):
+                mag = _mp3_get_gamma(md)
+                if mag > 15:
+                    raise ValueError("big-values magnitude above 15")
+                sign = -1 if (mag and md.bits(1)) else 1
+                xr[i] = sign * MP3_POW43[mag] * (1 << gain_e) if mag else 0
+            used = md.pos * 8 - md._n - start_bits
+            if used > part23:
+                raise ValueError("MP3 main data overruns part2_3_length")
+            md.bits(part23 - used)  # stuffing up to the declared length
+            acc, prev = _mp3_granule_pcm(xr, prev)
+            half = 1 << (MP3_SHIFT - 1)
+            samples.extend(
+                max(-32768, min(32767, (a + half) >> MP3_SHIFT)) for a in acc
+            )
+        pos += frame_len
+    if not samples:
+        raise ValueError("no MP3 frames in stream")
+    return AudioData(sample_rate, 1, 16, samples)
+
+
+def mp3_line_taps(n_granules: int = 2, lines: tuple = (0, 1)) -> dict:
+    """Exact integer tap tables for the SQL oracle: ``taps[(g, l)][t]``
+    is the raw pre-rounding accumulator contribution of a unit spectral
+    line ``l`` in granule ``g`` to output sample ``t`` (the whole chain
+    is linear in xr with one final rounding, so a decode is the
+    superposition xr_{g,l} * tap — pytest pins this equality against
+    the stagewise decoder)."""
+    taps: dict = {}
+    for g in range(n_granules):
+        for line in lines:
+            xr = [0] * 18
+            xr[line] = 1
+            prev = [0] * 18
+            out: list = []
+            for gg in range(n_granules):
+                acc, prev = _mp3_granule_pcm(xr if gg == g else [0] * 18, prev)
+                out.extend(acc)
+            taps[(g, line)] = out
+    return taps

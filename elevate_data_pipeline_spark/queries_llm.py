@@ -4815,6 +4815,114 @@ def multimodal_g711_decode(spark, sf_dir):
     )
 
 
+def _sql_mp3() -> str:
+    """Oracle for multimodal_mp3_decode: the decode chain is exactly
+    linear in the requantized lines with ONE final round-half-up shift
+    (operators/multimodal.mp3_line_taps — pytest-pinned superposition),
+    so the replay is xr_{g,l} * tap_{g,l}[t] summed per sample, floored
+    after adding half, clipped to int16. Tap tables and the pow-4/3
+    requant table are the repo module constants embedded as literals
+    (the plane_coeffs / IMA-steps oracle pattern). Division by 2^21 is
+    exact in doubles (|acc| < 2^53), so floor replays the arithmetic
+    shift bit-for-bit."""
+    taps = multimodal.mp3_line_taps()
+    t = {
+        k: "[" + ",".join(str(v) for v in taps[k]) + "]"
+        for k in ((0, 0), (0, 1), (1, 0), (1, 1))
+    }
+    p43 = "[" + ",".join(str(v) for v in multimodal.MP3_POW43) + "]"
+    half = 1 << (multimodal.MP3_SHIFT - 1)
+    pow2 = 1 << multimodal.MP3_SHIFT
+    return f"""
+    WITH cfg AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 14 AS INT) AS v00,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS s00,
+             CAST(1 + (doc_id * 7) % 15 AS INT) AS v01,
+             CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END AS s01,
+             CAST((doc_id * 3) % 16 AS INT) AS v10,
+             CASE WHEN doc_id % 5 = 0 THEN -1 ELSE 1 END AS s10,
+             CAST(1 + (doc_id * 5) % 13 AS INT) AS v11,
+             CASE WHEN doc_id % 7 = 0 THEN -1 ELSE 1 END AS s11,
+             CAST(doc_id % 8 AS INT) AS e0,
+             CAST((doc_id * 3) % 8 AS INT) AS e1
+      FROM documents
+    ), xr AS (
+      SELECT doc_id,
+             s00 * ({p43})[v00 + 1] * (CAST(1 AS BIGINT) << e0) AS x00,
+             s01 * ({p43})[v01 + 1] * (CAST(1 AS BIGINT) << e0) AS x01,
+             s10 * ({p43})[v10 + 1] * (CAST(1 AS BIGINT) << e1) AS x10,
+             s11 * ({p43})[v11 + 1] * (CAST(1 AS BIGINT) << e1) AS x11
+      FROM cfg
+    ), pcm AS (
+      SELECT doc_id,
+             greatest(-32768, least(32767, CAST(floor(
+               (x00 * ({t[(0, 0)]})[s + 1] + x01 * ({t[(0, 1)]})[s + 1]
+                + x10 * ({t[(1, 0)]})[s + 1] + x11 * ({t[(1, 1)]})[s + 1]
+                + {half}) / {pow2}.0) AS BIGINT))) AS p
+      FROM xr, (SELECT unnest(range(0, 1152)) AS s)
+    )
+    SELECT doc_id AS doc_id,
+           CAST(1152 AS BIGINT) AS n_samples,
+           CAST(44100 AS INT) AS sample_rate,
+           CAST(max(abs(p)) AS BIGINT) AS peak,
+           CAST(sum(p * p) AS BIGINT) AS energy
+    FROM pcm GROUP BY doc_id
+    """
+
+
+@query("multimodal_mp3_decode", _sql_mp3())
+def multimodal_mp3_decode(spark, sf_dir):
+    """REAL MPEG-audio decode (no stub): per doc two granules of signed
+    quantized spectral lines + gains are written through
+    ``operators/multimodal.encode_mp3`` (MPEG-1 Layer III mono framing:
+    sync header, 17-byte side info, Huffman-coded big-values pairs) and
+    decoded back by the full structural chain in ``decode_mp3`` (header/
+    side-info parse, Huffman decode, pow-4/3 requantization, 36-point
+    IMDCT + long-block window, inter-granule overlap-add, synthesis,
+    int16 rounding) inside mapInPandas — dispatched through
+    ``decode_audio`` so the MPEG sync-sniffing path runs too. The spec's
+    empirical tables are repo-defined swap-ins (see the module banner);
+    the oracle replays the decode as the pinned linear superposition
+    over the tap tables, a bit-exact gate on the whole encoder+decoder
+    pair. One narrow scan, no shuffle: the 100 TB shape."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                g0 = (
+                    [(1 if did % 2 == 0 else -1) * (1 + did % 14),
+                     (-1 if did % 3 == 0 else 1) * (1 + (did * 7) % 15)],
+                    did % 8,
+                )
+                g1 = (
+                    [(-1 if did % 5 == 0 else 1) * ((did * 3) % 16),
+                     (-1 if did % 7 == 0 else 1) * (1 + (did * 5) % 13)],
+                    (did * 3) % 8,
+                )
+                au = multimodal.decode_audio(multimodal.encode_mp3([g0, g1]))
+                rows.append(
+                    (did, len(au.samples), au.sample_rate,
+                     max(abs(s) for s in au.samples),
+                     sum(s * s for s in au.samples))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "sample_rate", "peak", "energy"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_samples long, sample_rate int, peak long, energy long",
+    )
+
+
 @query(
     "multimodal_exif_meta",
     """

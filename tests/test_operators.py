@@ -2352,8 +2352,13 @@ def test_decode_audio_dispatch():
     sig = [((i * 11) % 2001) - 1000 for i in range(200)]
     assert mm.decode_audio(mm.encode_wav(sig, 16000)).samples == sig
     assert mm.decode_audio(mm.encode_flac(sig, 16000)).samples == sig
+    # MPEG frames dispatch to decode_mp3 — bare and behind an ID3v2 tag
+    enc = mm.encode_mp3([([3, -5], 2), ([-7, 1], 5)])
+    assert len(mm.decode_audio(enc).samples) == 1152
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 8]) + b"TAGDATA!" + enc
+    assert mm.decode_audio(id3).samples == mm.decode_mp3(enc).samples
     with pytest.raises(NotImplementedError):
-        mm.decode_audio(b"ID3\x04tag-of-an-mp3")
+        mm.decode_audio(b"OggS\x00opus-or-vorbis")
 
 
 def test_vp8_reencode_idempotent_and_foreign_guard(monkeypatch):
@@ -2430,6 +2435,72 @@ def test_g711_wav_word_alignment():
         data_size = int.from_bytes(enc[data_at + 4 : data_at + 8], "little")
         assert data_size == n  # pad excluded from the chunk size
         assert len(mm.decode_wav(enc).samples) == n
+
+
+def test_mp3_roundtrip_superposition_and_framing():
+    """MP3 structural subset: encode -> decode must equal the pinned
+    linear superposition of per-line tap tables (the property the SQL
+    oracle replays), across single- and multi-frame streams; frames are
+    exactly 104 bytes at 32 kbps / 44.1 kHz."""
+    import random
+
+    from elevate_data_pipeline_spark.operators import multimodal as mm
+
+    rng = random.Random(4242)
+    for n_frames in (1, 1, 2, 3):
+        grans = []
+        for _ in range(2 * n_frames):
+            vals = [rng.choice([-1, 1]) * rng.randrange(16) for _ in range(2)]
+            grans.append((vals, rng.randrange(8)))
+        enc = mm.encode_mp3(grans)
+        assert len(enc) == 104 * n_frames
+        au = mm.decode_mp3(enc)
+        assert (au.sample_rate, au.channels, au.bits) == (44100, 1, 16)
+        assert len(au.samples) == 1152 * n_frames
+        taps = mm.mp3_line_taps(n_granules=2 * n_frames)
+        half = 1 << (mm.MP3_SHIFT - 1)
+        pred = []
+        for t in range(576 * 2 * n_frames):
+            acc = 0
+            for g, (vals, e) in enumerate(grans):
+                for line, v in enumerate(vals):
+                    if v:
+                        xr = (
+                            (-1 if v < 0 else 1)
+                            * mm.MP3_POW43[abs(v)] * (1 << e)
+                        )
+                        acc += xr * taps[(g, line)][t]
+            pred.append(max(-32768, min(32767, (acc + half) >> mm.MP3_SHIFT)))
+        assert pred == au.samples
+
+
+def test_mp3_subset_rejections():
+    """Out-of-subset structure must fail loud, never decode silently."""
+    from elevate_data_pipeline_spark.operators import multimodal as mm
+
+    enc = bytearray(mm.encode_mp3([([2, -3], 1), ([0, 4], 6)]))
+    with pytest.raises(ValueError):  # broken sync
+        bad = bytearray(enc)
+        bad[0] = 0x00
+        mm.decode_mp3(bytes(bad))
+    with pytest.raises(NotImplementedError):  # Layer II
+        bad = bytearray(enc)
+        bad[1] = 0xFD
+        mm.decode_mp3(bytes(bad))
+    with pytest.raises(NotImplementedError):  # stereo mode
+        bad = bytearray(enc)
+        bad[3] &= 0x3F
+        mm.decode_mp3(bytes(bad))
+    with pytest.raises(NotImplementedError):  # bit reservoir
+        bad = bytearray(enc)
+        bad[4] |= 0x80  # main_data_begin high bit
+        mm.decode_mp3(bytes(bad))
+    with pytest.raises(ValueError):  # truncated frame
+        mm.decode_mp3(bytes(enc[:50]))
+    with pytest.raises(ValueError):  # encoder gate: magnitude > 15
+        mm.encode_mp3([([16, 0], 0), ([0, 0], 0)])
+    with pytest.raises(ValueError):  # encoder gate: odd granule count
+        mm.encode_mp3([([1, 0], 0)])
 
 
 def test_flac_stereo_roundtrip():
