@@ -4770,3 +4770,86 @@ def mp3_line_taps(n_granules: int = 2, lines: tuple = (0, 1)) -> dict:
                 out.extend(acc)
             taps[(g, line)] = out
     return taps
+
+
+def encode_id3v2(frames: list, mp3: bytes = b"") -> bytes:
+    """ID3v2.4 tag writer: 10-byte header (synchsafe 28-bit size), then
+    one text frame per ``(frame_id, text)`` — 4-char id, synchsafe
+    size, two zero flag bytes, encoding byte 3 (UTF-8) + text — with
+    the MPEG frames appended after the tag (the standard MP3 file
+    layout the :func:`_skip_id3v2` dispatch path consumes)."""
+    body = b""
+    for fid, text in frames:
+        if len(fid) != 4 or not fid.isalnum():
+            raise ValueError(f"bad ID3v2 frame id {fid!r}")
+        payload = b"\x03" + text.encode("utf-8")
+        size = len(payload)
+        if size >= 1 << 28:
+            raise ValueError("ID3v2 frame too large")
+        ss = bytes(
+            (size >> s) & 0x7F for s in (21, 14, 7, 0)
+        )
+        body += fid.encode("ascii") + ss + b"\x00\x00" + payload
+    total = len(body)
+    if total >= 1 << 28:
+        raise ValueError("ID3v2 tag too large")
+    hdr = b"ID3\x04\x00\x00" + bytes(
+        (total >> s) & 0x7F for s in (21, 14, 7, 0)
+    )
+    return hdr + body + mp3
+
+
+def decode_id3v2(payload: bytes) -> list:
+    """ID3v2.4 tag walk: returns ``(frame_id, text)`` per text frame.
+    The tag boundary comes from the header's synchsafe size; frames stop
+    at zero-padding. Non-text encodings (byte 0/3 = latin-1/UTF-8 are
+    decoded; 1/2 = UTF-16 raise NotImplementedError) and malformed
+    structures raise loudly."""
+    if payload[:3] != b"ID3":
+        raise ValueError("no ID3v2 tag")
+    if len(payload) < 10:
+        raise ValueError("truncated ID3v2 header")
+    major = payload[3]
+    if major not in (3, 4):
+        raise NotImplementedError(f"ID3v2.{major} not supported")
+    size = 0
+    for b in payload[6:10]:
+        if b & 0x80:
+            raise ValueError("bad ID3v2 synchsafe size byte")
+        size = (size << 7) | b
+    end = 10 + size
+    if end > len(payload):
+        raise ValueError("ID3v2 tag runs past end of stream")
+    frames: list = []
+    pos = 10
+    while pos + 10 <= end:
+        if payload[pos] == 0:  # zero padding starts
+            break
+        fid = payload[pos : pos + 4].decode("ascii", "replace")
+        raw = payload[pos + 4 : pos + 8]
+        if major == 4:
+            fsize = 0
+            for b in raw:
+                if b & 0x80:
+                    raise ValueError("bad ID3v2.4 frame synchsafe size")
+                fsize = (fsize << 7) | b
+        else:
+            fsize = int.from_bytes(raw, "big")
+        fpos = pos + 10
+        if fpos + fsize > end:
+            raise ValueError(f"ID3v2 frame {fid} runs past the tag")
+        body = payload[fpos : fpos + fsize]
+        if fid.startswith("T") and body:
+            enc = body[0]
+            if enc in (1, 2):
+                raise NotImplementedError("UTF-16 ID3v2 text frames")
+            if enc not in (0, 3):
+                raise ValueError(f"bad ID3v2 text encoding {enc}")
+            text = body[1:].split(b"\x00")[0].decode(
+                "utf-8" if enc == 3 else "latin-1"
+            )
+            frames.append((fid, text))
+        else:
+            frames.append((fid, body.hex()))
+        pos = fpos + fsize
+    return frames

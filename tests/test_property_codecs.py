@@ -134,3 +134,52 @@ def test_exif_malformed_rejection():
         mm.decode_exif_jpeg(b"\xff\xd8\xff\xd9")   # JPEG without APP1
     with pytest.raises(ValueError):
         mm.decode_exif_jpeg(b"PNG...")             # not a JPEG
+
+
+_ID3_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF,
+                           exclude_characters="\x00"),
+    min_size=0, max_size=40,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    frames=st.lists(
+        st.tuples(
+            st.text(alphabet="ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789",
+                    min_size=3, max_size=3).map(lambda s: "T" + s),
+            _ID3_TEXT,
+        ),
+        min_size=1, max_size=6,
+    ),
+    trailer=st.binary(min_size=0, max_size=32),
+)
+def test_id3v2_roundtrip_property(frames, trailer):
+    """ANY UTF-8 text-frame set must walk back exactly, and the
+    synchsafe tag size must bound the walk so trailing MPEG bytes are
+    never read as frames."""
+    tagged = mm.encode_id3v2(frames, trailer)
+    got = mm.decode_id3v2(tagged)
+    assert got == frames
+    assert mm._skip_id3v2(tagged) == trailer
+
+
+def test_id3v2_malformed_rejection():
+    import pytest
+
+    good = mm.encode_id3v2([("TIT2", "x")])
+    with pytest.raises(ValueError):
+        mm.decode_id3v2(b"NOT")
+    with pytest.raises(ValueError):
+        mm.decode_id3v2(good[:8])                     # truncated header
+    with pytest.raises(NotImplementedError):
+        mm.decode_id3v2(b"ID3\x02\x00\x00\x00\x00\x00\x00")  # v2.2
+    bad = bytearray(good)
+    bad[9] = 0x7F  # declared size past end
+    with pytest.raises(ValueError):
+        mm.decode_id3v2(bytes(bad))
+    utf16 = bytearray(good)
+    utf16[20] = 1  # encoding byte -> UTF-16
+    with pytest.raises(NotImplementedError):
+        mm.decode_id3v2(bytes(utf16))
