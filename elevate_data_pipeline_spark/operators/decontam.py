@@ -76,12 +76,16 @@ def ngram_contamination(
 # Gate for the driver-local Bloom-decontamination tier (pattern of
 # dedup._SPANS_LOCAL_MAX_ROWS): gram extraction, polyhash, bloom bit
 # math and the exact-set compare are all integer replays over Python
-# sets/dicts. Set BELOW the measured crossover with margin
-# (docs/TIER_CROSSOVER.md, 3-run medians: local wins through 4k docs —
-# 2.39 s vs 2.82 s — ties at 5k (4.40 vs 4.21), loses 2.2x at 20k) —
-# the single-threaded gram/set replay scales linearly in corpus text
-# while the distributed chain amortizes across cores.
-_BLOOM_LOCAL_MAX_ROWS = 3_000
+# sets/dicts. The gate sits AT the measured crossover because the tie
+# there is proven noise in BOTH directions (docs/PERF_NOTES_r8.md):
+# on the synthetic crossover corpus distributed edges local by 4% at
+# 5k docs (4.21 vs 4.40 s, docs/TIER_CROSSOVER.md), on the REAL
+# testdata at the same 5k local edges distributed by 5% (2.96 vs
+# 3.11 s, 5-run solo medians), and in full-sweep context the local
+# tier is clearly cheaper (3.3 vs 4.7-5.3 s — fewer stages, less GC
+# exposure). Above the gate the distributed chain wins decisively
+# (2.2x at 20k, 2.8x at 50k).
+_BLOOM_LOCAL_MAX_ROWS = 5_000
 
 
 def _hll_hash_py(v: int) -> int:

@@ -372,10 +372,12 @@ def render() -> None:
         "measured crossovers in round 7 (bloom 100k->5k, spans",
         "100k->50k, lloyd 100k->8k, pagerank 1M->500k), then round 8",
         "measured BELOW the spans/bloom gates (10k/20k/30k and",
-        "2k/3k/4k, 3-run medians) and moved both gates under their",
-        "crossovers with margin: spans 50k->10k (local wins at 10k,",
-        "loses from 20k), bloom 5k->3k (local wins through 4k, ties",
-        "at 5k).",
+        "2k/3k/4k, 3-run medians): spans moved 50k->10k (local wins",
+        "at 10k, loses from 20k); bloom KEEPS 5k — the tie at its",
+        "gate is proven noise both directions (synthetic corpus",
+        "distributed +4%, REAL testdata local +5% in 5-run solo",
+        "medians; full-sweep context local clearly cheaper — see",
+        "docs/PERF_NOTES_r8.md).",
         "",
         "| family | gate | n | local s | distributed s | winner |",
         "|---|---|---|---|---|---|",
