@@ -3395,6 +3395,11 @@ def encode_vp8(width: int, height: int, gray: bytes, qi: int = 20) -> bytes:
     return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
 
 
+# Frame-bytes -> verified memo for the VP8 foreign-stream guard below
+# (FIFO-evicted at 4096 entries; executor-local, bounded).
+_VP8_VERIFIED: dict = {}
+
+
 def _decode_vp8(frame: bytes) -> ImageData:
     """VP8 key-frame decoder for the structural subset above: parses the
     full keyframe header, boolean-decodes modes and coefficient tokens,
@@ -3542,9 +3547,16 @@ def _decode_vp8(frame: bytes) -> ImageData:
     # reconstructions — pytest-pinned), so verify by re-encoding the
     # reconstruction and comparing bytes; anything else raises unless
     # the caller explicitly opts in via SPARK_GRAFT_VP8_FOREIGN=1.
+    # Byte-identical frames decode and verify identically, so the
+    # verdict is memoized per frame bytes (bounded, executor-local) —
+    # this removes the re-encode from the hot path when a corpus
+    # repeats frame content without weakening the guarantee.
     import os as _os
 
-    if _os.environ.get("SPARK_GRAFT_VP8_FOREIGN") != "1":
+    if (
+        _os.environ.get("SPARK_GRAFT_VP8_FOREIGN") != "1"
+        and frame not in _VP8_VERIFIED
+    ):
         gray = bytes(v for row in ylum for v in row)
         ver = encode_vp8(width, height, gray, qi)
         vsz = int.from_bytes(ver[16:20], "little")
@@ -3555,6 +3567,10 @@ def _decode_vp8(frame: bytes) -> ImageData:
                 "non-conformant; set SPARK_GRAFT_VP8_FOREIGN=1 to decode "
                 "anyway"
             )
+        if len(frame) <= 1 << 20:  # don't hold multi-MB frames
+            _VP8_VERIFIED[bytes(frame)] = None
+            if len(_VP8_VERIFIED) > 4096:
+                _VP8_VERIFIED.pop(next(iter(_VP8_VERIFIED)))
 
     # flat 128 chroma -> BT.601 collapses to R=G=B=Y
     px = bytearray(width * height * 3)
@@ -4416,8 +4432,12 @@ def decode_exif(tiff: bytes) -> list:
 
     rows: list = []
     sub_offsets: list = []
+    seen_ifds: set = set()
 
     def walk(at: int, name: str) -> None:
+        if at in seen_ifds:
+            raise ValueError(f"cyclic IFD chain (offset {at} revisited)")
+        seen_ifds.add(at)
         if at + 2 > len(tiff):
             raise ValueError(f"{name} offset past end of stream")
         (n,) = struct.unpack(end + "H", tiff[at : at + 2])
@@ -4457,6 +4477,8 @@ def decode_exif(tiff: bytes) -> list:
 
     walk(ifd_at, "IFD0")
     for off in sub_offsets:
+        if len(seen_ifds) > 32:
+            raise ValueError("too many sub-IFDs (cap 32)")
         walk(off, "EXIF")
     return rows
 
@@ -4476,6 +4498,8 @@ def decode_exif_jpeg(payload: bytes) -> list:
             pos += 2
             continue
         seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        if seg_len < 2 or pos + 2 + seg_len > len(payload):
+            raise ValueError(f"bad JPEG segment length {seg_len} at {pos}")
         body = payload[pos + 4 : pos + 2 + seg_len]
         if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
             return decode_exif(body[6:])
@@ -4772,39 +4796,65 @@ def mp3_line_taps(n_granules: int = 2, lines: tuple = (0, 1)) -> dict:
     return taps
 
 
-def encode_id3v2(frames: list, mp3: bytes = b"") -> bytes:
-    """ID3v2.4 tag writer: 10-byte header (synchsafe 28-bit size), then
-    one text frame per ``(frame_id, text)`` — 4-char id, synchsafe
-    size, two zero flag bytes, encoding byte 3 (UTF-8) + text — with
-    the MPEG frames appended after the tag (the standard MP3 file
-    layout the :func:`_skip_id3v2` dispatch path consumes)."""
+def encode_id3v2(frames: list, mp3: bytes = b"", version: int = 4) -> bytes:
+    """ID3v2.3/2.4 tag writer: 10-byte header (synchsafe 28-bit tag
+    size in BOTH versions), then one text frame per ``(frame_id,
+    text)`` or ``(frame_id, text, encoding)`` — 4-char id, frame size
+    (synchsafe in v2.4, raw big-endian in v2.3), two zero flag bytes,
+    encoding byte + text — with the MPEG frames appended after the tag
+    (the standard MP3 file layout the :func:`_skip_id3v2` dispatch path
+    consumes). Encodings: 0 latin-1, 1 UTF-16 w/ BOM (little-endian),
+    2 UTF-16BE (v2.4 only), 3 UTF-8 (v2.4 only). Default encoding is 3
+    for v2.4 and 0 for v2.3 (each version's canonical choice)."""
+    if version not in (3, 4):
+        raise ValueError(f"ID3v2.{version} writer not supported")
     body = b""
-    for fid, text in frames:
+    for entry in frames:
+        fid, text = entry[0], entry[1]
+        enc = entry[2] if len(entry) > 2 else (3 if version == 4 else 0)
         if len(fid) != 4 or not fid.isalnum():
             raise ValueError(f"bad ID3v2 frame id {fid!r}")
-        payload = b"\x03" + text.encode("utf-8")
+        if version == 3 and enc not in (0, 1):
+            raise ValueError(f"encoding {enc} invalid for ID3v2.3 (0/1 only)")
+        if enc == 0:
+            data = text.encode("latin-1")
+        elif enc == 1:
+            data = b"\xff\xfe" + text.encode("utf-16-le")
+        elif enc == 2:
+            data = text.encode("utf-16-be")
+        elif enc == 3:
+            data = text.encode("utf-8")
+        else:
+            raise ValueError(f"bad ID3v2 text encoding {enc}")
+        payload = bytes([enc]) + data
         size = len(payload)
         if size >= 1 << 28:
             raise ValueError("ID3v2 frame too large")
-        ss = bytes(
-            (size >> s) & 0x7F for s in (21, 14, 7, 0)
-        )
-        body += fid.encode("ascii") + ss + b"\x00\x00" + payload
+        if version == 4:
+            raw = bytes((size >> s) & 0x7F for s in (21, 14, 7, 0))
+        else:
+            raw = size.to_bytes(4, "big")
+        body += fid.encode("ascii") + raw + b"\x00\x00" + payload
     total = len(body)
     if total >= 1 << 28:
         raise ValueError("ID3v2 tag too large")
-    hdr = b"ID3\x04\x00\x00" + bytes(
+    hdr = b"ID3" + bytes([version, 0, 0]) + bytes(
         (total >> s) & 0x7F for s in (21, 14, 7, 0)
     )
     return hdr + body + mp3
 
 
 def decode_id3v2(payload: bytes) -> list:
-    """ID3v2.4 tag walk: returns ``(frame_id, text)`` per text frame.
-    The tag boundary comes from the header's synchsafe size; frames stop
-    at zero-padding. Non-text encodings (byte 0/3 = latin-1/UTF-8 are
-    decoded; 1/2 = UTF-16 raise NotImplementedError) and malformed
-    structures raise loudly."""
+    """ID3v2.3/2.4 tag walk: returns ``(frame_id, text)`` per text
+    frame. The tag boundary comes from the header's synchsafe size;
+    v2.4 frame sizes are synchsafe, v2.3 raw big-endian; frames stop at
+    zero-padding. All four text encodings decode (0 latin-1, 1 UTF-16
+    w/ BOM, 2 UTF-16BE, 3 UTF-8 — the last two v2.4-only per spec).
+    Header flags (unsynchronisation / extended header / experimental /
+    footer) and nonzero per-frame flag bytes (compression, encryption,
+    grouping, unsync) raise NotImplementedError — a silently misparsed
+    foreign tag would poison downstream metadata — and malformed
+    structures raise ValueError."""
     if payload[:3] != b"ID3":
         raise ValueError("no ID3v2 tag")
     if len(payload) < 10:
@@ -4812,6 +4862,11 @@ def decode_id3v2(payload: bytes) -> list:
     major = payload[3]
     if major not in (3, 4):
         raise NotImplementedError(f"ID3v2.{major} not supported")
+    if payload[5]:
+        raise NotImplementedError(
+            f"ID3v2 header flags 0x{payload[5]:02x} "
+            "(unsync/ext-header/experimental/footer) not supported"
+        )
     size = 0
     for b in payload[6:10]:
         if b & 0x80:
@@ -4835,19 +4890,37 @@ def decode_id3v2(payload: bytes) -> list:
                 fsize = (fsize << 7) | b
         else:
             fsize = int.from_bytes(raw, "big")
+        flags = payload[pos + 8 : pos + 10]
+        if flags != b"\x00\x00":
+            raise NotImplementedError(
+                f"ID3v2 frame {fid} flags {flags.hex()} "
+                "(compression/encryption/grouping/unsync) not supported"
+            )
         fpos = pos + 10
         if fpos + fsize > end:
             raise ValueError(f"ID3v2 frame {fid} runs past the tag")
         body = payload[fpos : fpos + fsize]
         if fid.startswith("T") and body:
             enc = body[0]
-            if enc in (1, 2):
-                raise NotImplementedError("UTF-16 ID3v2 text frames")
-            if enc not in (0, 3):
+            data = body[1:]
+            if enc == 1:
+                if data[:2] not in (b"\xff\xfe", b"\xfe\xff") or len(data) % 2:
+                    raise ValueError(f"ID3v2 frame {fid}: bad UTF-16 BOM/length")
+                text = data.decode("utf-16").split("\x00")[0]
+            elif enc == 2:
+                if major != 4:
+                    raise ValueError("encoding 2 (UTF-16BE) is v2.4-only")
+                if len(data) % 2:
+                    raise ValueError(f"ID3v2 frame {fid}: odd UTF-16BE length")
+                text = data.decode("utf-16-be").split("\x00")[0]
+            elif enc == 3:
+                if major != 4:
+                    raise ValueError("encoding 3 (UTF-8) is v2.4-only")
+                text = data.split(b"\x00")[0].decode("utf-8")
+            elif enc == 0:
+                text = data.split(b"\x00")[0].decode("latin-1")
+            else:
                 raise ValueError(f"bad ID3v2 text encoding {enc}")
-            text = body[1:].split(b"\x00")[0].decode(
-                "utf-8" if enc == 3 else "latin-1"
-            )
             frames.append((fid, text))
         else:
             frames.append((fid, body.hex()))

@@ -134,6 +134,35 @@ def test_exif_malformed_rejection():
         mm.decode_exif_jpeg(b"\xff\xd8\xff\xd9")   # JPEG without APP1
     with pytest.raises(ValueError):
         mm.decode_exif_jpeg(b"PNG...")             # not a JPEG
+    # seg_len < 2 is structurally impossible (the length field counts
+    # itself) — must raise, never silently skip a real Exif segment.
+    with pytest.raises(ValueError):
+        mm.decode_exif_jpeg(b"\xff\xd8" + b"\xff\xe0\x00\x01" + b"\xff\xd9")
+    with pytest.raises(ValueError):  # declared length past end of stream
+        mm.decode_exif_jpeg(b"\xff\xd8" + b"\xff\xe0\xff\xff")
+
+
+def test_exif_cyclic_subifd_rejected():
+    """A crafted TIFF whose EXIF sub-IFD (tag 0x8769) points back at
+    itself (or at IFD0) must raise, not hang: the walker tracks visited
+    IFD offsets and caps the sub-IFD fan-out."""
+    import struct
+    import pytest
+
+    def tiff_with_subifd_at(target: int) -> bytes:
+        # header(8) + IFD: count(2) + 1 entry(12) + next(4) = 26 bytes
+        hdr = b"II" + struct.pack("<HI", 42, 8)
+        entry = struct.pack("<HHII", 0x8769, 4, 1, target)
+        return hdr + struct.pack("<H", 1) + entry + b"\x00" * 4
+
+    with pytest.raises(ValueError, match="cyclic"):
+        mm.decode_exif(tiff_with_subifd_at(8))    # sub-IFD == IFD0
+    # Two IFDs pointing at each other: IFD0 at 8 -> sub at 26 -> back to 8.
+    hdr = b"II" + struct.pack("<HI", 42, 8)
+    ifd0 = struct.pack("<H", 1) + struct.pack("<HHII", 0x8769, 4, 1, 26) + b"\0" * 4
+    sub = struct.pack("<H", 1) + struct.pack("<HHII", 0x8769, 4, 1, 8) + b"\0" * 4
+    with pytest.raises(ValueError, match="cyclic"):
+        mm.decode_exif(hdr + ifd0 + sub)
 
 
 _ID3_TEXT = st.text(
@@ -180,6 +209,46 @@ def test_id3v2_malformed_rejection():
     with pytest.raises(ValueError):
         mm.decode_id3v2(bytes(bad))
     utf16 = bytearray(good)
-    utf16[20] = 1  # encoding byte -> UTF-16
-    with pytest.raises(NotImplementedError):
+    utf16[20] = 1  # encoding byte -> UTF-16 but body has no BOM / odd length
+    with pytest.raises(ValueError):
         mm.decode_id3v2(bytes(utf16))
+    hdrflags = bytearray(good)
+    hdrflags[5] = 0x40  # extended header bit: refuse loud, never misparse
+    with pytest.raises(NotImplementedError):
+        mm.decode_id3v2(bytes(hdrflags))
+    frameflags = bytearray(good)
+    frameflags[18] = 0x80  # per-frame flag byte (compression etc.)
+    with pytest.raises(NotImplementedError):
+        mm.decode_id3v2(bytes(frameflags))
+
+
+def test_id3v23_and_utf16_roundtrip():
+    """v2.3 (raw big-endian frame sizes, latin-1/UTF-16 encodings) and
+    every v2.4 encoding walk back exactly, including non-BMP-free
+    non-ASCII text through both UTF-16 byte orders."""
+    import pytest
+
+    v3_frames = [("TIT2", "Café", 0), ("TPE1", "Ärtist — ünïcode", 1)]
+    tagged3 = mm.encode_id3v2(v3_frames, b"MPEG", version=3)
+    assert tagged3[3] == 3
+    assert mm.decode_id3v2(tagged3) == [(f, t) for f, t, _ in v3_frames]
+    assert mm._skip_id3v2(tagged3) == b"MPEG"
+
+    v4_frames = [
+        ("TIT2", "plain", 0), ("TPE1", "utf16 — ü", 1),
+        ("TALB", "utf16be — ü", 2), ("TRCK", "7", 3),
+    ]
+    tagged4 = mm.encode_id3v2(v4_frames, version=4)
+    assert mm.decode_id3v2(tagged4) == [(f, t) for f, t, _ in v4_frames]
+
+    # v2.3 default encoding is latin-1; v2.3 forbids enc 2/3.
+    assert mm.decode_id3v2(mm.encode_id3v2([("TXXX", "x")], version=3)) == [
+        ("TXXX", "x")
+    ]
+    with pytest.raises(ValueError):
+        mm.encode_id3v2([("TIT2", "x", 3)], version=3)
+    # UTF-16BE / UTF-8 encoding bytes inside a v2.3 tag are malformed.
+    enc2_in_v3 = bytearray(mm.encode_id3v2([("TIT2", "ü", 1)], version=3))
+    enc2_in_v3[20] = 2
+    with pytest.raises(ValueError):
+        mm.decode_id3v2(bytes(enc2_in_v3))

@@ -65,3 +65,96 @@ def test_shared_scan_cache_reuses_persisted_table(spark, monkeypatch):
         for df in set(cat._SHARED_CACHE.values()):
             df.unpersist()
         cat._SHARED_CACHE.clear()
+
+
+def test_warc_roundtrip_and_reader(spark, tmp_path):
+    """encode_warc -> decode_warc is exact for both the per-member-gzip
+    (.warc.gz) and uncompressed layouts, and the distributed binaryFile
+    reader explodes one row per record with the parsed fields."""
+    from elevate_data_pipeline_spark.sources.warc import (
+        decode_warc,
+        encode_warc,
+        read_warc,
+    )
+
+    recs = [
+        {
+            "rec_type": "warcinfo",
+            "record_id": "<urn:uuid:0>",
+            "date": "2026-01-01T00:00:00Z",
+            "payload": b"software: edp\r\n",
+        },
+        {
+            "rec_type": "request",
+            "record_id": "<urn:uuid:1>",
+            "date": "2026-01-01T00:00:00Z",
+            "uri": "http://crawl.test/a",
+            "headers": {"Content-Type": "application/http"},
+            "payload": b"GET /a HTTP/1.1\r\nHost: crawl.test\r\n\r\n",
+        },
+        {
+            "rec_type": "response",
+            "record_id": "<urn:uuid:2>",
+            "date": "2026-01-01T00:00:00Z",
+            "uri": "http://crawl.test/a",
+            "payload": "unicode body — héllo\r\nbinary \x00\x01".encode(),
+        },
+    ]
+    for gz in (True, False):
+        back = decode_warc(encode_warc(recs, gzip_members=gz))
+        assert [r["rec_type"] for r in back] == ["warcinfo", "request", "response"]
+        assert [r["uri"] for r in back] == [None] + ["http://crawl.test/a"] * 2
+        assert [r["payload"] for r in back] == [r["payload"] for r in recs]
+        assert back[1]["headers"]["Content-Type"] == "application/http"
+
+    (tmp_path / "a.warc.gz").write_bytes(encode_warc(recs))
+    (tmp_path / "b.warc").write_bytes(encode_warc(recs[:1], gzip_members=False))
+    out = read_warc(spark, str(tmp_path)).collect()
+    assert len(out) == 4
+    by_file = {}
+    for row in out:
+        by_file.setdefault(row.path.rsplit("/", 1)[-1], []).append(row)
+    assert [r.rec_type for r in sorted(by_file["a.warc.gz"], key=lambda r: r.rec_idx)] == [
+        "warcinfo", "request", "response"
+    ]
+    resp = [r for r in by_file["a.warc.gz"] if r.rec_type == "response"][0]
+    assert bytes(resp.payload) == recs[2]["payload"]
+    assert resp.content_length == len(recs[2]["payload"])
+    assert by_file["b.warc"][0].rec_type == "warcinfo"
+
+
+def test_warc_malformed_rejection():
+    """Structural damage fails loud: bad version line, missing mandatory
+    header, short content block, missing trailer, truncated/garbage gzip
+    members, CR/LF header injection on encode."""
+    import pytest
+
+    from elevate_data_pipeline_spark.sources.warc import decode_warc, encode_warc
+
+    rec = {
+        "rec_type": "response",
+        "record_id": "<urn:uuid:9>",
+        "date": "2026-01-01T00:00:00Z",
+        "uri": "http://x/",
+        "payload": b"body",
+    }
+    plain = encode_warc([rec], gzip_members=False)
+    with pytest.raises(ValueError):
+        decode_warc(b"WARC/0.9\r\n" + plain.split(b"\r\n", 1)[1])
+    with pytest.raises(ValueError):  # drop the WARC-Date header line
+        decode_warc(b"".join(
+            ln + b"\r\n" for ln in plain.split(b"\r\n") if not ln.startswith(b"WARC-Date")
+        ))
+    with pytest.raises(ValueError):  # content shorter than Content-Length
+        decode_warc(plain[:-5])
+    with pytest.raises(ValueError):  # trailer CRLFCRLF corrupted
+        decode_warc(plain[:-4] + b"XXXX")
+    gz = encode_warc([rec])
+    with pytest.raises(ValueError):
+        decode_warc(gz[:-3])                         # truncated gzip member
+    with pytest.raises(ValueError):
+        decode_warc(gz + b"JUNK")                    # garbage between members
+    with pytest.raises(ValueError):
+        encode_warc([dict(rec, uri="http://x/\r\nWARC-Type: smuggled")])
+    with pytest.raises(ValueError):
+        encode_warc([dict(rec, payload="not-bytes")])
