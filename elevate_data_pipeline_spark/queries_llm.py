@@ -5542,3 +5542,65 @@ def warc_records(spark, sf_dir):
         "doc_id long, rec_idx int, rec_type string, target_uri string,"
         " content_length long, payload_md5 string",
     )
+
+
+@query(
+    "multimodal_id3_variants",
+    """
+    SELECT doc_id AS doc_id, v.version AS version,
+           'Tr' || chr(226) || 'ck ' || CAST(doc_id % 19 AS VARCHAR) AS title,
+           CASE v.version
+             WHEN 3 THEN chr(196) || 'rtist ' || chr(8212) || ' '
+                           || CAST(doc_id % 11 AS VARCHAR)
+             ELSE 'Alb' || chr(252) || 'm ' || chr(8212) || ' '
+                    || CAST(doc_id % 5 AS VARCHAR)
+           END AS extra,
+           2 AS n_frames
+    FROM documents, (SELECT 3 AS version UNION ALL SELECT 4) v
+    """,
+)
+def multimodal_id3_variants(spark, sf_dir):
+    """REAL decode of the ID3 tag variants a live MP3 crawl actually
+    contains — v2.3 (raw big-endian frame sizes; latin-1 and UTF-16
+    with BOM, the majority layout of real-world tags) and v2.4
+    (synchsafe frame sizes; UTF-8 and UTF-16BE) — per document, BOTH
+    versions written by ``operators/multimodal.encode_id3v2`` and read
+    back by the byte-exact walk in ``decode_id3v2``. The title strings
+    carry non-ASCII code points on every encoding path (latin-1 "â",
+    UTF-16 "Ä"+em-dash, UTF-16BE "ü"+em-dash) so each charset branch is
+    value-gated, not just length-gated. One narrow scan, no shuffle —
+    the 100 TB shape."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                title = f"Trâck {did % 19}"
+                artist = f"Ärtist — {did % 11}"
+                album = f"Albüm — {did % 5}"
+                for version, frames, extra in (
+                    (3, [("TIT2", title, 0), ("TPE1", artist, 1)], "TPE1"),
+                    (4, [("TIT2", title, 3), ("TALB", album, 2)], "TALB"),
+                ):
+                    tags = dict(
+                        multimodal.decode_id3v2(
+                            multimodal.encode_id3v2(frames, version=version)
+                        )
+                    )
+                    rows.append(
+                        (did, version, tags["TIT2"], tags[extra], len(tags))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "version", "title", "extra", "n_frames"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id long, version int, title string, extra string, n_frames int",
+    )
