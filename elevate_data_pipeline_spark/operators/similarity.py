@@ -735,12 +735,15 @@ def ivf_pq_topk(
     cell_col: str = "label",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    nprobe: int = 1,
 ) -> DataFrame:
     """Composed IVF-PQ ANN — the production serving shape at crawl
-    scale: a coarse quantizer routes each query to its best IVF cell
-    (max cosine to the cell's deterministic medoid, ties -> smaller
-    cell id, exactly :func:`ivf_topk`'s probe), then an asymmetric-
-    distance scan over the PQ CODES of that cell only ranks candidates
+    scale: a coarse quantizer routes each query to its ``nprobe`` best
+    IVF cells (max cosine to the cell's deterministic medoid, ties ->
+    smaller cell id, exactly :func:`ivf_topk`'s probe; ``nprobe`` is
+    the production recall knob — more probed cells raise candidate
+    recall at linear extra scan cost), then an asymmetric-distance scan
+    over the PQ CODES of the probed cells only ranks candidates
     (exactly :func:`pq_adc_topk`'s table-lookup sum, via the shared
     trained index).
 
@@ -778,7 +781,7 @@ def ivf_pq_topk(
     wr = Window.partitionBy("query_id").orderBy(F.desc("_ccos"), F.asc("cell"))
     best = (
         routed.withColumn("_rn", F.row_number().over(wr))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= nprobe)
         .select("query_id", "cell")
     )
 

@@ -3065,15 +3065,17 @@ def ann_pq_recall(spark, sf_dir):
 
 def _sql_ivf_pq(
     m: int = 4, k: int = 8, n_iter: int = 1, dim: int = _KMEANS_DIM,
-    nq: int = 5, topk: int = 5,
+    nq: int = 5, topk: int = 5, nprobe: int = 1,
 ) -> str:
-    """Oracle for ann_ivf_pq_topk: composes the two proven CTE chains —
-    the IVF best-cell probe (ann_ivf_topk's cents/routed/best, cosine to
-    the min-id medoid, ties -> smaller cell) and the PQ/ADC distance
-    CTEs (:func:`_pq_adc_parts`) — and keeps only candidates whose label
-    equals the query's probed cell. Per-pair adc_dist is the identical
-    left-to-right sum, so filtering after scoring replays the engine's
-    prune-before-scoring plan exactly."""
+    """Oracle for ann_ivf_pq_topk / ann_ivf_pq_nprobe_topk: composes the
+    two proven CTE chains — the IVF cell probe (ann_ivf_topk's
+    cents/routed/best, cosine to the min-id medoid, ties -> smaller
+    cell, top ``nprobe`` cells per query) and the PQ/ADC distance CTEs
+    (:func:`_pq_adc_parts`) — and keeps only candidates whose label
+    equals one of the query's probed cells (each candidate carries ONE
+    label, so multi-probe introduces no duplicates). Per-pair adc_dist
+    is the identical left-to-right sum, so filtering after scoring
+    replays the engine's prune-before-scoring plan exactly."""
     ctes, tot = _pq_adc_parts(m, k, n_iter, dim, nq)
     return f"""
     WITH {",".join(ctes)},
@@ -3089,7 +3091,7 @@ def _sql_ivf_pq(
     ),
     best AS (
       SELECT query_id, cell FROM routed
-      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cell) = 1
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cell) <= {nprobe}
     ),
     incell AS (
       SELECT t.query_id AS query_id, b.cell AS cell,
@@ -3120,6 +3122,23 @@ def ann_ivf_pq_topk(spark, sf_dir):
     emb = Catalog(spark, sf_dir).table("embeddings")
     return similarity.ivf_pq_topk(
         emb, n_queries=5, topk=5, m=4, k=8, n_iter=1, dim=_KMEANS_DIM
+    )
+
+
+@query("ann_ivf_pq_nprobe_topk", _sql_ivf_pq(nprobe=2))
+def ann_ivf_pq_nprobe_topk(spark, sf_dir):
+    """IVF-PQ with multi-cell probe (nprobe=2) — the production recall
+    knob: the coarse quantizer keeps the TWO best cells per query and
+    the ADC scan ranks the union of their candidates, trading a second
+    |cell|-sized code scan for strictly-no-worse candidate recall
+    (recall@k(nprobe=2) >= recall@k(nprobe=1) is pinned in pytest
+    against the exact brute-force cosine top-k). Same broadcast-routed,
+    cell-pruned plan as ann_ivf_pq_topk — candidates still never leave
+    their probed cells before distance work."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    return similarity.ivf_pq_topk(
+        emb, n_queries=5, topk=5, m=4, k=8, n_iter=1, dim=_KMEANS_DIM,
+        nprobe=2,
     )
 
 

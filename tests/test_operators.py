@@ -1690,6 +1690,47 @@ def test_ivf_pq_topk_composed_shape_and_recall(spark):
     assert recall >= 0.8, f"mean recall@5 {recall:.2f} below pinned floor"
 
 
+def test_ivf_pq_nprobe_monotone_recall(spark):
+    """nprobe is the production recall knob: probing 2 cells must (a)
+    return neighbors only from each query's 2 best cells, (b) keep
+    per-pair adc_dist bit-identical to the unrestricted ADC scan, and
+    (c) achieve recall@5 >= the single-probe recall against the exact
+    brute-force cosine top-5 (a superset candidate pool can only help)."""
+    from elevate_data_pipeline_spark.operators.similarity import (
+        brute_force_topk, ivf_pq_topk, pq_adc_topk,
+    )
+
+    emb = Catalog(spark, SF_DIR).table("embeddings")
+    res2 = ivf_pq_topk(emb, n_queries=5, topk=5, nprobe=2).collect()
+    per_q = {}
+    cells = dict(
+        emb.select("vec_id", "label").rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    for r in res2:
+        per_q.setdefault(r.query_id, set()).add(r.cell)
+        assert cells[r.neighbor_id] == r.cell
+    assert all(len(cs) <= 2 for cs in per_q.values())
+
+    full = {
+        (r.query_id, r.neighbor_id): r.adc_dist
+        for r in pq_adc_topk(emb, n_queries=5, topk=10**9).collect()
+    }
+    for r in res2:
+        assert full[(r.query_id, r.neighbor_id)] == r.adc_dist
+
+    q = emb.filter(F.col("vec_id") < 5)
+    truth = {}
+    for r in brute_force_topk(emb, q, k=5).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(rows):
+        hits = sum(1 for r in rows if r.neighbor_id in truth.get(r.query_id, set()))
+        return hits / sum(len(v) for v in truth.values())
+
+    res1 = ivf_pq_topk(emb, n_queries=5, topk=5, nprobe=1).collect()
+    assert recall(res2) >= recall(res1)
+
+
 def test_merge_upsert_dedup_mode(spark):
     """on_duplicate_keys="dedup": greatest non-key tuple wins per key,
     so duplicate source keys no longer fan out the matched target row."""
