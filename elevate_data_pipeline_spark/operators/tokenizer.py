@@ -218,3 +218,310 @@ def bpe_encode_oracle_sql(n_merges: int = 3, rel: str = "documents") -> str:
     FROM dw JOIN w{n_merges} w USING (word)
     GROUP BY dw.doc_id"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer induction (SentencePiece-style, Kudo 2018) as a
+# fixed-iteration hard-EM beside BPE — the other mainstream tokenizer
+# family. Exactness contract: the E-step is a Viterbi lattice DP whose
+# path score is a left-to-right IEEE-double product of token
+# probabilities p = cnt/T (one cast-division per token, no libm), with
+# the total order (score DESC, n_tokens ASC, path ASC) — every
+# comparison is on values both engines compute bit-identically, so the
+# DuckDB oracle replays training exactly. (Full soft-EM forward-
+# backward would need transcendental logs; the hard-EM/Viterbi variant
+# is the standard exact-arithmetic counterpart and is what SentencePiece
+# itself converges to for pruning decisions.)
+#
+# Scale shape: all EM state lives on the DISTINCT-WORD frame (corpus-
+# scale-independent, like BPE above); the vocab (chars + top-V
+# multi-char tokens) is a bounded broadcastable table, synced
+# driver-side per iteration exactly like Lloyd's k-centroid sync; the
+# per-word lattice is O(len * 3) in a vectorized Arrow batch.
+# ---------------------------------------------------------------------------
+
+UNI_MAX_TOKEN = 3   # lattice edge length cap (seed substrings 1..3)
+UNI_MAX_WORD = 24   # words longer than this (URLs/hashes) skip the lattice
+
+
+def _uni_words(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct corpus words with frequencies, lattice-capped to
+    ``UNI_MAX_WORD`` chars (both engines apply the same cap)."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(
+            (F.length("word") >= 1) & (F.length("word") <= UNI_MAX_WORD)
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _uni_seed_counts(words: DataFrame) -> DataFrame:
+    """Substring counts for token lengths 1..3, weighted by word
+    frequency — the unigram seed inventory. NB: ``sequence(1, 0)`` is
+    DESCENDING in Spark (see _pair_counts), hence the CASE guards."""
+    parts = []
+    for length in range(1, UNI_MAX_TOKEN + 1):
+        guard = (
+            f"CASE WHEN length(word) >= {length} THEN "
+            f"transform(sequence(1, length(word) - {length - 1}), "
+            f"i -> substring(word, i, {length})) ELSE array() END"
+        )
+        parts.append(guard)
+    subs = F.explode(F.expr("concat(" + ", ".join(parts) + ")")).alias("token")
+    return (
+        words.select(subs, "cnt")
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def _uni_prune(counts: DataFrame, chars: DataFrame, v_multi: int) -> DataFrame:
+    """M-step vocab: every seed character survives (coverage guarantee,
+    count 0 when unused this round) + the top ``v_multi`` multi-char
+    tokens by (count DESC, token ASC). The multi-char top-V is a
+    TakeOrderedAndProject over the bounded token-count frame — the same
+    argmax shape as BPE's merge pick, never a corpus-scale sort."""
+    ch = chars.join(counts, "token", "left").select(
+        "token", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt")
+    )
+    multi = (
+        counts.filter(F.length("token") >= 2)
+        .orderBy(F.desc("cnt"), "token")
+        .limit(v_multi)
+        .select("token", F.col("cnt").cast("long").alias("cnt"))
+    )
+    return ch.unionByName(multi)
+
+
+def _uni_viterbi(word: str, p: dict):
+    """Exact-ordering Viterbi over the token lattice: best[j] minimizes
+    (-score, n_tokens, path) — the mirror of the oracle's
+    ``ORDER BY score DESC, ntok, path`` with IEEE-double products in
+    identical left-to-right order."""
+    n = len(word)
+    best = [None] * (n + 1)
+    best[0] = (1.0, 0, "")
+    for j in range(1, n + 1):
+        cands = []
+        for length in range(1, min(UNI_MAX_TOKEN, j) + 1):
+            tok = word[j - length : j]
+            prob = p.get(tok)
+            if prob is None:
+                continue
+            s0, k0, path0 = best[j - length]
+            cands.append(
+                (s0 * prob, k0 + 1, path0 + SEP + tok if path0 else tok)
+            )
+        best[j] = min(cands, key=lambda c: (-c[0], c[1], c[2]))
+    return best[n]
+
+
+def _uni_estep(words: DataFrame, vocab: DataFrame) -> DataFrame:
+    """E-step: Viterbi-segment every distinct word under the current
+    vocab scores; emit per-token frequency-weighted counts. The vocab
+    (chars + V multi-char rows) is synced driver-side and broadcast
+    into the Arrow batches — the Lloyd-centroid-sync shape; the word
+    frame never leaves the executors."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    rows = vocab.collect()  # bounded: |alphabet| + v_multi rows
+    total = sum(r.cnt for r in rows)
+    p = {r.token: r.cnt / total for r in rows}
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out: dict = {}
+            for word, cnt in zip(pdf["word"], pdf["cnt"]):
+                _, _, path = _uni_viterbi(str(word), p)
+                for tok in path.split(SEP):
+                    out[tok] = out.get(tok, 0) + int(cnt)
+            yield pd.DataFrame(
+                {"token": list(out.keys()), "wcnt": list(out.values())}
+            )
+
+    return (
+        words.mapInPandas(run, "token string, wcnt long")
+        .groupBy("token")
+        .agg(F.sum("wcnt").cast("long").alias("cnt"))
+    )
+
+
+def unigram_vocab(
+    docs: DataFrame,
+    n_iter: int = 2,
+    v_multi: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train a unigram-LM tokenizer vocabulary: substring seed counts ->
+    ``n_iter`` rounds of (Viterbi E-step, re-count M-step, prune to
+    chars + top-V). Returns (token, cnt, prob) with prob the single
+    IEEE division cnt/total over the final vocab."""
+    words = _uni_words(docs, text_col).localCheckpoint(eager=True)
+    seed = _uni_seed_counts(words).localCheckpoint(eager=True)
+    chars = seed.filter(F.length("token") == 1).select("token")
+    vocab = _uni_prune(seed, chars, v_multi).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        counts = _uni_estep(words, vocab)
+        vocab = _uni_prune(counts, chars, v_multi).localCheckpoint(eager=True)
+    tot = vocab.agg(F.sum("cnt").alias("_t"))
+    return vocab.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "cnt",
+        (F.col("cnt").cast("double") / F.col("_t").cast("double")).alias("prob"),
+    )
+
+
+def unigram_encode(
+    docs: DataFrame,
+    n_iter: int = 2,
+    v_multi: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train the unigram vocab and APPLY it: per-doc token accounting
+    (id, n_tokens_uni, n_tokens_char) under the final Viterbi
+    segmentation — the fertility counterpart of :func:`bpe_encode`.
+    Lattice-capped words (> UNI_MAX_WORD chars) are excluded on both
+    the train and apply sides."""
+    words = _uni_words(docs, text_col).localCheckpoint(eager=True)
+    seed = _uni_seed_counts(words).localCheckpoint(eager=True)
+    chars = seed.filter(F.length("token") == 1).select("token")
+    vocab = _uni_prune(seed, chars, v_multi).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        counts = _uni_estep(words, vocab)
+        vocab = _uni_prune(counts, chars, v_multi).localCheckpoint(eager=True)
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    rows = vocab.collect()
+    total = sum(r.cnt for r in rows)
+    p = {r.token: r.cnt / total for r in rows}
+
+    def seg(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            toks = [
+                _uni_viterbi(str(w), p)[1] for w in pdf["word"]
+            ]
+            yield pd.DataFrame(
+                {"word": pdf["word"], "_uni": toks,
+                 "_chars": [len(str(w)) for w in pdf["word"]]}
+            )
+
+    per_word = words.select("word").mapInPandas(
+        seg, "word string, _uni long, _chars long"
+    )
+    doc_words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+    return (
+        doc_words.join(F.broadcast(per_word), "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_uni").alias("n_tokens_uni"),
+            F.sum("_chars").alias("n_tokens_char"),
+        )
+    )
+
+
+def _uni_dp_ctes(it: int, prev_p: str) -> list[str]:
+    """Unrolled Viterbi DP CTE chain for EM iteration ``it``: d{it}_j
+    holds the best lattice path to position j per word, extended by
+    token lengths 1..3 from positions j-1..j-3, ordered exactly like
+    the Python mirror ((score DESC, ntok, path))."""
+    parts = [
+        f"d{it}_0 AS MATERIALIZED (SELECT word, cnt, CAST(1.0 AS DOUBLE) AS score, "
+        f"0 AS ntok, '' AS path FROM uw)"
+    ]
+    for j in range(1, UNI_MAX_WORD + 1):
+        branches = []
+        for length in range(1, min(UNI_MAX_TOKEN, j) + 1):
+            branches.append(f"""
+      SELECT d.word, d.cnt, d.score * v.p AS score, d.ntok + 1 AS ntok,
+             CASE WHEN d.path = '' THEN v.token
+                  ELSE d.path || chr(31) || v.token END AS path
+      FROM d{it}_{j - length} d
+      JOIN {prev_p} v ON v.token = substr(d.word, {j - length + 1}, {length})
+      WHERE len(d.word) >= {j}""")
+        parts.append(
+            f"""d{it}_{j} AS MATERIALIZED (
+  SELECT word, cnt, score, ntok, path FROM ({" UNION ALL ".join(branches)})
+  QUALIFY row_number() OVER (PARTITION BY word
+                             ORDER BY score DESC, ntok, path) = 1)"""
+        )
+    seg = " UNION ALL ".join(
+        f"SELECT word, cnt, path FROM d{it}_{j} WHERE len(word) = {j}"
+        for j in range(1, UNI_MAX_WORD + 1)
+    )
+    parts.append(f"seg{it} AS MATERIALIZED ({seg})")
+    parts.append(
+        f"""c{it} AS MATERIALIZED (
+  SELECT token, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(path, chr(31))) AS token, cnt
+        FROM seg{it})
+  GROUP BY token)"""
+    )
+    return parts
+
+
+def _uni_vocab_ctes(k: int, src: str, v_multi: int) -> list[str]:
+    """vocab{k} (chars coverage + top-V multi) and p{k} (cnt/T)."""
+    return [
+        f"""vocab{k} AS MATERIALIZED (
+  SELECT ch.token, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+  FROM chars0 ch LEFT JOIN {src} c USING (token)
+  UNION ALL
+  SELECT token, CAST(cnt AS BIGINT) AS cnt FROM {src}
+  WHERE len(token) >= 2
+  QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= {v_multi})""",
+        f"t{k} AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS T FROM vocab{k})",
+        f"""p{k} AS MATERIALIZED (
+  SELECT token, CAST(cnt AS DOUBLE) / CAST((SELECT T FROM t{k}) AS DOUBLE) AS p
+  FROM vocab{k})""",
+    ]
+
+
+def unigram_oracle_sql(
+    n_iter: int = 2, v_multi: int = 64, rel: str = "documents"
+) -> str:
+    """Unrolled DuckDB equivalent of :func:`unigram_vocab`: the same
+    word-frequency cap, substring seed, per-iteration Viterbi DP
+    (identical IEEE product order and (score DESC, ntok, path) total
+    order), char-coverage + top-V prune, and the final cnt/T division."""
+    parts = [
+        f"""uw AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM {rel})
+  WHERE len(word) >= 1 AND len(word) <= {UNI_MAX_WORD}
+  GROUP BY word)""",
+        f"""c0 AS MATERIALIZED (
+  SELECT token, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+    SELECT unnest([substr(word, i, 1) for i in range(1, len(word) + 1)])
+           AS token, cnt FROM uw
+    UNION ALL
+    SELECT unnest([substr(word, i, 2) for i in range(1, len(word))]),
+           cnt FROM uw WHERE len(word) >= 2
+    UNION ALL
+    SELECT unnest([substr(word, i, 3) for i in range(1, len(word) - 1)]),
+           cnt FROM uw WHERE len(word) >= 3
+  ) GROUP BY token)""",
+        "chars0 AS MATERIALIZED (SELECT token FROM c0 WHERE len(token) = 1)",
+    ]
+    parts += _uni_vocab_ctes(0, "c0", v_multi)
+    for it in range(1, n_iter + 1):
+        parts += _uni_dp_ctes(it, f"p{it - 1}")
+        parts += _uni_vocab_ctes(it, f"c{it}", v_multi)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT token AS token, cnt AS cnt,
+           CAST(cnt AS DOUBLE) / CAST((SELECT T FROM t{n_iter}) AS DOUBLE)
+             AS prob
+    FROM vocab{n_iter}"""
+    )

@@ -3702,8 +3702,27 @@ from .operators.tokenizer import bpe_encode as _bpe_encode  # noqa: E402
 from .operators.tokenizer import bpe_encode_oracle_sql as _bpe_encode_oracle_sql  # noqa: E402
 from .operators.tokenizer import bpe_merges as _bpe_merges  # noqa: E402
 from .operators.tokenizer import bpe_oracle_sql as _bpe_oracle_sql  # noqa: E402
+from .operators.tokenizer import unigram_oracle_sql as _unigram_oracle_sql  # noqa: E402
+from .operators.tokenizer import unigram_vocab as _unigram_vocab  # noqa: E402
 
 _BPE_N = 4
+_UNI_ITER = 2
+_UNI_V = 64
+
+
+@query("unigram_vocab", _unigram_oracle_sql(n_iter=_UNI_ITER, v_multi=_UNI_V))
+def unigram_vocab(spark, sf_dir):
+    """Unigram-LM tokenizer induction (SentencePiece family, Kudo 2018)
+    as fixed-iteration hard-EM (operators/tokenizer.unigram_vocab):
+    substring seed counts -> per-round Viterbi lattice E-step over the
+    DISTINCT-WORD frame (IEEE-exact product scores, deterministic
+    (score, ntok, path) total order) -> re-count M-step -> prune to
+    chars + top-V. The vocab is a bounded broadcast table synced like
+    Lloyd's centroids; all corpus-scale work is one word-count shuffle.
+    Output (token, cnt, prob) replayed bit-exactly by a DuckDB DP of
+    identical unrolled structure."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return _unigram_vocab(docs, n_iter=_UNI_ITER, v_multi=_UNI_V)
 
 
 @query("bpe_merges", _bpe_oracle_sql(n_merges=_BPE_N))

@@ -1045,6 +1045,51 @@ def test_bpe_merges_known_corpus(spark):
     assert out[2] == ("lo", "w", 3)
 
 
+def test_unigram_vocab_known_corpus(spark):
+    """'banana banana band' — the seed substring counts put 'an'/'na'
+    on top; after EM the vocab must keep every char (coverage) and the
+    surviving multi-char tokens must actually appear in the Viterbi
+    segmentations (count > 0 implies usage)."""
+    from elevate_data_pipeline_spark.operators.tokenizer import unigram_vocab
+
+    df = spark.createDataFrame(
+        [(1, "banana banana band")], "doc_id long, text string"
+    )
+    rows = {r.token: (r.cnt, r.prob) for r in
+            unigram_vocab(df, n_iter=2, v_multi=4).collect()}
+    assert {"b", "a", "n", "d"} <= set(rows)
+    multi = {t: c for t, (c, _) in rows.items() if len(t) >= 2}
+    assert multi and all(c > 0 for c in multi.values())
+    total = sum(c for c, _ in rows.values())
+    for t, (c, p) in rows.items():
+        assert p == c / total  # single IEEE division, exact
+
+
+def test_unigram_fertility_at_most_bpe(spark):
+    """Fertility comparison on the testdata corpus: a 64-multi-token
+    unigram vocabulary must compress at least as well as the 4-merge
+    BPE (tokens-per-word is monotone in vocabulary budget here), and
+    both must be between 1 (word-level floor) and the char-level
+    ceiling."""
+    from elevate_data_pipeline_spark.operators.tokenizer import (
+        bpe_encode, unigram_encode,
+    )
+
+    docs = Catalog(spark, SF_DIR).table("documents")
+    uni = unigram_encode(docs, n_iter=2, v_multi=64).agg(
+        F.sum("n_tokens_uni").alias("t"), F.sum("n_tokens_char").alias("c")
+    ).collect()[0]
+    bpe = bpe_encode(docs, n_merges=4).agg(
+        F.sum("n_tokens_bpe").alias("t"), F.sum("n_tokens_char").alias("c")
+    ).collect()[0]
+    assert 0 < uni.t <= uni.c
+    assert 0 < bpe.t <= bpe.c
+    # same corpus char mass (unigram's 24-char word cap excludes none
+    # of the natural-language testdata words, so the bases match)
+    assert uni.c == bpe.c
+    assert uni.t <= bpe.t
+
+
 def test_grouped_cumsum_equals_window(spark):
     import random
 
