@@ -190,26 +190,49 @@ def bloom_decontaminate(
     docs = spread(docs)
     bench = docs.filter(F.col("source") == bench_source)
     eval_docs = docs.filter(F.col("source") != bench_source)
-    bench_grams = _distinct_word_ngrams(bench, n, [], "text").distinct()
+    # The benchmark gram set feeds BOTH the filter build and the exact
+    # broadcast semi-probe; materialize it once (it is benchmark-sized —
+    # MBs at any corpus scale — so the checkpoint is a constant cost
+    # that halves the benchmark-side scan work).
+    bench_grams = (
+        _distinct_word_ngrams(bench, n, [], "text")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     doc_grams = _distinct_word_ngrams(eval_docs, n, ["doc_id"], "text")
     bits = sketch.bloom_build(
         bench_grams.select(polyhash("gram").alias("ph")),
         "ph", m_bits=m_bits, depth=depth,
     )
-    probes = doc_grams.select("doc_id", "gram", polyhash("gram").alias("ph"))
-    hits = sketch.bloom_probe(bits, probes, "ph", m_bits=m_bits, depth=depth)
-    exact = doc_grams.join(
-        F.broadcast(bench_grams.withColumn("_e", F.lit(1))), "gram", "left"
-    )
-    return (
-        hits.join(exact, ["doc_id", "gram"])
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom"),
-            F.count("_e").alias("n_exact"),
-            (
-                F.sum(F.col("bloom_hit").cast("long")) - F.count("_e")
-            ).alias("bloom_fp"),
+    # One fused probe stage: the filter broadcasts as a single-row
+    # word-bitmap and every gram's all-bits-set test evaluates INLINE
+    # (forall over its <= depth positions) in the same whole-stage-
+    # codegen pass as the exact broadcast semi-probe — no per-gram
+    # explode/aggregate, no hits x exact re-join. The only corpus-scale
+    # exchange left is the final per-doc aggregate (and partial
+    # aggregation collapses that map-side). (Feeding RAW positions to
+    # the word OR-fold to skip bloom_build's bit-level distinct was
+    # measured 3x SLOWER here: the distinct collapses the build side to
+    # <= m_bits rows map-side, which is what keeps the single-row
+    # map_from_entries feeder cheap.)
+    bitmap = sketch.bloom_bitmap(bits)
+    marked = (
+        doc_grams.withColumn(
+            "_bits",
+            sketch._bloom_positions(polyhash("gram"), m_bits, depth),
         )
+        .crossJoin(F.broadcast(bitmap))
+        .withColumn("bloom_hit", sketch.bloom_hit_expr())
+        .join(
+            F.broadcast(bench_grams.withColumn("_e", F.lit(1))),
+            "gram", "left",
+        )
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom"),
+        F.count("_e").alias("n_exact"),
+        (
+            F.sum(F.col("bloom_hit").cast("long")) - F.count("_e")
+        ).alias("bloom_fp"),
     )

@@ -480,6 +480,42 @@ def bloom_build(
     )
 
 
+def bloom_bitmap(bits: DataFrame) -> DataFrame:
+    """Pack the bit-position frame into ONE broadcastable row: a
+    map<word_idx, word> of 64-bit words (a 256K-bit filter is <= 4096
+    entries, ~32 KB). The word OR-fold is a partial-aggregating shuffle
+    over <= m_bits rows; the final single-row map_from_entries is a
+    bounded global-scalar feeder (<= m_bits/64 entries by construction,
+    the plan-audit waiver pattern)."""
+    words = (
+        bits.select(
+            F.expr("CAST(_bit DIV 64 AS INT)").alias("_w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(_bit % 64 AS INT))"
+            ).alias("_word"),
+        )
+        .groupBy("_w")
+        .agg(F.expr("bit_or(_word)").alias("_word"))
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("_w", "_word"))).alias(
+            "_bloom"
+        )
+    )
+
+
+def bloom_hit_expr(bits_col: str = "_bits", map_col: str = "_bloom") -> Column:
+    """All-positions-set test against a :func:`bloom_bitmap` row,
+    evaluated INLINE per probe row (whole-stage-codegen array/map ops:
+    no explode, no per-key aggregate, no join) — bit-identical to
+    :func:`bloom_probe`'s explode/join/count formulation."""
+    return F.expr(
+        f"forall({bits_col}, b -> "
+        f"(shiftright(coalesce({map_col}[CAST(b DIV 64 AS INT)], "
+        f"CAST(0 AS BIGINT)), CAST(b % 64 AS INT)) & 1) = 1)"
+    )
+
+
 def bloom_probe(
     bits: DataFrame,
     probes: DataFrame,

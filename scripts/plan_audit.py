@@ -91,8 +91,11 @@ WAIVERS: dict[str, str] = {
     "text_dsir_score": f"{_SCALAR}; language prior-count scalars for the DSIR importance ratio",
     "text_rarity": f"{_SCALAR}; total token count scalar → corpus frequencies",
     "text_tfidf_topterms": f"{_SCALAR}; corpus N scalar for the idf term",
+    "unigram_vocab": f"{_SCALAR}; final-vocab total scalar (the cnt/T probability denominator over ≤ chars+V rows)",
     "validate_lineitem": f"{_SCALAR}; single-row rule-violation summary",
     # -- gates-off only: distributed chains of the locally-tiered ops --
+    "decontam_bloom": f"{_SCALAR}; single-row bloom word-bitmap "
+    "(map_from_entries over ≤ m_bits/64 = 4096 word rows, sketch.bloom_bitmap)",
     "dedup_suffix_array": f"{_PID}; per-pid group stats (≤32 rows/round) + "
     "row-number offsets in the doubling dense rank (suffix._dense_rank)",
     "dedup_repeated_phrases": f"{_PID}; same suffix-array dense-rank frames "
