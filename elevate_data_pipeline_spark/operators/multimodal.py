@@ -4533,10 +4533,21 @@ def decode_exif_jpeg(payload: bytes) -> list:
 #     entropy tables: substituting the spec constants makes the path
 #     conformant; until then the codec is exact against its own encoder
 #     and refuses foreign structure loudly).
-# Subset gates (each raises NotImplementedError, never silent): stereo
-# modes, bit reservoir (main_data_begin != 0), short/mixed blocks,
-# scalefactors, preflag/scalefac_scale, count1 region, spectral lines
-# outside subband 0, and gains not on the 2^((gg-210)/4) integer grid.
+# The full 576-line granule decodes: big_values pairs across all 32
+# subbands (per-subband IMDCT + overlap-add, frequency inversion, and
+# the spec's N[b][p]=cos((2p+1)(2b+1)pi/64) synthesis matrixing —
+# MP3_SYN2D, a spec FORMULA), the count1 region via the spec's
+# STRUCTURAL fixed-length table B (complement bits + signs), and
+# 21 long-block scalefactors (scalefac_compress slen packing per the
+# spec's structural table; band widths MP3_SFB are a repo swap-in for
+# the empirical Table B.8) on the power-of-two grid.
+# Remaining subset gates (each raises NotImplementedError, never
+# silent): stereo modes, bit reservoir (main_data_begin != 0),
+# short/mixed blocks, preflag, count1 table A (empirical), scalefactor
+# shifts that exceed the gain (off the integer grid), scfsi, and gains
+# not on the 2^((gg-210)/4) grid. Structural simplification: the
+# alias-reduction butterflies (empirical ci constants) are omitted —
+# the chain is IMDCT/window/overlap/inversion/matrixing.
 # ---------------------------------------------------------------------------
 
 MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
@@ -4558,6 +4569,39 @@ MP3_WIN = tuple(
 MP3_SYN = tuple(
     round(64 * __import__("math").cos((2 * p + 1) * __import__("math").pi / 64.0))
     for p in range(32)
+)
+# Full 32-subband synthesis matrixing, the spec's own FORMULA
+# N[b][p] = cos((2p+1)(2b+1)pi/64) (11172-3 2.4.3.2.2) rounded to the
+# same x64 fixed point; row b=0 IS MP3_SYN, so subband-0-only streams
+# (and their committed tap-table oracles) are bit-identical to the
+# pre-widening chain.
+MP3_SYN2D = tuple(
+    tuple(
+        round(64 * __import__("math").cos(
+            (2 * p + 1) * (2 * b + 1) * __import__("math").pi / 64.0
+        ))
+        for p in range(32)
+    )
+    for b in range(32)
+)
+# Long-block scalefactor band widths: the spec's per-samplerate width
+# tables are EMPIRICAL (Table B.8); repo swap-in = 21 bands, 11x16 +
+# 10x40 = 576 lines (single swap point, same contract as the entropy
+# tables).
+MP3_SFB = (16,) * 11 + (40,) * 10
+_MP3_SFB_OF_LINE = tuple(
+    next(
+        b for b in range(21)
+        if sum(MP3_SFB[: b + 1]) > i
+    )
+    for i in range(576)
+)
+# scalefac_compress -> (slen1 bands 0-10, slen2 bands 11-20): a
+# STRUCTURAL mapping printed in 11172-3 2.4.2.7, not an empirical
+# optimization table.
+MP3_SLEN = (
+    (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+    (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3),
 )
 MP3_SHIFT = 21  # one final round-half-up >> after the exact integer chain
 
@@ -4581,41 +4625,133 @@ def _mp3_get_gamma(br) -> int:
     return ((1 << k) | rest) - 1
 
 
-def encode_mp3(granules: list, sample_rate: int = 44100) -> bytes:
+def _mp3_norm_granule(g) -> dict:
+    """Normalize a granule spec: the legacy ``(values, gain_e)`` tuple
+    (big-values region only) or the extended dict with keys ``big``,
+    ``gain_e``, and optional ``count1`` (list of (v,w,x,y) quadruples,
+    values in -1/0/1), ``scalefac`` (21 band factors), ``scalefac_scale``
+    (0/1), ``scalefac_compress`` (0..15)."""
+    if isinstance(g, dict):
+        out = {
+            "big": list(g.get("big", [])),
+            "gain_e": g["gain_e"],
+            "count1": [tuple(q) for q in g.get("count1", [])],
+            "scalefac": list(g.get("scalefac", [0] * 21)),
+            "scalefac_scale": g.get("scalefac_scale", 1),
+            "scalefac_compress": g.get("scalefac_compress", 0),
+        }
+    else:
+        values, gain_e = g
+        out = {
+            "big": list(values), "gain_e": gain_e, "count1": [],
+            "scalefac": [0] * 21, "scalefac_scale": 1,
+            "scalefac_compress": 0,
+        }
+    if not 0 <= out["gain_e"] <= 7:
+        raise ValueError("gain_e out of the subset's 0..7 grid")
+    out["big"] += [0] * (len(out["big"]) % 2)  # whole pairs
+    if len(out["big"]) > 576:
+        raise ValueError("more than 576 spectral lines in big_values")
+    for v in out["big"]:
+        if not -15 <= v <= 15:
+            raise ValueError("big-values magnitude above 15")
+    n_lines = len(out["big"]) + 4 * len(out["count1"])
+    if n_lines > 576:
+        raise ValueError("big_values + count1 exceed the 576-line granule")
+    for q in out["count1"]:
+        if len(q) != 4 or any(v not in (-1, 0, 1) for v in q):
+            raise ValueError("count1 quadruple values must be -1/0/1")
+    sf = out["scalefac"]
+    if len(sf) != 21:
+        raise ValueError("scalefac needs exactly 21 long-block bands")
+    if out["scalefac_scale"] not in (0, 1):
+        raise ValueError("scalefac_scale must be 0 or 1")
+    if not 0 <= out["scalefac_compress"] <= 15:
+        raise ValueError("scalefac_compress out of range")
+    slen1, slen2 = MP3_SLEN[out["scalefac_compress"]]
+    for b, s in enumerate(sf):
+        slen = slen1 if b < 11 else slen2
+        if not 0 <= s < (1 << slen) and not (slen == 0 and s == 0):
+            raise ValueError(
+                f"scalefac[{b}]={s} does not fit slen={slen} bits"
+            )
+    # every nonzero line's net exponent must stay on the integer grid
+    # (the decoder gates negative shifts loudly; refuse to emit them)
+    for i, v in enumerate(out["big"]):
+        if v and out["gain_e"] - _mp3_sf_shift(out, i) < 0:
+            raise ValueError(f"line {i}: scalefactor shift exceeds gain_e")
+    for qi, q in enumerate(out["count1"]):
+        for k, v in enumerate(q):
+            i = len(out["big"]) + 4 * qi + k
+            if v and out["gain_e"] - _mp3_sf_shift(out, i) < 0:
+                raise ValueError(
+                    f"count1 line {i}: scalefactor shift exceeds gain_e"
+                )
+    return out
+
+
+def _mp3_sf_shift(g: dict, line: int) -> int:
+    """Integer right-shift the scalefactor applies to ``line``:
+    2^(-(scalefac_scale+1)/2 * scalefac[band]) on the subset's
+    power-of-two grid — scalefac_scale=1 shifts by scalefac, 0 by
+    scalefac/2 (odd values at scale 0 are off-grid and raise)."""
+    sf = g["scalefac"][_MP3_SFB_OF_LINE[line]]
+    if g["scalefac_scale"] == 1:
+        return sf
+    if sf % 2:
+        raise ValueError(
+            "odd scalefac with scalefac_scale=0 is off the integer grid"
+        )
+    return sf // 2
+
+
+def encode_mp3(
+    granules: list, sample_rate: int = 44100, bitrate: int = 32
+) -> bytes:
     """MPEG-1 Layer III mono encoder for the structural subset: each
-    granule is ``(values, gain_e)`` with ``values`` a list of up to 9
-    signed quantized spectral lines (magnitude 0..15, lines 0..17 =
-    subband 0) and ``gain_e`` in 0..7 (global_gain = 210 + 4*gain_e).
-    Two granules per frame; len(granules) must be even. 32 kbps frames,
-    no bit reservoir, ancillary bits zero-padded."""
+    granule is ``(values, gain_e)`` or the extended dict accepted by
+    :func:`_mp3_norm_granule` — up to 576 signed quantized spectral
+    lines (magnitude 0..15) in big_values pairs across ALL 32 subbands,
+    an optional count1 region of -1/0/1 quadruples (spec count1 table B,
+    the fixed-length structural code), and 21 long-block scalefactors on
+    the power-of-two grid (scalefac_compress slen packing per the spec's
+    structural table). global_gain = 210 + 4*gain_e. Two granules per
+    frame, no bit reservoir, ancillary bits zero-padded."""
     if len(granules) % 2:
         raise ValueError("granules come in pairs (2 per MPEG-1 frame)")
     if sample_rate not in MP3_RATES:
         raise ValueError(f"unsupported MP3 sample rate {sample_rate}")
+    if bitrate not in MP3_BITRATES or bitrate == 0:
+        raise ValueError(f"unsupported MP3 bitrate {bitrate}")
     sr_idx = MP3_RATES.index(sample_rate)
-    br_idx = 1  # 32 kbps
+    br_idx = MP3_BITRATES.index(bitrate)
     frame_len = 144 * MP3_BITRATES[br_idx] * 1000 // sample_rate
     out = bytearray()
     for f in range(0, len(granules), 2):
-        pair = granules[f : f + 2]
+        pair = [_mp3_norm_granule(g) for g in granules[f : f + 2]]
         mains, fields = [], []
-        for values, gain_e in pair:
-            if not 0 <= gain_e <= 7:
-                raise ValueError("gain_e out of the subset's 0..7 grid")
-            if len(values) > 9 * 2:
-                raise ValueError("subset codes subband 0 only (18 lines)")
-            vals = list(values) + [0] * (len(values) % 2)  # whole pairs
-            for v in vals:
-                if not -15 <= v <= 15:
-                    raise ValueError("big-values magnitude above 15")
+        for g in pair:
+            slen1, slen2 = MP3_SLEN[g["scalefac_compress"]]
             mw = _MsbBitWriter()
-            for i in range(0, len(vals), 2):
-                for v in (vals[i], vals[i + 1]):
+            for b, s in enumerate(g["scalefac"]):  # part2: scalefactors
+                slen = slen1 if b < 11 else slen2
+                if slen:
+                    mw.bits(s, slen)
+            for i in range(0, len(g["big"]), 2):
+                for v in (g["big"][i], g["big"][i + 1]):
                     _mp3_put_gamma(mw, abs(v))
                     if v:
                         mw.bits(1 if v < 0 else 0, 1)
+            for q in g["count1"]:  # spec table B: 4 complement bits
+                for v in q:
+                    mw.bits(0 if v else 1, 1)
+                for v in q:
+                    if v:
+                        mw.bits(1 if v < 0 else 0, 1)
             nbits = len(mw.out) * 8 + mw._n
-            fields.append((len(vals) // 2, 210 + 4 * gain_e, nbits))
+            if nbits >= 1 << 12:
+                raise ValueError("granule overflows part2_3_length (12 bits)")
+            fields.append((g, len(g["big"]) // 2, 210 + 4 * g["gain_e"], nbits))
             mains.append(mw)
         bw = _MsbBitWriter()
         # header: sync(11)=all ones, ID(2)=11 (MPEG-1), layer(2)=01,
@@ -4637,20 +4773,20 @@ def encode_mp3(granules: list, sample_rate: int = 44100) -> bytes:
         bw.bits(0, 9)  # main_data_begin = 0 (no reservoir)
         bw.bits(0, 5)  # private
         bw.bits(0, 4)  # scfsi
-        for big_values, gg, nbits in fields:
-            bw.bits(nbits, 12)  # part2_3_length (no scalefactor bits)
+        for g, big_values, gg, nbits in fields:
+            bw.bits(nbits, 12)  # part2_3_length (incl. scalefactor part2)
             bw.bits(big_values, 9)
             bw.bits(gg, 8)
-            bw.bits(0, 4)  # scalefac_compress
+            bw.bits(g["scalefac_compress"], 4)
             bw.bits(0, 1)  # window_switching
             bw.bits(1, 5)  # table_select region0 = repo gamma table id 1
-            bw.bits(0, 5)
-            bw.bits(0, 5)
+            bw.bits(1, 5)  # regions 1/2: same single repo table
+            bw.bits(1, 5)
             bw.bits(0, 4)  # region0_count
             bw.bits(0, 3)  # region1_count
             bw.bits(0, 1)  # preflag
-            bw.bits(0, 1)  # scalefac_scale
-            bw.bits(0, 1)  # count1table_select
+            bw.bits(g["scalefac_scale"], 1)
+            bw.bits(1, 1)  # count1table_select = spec table B (structural)
         for mw in mains:
             bw.bits(int.from_bytes(bytes(mw.out), "big"), len(mw.out) * 8)
             if mw._n:
@@ -4664,25 +4800,47 @@ def encode_mp3(granules: list, sample_rate: int = 44100) -> bytes:
 
 
 def _mp3_granule_pcm(xr: list, prev: list) -> tuple:
-    """One granule through the exact integer chain: 36-point IMDCT of
-    the 18 subband-0 lines (MP3_C36), long-block window (MP3_WIN),
-    overlap-add with the previous granule's tail, then the 32-tap
-    synthesis stage per subband sample. Returns (576 raw accumulator
-    values, new 18-value overlap tail) — everything linear in xr, one
-    rounding applied by the caller."""
-    sw = [
-        sum(xr[i] * MP3_C36[i][n] for i in range(18) if xr[i]) * MP3_WIN[n]
-        for n in range(36)
-    ]
-    z = [sw[j] + prev[j] for j in range(18)]
+    """One granule through the exact integer chain, all 32 subbands:
+    per subband a 36-point IMDCT of its 18 lines (MP3_C36), long-block
+    window (MP3_WIN), overlap-add with that subband's previous tail,
+    the spec's frequency inversion (odd samples of odd subbands
+    negated, 11172-3 2.4.3.4.7 — a structural sign flip), then the
+    synthesis matrixing N[b][p] (MP3_SYN2D) summed over subbands per
+    output sample. ``xr`` is up to 576 lines; ``prev`` is the 32x18
+    overlap state. Returns (576 raw accumulator values, new overlap
+    state) — everything linear in xr, one rounding applied by the
+    caller. Subband-0-only input reproduces the pre-widening chain
+    bit-for-bit (MP3_SYN2D row 0 == the old 32-tap stage)."""
+    if len(xr) < 576:
+        xr = list(xr) + [0] * (576 - len(xr))
     acc = [0] * 576
-    for j in range(18):
-        zj = z[j]
-        if zj:
-            base = 32 * j
-            for p in range(32):
-                acc[base + p] = zj * MP3_SYN[p]
-    return acc, sw[18:36]
+    new_prev = []
+    for b in range(32):
+        xs = xr[18 * b : 18 * b + 18]
+        pb = prev[b]
+        if any(xs):
+            sw = [
+                sum(xs[i] * MP3_C36[i][n] for i in range(18) if xs[i])
+                * MP3_WIN[n]
+                for n in range(36)
+            ]
+        elif any(pb):
+            sw = [0] * 36
+        else:
+            new_prev.append(pb)
+            continue
+        z = [sw[j] + pb[j] for j in range(18)]
+        new_prev.append(sw[18:36])
+        syn = MP3_SYN2D[b]
+        for j in range(18):
+            zj = z[j]
+            if zj:
+                if b % 2 and j % 2:  # frequency inversion
+                    zj = -zj
+                base = 32 * j
+                for p in range(32):
+                    acc[base + p] += zj * syn[p]
+    return acc, new_prev
 
 
 def decode_mp3(payload: bytes) -> AudioData:
@@ -4695,7 +4853,7 @@ def decode_mp3(payload: bytes) -> AudioData:
     ``NotImplementedError``; malformed streams raise ``ValueError``."""
     pos = 0
     samples: list = []
-    prev = [0] * 18
+    prev = [[0] * 18 for _ in range(32)]
     while pos < len(payload):
         if pos + 21 > len(payload):
             raise ValueError("truncated MP3 frame header/side info")
@@ -4731,35 +4889,76 @@ def decode_mp3(payload: bytes) -> AudioData:
             part23 = si.bits(12)
             big_values = si.bits(9)
             gg = si.bits(8)
-            if si.bits(4) != 0:
-                raise NotImplementedError("MP3 scalefactors")
+            sf_compress = si.bits(4)
             if si.bits(1) != 0:
                 raise NotImplementedError("MP3 short/mixed blocks")
-            if si.bits(5) != 1:
-                raise NotImplementedError("only the repo gamma table (id 1) decodes")
-            si.bits(10)  # table_select for the empty regions 1/2
-            si.bits(7)  # region0_count(4) + region1_count(3)
+            tsel = (si.bits(5), si.bits(5), si.bits(5))
+            if big_values and tsel[0] != 1:
+                raise NotImplementedError(
+                    "only the repo gamma table (id 1) decodes"
+                )
+            if any(t not in (0, 1) for t in tsel):
+                raise NotImplementedError(
+                    "only the repo gamma table (id 1) decodes"
+                )
+            si.bits(7)  # region0_count(4) + region1_count(3): parsed,
+            # semantically inert — every nonempty region carries the
+            # single repo table, so region boundaries select nothing
             if si.bits(1) != 0:
                 raise NotImplementedError("MP3 preflag")
-            if si.bits(1) != 0:
-                raise NotImplementedError("MP3 scalefac_scale")
-            if si.bits(1) != 0:
-                raise NotImplementedError("MP3 count1 table B")
-            if big_values > 9:
-                raise NotImplementedError("subset decodes subband 0 only")
+            sf_scale = si.bits(1)
+            if si.bits(1) != 1:
+                raise NotImplementedError(
+                    "MP3 count1 table A (empirical Huffman table); only the"
+                    " spec's structural table B decodes"
+                )
+            if big_values > 288:
+                raise ValueError("big_values above the 576-line granule")
             if (gg - 210) % 4:
                 raise NotImplementedError("gain off the 2^((gg-210)/4) grid")
-            gr_fields.append((part23, big_values, (gg - 210) // 4))
+            if (gg - 210) // 4 < 0:
+                raise NotImplementedError("negative gain exponent (subset)")
+            gr_fields.append(
+                (part23, big_values, (gg - 210) // 4, sf_compress, sf_scale)
+            )
         md = _MsbBitReader(payload, pos + 21)
-        for part23, big_values, gain_e in gr_fields:
+        for part23, big_values, gain_e, sf_compress, sf_scale in gr_fields:
             start_bits = md.pos * 8 - md._n
-            xr = [0] * 18
+            slen1, slen2 = MP3_SLEN[sf_compress]
+            sfac = [
+                md.bits(slen1 if b < 11 else slen2)
+                if (slen1 if b < 11 else slen2)
+                else 0
+                for b in range(21)
+            ]
+            g = {"scalefac": sfac, "scalefac_scale": sf_scale}
+
+            def requant(mag: int, neg: bool, line: int) -> int:
+                shift = gain_e - _mp3_sf_shift(g, line)
+                if shift < 0:
+                    raise NotImplementedError(
+                        "scalefactor shift exceeds gain (below the integer"
+                        " grid)"
+                    )
+                v = MP3_POW43[mag] << shift
+                return -v if neg else v
+
+            xr = [0] * 576
             for i in range(big_values * 2):
                 mag = _mp3_get_gamma(md)
                 if mag > 15:
                     raise ValueError("big-values magnitude above 15")
-                sign = -1 if (mag and md.bits(1)) else 1
-                xr[i] = sign * MP3_POW43[mag] * (1 << gain_e) if mag else 0
+                if mag:
+                    xr[i] = requant(mag, md.bits(1) == 1, i)
+            line = big_values * 2
+            # count1 region (table B): quadruples until part2_3_length
+            # is exhausted or the 576-line granule is full
+            while md.pos * 8 - md._n - start_bits < part23 and line + 4 <= 576:
+                quad = [md.bits(1) == 0 for _ in range(4)]
+                for k, present in enumerate(quad):
+                    if present:
+                        xr[line + k] = requant(1, md.bits(1) == 1, line + k)
+                line += 4
             used = md.pos * 8 - md._n - start_bits
             if used > part23:
                 raise ValueError("MP3 main data overruns part2_3_length")
@@ -4785,12 +4984,12 @@ def mp3_line_taps(n_granules: int = 2, lines: tuple = (0, 1)) -> dict:
     taps: dict = {}
     for g in range(n_granules):
         for line in lines:
-            xr = [0] * 18
+            xr = [0] * 576
             xr[line] = 1
-            prev = [0] * 18
+            prev = [[0] * 18 for _ in range(32)]
             out: list = []
             for gg in range(n_granules):
-                acc, prev = _mp3_granule_pcm(xr if gg == g else [0] * 18, prev)
+                acc, prev = _mp3_granule_pcm(xr if gg == g else [0] * 576, prev)
                 out.extend(acc)
             taps[(g, line)] = out
     return taps

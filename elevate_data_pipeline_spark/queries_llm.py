@@ -4853,24 +4853,34 @@ def multimodal_g711_decode(spark, sf_dir):
     )
 
 
+_MP3_LINES = (0, 1, 18, 19, 20, 23)
+
+
 def _sql_mp3() -> str:
     """Oracle for multimodal_mp3_decode: the decode chain is exactly
     linear in the requantized lines with ONE final round-half-up shift
     (operators/multimodal.mp3_line_taps — pytest-pinned superposition),
     so the replay is xr_{g,l} * tap_{g,l}[t] summed per sample, floored
-    after adding half, clipped to int16. Tap tables and the pow-4/3
-    requant table are the repo module constants embedded as literals
-    (the plane_coeffs / IMA-steps oracle pattern). Division by 2^21 is
-    exact in doubles (|acc| < 2^53), so floor replays the arithmetic
-    shift bit-for-bit."""
-    taps = multimodal.mp3_line_taps()
+    after adding half, clipped to int16. The widened fixture exercises
+    big values in subbands 0 AND 1 (lines 0/1 and 18/19), a count1
+    quadruple (lines 20/23, table B, magnitude 1 = pow43 value 4), and
+    a scalefactor on band 1 (shift 1, so the subband-1 lines carry
+    2^(gain-1)). Tap tables and the pow-4/3 requant table are the repo
+    module constants embedded as literals. Division by 2^21 is exact in
+    doubles (|acc| < 2^53), so floor replays the arithmetic shift
+    bit-for-bit."""
+    taps = multimodal.mp3_line_taps(n_granules=2, lines=_MP3_LINES)
     t = {
-        k: "[" + ",".join(str(v) for v in taps[k]) + "]"
-        for k in ((0, 0), (0, 1), (1, 0), (1, 1))
+        (g, l): "[" + ",".join(str(v) for v in taps[(g, l)]) + "]"
+        for g in (0, 1)
+        for l in _MP3_LINES
     }
     p43 = "[" + ",".join(str(v) for v in multimodal.MP3_POW43) + "]"
     half = 1 << (multimodal.MP3_SHIFT - 1)
     pow2 = 1 << multimodal.MP3_SHIFT
+    acc = " + ".join(
+        f"x{g}_{l} * ({t[(g, l)]})[s + 1]" for g in (0, 1) for l in _MP3_LINES
+    )
     return f"""
     WITH cfg AS (
       SELECT doc_id,
@@ -4878,26 +4888,44 @@ def _sql_mp3() -> str:
              CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS s00,
              CAST(1 + (doc_id * 7) % 15 AS INT) AS v01,
              CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END AS s01,
+             CAST(1 + (doc_id * 11) % 15 AS INT) AS v018,
+             CASE WHEN doc_id % 4 = 0 THEN -1 ELSE 1 END AS s018,
+             CAST(1 + (doc_id * 13) % 15 AS INT) AS v019,
+             CASE WHEN doc_id % 5 = 0 THEN -1 ELSE 1 END AS s019,
+             CAST(doc_id % 3 - 1 AS INT) AS c00,
+             CAST((doc_id * 7) % 3 - 1 AS INT) AS c03,
              CAST((doc_id * 3) % 16 AS INT) AS v10,
              CASE WHEN doc_id % 5 = 0 THEN -1 ELSE 1 END AS s10,
              CAST(1 + (doc_id * 5) % 13 AS INT) AS v11,
              CASE WHEN doc_id % 7 = 0 THEN -1 ELSE 1 END AS s11,
-             CAST(doc_id % 8 AS INT) AS e0,
-             CAST((doc_id * 3) % 8 AS INT) AS e1
+             CAST(1 + (doc_id * 17) % 15 AS INT) AS v118,
+             CASE WHEN doc_id % 6 = 0 THEN -1 ELSE 1 END AS s118,
+             CAST(1 + (doc_id * 19) % 15 AS INT) AS v119,
+             CASE WHEN doc_id % 8 = 0 THEN -1 ELSE 1 END AS s119,
+             CAST((doc_id * 5) % 3 - 1 AS INT) AS c10,
+             CAST((doc_id * 11) % 3 - 1 AS INT) AS c13,
+             CAST(1 + doc_id % 7 AS INT) AS e0,
+             CAST(1 + (doc_id * 3) % 7 AS INT) AS e1
       FROM documents
     ), xr AS (
       SELECT doc_id,
-             s00 * ({p43})[v00 + 1] * (CAST(1 AS BIGINT) << e0) AS x00,
-             s01 * ({p43})[v01 + 1] * (CAST(1 AS BIGINT) << e0) AS x01,
-             s10 * ({p43})[v10 + 1] * (CAST(1 AS BIGINT) << e1) AS x10,
-             s11 * ({p43})[v11 + 1] * (CAST(1 AS BIGINT) << e1) AS x11
+             s00 * ({p43})[v00 + 1] * (CAST(1 AS BIGINT) << e0) AS x0_0,
+             s01 * ({p43})[v01 + 1] * (CAST(1 AS BIGINT) << e0) AS x0_1,
+             s018 * ({p43})[v018 + 1] * (CAST(1 AS BIGINT) << (e0 - 1)) AS x0_18,
+             s019 * ({p43})[v019 + 1] * (CAST(1 AS BIGINT) << (e0 - 1)) AS x0_19,
+             c00 * 4 * (CAST(1 AS BIGINT) << (e0 - 1)) AS x0_20,
+             c03 * 4 * (CAST(1 AS BIGINT) << (e0 - 1)) AS x0_23,
+             s10 * ({p43})[v10 + 1] * (CAST(1 AS BIGINT) << e1) AS x1_0,
+             s11 * ({p43})[v11 + 1] * (CAST(1 AS BIGINT) << e1) AS x1_1,
+             s118 * ({p43})[v118 + 1] * (CAST(1 AS BIGINT) << (e1 - 1)) AS x1_18,
+             s119 * ({p43})[v119 + 1] * (CAST(1 AS BIGINT) << (e1 - 1)) AS x1_19,
+             c10 * 4 * (CAST(1 AS BIGINT) << (e1 - 1)) AS x1_20,
+             c13 * 4 * (CAST(1 AS BIGINT) << (e1 - 1)) AS x1_23
       FROM cfg
     ), pcm AS (
       SELECT doc_id,
              greatest(-32768, least(32767, CAST(floor(
-               (x00 * ({t[(0, 0)]})[s + 1] + x01 * ({t[(0, 1)]})[s + 1]
-                + x10 * ({t[(1, 0)]})[s + 1] + x11 * ({t[(1, 1)]})[s + 1]
-                + {half}) / {pow2}.0) AS BIGINT))) AS p
+               ({acc} + {half}) / {pow2}.0) AS BIGINT))) AS p
       FROM xr, (SELECT unnest(range(0, 1152)) AS s)
     )
     SELECT doc_id AS doc_id,
@@ -4929,19 +4957,34 @@ def multimodal_mp3_decode(spark, sf_dir):
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             rows = []
+            sf1 = [0, 1] + [0] * 19  # band 1 (lines 16..31) shifted by 1
             for doc_id in pdf["doc_id"]:
                 did = int(doc_id)
-                g0 = (
-                    [(1 if did % 2 == 0 else -1) * (1 + did % 14),
-                     (-1 if did % 3 == 0 else 1) * (1 + (did * 7) % 15)],
-                    did % 8,
+                big0 = [0] * 20
+                big0[0] = (1 if did % 2 == 0 else -1) * (1 + did % 14)
+                big0[1] = (-1 if did % 3 == 0 else 1) * (1 + (did * 7) % 15)
+                big0[18] = (-1 if did % 4 == 0 else 1) * (1 + (did * 11) % 15)
+                big0[19] = (-1 if did % 5 == 0 else 1) * (1 + (did * 13) % 15)
+                g0 = {
+                    "big": big0, "gain_e": 1 + did % 7,
+                    "count1": [(did % 3 - 1, 0, 0, (did * 7) % 3 - 1)],
+                    "scalefac": sf1, "scalefac_scale": 1,
+                    "scalefac_compress": 5,
+                }
+                big1 = [0] * 20
+                big1[0] = (-1 if did % 5 == 0 else 1) * ((did * 3) % 16)
+                big1[1] = (-1 if did % 7 == 0 else 1) * (1 + (did * 5) % 13)
+                big1[18] = (-1 if did % 6 == 0 else 1) * (1 + (did * 17) % 15)
+                big1[19] = (-1 if did % 8 == 0 else 1) * (1 + (did * 19) % 15)
+                g1 = {
+                    "big": big1, "gain_e": 1 + (did * 3) % 7,
+                    "count1": [((did * 5) % 3 - 1, 0, 0, (did * 11) % 3 - 1)],
+                    "scalefac": sf1, "scalefac_scale": 1,
+                    "scalefac_compress": 5,
+                }
+                au = multimodal.decode_audio(
+                    multimodal.encode_mp3([g0, g1], bitrate=64)
                 )
-                g1 = (
-                    [(-1 if did % 5 == 0 else 1) * ((did * 3) % 16),
-                     (-1 if did % 7 == 0 else 1) * (1 + (did * 5) % 13)],
-                    (did * 3) % 8,
-                )
-                au = multimodal.decode_audio(multimodal.encode_mp3([g0, g1]))
                 rows.append(
                     (did, len(au.samples), au.sample_rate,
                      max(abs(s) for s in au.samples),

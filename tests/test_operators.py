@@ -2560,6 +2560,98 @@ def test_mp3_roundtrip_superposition_and_framing():
         assert pred == au.samples
 
 
+def test_mp3_full_granule_roundtrip_superposition():
+    """Widened subset: big_values across several subbands, a count1
+    region (spec table B), and power-of-two scalefactors must decode to
+    the pinned linear superposition xr_{g,l} * tap_{g,l}[t] — the exact
+    property the SQL oracle replays — including the frequency inversion
+    and 32-band synthesis matrixing."""
+    import random
+
+    from elevate_data_pipeline_spark.operators import multimodal as mm
+
+    rng = random.Random(777)
+    grans = []
+    for g in range(4):  # 2 frames
+        big = [0] * 40
+        for i in (0, 1, 18, 19, 37):  # subbands 0, 1 and 2
+            big[i] = rng.choice([-1, 1]) * (1 + rng.randrange(15))
+        quads = [(1, 0, 0, -1), (0, -1, 1, 0)]  # count1 lines 40..47
+        sf = [0] * 21
+        sf[1] = 1  # band 1 = lines 16..31 under the repo widths
+        grans.append({
+            "big": big, "gain_e": 2 + rng.randrange(6), "count1": quads,
+            "scalefac": sf, "scalefac_scale": 1, "scalefac_compress": 5,
+        })
+    enc = mm.encode_mp3(grans, bitrate=64)
+    au = mm.decode_mp3(enc)
+    assert len(au.samples) == 1152 * 2
+
+    active = (0, 1, 18, 19, 37, 40, 43, 45, 46)
+    taps = mm.mp3_line_taps(n_granules=4, lines=active)
+    half = 1 << (mm.MP3_SHIFT - 1)
+
+    def xr_of(g, line):
+        gd = grans[g]
+        if line < len(gd["big"]):
+            v = gd["big"][line]
+        else:
+            q, k = divmod(line - len(gd["big"]), 4)
+            v = gd["count1"][q][k]
+        if not v:
+            return 0
+        shift = gd["gain_e"] - gd["scalefac"][mm._MP3_SFB_OF_LINE[line]]
+        return (-1 if v < 0 else 1) * mm.MP3_POW43[abs(v)] * (1 << shift)
+
+    pred = []
+    for t in range(576 * 4):
+        acc = 0
+        for g in range(4):
+            for line in active:
+                x = xr_of(g, line)
+                if x:
+                    acc += x * taps[(g, line)][t]
+        pred.append(max(-32768, min(32767, (acc + half) >> mm.MP3_SHIFT)))
+    assert pred == au.samples
+
+
+def test_mp3_widened_gates():
+    """The widened features are in; what remains OUT still fails loud:
+    count1 table A, scalefactor shift exceeding gain (encode and
+    decode), odd scalefac at scalefac_scale=0, oversized scalefac for
+    its slen, >576 lines."""
+    from elevate_data_pipeline_spark.operators import multimodal as mm
+
+    base = {"big": [1, 0], "gain_e": 1, "count1": [],
+            "scalefac": [0] * 21, "scalefac_scale": 1,
+            "scalefac_compress": 5}
+    enc = bytearray(mm.encode_mp3([dict(base), dict(base)]))
+    import pytest
+
+    sf_hot = dict(base, scalefac=[3] + [0] * 20)  # shift 3 > gain_e 1
+    with pytest.raises(ValueError):
+        mm.encode_mp3([sf_hot, dict(base)])
+    with pytest.raises(ValueError):  # odd scalefac at scale 0
+        mm.encode_mp3([dict(base, scalefac_scale=0,
+                            scalefac=[1] + [0] * 20, gain_e=7),
+                       dict(base)])
+    with pytest.raises(ValueError):  # scalefac overflows slen
+        mm.encode_mp3([dict(base, scalefac_compress=1,
+                            scalefac=[0] * 11 + [2] + [0] * 9),
+                       dict(base)])
+    with pytest.raises(ValueError):  # > 576 lines
+        mm.encode_mp3([dict(base, big=[1] * 570, count1=[(1, 0, 0, 1)] * 2),
+                       dict(base)])
+    # decode gate: granule 0's count1table_select bit (absolute bit
+    # 32 hdr + 18 mdb/priv/scfsi + 58 into the granule fields) flipped
+    # to table A must refuse loudly
+    tblA = bytearray(enc)
+    tblA[13] &= ~(1 << 3)
+    with pytest.raises(NotImplementedError, match="table A"):
+        mm.decode_mp3(bytes(tblA))
+    assert mm.decode_mp3(bytes(enc)).samples  # the base pair stays green
+
+
 def test_mp3_subset_rejections():
     """Out-of-subset structure must fail loud, never decode silently."""
     from elevate_data_pipeline_spark.operators import multimodal as mm
