@@ -525,3 +525,53 @@ def unigram_oracle_sql(
              AS prob
     FROM vocab{n_iter}"""
     )
+
+
+def unigram_encode_oracle_sql(
+    n_iter: int = 2, v_multi: int = 64, rel: str = "documents"
+) -> str:
+    """Unrolled DuckDB equivalent of :func:`unigram_encode`: the full
+    training chain, one MORE Viterbi DP pass segmenting every word
+    under the FINAL vocab scores, then per-doc token accounting by
+    joining the exploded corpus words to their segmentations (words
+    beyond the UNI_MAX_WORD lattice cap drop on both sides)."""
+    parts = [
+        f"""uw AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM {rel})
+  WHERE len(word) >= 1 AND len(word) <= {UNI_MAX_WORD}
+  GROUP BY word)""",
+        f"""c0 AS MATERIALIZED (
+  SELECT token, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+    SELECT unnest([substr(word, i, 1) for i in range(1, len(word) + 1)])
+           AS token, cnt FROM uw
+    UNION ALL
+    SELECT unnest([substr(word, i, 2) for i in range(1, len(word))]),
+           cnt FROM uw WHERE len(word) >= 2
+    UNION ALL
+    SELECT unnest([substr(word, i, 3) for i in range(1, len(word) - 1)]),
+           cnt FROM uw WHERE len(word) >= 3
+  ) GROUP BY token)""",
+        "chars0 AS MATERIALIZED (SELECT token FROM c0 WHERE len(token) = 1)",
+    ]
+    parts += _uni_vocab_ctes(0, "c0", v_multi)
+    for it in range(1, n_iter + 1):
+        parts += _uni_dp_ctes(it, f"p{it - 1}")
+        parts += _uni_vocab_ctes(it, f"c{it}", v_multi)
+    final = n_iter + 1
+    parts += _uni_dp_ctes(final, f"p{n_iter}")  # seg{final} = final vocab's DP
+    parts.append(
+        f"""dw AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM {rel})"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT dw.doc_id AS doc_id,
+           CAST(sum(len(string_split(s.path, chr(31)))) AS BIGINT)
+             AS n_tokens_uni,
+           CAST(sum(len(dw.word)) AS BIGINT) AS n_tokens_char
+    FROM dw JOIN seg{final} s USING (word)
+    GROUP BY dw.doc_id"""
+    )

@@ -3702,6 +3702,8 @@ from .operators.tokenizer import bpe_encode as _bpe_encode  # noqa: E402
 from .operators.tokenizer import bpe_encode_oracle_sql as _bpe_encode_oracle_sql  # noqa: E402
 from .operators.tokenizer import bpe_merges as _bpe_merges  # noqa: E402
 from .operators.tokenizer import bpe_oracle_sql as _bpe_oracle_sql  # noqa: E402
+from .operators.tokenizer import unigram_encode as _unigram_encode  # noqa: E402
+from .operators.tokenizer import unigram_encode_oracle_sql as _unigram_encode_oracle_sql  # noqa: E402
 from .operators.tokenizer import unigram_oracle_sql as _unigram_oracle_sql  # noqa: E402
 from .operators.tokenizer import unigram_vocab as _unigram_vocab  # noqa: E402
 
@@ -3723,6 +3725,22 @@ def unigram_vocab(spark, sf_dir):
     identical unrolled structure."""
     docs = Catalog(spark, sf_dir).table("documents")
     return _unigram_vocab(docs, n_iter=_UNI_ITER, v_multi=_UNI_V)
+
+
+@query(
+    "unigram_encode",
+    _unigram_encode_oracle_sql(n_iter=_UNI_ITER, v_multi=_UNI_V),
+)
+def unigram_encode(spark, sf_dir):
+    """Train-and-apply for the unigram-LM tokenizer: the trained vocab
+    Viterbi-segments the corpus words once more (same exact-ordering
+    lattice DP) and the per-word token counts join back to the exploded
+    corpus — per-doc (n_tokens_uni, n_tokens_char), the fertility
+    numbers a tokenizer choice is judged by (compare ``bpe_encode``).
+    Encoding is a broadcast join + one groupBy(doc): map-side at 100 TB
+    since the word vocabulary is corpus-size-independent."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return _unigram_encode(docs, n_iter=_UNI_ITER, v_multi=_UNI_V)
 
 
 @query("bpe_merges", _bpe_oracle_sql(n_merges=_BPE_N))
@@ -5684,4 +5702,119 @@ def multimodal_id3_variants(spark, sf_dir):
     return docs.mapInPandas(
         run,
         "doc_id long, version int, title string, extra string, n_frames int",
+    )
+
+
+@query(
+    "warc_cdx",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(CAST(doc_id AS VARCHAR)) AS BIGINT) AS dlen,
+             CAST(octet_length(encode(text)) AS BIGINT) AS tlen
+      FROM documents
+    ), recs AS (
+      SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS rec_type,
+             CAST(NULL AS VARCHAR) AS target_uri,
+             CAST(octet_length(encode('software: elevate-data-pipeline-spark'))
+                  + 2 AS BIGINT) AS clen,
+             CAST(0 AS BIGINT) AS ulen
+      FROM base
+      UNION ALL
+      SELECT doc_id, 1, 'request', 'http://crawl.test/doc/' || doc_id,
+             40 + dlen, 19 + 22 + dlen
+      FROM base
+      UNION ALL
+      SELECT doc_id, 2, 'response', 'http://crawl.test/doc/' || doc_id,
+             tlen, 19 + 22 + dlen
+      FROM base
+    ), lens AS (
+      -- closed-form record span: version line (10) + the four mandatory
+      -- header lines + optional WARC-Target-URI line + blank + payload
+      -- + CRLFCRLF trailer; record-id values are always 43 bytes
+      -- (<urn:uuid: + 32 hex + >), dates 20
+      SELECT doc_id, rec_idx, rec_type, target_uri,
+             CAST(141 + octet_length(encode(rec_type)) + ulen
+                  + len(CAST(clen AS VARCHAR)) + clen AS BIGINT) AS length
+      FROM recs
+    )
+    SELECT doc_id AS doc_id, CAST(rec_idx AS INT) AS rec_idx,
+           rec_type AS rec_type, target_uri AS target_uri,
+           CAST(coalesce(sum(length) OVER (
+             PARTITION BY doc_id ORDER BY rec_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS offset,
+           length AS length
+    FROM lens
+    """,
+)
+def warc_cdx(spark, sf_dir):
+    """CDX-style byte-offset index over the per-doc WARC container
+    (``sources/warc.cdx_records``): the structural walk reports each
+    record's (offset, length) span — the addressing that makes WARC
+    splittable at 100 TB (a reader seeks straight to a record instead
+    of scanning the file prefix; CommonCrawl ships exactly this index
+    beside every crawl). The oracle replays the spans in CLOSED FORM
+    from the fixture strings (version line + header-line lengths +
+    Content-Length digits + payload + trailer), so the walk's byte
+    accounting — not just its field values — is the gated output. Same
+    uncompressed layout on both sides; for .warc.gz the helper reports
+    compressed member spans (pytest-verified, zlib output not
+    SQL-replayable). One narrow scan, no corpus shuffle."""
+    from collections.abc import Iterator
+
+    from .sources.warc import cdx_records, encode_warc
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                uri = f"http://crawl.test/doc/{did}"
+                plain = encode_warc(
+                    [
+                        {
+                            "rec_type": "warcinfo",
+                            "record_id": f"<urn:uuid:{did:032x}>",
+                            "date": "2026-01-01T00:00:00Z",
+                            "payload": b"software: elevate-data-pipeline-spark\r\n",
+                        },
+                        {
+                            "rec_type": "request",
+                            "record_id": f"<urn:uuid:{did + 1:032x}>",
+                            "date": "2026-01-01T00:00:00Z",
+                            "uri": uri,
+                            "payload": (
+                                f"GET /doc/{did} HTTP/1.1\r\n"
+                                "Host: crawl.test\r\n\r\n"
+                            ).encode(),
+                        },
+                        {
+                            "rec_type": "response",
+                            "record_id": f"<urn:uuid:{did + 2:032x}>",
+                            "date": "2026-01-01T00:00:00Z",
+                            "uri": uri,
+                            "payload": str(text).encode("utf-8"),
+                        },
+                    ],
+                    gzip_members=False,
+                )
+                for c in cdx_records(plain):
+                    rows.append(
+                        (did, c["rec_idx"], c["rec_type"], c["uri"],
+                         c["offset"], c["length"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "rec_idx", "rec_type", "target_uri",
+                         "offset", "length"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id long, rec_idx int, rec_type string, target_uri string,"
+        " offset long, length long",
     )

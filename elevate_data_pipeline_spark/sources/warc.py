@@ -192,3 +192,79 @@ def read_warc(spark, path: str):
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     return files.mapInPandas(explode, WARC_RECORD_SCHEMA)
+
+
+def cdx_records(payload: bytes) -> list:
+    """CDX-style offset index over a WARC stream: one dict per record
+    with ``rec_idx``, ``rec_type``, ``uri``, ``offset``, ``length`` —
+    the byte addressing that makes WARC splittable at scale (a reader
+    seeks straight to a member instead of scanning the prefix).
+
+    For ``.warc.gz`` the offsets/lengths address the COMPRESSED gzip
+    members (the CommonCrawl CDX semantic); for uncompressed ``.warc``
+    they address the record byte spans directly. Offsets come from the
+    same fail-loud structural walk as :func:`decode_warc`."""
+    out: list = []
+    if payload[:2] == b"\x1f\x8b":
+        pos = 0
+        rest = payload
+        while rest:
+            if rest[:2] != b"\x1f\x8b":
+                raise ValueError("garbage between gzip members in .warc.gz")
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            raw = d.decompress(rest) + d.flush()
+            if not d.eof:
+                raise ValueError("truncated gzip member in .warc.gz")
+            member_len = len(rest) - len(d.unused_data)
+            recs = decode_warc(raw)
+            if len(recs) != 1:
+                raise ValueError("gzip member must hold exactly one record")
+            out.append(
+                {
+                    "rec_idx": len(out), "rec_type": recs[0]["rec_type"],
+                    "uri": recs[0]["uri"], "offset": pos,
+                    "length": member_len,
+                }
+            )
+            pos += member_len
+            rest = d.unused_data
+        return out
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        recs_before = pos
+        # reuse the strict single-record walk by slicing forward: parse
+        # headers to find Content-Length, then bound the record span
+        eol = payload.find(_CRLF, pos)
+        if eol < 0 or payload[pos:eol] != _VERSION:
+            raise ValueError("bad WARC version line at offset %d" % pos)
+        hpos = eol + 2
+        headers: dict = {}
+        while True:
+            eol = payload.find(_CRLF, hpos)
+            if eol < 0:
+                raise ValueError("unterminated WARC header block")
+            line = payload[hpos:eol]
+            hpos = eol + 2
+            if not line:
+                break
+            k, sep, v = line.partition(b":")
+            if not sep:
+                raise ValueError(f"bad WARC header line {line!r}")
+            headers[k.decode("utf-8").strip()] = v.decode("utf-8").strip()
+        for k in _MANDATORY:
+            if k not in headers:
+                raise ValueError(f"WARC record missing mandatory header {k}")
+        clen = int(headers["Content-Length"])
+        end = hpos + clen + 4
+        if clen < 0 or end > n or payload[end - 4 : end] != _CRLF + _CRLF:
+            raise ValueError("WARC content block/trailer out of bounds")
+        out.append(
+            {
+                "rec_idx": len(out), "rec_type": headers["WARC-Type"],
+                "uri": headers.get("WARC-Target-URI"),
+                "offset": recs_before, "length": end - recs_before,
+            }
+        )
+        pos = end
+    return out

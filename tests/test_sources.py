@@ -158,3 +158,46 @@ def test_warc_malformed_rejection():
         encode_warc([dict(rec, uri="http://x/\r\nWARC-Type: smuggled")])
     with pytest.raises(ValueError):
         encode_warc([dict(rec, payload="not-bytes")])
+
+
+def test_warc_cdx_spans():
+    """cdx_records reports exact byte spans: slicing any entry out of
+    the stream yields a standalone decodable record, spans tile the
+    whole stream, and the .warc.gz variant addresses compressed member
+    boundaries (the CommonCrawl CDX semantic)."""
+    from elevate_data_pipeline_spark.sources.warc import (
+        cdx_records,
+        decode_warc,
+        encode_warc,
+    )
+
+    recs = [
+        {
+            "rec_type": "warcinfo", "record_id": "<urn:uuid:0>",
+            "date": "2026-01-01T00:00:00Z", "payload": b"soft\r\n",
+        },
+        {
+            "rec_type": "response", "record_id": "<urn:uuid:1>",
+            "date": "2026-01-01T00:00:00Z", "uri": "http://a/b",
+            "payload": b"BODY" * 50,
+        },
+        {
+            "rec_type": "response", "record_id": "<urn:uuid:2>",
+            "date": "2026-01-01T00:00:00Z", "uri": "http://a/c",
+            "payload": b"x",
+        },
+    ]
+    for gz in (False, True):
+        stream = encode_warc(recs, gzip_members=gz)
+        cdx = cdx_records(stream)
+        assert [c["rec_idx"] for c in cdx] == [0, 1, 2]
+        assert cdx[0]["offset"] == 0
+        for prev, cur in zip(cdx, cdx[1:]):
+            assert cur["offset"] == prev["offset"] + prev["length"]
+        assert cdx[-1]["offset"] + cdx[-1]["length"] == len(stream)
+        for c, rec in zip(cdx, recs):
+            member = stream[c["offset"] : c["offset"] + c["length"]]
+            got = decode_warc(member)
+            assert len(got) == 1 and got[0]["payload"] == rec["payload"]
+            assert c["rec_type"] == rec["rec_type"]
+            assert c["uri"] == rec.get("uri")
