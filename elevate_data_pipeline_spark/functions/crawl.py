@@ -1,0 +1,77 @@
+"""Robots Exclusion Protocol (robots.txt, RFC 9309) evaluation.
+
+A pretraining crawl is gated by robots.txt before a byte is fetched;
+at 100 TB the decision runs per (host, path) on executors against
+broadcast or joined policy text. This is the structural subset in the
+repo's codec style: grouping (consecutive ``User-agent`` lines own the
+following rules), case-insensitive agent selection with the ``*``
+fallback, multiple groups for the same agent merged (RFC 9309 §2.2.1),
+empty ``Disallow:`` as a no-op, and longest-prefix-match precedence
+with Allow winning length ties (§2.2.2). Unknown directives and
+garbage lines are ignored — that leniency is the spec's, not ours.
+Wildcard metacharacters (``*``/``$``) inside rule paths raise
+``NotImplementedError`` loudly rather than mis-matching.
+"""
+
+from __future__ import annotations
+
+
+def parse_robots(content: str) -> list:
+    """Parse robots.txt into groups: ``[(agents, rules), ...]`` with
+    ``agents`` a set of lowercased product tokens and ``rules`` a list
+    of ``(type, path)`` with type in {"allow", "disallow"}. Rules
+    before any User-agent line are ignored (RFC 9309 §2.2.1)."""
+    groups: list = []
+    agents: set = set()
+    rules: list = []
+    collecting_agents = False
+    for raw in content.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, value = line.partition(":")
+        if not sep:
+            continue  # garbage line: the spec says ignore
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if not collecting_agents and agents:
+                groups.append((agents, rules))
+                agents, rules = set(), []
+            agents.add(value.lower())
+            collecting_agents = True
+        elif key in ("allow", "disallow"):
+            collecting_agents = False
+            if not agents:
+                continue  # rule before any group: ignored per spec
+            if value == "":
+                continue  # empty pattern matches nothing (no-op)
+            if "*" in value or "$" in value:
+                raise NotImplementedError(
+                    "robots.txt wildcard metacharacters (*/$) not supported"
+                )
+            rules.append((key, value))
+        else:
+            collecting_agents = False  # crawl-delay/sitemap/...: ignored
+    if agents:
+        groups.append((agents, rules))
+    return groups
+
+
+def robots_allowed(content: str, agent: str, path: str) -> tuple:
+    """Evaluate one (agent, path): returns ``(allowed, rule_type,
+    rule_path)`` with rule_* None when no rule matches (default allow).
+    Group selection per RFC 9309: the groups naming the agent exactly
+    (case-insensitive) if any exist, else the ``*`` groups, rules
+    merged across same-agent groups; precedence is longest matched
+    prefix, Allow winning length ties."""
+    agent = agent.lower()
+    groups = parse_robots(content)
+    rules = [r for a, rs in groups if agent in a for r in rs]
+    if not any(agent in a for a, _ in groups):
+        rules = [r for a, rs in groups if "*" in a for r in rs]
+    matches = [(t, p) for t, p in rules if path.startswith(p)]
+    if not matches:
+        return (True, None, None)
+    t, p = max(matches, key=lambda r: (len(r[1]), r[0] == "allow"))
+    return (t == "allow", t, p)

@@ -268,3 +268,47 @@ def cdx_records(payload: bytes) -> list:
         )
         pos = end
     return out
+
+
+def parse_http_response(payload: bytes) -> dict:
+    """Parse the HTTP/1.1 response message a real WARC ``response``
+    record carries as its payload: status line, header map (first
+    occurrence wins, names case-normalized to lowercase), body. When a
+    ``Content-Length`` header is present the body length must match it
+    exactly — a silent mismatch would mean truncated crawl content.
+    Malformed structure raises ``ValueError``."""
+    head, sep, body = payload.partition(_CRLF + _CRLF)
+    if not sep:
+        raise ValueError("HTTP response without header terminator")
+    lines = head.split(_CRLF)
+    status = lines[0].split(b" ", 2)
+    if len(status) < 2 or not status[0].startswith(b"HTTP/"):
+        raise ValueError(f"bad HTTP status line {lines[0]!r}")
+    try:
+        code = int(status[1])
+    except ValueError:
+        raise ValueError(f"bad HTTP status code {status[1]!r}") from None
+    headers: dict = {}
+    for line in lines[1:]:
+        k, hsep, v = line.partition(b":")
+        if not hsep:
+            raise ValueError(f"bad HTTP header line {line!r}")
+        key = k.decode("latin-1").strip().lower()
+        if key not in headers:
+            headers[key] = v.decode("latin-1").strip()
+    if "content-length" in headers:
+        try:
+            clen = int(headers["content-length"])
+        except ValueError:
+            raise ValueError("bad Content-Length") from None
+        if clen != len(body):
+            raise ValueError(
+                f"Content-Length {clen} != body length {len(body)}"
+            )
+    return {
+        "version": status[0].decode("latin-1"),
+        "status": code,
+        "reason": status[2].decode("latin-1") if len(status) > 2 else "",
+        "headers": headers,
+        "body": body,
+    }

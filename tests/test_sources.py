@@ -201,3 +201,53 @@ def test_warc_cdx_spans():
             assert len(got) == 1 and got[0]["payload"] == rec["payload"]
             assert c["rec_type"] == rec["rec_type"]
             assert c["uri"] == rec.get("uri")
+
+
+def test_http_response_parse():
+    """Status/header/body walk plus the fail-loud contract: missing
+    terminator, Content-Length mismatch, bad status code."""
+    import pytest
+
+    from elevate_data_pipeline_spark.sources.warc import parse_http_response
+
+    msg = (b"HTTP/1.1 301 Moved Permanently\r\n"
+           b"Location: http://x/\r\nCONTENT-type: text/plain\r\n"
+           b"Content-Type: duplicate/ignored\r\n\r\n")
+    r = parse_http_response(msg)
+    assert (r["status"], r["reason"]) == (301, "Moved Permanently")
+    assert r["headers"]["content-type"] == "text/plain"  # first wins
+    assert r["headers"]["location"] == "http://x/"
+    assert r["body"] == b""
+    with pytest.raises(ValueError):
+        parse_http_response(b"HTTP/1.1 200 OK\r\nX: y\r\n")  # no terminator
+    with pytest.raises(ValueError):
+        parse_http_response(b"HTTP/1.1 200 OK\r\nContent-Length: 9\r\n\r\nhi")
+    with pytest.raises(ValueError):
+        parse_http_response(b"ICY 200 OK\r\n\r\n")
+
+
+def test_robots_rules():
+    """RFC 9309 semantics: group merge for the same agent, exact-agent
+    beats *, longest match, Allow wins ties, empty Disallow is a no-op,
+    rules before any group ignored, wildcards refuse loudly."""
+    import pytest
+
+    from elevate_data_pipeline_spark.functions.crawl import robots_allowed
+
+    txt = (
+        "Disallow: /ignored-before-any-group\n"
+        "User-agent: a\nUser-agent: b\nDisallow: /x/\n"
+        "User-agent: *\nDisallow: /y/\nAllow: /y/ok\nDisallow:\n"
+        "User-agent: a\nAllow: /x/ok/\n"  # same-agent group merges
+    )
+    assert robots_allowed(txt, "A", "/x/ok/z") == (True, "allow", "/x/ok/")
+    assert robots_allowed(txt, "b", "/x/z") == (False, "disallow", "/x/")
+    assert robots_allowed(txt, "other", "/y/z") == (False, "disallow", "/y/")
+    assert robots_allowed(txt, "other", "/y/ok") == (True, "allow", "/y/ok")
+    assert robots_allowed(txt, "other", "/free") == (True, None, None)
+    assert robots_allowed(txt, "a", "/y/z") == (True, None, None)  # exact group only
+    # Allow wins an exact length tie
+    tie = "User-agent: *\nDisallow: /p\nAllow: /p\n"
+    assert robots_allowed(tie, "x", "/page") == (True, "allow", "/p")
+    with pytest.raises(NotImplementedError):
+        robots_allowed("User-agent: *\nDisallow: /*.pdf\n", "x", "/a.pdf")
