@@ -75,3 +75,31 @@ def robots_allowed(content: str, agent: str, path: str) -> tuple:
         return (True, None, None)
     t, p = max(matches, key=lambda r: (len(r[1]), r[0] == "allow"))
     return (t == "allow", t, p)
+
+
+def fix_mojibake(text: str, max_rounds: int = 3) -> tuple:
+    """Repair UTF-8-read-as-latin-1 mojibake ("cafÃ©" -> "café"), the
+    single most common crawl-text corruption: if the text's latin-1
+    byte image decodes as STRICT UTF-8 and that changes the text, the
+    decoding is applied, repeated to a fixpoint (double-encoded text
+    needs two rounds; ``max_rounds`` bounds pathological input).
+    Returns ``(repaired, n_rounds)`` — n_rounds 0 means the text was
+    not mojibake (pure ASCII round-trips identically and is left
+    untouched; text with code points beyond latin-1 cannot be a
+    latin-1 misreading at all). Deterministic, no heuristics beyond
+    strict-decode success — the same rule both engines can replay."""
+    rounds = 0
+    while rounds < max_rounds:
+        try:
+            raw = text.encode("latin-1")
+        except UnicodeEncodeError:
+            break  # beyond latin-1: cannot be a latin-1 misreading
+        try:
+            decoded = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            break  # not valid UTF-8: no repair applies
+        if decoded == text:
+            break  # ASCII fixpoint
+        text = decoded
+        rounds += 1
+    return text, rounds

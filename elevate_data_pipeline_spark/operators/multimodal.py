@@ -4541,10 +4541,12 @@ def decode_exif_jpeg(payload: bytes) -> list:
 # 21 long-block scalefactors (scalefac_compress slen packing per the
 # spec's structural table; band widths MP3_SFB are a repo swap-in for
 # the empirical Table B.8) on the power-of-two grid.
+# scfsi scalefactor sharing decodes too (the second granule reuses
+# granule 0's band groups — structural, 11172-3 2.4.2.7).
 # Remaining subset gates (each raises NotImplementedError, never
 # silent): stereo modes, bit reservoir (main_data_begin != 0),
 # short/mixed blocks, preflag, count1 table A (empirical), scalefactor
-# shifts that exceed the gain (off the integer grid), scfsi, and gains
+# shifts that exceed the gain (off the integer grid), and gains
 # not on the 2^((gg-210)/4) grid. Structural simplification: the
 # alias-reduction butterflies (empirical ci constants) are omitted —
 # the chain is IMDCT/window/overlap/inversion/matrixing.
@@ -4603,6 +4605,18 @@ MP3_SLEN = (
     (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
     (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3),
 )
+# scfsi band groups (long blocks): the four User groups of 11172-3
+# 2.4.2.7 — bands 0-5, 6-10, 11-15, 16-20. A set scfsi bit means the
+# SECOND granule reuses the first granule's scalefactors for the group
+# and transmits none (STRUCTURAL sharing, no empirical content).
+MP3_SCFSI_BANDS = ((0, 6), (6, 11), (11, 16), (16, 21))
+
+
+def _mp3_scfsi_shared(scfsi, band: int) -> bool:
+    for bit, (lo, hi) in zip(scfsi, MP3_SCFSI_BANDS):
+        if bit and lo <= band < hi:
+            return True
+    return False
 MP3_SHIFT = 21  # one final round-half-up >> after the exact integer chain
 
 
@@ -4639,13 +4653,14 @@ def _mp3_norm_granule(g) -> dict:
             "scalefac": list(g.get("scalefac", [0] * 21)),
             "scalefac_scale": g.get("scalefac_scale", 1),
             "scalefac_compress": g.get("scalefac_compress", 0),
+            "scfsi": tuple(g.get("scfsi", (0, 0, 0, 0))),
         }
     else:
         values, gain_e = g
         out = {
             "big": list(values), "gain_e": gain_e, "count1": [],
             "scalefac": [0] * 21, "scalefac_scale": 1,
-            "scalefac_compress": 0,
+            "scalefac_compress": 0, "scfsi": (0, 0, 0, 0),
         }
     if not 0 <= out["gain_e"] <= 7:
         raise ValueError("gain_e out of the subset's 0..7 grid")
@@ -4666,6 +4681,8 @@ def _mp3_norm_granule(g) -> dict:
         raise ValueError("scalefac needs exactly 21 long-block bands")
     if out["scalefac_scale"] not in (0, 1):
         raise ValueError("scalefac_scale must be 0 or 1")
+    if len(out["scfsi"]) != 4 or any(b not in (0, 1) for b in out["scfsi"]):
+        raise ValueError("scfsi must be four 0/1 flags")
     if not 0 <= out["scalefac_compress"] <= 15:
         raise ValueError("scalefac_compress out of range")
     slen1, slen2 = MP3_SLEN[out["scalefac_compress"]]
@@ -4729,11 +4746,26 @@ def encode_mp3(
     out = bytearray()
     for f in range(0, len(granules), 2):
         pair = [_mp3_norm_granule(g) for g in granules[f : f + 2]]
+        scfsi = pair[1]["scfsi"]
+        if any(pair[0]["scfsi"]):
+            raise ValueError("scfsi flags belong on the pair's SECOND granule")
+        if any(scfsi):
+            if pair[0]["scalefac_compress"] != pair[1]["scalefac_compress"]:
+                raise ValueError("scfsi sharing needs equal scalefac_compress")
+            for b in range(21):
+                if _mp3_scfsi_shared(scfsi, b) and (
+                    pair[0]["scalefac"][b] != pair[1]["scalefac"][b]
+                ):
+                    raise ValueError(
+                        f"scfsi-shared band {b} differs between granules"
+                    )
         mains, fields = [], []
-        for g in pair:
+        for gi, g in enumerate(pair):
             slen1, slen2 = MP3_SLEN[g["scalefac_compress"]]
             mw = _MsbBitWriter()
             for b, s in enumerate(g["scalefac"]):  # part2: scalefactors
+                if gi == 1 and _mp3_scfsi_shared(scfsi, b):
+                    continue  # granule 0's value is reused, none sent
                 slen = slen1 if b < 11 else slen2
                 if slen:
                     mw.bits(s, slen)
@@ -4772,7 +4804,9 @@ def encode_mp3(
         # side info, mono: 17 bytes
         bw.bits(0, 9)  # main_data_begin = 0 (no reservoir)
         bw.bits(0, 5)  # private
-        bw.bits(0, 4)  # scfsi
+        bw.bits(
+            (scfsi[0] << 3) | (scfsi[1] << 2) | (scfsi[2] << 1) | scfsi[3], 4
+        )
         for g, big_values, gg, nbits in fields:
             bw.bits(nbits, 12)  # part2_3_length (incl. scalefactor part2)
             bw.bits(big_values, 9)
@@ -4882,8 +4916,8 @@ def decode_mp3(payload: bytes) -> AudioData:
         if si.bits(9) != 0:
             raise NotImplementedError("MP3 bit reservoir (main_data_begin != 0)")
         si.bits(5)  # private
-        if si.bits(4) != 0:
-            raise NotImplementedError("MP3 scfsi scalefactor sharing")
+        scfsi_raw = si.bits(4)
+        scfsi = tuple((scfsi_raw >> k) & 1 for k in (3, 2, 1, 0))
         gr_fields = []
         for _g in range(2):
             part23 = si.bits(12)
@@ -4922,15 +4956,21 @@ def decode_mp3(payload: bytes) -> AudioData:
                 (part23, big_values, (gg - 210) // 4, sf_compress, sf_scale)
             )
         md = _MsbBitReader(payload, pos + 21)
-        for part23, big_values, gain_e, sf_compress, sf_scale in gr_fields:
+        g0_sfac: list = []
+        for gi, (part23, big_values, gain_e, sf_compress, sf_scale) in (
+            enumerate(gr_fields)
+        ):
             start_bits = md.pos * 8 - md._n
             slen1, slen2 = MP3_SLEN[sf_compress]
-            sfac = [
-                md.bits(slen1 if b < 11 else slen2)
-                if (slen1 if b < 11 else slen2)
-                else 0
-                for b in range(21)
-            ]
+            sfac = []
+            for b in range(21):
+                if gi == 1 and _mp3_scfsi_shared(scfsi, b):
+                    sfac.append(g0_sfac[b])  # shared: none transmitted
+                    continue
+                slen = slen1 if b < 11 else slen2
+                sfac.append(md.bits(slen) if slen else 0)
+            if gi == 0:
+                g0_sfac = sfac
             g = {"scalefac": sfac, "scalefac_scale": sf_scale}
 
             def requant(mag: int, neg: bool, line: int) -> int:

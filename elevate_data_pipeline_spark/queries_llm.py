@@ -5986,3 +5986,78 @@ def robots_decisions(spark, sf_dir):
         "doc_id long, agent string, path string, allowed boolean,"
         " rule_type string, rule_path string",
     )
+
+
+@query(
+    "text_charset_fix",
+    """
+    WITH cfg AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text
+                  ELSE 'caf' || chr(233) || ' ' || chr(8212) || ' ' || text
+             END AS orig,
+             CASE WHEN doc_id % 3 = 0 THEN 0
+                  WHEN doc_id % 3 = 1 THEN 1 ELSE 2 END AS depth,
+             text AS text
+      FROM documents
+    )
+    SELECT doc_id AS doc_id,
+           CAST(depth AS INT) AS n_rounds,
+           CAST(depth > 0 AS BOOLEAN) AS was_mojibake,
+           CAST(CASE depth
+             WHEN 0 THEN octet_length(encode(orig))
+             WHEN 1 THEN octet_length(encode(orig))
+             ELSE octet_length(encode(
+               'caf' || chr(195) || chr(169) || ' ' || chr(226)
+               || chr(128) || chr(148) || ' ' || text))
+           END AS BIGINT) AS n_chars_before,
+           CAST(len(orig) AS BIGINT) AS n_chars_after,
+           md5(orig) AS repaired_md5
+    FROM cfg
+    """,
+)
+def text_charset_fix(spark, sf_dir):
+    """REAL crawl-text charset repair (functions/crawl.fix_mojibake):
+    per doc the fixture injects UTF-8-read-as-latin-1 mojibake at depth
+    0 (clean), 1 (single) or 2 (double-encoded — the classic
+    pipeline-of-two-bad-readers corruption) and the engine repairs it
+    by the deterministic strict-decode fixpoint rule. Outputs the
+    repair depth, char counts before/after and the repaired digest —
+    the oracle replays all three branches in closed form (a depth-k
+    mojibake of an ASCII-plus-latin-1 string has a computable length:
+    each round maps every byte to one char). Row-local, no shuffle:
+    the 100 TB text-cleanup shape."""
+    import hashlib
+    from collections.abc import Iterator
+
+    from .functions.crawl import fix_mojibake
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                orig = str(text) if did % 3 == 0 else "café — " + str(text)
+                depth = did % 3
+                garbled = orig
+                for _ in range(depth):
+                    garbled = garbled.encode("utf-8").decode("latin-1")
+                repaired, rounds = fix_mojibake(garbled)
+                rows.append(
+                    (did, rounds, rounds > 0, len(garbled), len(repaired),
+                     hashlib.md5(repaired.encode("utf-8")).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_rounds", "was_mojibake",
+                         "n_chars_before", "n_chars_after", "repaired_md5"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_rounds int, was_mojibake boolean,"
+        " n_chars_before long, n_chars_after long, repaired_md5 string",
+    )

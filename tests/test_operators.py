@@ -2615,6 +2615,43 @@ def test_mp3_full_granule_roundtrip_superposition():
     assert pred == au.samples
 
 
+def test_mp3_scfsi_sharing_roundtrip():
+    """scfsi scalefactor sharing: a frame whose second granule reuses
+    granule 0's band-group scalefactors must decode identically to the
+    explicit-transmission frame (same scalefacs, fewer part2 bits), and
+    inconsistent sharing must refuse at encode time."""
+    from elevate_data_pipeline_spark.operators import multimodal as mm
+
+    sf = [1, 1, 0, 1] + [0] * 17
+    big = [0] * 20
+    big[0], big[18] = 5, -3
+    g0 = {"big": big, "gain_e": 3, "scalefac": sf, "scalefac_scale": 1,
+          "scalefac_compress": 5}
+    g1_explicit = dict(g0, gain_e=4)
+    g1_shared = dict(g1_explicit, scfsi=(1, 1, 1, 1))
+    enc_explicit = mm.encode_mp3([g0, g1_explicit], bitrate=64)
+    enc_shared = mm.encode_mp3([g0, dict(g1_shared)], bitrate=64)
+    assert mm.decode_mp3(enc_shared).samples == mm.decode_mp3(enc_explicit).samples
+    # granule 1's part2_3_length is 21 bits shorter (slen (1,1), all
+    # four groups shared -> zero scalefactor bits transmitted)
+    def part23_g1(enc):
+        r = mm._MsbBitReader(enc, 4)
+        r.bits(18 + 59)
+        return r.bits(12)
+    assert part23_g1(enc_explicit) - part23_g1(enc_shared) == 21
+
+    with pytest.raises(ValueError):  # shared band values must agree
+        mm.encode_mp3([g0, dict(g1_shared, scalefac=[0] * 21)], bitrate=64)
+    with pytest.raises(ValueError):  # scfsi on the first granule
+        mm.encode_mp3([dict(g0, scfsi=(1, 0, 0, 0)), g1_explicit], bitrate=64)
+    # partial sharing: only group 0 (bands 0-5) shared; band 11+ may differ
+    sf_b = [1, 1, 0, 1] + [0] * 7 + [1] + [0] * 9
+    g1_partial = dict(g0, scalefac=sf_b, scfsi=(1, 0, 0, 0))
+    dec = mm.decode_mp3(mm.encode_mp3([g0, g1_partial], bitrate=64))
+    ref = mm.decode_mp3(mm.encode_mp3([g0, dict(g0, scalefac=sf_b)], bitrate=64))
+    assert dec.samples == ref.samples
+
+
 def test_mp3_widened_gates():
     """The widened features are in; what remains OUT still fails loud:
     count1 table A, scalefactor shift exceeding gain (encode and

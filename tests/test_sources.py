@@ -251,3 +251,19 @@ def test_robots_rules():
     assert robots_allowed(tie, "x", "/page") == (True, "allow", "/p")
     with pytest.raises(NotImplementedError):
         robots_allowed("User-agent: *\nDisallow: /*.pdf\n", "x", "/a.pdf")
+
+
+def test_fix_mojibake_rule():
+    """The strict-decode fixpoint rule: single and double mojibake
+    repair to the original, ASCII and already-clean text are untouched,
+    and text beyond latin-1 is never 'repaired'."""
+    from elevate_data_pipeline_spark.functions.crawl import fix_mojibake
+
+    orig = "café — naïve ünïcode"
+    m1 = orig.encode("utf-8").decode("latin-1")
+    m2 = m1.encode("utf-8").decode("latin-1")
+    assert fix_mojibake(m1) == (orig, 1)
+    assert fix_mojibake(m2) == (orig, 2)
+    assert fix_mojibake("plain") == ("plain", 0)
+    assert fix_mojibake(orig) == (orig, 0)      # em-dash > U+00FF: stops
+    assert fix_mojibake("caf\xe9") == ("caf\xe9", 0)  # latin-1 but not UTF-8
