@@ -87,7 +87,11 @@ def fix_mojibake(text: str, max_rounds: int = 3) -> tuple:
     not mojibake (pure ASCII round-trips identically and is left
     untouched; text with code points beyond latin-1 cannot be a
     latin-1 misreading at all). Deterministic, no heuristics beyond
-    strict-decode success — the same rule both engines can replay."""
+    strict-decode success — the same rule both engines can replay.
+    Boundary (property-pinned): an original whose latin-1 image
+    coincidentally forms valid UTF-8 (e.g. "Â€") is indistinguishable
+    from true mojibake by ANY decoder; this rule decodes it — callers
+    needing to preserve such strings must gate on provenance."""
     rounds = 0
     while rounds < max_rounds:
         try:

@@ -252,3 +252,115 @@ def test_id3v23_and_utf16_roundtrip():
     enc2_in_v3[20] = 2
     with pytest.raises(ValueError):
         mm.decode_id3v2(bytes(enc2_in_v3))
+
+
+_WARC_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=0x2FF),
+    min_size=1, max_size=40,
+)
+
+
+@given(
+    recs=st.lists(
+        st.tuples(
+            st.sampled_from(["warcinfo", "request", "response", "metadata"]),
+            st.one_of(st.none(), _WARC_TEXT.map(lambda s: "http://h/" + s)),
+            st.binary(min_size=0, max_size=200),
+        ),
+        min_size=1, max_size=5,
+    ),
+    gz=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_warc_roundtrip_property(recs, gz):
+    """ANY record list (arbitrary binary payloads, optional URIs, both
+    layouts) must walk back exactly, and the CDX spans must tile the
+    stream with each span decoding standalone."""
+    from elevate_data_pipeline_spark.sources import warc as w
+
+    records = [
+        {
+            "rec_type": t, "record_id": f"<urn:uuid:{i}>",
+            "date": "2026-01-01T00:00:00Z", "payload": p,
+            **({"uri": u} if u is not None else {}),
+        }
+        for i, (t, u, p) in enumerate(recs)
+    ]
+    stream = w.encode_warc(records, gzip_members=gz)
+    back = w.decode_warc(stream)
+    assert [r["payload"] for r in back] == [p for _, _, p in recs]
+    assert [r["uri"] for r in back] == [u for _, u, _ in recs]
+    cdx = w.cdx_records(stream)
+    pos = 0
+    for c, (_, u, p) in zip(cdx, recs):
+        assert c["offset"] == pos
+        member = stream[c["offset"] : c["offset"] + c["length"]]
+        assert w.decode_warc(member)[0]["payload"] == p
+        pos += c["length"]
+    assert pos == len(stream)
+
+
+@given(
+    text=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x24F),
+        max_size=60,
+    ),
+    depth=st.integers(min_value=0, max_value=2),
+)
+@settings(max_examples=120, deadline=None)
+def test_mojibake_repair_property(text, depth):
+    """For any FIXPOINT original (text the rule would leave alone —
+    the inherently unambiguous case), k rounds of UTF-8-as-latin-1
+    garbling repair in exactly k rounds back to the original. Originals
+    whose latin-1 image coincidentally forms valid UTF-8 (e.g. "Â€")
+    are indistinguishable from true mojibake BY ANY decoder — for those
+    the rule is pinned to be idempotent (it converges, never loops)."""
+    from elevate_data_pipeline_spark.functions.crawl import fix_mojibake
+
+    try:
+        text.encode("latin-1")
+    except UnicodeEncodeError:
+        return  # strategy bound keeps this rare; not the property here
+    base, base_rounds = fix_mojibake(text)
+    if base_rounds:
+        # ambiguous original: assert convergence/idempotence only
+        again, extra = fix_mojibake(base)
+        assert extra == 0 or base != again  # progress, never a loop
+        assert fix_mojibake(again)[0] == again or extra
+        return
+    garbled = text
+    for _ in range(depth):
+        garbled = garbled.encode("utf-8").decode("latin-1")
+    repaired, rounds = fix_mojibake(garbled)
+    if any(ord(c) > 127 for c in text):
+        assert repaired == text and rounds == depth
+    else:
+        # pure ASCII garbles to itself: fixpoint at every depth
+        assert repaired == text and rounds == 0
+
+
+@given(
+    paths=st.lists(
+        st.text(alphabet="abc/", min_size=1, max_size=8).map(lambda s: "/" + s),
+        min_size=1, max_size=6, unique=True,
+    ),
+    probe=st.text(alphabet="abc/", min_size=1, max_size=10).map(lambda s: "/" + s),
+)
+@settings(max_examples=80, deadline=None)
+def test_robots_longest_match_property(paths, probe):
+    """With alternating Allow/Disallow rules over random prefixes, the
+    decision must always equal the brute-force longest-match-with-
+    Allow-tiebreak evaluation."""
+    from elevate_data_pipeline_spark.functions.crawl import robots_allowed
+
+    rules = [("allow" if i % 2 else "disallow", p) for i, p in enumerate(paths)]
+    txt = "User-agent: *\n" + "".join(
+        f"{t.capitalize()}: {p}\n" for t, p in rules
+    )
+    got = robots_allowed(txt, "any", probe)
+    matches = [(t, p) for t, p in rules if probe.startswith(p)]
+    if not matches:
+        assert got == (True, None, None)
+    else:
+        t, p = max(matches, key=lambda r: (len(r[1]), r[0] == "allow"))
+        assert got == (t == "allow", t, p)
