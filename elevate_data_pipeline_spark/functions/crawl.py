@@ -107,3 +107,41 @@ def fix_mojibake(text: str, max_rounds: int = 3) -> tuple:
         text = decoded
         rounds += 1
     return text, rounds
+
+
+def canonical_url(url: str) -> dict:
+    """Deterministic URL canonicalization (RFC 3986 normalization
+    subset) — the precursor to URL-level crawl dedup: lowercase scheme
+    and host, drop the scheme's default port (http:80 / https:443),
+    drop the fragment, empty path -> "/", query parameters sorted by
+    (key, value) with original percent-encoding preserved. No policy
+    transforms (no www-stripping, no trailing-slash edits, no
+    dot-segment resolution — a path with "." / ".." segments raises
+    NotImplementedError loudly rather than resolving incorrectly).
+    Returns ``{url, scheme, host, port, path, query, n_params}`` with
+    ``url`` the canonical recomposition."""
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(url)
+    if not parts.scheme or parts.hostname is None:
+        raise ValueError(f"not an absolute URL: {url!r}")
+    scheme = parts.scheme.lower()
+    host = parts.hostname.lower()
+    port = parts.port  # urlsplit validates numeric ports
+    if (scheme, port) in (("http", 80), ("https", 443)):
+        port = None
+    path = parts.path or "/"
+    if any(seg in (".", "..") for seg in path.split("/")):
+        raise NotImplementedError(
+            "dot-segment resolution not supported (policy-sensitive)"
+        )
+    params = [p for p in parts.query.split("&") if p] if parts.query else []
+    pairs = sorted(p.partition("=") for p in params)
+    query = "&".join(k + sep + v for k, sep, v in pairs)
+    netloc = host if port is None else f"{host}:{port}"
+    canon = f"{scheme}://{netloc}{path}" + (f"?{query}" if query else "")
+    return {
+        "url": canon, "scheme": scheme, "host": host,
+        "port": port, "path": path, "query": query or None,
+        "n_params": len(pairs),
+    }

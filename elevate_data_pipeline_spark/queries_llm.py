@@ -6061,3 +6061,74 @@ def text_charset_fix(spark, sf_dir):
         "doc_id long, n_rounds int, was_mojibake boolean,"
         " n_chars_before long, n_chars_after long, repaired_md5 string",
     )
+
+
+@query(
+    "url_canonicalize",
+    """
+    WITH cfg AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
+             'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
+             CASE WHEN doc_id % 3 = 2 THEN ':8080' ELSE '' END AS portseg,
+             CASE WHEN doc_id % 3 = 2 THEN 8080 END AS port,
+             CASE WHEN doc_id % 5 = 0 THEN '/'
+                  ELSE '/Dir' || CAST(doc_id % 5 AS VARCHAR) || '/page'
+             END AS path,
+             'a=0&a=' || CAST(doc_id % 11 AS VARCHAR)
+               || '&b=' || CAST(doc_id % 4 AS VARCHAR) AS q
+      FROM documents
+    )
+    SELECT doc_id AS doc_id,
+           scheme || '://' || host || portseg || path || '?' || q AS url,
+           host AS host, path AS path, CAST(port AS INT) AS port,
+           CAST(3 AS INT) AS n_params
+    FROM cfg
+    """,
+)
+def url_canonicalize(spark, sf_dir):
+    """REAL URL canonicalization (functions/crawl.canonical_url, RFC
+    3986 normalization subset) — the precursor to URL-level crawl
+    dedup: per doc a deliberately messy absolute URL (uppercase scheme
+    and host, sometimes an explicit DEFAULT port, sometimes a real
+    non-default port, empty path, unsorted duplicate-key query, a
+    fragment) canonicalizes to the normal form the oracle builds in
+    closed form — lowercased scheme/host, default port dropped /
+    non-default kept, path defaulted to '/', query sorted by
+    (key, value), fragment gone. Row-local string work, no shuffle:
+    the 100 TB crawl-frontier shape."""
+    from collections.abc import Iterator
+
+    from .functions.crawl import canonical_url
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                scheme = "HTTP" if did % 2 == 0 else "HTTPS"
+                default = "80" if did % 2 == 0 else "443"
+                portseg = {0: "", 1: ":" + default, 2: ":8080"}[did % 3]
+                path = "" if did % 5 == 0 else f"/Dir{did % 5}/page"
+                messy = (
+                    f"{scheme}://WWW.Site{did % 7}.COM{portseg}{path}"
+                    f"?b={did % 4}&a={did % 11}&a=0#sec1"
+                )
+                c = canonical_url(messy)
+                rows.append(
+                    (did, c["url"], c["host"], c["path"], c["port"],
+                     c["n_params"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "url", "host", "path", "port", "n_params"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id long, url string, host string, path string, port int,"
+        " n_params int",
+    )

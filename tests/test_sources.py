@@ -267,3 +267,23 @@ def test_fix_mojibake_rule():
     assert fix_mojibake("plain") == ("plain", 0)
     assert fix_mojibake(orig) == (orig, 0)      # em-dash > U+00FF: stops
     assert fix_mojibake("caf\xe9") == ("caf\xe9", 0)  # latin-1 but not UTF-8
+
+
+def test_canonical_url_rules():
+    """RFC 3986 normalization subset: case, default ports, fragment,
+    empty path, query sort with duplicate keys and valueless params;
+    dot segments and relative URLs refuse loudly."""
+    import pytest
+
+    from elevate_data_pipeline_spark.functions.crawl import canonical_url
+
+    c = canonical_url("HTTP://WWW.Ex.COM:80/A/b?z=9&a=2&a=10&flag#frag")
+    assert c["url"] == "http://www.ex.com/A/b?a=10&a=2&flag&z=9"
+    assert (c["host"], c["port"], c["n_params"]) == ("www.ex.com", None, 4)
+    assert canonical_url("https://H:443/x")["url"] == "https://h/x"
+    assert canonical_url("https://h:8443")["url"] == "https://h:8443/"
+    assert canonical_url("http://h/p?")["url"] == "http://h/p"
+    with pytest.raises(ValueError):
+        canonical_url("/relative/only")
+    with pytest.raises(NotImplementedError):
+        canonical_url("http://h/a/../b")
