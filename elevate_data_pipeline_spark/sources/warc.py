@@ -120,7 +120,7 @@ def decode_warc(payload: bytes) -> list:
             k, sep, v = line.partition(b":")
             if not sep:
                 raise ValueError(f"bad WARC header line {line!r}")
-            headers[k.decode("utf-8").strip()] = v.decode("utf-8").strip()
+            headers[k.decode("utf-8").strip(" \t")] = v.decode("utf-8").strip(" \t")
         for k in _MANDATORY:
             if k not in headers:
                 raise ValueError(f"WARC record missing mandatory header {k}")
@@ -251,7 +251,7 @@ def cdx_records(payload: bytes) -> list:
             k, sep, v = line.partition(b":")
             if not sep:
                 raise ValueError(f"bad WARC header line {line!r}")
-            headers[k.decode("utf-8").strip()] = v.decode("utf-8").strip()
+            headers[k.decode("utf-8").strip(" \t")] = v.decode("utf-8").strip(" \t")
         for k in _MANDATORY:
             if k not in headers:
                 raise ValueError(f"WARC record missing mandatory header {k}")
@@ -293,9 +293,9 @@ def parse_http_response(payload: bytes) -> dict:
         k, hsep, v = line.partition(b":")
         if not hsep:
             raise ValueError(f"bad HTTP header line {line!r}")
-        key = k.decode("latin-1").strip().lower()
+        key = k.decode("latin-1").strip(" \t").lower()
         if key not in headers:
-            headers[key] = v.decode("latin-1").strip()
+            headers[key] = v.decode("latin-1").strip(" \t")
     if "content-length" in headers:
         try:
             clen = int(headers["content-length"])
