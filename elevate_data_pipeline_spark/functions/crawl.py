@@ -6,14 +6,44 @@ broadcast or joined policy text. This is the structural subset in the
 repo's codec style: grouping (consecutive ``User-agent`` lines own the
 following rules), case-insensitive agent selection with the ``*``
 fallback, multiple groups for the same agent merged (RFC 9309 §2.2.1),
-empty ``Disallow:`` as a no-op, and longest-prefix-match precedence
-with Allow winning length ties (§2.2.2). Unknown directives and
-garbage lines are ignored — that leniency is the spec's, not ours.
-Wildcard metacharacters (``*``/``$``) inside rule paths raise
-``NotImplementedError`` loudly rather than mis-matching.
+empty ``Disallow:`` as a no-op, wildcard metacharacters in rule paths
+(``*`` matches any octet sequence, a trailing ``$`` anchors the end of
+the path, §2.2.3 — ``Disallow: /*?``-style rules are ubiquitous in
+real policies), and most-octets-match precedence with Allow winning
+length ties (§2.2.2). Unknown directives and garbage lines are
+ignored — that leniency is the spec's, not ours.
 """
 
 from __future__ import annotations
+
+
+def rule_matches(pattern: str, path: str) -> bool:
+    """RFC 9309 §2.2.3 rule-path matching: the pattern is a path
+    prefix where ``*`` matches any sequence of octets (including
+    empty) and a trailing ``$`` anchors the match at the end of the
+    path (``$`` elsewhere is a literal octet, the convention of the
+    reference matchers). Greedy leftmost placement of the literal
+    segments between ``*`` is exact for this pattern language (no
+    backtracking needed): taking each segment at its earliest
+    position only ever leaves MORE path for later segments."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    segs = pattern.split("*")
+    if not path.startswith(segs[0]):
+        return False
+    if len(segs) == 1:
+        return path == pattern if anchored else True
+    pos = len(segs[0])
+    for seg in segs[1:-1]:
+        i = path.find(seg, pos)
+        if i < 0:
+            return False
+        pos = i + len(seg)
+    last = segs[-1]
+    if anchored:
+        return len(path) - len(last) >= pos and path.endswith(last)
+    return last == "" or path.find(last, pos) >= 0
 
 
 def parse_robots(content: str) -> list:
@@ -46,10 +76,6 @@ def parse_robots(content: str) -> list:
                 continue  # rule before any group: ignored per spec
             if value == "":
                 continue  # empty pattern matches nothing (no-op)
-            if "*" in value or "$" in value:
-                raise NotImplementedError(
-                    "robots.txt wildcard metacharacters (*/$) not supported"
-                )
             rules.append((key, value))
         else:
             collecting_agents = False  # crawl-delay/sitemap/...: ignored
@@ -63,14 +89,15 @@ def robots_allowed(content: str, agent: str, path: str) -> tuple:
     rule_path)`` with rule_* None when no rule matches (default allow).
     Group selection per RFC 9309: the groups naming the agent exactly
     (case-insensitive) if any exist, else the ``*`` groups, rules
-    merged across same-agent groups; precedence is longest matched
-    prefix, Allow winning length ties."""
+    merged across same-agent groups; precedence is the most-octets
+    match (rule-path length, wildcards counted — the reference-matcher
+    convention), Allow winning length ties."""
     agent = agent.lower()
     groups = parse_robots(content)
     rules = [r for a, rs in groups if agent in a for r in rs]
     if not any(agent in a for a, _ in groups):
         rules = [r for a, rs in groups if "*" in a for r in rs]
-    matches = [(t, p) for t, p in rules if path.startswith(p)]
+    matches = [(t, p) for t, p in rules if rule_matches(p, path)]
     if not matches:
         return (True, None, None)
     t, p = max(matches, key=lambda r: (len(r[1]), r[0] == "allow"))
@@ -138,7 +165,10 @@ def canonical_url(url: str) -> dict:
     params = [p for p in parts.query.split("&") if p] if parts.query else []
     pairs = sorted(p.partition("=") for p in params)
     query = "&".join(k + sep + v for k, sep, v in pairs)
-    netloc = host if port is None else f"{host}:{port}"
+    # urlsplit strips the brackets from IPv6 literals; re-bracket on
+    # recomposition or the colons would parse as a port boundary
+    host_out = f"[{host}]" if ":" in host else host
+    netloc = host_out if port is None else f"{host_out}:{port}"
     canon = f"{scheme}://{netloc}{path}" + (f"?{query}" if query else "")
     return {
         "url": canon, "scheme": scheme, "host": host,

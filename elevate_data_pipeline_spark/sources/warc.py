@@ -54,8 +54,10 @@ def encode_warc(records: list, gzip_members: bool = True) -> bytes:
             hdrs.append((k, v))
         hdrs.append(("Content-Length", str(len(payload))))
         for k, v in hdrs:
-            if "\r" in str(v) or "\n" in str(v):
-                raise ValueError(f"WARC header {k} contains CR/LF")
+            # names AND values: a CR/LF in either would smuggle a forged
+            # header line into the record (header-injection guard)
+            if "\r" in str(k) or "\n" in str(k) or "\r" in str(v) or "\n" in str(v):
+                raise ValueError(f"WARC header {k!r} contains CR/LF")
         block = (
             _VERSION + _CRLF
             + b"".join(f"{k}: {v}".encode("utf-8") + _CRLF for k, v in hdrs)
@@ -87,14 +89,49 @@ def _gunzip_members(payload: bytes) -> bytes:
     return bytes(raw)
 
 
+def _parse_warc_headers(payload: bytes, pos: int) -> tuple:
+    """Walk one WARC header block starting at ``pos`` (just past the
+    version line). Returns ``(headers, pos_after_blank_line)``.
+    Duplicate names: a repeated MANDATORY header (or Target-URI) is a
+    structural conflict — two Content-Length lines cannot both frame
+    the record — and raises ``ValueError``; other repeats (the spec
+    legitimately allows e.g. multiple ``WARC-Concurrent-To``) are
+    preserved by comma-joining values, never silently dropped."""
+    unique = set(_MANDATORY) | {"WARC-Target-URI"}
+    headers: dict = {}
+    while True:
+        eol = payload.find(_CRLF, pos)
+        if eol < 0:
+            raise ValueError("unterminated WARC header block")
+        line = payload[pos:eol]
+        pos = eol + 2
+        if not line:
+            break
+        k, sep, v = line.partition(b":")
+        if not sep:
+            raise ValueError(f"bad WARC header line {line!r}")
+        key = k.decode("utf-8").strip(" \t")
+        val = v.decode("utf-8").strip(" \t")
+        if key in headers:
+            if key in unique:
+                raise ValueError(f"duplicate WARC header {key}")
+            headers[key] = headers[key] + ", " + val
+        else:
+            headers[key] = val
+    for k in _MANDATORY:
+        if k not in headers:
+            raise ValueError(f"WARC record missing mandatory header {k}")
+    return headers, pos
+
+
 def decode_warc(payload: bytes) -> list:
     """Byte-exact WARC/1.0 record walk. Accepts both ``.warc.gz``
     (per-member gzip, detected by magic) and uncompressed ``.warc``.
     Returns one dict per record: ``rec_type``, ``record_id``, ``date``,
     ``uri`` (None when absent), ``headers`` (the full header map),
     ``payload`` (bytes). Malformed structure — bad version line,
-    missing mandatory header, short content block, missing trailer —
-    raises ``ValueError``."""
+    missing mandatory header, duplicated mandatory header, short
+    content block, missing trailer — raises ``ValueError``."""
     if payload[:2] == b"\x1f\x8b":
         payload = _gunzip_members(payload)
     records: list = []
@@ -107,23 +144,7 @@ def decode_warc(payload: bytes) -> list:
         version = payload[pos:eol]
         if version != _VERSION:
             raise ValueError(f"unsupported WARC version line {version!r}")
-        pos = eol + 2
-        headers: dict = {}
-        while True:
-            eol = payload.find(_CRLF, pos)
-            if eol < 0:
-                raise ValueError("unterminated WARC header block")
-            line = payload[pos:eol]
-            pos = eol + 2
-            if not line:
-                break
-            k, sep, v = line.partition(b":")
-            if not sep:
-                raise ValueError(f"bad WARC header line {line!r}")
-            headers[k.decode("utf-8").strip(" \t")] = v.decode("utf-8").strip(" \t")
-        for k in _MANDATORY:
-            if k not in headers:
-                raise ValueError(f"WARC record missing mandatory header {k}")
+        headers, pos = _parse_warc_headers(payload, eol + 2)
         try:
             clen = int(headers["Content-Length"])
         except ValueError:
@@ -238,23 +259,7 @@ def cdx_records(payload: bytes) -> list:
         eol = payload.find(_CRLF, pos)
         if eol < 0 or payload[pos:eol] != _VERSION:
             raise ValueError("bad WARC version line at offset %d" % pos)
-        hpos = eol + 2
-        headers: dict = {}
-        while True:
-            eol = payload.find(_CRLF, hpos)
-            if eol < 0:
-                raise ValueError("unterminated WARC header block")
-            line = payload[hpos:eol]
-            hpos = eol + 2
-            if not line:
-                break
-            k, sep, v = line.partition(b":")
-            if not sep:
-                raise ValueError(f"bad WARC header line {line!r}")
-            headers[k.decode("utf-8").strip(" \t")] = v.decode("utf-8").strip(" \t")
-        for k in _MANDATORY:
-            if k not in headers:
-                raise ValueError(f"WARC record missing mandatory header {k}")
+        headers, hpos = _parse_warc_headers(payload, eol + 2)
         clen = int(headers["Content-Length"])
         end = hpos + clen + 4
         if clen < 0 or end > n or payload[end - 4 : end] != _CRLF + _CRLF:
@@ -270,13 +275,119 @@ def cdx_records(payload: bytes) -> list:
     return out
 
 
+def _parse_http_headers(lines: list) -> dict:
+    """Header lines -> map, names case-normalized to lowercase.
+    Repeated names are comma-joined (RFC 7230 §3.2.2 list semantics) —
+    never silently dropped. Obs-fold continuation lines (RFC 7230
+    §3.2.4, a line starting with SP/HTAB) are deprecated and rare
+    enough in crawls to gate loudly rather than mis-split on ``:``."""
+    headers: dict = {}
+    for line in lines:
+        if line[:1] in (b" ", b"\t"):
+            raise NotImplementedError(
+                "HTTP obs-fold header continuation not supported"
+            )
+        k, hsep, v = line.partition(b":")
+        if not hsep:
+            raise ValueError(f"bad HTTP header line {line!r}")
+        key = k.decode("latin-1").strip(" \t").lower()
+        val = v.decode("latin-1").strip(" \t")
+        headers[key] = headers[key] + ", " + val if key in headers else val
+    return headers
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Reassemble a ``Transfer-Encoding: chunked`` body (RFC 7230
+    §4.1): hex chunk-size lines (chunk extensions after ``;`` ignored),
+    exactly that many data bytes + CRLF per chunk, a ``0`` chunk, then
+    optional trailer fields up to a final blank line. Truncated or
+    mis-framed chunking raises ``ValueError`` — the framing bytes
+    embedded in crawl text would poison every downstream text op."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.find(_CRLF, pos)
+        if eol < 0:
+            raise ValueError("chunked body without chunk-size line")
+        size_tok = body[pos:eol].split(b";", 1)[0].strip(b" \t")
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise ValueError(f"bad chunk size {size_tok!r}") from None
+        pos = eol + 2
+        if size == 0:
+            break
+        if pos + size + 2 > len(body):
+            raise ValueError("chunk data runs past end of body")
+        out += body[pos : pos + size]
+        if body[pos + size : pos + size + 2] != _CRLF:
+            raise ValueError("chunk data not CRLF-terminated")
+        pos = pos + size + 2
+    # trailer section: zero or more header lines, then a blank line
+    # (the blank line is optional at end-of-payload in practice)
+    while pos < len(body):
+        eol = body.find(_CRLF, pos)
+        if eol < 0:
+            raise ValueError("unterminated chunked trailer section")
+        if eol == pos:  # blank line: end of trailers
+            pos += 2
+            break
+        pos = eol + 2
+    if pos != len(body):
+        raise ValueError("bytes after chunked body terminator")
+    return bytes(out)
+
+
+def _decode_content(body: bytes, encoding: str) -> bytes:
+    """Apply ``Content-Encoding`` (RFC 7231 §3.1.2.2): gzip/x-gzip and
+    deflate via stdlib zlib (deflate accepts both the zlib-wrapped form
+    the RFC specifies and the raw-deflate form real servers emit),
+    identity as a no-op. Anything else (br, zstd, compress, stacked
+    codings) gates loudly — a compressed body reaching the text
+    operators would be silent garbage."""
+    codings = [c.strip() for c in encoding.lower().split(",") if c.strip()]
+    codings = [c for c in codings if c != "identity"]
+    if not codings:
+        return body
+    if len(codings) > 1:
+        raise NotImplementedError(
+            f"stacked Content-Encoding not supported: {encoding!r}"
+        )
+    coding = codings[0]
+    if coding in ("gzip", "x-gzip"):
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out = d.decompress(body) + d.flush()
+        if not d.eof:
+            raise ValueError("truncated gzip body")
+        return out
+    if coding == "deflate":
+        try:
+            d = zlib.decompressobj()
+            out = d.decompress(body) + d.flush()
+        except zlib.error:
+            d = zlib.decompressobj(-zlib.MAX_WBITS)
+            out = d.decompress(body) + d.flush()
+        if not d.eof:
+            raise ValueError("truncated deflate body")
+        return out
+    raise NotImplementedError(f"Content-Encoding {coding!r} not supported")
+
+
 def parse_http_response(payload: bytes) -> dict:
     """Parse the HTTP/1.1 response message a real WARC ``response``
-    record carries as its payload: status line, header map (first
-    occurrence wins, names case-normalized to lowercase), body. When a
-    ``Content-Length`` header is present the body length must match it
-    exactly — a silent mismatch would mean truncated crawl content.
-    Malformed structure raises ``ValueError``."""
+    record carries as its payload: status line, header map (lowercased
+    names, repeats comma-joined), body with REAL crawl framing —
+    ``Transfer-Encoding: chunked`` bodies are reassembled (chunk-size
+    lines, extensions, trailers) and ``Content-Encoding: gzip/deflate``
+    bodies decompressed, so ``body`` is always the usable content
+    bytes. When chunked, ``Content-Length`` is ignored per RFC 7230
+    §3.3.3 (Transfer-Encoding takes precedence); otherwise a present
+    ``Content-Length`` must match the raw body length exactly — a
+    silent mismatch would mean truncated crawl content. Unsupported
+    codings (br/zstd, stacked, non-chunked TE) and obs-fold header
+    continuations gate loudly. Malformed structure raises
+    ``ValueError``. Returns ``version, status, reason, headers, body,
+    chunked, content_encoding``."""
     head, sep, body = payload.partition(_CRLF + _CRLF)
     if not sep:
         raise ValueError("HTTP response without header terminator")
@@ -288,15 +399,17 @@ def parse_http_response(payload: bytes) -> dict:
         code = int(status[1])
     except ValueError:
         raise ValueError(f"bad HTTP status code {status[1]!r}") from None
-    headers: dict = {}
-    for line in lines[1:]:
-        k, hsep, v = line.partition(b":")
-        if not hsep:
-            raise ValueError(f"bad HTTP header line {line!r}")
-        key = k.decode("latin-1").strip(" \t").lower()
-        if key not in headers:
-            headers[key] = v.decode("latin-1").strip(" \t")
-    if "content-length" in headers:
+    headers = _parse_http_headers(lines[1:])
+    te = headers.get("transfer-encoding", "").strip().lower()
+    chunked = False
+    if te:
+        if te != "chunked":
+            raise NotImplementedError(
+                f"Transfer-Encoding {te!r} not supported (only chunked)"
+            )
+        chunked = True
+        body = _dechunk(body)
+    elif "content-length" in headers:
         try:
             clen = int(headers["content-length"])
         except ValueError:
@@ -305,10 +418,54 @@ def parse_http_response(payload: bytes) -> dict:
             raise ValueError(
                 f"Content-Length {clen} != body length {len(body)}"
             )
+    encoding = headers.get("content-encoding")
+    if encoding is not None:
+        body = _decode_content(body, encoding)
     return {
         "version": status[0].decode("latin-1"),
         "status": code,
         "reason": status[2].decode("latin-1") if len(status) > 2 else "",
+        "headers": headers,
+        "body": body,
+        "chunked": chunked,
+        "content_encoding": encoding,
+    }
+
+
+def parse_http_request(payload: bytes) -> dict:
+    """Parse the HTTP/1.1 request message a WARC ``request`` record
+    carries: request line (method, target, version), header map (same
+    rules as :func:`parse_http_response`), body (chunked/encoded
+    request bodies share the response framing path). Malformed
+    structure raises ``ValueError``."""
+    head, sep, body = payload.partition(_CRLF + _CRLF)
+    if not sep:
+        raise ValueError("HTTP request without header terminator")
+    lines = head.split(_CRLF)
+    reqline = lines[0].split(b" ")
+    if len(reqline) != 3 or not reqline[2].startswith(b"HTTP/"):
+        raise ValueError(f"bad HTTP request line {lines[0]!r}")
+    headers = _parse_http_headers(lines[1:])
+    te = headers.get("transfer-encoding", "").strip().lower()
+    if te:
+        if te != "chunked":
+            raise NotImplementedError(
+                f"Transfer-Encoding {te!r} not supported (only chunked)"
+            )
+        body = _dechunk(body)
+    elif "content-length" in headers:
+        clen = int(headers["content-length"])
+        if clen != len(body):
+            raise ValueError(
+                f"Content-Length {clen} != body length {len(body)}"
+            )
+    encoding = headers.get("content-encoding")
+    if encoding is not None:
+        body = _decode_content(body, encoding)
+    return {
+        "method": reqline[0].decode("latin-1"),
+        "target": reqline[1].decode("latin-1"),
+        "version": reqline[2].decode("latin-1"),
         "headers": headers,
         "body": body,
     }

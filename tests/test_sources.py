@@ -156,8 +156,25 @@ def test_warc_malformed_rejection():
         decode_warc(gz + b"JUNK")                    # garbage between members
     with pytest.raises(ValueError):
         encode_warc([dict(rec, uri="http://x/\r\nWARC-Type: smuggled")])
+    with pytest.raises(ValueError):  # header NAME injection
+        encode_warc([dict(rec, headers={"X-A\r\nWARC-Type": "smuggled"})])
     with pytest.raises(ValueError):
         encode_warc([dict(rec, payload="not-bytes")])
+    # duplicated mandatory header is a framing conflict: fail loud
+    dup = plain.replace(
+        b"Content-Length: 4\r\n", b"Content-Length: 4\r\nContent-Length: 4\r\n")
+    with pytest.raises(ValueError):
+        decode_warc(dup)
+    # legitimately repeatable headers comma-join, never silently drop
+    multi = encode_warc(
+        [dict(rec, headers={"WARC-Concurrent-To": "<urn:uuid:1>"})],
+        gzip_members=False,
+    ).replace(
+        b"WARC-Concurrent-To: <urn:uuid:1>\r\n",
+        b"WARC-Concurrent-To: <urn:uuid:1>\r\nWARC-Concurrent-To: <urn:uuid:2>\r\n",
+    )
+    assert decode_warc(multi)[0]["headers"]["WARC-Concurrent-To"] == (
+        "<urn:uuid:1>, <urn:uuid:2>")
 
 
 def test_warc_cdx_spans():
@@ -205,25 +222,126 @@ def test_warc_cdx_spans():
 
 def test_http_response_parse():
     """Status/header/body walk plus the fail-loud contract: missing
-    terminator, Content-Length mismatch, bad status code."""
+    terminator, Content-Length mismatch, bad status code; repeated
+    header names comma-join (RFC 7230 §3.2.2), obs-fold gates loudly."""
     import pytest
 
     from elevate_data_pipeline_spark.sources.warc import parse_http_response
 
     msg = (b"HTTP/1.1 301 Moved Permanently\r\n"
            b"Location: http://x/\r\nCONTENT-type: text/plain\r\n"
-           b"Content-Type: duplicate/ignored\r\n\r\n")
+           b"Content-Type: extra\r\n\r\n")
     r = parse_http_response(msg)
     assert (r["status"], r["reason"]) == (301, "Moved Permanently")
-    assert r["headers"]["content-type"] == "text/plain"  # first wins
+    assert r["headers"]["content-type"] == "text/plain, extra"  # comma-join
     assert r["headers"]["location"] == "http://x/"
     assert r["body"] == b""
+    assert (r["chunked"], r["content_encoding"]) == (False, None)
     with pytest.raises(ValueError):
         parse_http_response(b"HTTP/1.1 200 OK\r\nX: y\r\n")  # no terminator
     with pytest.raises(ValueError):
         parse_http_response(b"HTTP/1.1 200 OK\r\nContent-Length: 9\r\n\r\nhi")
     with pytest.raises(ValueError):
         parse_http_response(b"ICY 200 OK\r\n\r\n")
+    with pytest.raises(NotImplementedError):  # obs-fold continuation
+        parse_http_response(b"HTTP/1.1 200 OK\r\nX: a\r\n b\r\n\r\n")
+
+
+def test_http_body_framing():
+    """REAL crawl framing: chunked reassembly (extensions, trailers),
+    gzip/deflate content decoding, chunked+gzip composition; loud gates
+    for non-chunked TE, unsupported/stacked codings, bad chunk frames."""
+    import zlib
+
+    import pytest
+
+    from elevate_data_pipeline_spark.sources.warc import parse_http_response
+
+    content = b"Hello, chunked crawl world! " * 20
+
+    def chunked(body, sizes, ext=b"", trailers=b""):
+        out, pos = bytearray(), 0
+        for s in sizes:
+            piece = body[pos:pos + s]
+            if not piece:
+                break
+            out += b"%x%s\r\n%s\r\n" % (len(piece), ext, piece)
+            pos += len(piece)
+        out += b"0\r\n" + trailers + b"\r\n"
+        return bytes(out)
+
+    # chunked, with a chunk extension and a trailer field
+    frame = chunked(content, [7, 100, 1000], ext=b";ext=1",
+                    trailers=b"X-Trailer: t\r\n")
+    r = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + frame)
+    assert r["body"] == content and r["chunked"] is True
+    # Content-Length ignored when chunked (RFC 7230 §3.3.3)
+    r = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Length: 3\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + chunked(content, [64] * 20))
+    assert r["body"] == content
+    # gzip content-coding with Content-Length over the COMPRESSED bytes
+    co = zlib.compressobj(9, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    gz = co.compress(content) + co.flush()
+    r = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        + b"Content-Length: %d\r\n\r\n" % len(gz) + gz)
+    assert r["body"] == content and r["content_encoding"] == "gzip"
+    # deflate: zlib-wrapped and raw forms both accepted
+    for blob in (zlib.compress(content), zlib.compress(content)[2:-4]):
+        r = parse_http_response(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + blob)
+        assert r["body"] == content
+    # chunked + gzip composed (the dominant real CommonCrawl layout)
+    r = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + chunked(gz, [11, 64, 4096]))
+    assert r["body"] == content and r["chunked"] is True
+    with pytest.raises(NotImplementedError):  # non-chunked TE
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip, chunked\r\n\r\nx")
+    with pytest.raises(NotImplementedError):  # unsupported coding
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nx")
+    with pytest.raises(NotImplementedError):  # stacked codings
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip, deflate\r\n\r\nx")
+    base = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+    with pytest.raises(ValueError):  # bad chunk size
+        parse_http_response(base + b"zz\r\nhi\r\n0\r\n\r\n")
+    with pytest.raises(ValueError):  # chunk data overruns body
+        parse_http_response(base + b"ff\r\nshort\r\n0\r\n\r\n")
+    with pytest.raises(ValueError):  # missing chunk CRLF
+        parse_http_response(base + b"2\r\nhiX\r\n0\r\n\r\n")
+    with pytest.raises(ValueError):  # garbage after terminator
+        parse_http_response(base + b"2\r\nhi\r\n0\r\n\r\nJUNK")
+    with pytest.raises(ValueError):  # truncated gzip body
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + gz[:-4])
+
+
+def test_http_request_parse():
+    """Request-line walk for WARC ``request`` records; shares the
+    header/framing path with the response parser."""
+    import pytest
+
+    from elevate_data_pipeline_spark.sources.warc import parse_http_request
+
+    r = parse_http_request(
+        b"GET /doc/7?q=1 HTTP/1.1\r\nHost: crawl.test\r\n"
+        b"User-Agent: spark-graft\r\n\r\n")
+    assert (r["method"], r["target"], r["version"]) == (
+        "GET", "/doc/7?q=1", "HTTP/1.1")
+    assert r["headers"]["host"] == "crawl.test"
+    assert r["body"] == b""
+    r = parse_http_request(
+        b"POST /s HTTP/1.1\r\nContent-Length: 4\r\n\r\nwxyz")
+    assert r["body"] == b"wxyz"
+    with pytest.raises(ValueError):
+        parse_http_request(b"GET /x\r\n\r\n")  # 2-token request line
+    with pytest.raises(ValueError):
+        parse_http_request(b"POST /s HTTP/1.1\r\nContent-Length: 9\r\n\r\nhi")
 
 
 def test_robots_rules():
@@ -249,8 +367,67 @@ def test_robots_rules():
     # Allow wins an exact length tie
     tie = "User-agent: *\nDisallow: /p\nAllow: /p\n"
     assert robots_allowed(tie, "x", "/page") == (True, "allow", "/p")
-    with pytest.raises(NotImplementedError):
-        robots_allowed("User-agent: *\nDisallow: /*.pdf\n", "x", "/a.pdf")
+
+
+def test_robots_wildcards():
+    """RFC 9309 §2.2.3 wildcard rule paths: ``*`` spans octets, a
+    trailing ``$`` anchors end-of-path, precedence counts pattern
+    octets, and a longer wildcard pattern beats a shorter literal."""
+    from elevate_data_pipeline_spark.functions.crawl import (
+        robots_allowed,
+        rule_matches,
+    )
+
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /*?\n"          # any path with a query string
+        "Disallow: /*.pdf$\n"      # .pdf at end of path only
+        "Allow: /shop/*?page=\n"
+        "Disallow: /tmp\n"
+    )
+    assert robots_allowed(txt, "x", "/a/b") == (True, None, None)
+    assert robots_allowed(txt, "x", "/a/b?x=1") == (False, "disallow", "/*?")
+    assert robots_allowed(txt, "x", "/doc/a.pdf") == (
+        False, "disallow", "/*.pdf$")
+    assert robots_allowed(txt, "x", "/doc/a.pdfx") == (True, None, None)
+    # longer wildcard Allow outranks the shorter Disallow patterns
+    assert robots_allowed(txt, "x", "/shop/x?page=2") == (
+        True, "allow", "/shop/*?page=")
+    assert robots_allowed(txt, "x", "/tmp/f") == (False, "disallow", "/tmp")
+    # matcher edge shapes
+    assert rule_matches("/a*b*c", "/aXbYc-tail")
+    assert not rule_matches("/a*b*c", "/aXc")
+    assert rule_matches("/a$", "/a") and not rule_matches("/a$", "/ab")
+    assert rule_matches("/*$", "/anything")
+    assert rule_matches("/**x", "/zzx")
+    assert rule_matches("/a$b", "/a$bq")  # inner $ is a literal octet
+
+
+def test_robots_matcher_vs_regex_reference():
+    """Differential check of the greedy matcher against a regex
+    reference over an exhaustive small-alphabet pattern/path grid."""
+    import itertools
+    import re
+
+    from elevate_data_pipeline_spark.functions.crawl import rule_matches
+
+    def ref(pattern: str, path: str) -> bool:
+        anchored = pattern.endswith("$")
+        core = pattern[:-1] if anchored else pattern
+        rx = ".*".join(re.escape(seg) for seg in core.split("*"))
+        return re.match(rx + (r"\Z" if anchored else ""), path) is not None
+
+    alpha = "a/*"
+    pats = [
+        "".join(p) + tail
+        for n in range(4)
+        for p in itertools.product(alpha, repeat=n)
+        for tail in ("", "$")
+    ]
+    paths = ["".join(p) for n in range(5) for p in itertools.product("a/?", repeat=n)]
+    for pat in pats:
+        for path in paths:
+            assert rule_matches(pat, path) == ref(pat, path), (pat, path)
 
 
 def test_fix_mojibake_rule():
@@ -283,6 +460,12 @@ def test_canonical_url_rules():
     assert canonical_url("https://H:443/x")["url"] == "https://h/x"
     assert canonical_url("https://h:8443")["url"] == "https://h:8443/"
     assert canonical_url("http://h/p?")["url"] == "http://h/p"
+    # IPv6 literals re-bracket on recomposition (host field unbracketed)
+    c6 = canonical_url("http://[2001:DB8::1]:8080/x")
+    assert c6["url"] == "http://[2001:db8::1]:8080/x"
+    assert (c6["host"], c6["port"]) == ("2001:db8::1", 8080)
+    assert canonical_url("https://[2001:db8::1]:443/x")["url"] == (
+        "https://[2001:db8::1]/x")
     with pytest.raises(ValueError):
         canonical_url("/relative/only")
     with pytest.raises(NotImplementedError):
