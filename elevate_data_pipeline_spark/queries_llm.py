@@ -6132,3 +6132,445 @@ def url_canonicalize(spark, sf_dir):
         "doc_id long, url string, host string, path string, port int,"
         " n_params int",
     )
+
+
+def _chunk_frame(body: bytes, seed: int) -> bytes:
+    """Chunked transfer-coding writer (RFC 7230 §4.1) for fixtures:
+    seed-varied chunk sizes (so frames differ per doc), a chunk
+    extension on the first chunk and a trailer field — the shapes
+    ``sources/warc._dechunk`` must walk past."""
+    out, pos = bytearray(), 0
+    size = 5 + seed % 7
+    first = True
+    while pos < len(body):
+        piece = body[pos : pos + size]
+        ext = b";ext=fixture" if first else b""
+        out += b"%x%s\r\n%s\r\n" % (len(piece), ext, piece)
+        pos += len(piece)
+        size, first = size * 4, False
+    out += b"0\r\nX-Crawl-Trailer: end\r\n\r\n"
+    return bytes(out)
+
+
+@query(
+    "warc_http_bodies",
+    """
+    SELECT doc_id AS doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'content-length'
+                           WHEN 1 THEN 'chunked'
+                           WHEN 2 THEN 'gzip'
+                           ELSE 'chunked+gzip' END AS framing,
+           CAST(doc_id % 4 IN (1, 3) AS BOOLEAN) AS chunked,
+           CASE WHEN doc_id % 4 IN (2, 3) THEN 'gzip' END AS content_encoding,
+           CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
+           md5(text) AS body_md5
+    FROM documents
+    """,
+)
+def warc_http_bodies(spark, sf_dir):
+    """REAL crawl-payload body framing (the layouts actual CommonCrawl
+    response records carry): per doc the HTTP/1.1 response body is
+    framed one of four ways — plain Content-Length, chunked
+    transfer-coding (seed-varied chunk sizes, a chunk extension, a
+    trailer field), gzip content-coding, and chunked+gzip composed
+    (the dominant real-crawl layout) — wrapped in a WARC ``response``
+    record and decoded back through ``decode_warc`` ->
+    ``parse_http_response`` (de-chunk, then gunzip). The oracle states
+    the recovered body (length + digest) in closed form, so the gate
+    proves the framing walk returns EXACTLY the original content bytes
+    on every path. One narrow scan, records decoded executor-side, no
+    shuffle: the 100 TB crawl-ingest shape."""
+    import hashlib
+    import zlib
+    from collections.abc import Iterator
+
+    from .sources.warc import decode_warc, encode_warc, parse_http_response
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                content = str(text).encode("utf-8")
+                variant = did % 4
+                hdrs, body = [], content
+                if variant in (2, 3):
+                    co = zlib.compressobj(9, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+                    body = co.compress(content) + co.flush()
+                    hdrs.append("Content-Encoding: gzip")
+                if variant in (1, 3):
+                    body = _chunk_frame(body, did)
+                    hdrs.append("Transfer-Encoding: chunked")
+                else:
+                    hdrs.append(f"Content-Length: {len(body)}")
+                http = (
+                    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    + "".join(h + "\r\n" for h in hdrs) + "\r\n"
+                ).encode() + body
+                rec = decode_warc(
+                    encode_warc([
+                        {
+                            "rec_type": "response",
+                            "record_id": f"<urn:uuid:{did:032x}>",
+                            "date": "2026-01-01T00:00:00Z",
+                            "uri": f"http://crawl.test/doc/{did}",
+                            "payload": http,
+                        }
+                    ])
+                )[0]
+                resp = parse_http_response(rec["payload"])
+                framing = ["content-length", "chunked", "gzip",
+                           "chunked+gzip"][variant]
+                rows.append(
+                    (did, framing, resp["chunked"], resp["content_encoding"],
+                     len(resp["body"]),
+                     hashlib.md5(resp["body"]).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "framing", "chunked", "content_encoding",
+                         "body_len", "body_md5"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id long, framing string, chunked boolean,"
+        " content_encoding string, body_len long, body_md5 string",
+    )
+
+
+@query(
+    "robots_wildcard_decisions",
+    """
+    WITH per_doc AS (
+      SELECT doc_id,
+             '/doc/' || CAST(doc_id % 100 AS VARCHAR) || '?s=1' AS p1,
+             doc_id % 100 = doc_id % 7 AS p1_allowed,
+             '/doc/' || CAST(doc_id % 7 AS VARCHAR) || '?*' AS p1_rule,
+             '/files/r' || CAST(doc_id % 5 AS VARCHAR) AS f,
+             '/shop/item' || CAST(doc_id % 20 AS VARCHAR)
+               || '?page=' || CAST(doc_id % 3 AS VARCHAR) AS p4
+      FROM documents
+    )
+    SELECT doc_id, path, allowed, rule_type, rule_path FROM (
+      SELECT doc_id, p1 AS path, p1_allowed AS allowed,
+             CASE WHEN p1_allowed THEN 'allow' ELSE 'disallow' END AS rule_type,
+             CASE WHEN p1_allowed THEN p1_rule ELSE '/*?' END AS rule_path
+      FROM per_doc
+      UNION ALL
+      SELECT doc_id, f || '.pdf', FALSE, 'disallow', '/*.pdf$' FROM per_doc
+      UNION ALL
+      SELECT doc_id, f || '.pdfx', TRUE, CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR) FROM per_doc
+      UNION ALL
+      SELECT doc_id, p4, TRUE, 'allow', '/shop/*?page=' FROM per_doc
+    )
+    """,
+)
+def robots_wildcard_decisions(spark, sf_dir):
+    """REAL RFC 9309 §2.2.3 wildcard robots evaluation
+    (functions/crawl.rule_matches): per doc a policy whose rule paths
+    carry ``*`` spans and ``$`` end-anchors — ``/*?`` (any query
+    string), ``/*.pdf$`` (extension at end-of-path only), a longer
+    wildcard Allow that outranks both, and a doc-dependent
+    ``/doc/{k}?*`` Allow whose match varies per doc — is evaluated
+    over four fetch paths through the most-octets precedence chain.
+    The oracle replays every decision in closed form (the doc-dependent
+    branch reduces to ``doc_id % 100 = doc_id % 7``), so wildcard
+    matching AND wildcard-aware precedence are value-gated, not
+    fixture-constant. At 100 TB this is the broadcast-policy map-side
+    gate in front of the fetch — one narrow scan, no shuffle."""
+    from collections.abc import Iterator
+
+    from .functions.crawl import robots_allowed
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                robots = (
+                    "User-agent: *\n"
+                    "Disallow: /*?\n"
+                    "Disallow: /*.pdf$\n"
+                    "Allow: /shop/*?page=\n"
+                    f"Allow: /doc/{did % 7}?*\n"
+                )
+                for path in (
+                    f"/doc/{did % 100}?s=1",
+                    f"/files/r{did % 5}.pdf",
+                    f"/files/r{did % 5}.pdfx",
+                    f"/shop/item{did % 20}?page={did % 3}",
+                ):
+                    ok, rtype, rpath = robots_allowed(robots, "spark-graft", path)
+                    rows.append((did, path, ok, rtype, rpath))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "path", "allowed", "rule_type", "rule_path"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id long, path string, allowed boolean, rule_type string,"
+        " rule_path string",
+    )
+
+
+@query(
+    "warc_revisit_links",
+    """
+    SELECT doc_id AS doc_id,
+           printf('<urn:uuid:%032x>', doc_id * 4 + 2) AS revisit_id,
+           printf('<urn:uuid:%032x>', doc_id * 4 + 1) AS original_id,
+           'GET' AS method,
+           '/doc/' || CAST(doc_id AS VARCHAR) AS target,
+           md5(text) AS body_md5
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def warc_revisit_links(spark, sf_dir):
+    """WARC ``revisit`` linkage — the CommonCrawl dedup mechanism: a
+    crawler that re-fetches an unchanged page stores a payload-less
+    ``revisit`` record whose ``WARC-Refers-To`` names the original
+    ``response`` record. Per doc the fixture emits request + response
+    records (collision-free ids: doc*4+k) and, for every third doc, a
+    revisit referring to the response; the record stream then splits by
+    type and the revisits JOIN back to their originals on
+    record-id — a REAL distributed equi-join over parsed crawl
+    records, with the paired ``request`` record's request line parsed
+    by ``parse_http_request`` joined in for the fetch target. At
+    100 TB this is exactly how revisit resolution runs: record-id
+    shuffle join across crawl segments (AQE broadcasts the small
+    revisit side when skew allows)."""
+    import hashlib
+    from collections.abc import Iterator
+
+    from .sources.warc import (
+        decode_warc,
+        encode_warc,
+        parse_http_request,
+        parse_http_response,
+    )
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                uri = f"http://crawl.test/doc/{did}"
+                body = str(text).encode("utf-8")
+                http = (
+                    f"HTTP/1.1 200 OK\r\nContent-Length: {len(body)}\r\n\r\n"
+                ).encode() + body
+                recs = [
+                    {
+                        "rec_type": "request",
+                        "record_id": f"<urn:uuid:{did * 4:032x}>",
+                        "date": "2026-01-01T00:00:00Z",
+                        "uri": uri,
+                        "payload": (
+                            f"GET /doc/{did} HTTP/1.1\r\n"
+                            "Host: crawl.test\r\n\r\n"
+                        ).encode(),
+                    },
+                    {
+                        "rec_type": "response",
+                        "record_id": f"<urn:uuid:{did * 4 + 1:032x}>",
+                        "date": "2026-01-01T00:00:00Z",
+                        "uri": uri,
+                        "payload": http,
+                    },
+                ]
+                if did % 3 == 0:
+                    recs.append(
+                        {
+                            "rec_type": "revisit",
+                            "record_id": f"<urn:uuid:{did * 4 + 2:032x}>",
+                            "date": "2026-02-01T00:00:00Z",
+                            "uri": uri,
+                            "headers": {
+                                "WARC-Refers-To": f"<urn:uuid:{did * 4 + 1:032x}>",
+                                "WARC-Profile": (
+                                    "http://netpreserve.org/warc/1.0/"
+                                    "revisit/identical-payload-digest"
+                                ),
+                            },
+                            "payload": b"",
+                        }
+                    )
+                for rec in decode_warc(encode_warc(recs)):
+                    method = target = refers_to = body_md5 = None
+                    if rec["rec_type"] == "request":
+                        req = parse_http_request(rec["payload"])
+                        method, target = req["method"], req["target"]
+                    elif rec["rec_type"] == "response":
+                        resp = parse_http_response(rec["payload"])
+                        body_md5 = hashlib.md5(resp["body"]).hexdigest()
+                    else:
+                        refers_to = rec["headers"]["WARC-Refers-To"]
+                    rows.append(
+                        (did, rec["rec_type"], rec["record_id"], refers_to,
+                         method, target, body_md5)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "rec_type", "record_id", "refers_to",
+                         "method", "target", "body_md5"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    )
+    records = docs.mapInPandas(
+        run,
+        "doc_id long, rec_type string, record_id string, refers_to string,"
+        " method string, target string, body_md5 string",
+    )
+    rev = records.filter(F.col("rec_type") == "revisit").select(
+        "doc_id", F.col("record_id").alias("revisit_id"), "refers_to"
+    )
+    rsp = records.filter(F.col("rec_type") == "response").select(
+        F.col("record_id").alias("original_id"), "body_md5"
+    )
+    req = records.filter(F.col("rec_type") == "request").select(
+        "doc_id", "method", "target"
+    )
+    return (
+        rev.join(rsp, rev.refers_to == rsp.original_id)
+        .join(req, "doc_id")
+        .select("doc_id", "revisit_id", "original_id", "method", "target",
+                "body_md5")
+    )
+
+
+@query(
+    "crawl_ingest_pipeline",
+    f"""
+    WITH ext AS (
+      SELECT doc_id,
+             'caf' || chr(233) || ' ' || chr(8212) || ' doc'
+               || substr(text, 1, 10) || text || ' & fin' AS extracted
+      FROM documents
+    ), cols AS (
+      SELECT doc_id,
+             'http://crawl.test/doc/' || doc_id || '?a=1&b='
+               || CAST(doc_id % 7 AS VARCHAR) AS url,
+             doc_id % 10 <> 0 AS allowed,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS INT) AS n_rounds,
+             CAST(len(extracted) AS BIGINT) AS n_chars,
+             CAST(len(string_split(extracted, ' ')) AS BIGINT) AS n_tokens,
+             {{quality}} AS quality
+      FROM ext
+    )
+    SELECT doc_id AS doc_id, url AS url, allowed AS allowed,
+           n_rounds AS n_rounds, n_chars AS n_chars, n_tokens AS n_tokens,
+           quality AS quality,
+           (allowed AND quality >= 0.3 AND n_tokens >= 5) AS keep
+    FROM cols
+    """.format(quality=_sql_quality("extracted")),
+)
+def crawl_ingest_pipeline(spark, sf_dir):
+    """FLAGSHIP crawl-ingest composition — the round-9/10 pieces
+    chained end to end the way a pretraining crawl actually runs, every
+    stage the REAL decoder (nothing recomputed from the source row):
+
+      WARC record (per-member .warc.gz, chunked+gzip HTTP payload)
+        -> ``decode_warc``             (byte-exact record walk)
+        -> ``parse_http_response``     (de-chunk, gunzip)
+        -> UTF-8 decode + ``fix_mojibake``  (2/3 of docs arrive
+           latin-1-misread; strict-decode fixpoint repairs them)
+        -> ``html_to_text``            (stdlib-parser visible text)
+        -> ``canonical_url``           (messy URL -> canonical form)
+        -> ``robots_allowed``          (wildcard rule ``/doc/*0$``)
+      then JVM-side quality/token gates and the keep decision.
+
+    The oracle replays the whole chain in closed form (the fixture
+    synthesis is deterministic, so the expected visible text is a
+    string expression), which proves the components COMPOSE: a framing
+    slip, a mojibake misfire, or an extraction drift anywhere in the
+    chain breaks length, token count, quality, or the keep bit. Scale
+    shape: one narrow scan, the codec chain runs executor-side in
+    Arrow batches, the policy is a map-side constant (broadcast in a
+    real deployment), the gates are whole-stage-codegen expressions —
+    no shuffle anywhere. This is the 100 TB pretraining-ingest plan."""
+    from collections.abc import Iterator
+
+    from .functions.crawl import canonical_url, fix_mojibake, robots_allowed
+    from .functions.text import html_to_text
+    from .sources.warc import decode_warc, encode_warc, parse_http_response
+
+    robots = "User-agent: *\nDisallow: /doc/*0$\nAllow: /doc/\n"
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                t = str(text)
+                page = (
+                    '<html><head><title>café — doc</title>'
+                    '<script>var x = "<p>skip</p>";</script></head>'
+                    f"<body><h1>{t[:10]}</h1><p>{t}"
+                    " &amp; fin</p></body></html>"
+                )
+                wire = (
+                    page if did % 3 == 0
+                    else page.encode("utf-8").decode("latin-1")
+                )
+                co = zlib.compressobj(9, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+                gz = co.compress(wire.encode("utf-8")) + co.flush()
+                http = (
+                    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    "Content-Encoding: gzip\r\n"
+                    "Transfer-Encoding: chunked\r\n\r\n"
+                ).encode() + _chunk_frame(gz, did)
+                rec = decode_warc(
+                    encode_warc([
+                        {
+                            "rec_type": "response",
+                            "record_id": f"<urn:uuid:{did:032x}>",
+                            "date": "2026-01-01T00:00:00Z",
+                            "uri": (
+                                f"HTTP://Crawl.TEST:80/doc/{did}"
+                                f"?b={did % 7}&a=1#frag"
+                            ),
+                            "payload": http,
+                        }
+                    ])
+                )[0]
+                resp = parse_http_response(rec["payload"])
+                fixed, n_rounds = fix_mojibake(resp["body"].decode("utf-8"))
+                extracted = html_to_text(fixed)
+                c = canonical_url(rec["uri"])
+                allowed, _, _ = robots_allowed(robots, "spark-graft", c["path"])
+                rows.append((did, c["url"], allowed, n_rounds, extracted))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "url", "allowed", "n_rounds", "extracted"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    )
+    decoded = docs.mapInPandas(
+        run,
+        "doc_id long, url string, allowed boolean, n_rounds int,"
+        " extracted string",
+    )
+    quality = quality_score("extracted")
+    n_tokens = token_count_ws("extracted").cast("long")
+    return decoded.select(
+        "doc_id", "url", "allowed", "n_rounds",
+        F.length("extracted").cast("long").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality"),
+        (F.col("allowed") & (quality >= 0.3) & (n_tokens >= 5)).alias("keep"),
+    )
