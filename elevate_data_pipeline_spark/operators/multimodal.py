@@ -5036,25 +5036,30 @@ def mp3_line_taps(n_granules: int = 2, lines: tuple = (0, 1)) -> dict:
 
 
 def encode_id3v2(frames: list, mp3: bytes = b"", version: int = 4) -> bytes:
-    """ID3v2.3/2.4 tag writer: 10-byte header (synchsafe 28-bit tag
-    size in BOTH versions), then one text frame per ``(frame_id,
-    text)`` or ``(frame_id, text, encoding)`` — 4-char id, frame size
-    (synchsafe in v2.4, raw big-endian in v2.3), two zero flag bytes,
-    encoding byte + text — with the MPEG frames appended after the tag
-    (the standard MP3 file layout the :func:`_skip_id3v2` dispatch path
-    consumes). Encodings: 0 latin-1, 1 UTF-16 w/ BOM (little-endian),
+    """ID3v2.2/2.3/2.4 tag writer: 10-byte header (synchsafe 28-bit
+    tag size in ALL versions), then one text frame per ``(frame_id,
+    text)`` or ``(frame_id, text, encoding)`` — v2.3/2.4: 4-char id,
+    frame size (synchsafe in v2.4, raw big-endian in v2.3), two zero
+    flag bytes; v2.2: 3-char id (``TT2``/``TP1``-style), 3-byte raw
+    big-endian size, NO flag bytes — encoding byte + text, with the
+    MPEG frames appended after the tag (the standard MP3 file layout
+    the :func:`_skip_id3v2` dispatch path consumes). Encodings: 0
+    latin-1, 1 UTF-16 w/ BOM (little-endian; UCS-2 in v2.2 terms),
     2 UTF-16BE (v2.4 only), 3 UTF-8 (v2.4 only). Default encoding is 3
-    for v2.4 and 0 for v2.3 (each version's canonical choice)."""
-    if version not in (3, 4):
+    for v2.4 and 0 otherwise (each version's canonical choice)."""
+    if version not in (2, 3, 4):
         raise ValueError(f"ID3v2.{version} writer not supported")
+    id_len = 3 if version == 2 else 4
     body = b""
     for entry in frames:
         fid, text = entry[0], entry[1]
         enc = entry[2] if len(entry) > 2 else (3 if version == 4 else 0)
-        if len(fid) != 4 or not fid.isalnum():
-            raise ValueError(f"bad ID3v2 frame id {fid!r}")
-        if version == 3 and enc not in (0, 1):
-            raise ValueError(f"encoding {enc} invalid for ID3v2.3 (0/1 only)")
+        if len(fid) != id_len or not fid.isalnum():
+            raise ValueError(f"bad ID3v2.{version} frame id {fid!r}")
+        if version in (2, 3) and enc not in (0, 1):
+            raise ValueError(
+                f"encoding {enc} invalid for ID3v2.{version} (0/1 only)"
+            )
         if enc == 0:
             data = text.encode("latin-1")
         elif enc == 1:
@@ -5067,13 +5072,16 @@ def encode_id3v2(frames: list, mp3: bytes = b"", version: int = 4) -> bytes:
             raise ValueError(f"bad ID3v2 text encoding {enc}")
         payload = bytes([enc]) + data
         size = len(payload)
-        if size >= 1 << 28:
+        if size >= 1 << (24 if version == 2 else 28):
             raise ValueError("ID3v2 frame too large")
         if version == 4:
             raw = bytes((size >> s) & 0x7F for s in (21, 14, 7, 0))
-        else:
+        elif version == 3:
             raw = size.to_bytes(4, "big")
-        body += fid.encode("ascii") + raw + b"\x00\x00" + payload
+        else:
+            raw = size.to_bytes(3, "big")
+        flags = b"" if version == 2 else b"\x00\x00"
+        body += fid.encode("ascii") + raw + flags + payload
     total = len(body)
     if total >= 1 << 28:
         raise ValueError("ID3v2 tag too large")
@@ -5084,27 +5092,33 @@ def encode_id3v2(frames: list, mp3: bytes = b"", version: int = 4) -> bytes:
 
 
 def decode_id3v2(payload: bytes) -> list:
-    """ID3v2.3/2.4 tag walk: returns ``(frame_id, text)`` per text
+    """ID3v2.2/2.3/2.4 tag walk: returns ``(frame_id, text)`` per text
     frame. The tag boundary comes from the header's synchsafe size;
-    v2.4 frame sizes are synchsafe, v2.3 raw big-endian; frames stop at
-    zero-padding. All four text encodings decode (0 latin-1, 1 UTF-16
-    w/ BOM, 2 UTF-16BE, 3 UTF-8 — the last two v2.4-only per spec).
-    Header flags (unsynchronisation / extended header / experimental /
-    footer) and nonzero per-frame flag bytes (compression, encryption,
-    grouping, unsync) raise NotImplementedError — a silently misparsed
-    foreign tag would poison downstream metadata — and malformed
-    structures raise ValueError."""
+    v2.4 frame sizes are synchsafe, v2.3 raw 4-byte big-endian, v2.2
+    raw 3-byte big-endian under a 6-byte flagless frame header with
+    3-char ids (``TT2``/``TP1``, the older-corpus layout); frames stop
+    at zero-padding. Text encodings: 0 latin-1, 1 UTF-16 w/ BOM (UCS-2
+    in v2.2), 2 UTF-16BE and 3 UTF-8 v2.4-only per spec. Header flags
+    (unsynchronisation / v2.2 compression / extended header /
+    experimental / footer) and nonzero per-frame flag bytes raise
+    NotImplementedError — a silently misparsed foreign tag would
+    poison downstream metadata — and malformed structures raise
+    ValueError."""
     if payload[:3] != b"ID3":
         raise ValueError("no ID3v2 tag")
     if len(payload) < 10:
         raise ValueError("truncated ID3v2 header")
     major = payload[3]
-    if major not in (3, 4):
+    if major not in (2, 3, 4):
         raise NotImplementedError(f"ID3v2.{major} not supported")
     if payload[5]:
+        kinds = (
+            "unsync/compression" if major == 2
+            else "unsync/ext-header/experimental/footer"
+        )
         raise NotImplementedError(
-            f"ID3v2 header flags 0x{payload[5]:02x} "
-            "(unsync/ext-header/experimental/footer) not supported"
+            f"ID3v2.{major} header flags 0x{payload[5]:02x} "
+            f"({kinds}) not supported"
         )
     size = 0
     for b in payload[6:10]:
@@ -5116,26 +5130,31 @@ def decode_id3v2(payload: bytes) -> list:
         raise ValueError("ID3v2 tag runs past end of stream")
     frames: list = []
     pos = 10
-    while pos + 10 <= end:
+    hdr_len = 6 if major == 2 else 10
+    while pos + hdr_len <= end:
         if payload[pos] == 0:  # zero padding starts
             break
-        fid = payload[pos : pos + 4].decode("ascii", "replace")
-        raw = payload[pos + 4 : pos + 8]
-        if major == 4:
-            fsize = 0
-            for b in raw:
-                if b & 0x80:
-                    raise ValueError("bad ID3v2.4 frame synchsafe size")
-                fsize = (fsize << 7) | b
+        if major == 2:
+            fid = payload[pos : pos + 3].decode("ascii", "replace")
+            fsize = int.from_bytes(payload[pos + 3 : pos + 6], "big")
         else:
-            fsize = int.from_bytes(raw, "big")
-        flags = payload[pos + 8 : pos + 10]
-        if flags != b"\x00\x00":
-            raise NotImplementedError(
-                f"ID3v2 frame {fid} flags {flags.hex()} "
-                "(compression/encryption/grouping/unsync) not supported"
-            )
-        fpos = pos + 10
+            fid = payload[pos : pos + 4].decode("ascii", "replace")
+            raw = payload[pos + 4 : pos + 8]
+            if major == 4:
+                fsize = 0
+                for b in raw:
+                    if b & 0x80:
+                        raise ValueError("bad ID3v2.4 frame synchsafe size")
+                    fsize = (fsize << 7) | b
+            else:
+                fsize = int.from_bytes(raw, "big")
+            flags = payload[pos + 8 : pos + 10]
+            if flags != b"\x00\x00":
+                raise NotImplementedError(
+                    f"ID3v2 frame {fid} flags {flags.hex()} "
+                    "(compression/encryption/grouping/unsync) not supported"
+                )
+        fpos = pos + hdr_len
         if fpos + fsize > end:
             raise ValueError(f"ID3v2 frame {fid} runs past the tag")
         body = payload[fpos : fpos + fsize]

@@ -5648,25 +5648,28 @@ def warc_records(spark, sf_dir):
     """
     SELECT doc_id AS doc_id, v.version AS version,
            'Tr' || chr(226) || 'ck ' || CAST(doc_id % 19 AS VARCHAR) AS title,
-           CASE v.version
-             WHEN 3 THEN chr(196) || 'rtist ' || chr(8212) || ' '
-                           || CAST(doc_id % 11 AS VARCHAR)
+           CASE WHEN v.version IN (2, 3)
+             THEN chr(196) || 'rtist ' || chr(8212) || ' '
+                    || CAST(doc_id % 11 AS VARCHAR)
              ELSE 'Alb' || chr(252) || 'm ' || chr(8212) || ' '
                     || CAST(doc_id % 5 AS VARCHAR)
            END AS extra,
            2 AS n_frames
-    FROM documents, (SELECT 3 AS version UNION ALL SELECT 4) v
+    FROM documents,
+         (SELECT 2 AS version UNION ALL SELECT 3 UNION ALL SELECT 4) v
     """,
 )
 def multimodal_id3_variants(spark, sf_dir):
     """REAL decode of the ID3 tag variants a live MP3 crawl actually
-    contains — v2.3 (raw big-endian frame sizes; latin-1 and UTF-16
-    with BOM, the majority layout of real-world tags) and v2.4
-    (synchsafe frame sizes; UTF-8 and UTF-16BE) — per document, BOTH
-    versions written by ``operators/multimodal.encode_id3v2`` and read
-    back by the byte-exact walk in ``decode_id3v2``. The title strings
-    carry non-ASCII code points on every encoding path (latin-1 "â",
-    UTF-16 "Ä"+em-dash, UTF-16BE "ü"+em-dash) so each charset branch is
+    contains — v2.2 (3-char ``TT2``/``TP1`` ids, 3-byte sizes, flagless
+    6-byte frame headers; the older-corpus layout), v2.3 (raw
+    big-endian frame sizes; latin-1 and UTF-16 with BOM, the majority
+    layout of real-world tags) and v2.4 (synchsafe frame sizes; UTF-8
+    and UTF-16BE) — per document, ALL THREE versions written by
+    ``operators/multimodal.encode_id3v2`` and read back by the
+    byte-exact walk in ``decode_id3v2``. The title strings carry
+    non-ASCII code points on every encoding path (latin-1 "â", UTF-16
+    "Ä"+em-dash, UTF-16BE "ü"+em-dash) so each charset branch is
     value-gated, not just length-gated. One narrow scan, no shuffle —
     the 100 TB shape."""
     from collections.abc import Iterator
@@ -5679,9 +5682,12 @@ def multimodal_id3_variants(spark, sf_dir):
                 title = f"Trâck {did % 19}"
                 artist = f"Ärtist — {did % 11}"
                 album = f"Albüm — {did % 5}"
-                for version, frames, extra in (
-                    (3, [("TIT2", title, 0), ("TPE1", artist, 1)], "TPE1"),
-                    (4, [("TIT2", title, 3), ("TALB", album, 2)], "TALB"),
+                for version, frames, tkey, extra in (
+                    (2, [("TT2", title, 0), ("TP1", artist, 1)], "TT2", "TP1"),
+                    (3, [("TIT2", title, 0), ("TPE1", artist, 1)], "TIT2",
+                     "TPE1"),
+                    (4, [("TIT2", title, 3), ("TALB", album, 2)], "TIT2",
+                     "TALB"),
                 ):
                     tags = dict(
                         multimodal.decode_id3v2(
@@ -5689,7 +5695,7 @@ def multimodal_id3_variants(spark, sf_dir):
                         )
                     )
                     rows.append(
-                        (did, version, tags["TIT2"], tags[extra], len(tags))
+                        (did, version, tags[tkey], tags[extra], len(tags))
                     )
             yield pd.DataFrame(
                 rows,

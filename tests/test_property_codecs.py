@@ -203,7 +203,7 @@ def test_id3v2_malformed_rejection():
     with pytest.raises(ValueError):
         mm.decode_id3v2(good[:8])                     # truncated header
     with pytest.raises(NotImplementedError):
-        mm.decode_id3v2(b"ID3\x02\x00\x00\x00\x00\x00\x00")  # v2.2
+        mm.decode_id3v2(b"ID3\x05\x00\x00\x00\x00\x00\x00")  # unknown major
     bad = bytearray(good)
     bad[9] = 0x7F  # declared size past end
     with pytest.raises(ValueError):
@@ -220,6 +220,28 @@ def test_id3v2_malformed_rejection():
     frameflags[18] = 0x80  # per-frame flag byte (compression etc.)
     with pytest.raises(NotImplementedError):
         mm.decode_id3v2(bytes(frameflags))
+
+
+def test_id3v22_roundtrip_and_gates():
+    """v2.2: 3-char ids under flagless 6-byte frame headers with
+    3-byte sizes walk back exactly (latin-1 and UCS-2/UTF-16); the
+    header compression bit, v2.4-only encodings, and 4-char ids all
+    refuse loudly."""
+    import pytest
+
+    frames = [("TT2", "Café", 0), ("TP1", "Ärtist — ünïcode", 1)]
+    tagged = mm.encode_id3v2(frames, b"MPEG", version=2)
+    assert tagged[3] == 2
+    assert mm.decode_id3v2(tagged) == [(f, t) for f, t, _ in frames]
+    assert mm._skip_id3v2(tagged) == b"MPEG"
+    comp = bytearray(tagged)
+    comp[5] = 0x40  # v2.2 compression bit: refuse loud, never misparse
+    with pytest.raises(NotImplementedError, match="compression"):
+        mm.decode_id3v2(bytes(comp))
+    with pytest.raises(ValueError):
+        mm.encode_id3v2([("TT2", "x", 3)], version=2)  # UTF-8 is v2.4-only
+    with pytest.raises(ValueError):
+        mm.encode_id3v2([("TIT2", "x", 0)], version=2)  # 4-char id
 
 
 def test_id3v23_and_utf16_roundtrip():
