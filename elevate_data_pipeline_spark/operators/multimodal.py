@@ -4543,13 +4543,23 @@ def decode_exif_jpeg(payload: bytes) -> list:
 # the empirical Table B.8) on the power-of-two grid.
 # scfsi scalefactor sharing decodes too (the second granule reuses
 # granule 0's band groups — structural, 11172-3 2.4.2.7).
+# The WINDOW-SWITCHING path decodes (2.4.3.4.6, all formulas
+# structural): block types 1 (start) / 3 (stop) run the 36-point IMDCT
+# under the start/stop windows; type 2 (short) runs THREE 12-point
+# IMDCTs per subband under the short sine window, overlap-added at
+# offsets 6/12/18 in the zero-padded 36-frame, with 3x12 short
+# scalefactor bands (slen1 bands 0-5 / slen2 6-11, band widths
+# MP3_SFB_SHORT a repo swap-in for Table B.8), per-window
+# subblock_gain (8 gg steps = 2^2 each), and the 2.4.3.4.8 reorder
+# from scalefactor-band-major storage to subband order.
 # Remaining subset gates (each raises NotImplementedError, never
 # silent): stereo modes, bit reservoir (main_data_begin != 0),
-# short/mixed blocks, preflag, count1 table A (empirical), scalefactor
-# shifts that exceed the gain (off the integer grid), and gains
-# not on the 2^((gg-210)/4) grid. Structural simplification: the
-# alias-reduction butterflies (empirical ci constants) are omitted —
-# the chain is IMDCT/window/overlap/inversion/matrixing.
+# MIXED blocks (mixed_block_flag=1), preflag, count1 table A
+# (empirical), scalefactor shifts that exceed the gain (off the
+# integer grid), and gains not on the 2^((gg-210)/4) grid. Structural
+# simplification: the alias-reduction butterflies (empirical ci
+# constants) are omitted — the chain is
+# IMDCT/window/overlap/inversion/matrixing.
 # ---------------------------------------------------------------------------
 
 MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
@@ -4610,6 +4620,79 @@ MP3_SLEN = (
 # SECOND granule reuses the first granule's scalefactors for the group
 # and transmits none (STRUCTURAL sharing, no empirical content).
 MP3_SCFSI_BANDS = ((0, 6), (6, 11), (11, 16), (16, 21))
+# Window-switching windows (11172-3 2.4.3.4.6, the spec's own FORMULAS
+# — structural, rounded to the same x64 fixed point as MP3_WIN):
+# start (block_type 1) rises like the normal window, holds 1, then
+# falls on the short-window slope; stop (type 3) is its mirror; the
+# short window (type 2) is sin(pi/12 (n+1/2)) over 12 samples, applied
+# to each of the THREE 12-point IMDCTs.
+MP3_WIN_START = tuple(
+    round(64 * __import__("math").sin(__import__("math").pi / 36.0 * (n + 0.5)))
+    if n < 18 else 64 if n < 24 else
+    round(64 * __import__("math").sin(__import__("math").pi / 12.0 * (n - 18 + 0.5)))
+    if n < 30 else 0
+    for n in range(36)
+)
+MP3_WIN_STOP = tuple(
+    0 if n < 6 else
+    round(64 * __import__("math").sin(__import__("math").pi / 12.0 * (n - 6 + 0.5)))
+    if n < 12 else 64 if n < 18 else
+    round(64 * __import__("math").sin(__import__("math").pi / 36.0 * (n + 0.5)))
+    for n in range(36)
+)
+MP3_WIN12 = tuple(
+    round(64 * __import__("math").sin(__import__("math").pi / 12.0 * (n + 0.5)))
+    for n in range(12)
+)
+# 12-point IMDCT cosines (11172-3 2.4.3.4.6 with n=12, a FORMULA):
+# MP3_C12[k][i] = cos(pi/24 (2i+1+6)(2k+1)), x64 fixed point.
+MP3_C12 = tuple(
+    tuple(
+        round(64 * __import__("math").cos(
+            __import__("math").pi / 24.0 * (2 * i + 1 + 6) * (2 * k + 1)
+        ))
+        for i in range(12)
+    )
+    for k in range(6)
+)
+# Short-block scalefactor bands: 12 bands per window (slen1 covers
+# bands 0-5, slen2 bands 6-11 — the spec's structural split); widths
+# are the repo swap-in for empirical Table B.8: 6x8 + 6x24 = 192 lines
+# per window, 576 per granule.
+MP3_SFB_SHORT = (8,) * 6 + (24,) * 6
+_MP3_SHORT_OFF = tuple(
+    sum(MP3_SFB_SHORT[:b]) for b in range(13)
+)
+def _mp3_short_tables() -> tuple:
+    """Derived short-block index tables. Spectra are STORED
+    scalefactor-band-major with the three windows' values consecutive
+    inside each band (the spec's transmission order); the decoder's
+    REORDER step (11172-3 2.4.3.4.8) maps each subband's 18 lines
+    (three windows x 6) back to those storage slots. Returns
+    ``(wb_of_line, stored_of_subband_pos)``."""
+    wb = []
+    for i in range(576):
+        b = next(
+            b for b in range(12)
+            if 3 * _MP3_SHORT_OFF[b] <= i < 3 * _MP3_SHORT_OFF[b + 1]
+        )
+        wb.append(((i - 3 * _MP3_SHORT_OFF[b]) // MP3_SFB_SHORT[b], b))
+    stored = []
+    for j in range(576):
+        s, w, i = j // 18, (j % 18) // 6, j % 6
+        m = 6 * s + i  # per-window line index 0..191
+        b = next(
+            b for b in range(12)
+            if _MP3_SHORT_OFF[b] <= m < _MP3_SHORT_OFF[b + 1]
+        )
+        stored.append(
+            3 * _MP3_SHORT_OFF[b] + w * MP3_SFB_SHORT[b]
+            + (m - _MP3_SHORT_OFF[b])
+        )
+    return tuple(wb), tuple(stored)
+
+
+_MP3_SHORT_WB_OF_LINE, _MP3_SHORT_STORED = _mp3_short_tables()
 
 
 def _mp3_scfsi_shared(scfsi, band: int) -> bool:
@@ -4644,7 +4727,9 @@ def _mp3_norm_granule(g) -> dict:
     (big-values region only) or the extended dict with keys ``big``,
     ``gain_e``, and optional ``count1`` (list of (v,w,x,y) quadruples,
     values in -1/0/1), ``scalefac`` (21 band factors), ``scalefac_scale``
-    (0/1), ``scalefac_compress`` (0..15)."""
+    (0/1), ``scalefac_compress`` (0..15), ``block_type`` (0 normal,
+    1 start, 2 short, 3 stop), and for short blocks ``scalefac_short``
+    (3 windows x 12 bands) + ``subblock_gain`` (3 values 0..7)."""
     if isinstance(g, dict):
         out = {
             "big": list(g.get("big", [])),
@@ -4654,6 +4739,11 @@ def _mp3_norm_granule(g) -> dict:
             "scalefac_scale": g.get("scalefac_scale", 1),
             "scalefac_compress": g.get("scalefac_compress", 0),
             "scfsi": tuple(g.get("scfsi", (0, 0, 0, 0))),
+            "block_type": g.get("block_type", 0),
+            "scalefac_short": [
+                list(r) for r in g.get("scalefac_short", [[0] * 12] * 3)
+            ],
+            "subblock_gain": list(g.get("subblock_gain", [0, 0, 0])),
         }
     else:
         values, gain_e = g
@@ -4661,6 +4751,8 @@ def _mp3_norm_granule(g) -> dict:
             "big": list(values), "gain_e": gain_e, "count1": [],
             "scalefac": [0] * 21, "scalefac_scale": 1,
             "scalefac_compress": 0, "scfsi": (0, 0, 0, 0),
+            "block_type": 0, "scalefac_short": [[0] * 12] * 3,
+            "subblock_gain": [0, 0, 0],
         }
     if not 0 <= out["gain_e"] <= 7:
         raise ValueError("gain_e out of the subset's 0..7 grid")
@@ -4685,34 +4777,57 @@ def _mp3_norm_granule(g) -> dict:
         raise ValueError("scfsi must be four 0/1 flags")
     if not 0 <= out["scalefac_compress"] <= 15:
         raise ValueError("scalefac_compress out of range")
+    bt = out["block_type"]
+    if bt not in (0, 1, 2, 3):
+        raise ValueError("block_type must be 0/1/2/3")
+    sfs = out["scalefac_short"]
+    if len(sfs) != 3 or any(len(r) != 12 for r in sfs):
+        raise ValueError("scalefac_short needs 3 windows x 12 bands")
+    sbg = out["subblock_gain"]
+    if len(sbg) != 3 or any(not 0 <= v <= 7 for v in sbg):
+        raise ValueError("subblock_gain needs three values in 0..7")
     slen1, slen2 = MP3_SLEN[out["scalefac_compress"]]
-    for b, s in enumerate(sf):
-        slen = slen1 if b < 11 else slen2
-        if not 0 <= s < (1 << slen) and not (slen == 0 and s == 0):
-            raise ValueError(
-                f"scalefac[{b}]={s} does not fit slen={slen} bits"
-            )
+    if bt == 2:
+        if any(sf):
+            raise ValueError("long scalefac must be zero for short blocks")
+        for w in range(3):
+            for b, s in enumerate(sfs[w]):
+                slen = slen1 if b < 6 else slen2
+                if not 0 <= s < (1 << slen) and not (slen == 0 and s == 0):
+                    raise ValueError(
+                        f"scalefac_short[{w}][{b}]={s} does not fit"
+                        f" slen={slen} bits"
+                    )
+    else:
+        if any(v for r in sfs for v in r):
+            raise ValueError("scalefac_short is short-block-only")
+        if any(sbg):
+            raise ValueError("subblock_gain is short-block-only")
+        for b, s in enumerate(sf):
+            slen = slen1 if b < 11 else slen2
+            if not 0 <= s < (1 << slen) and not (slen == 0 and s == 0):
+                raise ValueError(
+                    f"scalefac[{b}]={s} does not fit slen={slen} bits"
+                )
     # every nonzero line's net exponent must stay on the integer grid
     # (the decoder gates negative shifts loudly; refuse to emit them)
     for i, v in enumerate(out["big"]):
-        if v and out["gain_e"] - _mp3_sf_shift(out, i) < 0:
+        if v and out["gain_e"] - _mp3_down_shift(out, i) < 0:
             raise ValueError(f"line {i}: scalefactor shift exceeds gain_e")
     for qi, q in enumerate(out["count1"]):
         for k, v in enumerate(q):
             i = len(out["big"]) + 4 * qi + k
-            if v and out["gain_e"] - _mp3_sf_shift(out, i) < 0:
+            if v and out["gain_e"] - _mp3_down_shift(out, i) < 0:
                 raise ValueError(
                     f"count1 line {i}: scalefactor shift exceeds gain_e"
                 )
     return out
 
 
-def _mp3_sf_shift(g: dict, line: int) -> int:
-    """Integer right-shift the scalefactor applies to ``line``:
-    2^(-(scalefac_scale+1)/2 * scalefac[band]) on the subset's
-    power-of-two grid — scalefac_scale=1 shifts by scalefac, 0 by
-    scalefac/2 (odd values at scale 0 are off-grid and raise)."""
-    sf = g["scalefac"][_MP3_SFB_OF_LINE[line]]
+def _mp3_sf_scale_shift(g: dict, sf: int) -> int:
+    """The power-of-two grid rule shared by both band layouts:
+    scalefac_scale=1 shifts by scalefac, 0 by scalefac/2 (odd values
+    at scale 0 are off-grid and raise)."""
     if g["scalefac_scale"] == 1:
         return sf
     if sf % 2:
@@ -4720,6 +4835,20 @@ def _mp3_sf_shift(g: dict, line: int) -> int:
             "odd scalefac with scalefac_scale=0 is off the integer grid"
         )
     return sf // 2
+
+
+def _mp3_down_shift(g: dict, line: int) -> int:
+    """Total integer right-shift applied to ``line`` below the global
+    gain: the scalefactor term 2^(-(scalefac_scale+1)/2 * scalefac)
+    on the subset's power-of-two grid, plus — for short blocks — the
+    window's subblock_gain (8 global_gain steps per unit = 2^2 each,
+    11172-3 2.4.3.4.7.1, structural). ``line`` is a STORED-order index
+    (scalefactor-band-major for short blocks)."""
+    if g.get("block_type", 0) == 2:
+        w, b = _MP3_SHORT_WB_OF_LINE[line]
+        return _mp3_sf_scale_shift(g, g["scalefac_short"][w][b]) \
+            + 2 * g["subblock_gain"][w]
+    return _mp3_sf_scale_shift(g, g["scalefac"][_MP3_SFB_OF_LINE[line]])
 
 
 def encode_mp3(
@@ -4732,8 +4861,12 @@ def encode_mp3(
     an optional count1 region of -1/0/1 quadruples (spec count1 table B,
     the fixed-length structural code), and 21 long-block scalefactors on
     the power-of-two grid (scalefac_compress slen packing per the spec's
-    structural table). global_gain = 210 + 4*gain_e. Two granules per
-    frame, no bit reservoir, ancillary bits zero-padded."""
+    structural table) — or, with ``block_type`` set, the
+    window-switching layouts: start/stop blocks (1/3) and short blocks
+    (2, scalefactor-band-major stored spectra with 3x12 short
+    scalefactors and per-window subblock gains).
+    global_gain = 210 + 4*gain_e. Two granules per frame, no bit
+    reservoir, ancillary bits zero-padded."""
     if len(granules) % 2:
         raise ValueError("granules come in pairs (2 per MPEG-1 frame)")
     if sample_rate not in MP3_RATES:
@@ -4750,6 +4883,11 @@ def encode_mp3(
         if any(pair[0]["scfsi"]):
             raise ValueError("scfsi flags belong on the pair's SECOND granule")
         if any(scfsi):
+            if any(g["block_type"] == 2 for g in pair):
+                raise ValueError(
+                    "scfsi sharing is defined over long scalefactor bands"
+                    " only (no short blocks in the pair)"
+                )
             if pair[0]["scalefac_compress"] != pair[1]["scalefac_compress"]:
                 raise ValueError("scfsi sharing needs equal scalefac_compress")
             for b in range(21):
@@ -4763,12 +4901,21 @@ def encode_mp3(
         for gi, g in enumerate(pair):
             slen1, slen2 = MP3_SLEN[g["scalefac_compress"]]
             mw = _MsbBitWriter()
-            for b, s in enumerate(g["scalefac"]):  # part2: scalefactors
-                if gi == 1 and _mp3_scfsi_shared(scfsi, b):
-                    continue  # granule 0's value is reused, none sent
-                slen = slen1 if b < 11 else slen2
-                if slen:
-                    mw.bits(s, slen)
+            if g["block_type"] == 2:
+                # part2, short: band-major, the three windows inner
+                # (the spec's transmission order)
+                for b in range(12):
+                    slen = slen1 if b < 6 else slen2
+                    if slen:
+                        for w in range(3):
+                            mw.bits(g["scalefac_short"][w][b], slen)
+            else:
+                for b, s in enumerate(g["scalefac"]):  # part2: scalefactors
+                    if gi == 1 and _mp3_scfsi_shared(scfsi, b):
+                        continue  # granule 0's value is reused, none sent
+                    slen = slen1 if b < 11 else slen2
+                    if slen:
+                        mw.bits(s, slen)
             for i in range(0, len(g["big"]), 2):
                 for v in (g["big"][i], g["big"][i + 1]):
                     _mp3_put_gamma(mw, abs(v))
@@ -4812,12 +4959,24 @@ def encode_mp3(
             bw.bits(big_values, 9)
             bw.bits(gg, 8)
             bw.bits(g["scalefac_compress"], 4)
-            bw.bits(0, 1)  # window_switching
-            bw.bits(1, 5)  # table_select region0 = repo gamma table id 1
-            bw.bits(1, 5)  # regions 1/2: same single repo table
-            bw.bits(1, 5)
-            bw.bits(0, 4)  # region0_count
-            bw.bits(0, 3)  # region1_count
+            if g["block_type"]:
+                # window switching: block_type + mixed flag + 2-region
+                # table_select + 3 subblock gains (same 23-bit span as
+                # the normal branch, 11172-3 2.4.1.7)
+                bw.bits(1, 1)
+                bw.bits(g["block_type"], 2)
+                bw.bits(0, 1)  # mixed_block_flag: subset emits pure blocks
+                bw.bits(1, 5)  # table_select regions 0/1: repo gamma table
+                bw.bits(1, 5)
+                for v in g["subblock_gain"]:
+                    bw.bits(v, 3)
+            else:
+                bw.bits(0, 1)  # window_switching
+                bw.bits(1, 5)  # table_select region0 = repo gamma table id 1
+                bw.bits(1, 5)  # regions 1/2: same single repo table
+                bw.bits(1, 5)
+                bw.bits(0, 4)  # region0_count
+                bw.bits(0, 3)  # region1_count
             bw.bits(0, 1)  # preflag
             bw.bits(g["scalefac_scale"], 1)
             bw.bits(1, 1)  # count1table_select = spec table B (structural)
@@ -4833,31 +4992,53 @@ def encode_mp3(
     return bytes(out)
 
 
-def _mp3_granule_pcm(xr: list, prev: list) -> tuple:
+def _mp3_granule_pcm(xr: list, prev: list, block_type: int = 0) -> tuple:
     """One granule through the exact integer chain, all 32 subbands:
-    per subband a 36-point IMDCT of its 18 lines (MP3_C36), long-block
-    window (MP3_WIN), overlap-add with that subband's previous tail,
-    the spec's frequency inversion (odd samples of odd subbands
-    negated, 11172-3 2.4.3.4.7 — a structural sign flip), then the
+    per subband a 36-point IMDCT of its 18 lines (MP3_C36) under the
+    block type's window — normal/start/stop (MP3_WIN / MP3_WIN_START /
+    MP3_WIN_STOP), or for short blocks (type 2) THREE 12-point IMDCTs
+    (MP3_C12, 6 lines each) under the short window (MP3_WIN12),
+    overlap-added at offsets 6/12/18 inside the zero-padded 36-sample
+    frame (11172-3 2.4.3.4.6) — then overlap-add with that subband's
+    previous tail, the spec's frequency inversion (odd samples of odd
+    subbands negated, 2.4.3.4.7 — a structural sign flip), and the
     synthesis matrixing N[b][p] (MP3_SYN2D) summed over subbands per
-    output sample. ``xr`` is up to 576 lines; ``prev`` is the 32x18
+    output sample. ``xr`` is up to 576 lines in SUBBAND order (the
+    caller reorders short-block spectra first); ``prev`` is the 32x18
     overlap state. Returns (576 raw accumulator values, new overlap
     state) — everything linear in xr, one rounding applied by the
-    caller. Subband-0-only input reproduces the pre-widening chain
-    bit-for-bit (MP3_SYN2D row 0 == the old 32-tap stage)."""
+    caller. Subband-0-only long input reproduces the pre-widening
+    chain bit-for-bit (MP3_SYN2D row 0 == the old 32-tap stage)."""
     if len(xr) < 576:
         xr = list(xr) + [0] * (576 - len(xr))
+    win = {0: MP3_WIN, 1: MP3_WIN_START, 3: MP3_WIN_STOP}.get(block_type)
+    if win is None and block_type != 2:
+        raise ValueError(f"bad MP3 block_type {block_type}")
     acc = [0] * 576
     new_prev = []
     for b in range(32):
         xs = xr[18 * b : 18 * b + 18]
         pb = prev[b]
         if any(xs):
-            sw = [
-                sum(xs[i] * MP3_C36[i][n] for i in range(18) if xs[i])
-                * MP3_WIN[n]
-                for n in range(36)
-            ]
+            if block_type == 2:
+                sw = [0] * 36
+                for w in range(3):
+                    xw = xs[6 * w : 6 * w + 6]
+                    if any(xw):
+                        for i in range(12):
+                            sw[6 + 6 * w + i] += (
+                                sum(
+                                    xw[k] * MP3_C12[k][i]
+                                    for k in range(6) if xw[k]
+                                )
+                                * MP3_WIN12[i]
+                            )
+            else:
+                sw = [
+                    sum(xs[i] * MP3_C36[i][n] for i in range(18) if xs[i])
+                    * win[n]
+                    for n in range(36)
+                ]
         elif any(pb):
             sw = [0] * 36
         else:
@@ -4924,9 +5105,27 @@ def decode_mp3(payload: bytes) -> AudioData:
             big_values = si.bits(9)
             gg = si.bits(8)
             sf_compress = si.bits(4)
-            if si.bits(1) != 0:
-                raise NotImplementedError("MP3 short/mixed blocks")
-            tsel = (si.bits(5), si.bits(5), si.bits(5))
+            if si.bits(1):  # window_switching_flag
+                bt = si.bits(2)
+                if bt == 0:
+                    raise ValueError(
+                        "window_switching with block_type 0 is forbidden"
+                    )
+                if si.bits(1):
+                    raise NotImplementedError("MP3 mixed blocks")
+                tsel = (si.bits(5), si.bits(5))
+                sbg = (si.bits(3), si.bits(3), si.bits(3))
+                if bt != 2 and any(sbg):
+                    raise ValueError(
+                        "subblock_gain is short-block-only (block_type 2)"
+                    )
+            else:
+                bt = 0
+                sbg = (0, 0, 0)
+                tsel = (si.bits(5), si.bits(5), si.bits(5))
+                si.bits(7)  # region0_count(4) + region1_count(3): parsed,
+                # semantically inert — every nonempty region carries the
+                # single repo table, so region boundaries select nothing
             if big_values and tsel[0] != 1:
                 raise NotImplementedError(
                     "only the repo gamma table (id 1) decodes"
@@ -4935,9 +5134,6 @@ def decode_mp3(payload: bytes) -> AudioData:
                 raise NotImplementedError(
                     "only the repo gamma table (id 1) decodes"
                 )
-            si.bits(7)  # region0_count(4) + region1_count(3): parsed,
-            # semantically inert — every nonempty region carries the
-            # single repo table, so region boundaries select nothing
             if si.bits(1) != 0:
                 raise NotImplementedError("MP3 preflag")
             sf_scale = si.bits(1)
@@ -4953,28 +5149,45 @@ def decode_mp3(payload: bytes) -> AudioData:
             if (gg - 210) // 4 < 0:
                 raise NotImplementedError("negative gain exponent (subset)")
             gr_fields.append(
-                (part23, big_values, (gg - 210) // 4, sf_compress, sf_scale)
+                (part23, big_values, (gg - 210) // 4, sf_compress, sf_scale,
+                 bt, sbg)
+            )
+        if any(scfsi) and any(f[5] == 2 for f in gr_fields):
+            raise ValueError(
+                "scfsi sharing is defined over long scalefactor bands only"
             )
         md = _MsbBitReader(payload, pos + 21)
         g0_sfac: list = []
-        for gi, (part23, big_values, gain_e, sf_compress, sf_scale) in (
-            enumerate(gr_fields)
-        ):
+        for gi, (part23, big_values, gain_e, sf_compress, sf_scale,
+                 bt, sbg) in enumerate(gr_fields):
             start_bits = md.pos * 8 - md._n
             slen1, slen2 = MP3_SLEN[sf_compress]
-            sfac = []
-            for b in range(21):
-                if gi == 1 and _mp3_scfsi_shared(scfsi, b):
-                    sfac.append(g0_sfac[b])  # shared: none transmitted
-                    continue
-                slen = slen1 if b < 11 else slen2
-                sfac.append(md.bits(slen) if slen else 0)
+            sfac: list = []
+            sfac_short = [[0] * 12 for _ in range(3)]
+            if bt == 2:
+                # part2, short: band-major, three windows inner
+                for b in range(12):
+                    slen = slen1 if b < 6 else slen2
+                    for w in range(3):
+                        sfac_short[w][b] = md.bits(slen) if slen else 0
+                sfac = [0] * 21
+            else:
+                for b in range(21):
+                    if gi == 1 and _mp3_scfsi_shared(scfsi, b):
+                        sfac.append(g0_sfac[b])  # shared: none transmitted
+                        continue
+                    slen = slen1 if b < 11 else slen2
+                    sfac.append(md.bits(slen) if slen else 0)
             if gi == 0:
                 g0_sfac = sfac
-            g = {"scalefac": sfac, "scalefac_scale": sf_scale}
+            g = {
+                "scalefac": sfac, "scalefac_scale": sf_scale,
+                "block_type": bt, "scalefac_short": sfac_short,
+                "subblock_gain": sbg,
+            }
 
             def requant(mag: int, neg: bool, line: int) -> int:
-                shift = gain_e - _mp3_sf_shift(g, line)
+                shift = gain_e - _mp3_down_shift(g, line)
                 if shift < 0:
                     raise NotImplementedError(
                         "scalefactor shift exceeds gain (below the integer"
@@ -5003,7 +5216,11 @@ def decode_mp3(payload: bytes) -> AudioData:
             if used > part23:
                 raise ValueError("MP3 main data overruns part2_3_length")
             md.bits(part23 - used)  # stuffing up to the declared length
-            acc, prev = _mp3_granule_pcm(xr, prev)
+            if bt == 2:
+                # reorder: scalefactor-band-major storage -> subband
+                # order for the per-subband 12-point IMDCTs
+                xr = [xr[_MP3_SHORT_STORED[j]] for j in range(576)]
+            acc, prev = _mp3_granule_pcm(xr, prev, bt)
             half = 1 << (MP3_SHIFT - 1)
             samples.extend(
                 max(-32768, min(32767, (a + half) >> MP3_SHIFT)) for a in acc
@@ -5014,22 +5231,32 @@ def decode_mp3(payload: bytes) -> AudioData:
     return AudioData(sample_rate, 1, 16, samples)
 
 
-def mp3_line_taps(n_granules: int = 2, lines: tuple = (0, 1)) -> dict:
+def mp3_line_taps(
+    n_granules: int = 2, lines: tuple = (0, 1), block_types: tuple = None
+) -> dict:
     """Exact integer tap tables for the SQL oracle: ``taps[(g, l)][t]``
     is the raw pre-rounding accumulator contribution of a unit spectral
     line ``l`` in granule ``g`` to output sample ``t`` (the whole chain
     is linear in xr with one final rounding, so a decode is the
     superposition xr_{g,l} * tap — pytest pins this equality against
-    the stagewise decoder)."""
+    the stagewise decoder). ``block_types`` gives each granule's block
+    type (default all long); line indices are STORED-order (the
+    scalefactor-band-major layout short-block spectra are transmitted
+    in), with the reorder applied here exactly as in the decoder."""
+    bts = tuple(block_types or (0,) * n_granules)
     taps: dict = {}
     for g in range(n_granules):
         for line in lines:
             xr = [0] * 576
             xr[line] = 1
+            if bts[g] == 2:
+                xr = [xr[_MP3_SHORT_STORED[j]] for j in range(576)]
             prev = [[0] * 18 for _ in range(32)]
             out: list = []
             for gg in range(n_granules):
-                acc, prev = _mp3_granule_pcm(xr if gg == g else [0] * 576, prev)
+                acc, prev = _mp3_granule_pcm(
+                    xr if gg == g else [0] * 576, prev, bts[gg]
+                )
                 out.extend(acc)
             taps[(g, line)] = out
     return taps

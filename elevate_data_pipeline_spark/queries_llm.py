@@ -6580,3 +6580,147 @@ def crawl_ingest_pipeline(spark, sf_dir):
         quality.alias("quality"),
         (F.col("allowed") & (quality >= 0.3) & (n_tokens >= 5)).alias("keep"),
     )
+
+
+_MP3_SHORT_Q_LINES = (0, 1, 8, 16, 24)
+
+
+def _sql_mp3_short() -> str:
+    """Oracle for multimodal_mp3_short_blocks: same pinned linear-
+    superposition replay as _sql_mp3, but over the WINDOW-SWITCHING tap
+    tables — granule 0 is a start block (36-point IMDCT under
+    MP3_WIN_START), granule 1 a short block (three 12-point IMDCTs,
+    short window, 2.4.3.4.8 reorder baked into the taps). The short
+    granule's stored lines 0/8/16/24 hit band 0 of all three windows
+    plus band 1 of window 0, so the per-window subblock_gain (w0: 2^2)
+    and short scalefactors (w0 b0: 1, w2 b0: 2) shift each line
+    differently — the oracle states those shifts in closed form."""
+    taps = multimodal.mp3_line_taps(
+        n_granules=2, lines=_MP3_SHORT_Q_LINES, block_types=(1, 2)
+    )
+    t = {
+        (g, l): "[" + ",".join(str(v) for v in taps[(g, l)]) + "]"
+        for g in (0, 1)
+        for l in _MP3_SHORT_Q_LINES
+    }
+    p43 = "[" + ",".join(str(v) for v in multimodal.MP3_POW43) + "]"
+    half = 1 << (multimodal.MP3_SHIFT - 1)
+    pow2 = 1 << multimodal.MP3_SHIFT
+    terms = [("0", 0), ("0", 1), ("1", 0), ("1", 8), ("1", 16), ("1", 24)]
+    acc = " + ".join(f"x{g}_{l} * ({t[(int(g), l)]})[s + 1]" for g, l in terms)
+    return f"""
+    WITH cfg AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 14 AS INT) AS v00,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS s00,
+             CAST(1 + (doc_id * 7) % 15 AS INT) AS v01,
+             CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END AS s01,
+             CAST(1 + (doc_id * 3) % 15 AS INT) AS v10,
+             CASE WHEN doc_id % 5 = 0 THEN -1 ELSE 1 END AS s10,
+             CAST(1 + (doc_id * 5) % 13 AS INT) AS v18,
+             CASE WHEN doc_id % 7 = 0 THEN -1 ELSE 1 END AS s18,
+             CAST(1 + (doc_id * 11) % 15 AS INT) AS v116,
+             CASE WHEN doc_id % 4 = 0 THEN -1 ELSE 1 END AS s116,
+             CAST(1 + (doc_id * 13) % 15 AS INT) AS v124,
+             CASE WHEN doc_id % 6 = 0 THEN -1 ELSE 1 END AS s124,
+             CAST(1 + doc_id % 7 AS INT) AS e0,
+             CAST(3 + (doc_id * 3) % 5 AS INT) AS e1
+      FROM documents
+    ), xr AS (
+      -- start granule: no scalefactors, plain 2^e0
+      -- short granule: line 0  = w0 b0 -> down 2*sbg(1) + sf(1) = 3
+      --                line 8  = w1 b0 -> down 0
+      --                line 16 = w2 b0 -> down sf(2) = 2
+      --                line 24 = w0 b1 -> down 2*sbg(1) + sf(0) = 2
+      SELECT doc_id,
+             s00 * ({p43})[v00 + 1] * (CAST(1 AS BIGINT) << e0) AS x0_0,
+             s01 * ({p43})[v01 + 1] * (CAST(1 AS BIGINT) << e0) AS x0_1,
+             s10 * ({p43})[v10 + 1] * (CAST(1 AS BIGINT) << (e1 - 3)) AS x1_0,
+             s18 * ({p43})[v18 + 1] * (CAST(1 AS BIGINT) << e1) AS x1_8,
+             s116 * ({p43})[v116 + 1] * (CAST(1 AS BIGINT) << (e1 - 2)) AS x1_16,
+             s124 * ({p43})[v124 + 1] * (CAST(1 AS BIGINT) << (e1 - 2)) AS x1_24
+      FROM cfg
+    ), pcm AS (
+      SELECT doc_id,
+             greatest(-32768, least(32767, CAST(floor(
+               ({acc} + {half}) / {pow2}.0) AS BIGINT))) AS p
+      FROM xr, (SELECT unnest(range(0, 1152)) AS s)
+    )
+    SELECT doc_id AS doc_id,
+           CAST(1152 AS BIGINT) AS n_samples,
+           CAST(44100 AS INT) AS sample_rate,
+           CAST(max(abs(p)) AS BIGINT) AS peak,
+           CAST(sum(p * p) AS BIGINT) AS energy
+    FROM pcm GROUP BY doc_id
+    """
+
+
+@query("multimodal_mp3_short_blocks", _sql_mp3_short())
+def multimodal_mp3_short_blocks(spark, sf_dir):
+    """REAL MPEG-audio WINDOW-SWITCHING decode (no stub): per doc a
+    start-block granule (block_type 1, the 36-point IMDCT under the
+    start window) followed by a short-block granule (block_type 2:
+    three 12-point IMDCTs per subband under the short sine window,
+    3x12 short scalefactor bands, per-window subblock gains, and the
+    11172-3 2.4.3.4.8 reorder from scalefactor-band-major storage)
+    written through ``operators/multimodal.encode_mp3`` and decoded
+    back by ``decode_mp3`` — the window-switching side-info layout
+    (block_type/mixed/2-region table_select/subblock_gain) round-trips
+    through the real bitstream. The short granule's four lines land in
+    band 0 of all three windows plus band 1 of window 0, so every
+    window's gain/scalefactor path is value-gated. The oracle replays
+    the decode as the pinned linear superposition over the
+    window-switching tap tables. One narrow scan, no shuffle: the
+    100 TB shape."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                g0 = {
+                    "big": [
+                        (1 if did % 2 == 0 else -1) * (1 + did % 14),
+                        (-1 if did % 3 == 0 else 1) * (1 + (did * 7) % 15),
+                    ],
+                    "gain_e": 1 + did % 7,
+                    "block_type": 1,
+                }
+                big1 = [0] * 26
+                big1[0] = (-1 if did % 5 == 0 else 1) * (1 + (did * 3) % 15)
+                big1[8] = (-1 if did % 7 == 0 else 1) * (1 + (did * 5) % 13)
+                big1[16] = (-1 if did % 4 == 0 else 1) * (1 + (did * 11) % 15)
+                big1[24] = (-1 if did % 6 == 0 else 1) * (1 + (did * 13) % 15)
+                g1 = {
+                    "big": big1,
+                    "gain_e": 3 + (did * 3) % 5,
+                    "block_type": 2,
+                    "scalefac_short": [
+                        [1] + [0] * 11, [0] * 12, [2] + [0] * 11
+                    ],
+                    "subblock_gain": [1, 0, 0],
+                    "scalefac_scale": 1,
+                    "scalefac_compress": 9,
+                }
+                au = multimodal.decode_audio(
+                    multimodal.encode_mp3([g0, g1], bitrate=64)
+                )
+                rows.append(
+                    (did, len(au.samples), au.sample_rate,
+                     max(abs(s) for s in au.samples),
+                     sum(s * s for s in au.samples))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "sample_rate", "peak",
+                         "energy"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_samples long, sample_rate int, peak long, energy long",
+    )

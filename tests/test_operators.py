@@ -2689,6 +2689,80 @@ def test_mp3_widened_gates():
     assert mm.decode_mp3(bytes(enc)).samples  # the base pair stays green
 
 
+def test_mp3_short_blocks_roundtrip_superposition():
+    """Window switching: a start/short/short/stop granule sequence
+    round-trips through the real bitstream, the decode equals the
+    linear tap superposition exactly (12-point IMDCTs, short window,
+    subblock gains, the 2.4.3.4.8 reorder), subblock_gain changes the
+    output, and the out-of-subset shapes gate loudly (mixed blocks,
+    block_type 0 under window_switching, scfsi with short blocks,
+    subblock_gain on long blocks)."""
+    import pytest
+
+    from elevate_data_pipeline_spark.operators import multimodal as mm
+
+    gs = {"big": [0] * 26, "gain_e": 6, "block_type": 2,
+          "scalefac_short": [[1] + [0] * 11, [0] * 12, [2] + [0] * 11],
+          "subblock_gain": [1, 0, 0], "scalefac_scale": 1,
+          "scalefac_compress": 9}
+    # band 0 of windows 0/1/2 plus band 1 window 0 (stored-order lines)
+    gs["big"][0], gs["big"][8], gs["big"][16], gs["big"][24] = 7, -4, 3, 5
+    gstart = {"big": [2, -1, 0, 0, 0, 0, 0, 0, 6], "gain_e": 4,
+              "block_type": 1}
+    gstop = {"big": [0, 5], "gain_e": 3, "block_type": 3}
+    granules = [gstart, gs, gs, gstop]
+    au = mm.decode_mp3(mm.encode_mp3(granules, bitrate=64))
+    assert len(au.samples) == 2304 and any(au.samples)
+
+    lines = (0, 1, 8, 16, 24)
+    taps = mm.mp3_line_taps(4, lines=lines, block_types=(1, 2, 2, 3))
+
+    def xr_val(g, line):
+        v = g["big"][line] if line < len(g["big"]) else 0
+        if not v:
+            return 0
+        norm = mm._mp3_norm_granule(g)
+        down = mm._mp3_down_shift(norm, line)
+        mag = mm.MP3_POW43[abs(v)] << (g["gain_e"] - down)
+        return mag if v > 0 else -mag
+
+    half = 1 << (mm.MP3_SHIFT - 1)
+    expected = [
+        max(-32768, min(32767, (sum(
+            xr_val(g, line) * taps[(gi, line)][t]
+            for gi, g in enumerate(granules) for line in lines
+        ) + half) >> mm.MP3_SHIFT))
+        for t in range(2304)
+    ]
+    assert expected == au.samples
+
+    # subblock_gain is live: lowering window 0's gain changes samples
+    quieter = dict(gs, subblock_gain=[2, 0, 0])
+    au2 = mm.decode_mp3(mm.encode_mp3([gstart, quieter, quieter, gstop],
+                                      bitrate=64))
+    assert au2.samples != au.samples
+
+    enc = bytearray(mm.encode_mp3([gs, gs], bitrate=64))
+    mixed = bytearray(enc)
+    mixed[10] |= 0x02  # granule 0 mixed_block_flag (bit 86)
+    with pytest.raises(NotImplementedError, match="mixed"):
+        mm.decode_mp3(bytes(mixed))
+    bt0 = bytearray(enc)
+    bt0[10] &= ~0x0C  # granule 0 block_type -> 0 under window_switching
+    with pytest.raises(ValueError, match="block_type 0"):
+        mm.decode_mp3(bytes(bt0))
+    with pytest.raises(ValueError, match="scfsi"):
+        mm.encode_mp3([dict(gs), dict(gs, scfsi=(1, 0, 0, 0))], bitrate=64)
+    with pytest.raises(ValueError, match="subblock_gain"):
+        mm.encode_mp3([dict(gstart, subblock_gain=[1, 0, 0]), gstop],
+                      bitrate=64)
+    with pytest.raises(ValueError, match="does not fit"):
+        mm.encode_mp3([dict(gs, scalefac_short=[[9] + [0] * 11]
+                            + [[0] * 12] * 2), gs], bitrate=64)
+    with pytest.raises(ValueError, match="exceeds gain_e"):
+        mm.encode_mp3([dict(gs, gain_e=1), gs], bitrate=64)
+
+
 def test_mp3_subset_rejections():
     """Out-of-subset structure must fail loud, never decode silently."""
     from elevate_data_pipeline_spark.operators import multimodal as mm
