@@ -170,13 +170,32 @@ def main() -> None:
     # job — and a real failure still surfaces as a collect() exception
     # (rc != 0). Targeted reproduction failed (full 199-query sweep and
     # a 20x streaming-twin stress both clean), so the burst is a rare
-    # session-lifetime race, not attributable to any query; scope the
-    # one chatty logger to FATAL for this bench session only.
+    # session-lifetime race, not attributable to any query. r9 scoped
+    # the whole DAGScheduler logger to FATAL; that also hid any REAL
+    # scheduler error, so scope narrower: a message-level RegexFilter
+    # that denies only the advisory accumulator burst and passes every
+    # other DAGScheduler diagnostic through untouched.
     try:
         jvm = spark.sparkContext._jvm
+        result = jvm.org.apache.logging.log4j.core.Filter.Result
+        flt = jvm.org.apache.logging.log4j.core.filter.RegexFilter.createFilter(
+            ".*(Failed to update accumulator"
+            "|attempted to access non-existent accumulator).*",
+            None, False, result.DENY, result.NEUTRAL,
+        )
+        ctx = jvm.org.apache.logging.log4j.LogManager.getContext(False)
+        ctx.getConfiguration().addFilter(flt)
+        # The unpartitioned-window WARN ("No Partition Defined for Window
+        # operation") fires on the audited bounded feeders only — every
+        # Exchange SinglePartition window in the repo is a structurally
+        # bounded global-scalar/pid-offsets feeder with a named waiver in
+        # scripts/plan_audit.py WAIVERS (CI-enforced by
+        # tests/test_plan_audit.py), so the warning is advisory here;
+        # scope the window-exec package to ERROR for the bench session so
+        # the captured tail stays readable for real signals.
         jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            "org.apache.spark.scheduler.DAGScheduler",
-            jvm.org.apache.logging.log4j.Level.FATAL,
+            "org.apache.spark.sql.execution.window",
+            jvm.org.apache.logging.log4j.Level.ERROR,
         )
     except Exception:
         pass  # logging backend absent/renamed: bench must still run
