@@ -4852,7 +4852,8 @@ def _mp3_down_shift(g: dict, line: int) -> int:
 
 
 def encode_mp3(
-    granules: list, sample_rate: int = 44100, bitrate: int = 32
+    granules: list, sample_rate: int = 44100, bitrate: int = 32,
+    mode: str = "mono",
 ) -> bytes:
     """MPEG-1 Layer III mono encoder for the structural subset: each
     granule is ``(values, gain_e)`` or the extended dict accepted by
@@ -4866,7 +4867,19 @@ def encode_mp3(
     (2, scalefactor-band-major stored spectra with 3x12 short
     scalefactors and per-window subblock gains).
     global_gain = 210 + 4*gain_e. Two granules per frame, no bit
-    reservoir, ancillary bits zero-padded."""
+    reservoir, ancillary bits zero-padded.
+
+    ``mode``: "mono" (single channel, 17-byte side info), or the
+    two-channel INDEPENDENT modes "stereo" (mode 00) / "dual" (dual
+    channel, mode 10) with 32-byte side info — each ``granules`` entry
+    is then a ``(ch0, ch1)`` pair of granule specs and the decoder
+    returns interleaved L/R PCM. Joint stereo (mode 01: M/S and
+    intensity matrixing, off the integer grid / empirical) is not
+    emitted and gates loudly on decode."""
+    modes = {"mono": 0b11, "stereo": 0b00, "dual": 0b10}
+    if mode not in modes:
+        raise ValueError(f"unsupported MP3 mode {mode!r} (mono/stereo/dual)")
+    nch = 1 if mode == "mono" else 2
     if len(granules) % 2:
         raise ValueError("granules come in pairs (2 per MPEG-1 frame)")
     if sample_rate not in MP3_RATES:
@@ -4878,60 +4891,84 @@ def encode_mp3(
     frame_len = 144 * MP3_BITRATES[br_idx] * 1000 // sample_rate
     out = bytearray()
     for f in range(0, len(granules), 2):
-        pair = [_mp3_norm_granule(g) for g in granules[f : f + 2]]
-        scfsi = pair[1]["scfsi"]
-        if any(pair[0]["scfsi"]):
-            raise ValueError("scfsi flags belong on the pair's SECOND granule")
-        if any(scfsi):
-            if any(g["block_type"] == 2 for g in pair):
+        if nch == 1:
+            grid = [[_mp3_norm_granule(g)] for g in granules[f : f + 2]]
+        else:
+            entries = granules[f : f + 2]
+            for e in entries:
+                if isinstance(e, dict) or len(e) != 2:
+                    raise ValueError(
+                        "two-channel modes need (ch0, ch1) granule pairs"
+                    )
+            grid = [[_mp3_norm_granule(g) for g in e] for e in entries]
+        scfsi_ch = [grid[1][ch]["scfsi"] for ch in range(nch)]
+        for ch in range(nch):
+            scfsi = scfsi_ch[ch]
+            if any(grid[0][ch]["scfsi"]):
                 raise ValueError(
-                    "scfsi sharing is defined over long scalefactor bands"
-                    " only (no short blocks in the pair)"
+                    "scfsi flags belong on the pair's SECOND granule"
                 )
-            if pair[0]["scalefac_compress"] != pair[1]["scalefac_compress"]:
-                raise ValueError("scfsi sharing needs equal scalefac_compress")
-            for b in range(21):
-                if _mp3_scfsi_shared(scfsi, b) and (
-                    pair[0]["scalefac"][b] != pair[1]["scalefac"][b]
+            if any(scfsi):
+                if any(grid[gr][ch]["block_type"] == 2 for gr in range(2)):
+                    raise ValueError(
+                        "scfsi sharing is defined over long scalefactor bands"
+                        " only (no short blocks in the pair)"
+                    )
+                if grid[0][ch]["scalefac_compress"] != (
+                    grid[1][ch]["scalefac_compress"]
                 ):
                     raise ValueError(
-                        f"scfsi-shared band {b} differs between granules"
+                        "scfsi sharing needs equal scalefac_compress"
                     )
+                for b in range(21):
+                    if _mp3_scfsi_shared(scfsi, b) and (
+                        grid[0][ch]["scalefac"][b] != grid[1][ch]["scalefac"][b]
+                    ):
+                        raise ValueError(
+                            f"scfsi-shared band {b} differs between granules"
+                        )
         mains, fields = [], []
-        for gi, g in enumerate(pair):
-            slen1, slen2 = MP3_SLEN[g["scalefac_compress"]]
-            mw = _MsbBitWriter()
-            if g["block_type"] == 2:
-                # part2, short: band-major, the three windows inner
-                # (the spec's transmission order)
-                for b in range(12):
-                    slen = slen1 if b < 6 else slen2
-                    if slen:
-                        for w in range(3):
-                            mw.bits(g["scalefac_short"][w][b], slen)
-            else:
-                for b, s in enumerate(g["scalefac"]):  # part2: scalefactors
-                    if gi == 1 and _mp3_scfsi_shared(scfsi, b):
-                        continue  # granule 0's value is reused, none sent
-                    slen = slen1 if b < 11 else slen2
-                    if slen:
-                        mw.bits(s, slen)
-            for i in range(0, len(g["big"]), 2):
-                for v in (g["big"][i], g["big"][i + 1]):
-                    _mp3_put_gamma(mw, abs(v))
-                    if v:
-                        mw.bits(1 if v < 0 else 0, 1)
-            for q in g["count1"]:  # spec table B: 4 complement bits
-                for v in q:
-                    mw.bits(0 if v else 1, 1)
-                for v in q:
-                    if v:
-                        mw.bits(1 if v < 0 else 0, 1)
-            nbits = len(mw.out) * 8 + mw._n
-            if nbits >= 1 << 12:
-                raise ValueError("granule overflows part2_3_length (12 bits)")
-            fields.append((g, len(g["big"]) // 2, 210 + 4 * g["gain_e"], nbits))
-            mains.append(mw)
+        for gi in range(2):
+            for ch in range(nch):
+                g = grid[gi][ch]
+                scfsi = scfsi_ch[ch]
+                slen1, slen2 = MP3_SLEN[g["scalefac_compress"]]
+                mw = _MsbBitWriter()
+                if g["block_type"] == 2:
+                    # part2, short: band-major, the three windows inner
+                    # (the spec's transmission order)
+                    for b in range(12):
+                        slen = slen1 if b < 6 else slen2
+                        if slen:
+                            for w in range(3):
+                                mw.bits(g["scalefac_short"][w][b], slen)
+                else:
+                    for b, s in enumerate(g["scalefac"]):  # part2
+                        if gi == 1 and _mp3_scfsi_shared(scfsi, b):
+                            continue  # granule 0's value is reused, none sent
+                        slen = slen1 if b < 11 else slen2
+                        if slen:
+                            mw.bits(s, slen)
+                for i in range(0, len(g["big"]), 2):
+                    for v in (g["big"][i], g["big"][i + 1]):
+                        _mp3_put_gamma(mw, abs(v))
+                        if v:
+                            mw.bits(1 if v < 0 else 0, 1)
+                for q in g["count1"]:  # spec table B: 4 complement bits
+                    for v in q:
+                        mw.bits(0 if v else 1, 1)
+                    for v in q:
+                        if v:
+                            mw.bits(1 if v < 0 else 0, 1)
+                nbits = len(mw.out) * 8 + mw._n
+                if nbits >= 1 << 12:
+                    raise ValueError(
+                        "granule overflows part2_3_length (12 bits)"
+                    )
+                fields.append(
+                    (g, len(g["big"]) // 2, 210 + 4 * g["gain_e"], nbits)
+                )
+                mains.append(mw)
         bw = _MsbBitWriter()
         # header: sync(11)=all ones, ID(2)=11 (MPEG-1), layer(2)=01,
         # prot(1)=1 (no CRC)
@@ -4943,17 +4980,19 @@ def encode_mp3(
         bw.bits(sr_idx, 2)
         bw.bits(0, 1)  # padding
         bw.bits(0, 1)  # private
-        bw.bits(0b11, 2)  # mode: single channel
-        bw.bits(0, 2)  # mode extension
+        bw.bits(modes[mode], 2)
+        bw.bits(0, 2)  # mode extension (00: no joint-stereo matrixing)
         bw.bits(0, 1)  # copyright
         bw.bits(0, 1)  # original
         bw.bits(0, 2)  # emphasis
-        # side info, mono: 17 bytes
+        # side info: 17 bytes mono / 32 bytes two-channel (11172-3 2.4.1.7)
         bw.bits(0, 9)  # main_data_begin = 0 (no reservoir)
-        bw.bits(0, 5)  # private
-        bw.bits(
-            (scfsi[0] << 3) | (scfsi[1] << 2) | (scfsi[2] << 1) | scfsi[3], 4
-        )
+        bw.bits(0, 5 if nch == 1 else 3)  # private
+        for scfsi in scfsi_ch:
+            bw.bits(
+                (scfsi[0] << 3) | (scfsi[1] << 2) | (scfsi[2] << 1)
+                | scfsi[3], 4
+            )
         for g, big_values, gg, nbits in fields:
             bw.bits(nbits, 12)  # part2_3_length (incl. scalefactor part2)
             bw.bits(big_values, 9)
@@ -4986,7 +5025,7 @@ def encode_mp3(
                 bw.bits(mw._acc, mw._n)
         frame = bytearray(bw.flush())
         if len(frame) > frame_len:
-            raise ValueError("granule pair overflows one 32 kbps frame")
+            raise ValueError("granule data overflows the frame length")
         frame.extend(b"\x00" * (frame_len - len(frame)))  # ancillary pad
         out += frame
     return bytes(out)
@@ -5059,16 +5098,21 @@ def _mp3_granule_pcm(xr: list, prev: list, block_type: int = 0) -> tuple:
 
 
 def decode_mp3(payload: bytes) -> AudioData:
-    """MPEG-1 Layer III mono decoder for the structural subset above:
+    """MPEG-1 Layer III decoder for the structural subset above:
     header + side-info parse per ISO 11172-3, Huffman big-values decode
     (repo gamma table), pow-4/3 requantization on the integer gain grid,
     IMDCT + window + overlap-add + synthesis in exact integers, one
     round-half-up >> MP3_SHIFT and int16 clip per sample. 1152 samples
-    per frame. Structure outside the subset raises
+    per frame per channel. Mono and the two-channel INDEPENDENT modes
+    (stereo 00 / dual channel 10, 32-byte side info, per-channel
+    overlap state, interleaved L/R output) decode; joint stereo
+    (mode 01 — M/S and intensity matrixing, empirical/off-grid) gates
+    loudly. Structure outside the subset raises
     ``NotImplementedError``; malformed streams raise ``ValueError``."""
     pos = 0
     samples: list = []
-    prev = [[0] * 18 for _ in range(32)]
+    prevs: list = None
+    nch_stream = None
     while pos < len(payload):
         if pos + 21 > len(payload):
             raise ValueError("truncated MP3 frame header/side info")
@@ -5084,23 +5128,37 @@ def decode_mp3(payload: bytes) -> AudioData:
         sr_idx = hdr.bits(2)
         padding = hdr.bits(1)
         hdr.bits(1)  # private
-        if hdr.bits(2) != 0b11:
-            raise NotImplementedError("only single-channel (mono) decodes")
+        chmode = hdr.bits(2)
+        if chmode == 0b01:
+            raise NotImplementedError(
+                "MP3 joint stereo (M/S / intensity matrixing)"
+            )
+        nch = 1 if chmode == 0b11 else 2
+        if nch_stream is None:
+            nch_stream = nch
+            prevs = [[[0] * 18 for _ in range(32)] for _ in range(nch)]
+        elif nch != nch_stream:
+            raise ValueError("channel mode changes mid-stream")
         hdr.bits(6)  # mode ext / copyright / original / emphasis
         if br_idx in (0, 15) or sr_idx > 2:
             raise ValueError("bad MP3 bitrate/samplerate index")
         sample_rate = MP3_RATES[sr_idx]
         frame_len = 144 * MP3_BITRATES[br_idx] * 1000 // sample_rate + padding
-        if pos + frame_len > len(payload):
+        si_len = 17 if nch == 1 else 32
+        if pos + frame_len > len(payload) or pos + 4 + si_len > len(payload):
             raise ValueError("truncated MP3 frame")
         si = _MsbBitReader(payload, pos + 4)
         if si.bits(9) != 0:
             raise NotImplementedError("MP3 bit reservoir (main_data_begin != 0)")
-        si.bits(5)  # private
-        scfsi_raw = si.bits(4)
-        scfsi = tuple((scfsi_raw >> k) & 1 for k in (3, 2, 1, 0))
+        si.bits(5 if nch == 1 else 3)  # private
+        scfsi_ch = []
+        for _c in range(nch):
+            scfsi_raw = si.bits(4)
+            scfsi_ch.append(
+                tuple((scfsi_raw >> k) & 1 for k in (3, 2, 1, 0))
+            )
         gr_fields = []
-        for _g in range(2):
+        for _g in range(2 * nch):
             part23 = si.bits(12)
             big_values = si.bits(9)
             gg = si.bits(8)
@@ -5152,14 +5210,21 @@ def decode_mp3(payload: bytes) -> AudioData:
                 (part23, big_values, (gg - 210) // 4, sf_compress, sf_scale,
                  bt, sbg)
             )
-        if any(scfsi) and any(f[5] == 2 for f in gr_fields):
-            raise ValueError(
-                "scfsi sharing is defined over long scalefactor bands only"
-            )
-        md = _MsbBitReader(payload, pos + 21)
-        g0_sfac: list = []
-        for gi, (part23, big_values, gain_e, sf_compress, sf_scale,
+        for ch in range(nch):
+            if any(scfsi_ch[ch]) and any(
+                gr_fields[gr * nch + ch][5] == 2 for gr in range(2)
+            ):
+                raise ValueError(
+                    "scfsi sharing is defined over long scalefactor bands"
+                    " only"
+                )
+        md = _MsbBitReader(payload, pos + 4 + si_len)
+        g0_sfac_ch: list = [[] for _ in range(nch)]
+        frame_pcm: list = [[] for _ in range(nch)]
+        for fi, (part23, big_values, gain_e, sf_compress, sf_scale,
                  bt, sbg) in enumerate(gr_fields):
+            gi, ch = fi // nch, fi % nch
+            scfsi = scfsi_ch[ch]
             start_bits = md.pos * 8 - md._n
             slen1, slen2 = MP3_SLEN[sf_compress]
             sfac: list = []
@@ -5174,12 +5239,12 @@ def decode_mp3(payload: bytes) -> AudioData:
             else:
                 for b in range(21):
                     if gi == 1 and _mp3_scfsi_shared(scfsi, b):
-                        sfac.append(g0_sfac[b])  # shared: none transmitted
+                        sfac.append(g0_sfac_ch[ch][b])  # shared: none sent
                         continue
                     slen = slen1 if b < 11 else slen2
                     sfac.append(md.bits(slen) if slen else 0)
             if gi == 0:
-                g0_sfac = sfac
+                g0_sfac_ch[ch] = sfac
             g = {
                 "scalefac": sfac, "scalefac_scale": sf_scale,
                 "block_type": bt, "scalefac_short": sfac_short,
@@ -5220,15 +5285,21 @@ def decode_mp3(payload: bytes) -> AudioData:
                 # reorder: scalefactor-band-major storage -> subband
                 # order for the per-subband 12-point IMDCTs
                 xr = [xr[_MP3_SHORT_STORED[j]] for j in range(576)]
-            acc, prev = _mp3_granule_pcm(xr, prev, bt)
+            acc, prevs[ch] = _mp3_granule_pcm(xr, prevs[ch], bt)
             half = 1 << (MP3_SHIFT - 1)
-            samples.extend(
+            frame_pcm[ch].extend(
                 max(-32768, min(32767, (a + half) >> MP3_SHIFT)) for a in acc
             )
+        if nch == 1:
+            samples.extend(frame_pcm[0])
+        else:  # interleave L/R
+            for left, right in zip(frame_pcm[0], frame_pcm[1]):
+                samples.append(left)
+                samples.append(right)
         pos += frame_len
     if not samples:
         raise ValueError("no MP3 frames in stream")
-    return AudioData(sample_rate, 1, 16, samples)
+    return AudioData(sample_rate, nch_stream, 16, samples)
 
 
 def mp3_line_taps(

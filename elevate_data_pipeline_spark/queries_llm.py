@@ -6724,3 +6724,143 @@ def multimodal_mp3_short_blocks(spark, sf_dir):
         run,
         "doc_id long, n_samples long, sample_rate int, peak long, energy long",
     )
+
+
+def _sql_mp3_stereo() -> str:
+    """Oracle for multimodal_mp3_stereo: the two-channel independent
+    modes decode each channel through the SAME linear chain as mono
+    (per-channel overlap state), so the replay is two per-channel
+    superpositions over the mono tap tables — channel 0 carries
+    subband-0 lines (0/1), channel 1 subband-1 lines (18/19) — and the
+    interleaved output's per-channel peak/energy aggregate them
+    separately in closed form."""
+    taps = multimodal.mp3_line_taps(n_granules=2, lines=(0, 1, 18, 19))
+    t = {
+        (g, l): "[" + ",".join(str(v) for v in taps[(g, l)]) + "]"
+        for g in (0, 1)
+        for l in (0, 1, 18, 19)
+    }
+    p43 = "[" + ",".join(str(v) for v in multimodal.MP3_POW43) + "]"
+    half = 1 << (multimodal.MP3_SHIFT - 1)
+    pow2 = 1 << multimodal.MP3_SHIFT
+    acc_l = " + ".join(
+        f"l{g}_{l} * ({t[(g, l)]})[s + 1]" for g in (0, 1) for l in (0, 1)
+    )
+    acc_r = " + ".join(
+        f"r{g}_{l} * ({t[(g, l)]})[s + 1]" for g in (0, 1) for l in (18, 19)
+    )
+    return f"""
+    WITH cfg AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 14 AS INT) AS vl00,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS sl00,
+             CAST(1 + (doc_id * 7) % 15 AS INT) AS vl01,
+             CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END AS sl01,
+             CAST(1 + (doc_id * 3) % 15 AS INT) AS vl10,
+             CASE WHEN doc_id % 5 = 0 THEN -1 ELSE 1 END AS sl10,
+             CAST(1 + (doc_id * 5) % 13 AS INT) AS vl11,
+             CASE WHEN doc_id % 7 = 0 THEN -1 ELSE 1 END AS sl11,
+             CAST(1 + (doc_id * 11) % 15 AS INT) AS vr018,
+             CASE WHEN doc_id % 4 = 0 THEN -1 ELSE 1 END AS sr018,
+             CAST(1 + (doc_id * 13) % 15 AS INT) AS vr019,
+             CASE WHEN doc_id % 6 = 0 THEN -1 ELSE 1 END AS sr019,
+             CAST(1 + (doc_id * 17) % 15 AS INT) AS vr118,
+             CASE WHEN doc_id % 8 = 0 THEN -1 ELSE 1 END AS sr118,
+             CAST(1 + (doc_id * 19) % 15 AS INT) AS vr119,
+             CASE WHEN doc_id % 9 = 0 THEN -1 ELSE 1 END AS sr119,
+             CAST(1 + doc_id % 7 AS INT) AS el,
+             CAST(1 + (doc_id * 3) % 7 AS INT) AS er
+      FROM documents
+    ), xr AS (
+      SELECT doc_id,
+             sl00 * ({p43})[vl00 + 1] * (CAST(1 AS BIGINT) << el) AS l0_0,
+             sl01 * ({p43})[vl01 + 1] * (CAST(1 AS BIGINT) << el) AS l0_1,
+             sl10 * ({p43})[vl10 + 1] * (CAST(1 AS BIGINT) << el) AS l1_0,
+             sl11 * ({p43})[vl11 + 1] * (CAST(1 AS BIGINT) << el) AS l1_1,
+             sr018 * ({p43})[vr018 + 1] * (CAST(1 AS BIGINT) << er) AS r0_18,
+             sr019 * ({p43})[vr019 + 1] * (CAST(1 AS BIGINT) << er) AS r0_19,
+             sr118 * ({p43})[vr118 + 1] * (CAST(1 AS BIGINT) << er) AS r1_18,
+             sr119 * ({p43})[vr119 + 1] * (CAST(1 AS BIGINT) << er) AS r1_19
+      FROM cfg
+    ), pcm AS (
+      SELECT doc_id,
+             greatest(-32768, least(32767, CAST(floor(
+               ({acc_l} + {half}) / {pow2}.0) AS BIGINT))) AS pl,
+             greatest(-32768, least(32767, CAST(floor(
+               ({acc_r} + {half}) / {pow2}.0) AS BIGINT))) AS pr
+      FROM xr, (SELECT unnest(range(0, 1152)) AS s)
+    )
+    SELECT doc_id AS doc_id,
+           CAST(2304 AS BIGINT) AS n_samples,
+           CAST(2 AS INT) AS channels,
+           CAST(max(abs(pl)) AS BIGINT) AS peak_l,
+           CAST(sum(pl * pl) AS BIGINT) AS energy_l,
+           CAST(max(abs(pr)) AS BIGINT) AS peak_r,
+           CAST(sum(pr * pr) AS BIGINT) AS energy_r
+    FROM pcm GROUP BY doc_id
+    """
+
+
+@query("multimodal_mp3_stereo", _sql_mp3_stereo())
+def multimodal_mp3_stereo(spark, sf_dir):
+    """REAL two-channel MPEG-audio decode (no stub): per doc one
+    stereo frame (mode 00, 32-byte side info, per-channel granule
+    info + scfsi, interleaved L/R output) written through
+    ``operators/multimodal.encode_mp3(mode="stereo")`` and decoded by
+    the channel-looped chain in ``decode_mp3`` — each channel runs the
+    full mono pipeline against its OWN overlap state (pytest pins
+    bit-identity to the mono decode per channel). Channel 0 carries
+    subband-0 content, channel 1 subband-1 content, so a channel swap
+    or interleave slip anywhere flips the per-channel peak/energy the
+    oracle states in closed form. Joint stereo (M/S, intensity) gates
+    loudly. One narrow scan, no shuffle: the 100 TB shape."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                el, er = 1 + did % 7, 1 + (did * 3) % 7
+                l0 = {"big": [
+                    (1 if did % 2 == 0 else -1) * (1 + did % 14),
+                    (-1 if did % 3 == 0 else 1) * (1 + (did * 7) % 15),
+                ], "gain_e": el}
+                l1 = {"big": [
+                    (-1 if did % 5 == 0 else 1) * (1 + (did * 3) % 15),
+                    (-1 if did % 7 == 0 else 1) * (1 + (did * 5) % 13),
+                ], "gain_e": el}
+                r0 = {"big": [0] * 18 + [
+                    (-1 if did % 4 == 0 else 1) * (1 + (did * 11) % 15),
+                    (-1 if did % 6 == 0 else 1) * (1 + (did * 13) % 15),
+                ], "gain_e": er}
+                r1 = {"big": [0] * 18 + [
+                    (-1 if did % 8 == 0 else 1) * (1 + (did * 17) % 15),
+                    (-1 if did % 9 == 0 else 1) * (1 + (did * 19) % 15),
+                ], "gain_e": er}
+                au = multimodal.decode_mp3(
+                    multimodal.encode_mp3([(l0, r0), (l1, r1)],
+                                          bitrate=128, mode="stereo")
+                )
+                left, right = au.samples[0::2], au.samples[1::2]
+                rows.append(
+                    (did, len(au.samples), au.channels,
+                     max(abs(s) for s in left),
+                     sum(s * s for s in left),
+                     max(abs(s) for s in right),
+                     sum(s * s for s in right))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "channels", "peak_l",
+                         "energy_l", "peak_r", "energy_r"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_samples long, channels int, peak_l long,"
+        " energy_l long, peak_r long, energy_r long",
+    )

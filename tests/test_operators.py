@@ -2763,6 +2763,61 @@ def test_mp3_short_blocks_roundtrip_superposition():
         mm.encode_mp3([dict(gs, gain_e=1), gs], bitrate=64)
 
 
+def test_mp3_stereo_independent_channels():
+    """Two-channel independent modes (stereo 00 / dual 10): 32-byte
+    side info round-trips, each channel decodes BIT-IDENTICAL to its
+    mono decode (per-channel overlap state, per-channel scfsi), output
+    interleaves L/R, short blocks compose per channel, and joint
+    stereo / malformed pair shapes gate loudly."""
+    import pytest
+
+    from elevate_data_pipeline_spark.operators import multimodal as mm
+
+    gl = {"big": [5, -3, 0, 0, 7], "gain_e": 4,
+          "scalefac": [1] + [0] * 20, "scalefac_compress": 5}
+    gr = {"big": [0] * 18 + [6, -2], "gain_e": 3}
+    st = mm.decode_mp3(
+        mm.encode_mp3([(gl, gr), (gl, gr)], bitrate=128, mode="stereo")
+    )
+    assert (st.channels, len(st.samples)) == (2, 2304)
+    assert st.samples[0::2] == mm.decode_mp3(
+        mm.encode_mp3([gl, gl], bitrate=64)).samples
+    assert st.samples[1::2] == mm.decode_mp3(
+        mm.encode_mp3([gr, gr], bitrate=64)).samples
+
+    # per-channel scfsi: sharing on ch0 only, ch1 silent
+    g0 = {"big": [1, 2], "gain_e": 3, "scalefac": [1] + [0] * 20,
+          "scalefac_compress": 5}
+    gz = {"big": [], "gain_e": 0}
+    du = mm.decode_mp3(
+        mm.encode_mp3([(g0, gz), (dict(g0, scfsi=(1, 0, 0, 0)), gz)],
+                      bitrate=128, mode="dual")
+    )
+    assert du.channels == 2 and all(v == 0 for v in du.samples[1::2])
+    assert any(du.samples[0::2])
+
+    # short blocks compose with the channel loop
+    gs = {"big": [0] * 18 + [6], "gain_e": 5, "block_type": 2,
+          "scalefac_short": [[0] * 12] * 3, "subblock_gain": [0, 1, 0],
+          "scalefac_compress": 9}
+    st2 = mm.decode_mp3(
+        mm.encode_mp3([(gs, gl), (gs, gl)], bitrate=128, mode="stereo")
+    )
+    assert st2.samples[0::2] == mm.decode_mp3(
+        mm.encode_mp3([gs, gs], bitrate=64)).samples
+
+    enc = bytearray(mm.encode_mp3([(gl, gr), (gl, gr)], bitrate=128,
+                                  mode="stereo"))
+    joint = bytearray(enc)
+    joint[3] = (joint[3] & 0x3F) | 0x40  # mode 01
+    with pytest.raises(NotImplementedError, match="joint stereo"):
+        mm.decode_mp3(bytes(joint))
+    with pytest.raises(ValueError, match="ch0, ch1"):
+        mm.encode_mp3([gl, gr], bitrate=128, mode="stereo")
+    with pytest.raises(ValueError, match="mode"):
+        mm.encode_mp3([(gl, gr)] * 2, bitrate=128, mode="surround")
+
+
 def test_mp3_subset_rejections():
     """Out-of-subset structure must fail loud, never decode silently."""
     from elevate_data_pipeline_spark.operators import multimodal as mm
@@ -2776,9 +2831,9 @@ def test_mp3_subset_rejections():
         bad = bytearray(enc)
         bad[1] = 0xFD
         mm.decode_mp3(bytes(bad))
-    with pytest.raises(NotImplementedError):  # stereo mode
+    with pytest.raises(NotImplementedError):  # joint stereo (M/S)
         bad = bytearray(enc)
-        bad[3] &= 0x3F
+        bad[3] = (bad[3] & 0x3F) | 0x40
         mm.decode_mp3(bytes(bad))
     with pytest.raises(NotImplementedError):  # bit reservoir
         bad = bytearray(enc)
