@@ -12,12 +12,15 @@ subsampled 4:2:0/4:2:2 YCbCr), GIF (full LZW decompression), RIFF/WAVE
 PCM16, RIFF/AVI RGB24, WebP lossless (VP8L, all four transforms), IMA
 ADPCM compressed audio, Motion-JPEG compressed video, and FLAC (RFC
 9639 — fixed/LPC prediction, Rice partitions, CRC-8/16, PCM MD5).
-The remaining codecs
-(AVIF, lossy WebP, MP3/AAC, H.26x, arithmetic-coded JPEG) raise a documented
-``NotImplementedError`` —
-they need codec libraries this environment does not ship; a
-deterministic byte-level feature extractor stands in for a learned
-model behind the same signatures.
+MP3 and lossy-WebP VP8 decode as
+structural subsets over repo-defined swap-in tables (foreign streams
+refuse loudly); the AVIF/HEIC container (ISOBMFF box walk) and the AAC
+transport framing (ADTS frame walk) parse byte-exactly with the coded
+av01/hvc1/AAC payload itself behind a documented
+``NotImplementedError`` — those entropy decodes need empirical spec
+tables this environment cannot verify; a deterministic byte-level
+feature extractor stands in for a learned model behind the same
+signatures.
 
 At 100 TB: binary payloads dominate I/O, so (a) keep them in their own
 column to let column pruning skip them for metadata-only queries,
@@ -4281,6 +4284,14 @@ def decode_audio(payload: bytes) -> AudioData:
     if payload[:3] == b"ID3":
         return decode_mp3(_skip_id3v2(payload))
     if len(payload) >= 2 and payload[0] == 0xFF and payload[1] & 0xE0 == 0xE0:
+        if (payload[1] >> 1) & 3 == 0:
+            # layer bits 00 = ADTS AAC framing (MPEG audio layers are
+            # 01/10/11); the frame walk is decode_adts, the payload
+            # decode stays gated.
+            raise NotImplementedError(
+                "ADTS AAC: frame walk available via decode_adts; raw-"
+                "data-block decode needs empirical codebook tables"
+            )
         return decode_mp3(payload)
     raise NotImplementedError(
         "only RIFF/WAVE, FLAC, and MPEG-1 Layer III decode dependency-"
@@ -5482,3 +5493,475 @@ def decode_id3v2(payload: bytes) -> list:
             frames.append((fid, body.hex()))
         pos = fpos + fsize
     return frames
+
+# ---------------------------------------------------------------------------
+# ISOBMFF (ISO/IEC 14496-12) — the AVIF / HEIC / MP4 container family
+# ---------------------------------------------------------------------------
+# AVIF and HEIC files are ISO base-media containers: a `ftyp` brand box,
+# a `meta` box describing image items (dimensions in `ispe`, bit depth in
+# `pixi`, byte ranges in `iloc`), and an `mdat` carrying the coded
+# payloads.  The CONTAINER walk below is complete and byte-exact; the
+# coded av01/hvc1 payload itself stays behind the module's loud codec
+# gate (an AV1/HEVC entropy decode needs empirical probability tables
+# this offline environment cannot verify).  This mirrors how a crawl
+# pipeline treats these formats: dimensions, item inventory, and byte
+# ranges are extracted for curation/stats; pixel decode is deferred to
+# a codec-equipped stage.
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    """Serialize one ISOBMFF box: u32 size (incl. 8-byte header) + 4CC."""
+    return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+
+def _fullbox(btype: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(btype, bytes([version]) + flags.to_bytes(3, "big") + body)
+
+
+def encode_isobmff_image(
+    brand: bytes,
+    items: list,
+    primary_id: int,
+    compatible: tuple = (b"mif1", b"miaf"),
+) -> bytes:
+    """Write a minimal-but-real ISOBMFF still-image container (the AVIF /
+    HEIC layout): ``ftyp`` + ``meta``(``hdlr``/``pitm``/``iinf``/``iprp``/
+    ``iloc``) + ``mdat``.
+
+    ``items`` is a list of dicts with keys ``item_id`` (u16), ``item_type``
+    (4-byte 4CC, e.g. ``b"av01"``), ``name`` (str), ``width``/``height``
+    (u32), ``bits`` (per-channel bit depth, u8 x3 channels), ``payload``
+    (the coded bytes, stored verbatim in ``mdat``).  ``iloc`` uses
+    4-byte absolute file offsets (offset_size=4, length_size=4,
+    base_offset_size=0, one extent per item) so the reader exercises the
+    offset arithmetic a real AVIF carries.  Box framing per ISO/IEC
+    14496-12 §4.2; item boxes per §8.11; ``ispe``/``pixi`` per HEIF
+    (ISO/IEC 23008-12 §6.5.3/§6.5.6)."""
+    if not items:
+        raise ValueError("ISOBMFF image needs at least one item")
+    if primary_id not in {it["item_id"] for it in items}:
+        raise ValueError("primary_id must reference an item")
+    ftyp = _box(
+        b"ftyp", brand + (0).to_bytes(4, "big") + b"".join(compatible)
+    )
+
+    def build_meta(offsets: list) -> bytes:
+        hdlr = _fullbox(
+            b"hdlr",
+            0, 0,
+            (0).to_bytes(4, "big") + b"pict" + bytes(12) + b"\x00",
+        )
+        pitm = _fullbox(b"pitm", 0, 0, primary_id.to_bytes(2, "big"))
+        infes = b""
+        for it in items:
+            infes += _fullbox(
+                b"infe",
+                2, 0,
+                it["item_id"].to_bytes(2, "big")
+                + (0).to_bytes(2, "big")          # item_protection_index
+                + it["item_type"]
+                + it["name"].encode("utf-8") + b"\x00",
+            )
+        iinf = _fullbox(
+            b"iinf", 0, 0, len(items).to_bytes(2, "big") + infes
+        )
+        props = b""
+        assocs = b""
+        for idx, it in enumerate(items):
+            props += _fullbox(
+                b"ispe",
+                0, 0,
+                it["width"].to_bytes(4, "big")
+                + it["height"].to_bytes(4, "big"),
+            )
+            props += _fullbox(
+                b"pixi", 0, 0, bytes([3, it["bits"], it["bits"], it["bits"]])
+            )
+            # two property associations per item: its ispe, its pixi
+            # (both marked essential, 7-bit 1-based property indices)
+            assocs += (
+                it["item_id"].to_bytes(2, "big")
+                + bytes([2, 0x80 | (2 * idx + 1), 0x80 | (2 * idx + 2)])
+            )
+        ipco = _box(b"ipco", props)
+        ipma = _fullbox(
+            b"ipma", 0, 0, len(items).to_bytes(4, "big") + assocs
+        )
+        iprp = _box(b"iprp", ipco + ipma)
+        loc = bytes([0x44, 0x00])                 # offset_size=4 length_size=4
+        loc += len(items).to_bytes(2, "big")      # base_offset_size=0
+        for it, off in zip(items, offsets):
+            loc += it["item_id"].to_bytes(2, "big")
+            loc += (0).to_bytes(2, "big")         # data_reference_index
+            loc += (1).to_bytes(2, "big")         # extent_count
+            loc += off.to_bytes(4, "big")
+            loc += len(it["payload"]).to_bytes(4, "big")
+        iloc = _fullbox(b"iloc", 0, 0, loc)
+        return _fullbox(b"meta", 0, 0, hdlr + pitm + iinf + iprp + iloc)
+
+    # Two-pass offset fix-up: meta's size is independent of the offset
+    # VALUES (fixed 4-byte fields), so build once with zeros to learn the
+    # mdat data start, then rebuild with real absolute offsets.
+    meta0 = build_meta([0] * len(items))
+    data_start = len(ftyp) + len(meta0) + 8       # past mdat header
+    offsets = []
+    pos = data_start
+    for it in items:
+        offsets.append(pos)
+        pos += len(it["payload"])
+    meta = build_meta(offsets)
+    if len(meta) != len(meta0):
+        raise AssertionError("ISOBMFF meta size changed on offset fix-up")
+    mdat = _box(b"mdat", b"".join(it["payload"] for it in items))
+    return ftyp + meta + mdat
+
+
+def _walk_boxes(buf: bytes, start: int, end: int):
+    """Yield ``(type, body_start, body_end)`` for each box in a range.
+
+    Handles the three size encodings of §4.2: u32 size, size==1 ->
+    u64 largesize, size==0 -> box extends to the end of the enclosing
+    range.  Malformed framing raises ValueError — a silent partial walk
+    would drop items without a trace."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated ISOBMFF box header")
+        size = int.from_bytes(buf[pos : pos + 4], "big")
+        btype = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated ISOBMFF largesize")
+            size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+            body = pos + 16
+            if size < 16:
+                raise ValueError("bad ISOBMFF largesize")
+        elif size == 0:
+            size = end - pos
+        elif size < 8:
+            raise ValueError(f"bad ISOBMFF box size {size}")
+        if pos + size > end:
+            raise ValueError(
+                f"ISOBMFF box {btype!r} runs past its container"
+            )
+        yield btype, body, pos + size
+        pos += size
+
+
+def _fullbox_body(buf: bytes, start: int, end: int, btype: bytes,
+                  versions: tuple) -> tuple:
+    if start + 4 > end:
+        raise ValueError(f"truncated {btype!r} fullbox header")
+    version = buf[start]
+    flags = int.from_bytes(buf[start + 1 : start + 4], "big")
+    if version not in versions:
+        raise NotImplementedError(
+            f"ISOBMFF {btype.decode('latin-1')} version {version} "
+            "not supported"
+        )
+    return version, flags, start + 4
+
+
+def decode_isobmff_image(payload: bytes) -> dict:
+    """Byte-exact ISOBMFF still-image container walk (AVIF/HEIC layout).
+
+    Returns ``{"brand", "compatible", "primary_id", "items"}`` where each
+    item is a dict with ``item_id``/``item_type``/``name``/``width``/
+    ``height``/``bits``/``offset``/``length``/``payload`` — every field
+    parsed from the walked bytes, payload sliced by the ``iloc`` extent
+    and bounds-checked against ``mdat``.  Unknown top-level or property
+    boxes are skipped (box framing is self-describing, so skipping is
+    safe — unlike codec bitstreams); STRUCTURAL deviations this subset
+    cannot represent (multi-extent items, construction methods, protected
+    items, fullbox versions beyond the written ones) raise
+    NotImplementedError; malformed framing raises ValueError."""
+    top = list(_walk_boxes(payload, 0, len(payload)))
+    if not top or top[0][0] != b"ftyp":
+        raise ValueError("ISOBMFF must start with ftyp")
+    fb, fe = top[0][1], top[0][2]
+    if fe - fb < 8 or (fe - fb) % 4:
+        raise ValueError("bad ftyp body")
+    brand = payload[fb : fb + 4].decode("latin-1")
+    compatible = [
+        payload[p : p + 4].decode("latin-1") for p in range(fb + 8, fe, 4)
+    ]
+    meta_span = mdat_span = None
+    for btype, b, e in top:
+        if btype == b"meta":
+            meta_span = (b, e)
+        elif btype == b"mdat":
+            mdat_span = (b, e)
+    if meta_span is None:
+        raise ValueError("ISOBMFF image missing meta box")
+    if mdat_span is None:
+        raise ValueError("ISOBMFF image missing mdat box")
+    _v, _f, mb = _fullbox_body(payload, *meta_span, b"meta", (0,))
+    primary_id = None
+    infos: dict = {}
+    order: list = []
+    props: list = []
+    assoc: dict = {}
+    locs: dict = {}
+    for btype, b, e in _walk_boxes(payload, mb, meta_span[1]):
+        if btype == b"pitm":
+            _v, _f, p = _fullbox_body(payload, b, e, b"pitm", (0,))
+            primary_id = int.from_bytes(payload[p : p + 2], "big")
+        elif btype == b"iinf":
+            _v, _f, p = _fullbox_body(payload, b, e, b"iinf", (0,))
+            n = int.from_bytes(payload[p : p + 2], "big")
+            seen = 0
+            for it, ib, ie in _walk_boxes(payload, p + 2, e):
+                if it != b"infe":
+                    raise ValueError(f"unexpected box {it!r} inside iinf")
+                _v, _f, q = _fullbox_body(payload, ib, ie, b"infe", (2,))
+                iid = int.from_bytes(payload[q : q + 2], "big")
+                prot = int.from_bytes(payload[q + 2 : q + 4], "big")
+                if prot:
+                    raise NotImplementedError(
+                        "protected ISOBMFF items not supported"
+                    )
+                ityp = payload[q + 4 : q + 8].decode("latin-1")
+                name = payload[q + 8 : ie].split(b"\x00")[0].decode("utf-8")
+                infos[iid] = (ityp, name)
+                order.append(iid)
+                seen += 1
+            if seen != n:
+                raise ValueError(
+                    f"iinf entry_count {n} != {seen} infe boxes"
+                )
+        elif btype == b"iprp":
+            sub = list(_walk_boxes(payload, b, e))
+            if [t for t, _b, _e in sub] != [b"ipco", b"ipma"]:
+                raise ValueError("iprp must hold ipco then ipma")
+            (_ct, cb, ce), (_at, ab, ae) = sub
+            # 1-based property list in ipco declaration order
+            for pt, pb, pe in _walk_boxes(payload, cb, ce):
+                if pt == b"ispe":
+                    _v, _f, q = _fullbox_body(payload, pb, pe, b"ispe", (0,))
+                    props.append((
+                        "ispe",
+                        int.from_bytes(payload[q : q + 4], "big"),
+                        int.from_bytes(payload[q + 4 : q + 8], "big"),
+                    ))
+                elif pt == b"pixi":
+                    _v, _f, q = _fullbox_body(payload, pb, pe, b"pixi", (0,))
+                    nch = payload[q]
+                    depths = tuple(payload[q + 1 : q + 1 + nch])
+                    if len(depths) != nch:
+                        raise ValueError("pixi runs past its box")
+                    props.append(("pixi", nch, depths))
+                else:
+                    # unknown property: keep the slot so 1-based ipma
+                    # indices stay aligned
+                    props.append((pt.decode("latin-1"), None, None))
+            _v, _f, q = _fullbox_body(payload, ab, ae, b"ipma", (0,))
+            n = int.from_bytes(payload[q : q + 4], "big")
+            q += 4
+            for _ in range(n):
+                iid = int.from_bytes(payload[q : q + 2], "big")
+                acount = payload[q + 2]
+                q += 3
+                idxs = []
+                for _a in range(acount):
+                    idxs.append(payload[q] & 0x7F)
+                    q += 1
+                assoc[iid] = idxs
+            if q > ae:
+                raise ValueError("ipma runs past its box")
+        elif btype == b"iloc":
+            _v, _f, p = _fullbox_body(payload, b, e, b"iloc", (0,))
+            sizes = payload[p]
+            off_sz, len_sz = sizes >> 4, sizes & 0xF
+            base_sz = payload[p + 1] >> 4
+            if (off_sz, len_sz, base_sz) != (4, 4, 0):
+                raise NotImplementedError(
+                    f"iloc sizes {off_sz}/{len_sz}/{base_sz} not supported"
+                )
+            cnt = int.from_bytes(payload[p + 2 : p + 4], "big")
+            q = p + 4
+            for _ in range(cnt):
+                iid = int.from_bytes(payload[q : q + 2], "big")
+                dref = int.from_bytes(payload[q + 2 : q + 4], "big")
+                if dref:
+                    raise NotImplementedError(
+                        "iloc external data references not supported"
+                    )
+                ext = int.from_bytes(payload[q + 4 : q + 6], "big")
+                if ext != 1:
+                    raise NotImplementedError(
+                        f"iloc extent_count {ext} not supported"
+                    )
+                off = int.from_bytes(payload[q + 6 : q + 10], "big")
+                ln = int.from_bytes(payload[q + 10 : q + 14], "big")
+                locs[iid] = (off, ln)
+                q += 14
+            if q > e:
+                raise ValueError("iloc runs past its box")
+    if primary_id is None:
+        raise ValueError("ISOBMFF image missing pitm")
+    if primary_id not in infos:
+        raise ValueError(f"pitm references unknown item {primary_id}")
+    items = []
+    mb_, me_ = mdat_span
+    for iid in order:
+        ityp, name = infos[iid]
+        if iid not in locs:
+            raise ValueError(f"item {iid} missing from iloc")
+        off, ln = locs[iid]
+        if off < mb_ or off + ln > me_:
+            raise ValueError(
+                f"item {iid} extent [{off},{off + ln}) outside mdat"
+            )
+        width = height = None
+        nch = depths = None
+        for pidx in assoc.get(iid, []):
+            if not 1 <= pidx <= len(props):
+                raise ValueError(
+                    f"ipma property index {pidx} out of range"
+                )
+            kind = props[pidx - 1]
+            if kind[0] == "ispe":
+                width, height = kind[1], kind[2]
+            elif kind[0] == "pixi":
+                nch, depths = kind[1], kind[2]
+        items.append({
+            "item_id": iid,
+            "item_type": ityp,
+            "name": name,
+            "width": width,
+            "height": height,
+            "channels": nch,
+            "bits": depths,
+            "offset": off,
+            "length": ln,
+            "payload": payload[off : off + ln],
+        })
+    return {
+        "brand": brand,
+        "compatible": compatible,
+        "primary_id": primary_id,
+        "items": items,
+    }
+
+# ---------------------------------------------------------------------------
+# ADTS (ISO/IEC 14496-3 §1.A.3) — the AAC transport framing
+# ---------------------------------------------------------------------------
+# Crawled .aac streams are sequences of ADTS frames: a fixed 28-bit +
+# variable 28-bit header carrying profile / sampling-frequency index /
+# channel configuration / frame length, then the raw AAC data blocks.
+# The FRAME WALK below is complete and byte-exact — it is what a crawl
+# pipeline needs for duration / bitrate / configuration stats — while
+# the AAC raw-data-block decode itself stays behind the module's loud
+# codec gate (scalefactor-band + Huffman codebook tables are empirical
+# spec tables this offline environment cannot verify).
+
+# ISO/IEC 14496-3 sampling_frequency_index table (public constants,
+# reproduced in every ADTS description incl. RFC 6416 §6.1 context).
+ADTS_SAMPLE_RATES = (
+    96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000,
+)
+_ADTS_SAMPLES_PER_FRAME = 1024  # one raw data block, long-window AAC
+
+
+def encode_adts(
+    frames: list,
+    freq_index: int,
+    channels: int,
+    profile: int = 1,
+) -> bytes:
+    """Write an ADTS stream: one 7-byte protection-absent header per
+    frame (syncword FFF, MPEG-4 ID=0, layer=00, profile bits =
+    object-type-1, 13-bit frame_length INCLUDING the header, VBR
+    buffer-fullness 0x7FF, one raw data block), followed by that
+    frame's payload bytes verbatim.  ``profile`` 1 = AAC-LC."""
+    if not 0 <= freq_index < len(ADTS_SAMPLE_RATES):
+        raise ValueError(f"bad sampling_frequency_index {freq_index}")
+    if not 1 <= channels <= 7:
+        raise ValueError(f"bad channel_configuration {channels}")
+    if not 0 <= profile <= 3:
+        raise ValueError(f"bad ADTS profile {profile}")
+    out = bytearray()
+    for payload in frames:
+        flen = 7 + len(payload)
+        if flen >= 1 << 13:
+            raise ValueError("ADTS frame too long for 13-bit length")
+        hdr = 0
+        hdr = (hdr << 12) | 0xFFF          # syncword
+        hdr = (hdr << 1) | 0               # ID: MPEG-4
+        hdr = (hdr << 2) | 0               # layer
+        hdr = (hdr << 1) | 1               # protection_absent
+        hdr = (hdr << 2) | profile
+        hdr = (hdr << 4) | freq_index
+        hdr = (hdr << 1) | 0               # private
+        hdr = (hdr << 3) | channels
+        hdr = (hdr << 1) | 0               # original/copy
+        hdr = (hdr << 1) | 0               # home
+        hdr = (hdr << 1) | 0               # copyright id bit
+        hdr = (hdr << 1) | 0               # copyright id start
+        hdr = (hdr << 13) | flen
+        hdr = (hdr << 11) | 0x7FF          # buffer fullness: VBR
+        hdr = (hdr << 2) | 0               # raw_data_blocks - 1
+        out += hdr.to_bytes(7, "big") + payload
+    return bytes(out)
+
+
+def decode_adts(payload: bytes) -> dict:
+    """Byte-exact ADTS frame walk.  Returns ``{"profile", "freq_index",
+    "sample_rate", "channels", "frames": [payload bytes, ...],
+    "samples_per_channel"}`` with every field parsed from the header
+    bits and the stream configuration verified CONSISTENT across
+    frames (a mid-stream config change means a mis-synced walk — raise,
+    don't resync silently).  CRC-protected headers
+    (protection_absent=0) and multiple raw data blocks per frame raise
+    NotImplementedError; malformed framing raises ValueError."""
+    pos = 0
+    profile = freq_index = channels = None
+    frames: list = []
+    while pos < len(payload):
+        if pos + 7 > len(payload):
+            raise ValueError("truncated ADTS header")
+        hdr = int.from_bytes(payload[pos : pos + 7], "big")
+        if hdr >> 44 != 0xFFF:
+            raise ValueError(f"bad ADTS syncword at byte {pos}")
+        if (hdr >> 43) & 1:
+            raise NotImplementedError("MPEG-2 (ID=1) ADTS not supported")
+        if (hdr >> 41) & 3:
+            raise ValueError("ADTS layer bits must be 00")
+        if not (hdr >> 40) & 1:
+            raise NotImplementedError(
+                "CRC-protected ADTS headers not supported"
+            )
+        prof = (hdr >> 38) & 3
+        fi = (hdr >> 34) & 0xF
+        if fi >= len(ADTS_SAMPLE_RATES):
+            raise ValueError(f"reserved sampling_frequency_index {fi}")
+        ch = (hdr >> 30) & 7
+        flen = (hdr >> 13) & 0x1FFF
+        nblocks = hdr & 3
+        if nblocks:
+            raise NotImplementedError(
+                "multiple raw data blocks per ADTS frame not supported"
+            )
+        if flen < 7 or pos + flen > len(payload):
+            raise ValueError(f"ADTS frame length {flen} out of bounds")
+        if profile is None:
+            profile, freq_index, channels = prof, fi, ch
+        elif (prof, fi, ch) != (profile, freq_index, channels):
+            raise ValueError(
+                "ADTS stream configuration changed mid-stream "
+                f"({profile},{freq_index},{channels}) -> ({prof},{fi},{ch})"
+            )
+        frames.append(payload[pos + 7 : pos + flen])
+        pos += flen
+    if profile is None:
+        raise ValueError("empty ADTS stream")
+    return {
+        "profile": profile,
+        "freq_index": freq_index,
+        "sample_rate": ADTS_SAMPLE_RATES[freq_index],
+        "channels": channels,
+        "frames": frames,
+        "samples_per_channel": _ADTS_SAMPLES_PER_FRAME * len(frames),
+    }

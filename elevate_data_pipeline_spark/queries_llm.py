@@ -6864,3 +6864,172 @@ def multimodal_mp3_stereo(spark, sf_dir):
         "doc_id long, n_samples long, channels int, peak_l long,"
         " energy_l long, peak_r long, energy_r long",
     )
+
+
+@query(
+    "multimodal_isobmff_meta",
+    """
+    SELECT doc_id AS doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'avif' ELSE 'heic' END AS brand,
+           CASE WHEN doc_id % 2 = 0 THEN 'av01' ELSE 'hvc1' END
+             AS primary_type,
+           CAST(16 * (1 + doc_id % 40) AS BIGINT) AS width,
+           CAST(8 * (1 + doc_id % 25) AS BIGINT) AS height,
+           CAST(8 + 2 * (doc_id % 3) AS INT) AS bits,
+           CAST(2 AS INT) AS n_items,
+           CAST(20 + doc_id % 60 AS BIGINT) AS main_len,
+           CAST((doc_id % 251) * (20 + doc_id % 60) AS BIGINT) AS main_sum,
+           CAST(20 + doc_id % 60 + 5 + doc_id % 7 AS BIGINT) AS mdat_len
+    FROM documents
+    """,
+)
+def multimodal_isobmff_meta(spark, sf_dir):
+    """REAL AVIF/HEIC container parsing (no stub): per doc an ISOBMFF
+    still-image file (``ftyp`` brand + ``meta`` with ``pitm``/``iinf``/
+    ``iprp``(``ispe``+``pixi``)/``iloc`` + ``mdat``, alternating
+    avif/av01 and heic/hvc1 so both brand layouts are exercised every
+    run) is written through ``operators/multimodal.
+    encode_isobmff_image`` and read back by the byte-exact box walk in
+    ``decode_isobmff_image`` — dimensions come from the primary item's
+    ``ispe`` property via the ``ipma`` association table, bit depth
+    from ``pixi``, and the payload is sliced by the ``iloc`` extent
+    offsets and bounds-checked against ``mdat``. Every output field is
+    parsed from the walked bytes — never recomputed — so the oracle is
+    a bit-exact gate on the writer+walker pair. The coded av01/hvc1
+    payload itself stays behind the module's loud codec gate (this is
+    exactly the crawl-pipeline split: container metadata for curation,
+    pixel decode deferred). One narrow scan, no shuffle: the 100 TB
+    shape."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                brand = b"avif" if did % 2 == 0 else b"heic"
+                ityp = b"av01" if did % 2 == 0 else b"hvc1"
+                main = {
+                    "item_id": 1, "item_type": ityp, "name": "main",
+                    "width": 16 * (1 + did % 40),
+                    "height": 8 * (1 + did % 25),
+                    "bits": 8 + 2 * (did % 3),
+                    "payload": bytes([did % 251]) * (20 + did % 60),
+                }
+                thumb = {
+                    "item_id": 2, "item_type": ityp, "name": "thumb",
+                    "width": 32, "height": 20, "bits": 8,
+                    "payload": bytes([(did * 3) % 251]) * (5 + did % 7),
+                }
+                out = multimodal.decode_isobmff_image(
+                    multimodal.encode_isobmff_image(brand, [main, thumb], 1)
+                )
+                prim = next(
+                    it for it in out["items"]
+                    if it["item_id"] == out["primary_id"]
+                )
+                rows.append((
+                    did, out["brand"], prim["item_type"],
+                    prim["width"], prim["height"], prim["bits"][0],
+                    len(out["items"]), prim["length"],
+                    sum(prim["payload"]),
+                    sum(it["length"] for it in out["items"]),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "brand", "primary_type", "width",
+                         "height", "bits", "n_items", "main_len",
+                         "main_sum", "mdat_len"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id long, brand string, primary_type string, width long,"
+        " height long, bits int, n_items int, main_len long,"
+        " main_sum long, mdat_len long",
+    )
+
+
+@query(
+    "multimodal_adts_meta",
+    """
+    SELECT d.doc_id AS doc_id,
+           CAST(2 + d.doc_id % 5 AS INT) AS n_frames,
+           CAST(1 AS INT) AS profile,
+           CAST(CASE d.doc_id % 12
+                WHEN 0 THEN 96000 WHEN 1 THEN 88200 WHEN 2 THEN 64000
+                WHEN 3 THEN 48000 WHEN 4 THEN 44100 WHEN 5 THEN 32000
+                WHEN 6 THEN 24000 WHEN 7 THEN 22050 WHEN 8 THEN 16000
+                WHEN 9 THEN 12000 WHEN 10 THEN 11025 ELSE 8000
+                END AS INT) AS sample_rate,
+           CAST(1 + d.doc_id % 2 AS INT) AS channels,
+           CAST(1024 * (2 + d.doc_id % 5) AS BIGINT) AS samples_per_channel,
+           CAST(f.total_payload AS BIGINT) AS payload_bytes,
+           CAST(f.byte_sum AS BIGINT) AS payload_sum,
+           CAST(f.total_payload + 7 * (2 + d.doc_id % 5) AS BIGINT)
+             AS stream_len
+    FROM documents d,
+         LATERAL (
+           SELECT sum(10 + (d.doc_id + i) % 20) AS total_payload,
+                  sum(((d.doc_id + i) % 256)
+                      * (10 + (d.doc_id + i) % 20)) AS byte_sum
+           FROM (SELECT unnest(range(0, 2 + d.doc_id % 5)) AS i)
+         ) f
+    """,
+)
+def multimodal_adts_meta(spark, sf_dir):
+    """REAL AAC transport parsing (no stub): per doc an ADTS stream
+    (2-6 frames, 7-byte protection-absent headers: syncword / MPEG-4
+    AAC-LC profile / sampling-frequency index / channel configuration /
+    13-bit frame lengths) is written through ``operators/multimodal.
+    encode_adts`` and walked back byte-exactly by ``decode_adts``,
+    which also verifies the configuration stays consistent across
+    frames. Every output field is parsed from the header bits (the
+    sample rate via the 14496-3 frequency-index table, replayed by the
+    oracle as a CASE); frame payload bytes are sliced by the header
+    lengths and checksummed. The AAC raw-data-block decode stays behind
+    the module's loud codec gate — frame walk for duration/bitrate
+    stats is the crawl-pipeline need. One narrow scan, no shuffle: the
+    100 TB shape."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                frames = [
+                    bytes([(did + i) % 256]) * (10 + (did + i) % 20)
+                    for i in range(2 + did % 5)
+                ]
+                buf = multimodal.encode_adts(
+                    frames, freq_index=did % 12, channels=1 + did % 2
+                )
+                out = multimodal.decode_adts(buf)
+                rows.append((
+                    did, len(out["frames"]), out["profile"],
+                    out["sample_rate"], out["channels"],
+                    out["samples_per_channel"],
+                    sum(len(f) for f in out["frames"]),
+                    sum(sum(f) for f in out["frames"]),
+                    len(buf),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "profile", "sample_rate",
+                         "channels", "samples_per_channel",
+                         "payload_bytes", "payload_sum", "stream_len"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_frames int, profile int, sample_rate int,"
+        " channels int, samples_per_channel long, payload_bytes long,"
+        " payload_sum long, stream_len long",
+    )

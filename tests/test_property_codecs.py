@@ -386,3 +386,128 @@ def test_robots_longest_match_property(paths, probe):
     else:
         t, p = max(matches, key=lambda r: (len(r[1]), r[0] == "allow"))
         assert got == (t == "allow", t, p)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    items=st.lists(
+        st.tuples(
+            st.sampled_from([b"av01", b"hvc1", b"Exif"]),
+            st.integers(min_value=1, max_value=4096),   # width
+            st.integers(min_value=1, max_value=4096),   # height
+            st.sampled_from([8, 10, 12]),               # bits
+            st.binary(min_size=0, max_size=200),        # payload
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    brand=st.sampled_from([b"avif", b"heic", b"mif1"]),
+    primary_ix=st.integers(min_value=0, max_value=4),
+)
+def test_isobmff_roundtrip_property(items, brand, primary_ix):
+    """ANY item set round-trips through the ISOBMFF writer+walker:
+    ids, types, names, ispe dimensions, pixi depths, and iloc-sliced
+    payload bytes all byte-exact, for every brand and primary choice."""
+    recs = [
+        {"item_id": i + 1, "item_type": t, "name": f"item{i}",
+         "width": w, "height": h, "bits": b, "payload": p}
+        for i, (t, w, h, b, p) in enumerate(items)
+    ]
+    primary = recs[primary_ix % len(recs)]["item_id"]
+    out = mm.decode_isobmff_image(
+        mm.encode_isobmff_image(brand, recs, primary)
+    )
+    assert out["brand"] == brand.decode()
+    assert out["primary_id"] == primary
+    assert len(out["items"]) == len(recs)
+    for got, want in zip(out["items"], recs):
+        assert got["item_id"] == want["item_id"]
+        assert got["item_type"] == want["item_type"].decode()
+        assert got["name"] == want["name"]
+        assert got["width"] == want["width"]
+        assert got["height"] == want["height"]
+        assert got["bits"] == (want["bits"],) * 3
+        assert got["payload"] == want["payload"]
+
+
+def test_isobmff_malformed_rejection():
+    import pytest
+
+    item = {"item_id": 1, "item_type": b"av01", "name": "x",
+            "width": 8, "height": 8, "bits": 8, "payload": b"abc"}
+    buf = mm.encode_isobmff_image(b"avif", [item], 1)
+    with pytest.raises(ValueError):        # truncated mdat
+        mm.decode_isobmff_image(buf[:-2])
+    with pytest.raises(ValueError):        # must start with ftyp
+        mm.decode_isobmff_image(buf[8:])
+    bad = bytearray(buf)
+    i = buf.index(b"infe")
+    bad[i + 4 + 4 + 2] = 1                 # protection_index != 0
+    with pytest.raises(NotImplementedError):
+        mm.decode_isobmff_image(bytes(bad))
+    bad = bytearray(buf)
+    i = buf.index(b"iloc")
+    bad[i + 4 + 4] = 0x88                  # 8-byte offsets: unsupported
+    with pytest.raises(NotImplementedError):
+        mm.decode_isobmff_image(bytes(bad))
+    with pytest.raises(ValueError):        # primary not an item
+        mm.encode_isobmff_image(b"avif", [item], 9)
+    # largesize framing is accepted on the walk
+    pos = buf.index(b"mdat") - 4
+    big = (buf[:pos]
+           + (1).to_bytes(4, "big") + b"mdat"
+           + (len(buf) - pos + 8).to_bytes(8, "big")
+           + buf[pos + 8:])
+    # offsets shift by the 8 largesize bytes, so expect a bounds error
+    # (the walk itself parses) — reframe with a fresh encode instead:
+    frames = list(mm._walk_boxes(big, 0, len(big)))
+    assert [t for t, _b, _e in frames] == [b"ftyp", b"meta", b"mdat"]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    frames=st.lists(st.binary(min_size=0, max_size=300),
+                    min_size=1, max_size=8),
+    fi=st.integers(min_value=0, max_value=11),
+    ch=st.integers(min_value=1, max_value=7),
+    profile=st.integers(min_value=0, max_value=3),
+)
+def test_adts_roundtrip_property(frames, fi, ch, profile):
+    """ANY frame sequence round-trips through the ADTS writer+walker
+    with configuration fields and payload bytes exact."""
+    out = mm.decode_adts(mm.encode_adts(frames, fi, ch, profile=profile))
+    assert out["frames"] == frames
+    assert out["profile"] == profile
+    assert out["freq_index"] == fi
+    assert out["sample_rate"] == mm.ADTS_SAMPLE_RATES[fi]
+    assert out["channels"] == ch
+    assert out["samples_per_channel"] == 1024 * len(frames)
+
+
+def test_adts_malformed_rejection():
+    import pytest
+
+    buf = mm.encode_adts([b"abc", b"defg"], 4, 2)
+    with pytest.raises(ValueError):        # truncated final frame
+        mm.decode_adts(buf[:-1])
+    with pytest.raises(ValueError):        # bad sync
+        mm.decode_adts(b"\x00" + buf[1:])
+    bad = bytearray(buf)
+    bad[1] &= 0xFE                         # protection_absent=0 -> CRC
+    with pytest.raises(NotImplementedError):
+        mm.decode_adts(bytes(bad))
+    bad = bytearray(buf)
+    bad[1] |= 0x08                         # ID=1: MPEG-2
+    with pytest.raises(NotImplementedError):
+        mm.decode_adts(bytes(bad))
+    # config change mid-stream: splice two different-config streams
+    other = mm.encode_adts([b"xy"], 5, 1)
+    with pytest.raises(ValueError):
+        mm.decode_adts(buf + other)
+    with pytest.raises(ValueError):
+        mm.decode_adts(b"")
+    with pytest.raises(ValueError):        # frame too long for 13 bits
+        mm.encode_adts([b"\x00" * 8200], 4, 1)
+    # decode_audio dispatch names the ADTS gate
+    with pytest.raises(NotImplementedError, match="ADTS AAC"):
+        mm.decode_audio(buf)
