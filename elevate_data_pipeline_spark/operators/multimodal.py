@@ -4864,7 +4864,7 @@ def _mp3_down_shift(g: dict, line: int) -> int:
 
 def encode_mp3(
     granules: list, sample_rate: int = 44100, bitrate: int = 32,
-    mode: str = "mono",
+    mode: str = "mono", reservoir: bool = False,
 ) -> bytes:
     """MPEG-1 Layer III mono encoder for the structural subset: each
     granule is ``(values, gain_e)`` or the extended dict accepted by
@@ -4877,8 +4877,20 @@ def encode_mp3(
     window-switching layouts: start/stop blocks (1/3) and short blocks
     (2, scalefactor-band-major stored spectra with 3x12 short
     scalefactors and per-window subblock gains).
-    global_gain = 210 + 4*gain_e. Two granules per frame, no bit
-    reservoir, ancillary bits zero-padded.
+    global_gain = 210 + 4*gain_e. Two granules per frame; ancillary
+    bits zero-padded.
+
+    ``reservoir=True`` enables the BIT RESERVOIR (11172-3 2.4.1.7
+    main_data_begin): every frame's main data is byte-aligned and the
+    whole main-data stream is packed sequentially into the fixed
+    per-frame slots, so a frame whose predecessors under-filled their
+    slots starts its main data ``main_data_begin`` bytes BEFORE its own
+    slot — the real VBR-smoothing layout. The encoder raises ValueError
+    when a frame's data would start after its own slot begins (prior
+    frames overflowed), end past its own slot, or need a back-pointer
+    beyond the 9-bit/511-byte field. ``reservoir=False`` keeps every
+    frame self-contained (main_data_begin = 0), byte-identical to the
+    pre-reservoir writer.
 
     ``mode``: "mono" (single channel, 17-byte side info), or the
     two-channel INDEPENDENT modes "stereo" (mode 00) / "dual" (dual
@@ -4900,7 +4912,7 @@ def encode_mp3(
     sr_idx = MP3_RATES.index(sample_rate)
     br_idx = MP3_BITRATES.index(bitrate)
     frame_len = 144 * MP3_BITRATES[br_idx] * 1000 // sample_rate
-    out = bytearray()
+    frames: list = []  # (scfsi_ch, fields, main_bytes) per frame
     for f in range(0, len(granules), 2):
         if nch == 1:
             grid = [[_mp3_norm_granule(g)] for g in granules[f : f + 2]]
@@ -4980,6 +4992,16 @@ def encode_mp3(
                     (g, len(g["big"]) // 2, 210 + 4 * g["gain_e"], nbits)
                 )
                 mains.append(mw)
+        fw = _MsbBitWriter()
+        for mw in mains:
+            fw.bits(int.from_bytes(bytes(mw.out), "big"), len(mw.out) * 8)
+            if mw._n:
+                fw.bits(mw._acc, mw._n)
+        frames.append((scfsi_ch, fields, fw.flush()))
+
+    si_len = 17 if nch == 1 else 32
+
+    def head(scfsi_ch: list, fields: list, mdb: int) -> bytes:
         bw = _MsbBitWriter()
         # header: sync(11)=all ones, ID(2)=11 (MPEG-1), layer(2)=01,
         # prot(1)=1 (no CRC)
@@ -4997,7 +5019,7 @@ def encode_mp3(
         bw.bits(0, 1)  # original
         bw.bits(0, 2)  # emphasis
         # side info: 17 bytes mono / 32 bytes two-channel (11172-3 2.4.1.7)
-        bw.bits(0, 9)  # main_data_begin = 0 (no reservoir)
+        bw.bits(mdb, 9)  # main_data_begin (bytes back into the reservoir)
         bw.bits(0, 5 if nch == 1 else 3)  # private
         for scfsi in scfsi_ch:
             bw.bits(
@@ -5030,15 +5052,47 @@ def encode_mp3(
             bw.bits(0, 1)  # preflag
             bw.bits(g["scalefac_scale"], 1)
             bw.bits(1, 1)  # count1table_select = spec table B (structural)
-        for mw in mains:
-            bw.bits(int.from_bytes(bytes(mw.out), "big"), len(mw.out) * 8)
-            if mw._n:
-                bw.bits(mw._acc, mw._n)
-        frame = bytearray(bw.flush())
-        if len(frame) > frame_len:
-            raise ValueError("granule data overflows the frame length")
-        frame.extend(b"\x00" * (frame_len - len(frame)))  # ancillary pad
-        out += frame
+        return bw.flush()
+
+    out = bytearray()
+    if not reservoir:
+        for scfsi_ch, fields, main in frames:
+            frame = bytearray(head(scfsi_ch, fields, 0)) + main
+            if len(frame) > frame_len:
+                raise ValueError("granule data overflows the frame length")
+            frame.extend(b"\x00" * (frame_len - len(frame)))  # ancillary
+            out += frame
+        return bytes(out)
+    # Bit reservoir: the concatenated main-data stream is packed
+    # sequentially into the fixed per-frame slots; each frame's
+    # main_data_begin points back to where ITS data starts inside the
+    # bytes already written before its own slot.
+    slot = frame_len - 4 - si_len
+    stream = b"".join(main for _s, _f, main in frames)
+    if len(stream) > slot * len(frames):
+        raise ValueError("main-data stream overflows the frame slots")
+    stream = stream + b"\x00" * (slot * len(frames) - len(stream))
+    start = 0
+    for f, (scfsi_ch, fields, main) in enumerate(frames):
+        mdb = f * slot - start
+        if mdb < 0:
+            raise ValueError(
+                f"frame {f}: preceding main data overflows its slots "
+                "(main data would start after its own slot)"
+            )
+        if mdb > 511:
+            raise ValueError(
+                f"frame {f}: main_data_begin {mdb} exceeds the 9-bit "
+                "reservoir pointer"
+            )
+        if start + len(main) > (f + 1) * slot:
+            raise ValueError(
+                f"frame {f}: main data ends past its own slot "
+                "(the reservoir only reaches backwards)"
+            )
+        out += head(scfsi_ch, fields, mdb)
+        out += stream[f * slot : (f + 1) * slot]
+        start += len(main)
     return bytes(out)
 
 
@@ -5118,12 +5172,17 @@ def decode_mp3(payload: bytes) -> AudioData:
     (stereo 00 / dual channel 10, 32-byte side info, per-channel
     overlap state, interleaved L/R output) decode; joint stereo
     (mode 01 — M/S and intensity matrixing, empirical/off-grid) gates
-    loudly. Structure outside the subset raises
-    ``NotImplementedError``; malformed streams raise ``ValueError``."""
+    loudly. The BIT RESERVOIR decodes: main_data_begin points each
+    frame's main data up to 511 bytes back into the buffered prior
+    main-data slots (11172-3 2.4.1.7); a pointer reaching before the
+    buffered reservoir raises ValueError. Structure outside the subset
+    raises ``NotImplementedError``; malformed streams raise
+    ``ValueError``."""
     pos = 0
     samples: list = []
     prevs: list = None
     nch_stream = None
+    reservoir = b""  # last <=511 bytes of prior frames' main-data slots
     while pos < len(payload):
         if pos + 21 > len(payload):
             raise ValueError("truncated MP3 frame header/side info")
@@ -5159,8 +5218,7 @@ def decode_mp3(payload: bytes) -> AudioData:
         if pos + frame_len > len(payload) or pos + 4 + si_len > len(payload):
             raise ValueError("truncated MP3 frame")
         si = _MsbBitReader(payload, pos + 4)
-        if si.bits(9) != 0:
-            raise NotImplementedError("MP3 bit reservoir (main_data_begin != 0)")
+        mdb = si.bits(9)  # main_data_begin: bytes back into the reservoir
         si.bits(5 if nch == 1 else 3)  # private
         scfsi_ch = []
         for _c in range(nch):
@@ -5229,7 +5287,18 @@ def decode_mp3(payload: bytes) -> AudioData:
                     "scfsi sharing is defined over long scalefactor bands"
                     " only"
                 )
-        md = _MsbBitReader(payload, pos + 4 + si_len)
+        # Bit reservoir: this frame's main data begins mdb bytes before
+        # its own slot, inside the accumulated prior-slot bytes.
+        slot = payload[pos + 4 + si_len : pos + frame_len]
+        if mdb > len(reservoir):
+            raise ValueError(
+                f"main_data_begin {mdb} reaches before the start of the "
+                f"reservoir ({len(reservoir)} bytes buffered)"
+            )
+        md = _MsbBitReader(
+            (reservoir[len(reservoir) - mdb :] if mdb else b"") + slot, 0
+        )
+        reservoir = (reservoir + slot)[-511:]
         g0_sfac_ch: list = [[] for _ in range(nch)]
         frame_pcm: list = [[] for _ in range(nch)]
         for fi, (part23, big_values, gain_e, sf_compress, sf_scale,

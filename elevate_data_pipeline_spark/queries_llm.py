@@ -7033,3 +7033,145 @@ def multimodal_adts_meta(spark, sf_dir):
         " channels int, samples_per_channel long, payload_bytes long,"
         " payload_sum long, stream_len long",
     )
+
+
+def _sql_mp3_reservoir() -> str:
+    """Oracle for multimodal_mp3_reservoir: the reservoir changes WHERE
+    main data lives, not WHAT it decodes to, so the PCM replay is the
+    same pinned linear superposition over the 4-granule mono tap
+    tables. The main_data_begin pointer itself IS oracle-gated: frame
+    1's back-pointer equals the 83-byte slot minus frame 0's main-data
+    byte length, which the oracle restates from the Elias-gamma code
+    lengths (glen(v) = 2*floor(log2(v+1))+1) of frame 0's two values —
+    a closed-form gate on the packing arithmetic."""
+    taps = multimodal.mp3_line_taps(n_granules=4, lines=(0, 1, 18, 19))
+    t = {
+        k: "[" + ",".join(str(v) for v in taps[k]) + "]"
+        for k in ((0, 0), (1, 1), (2, 0), (2, 18), (3, 1), (3, 19))
+    }
+    p43 = "[" + ",".join(str(v) for v in multimodal.MP3_POW43) + "]"
+    half = 1 << (multimodal.MP3_SHIFT - 1)
+    pow2 = 1 << multimodal.MP3_SHIFT
+    acc = " + ".join(
+        f"x{g}_{l} * ({t[(g, l)]})[s + 1]"
+        for g, l in ((0, 0), (1, 1), (2, 0), (2, 18), (3, 1), (3, 19))
+    )
+    glen = (
+        "CASE WHEN {v} <= 2 THEN 3 WHEN {v} <= 6 THEN 5 "
+        "WHEN {v} <= 14 THEN 7 ELSE 9 END"
+    )
+    g0 = glen.format(v="v00")
+    g1 = glen.format(v="v11")
+    return f"""
+    WITH cfg AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 15 AS INT) AS v00,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS s00,
+             CAST(1 + (doc_id * 7) % 15 AS INT) AS v11,
+             CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END AS s11,
+             CAST(1 + (doc_id * 3) % 15 AS INT) AS v20,
+             CASE WHEN doc_id % 5 = 0 THEN -1 ELSE 1 END AS s20,
+             CAST(1 + (doc_id * 5) % 13 AS INT) AS v218,
+             CASE WHEN doc_id % 7 = 0 THEN -1 ELSE 1 END AS s218,
+             CAST(1 + (doc_id * 11) % 15 AS INT) AS v31,
+             CASE WHEN doc_id % 4 = 0 THEN -1 ELSE 1 END AS s31,
+             CAST(1 + (doc_id * 13) % 15 AS INT) AS v319,
+             CASE WHEN doc_id % 6 = 0 THEN -1 ELSE 1 END AS s319,
+             CAST(1 + doc_id % 7 AS INT) AS e0,
+             CAST(1 + (doc_id * 3) % 7 AS INT) AS e1,
+             CAST(2 + doc_id % 5 AS INT) AS e2,
+             CAST(1 + (doc_id * 5) % 7 AS INT) AS e3
+      FROM documents
+    ), xr AS (
+      SELECT doc_id,
+             s00 * ({p43})[v00 + 1] * (CAST(1 AS BIGINT) << e0) AS x0_0,
+             s11 * ({p43})[v11 + 1] * (CAST(1 AS BIGINT) << e1) AS x1_1,
+             s20 * ({p43})[v20 + 1] * (CAST(1 AS BIGINT) << e2) AS x2_0,
+             s218 * ({p43})[v218 + 1] * (CAST(1 AS BIGINT) << e2) AS x2_18,
+             s31 * ({p43})[v31 + 1] * (CAST(1 AS BIGINT) << e3) AS x3_1,
+             s319 * ({p43})[v319 + 1] * (CAST(1 AS BIGINT) << e3) AS x3_19,
+             -- frame 0 main data: granule 0 = glen(v00)+sign+gamma(0),
+             -- granule 1 = gamma(0)+glen(v11)+sign  (scalefactor part2
+             -- is empty at scalefac_compress 0)
+             CAST(83 - CAST(ceil((({g0}) + ({g1}) + 4) / 8.0) AS INT)
+                  AS INT) AS mdb
+      FROM cfg
+    ), pcm AS (
+      SELECT doc_id, mdb,
+             greatest(-32768, least(32767, CAST(floor(
+               ({acc} + {half}) / {pow2}.0) AS BIGINT))) AS p
+      FROM xr, (SELECT unnest(range(0, 2304)) AS s)
+    )
+    SELECT doc_id AS doc_id,
+           CAST(2304 AS BIGINT) AS n_samples,
+           CAST(44100 AS INT) AS sample_rate,
+           CAST(any_value(mdb) AS INT) AS mdb,
+           CAST(max(abs(p)) AS BIGINT) AS peak,
+           CAST(sum(p * p) AS BIGINT) AS energy
+    FROM pcm GROUP BY doc_id
+    """
+
+
+@query("multimodal_mp3_reservoir", _sql_mp3_reservoir())
+def multimodal_mp3_reservoir(spark, sf_dir):
+    """REAL MPEG-audio BIT-RESERVOIR decode (no stub): per doc TWO
+    frames are written with ``encode_mp3(..., reservoir=True)`` — the
+    main-data stream is packed sequentially into the fixed per-frame
+    slots, so frame 1's main data starts ``main_data_begin`` bytes
+    back inside frame 0's under-filled slot (11172-3 2.4.1.7, the real
+    VBR-smoothing layout) — and decoded by the reservoir-buffering
+    walk in ``decode_mp3``. The query emits the PCM stats AND frame
+    1's back-pointer parsed from the side-info bits; the oracle
+    restates the pointer in closed form from frame 0's Elias-gamma
+    code lengths, so both the packing arithmetic and the
+    reservoir-offset decode are value-gated. pytest additionally pins
+    reservoir PCM == self-contained PCM for identical granules. One
+    narrow scan, no shuffle: the 100 TB shape."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        frame_len = 144 * 32 * 1000 // 44100  # 104 bytes at 32 kbps
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                g0 = {"big": [
+                    (1 if did % 2 == 0 else -1) * (1 + did % 15), 0,
+                ], "gain_e": 1 + did % 7}
+                g1 = {"big": [
+                    0, (-1 if did % 3 == 0 else 1) * (1 + (did * 7) % 15),
+                ], "gain_e": 1 + (did * 3) % 7}
+                big2 = [0] * 20
+                big2[0] = (-1 if did % 5 == 0 else 1) * (1 + (did * 3) % 15)
+                big2[18] = (-1 if did % 7 == 0 else 1) * (1 + (did * 5) % 13)
+                g2 = {"big": big2, "gain_e": 2 + did % 5}
+                big3 = [0] * 20
+                big3[1] = (-1 if did % 4 == 0 else 1) * (1 + (did * 11) % 15)
+                big3[19] = (-1 if did % 6 == 0 else 1) * (1 + (did * 13) % 15)
+                g3 = {"big": big3, "gain_e": 1 + (did * 5) % 7}
+                buf = multimodal.encode_mp3(
+                    [g0, g1, g2, g3], bitrate=32, reservoir=True
+                )
+                # frame 1's main_data_begin, parsed from the stream
+                si = multimodal._MsbBitReader(buf, frame_len + 4)
+                mdb = si.bits(9)
+                au = multimodal.decode_audio(buf)
+                rows.append(
+                    (did, len(au.samples), au.sample_rate, mdb,
+                     max(abs(s) for s in au.samples),
+                     sum(s * s for s in au.samples))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "sample_rate", "mdb",
+                         "peak", "energy"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_samples long, sample_rate int, mdb int,"
+        " peak long, energy long",
+    )

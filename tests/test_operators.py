@@ -2835,9 +2835,9 @@ def test_mp3_subset_rejections():
         bad = bytearray(enc)
         bad[3] = (bad[3] & 0x3F) | 0x40
         mm.decode_mp3(bytes(bad))
-    with pytest.raises(NotImplementedError):  # bit reservoir
+    with pytest.raises(ValueError):  # reservoir pointer past the buffer
         bad = bytearray(enc)
-        bad[4] |= 0x80  # main_data_begin high bit
+        bad[4] |= 0x80  # main_data_begin high bit on the FIRST frame
         mm.decode_mp3(bytes(bad))
     with pytest.raises(ValueError):  # truncated frame
         mm.decode_mp3(bytes(enc[:50]))

@@ -511,3 +511,57 @@ def test_adts_malformed_rejection():
     # decode_audio dispatch names the ADTS gate
     with pytest.raises(NotImplementedError, match="ADTS AAC"):
         mm.decode_audio(buf)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=-15, max_value=15),
+            st.integers(min_value=-15, max_value=15),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=2,
+        max_size=8,
+    ).filter(lambda v: len(v) % 2 == 0),
+)
+def test_mp3_reservoir_equals_plain_property(vals):
+    """The bit reservoir relocates main data without changing it: for
+    ANY granule sequence, reservoir=True decodes to the SAME PCM as the
+    self-contained layout, and at least one later frame carries a
+    nonzero main_data_begin whenever there are >=2 frames (these small
+    granules always under-fill the first slot)."""
+    grans = [{"big": [a, b], "gain_e": e} for a, b, e in vals]
+    plain = mm.encode_mp3(grans, bitrate=32)
+    res = mm.encode_mp3(grans, bitrate=32, reservoir=True)
+    assert mm.decode_mp3(res).samples == mm.decode_mp3(plain).samples
+    frame_len = 144 * 32 * 1000 // 44100
+    mdbs = [
+        mm._MsbBitReader(res, f * frame_len + 4).bits(9)
+        for f in range(len(grans) // 2)
+    ]
+    assert mdbs[0] == 0
+    if len(mdbs) > 1:
+        assert any(b > 0 for b in mdbs[1:])
+
+
+def test_mp3_reservoir_gates():
+    import pytest
+
+    g = [([3, 0], 2), ([0, 5], 1)]
+    plain = mm.encode_mp3(g, bitrate=32)
+    # pointer reaching before the buffered reservoir is a loud error
+    bad = bytearray(plain)
+    bad[4] |= 0x80  # frame 0 main_data_begin high bit
+    with pytest.raises(ValueError, match="reservoir"):
+        mm.decode_mp3(bytes(bad))
+    # stereo granule pairs ride the reservoir too, per-channel exact
+    sg = [({"big": [2, 0], "gain_e": 1}, {"big": [0, 3], "gain_e": 2}),
+          ({"big": [4, 0], "gain_e": 1}, {"big": [0, 1], "gain_e": 3})]
+    r = mm.encode_mp3(sg, bitrate=64, mode="stereo", reservoir=True)
+    p = mm.encode_mp3(sg, bitrate=64, mode="stereo")
+    assert mm.decode_mp3(r).samples == mm.decode_mp3(p).samples
+    # encoder refuses streams that cannot fit their slots
+    big = [{"big": [15] * 500, "gain_e": 1}] * 2
+    with pytest.raises(ValueError, match="overflow"):
+        mm.encode_mp3(big, bitrate=32, reservoir=True)
