@@ -4892,16 +4892,26 @@ def encode_mp3(
     frame self-contained (main_data_begin = 0), byte-identical to the
     pre-reservoir writer.
 
-    ``mode``: "mono" (single channel, 17-byte side info), or the
+    ``mode``: "mono" (single channel, 17-byte side info), the
     two-channel INDEPENDENT modes "stereo" (mode 00) / "dual" (dual
-    channel, mode 10) with 32-byte side info — each ``granules`` entry
-    is then a ``(ch0, ch1)`` pair of granule specs and the decoder
-    returns interleaved L/R PCM. Joint stereo (mode 01: M/S and
-    intensity matrixing, off the integer grid / empirical) is not
-    emitted and gates loudly on decode."""
-    modes = {"mono": 0b11, "stereo": 0b00, "dual": 0b10}
+    channel, mode 10), or MID/SIDE joint stereo "ms" (mode 01,
+    mode_extension 10: ms_stereo on, intensity off) with 32-byte side
+    info — each ``granules`` entry is then a ``(ch0, ch1)`` pair of
+    granule specs and the decoder returns interleaved L/R PCM. In
+    "ms" mode the pair is the (mid, side) TRANSMITTED spectra and the
+    decoder dematrixes l = m + s, r = m - s on the integer grid —
+    the spec's 1/sqrt(2) normalization (11172-3 2.4.3.4.9.1) is
+    irrational and is absorbed into the repo's swap-in gain grid the
+    same way the pow-4/3 requantization table is; the MS STRUCTURE
+    (mode/mode_extension bits, shared side info layout, per-line
+    dematrix before the hybrid filterbank) is the spec's. Intensity
+    stereo (mode_extension bit 0) is never emitted and gates loudly
+    on decode."""
+    modes = {"mono": 0b11, "stereo": 0b00, "dual": 0b10, "ms": 0b01}
     if mode not in modes:
-        raise ValueError(f"unsupported MP3 mode {mode!r} (mono/stereo/dual)")
+        raise ValueError(
+            f"unsupported MP3 mode {mode!r} (mono/stereo/dual/ms)"
+        )
     nch = 1 if mode == "mono" else 2
     if len(granules) % 2:
         raise ValueError("granules come in pairs (2 per MPEG-1 frame)")
@@ -5014,7 +5024,9 @@ def encode_mp3(
         bw.bits(0, 1)  # padding
         bw.bits(0, 1)  # private
         bw.bits(modes[mode], 2)
-        bw.bits(0, 2)  # mode extension (00: no joint-stereo matrixing)
+        # mode extension: 10 = ms_stereo on / intensity off for joint
+        # stereo, 00 (no matrixing) otherwise
+        bw.bits(0b10 if mode == "ms" else 0, 2)
         bw.bits(0, 1)  # copyright
         bw.bits(0, 1)  # original
         bw.bits(0, 2)  # emphasis
@@ -5199,17 +5211,19 @@ def decode_mp3(payload: bytes) -> AudioData:
         padding = hdr.bits(1)
         hdr.bits(1)  # private
         chmode = hdr.bits(2)
-        if chmode == 0b01:
-            raise NotImplementedError(
-                "MP3 joint stereo (M/S / intensity matrixing)"
-            )
         nch = 1 if chmode == 0b11 else 2
         if nch_stream is None:
             nch_stream = nch
             prevs = [[[0] * 18 for _ in range(32)] for _ in range(nch)]
         elif nch != nch_stream:
             raise ValueError("channel mode changes mid-stream")
-        hdr.bits(6)  # mode ext / copyright / original / emphasis
+        mode_ext = hdr.bits(2)
+        hdr.bits(4)  # copyright / original / emphasis
+        ms_stereo = chmode == 0b01 and bool(mode_ext & 0b10)
+        if chmode == 0b01 and mode_ext & 0b01:
+            raise NotImplementedError(
+                "MP3 intensity stereo (position-based, empirical)"
+            )
         if br_idx in (0, 15) or sr_idx > 2:
             raise ValueError("bad MP3 bitrate/samplerate index")
         sample_rate = MP3_RATES[sr_idx]
@@ -5301,6 +5315,7 @@ def decode_mp3(payload: bytes) -> AudioData:
         reservoir = (reservoir + slot)[-511:]
         g0_sfac_ch: list = [[] for _ in range(nch)]
         frame_pcm: list = [[] for _ in range(nch)]
+        slots: list = []  # (xr stored-order, block_type) per granule slot
         for fi, (part23, big_values, gain_e, sf_compress, sf_scale,
                  bt, sbg) in enumerate(gr_fields):
             gi, ch = fi // nch, fi % nch
@@ -5361,15 +5376,33 @@ def decode_mp3(payload: bytes) -> AudioData:
             if used > part23:
                 raise ValueError("MP3 main data overruns part2_3_length")
             md.bits(part23 - used)  # stuffing up to the declared length
-            if bt == 2:
-                # reorder: scalefactor-band-major storage -> subband
-                # order for the per-subband 12-point IMDCTs
-                xr = [xr[_MP3_SHORT_STORED[j]] for j in range(576)]
-            acc, prevs[ch] = _mp3_granule_pcm(xr, prevs[ch], bt)
-            half = 1 << (MP3_SHIFT - 1)
-            frame_pcm[ch].extend(
-                max(-32768, min(32767, (a + half) >> MP3_SHIFT)) for a in acc
-            )
+            slots.append((xr, bt))
+        half = 1 << (MP3_SHIFT - 1)
+        for gi in range(2):
+            chx = [slots[gi * nch + c] for c in range(nch)]
+            if ms_stereo:
+                # M/S dematrix per spectral line BEFORE the hybrid
+                # filterbank (11172-3 2.4.3.4.9.1; the 1/sqrt(2)
+                # normalization rides the repo gain grid)
+                (xm, btm), (xs, bts_) = chx
+                if btm != bts_:
+                    raise ValueError(
+                        "MS stereo needs equal block_type across channels"
+                    )
+                chx = [
+                    ([a + b for a, b in zip(xm, xs)], btm),
+                    ([a - b for a, b in zip(xm, xs)], btm),
+                ]
+            for ch, (xr, bt) in enumerate(chx):
+                if bt == 2:
+                    # reorder: scalefactor-band-major storage -> subband
+                    # order for the per-subband 12-point IMDCTs
+                    xr = [xr[_MP3_SHORT_STORED[j]] for j in range(576)]
+                acc, prevs[ch] = _mp3_granule_pcm(xr, prevs[ch], bt)
+                frame_pcm[ch].extend(
+                    max(-32768, min(32767, (a + half) >> MP3_SHIFT))
+                    for a in acc
+                )
         if nch == 1:
             samples.extend(frame_pcm[0])
         else:  # interleave L/R

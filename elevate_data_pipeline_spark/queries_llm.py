@@ -7175,3 +7175,142 @@ def multimodal_mp3_reservoir(spark, sf_dir):
         "doc_id long, n_samples long, sample_rate int, mdb int,"
         " peak long, energy long",
     )
+
+
+def _sql_mp3_ms() -> str:
+    """Oracle for multimodal_mp3_ms_stereo: the decode is linear in the
+    TRANSMITTED (mid, side) spectra and the dematrix happens before the
+    filterbank, so each output channel is the mono tap superposition of
+    the dematrixed lines — left uses m + s, right m - s, stated in
+    closed form per line."""
+    taps = multimodal.mp3_line_taps(n_granules=2, lines=(0, 1, 18, 19))
+    t = {
+        k: "[" + ",".join(str(v) for v in taps[k]) + "]"
+        for k in ((0, 0), (0, 1), (1, 18), (1, 19))
+    }
+    p43 = "[" + ",".join(str(v) for v in multimodal.MP3_POW43) + "]"
+    half = 1 << (multimodal.MP3_SHIFT - 1)
+    pow2 = 1 << multimodal.MP3_SHIFT
+    acc_l = (
+        f"(xa + xc) * ({t[(0, 0)]})[s + 1]"
+        f" + xb * ({t[(0, 1)]})[s + 1]"
+        f" + xd * ({t[(1, 18)]})[s + 1]"
+        f" + (xe + xf) * ({t[(1, 19)]})[s + 1]"
+    )
+    acc_r = (
+        f"(xa - xc) * ({t[(0, 0)]})[s + 1]"
+        f" + xb * ({t[(0, 1)]})[s + 1]"
+        f" + xd * ({t[(1, 18)]})[s + 1]"
+        f" + (xe - xf) * ({t[(1, 19)]})[s + 1]"
+    )
+    return f"""
+    WITH cfg AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 14 AS INT) AS va,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS sa,
+             CAST(1 + (doc_id * 7) % 15 AS INT) AS vb,
+             CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END AS sb,
+             CAST(1 + (doc_id * 3) % 15 AS INT) AS vc,
+             CASE WHEN doc_id % 5 = 0 THEN -1 ELSE 1 END AS sc,
+             CAST(1 + (doc_id * 5) % 13 AS INT) AS vd,
+             CASE WHEN doc_id % 7 = 0 THEN -1 ELSE 1 END AS sd,
+             CAST(1 + (doc_id * 11) % 15 AS INT) AS ve,
+             CASE WHEN doc_id % 4 = 0 THEN -1 ELSE 1 END AS se,
+             CAST(1 + (doc_id * 13) % 15 AS INT) AS vf,
+             CASE WHEN doc_id % 6 = 0 THEN -1 ELSE 1 END AS sf,
+             CAST(1 + doc_id % 7 AS INT) AS em0,
+             CAST(1 + (doc_id * 3) % 7 AS INT) AS es0,
+             CAST(1 + (doc_id * 5) % 7 AS INT) AS em1,
+             CAST(1 + (doc_id * 9) % 7 AS INT) AS es1
+      FROM documents
+    ), xr AS (
+      SELECT doc_id,
+             sa * ({p43})[va + 1] * (CAST(1 AS BIGINT) << em0) AS xa,
+             sb * ({p43})[vb + 1] * (CAST(1 AS BIGINT) << em0) AS xb,
+             sc * ({p43})[vc + 1] * (CAST(1 AS BIGINT) << es0) AS xc,
+             sd * ({p43})[vd + 1] * (CAST(1 AS BIGINT) << em1) AS xd,
+             se * ({p43})[ve + 1] * (CAST(1 AS BIGINT) << em1) AS xe,
+             sf * ({p43})[vf + 1] * (CAST(1 AS BIGINT) << es1) AS xf
+      FROM cfg
+    ), pcm AS (
+      SELECT doc_id,
+             greatest(-32768, least(32767, CAST(floor(
+               ({acc_l} + {half}) / {pow2}.0) AS BIGINT))) AS pl,
+             greatest(-32768, least(32767, CAST(floor(
+               ({acc_r} + {half}) / {pow2}.0) AS BIGINT))) AS pr
+      FROM xr, (SELECT unnest(range(0, 1152)) AS s)
+    )
+    SELECT doc_id AS doc_id,
+           CAST(2304 AS BIGINT) AS n_samples,
+           CAST(2 AS INT) AS channels,
+           CAST(max(abs(pl)) AS BIGINT) AS peak_l,
+           CAST(sum(pl * pl) AS BIGINT) AS energy_l,
+           CAST(max(abs(pr)) AS BIGINT) AS peak_r,
+           CAST(sum(pr * pr) AS BIGINT) AS energy_r
+    FROM pcm GROUP BY doc_id
+    """
+
+
+@query("multimodal_mp3_ms_stereo", _sql_mp3_ms())
+def multimodal_mp3_ms_stereo(spark, sf_dir):
+    """REAL MID/SIDE joint-stereo MPEG-audio decode (no stub): per doc
+    one joint-stereo frame (mode 01, mode_extension 10) carrying
+    transmitted (mid, side) granule pairs written through
+    ``operators/multimodal.encode_mp3(mode="ms")`` and dematrixed by
+    ``decode_mp3`` per spectral line BEFORE the hybrid filterbank
+    (l = m + s, r = m - s on the integer grid — the spec's irrational
+    1/sqrt(2) normalization rides the repo swap-in gain grid like the
+    pow-4/3 table; the mode/mode_extension structure and dematrix
+    placement are 11172-3 2.4.3.4.9.1). Mid and side content overlap on
+    lines 0 and 19, so the sum/difference asymmetry between channels
+    gates the dematrix sign paths; intensity stereo gates loudly. The
+    oracle replays both channels as closed-form tap superpositions of
+    the dematrixed lines. One narrow scan, no shuffle: the 100 TB
+    shape."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                m0 = {"big": [
+                    (1 if did % 2 == 0 else -1) * (1 + did % 14),
+                    (-1 if did % 3 == 0 else 1) * (1 + (did * 7) % 15),
+                ], "gain_e": 1 + did % 7}
+                s0 = {"big": [
+                    (-1 if did % 5 == 0 else 1) * (1 + (did * 3) % 15), 0,
+                ], "gain_e": 1 + (did * 3) % 7}
+                m1 = {"big": [0] * 18 + [
+                    (-1 if did % 7 == 0 else 1) * (1 + (did * 5) % 13),
+                    (-1 if did % 4 == 0 else 1) * (1 + (did * 11) % 15),
+                ], "gain_e": 1 + (did * 5) % 7}
+                s1 = {"big": [0] * 18 + [
+                    0, (-1 if did % 6 == 0 else 1) * (1 + (did * 13) % 15),
+                ], "gain_e": 1 + (did * 9) % 7}
+                au = multimodal.decode_mp3(
+                    multimodal.encode_mp3([(m0, s0), (m1, s1)],
+                                          bitrate=128, mode="ms")
+                )
+                left, right = au.samples[0::2], au.samples[1::2]
+                rows.append(
+                    (did, len(au.samples), au.channels,
+                     max(abs(s) for s in left),
+                     sum(s * s for s in left),
+                     max(abs(s) for s in right),
+                     sum(s * s for s in right))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "channels", "peak_l",
+                         "energy_l", "peak_r", "energy_r"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_samples long, channels int, peak_l long,"
+        " energy_l long, peak_r long, energy_r long",
+    )

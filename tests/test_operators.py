@@ -2809,9 +2809,14 @@ def test_mp3_stereo_independent_channels():
     enc = bytearray(mm.encode_mp3([(gl, gr), (gl, gr)], bitrate=128,
                                   mode="stereo"))
     joint = bytearray(enc)
-    joint[3] = (joint[3] & 0x3F) | 0x40  # mode 01
-    with pytest.raises(NotImplementedError, match="joint stereo"):
-        mm.decode_mp3(bytes(joint))
+    joint[3] = (joint[3] & 0x3F) | 0x40  # mode 01, mode_ext stays 00
+    # joint stereo with no matrixing flags == independent stereo
+    assert mm.decode_mp3(bytes(joint)).samples == mm.decode_mp3(
+        bytes(enc)).samples
+    intens = bytearray(joint)
+    intens[3] = (intens[3] & 0xCF) | 0x10  # mode_ext 01: intensity
+    with pytest.raises(NotImplementedError, match="intensity"):
+        mm.decode_mp3(bytes(intens))
     with pytest.raises(ValueError, match="ch0, ch1"):
         mm.encode_mp3([gl, gr], bitrate=128, mode="stereo")
     with pytest.raises(ValueError, match="mode"):

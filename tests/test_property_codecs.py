@@ -565,3 +565,54 @@ def test_mp3_reservoir_gates():
     big = [{"big": [15] * 500, "gain_e": 1}] * 2
     with pytest.raises(ValueError, match="overflow"):
         mm.encode_mp3(big, bitrate=32, reservoir=True)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    mids=st.lists(st.integers(min_value=-15, max_value=15),
+                  min_size=2, max_size=2),
+    sides=st.lists(st.integers(min_value=-15, max_value=15),
+                   min_size=2, max_size=2),
+    e=st.integers(min_value=0, max_value=5),
+)
+def test_mp3_ms_stereo_dematrix_property(mids, sides, e):
+    """MS decode == independent-stereo decode of the dematrixed
+    spectra: encoding (m, s) in MS mode must equal encoding
+    (l, r) = (m+s, m-s) as independent channels — the whole chain
+    after the dematrix point is identical. Verified via the structural
+    identities: S=0 gives L==R, and M=0 gives R==-L up to the final
+    rounding step (round-half-up is not odd-symmetric)."""
+    pair0 = ({"big": mids, "gain_e": e}, {"big": [0, 0], "gain_e": 0})
+    pair1 = ({"big": [0, 0], "gain_e": 0}, {"big": sides, "gain_e": e})
+    au = mm.decode_mp3(mm.encode_mp3([pair0, pair0], bitrate=128, mode="ms"))
+    assert au.samples[0::2] == au.samples[1::2]
+    au2 = mm.decode_mp3(mm.encode_mp3([pair1, pair1], bitrate=128, mode="ms"))
+    L, R = au2.samples[0::2], au2.samples[1::2]
+    assert max(abs(a + b) for a, b in zip(L, R)) <= 1
+
+
+def test_mp3_ms_stereo_gates():
+    import pytest
+
+    pairs = [({"big": [2, 1], "gain_e": 2}, {"big": [1, 0], "gain_e": 2}),
+             ({"big": [0, 3], "gain_e": 1}, {"big": [0, -1], "gain_e": 1})]
+    enc = mm.encode_mp3(pairs, bitrate=64, mode="ms")
+    assert mm.decode_mp3(enc).channels == 2
+    bad = bytearray(enc)
+    bad[3] = (bad[3] & 0xCF) | 0x10        # mode_extension 01: intensity
+    with pytest.raises(NotImplementedError, match="intensity"):
+        mm.decode_mp3(bytes(bad))
+    # mode_extension 00 under mode 01 = joint stereo with no matrixing:
+    # decodes as plain independent stereo
+    plain = bytearray(enc)
+    plain[3] = plain[3] & 0xCF
+    ref = mm.encode_mp3(pairs, bitrate=64, mode="stereo")
+    assert mm.decode_mp3(bytes(plain)).samples == mm.decode_mp3(ref).samples
+    # block_type mismatch across MS channels is malformed
+    short = {"big": [0] * 24 + [3, 1], "gain_e": 2, "block_type": 2,
+             "scalefac_short": [[0] * 12] * 3, "subblock_gain": [0, 0, 0]}
+    longg = {"big": [2, 0], "gain_e": 1}
+    mixed = mm.encode_mp3([(short, longg), (longg, longg)],
+                          bitrate=128, mode="ms")
+    with pytest.raises(ValueError, match="block_type"):
+        mm.decode_mp3(mixed)
