@@ -284,3 +284,82 @@ def parse_sitemap(xml: str) -> dict:
                 )
         entries.append(fields)
     return {"kind": kind, "entries": entries}
+
+
+# charset labels a crawl actually sees -> python codec; the WHATWG
+# encoding standard folds iso-8859-1/ascii labels into windows-1252
+# for WEB BROWSERS, but a data pipeline wants the DECLARED codec
+# exactly — a cp1252-only byte under an iso-8859-1 label should fail
+# loud, not silently re-map.
+HTTP_CHARSETS = {
+    "utf-8": "utf-8", "utf8": "utf-8",
+    "us-ascii": "ascii", "ascii": "ascii",
+    "iso-8859-1": "latin-1", "latin-1": "latin-1", "latin1": "latin-1",
+    "windows-1252": "cp1252", "cp1252": "cp1252",
+    "utf-16": "utf-16", "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
+}
+
+
+def content_type_charset(ctype: str) -> str:
+    """Extract the ``charset`` parameter from a Content-Type value
+    (RFC 7231 §3.1.1.1 media-type parameters): ``;``-separated
+    ``key=value`` pairs after the media type, names case-insensitive,
+    values optionally double-quoted. Returns the lowercased label or
+    None when absent."""
+    for param in ctype.split(";")[1:]:
+        key, sep, value = param.partition("=")
+        if sep and key.strip().lower() == "charset":
+            v = value.strip()
+            if len(v) >= 2 and v[0] == '"' and v[-1] == '"':
+                v = v[1:-1]
+            return v.lower() or None
+    return None
+
+
+def html_meta_charset(body: bytes, limit: int = 1024) -> str:
+    """Sniff an HTML ``<meta charset=...>`` or ``<meta http-equiv=
+    Content-Type content="...charset=...">`` declaration from the
+    document head — the standard prescan window is the first 1024
+    bytes, examined as latin-1 (charset labels are ASCII, so the sniff
+    is byte-safe under every supported encoding except UTF-16, whose
+    BOM the caller handles first). Returns the lowercased label or
+    None."""
+    import re
+
+    head = body[:limit].decode("latin-1", "replace").lower()
+    m = re.search(r"""<meta\s[^>]*charset\s*=\s*["']?([a-z0-9_-]+)""", head)
+    return m.group(1) if m else None
+
+
+def decode_http_text(body: bytes, content_type: str) -> tuple:
+    """Decode an HTTP body to text by the crawl precedence chain
+    (WHATWG encoding sniff order, restated for a fail-loud pipeline):
+    1. UTF-16 byte-order mark (BOM beats every declaration),
+    2. ``charset`` parameter in the Content-Type header,
+    3. ``<meta>`` charset prescan over the first 1024 bytes,
+    4. strict UTF-8 as the undeclared default.
+    Returns ``(text, charset_label, source)`` with source in
+    {"bom", "header", "meta", "default"}. An unsupported label gates
+    loudly (NotImplementedError); bytes invalid under the declared
+    codec raise ValueError — a silently mis-decoded body poisons every
+    text operator downstream."""
+    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return body.decode("utf-16"), "utf-16", "bom"
+    label = content_type_charset(content_type) if content_type else None
+    source = "header"
+    if label is None:
+        label = html_meta_charset(body)
+        source = "meta"
+    if label is None:
+        label, source = "utf-8", "default"
+    codec = HTTP_CHARSETS.get(label)
+    if codec is None:
+        raise NotImplementedError(
+            f"charset {label!r} not in the supported crawl set"
+        )
+    try:
+        return body.decode(codec), label, source
+    except UnicodeDecodeError as exc:
+        raise ValueError(
+            f"body is not valid {label} ({source}-declared): {exc}"
+        ) from exc

@@ -7403,3 +7403,132 @@ def sitemap_urls(spark, sf_dir):
         "doc_id long, n_sitemaps int, sitemap0 string, n_urls int,"
         " first_loc string, n_lastmod int, n_changefreq int, pri_sum long",
     )
+
+
+@query(
+    "warc_charset_decode",
+    """
+    SELECT doc_id AS doc_id,
+           CAST(200 AS INT) AS status,
+           CASE doc_id % 4 WHEN 0 THEN 'utf-8'
+                           WHEN 1 THEN 'iso-8859-1'
+                           WHEN 2 THEN 'windows-1252'
+                           ELSE 'utf-16' END AS charset,
+           CASE doc_id % 4 WHEN 0 THEN 'header'
+                           WHEN 1 THEN 'meta'
+                           WHEN 2 THEN 'header'
+                           ELSE 'bom' END AS source,
+           CASE doc_id % 4
+             WHEN 0 THEN '<html><body>café №'
+               || CAST(doc_id AS VARCHAR) || '</body></html>'
+             WHEN 1 THEN '<html><head><meta charset=iso-8859-1></head>'
+               || '<body>café ' || CAST(doc_id AS VARCHAR)
+               || '</body></html>'
+             WHEN 2 THEN '<html><body>€' || CAST(doc_id % 100 AS VARCHAR)
+               || ' café</body></html>'
+             ELSE '<html><body>snow ☃ ' || CAST(doc_id AS VARCHAR)
+               || '</body></html>' END AS text,
+           length(CASE doc_id % 4
+             WHEN 0 THEN '<html><body>café №'
+               || CAST(doc_id AS VARCHAR) || '</body></html>'
+             WHEN 1 THEN '<html><head><meta charset=iso-8859-1></head>'
+               || '<body>café ' || CAST(doc_id AS VARCHAR)
+               || '</body></html>'
+             WHEN 2 THEN '<html><body>€' || CAST(doc_id % 100 AS VARCHAR)
+               || ' café</body></html>'
+             ELSE '<html><body>snow ☃ ' || CAST(doc_id AS VARCHAR)
+               || '</body></html>' END) AS n_chars
+    FROM documents
+    """,
+)
+def warc_charset_decode(spark, sf_dir):
+    """REAL crawl charset resolution (no stub): per doc an HTTP
+    response whose body encoding is declared one of the four ways real
+    pages declare it — Content-Type header parameter (utf-8), HTML
+    ``<meta>`` prescan (iso-8859-1), quoted header parameter over
+    cp1252 bytes WITH gzip content-coding composed, and a UTF-16 BOM
+    that OVERRIDES a deliberately wrong header label, framed chunked —
+    is wrapped in a WARC ``response`` record and decoded back through
+    ``decode_warc`` -> ``parse_http_response`` (de-chunk/gunzip) ->
+    ``functions/crawl.decode_http_text`` (BOM > header > meta > UTF-8
+    default precedence). The oracle restates the decoded TEXT itself
+    per branch, so any mis-decode of any byte fails the hash. One
+    narrow scan, records decoded executor-side, no shuffle: the 100 TB
+    crawl-ingest shape."""
+    import zlib
+    from collections.abc import Iterator
+
+    from .functions.crawl import decode_http_text
+    from .sources.warc import decode_warc, encode_warc, parse_http_response
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                variant = did % 4
+                if variant == 0:
+                    raw = (f"<html><body>café №{did}</body></html>"
+                           .encode("utf-8"))
+                    ctype = "text/html; charset=utf-8"
+                elif variant == 1:
+                    raw = (
+                        "<html><head><meta charset=iso-8859-1></head>"
+                        f"<body>café {did}</body></html>"
+                    ).encode("latin-1")
+                    ctype = "text/html"
+                elif variant == 2:
+                    raw = (f"<html><body>€{did % 100} café</body></html>"
+                           .encode("cp1252"))
+                    ctype = 'text/html; charset="windows-1252"'
+                else:
+                    raw = (f"<html><body>snow ☃ {did}</body></html>"
+                           .encode("utf-16"))
+                    ctype = "text/html; charset=latin-1"  # BOM overrides
+                hdrs, body = [], raw
+                if variant == 2:
+                    co = zlib.compressobj(9, zlib.DEFLATED,
+                                          16 + zlib.MAX_WBITS)
+                    body = co.compress(raw) + co.flush()
+                    hdrs.append("Content-Encoding: gzip")
+                if variant == 3:
+                    body = _chunk_frame(body, did)
+                    hdrs.append("Transfer-Encoding: chunked")
+                else:
+                    hdrs.append(f"Content-Length: {len(body)}")
+                http = (
+                    f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+                    + "".join(h + "\r\n" for h in hdrs) + "\r\n"
+                ).encode() + body
+                rec = decode_warc(
+                    encode_warc([
+                        {
+                            "rec_type": "response",
+                            "record_id": f"<urn:uuid:{did:032x}>",
+                            "date": "2026-01-01T00:00:00Z",
+                            "uri": f"http://crawl.test/doc/{did}",
+                            "payload": http,
+                        }
+                    ])
+                )[0]
+                resp = parse_http_response(rec["payload"])
+                text, charset, source = decode_http_text(
+                    resp["body"], resp["headers"].get("content-type")
+                )
+                rows.append(
+                    (did, resp["status"], charset, source, text, len(text))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "status", "charset", "source", "text",
+                         "n_chars"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id long, status int, charset string, source string,"
+        " text string, n_chars long",
+    )

@@ -697,3 +697,65 @@ def test_sitemap_and_robots_sitemap_gates():
         c.encode_sitemap([{"loc": ""}])
     with pytest.raises(ValueError):
         c.encode_sitemap([], kind="feed")
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    text=st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0xFF),
+        min_size=0, max_size=120,
+    ),
+    charset=st.sampled_from(
+        ["utf-8", "iso-8859-1", "windows-1252", "utf-16"]
+    ),
+    via=st.sampled_from(["header", "meta"]),
+)
+def test_http_charset_roundtrip_property(text, charset, via):
+    """ANY latin-1-range text round-trips through every supported
+    declaration path: encode under the declared charset, decode by the
+    precedence chain, recover the exact code points and report the
+    winning source."""
+    from elevate_data_pipeline_spark.functions import crawl as c
+
+    codec = c.HTTP_CHARSETS[charset]
+    if codec == "cp1252":
+        # cp1252 cannot encode the 0x80-0x9F C1 range latin-1 keeps
+        try:
+            text.encode("cp1252")
+        except UnicodeEncodeError:
+            return
+    if via == "meta" and charset != "utf-16":
+        doc = f"<html><head><meta charset={charset}></head>{text}"
+        body = doc.encode(codec)
+        got, label, source = c.decode_http_text(body, "text/html")
+        assert (got, label, source) == (doc, charset, "meta")
+    else:
+        body = text.encode(codec)
+        got, label, source = c.decode_http_text(
+            body, f"text/html; charset={charset}"
+        )
+        assert got == text
+        if charset == "utf-16" and len(body) >= 2:
+            assert source == "bom"  # the BOM wins even when declared
+        else:
+            assert (label, source) == (charset, "header")
+
+
+def test_http_charset_gates():
+    import pytest
+
+    from elevate_data_pipeline_spark.functions import crawl as c
+
+    assert c.content_type_charset("text/html") is None
+    assert c.content_type_charset('a/b; CHARSET="UTF-8"; x=y') == "utf-8"
+    assert c.html_meta_charset(b"<p>no decl</p>") is None
+    # prescan window: a declaration past 1024 bytes is not seen
+    far = b"x" * 1100 + b'<meta charset="utf-8">'
+    assert c.html_meta_charset(far) is None
+    with pytest.raises(NotImplementedError, match="shift_jis"):
+        c.decode_http_text(b"x", "text/html; charset=shift_jis")
+    with pytest.raises(ValueError, match="utf-8"):
+        c.decode_http_text(b"\xff\x01", "text/html; charset=utf-8")
+    # undeclared non-UTF-8 bytes fail loud, not silently re-decoded
+    with pytest.raises(ValueError, match="default"):
+        c.decode_http_text("é".encode("latin-1"), "text/plain")
