@@ -7532,3 +7532,103 @@ def warc_charset_decode(spark, sf_dir):
         "doc_id long, status int, charset string, source string,"
         " text string, n_chars long",
     )
+
+
+@query(
+    "crawl_redirect_chains",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             doc_id % 8 AS pos,
+             'http://h' || CAST(doc_id // 8 AS VARCHAR) || '.test/p'
+               AS base
+      FROM documents
+    )
+    SELECT doc_id AS doc_id,
+           base || CAST(pos AS VARCHAR) AS start_url,
+           base || CAST(CASE WHEN pos <= 3 THEN 3
+                             WHEN pos <= 5 THEN 5
+                             ELSE pos END AS VARCHAR) AS final_url,
+           CAST(CASE WHEN pos = 7 THEN 301 ELSE 200 END AS INT)
+             AS final_status,
+           CAST(CASE pos WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 1
+                         WHEN 4 THEN 1 WHEN 7 THEN 4
+                         ELSE 0 END AS INT) AS hops,
+           CAST(pos <> 7 AS BOOLEAN) AS resolved
+    FROM f
+    """,
+)
+def crawl_redirect_chains(spark, sf_dir):
+    """Redirect-chain resolution over a crawl's fetch log — the
+    frontier bookkeeping every crawler needs (where does each URL
+    actually land, how many 30x hops, which chains never terminate).
+    Per host an 8-URL fixture encodes a 3-hop chain, a 1-hop chain, a
+    direct 200, and a SELF-LOOP redirect; resolution is a
+    fixed-iteration frontier walk (the repo's Lloyd/label-propagation
+    shape): five unrolled left joins of the unresolved frontier
+    against the fetch map on the current URL, each iteration following
+    one 30x Location hop, hop count capped at 4 so the cycle row
+    surfaces as resolved=false with its last-seen 301 rather than
+    looping. At 100 TB each iteration is one equi-join shuffle on the
+    frontier key (the frontier SHRINKS every round as chains
+    terminate); no driver-side state, no recursion. The oracle states
+    each position's landing URL, status, and hop count in closed
+    form."""
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id")
+    pos = F.col("doc_id") % 8
+    base = F.concat(
+        F.lit("http://h"), (F.col("doc_id") / 8).cast("long").cast("string"),
+        F.lit(".test/p"),
+    )
+    url = F.concat(base, pos.cast("string"))
+    nxt = (
+        F.when(pos.isin(0, 1, 2), pos + 1)
+        .when(pos == 4, F.lit(5))
+        .when(pos == 7, F.lit(7))
+    )
+    fetch = docs.select(
+        url.alias("url"),
+        F.when(pos.isin(0, 1, 2, 4, 7), F.lit(301))
+        .otherwise(F.lit(200)).alias("status"),
+        F.when(nxt.isNotNull(), F.concat(base, nxt.cast("string")))
+        .alias("location"),
+    )
+    st = docs.select(
+        "doc_id",
+        url.alias("start_url"),
+        url.alias("cur"),
+        F.lit(0).alias("hops"),
+        F.lit(False).alias("done"),
+        F.lit(None).cast("int").alias("final_status"),
+    )
+    f = fetch.select(
+        F.col("url").alias("_u"),
+        F.col("status").alias("_s"),
+        F.col("location").alias("_l"),
+    )
+    for _ in range(5):
+        j = st.join(f, (st["cur"] == f["_u"]) & (~st["done"]), "left")
+        looked = F.col("_s").isNotNull()
+        redirect = looked & F.col("_l").isNotNull() & F.col("_s").isin(
+            301, 302, 303, 307, 308
+        )
+        advance = (~F.col("done")) & redirect & (F.col("hops") < 4)
+        st = j.select(
+            "doc_id",
+            "start_url",
+            F.when(advance, F.col("_l")).otherwise(F.col("cur"))
+            .alias("cur"),
+            F.when(advance, F.col("hops") + 1).otherwise(F.col("hops"))
+            .alias("hops"),
+            (F.col("done") | (looked & ~redirect)).alias("done"),
+            F.when((~F.col("done")) & looked, F.col("_s"))
+            .otherwise(F.col("final_status")).alias("final_status"),
+        )
+    return st.select(
+        "doc_id",
+        "start_url",
+        F.col("cur").alias("final_url"),
+        F.col("final_status").cast("int").alias("final_status"),
+        F.col("hops").cast("int").alias("hops"),
+        F.col("done").alias("resolved"),
+    )
