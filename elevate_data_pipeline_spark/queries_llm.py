@@ -7632,3 +7632,91 @@ def crawl_redirect_chains(spark, sf_dir):
         F.col("hops").cast("int").alias("hops"),
         F.col("done").alias("resolved"),
     )
+
+
+@query(
+    "crawl_recrawl_schedule",
+    """
+    WITH state AS (
+      SELECT doc_id,
+             'h' || CAST(doc_id // 10 AS VARCHAR) AS host,
+             'http://h' || CAST(doc_id // 10 AS VARCHAR) || '.test/p'
+               || CAST(doc_id % 10 AS VARCHAR) AS url,
+             (doc_id * 5) % 60 AS fetch_age,
+             (doc_id * 3) % 120 AS lastmod_age,
+             CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 7 ELSE 30 END
+               AS freq_days,
+             (doc_id * 7) % 10 AS pri
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, host, url,
+             (fetch_age * 100) // freq_days + pri * 5
+               + CASE WHEN lastmod_age < fetch_age THEN 50 ELSE 0 END
+               AS score
+      FROM state
+    ), ranked AS (
+      SELECT doc_id, host, url, score,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM scored
+    )
+    SELECT doc_id AS doc_id, host AS host, url AS url,
+           CAST(score AS BIGINT) AS score, CAST(rk AS INT) AS rank
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def crawl_recrawl_schedule(spark, sf_dir):
+    """Recrawl scheduling — the frontier prioritization a continuous
+    crawl runs every cycle: combine per-URL fetch history with the
+    sitemap signals (lastmod recency, changefreq cadence, priority)
+    into an exact-integer staleness score, then pick each host's top-3
+    URLs for the next politeness-bounded fetch window. Score =
+    (days-since-fetch * 100) // changefreq-days + 5*priority-tenths +
+    a modified-since-last-fetch bonus — all integer arithmetic, both
+    engines replay it bit-exactly. The per-host ranking is a window
+    over the host partition: hosts bound the partition size (10 URLs
+    here, page-count at production), so the window never concentrates
+    a corpus on one task — the same bounded-group shape as
+    grouped_row_number. One scan, one hash-partition shuffle on host:
+    the 100 TB shape."""
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id")
+    host = F.concat(F.lit("h"), (F.col("doc_id") / 10).cast("long")
+                    .cast("string"))
+    url = F.concat(
+        F.lit("http://h"), (F.col("doc_id") / 10).cast("long")
+        .cast("string"), F.lit(".test/p"),
+        (F.col("doc_id") % 10).cast("string"),
+    )
+    fetch_age = (F.col("doc_id") * 5) % 60
+    lastmod_age = (F.col("doc_id") * 3) % 120
+    freq = (
+        F.when(F.col("doc_id") % 3 == 0, 1)
+        .when(F.col("doc_id") % 3 == 1, 7)
+        .otherwise(30)
+    )
+    pri = (F.col("doc_id") * 7) % 10
+    score = (
+        F.floor((fetch_age * 100) / freq)
+        + pri * 5
+        + F.when(lastmod_age < fetch_age, 50).otherwise(0)
+    )
+    scored = docs.select(
+        "doc_id",
+        host.alias("host"),
+        url.alias("url"),
+        score.alias("score"),
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id", "host", "url",
+            F.col("score").cast("long").alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
