@@ -7720,3 +7720,250 @@ def crawl_recrawl_schedule(spark, sf_dir):
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Published pretraining quality-rule sets: Gopher (Rae et al. 2021, A1.1)
+# and C4 (Raffel et al. 2020, §2.2). The synthetic corpus carries no line
+# structure or punctuation, so line boundaries are synthesized
+# deterministically (fixed 7-word lines; bullet/ellipsis/terminal-punct
+# decorations assigned by congruences on (doc_id, line_idx)) — the SAME
+# derivation both engines replay, the established fixture pattern
+# (text_html_extract wraps text in markup the same way). The RULE
+# ARITHMETIC is the published thresholds, unchanged.
+# --------------------------------------------------------------------------
+
+# Gopher's required-stop-word rule (>=2 distinct must appear) evaluated
+# over the corpus stop lexicon (functions/text.STOPWORDS) — the paper's
+# English lexicon {the,be,to,of,and,that,have,with} is constant-false on
+# this synthetic vocabulary (only "the"/"a" occur), which would test
+# nothing; the RULE (>=2 distinct function words) is the paper's.
+_GOPHER_STOPS = STOPWORDS
+_LINE_WORDS = 7  # synthesized line width (words)
+
+
+def _sql_gopher_stops(ws: str = "ws") -> str:
+    return " + ".join(
+        f"CASE WHEN list_contains({ws}, '{s}') THEN 1 ELSE 0 END"
+        for s in _GOPHER_STOPS
+    )
+
+
+@query(
+    "text_gopher_rules",
+    f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+             CAST(len(text) AS BIGINT) AS nc
+      FROM documents),
+    lined AS (
+      SELECT *, (nw + {_LINE_WORDS - 1}) // {_LINE_WORDS} AS nl FROM base),
+    stats AS (
+      SELECT doc_id, nw, nl,
+             (CAST(nc AS DOUBLE) - (CAST(nw AS DOUBLE) - 1.0))
+               / CAST(nw AS DOUBLE) AS mean_wl,
+             CAST(len([i for i in range(1, nl + 1)
+                       if (doc_id + i) % 9 = 0]) AS BIGINT) AS bl,
+             CAST(len([i for i in range(1, nl + 1)
+                       if (doc_id + i) % 7 = 3]) AS BIGINT) AS el,
+             CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+               AS BIGINT) AS aw,
+             CAST({_sql_gopher_stops()} AS BIGINT) AS ns
+      FROM lined)
+    SELECT doc_id AS doc_id, nw AS n_words, mean_wl AS mean_word_len,
+           nl AS n_lines,
+           CAST(bl AS DOUBLE) / CAST(nl AS DOUBLE) AS bullet_frac,
+           CAST(el AS DOUBLE) / CAST(nl AS DOUBLE) AS ellipsis_frac,
+           CAST(el AS DOUBLE) / CAST(nw AS DOUBLE) AS symbol_ratio,
+           CAST(aw AS DOUBLE) / CAST(nw AS DOUBLE) AS alpha_word_frac,
+           ns AS n_stop_hits,
+           CAST(nw >= 50 AND nw <= 100000
+                AND mean_wl >= 3.0 AND mean_wl <= 10.0
+                AND CAST(el AS DOUBLE) / CAST(nw AS DOUBLE) < 0.1
+                AND CAST(bl AS DOUBLE) / CAST(nl AS DOUBLE) <= 0.9
+                AND CAST(el AS DOUBLE) / CAST(nl AS DOUBLE) <= 0.3
+                AND CAST(aw AS DOUBLE) / CAST(nw AS DOUBLE) >= 0.8
+                AND ns >= 2 AS BOOLEAN) AS keep
+    FROM stats
+    """,
+)
+def text_gopher_rules(spark, sf_dir):
+    """The Gopher quality-rule set (Rae et al. 2021, Appendix A1.1)
+    per document: word-count bounds [50, 100k], mean word length
+    [3, 10], symbol-to-word ratio < 0.1, <=90% bullet lines, <=30%
+    ellipsis lines, >=80% words with an alphabetic character, and
+    >=2 of the paper's required stop words — the filter combination
+    every Gopher/MassiveText-derived corpus (and FineWeb's baseline)
+    applies before dedup. Line structure is synthesized (fixed 7-word
+    lines; bullets on (doc_id+i)%9=0 lines, trailing ellipses on
+    (doc_id+i)%7=3) because the synthetic corpus has no newlines; the
+    rule arithmetic is the published thresholds. One shuffle-free
+    narrow scan: every signal is a higher-order array function over
+    the split text, all inside whole-stage codegen — at 100 TB this
+    is a map-only pass that scans each document exactly once."""
+    from .operators.util import spread
+
+    docs = spread(Catalog(spark, sf_dir).table("documents"))
+    d = (
+        docs.select(
+            "doc_id",
+            F.split("text", " ").alias("ws"),
+            F.size(F.split("text", " ")).cast("long").alias("nw"),
+            F.length("text").cast("long").alias("nc"),
+        )
+        .withColumn("nl", F.expr(f"(nw + {_LINE_WORDS - 1}) DIV {_LINE_WORDS}"))
+        .withColumn(
+            "bl",
+            F.expr(
+                "CAST(size(filter(sequence(1L, nl),"
+                " i -> (doc_id + i) % 9 = 0)) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "el",
+            F.expr(
+                "CAST(size(filter(sequence(1L, nl),"
+                " i -> (doc_id + i) % 7 = 3)) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "aw",
+            F.expr("CAST(size(filter(ws, w -> w RLIKE '[A-Za-z]')) AS BIGINT)"),
+        )
+        .withColumn(
+            "ns",
+            sum(
+                (
+                    F.when(F.array_contains("ws", s), 1).otherwise(0)
+                    for s in _GOPHER_STOPS
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn(
+            "mean_wl",
+            (F.col("nc").cast("double") - (F.col("nw").cast("double") - F.lit(1.0)))
+            / F.col("nw").cast("double"),
+        )
+    )
+    bullet_frac = F.col("bl").cast("double") / F.col("nl").cast("double")
+    ellipsis_frac = F.col("el").cast("double") / F.col("nl").cast("double")
+    symbol_ratio = F.col("el").cast("double") / F.col("nw").cast("double")
+    alpha_frac = F.col("aw").cast("double") / F.col("nw").cast("double")
+    keep = (
+        F.col("nw").between(50, 100000)
+        & (F.col("mean_wl") >= 3.0) & (F.col("mean_wl") <= 10.0)
+        & (symbol_ratio < 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (F.col("ns") >= 2)
+    )
+    return d.select(
+        "doc_id",
+        F.col("nw").alias("n_words"),
+        F.col("mean_wl").alias("mean_word_len"),
+        F.col("nl").alias("n_lines"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        F.col("ns").alias("n_stop_hits"),
+        keep.alias("keep"),
+    )
+
+
+@query(
+    "text_c4_filter",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+      FROM documents),
+    lined AS (
+      SELECT doc_id, nw, (nw + {_LINE_WORDS - 1}) // {_LINE_WORDS} AS nl,
+             nw - {_LINE_WORDS} * ((nw + {_LINE_WORDS - 1}) // {_LINE_WORDS} - 1)
+               AS lw
+      FROM base),
+    stats AS (
+      SELECT doc_id, nw, nl,
+             CAST(len([i for i in range(1, nl + 1)
+                       if (doc_id + i) % 3 <> 0
+                          AND (doc_id + i) % 11 <> 5
+                          AND (CASE WHEN i < nl THEN {_LINE_WORDS}
+                                    ELSE lw END) >= 5]) AS BIGINT) AS kl,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(CASE WHEN i < nl THEN {_LINE_WORDS} ELSE lw END AS BIGINT)
+                for i in range(1, nl + 1)
+                if (doc_id + i) % 3 <> 0
+                   AND (doc_id + i) % 11 <> 5
+                   AND (CASE WHEN i < nl THEN {_LINE_WORDS}
+                             ELSE lw END) >= 5]),
+               (a, b) -> a + b) AS kw
+      FROM lined)
+    SELECT doc_id AS doc_id, nw AS n_words, nl AS n_lines,
+           kl AS n_kept_lines, kw AS kept_words,
+           CAST(kl >= 3 AND doc_id % 13 <> 7 AND doc_id % 17 <> 9
+                AS BOOLEAN) AS keep
+    FROM stats
+    """,
+)
+def text_c4_filter(spark, sf_dir):
+    """C4 cleaning rules (Raffel et al. 2020, §2.2) per document: keep
+    only lines that end in terminal punctuation, have >=5 words, and
+    don't carry the word "javascript"; keep only pages with >=3
+    retained lines (the paper's sentence floor) that contain neither
+    "lorem ipsum" nor a curly brace. Line structure + decorations are
+    synthesized by congruence — terminal punctuation on (doc_id+i)%3<>0
+    lines, a javascript line at (doc_id+i)%11=5, lorem-ipsum pages at
+    doc_id%13=7, brace pages at doc_id%17=9 — the corpus carries none
+    of them natively; the paper's bad-words blocklist is an external
+    policy resource and is out of scope. Like the Gopher query this is
+    a single map-only codegen pass per document (the line accounting
+    is a sequence fold, no explode, no shuffle), which is what lets the
+    C4 pass run as a pre-filter in front of every shuffling stage at
+    100 TB."""
+    from .operators.util import spread
+
+    docs = spread(Catalog(spark, sf_dir).table("documents"))
+    kept_pred = (
+        "(doc_id + i) % 3 != 0 AND (doc_id + i) % 11 != 5"
+        f" AND (CASE WHEN i < nl THEN {_LINE_WORDS}L ELSE lw END) >= 5L"
+    )
+    d = (
+        docs.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("nw"),
+        )
+        .withColumn("nl", F.expr(f"(nw + {_LINE_WORDS - 1}) DIV {_LINE_WORDS}"))
+        .withColumn("lw", F.expr(f"nw - {_LINE_WORDS} * (nl - 1)"))
+        .withColumn(
+            "kl",
+            F.expr(
+                f"CAST(size(filter(sequence(1L, nl), i -> {kept_pred}))"
+                " AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "kw",
+            F.expr(
+                f"aggregate(filter(sequence(1L, nl), i -> {kept_pred}), 0L,"
+                f" (a, i) -> a + (CASE WHEN i < nl THEN {_LINE_WORDS}L"
+                " ELSE lw END))"
+            ),
+        )
+    )
+    keep = (
+        (F.col("kl") >= 3)
+        & (F.col("doc_id") % 13 != 7)
+        & (F.col("doc_id") % 17 != 9)
+    )
+    return d.select(
+        "doc_id",
+        F.col("nw").alias("n_words"),
+        F.col("nl").alias("n_lines"),
+        F.col("kl").alias("n_kept_lines"),
+        F.col("kw").alias("kept_words"),
+        keep.alias("keep"),
+    )
