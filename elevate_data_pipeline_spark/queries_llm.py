@@ -7967,3 +7967,100 @@ def text_c4_filter(spark, sf_dir):
         F.col("kw").alias("kept_words"),
         keep.alias("keep"),
     )
+
+
+@query(
+    "text_perplexity_filter",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    bb AS (
+      SELECT doc_id, u.w1 AS w1, u.bg AS bg
+      FROM (SELECT doc_id,
+                   unnest([{'w1': ws[i], 'bg': ws[i] || ' ' || ws[i + 1]}
+                           for i in range(1, len(ws))]) AS u
+            FROM w)),
+    cf AS (SELECT bg, count(*) AS bcnt FROM bb GROUP BY bg),
+    pf AS (SELECT w1, count(*) AS pcnt FROM bb GROUP BY w1),
+    v AS (SELECT count(DISTINCT wd) AS vs
+          FROM (SELECT unnest(ws) AS wd FROM w)),
+    d AS (
+      SELECT bb.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(CAST(CAST(pf.pcnt + v.vs AS DOUBLE) / (cf.bcnt + 1)
+                           AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS score
+      FROM bb JOIN cf USING (bg) JOIN pf USING (w1) CROSS JOIN v
+      GROUP BY bb.doc_id)
+    SELECT doc_id AS doc_id, n_bigrams AS n_bigrams,
+           score AS inv_prob_mean,
+           CAST(ntile(3) OVER (ORDER BY score, doc_id) AS INT) AS bucket,
+           CASE ntile(3) OVER (ORDER BY score, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS band
+    FROM d
+    """,
+)
+def text_perplexity_filter(spark, sf_dir):
+    """CCNet-style language-model quality banding (Wenzek et al. 2020):
+    score each document under a corpus bigram LM with add-one
+    smoothing, then split the corpus into head / middle / tail
+    terciles — CCNet keeps the head+middle and drops the tail, the
+    filter behind CCNet/RedPajama/FineWeb lineage corpora. The score
+    is the mean INVERSE smoothed conditional probability,
+    (count(w1·) + |V|) / (count(w1 w2) + 1) averaged over the doc's
+    bigrams — order-equivalent to perplexity for ranking purposes but
+    free of log/exp, so both engines produce bit-identical doubles
+    (decimal-cast summation, one IEEE division at the end — the
+    text_rarity pattern). Scale shape: bigram and prefix count tables
+    are join-sized keyed shuffles (never broadcast at 100 TB); only
+    the 1-row vocab size broadcasts; banding is the scale-safe
+    exact_ntile (range repartition + broadcast offsets), never a
+    global single-partition window."""
+    from pyspark.sql.window import Window
+
+    from .operators.rank import exact_ntile
+    from .operators.util import spread
+
+    docs = spread(Catalog(spark, sf_dir).table("documents"))
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    nxt = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
+    bb = words.select(
+        "doc_id",
+        F.col("w").alias("w1"),
+        F.concat(F.col("w"), F.lit(" "), nxt).alias("bg"),
+    ).filter(F.col("bg").isNotNull())
+    cf = bb.groupBy("bg").agg(F.count(F.lit(1)).alias("bcnt"))
+    pf = bb.groupBy("w1").agg(F.count(F.lit(1)).alias("pcnt"))
+    v = words.agg(F.countDistinct("w").alias("vs"))
+    scored = (
+        bb.join(cf, "bg")
+        .join(pf, "w1")
+        .crossJoin(F.broadcast(v))
+        .withColumn(
+            "_inv",
+            (
+                (F.col("pcnt") + F.col("vs")).cast("double")
+                / (F.col("bcnt") + F.lit(1))
+            ).cast("decimal(28,6)"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("_inv").cast("double") / F.count(F.lit(1))).alias(
+                "inv_prob_mean"
+            ),
+        )
+    )
+    banded = exact_ntile(
+        scored, 3, ["inv_prob_mean", "doc_id"], out_col="bucket"
+    )
+    return banded.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        "inv_prob_mean",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.when(F.col("bucket") == 1, "head")
+        .when(F.col("bucket") == 2, "middle")
+        .otherwise("tail")
+        .alias("band"),
+    )
