@@ -575,3 +575,321 @@ def unigram_encode_oracle_sql(
     FROM dw JOIN seg{final} s USING (word)
     GROUP BY dw.doc_id"""
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer induction (Schuster & Nakajima 2012; the BERT
+# tokenizer family) — the third mainstream family beside BPE and
+# unigram-LM. Training is BPE-shaped (iterative pair merges over the
+# word-frequency frame) but the merge OBJECTIVE is the likelihood gain
+# score count(lr) / (count(l) * count(r)) instead of raw pair count:
+# WordPiece prefers pairs whose parts are rare relative to their
+# co-occurrence. ENCODING differs from BPE too: greedy longest-match-
+# first (maximal munch) against the final vocabulary, not a merge
+# replay. (The "##" continuation surface marking is presentation-layer
+# and does not change segmentation; omitted here.)
+#
+# Exactness: the score is one IEEE division of exact bigint counts
+# (cast each side to double first — at 100 TB the count product would
+# overflow int64), argmax ordered (score DESC, l, r); the oracle
+# replays training with identical expressions and the munch as an
+# unrolled per-step longest-prefix CTE chain.
+# ---------------------------------------------------------------------------
+
+WP_MAX_WORD = 12  # munch words <= this; both engines apply the same cap
+
+
+def _sym_counts(states: DataFrame) -> DataFrame:
+    """Current symbol frequencies over the word states, weighted by
+    word count: (sym, scnt). Bounded by the live vocabulary size."""
+    return (
+        states.select(F.explode(F.split("st", SEP)).alias("sym"), "cnt")
+        .groupBy("sym")
+        .agg(F.sum("cnt").alias("scnt"))
+    )
+
+
+def _wp_scored_pairs(states: DataFrame) -> DataFrame:
+    """Adjacent pairs scored by the WordPiece objective. The symbol
+    table is vocabulary-sized -> broadcast twice (left/right parts);
+    the only shuffle is the pair count itself."""
+    pairs = _pair_counts(states)
+    syms = _sym_counts(states)
+    return (
+        pairs.join(
+            F.broadcast(syms.select(F.col("sym").alias("l"), F.col("scnt").alias("_sl"))),
+            "l",
+        )
+        .join(
+            F.broadcast(syms.select(F.col("sym").alias("r"), F.col("scnt").alias("_sr"))),
+            "r",
+        )
+        .withColumn(
+            "score",
+            F.col("wgt").cast("double")
+            / (F.col("_sl").cast("double") * F.col("_sr").cast("double")),
+        )
+    )
+
+
+def wordpiece_merges(
+    docs: DataFrame, n_merges: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Learn the first ``n_merges`` WordPiece merges; returns
+    (merge_idx, left, right, weight, score). Deterministic: score
+    desc, then lexicographic (l, r) tie-break. Same fixed-iteration
+    declarative shape as :func:`bpe_merges` — one pair-count shuffle,
+    two broadcast symbol-count joins, a TakeOrdered top-1, and a
+    broadcast replace merge per round."""
+    states = _initial_states(docs, text_col).localCheckpoint(eager=True)
+    merges = []
+    for i in range(1, n_merges + 1):
+        top = (
+            _wp_scored_pairs(states)
+            .orderBy(F.desc("score"), "l", "r")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        merges.append(
+            top.select(
+                F.lit(i).alias("merge_idx"),
+                F.col("l").alias("left"),
+                F.col("r").alias("right"),
+                F.col("wgt").cast("long").alias("weight"),
+                F.col("score").alias("score"),
+            )
+        )
+        if i < n_merges:
+            states = states.crossJoin(F.broadcast(top.select("l", "r"))).select(
+                "word",
+                "cnt",
+                F.replace(
+                    F.col("st"),
+                    F.concat(F.col("l"), F.lit(SEP), F.col("r")),
+                    F.concat(F.col("l"), F.col("r")),
+                ).alias("st"),
+            ).localCheckpoint(eager=True)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _wp_munch(word: str, vocab: set, max_tok: int) -> int:
+    """Greedy longest-match-first token count. Single characters are
+    always in the vocab (alphabet coverage), so the munch always
+    advances; returns the number of tokens."""
+    n = len(word)
+    i = 0
+    toks = 0
+    while i < n:
+        for length in range(min(max_tok, n - i), 0, -1):
+            if word[i : i + length] in vocab:
+                i += length
+                toks += 1
+                break
+        else:  # pragma: no cover — alphabet coverage makes this unreachable
+            raise ValueError(f"unsegmentable word {word!r}")
+    return toks
+
+
+def wordpiece_encode(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train ``n_merges`` WordPiece merges and APPLY them by greedy
+    longest-match-first against vocab = corpus alphabet + merge
+    outputs, returning (id, n_tokens_wp, n_tokens_char). The vocab is
+    bounded (|alphabet| + n_merges rows) and syncs driver-side exactly
+    like the unigram-EM vocab (the Lloyd shape); the munch runs
+    Arrow-batched over the DISTINCT-word frame and broadcast-joins back
+    to the exploded corpus. Words longer than ``WP_MAX_WORD`` are
+    excluded on both engines (the unigram UNI_MAX_WORD convention)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    states = _initial_states(docs, text_col).localCheckpoint(eager=True)
+    vocab: set = set()
+    for i in range(n_merges):
+        top = (
+            _wp_scored_pairs(states)
+            .orderBy(F.desc("score"), "l", "r")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        row = top.select("l", "r").collect()[0]  # 1 row: the merge pick
+        vocab.add(row.l + row.r)
+        if i < n_merges - 1:
+            states = states.crossJoin(F.broadcast(top.select("l", "r"))).select(
+                "word",
+                "cnt",
+                F.replace(
+                    F.col("st"),
+                    F.concat(F.col("l"), F.lit(SEP), F.col("r")),
+                    F.concat(F.col("l"), F.col("r")),
+                ).alias("st"),
+            ).localCheckpoint(eager=True)
+    chars = (
+        states.select(F.explode(F.split("st", SEP)).alias("s"))
+        .select(F.explode(F.expr(
+            "transform(sequence(1, length(s)), i -> substring(s, i, 1))"
+        )).alias("c"))
+        .distinct()
+        .collect()
+    )  # bounded: the corpus alphabet
+    vocab |= {r.c for r in chars}
+    max_tok = max(len(v) for v in vocab)
+
+    def munch(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "_wp": [
+                        _wp_munch(str(w), vocab, max_tok) for w in pdf["word"]
+                    ],
+                    "_chars": [len(str(w)) for w in pdf["word"]],
+                }
+            )
+
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.length("word") <= WP_MAX_WORD)
+        .distinct()
+    )
+    per_word = words.mapInPandas(munch, "word string, _wp long, _chars long")
+    doc_words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.length("word") <= WP_MAX_WORD)
+    return (
+        doc_words.join(F.broadcast(per_word), "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_wp").alias("n_tokens_wp"),
+            F.sum("_chars").alias("n_tokens_char"),
+        )
+    )
+
+
+def _wp_ctes(n_merges: int, rel: str, with_final_state: bool) -> list[str]:
+    """Training CTE chain for the WordPiece oracle: w0 -> per round
+    (p{i} pair counts, s{i} symbol counts, m{i} score-argmax pick,
+    w{i} merged states). Identical expression trees to
+    :func:`wordpiece_merges`."""
+    parts = [
+        f"""w0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+         array_to_string([substr(word, i, 1) for i in range(1, len(word) + 1)],
+                         chr(31)) AS st
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM {rel})
+  GROUP BY word)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""p{i} AS (
+  SELECT u.p.l AS l, u.p.r AS r, sum(cnt) AS wgt
+  FROM (SELECT cnt, unnest([{{'l': s[i], 'r': s[i + 1]}}
+                            for i in range(1, len(s))]) AS p
+        FROM (SELECT cnt, string_split(st, chr(31)) AS s FROM w{i - 1})) u
+  GROUP BY u.p.l, u.p.r)"""
+        )
+        parts.append(
+            f"""s{i} AS (
+  SELECT sym, sum(cnt) AS scnt
+  FROM (SELECT unnest(string_split(st, chr(31))) AS sym, cnt FROM w{i - 1})
+  GROUP BY sym)"""
+        )
+        parts.append(
+            f"""m{i} AS (
+  SELECT p.l AS l, p.r AS r, p.wgt AS wgt,
+         CAST(p.wgt AS DOUBLE)
+           / (CAST(sl.scnt AS DOUBLE) * CAST(sr.scnt AS DOUBLE)) AS score
+  FROM p{i} p JOIN s{i} sl ON sl.sym = p.l JOIN s{i} sr ON sr.sym = p.r
+  ORDER BY score DESC, l, r LIMIT 1)"""
+        )
+        if i < n_merges or with_final_state:
+            parts.append(
+                f"""w{i} AS (
+  SELECT word, cnt,
+         replace(st, (SELECT l || chr(31) || r FROM m{i}),
+                     (SELECT l || r FROM m{i})) AS st
+  FROM w{i - 1})"""
+            )
+    return parts
+
+
+def wordpiece_oracle_sql(n_merges: int = 3, rel: str = "documents") -> str:
+    """Unrolled DuckDB equivalent of :func:`wordpiece_merges`."""
+    parts = _wp_ctes(n_merges, rel, with_final_state=False)
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS merge_idx, l AS left, r AS right, "
+        f"CAST(wgt AS BIGINT) AS weight, score AS score FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
+def wordpiece_encode_oracle_sql(
+    n_merges: int = 3, rel: str = "documents"
+) -> str:
+    """Unrolled DuckDB equivalent of :func:`wordpiece_encode`: the
+    training chain, vocab = corpus alphabet UNION merge outputs, then
+    the greedy longest-match munch as one CTE pair per step (token
+    pick, remainder advance) — ``WP_MAX_WORD`` steps cover every
+    capped word since each step consumes >= 1 char."""
+    parts = _wp_ctes(n_merges, rel, with_final_state=False)
+    merge_toks = " UNION ".join(
+        f"SELECT l || r AS token FROM m{i}" for i in range(1, n_merges + 1)
+    )
+    parts.append(
+        f"""vocab AS (
+  SELECT DISTINCT unnest([substr(word, i, 1)
+                          for i in range(1, len(word) + 1)]) AS token
+  FROM w0
+  UNION
+  {merge_toks})"""
+    )
+    parts.append(
+        "vl AS (SELECT list(token ORDER BY len(token) DESC, token) AS v"
+        " FROM vocab)"
+    )
+    parts.append(
+        f"""e0 AS (
+  SELECT word, word AS rem, CAST(0 AS BIGINT) AS ntok
+  FROM (SELECT DISTINCT word
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM {rel})
+        WHERE len(word) <= {WP_MAX_WORD}))"""
+    )
+    for k in range(1, WP_MAX_WORD + 1):
+        parts.append(
+            f"""t{k} AS (
+  SELECT word, rem, ntok,
+         CASE WHEN rem = '' THEN NULL
+              ELSE list_filter(v, x -> substr(rem, 1, len(x)) = x)[1] END AS tk
+  FROM e{k - 1}, vl)"""
+        )
+        parts.append(
+            f"""e{k} AS (
+  SELECT word,
+         CASE WHEN tk IS NULL THEN rem ELSE substr(rem, len(tk) + 1) END AS rem,
+         ntok + CASE WHEN tk IS NULL THEN 0 ELSE 1 END AS ntok
+  FROM t{k})"""
+        )
+    parts.append(
+        f"""dw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM {rel})"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT dw.doc_id AS doc_id,
+           CAST(sum(e.ntok) AS BIGINT) AS n_tokens_wp,
+           CAST(sum(len(dw.word)) AS BIGINT) AS n_tokens_char
+    FROM dw JOIN e{WP_MAX_WORD} e USING (word)
+    WHERE len(dw.word) <= {WP_MAX_WORD}
+    GROUP BY dw.doc_id"""
+    )

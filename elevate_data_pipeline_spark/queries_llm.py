@@ -8064,3 +8064,39 @@ def text_perplexity_filter(spark, sf_dir):
         .otherwise("tail")
         .alias("band"),
     )
+
+
+from .operators.tokenizer import (  # noqa: E402
+    wordpiece_encode as _wordpiece_encode,
+    wordpiece_encode_oracle_sql as _wordpiece_encode_oracle_sql,
+    wordpiece_merges as _wordpiece_merges,
+    wordpiece_oracle_sql as _wordpiece_oracle_sql,
+)
+
+_WP_N = 3
+
+
+@query("wordpiece_merges", _wordpiece_oracle_sql(n_merges=_WP_N))
+def wordpiece_merges(spark, sf_dir):
+    """WordPiece tokenizer-merge training (Schuster & Nakajima 2012,
+    the BERT family; operators/tokenizer.wordpiece_merges): the
+    BPE-shaped fixed-iteration loop but scored by likelihood gain
+    count(lr)/(count(l)*count(r)) — per round one pair-count shuffle,
+    two broadcast symbol-count joins, a TakeOrdered top-1, and a
+    broadcast replace merge. Completes the BPE / unigram-LM /
+    WordPiece triad of mainstream tokenizer inductions."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return _wordpiece_merges(docs, n_merges=_WP_N)
+
+
+@query("wordpiece_encode", _wordpiece_encode_oracle_sql(n_merges=_WP_N))
+def wordpiece_encode(spark, sf_dir):
+    """Train-and-apply WordPiece: greedy longest-match-first encoding
+    against vocab = corpus alphabet + merge outputs (NOT a merge
+    replay — maximal munch is WordPiece's defining encode rule).
+    The bounded vocab syncs driver-side (the Lloyd/unigram shape);
+    the munch runs Arrow-batched over the DISTINCT-word frame and
+    broadcast-joins back to the exploded corpus — map-side at 100 TB
+    since the distinct-word frame is corpus-size-independent."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return _wordpiece_encode(docs, n_merges=_WP_N)
