@@ -363,3 +363,58 @@ def decode_http_text(body: bytes, content_type: str) -> tuple:
         raise ValueError(
             f"body is not valid {label} ({source}-declared): {exc}"
         ) from exc
+
+
+def crawl_delay(content: str, agent: str):
+    """Evaluate the ``Crawl-delay`` extension directive (honored by
+    Bing/Yandex; RFC 9309 treats it as an other-record line that
+    belongs to the group it appears in): returns the delay in seconds
+    (float) for ``agent``, or None when no applicable group carries
+    one. Group selection mirrors :func:`robots_allowed` — the groups
+    naming the agent exactly (case-insensitive) if any exist, else the
+    ``*`` groups, merged across same-agent groups; conflicting delays
+    merge to the MAX (the conservative politeness choice). A value
+    that doesn't parse as a non-negative number is ignored like any
+    other unknown line — the directive is itself an extension, so its
+    malformed forms get the spec's garbage-line leniency, not the
+    fail-loud gate reserved for structured formats."""
+    groups: list = []
+    agents: set = set()
+    delays: list = []
+    collecting_agents = False
+    for raw in content.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, value = line.partition(":")
+        if not sep:
+            continue
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if not collecting_agents and agents:
+                groups.append((agents, delays))
+                agents, delays = set(), []
+            agents.add(value.lower())
+            collecting_agents = True
+        elif key == "crawl-delay":
+            collecting_agents = False
+            if not agents:
+                continue
+            try:
+                d = float(value)
+            except ValueError:
+                continue
+            if d >= 0:
+                delays.append(d)
+        elif key in ("allow", "disallow"):
+            collecting_agents = False
+        else:
+            collecting_agents = False
+    if agents:
+        groups.append((agents, delays))
+    agent = agent.lower()
+    picked = [d for a, ds in groups if agent in a for d in ds]
+    if not any(agent in a for a, _ in groups):
+        picked = [d for a, ds in groups if "*" in a for d in ds]
+    return max(picked) if picked else None

@@ -8100,3 +8100,81 @@ def wordpiece_encode(spark, sf_dir):
     since the distinct-word frame is corpus-size-independent."""
     docs = Catalog(spark, sf_dir).table("documents")
     return _wordpiece_encode(docs, n_merges=_WP_N)
+
+
+@query(
+    "crawl_politeness_budget",
+    """
+    WITH hosts AS (
+      SELECT doc_id % 37 AS host_id, count(*) AS n_urls
+      FROM documents GROUP BY doc_id % 37),
+    d AS (
+      SELECT host_id, n_urls,
+             CAST(CASE WHEN host_id % 3 = 0 THEN host_id % 7
+                       ELSE host_id % 5 END AS DOUBLE) AS delay
+      FROM hosts)
+    SELECT 'h' || CAST(host_id AS VARCHAR) AS host,
+           CAST(n_urls AS BIGINT) AS n_urls,
+           delay AS crawl_delay,
+           CASE WHEN delay > 0
+                THEN CAST(floor(86400.0 / delay) AS BIGINT) END AS daily_budget,
+           CASE WHEN delay > 0
+                THEN (CAST(n_urls AS BIGINT)
+                      + CAST(floor(86400.0 / delay) AS BIGINT) - 1)
+                     // CAST(floor(86400.0 / delay) AS BIGINT)
+                END AS days_to_drain
+    FROM d
+    """,
+)
+def crawl_politeness_budget(spark, sf_dir):
+    """Per-host politeness budgeting from REAL robots.txt Crawl-delay
+    evaluation (functions/crawl.crawl_delay): frontier URLs group by
+    host, each host's robots policy — a ``*`` group and, for every
+    third host, a crawler-specific group that must win the selection —
+    is parsed and the effective delay for this crawler resolved through
+    the exact-agent-beats-star chain; the daily fetch budget is
+    floor(86400/delay) and days_to_drain = ceil(n_urls/budget), the
+    numbers a fetch scheduler actually allocates (delay 0 = unthrottled
+    = NULL budget). Scale shape: ONE host-keyed aggregation over the
+    frontier (the same shuffle a fetch scheduler needs anyway), then
+    the policy evaluation runs on the bounded per-host frame — at
+    100 TB the host cardinality is millions of rows, not corpus-scale,
+    and the robots texts join in by host key."""
+    from collections.abc import Iterator
+
+    from .functions.crawl import crawl_delay
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    hosts = (
+        docs.select((F.col("doc_id") % 37).alias("host_id"))
+        .groupBy("host_id")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for host_id, n_urls in zip(pdf["host_id"], pdf["n_urls"]):
+                h, n = int(host_id), int(n_urls)
+                robots = f"User-agent: *\nCrawl-delay: {h % 5}\nDisallow: /tmp/\n"
+                if h % 3 == 0:
+                    robots += f"\nUser-agent: spark-graft\nCrawl-delay: {h % 7}\n"
+                delay = crawl_delay(robots, "spark-graft")
+                if delay is not None and delay > 0:
+                    budget = int(86400.0 // delay)
+                    days = (n + budget - 1) // budget
+                else:
+                    budget = None
+                    days = None
+                rows.append((f"h{h}", n, delay, budget, days))
+            yield pd.DataFrame(
+                rows,
+                columns=["host", "n_urls", "crawl_delay", "daily_budget",
+                         "days_to_drain"],
+            )
+
+    return hosts.mapInPandas(
+        run,
+        "host string, n_urls long, crawl_delay double, daily_budget long,"
+        " days_to_drain long",
+    )

@@ -470,3 +470,23 @@ def test_canonical_url_rules():
         canonical_url("/relative/only")
     with pytest.raises(NotImplementedError):
         canonical_url("http://h/a/../b")
+
+
+def test_crawl_delay_selection_and_leniency():
+    """Crawl-delay extension: exact-agent group beats *, same-agent
+    groups merge to the MAX delay, missing/garbage values ignored,
+    float values parse, no applicable group -> None."""
+    from elevate_data_pipeline_spark.functions.crawl import crawl_delay
+
+    txt = (
+        "User-agent: *\nCrawl-delay: 3\nDisallow: /x\n"
+        "User-agent: bot\nCrawl-delay: 7\n"
+        "User-agent: bot\nCrawl-delay: 2\n"  # merges with the group above
+    )
+    assert crawl_delay(txt, "BOT") == 7.0  # max across merged groups
+    assert crawl_delay(txt, "other") == 3.0  # * fallback
+    assert crawl_delay("User-agent: *\nDisallow: /", "x") is None
+    assert crawl_delay("User-agent: *\nCrawl-delay: nope\n", "x") is None
+    assert crawl_delay("User-agent: *\nCrawl-delay: -1\n", "x") is None
+    assert crawl_delay("User-agent: *\nCrawl-delay: 2.5\n", "x") == 2.5
+    assert crawl_delay("Crawl-delay: 9\n", "x") is None  # before any group
