@@ -6067,3 +6067,176 @@ def decode_adts(payload: bytes) -> dict:
         "frames": frames,
         "samples_per_channel": _ADTS_SAMPLES_PER_FRAME * len(frames),
     }
+
+
+# ---------------------------------------------------------------------------
+# Ogg container (RFC 3533) — the transport under Vorbis/Opus/Theora
+# streams in crawled audio. Byte-exact page walk in the module's codec
+# style: "OggS" capture pattern, version 0, header-type flags
+# (0x01 continued packet / 0x02 BOS / 0x04 EOS), 64-bit granule
+# position, stream serial, page sequence, the Ogg CRC (poly 0x04C11DB7,
+# init 0, no reflection, no final xor, computed with the CRC field
+# zeroed), and the 255-terminated lacing table that frames packets —
+# a lacing value of 255 continues the packet into the next value (or,
+# at page end, into the next page with the 0x01 flag). decode
+# reassembles spanning packets and fails loud on bad magic/version/
+# CRC/sequence gaps/dangling continuations.
+# ---------------------------------------------------------------------------
+
+_OGG_MAGIC = b"OggS"
+_OGG_MAX_SEGS = 255
+
+
+def _ogg_crc_table() -> list:
+    table = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7) if r & 0x80000000 else (r << 1)
+            r &= 0xFFFFFFFF
+        table.append(r)
+    return table
+
+
+_OGG_CRC = _ogg_crc_table()
+
+
+def _ogg_crc(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC[((crc >> 24) & 0xFF) ^ b]
+    return crc
+
+
+def _ogg_page(
+    header_type: int, granule: int, serial: int, seq: int, segs: list, body: bytes
+) -> bytes:
+    import struct
+
+    head = (
+        _OGG_MAGIC
+        + bytes([0, header_type])
+        + struct.pack("<q", granule)
+        + struct.pack("<I", serial)
+        + struct.pack("<I", seq)
+        + b"\x00\x00\x00\x00"  # CRC placeholder
+        + bytes([len(segs)])
+        + bytes(segs)
+    )
+    crc = _ogg_crc(head + body)
+    return head[:22] + struct.pack("<I", crc) + head[26:] + body
+
+
+def encode_ogg(packets: list, serial: int = 1, granule_base: int = 0) -> bytes:
+    """Write an Ogg stream, one packet per page sequence (a packet
+    needing more than 255 lacing values spans continuation pages with
+    the 0x01 flag — the RFC's framing, exercised by large packets).
+    First page carries BOS, last EOS. The granule position of packet
+    ``i``'s final page is ``granule_base + i`` (continuation pages that
+    don't end a packet carry -1, the RFC convention)."""
+    if not packets:
+        raise ValueError("empty Ogg stream")
+    out = bytearray()
+    seq = 0
+    for i, pkt in enumerate(packets):
+        if not isinstance(pkt, (bytes, bytearray)):
+            raise ValueError("Ogg packet must be bytes")
+        lacing = [255] * (len(pkt) // 255) + [len(pkt) % 255]
+        pos = 0
+        off = 0
+        while pos < len(lacing):
+            segs = lacing[pos : pos + _OGG_MAX_SEGS]
+            body = bytes(pkt[off : off + sum(segs)])
+            last_chunk = pos + _OGG_MAX_SEGS >= len(lacing)
+            htype = (0x01 if pos > 0 else 0) \
+                | (0x02 if i == 0 and pos == 0 else 0) \
+                | (0x04 if i == len(packets) - 1 and last_chunk else 0)
+            granule = (granule_base + i) if last_chunk else -1
+            out += _ogg_page(htype, granule, serial, seq, segs, body)
+            seq += 1
+            off += sum(segs)
+            pos += _OGG_MAX_SEGS
+    return bytes(out)
+
+
+def decode_ogg(payload: bytes) -> dict:
+    """Byte-exact Ogg page walk + packet reassembly. Returns
+    ``serial, n_pages, packets, granules, spans`` (spans = any packet
+    crossed a page boundary). Fails loud on bad capture pattern,
+    non-zero version, CRC mismatch, page-sequence gaps, a continuation
+    page without a pending packet, or a packet left dangling at EOS."""
+    import struct
+
+    pos = 0
+    n = len(payload)
+    serial = None
+    expect_seq = 0
+    packets: list = []
+    granules: list = []
+    pending = bytearray()
+    pending_open = False
+    spans = False
+    n_pages = 0
+    while pos < n:
+        if payload[pos : pos + 4] != _OGG_MAGIC:
+            raise ValueError(f"bad Ogg capture pattern at offset {pos}")
+        if pos + 27 > n:
+            raise ValueError("truncated Ogg page header")
+        version = payload[pos + 4]
+        if version != 0:
+            raise ValueError(f"unsupported Ogg version {version}")
+        htype = payload[pos + 5]
+        granule = struct.unpack("<q", payload[pos + 6 : pos + 14])[0]
+        ser = struct.unpack("<I", payload[pos + 14 : pos + 18])[0]
+        seq = struct.unpack("<I", payload[pos + 18 : pos + 22])[0]
+        crc = struct.unpack("<I", payload[pos + 22 : pos + 26])[0]
+        nsegs = payload[pos + 26]
+        segs = payload[pos + 27 : pos + 27 + nsegs]
+        if len(segs) != nsegs:
+            raise ValueError("truncated Ogg lacing table")
+        body_len = sum(segs)
+        page_end = pos + 27 + nsegs + body_len
+        if page_end > n:
+            raise ValueError("Ogg page body runs past end of stream")
+        page = bytearray(payload[pos:page_end])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != crc:
+            raise ValueError(f"Ogg CRC mismatch on page {seq}")
+        if serial is None:
+            serial = ser
+            if not htype & 0x02:
+                raise ValueError("first Ogg page missing BOS flag")
+        elif ser != serial:
+            raise ValueError("multiplexed Ogg streams not supported")
+        if seq != expect_seq:
+            raise ValueError(f"Ogg page sequence gap ({expect_seq} -> {seq})")
+        expect_seq += 1
+        if htype & 0x01:
+            if not pending_open:
+                raise ValueError("Ogg continuation page without pending packet")
+            spans = True
+        elif pending_open:
+            raise ValueError("pending Ogg packet not continued")
+        body_pos = pos + 27 + nsegs
+        for v in segs:
+            pending += payload[body_pos : body_pos + v]
+            body_pos += v
+            pending_open = True
+            if v < 255:
+                packets.append(bytes(pending))
+                pending = bytearray()
+                pending_open = False
+        granules.append(granule)
+        n_pages += 1
+        pos = page_end
+    if n_pages == 0:
+        raise ValueError("empty Ogg stream")
+    if pending_open:
+        raise ValueError("Ogg packet dangling at end of stream")
+    return {
+        "serial": serial,
+        "n_pages": n_pages,
+        "packets": packets,
+        "granules": granules,
+        "spans": spans,
+    }

@@ -8178,3 +8178,81 @@ def crawl_politeness_budget(spark, sf_dir):
         "host string, n_urls long, crawl_delay double, daily_budget long,"
         " days_to_drain long",
     )
+
+
+@query(
+    "multimodal_ogg_meta",
+    """
+    SELECT doc_id AS doc_id,
+           CAST(1 + doc_id % 1000 AS BIGINT) AS serial,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 2 END AS INT) AS n_pages,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS INT) AS n_packets,
+           CAST(doc_id % 3 = 0 AS BOOLEAN) AS spans,
+           CAST((16 + doc_id % 32) + (200 + doc_id % 100)
+                + CASE WHEN doc_id % 3 = 0
+                       THEN 65280 + doc_id % 255 ELSE 0 END AS BIGINT)
+             AS total_payload,
+           CAST((doc_id % 251) * (16 + doc_id % 32)
+                + ((doc_id * 3) % 251) * (200 + doc_id % 100)
+                + CASE WHEN doc_id % 3 = 0
+                       THEN ((doc_id * 7) % 251) * (65280 + doc_id % 255)
+                       ELSE 0 END AS BIGINT) AS payload_sum,
+           CAST(doc_id * 10
+                + CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT)
+             AS last_granule
+    FROM documents
+    """,
+)
+def multimodal_ogg_meta(spark, sf_dir):
+    """REAL Ogg container parsing (RFC 3533; operators/multimodal.
+    encode_ogg/decode_ogg): per doc a 2-3 packet stream — an ID-header-
+    sized packet, a comment-sized packet, and for every third doc a
+    >64 KiB packet whose 257 lacing values must SPAN pages via the
+    0x01 continuation flag — is written and walked back byte-exactly:
+    capture pattern, version, header-type flags (BOS/EOS/continued),
+    the Ogg CRC-32 (poly 0x04C11DB7, unreflected, verified with the
+    CRC field zeroed), page sequence continuity, and 255-terminated
+    lacing reassembly. The codec payload (Vorbis/Opus raw packets)
+    stays behind the module's loud gates — the container walk is what
+    a crawl pipeline needs for duration/stream accounting. One narrow
+    mapInPandas scan, no shuffle: the 100 TB shape."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                pkts = [
+                    bytes([did % 251]) * (16 + did % 32),
+                    bytes([(did * 3) % 251]) * (200 + did % 100),
+                ]
+                if did % 3 == 0:
+                    pkts.append(bytes([(did * 7) % 251]) * (65280 + did % 255))
+                buf = multimodal.encode_ogg(
+                    pkts, serial=1 + did % 1000, granule_base=did * 10
+                )
+                out = multimodal.decode_ogg(buf)
+                rows.append((
+                    did, out["serial"], out["n_pages"],
+                    len(out["packets"]), out["spans"],
+                    sum(len(p) for p in out["packets"]),
+                    sum(sum(p) for p in out["packets"]),
+                    max(g for g in out["granules"] if g >= 0),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "serial", "n_pages", "n_packets",
+                         "spans", "total_payload", "payload_sum",
+                         "last_granule"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id long, serial long, n_pages int, n_packets int,"
+        " spans boolean, total_payload long, payload_sum long,"
+        " last_granule long",
+    )

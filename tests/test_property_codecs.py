@@ -759,3 +759,59 @@ def test_http_charset_gates():
     # undeclared non-UTF-8 bytes fail loud, not silently re-decoded
     with pytest.raises(ValueError, match="default"):
         c.decode_http_text("é".encode("latin-1"), "text/plain")
+
+
+@given(
+    pkts=st.lists(
+        st.binary(min_size=0, max_size=2000), min_size=1, max_size=5
+    ),
+    big=st.booleans(),
+    serial=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_ogg_roundtrip_property(pkts, big, serial):
+    """Ogg encode->decode is identity on the packet list — including
+    empty packets, exact-255-multiple packets (trailing 0 lacing), and
+    page-spanning packets (> 255 lacing values, 0x01 continuation)."""
+    from elevate_data_pipeline_spark.operators.multimodal import (
+        decode_ogg,
+        encode_ogg,
+    )
+
+    if big:
+        pkts = pkts + [b"\xab" * 65100]  # forces a spanning packet
+    out = decode_ogg(encode_ogg(pkts, serial=serial))
+    assert out["packets"] == pkts
+    assert out["serial"] == serial
+    assert out["spans"] == any(len(p) // 255 + 1 > 255 for p in pkts)
+    assert len(out["granules"]) == out["n_pages"]
+
+
+def test_ogg_gates_fail_loud():
+    """Corruption gates: body CRC, capture pattern, sequence gap,
+    dangling continuation."""
+    import pytest
+
+    from elevate_data_pipeline_spark.operators.multimodal import (
+        decode_ogg,
+        encode_ogg,
+    )
+
+    buf = encode_ogg([b"hello", b"world"])
+    bad = bytearray(buf)
+    bad[30] ^= 1  # body byte: CRC must catch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_ogg(bytes(bad))
+    with pytest.raises(ValueError, match="capture pattern"):
+        decode_ogg(b"NotO" + buf[4:])
+    # drop the first page entirely: second page fails BOS/sequence gates
+    import struct as _s
+
+    page1_len = 27 + buf[26] + sum(buf[27 : 27 + buf[26]])
+    with pytest.raises(ValueError):
+        decode_ogg(buf[page1_len:])
+    # spanning packet truncated before its continuation page
+    span = encode_ogg([b"z" * 65100])
+    first_len = 27 + span[26] + sum(span[27 : 27 + span[26]])
+    with pytest.raises(ValueError, match="dangling"):
+        decode_ogg(span[:first_len])
