@@ -418,3 +418,62 @@ def crawl_delay(content: str, agent: str):
     if not any(agent in a for a, _ in groups):
         picked = [d for a, ds in groups if "*" in a for d in ds]
     return max(picked) if picked else None
+
+
+# Embedded public-suffix rule subset (publicsuffix.org algorithm; the
+# full list is an external, frequently-updated resource — this subset
+# is the repo's swap-in, the multimodal empirical-table convention, and
+# carries one rule of every KIND the algorithm distinguishes: normal,
+# multi-label, wildcard, exception). Unknown TLDs fall back to the
+# list's own default rule "*" (the last label is a public suffix) —
+# that is the PSL spec's behavior, not a repo invention.
+PSL_RULES = (
+    "com", "org", "net", "edu", "gov", "io", "co",
+    "uk", "co.uk", "org.uk", "ac.uk",
+    "jp", "co.jp", "ne.jp",
+    "au", "com.au", "org.au",
+    "de", "fr", "br", "com.br", "us", "ca",
+    "*.ck", "!www.ck",
+)
+
+
+def public_suffix(host: str) -> str:
+    """The public suffix of ``host`` under :data:`PSL_RULES`, by the
+    publicsuffix.org algorithm: among matching rules the longest (most
+    labels) wins; an exception rule (``!``) beats any other match and
+    makes the suffix one label SHORTER; with no match the default rule
+    ``*`` applies (the last label is the suffix). Hosts are expected
+    lowercase (canonical_url's output); IP literals are the caller's
+    concern."""
+    labels = host.split(".")
+    best = None  # (n_labels, is_exception, suffix_labels)
+    for rule in PSL_RULES:
+        exception = rule.startswith("!")
+        r = rule[1:] if exception else rule
+        rl = r.split(".")
+        if len(rl) > len(labels):
+            continue
+        tail = labels[-len(rl):]
+        if all(a == b or a == "*" for a, b in zip(rl, tail)):
+            key = (exception, len(rl))
+            if best is None or key > (best[0], best[1]):
+                best = (exception, len(rl), tail)
+    if best is None:
+        return labels[-1]  # the PSL default rule "*"
+    exception, n, tail = best
+    if exception:
+        return ".".join(tail[1:])  # exception: one label shorter
+    return ".".join(tail)
+
+
+def registrable_domain(host: str):
+    """The registrable domain (eTLD+1) of ``host`` — the key real
+    crawl pipelines cap and group by (a per-HOST cap undercounts
+    sites that shard across subdomains). Returns None when the host
+    IS a public suffix (nothing registered below it)."""
+    suffix = public_suffix(host)
+    ns = suffix.count(".") + 1
+    labels = host.split(".")
+    if len(labels) <= ns:
+        return None
+    return ".".join(labels[-(ns + 1):])
