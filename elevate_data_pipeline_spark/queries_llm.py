@@ -8329,3 +8329,68 @@ def url_registrable_domain(spark, sf_dir):
     return docs.mapInPandas(
         run, "doc_id long, host string, suffix string, domain string"
     )
+
+
+@query(
+    "text_jsonl_roundtrip",
+    """
+    WITH j AS (
+      SELECT doc_id,
+             to_json(struct_pack(
+               id := doc_id, text := text,
+               meta := struct_pack(lang := lang, source := source,
+                                   n_chars := n_chars))) AS line
+      FROM documents)
+    SELECT doc_id AS doc_id,
+           CAST(line ->> '$.id' AS BIGINT) AS id,
+           line ->> '$.meta.lang' AS lang,
+           line ->> '$.meta.source' AS source,
+           CAST(line ->> '$.meta.n_chars' AS BIGINT) AS n_chars,
+           CAST(len(string_split(line ->> '$.text', ' ')) AS BIGINT)
+             AS n_tokens,
+           CAST(line ->> '$.text' =
+                (SELECT text FROM documents d2 WHERE d2.doc_id = j.doc_id)
+                AS BOOLEAN) AS roundtrip_ok
+    FROM j
+    """,
+)
+def text_jsonl_roundtrip(spark, sf_dir):
+    """JSONL corpus-record round-trip — the wire format LLM corpora
+    actually ship in (Dolma, The Pile, RedPajama are all JSONL with a
+    nested metadata object): each document serializes to one JSON line
+    (``to_json`` over a nested struct) and is parsed back with
+    ``from_json`` against an explicit schema, extracting top-level and
+    nested fields plus a text-identity check. Everything stays
+    JVM-side inside whole-stage codegen (Jackson under Spark,
+    yyjson under DuckDB — both engines' native JSON paths, no Python)
+    — one narrow scan, no shuffle, which is exactly how a 100 TB JSONL
+    ingest should look: schema-projected parse at the scan, nothing
+    materialized twice."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    line = F.to_json(
+        F.struct(
+            F.col("doc_id").alias("id"),
+            F.col("text").alias("text"),
+            F.struct(
+                F.col("lang").alias("lang"),
+                F.col("source").alias("source"),
+                F.col("n_chars").alias("n_chars"),
+            ).alias("meta"),
+        )
+    )
+    schema = (
+        "id long, text string,"
+        " meta struct<lang: string, source: string, n_chars: long>"
+    )
+    parsed = docs.select("doc_id", "text", line.alias("line")).select(
+        "doc_id", "text", F.from_json("line", schema).alias("rec")
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("rec.id").alias("id"),
+        F.col("rec.meta.lang").alias("lang"),
+        F.col("rec.meta.source").alias("source"),
+        F.col("rec.meta.n_chars").alias("n_chars"),
+        F.size(F.split("rec.text", " ")).cast("long").alias("n_tokens"),
+        (F.col("rec.text") == F.col("text")).alias("roundtrip_ok"),
+    )
