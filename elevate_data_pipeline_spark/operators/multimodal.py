@@ -4612,6 +4612,7 @@ MP3_SYN2D = tuple(
 # 10x40 = 576 lines (single swap point, same contract as the entropy
 # tables).
 MP3_SFB = (16,) * 11 + (40,) * 10
+_MP3_SFB_START = tuple(sum(MP3_SFB[:b]) for b in range(21))
 _MP3_SFB_OF_LINE = tuple(
     next(
         b for b in range(21)
@@ -4905,12 +4906,21 @@ def encode_mp3(
     same way the pow-4/3 requantization table is; the MS STRUCTURE
     (mode/mode_extension bits, shared side info layout, per-line
     dematrix before the hybrid filterbank) is the spec's. Intensity
-    stereo (mode_extension bit 0) is never emitted and gates loudly
-    on decode."""
-    modes = {"mono": 0b11, "stereo": 0b00, "dual": 0b10, "ms": 0b01}
+    stereo "is" (mode 01, mode_extension 01) carries the combined
+    signal in ch0 and reinterprets ch1's scalefactors ABOVE its
+    zero boundary as intensity positions 0..6 (7 = intensity off for
+    the band) — the spec's tan(is_pos*pi/12) ratio is irrational and
+    rides the repo's rational swap-in grid l = x*pos//6,
+    r = x*(6-pos)//6 (same contract as the pow-4/3 and 1/sqrt(2)
+    swap-ins); combined MS+intensity (mode_extension 11) is never
+    emitted and gates loudly on decode."""
+    modes = {
+        "mono": 0b11, "stereo": 0b00, "dual": 0b10, "ms": 0b01,
+        "is": 0b01,
+    }
     if mode not in modes:
         raise ValueError(
-            f"unsupported MP3 mode {mode!r} (mono/stereo/dual/ms)"
+            f"unsupported MP3 mode {mode!r} (mono/stereo/dual/ms/is)"
         )
     nch = 1 if mode == "mono" else 2
     if len(granules) % 2:
@@ -5024,9 +5034,11 @@ def encode_mp3(
         bw.bits(0, 1)  # padding
         bw.bits(0, 1)  # private
         bw.bits(modes[mode], 2)
-        # mode extension: 10 = ms_stereo on / intensity off for joint
-        # stereo, 00 (no matrixing) otherwise
-        bw.bits(0b10 if mode == "ms" else 0, 2)
+        # mode extension: 10 = ms_stereo on / intensity off,
+        # 01 = intensity on / ms off, 00 (no matrixing) otherwise
+        bw.bits(
+            0b10 if mode == "ms" else (0b01 if mode == "is" else 0), 2
+        )
         bw.bits(0, 1)  # copyright
         bw.bits(0, 1)  # original
         bw.bits(0, 2)  # emphasis
@@ -5220,9 +5232,10 @@ def decode_mp3(payload: bytes) -> AudioData:
         mode_ext = hdr.bits(2)
         hdr.bits(4)  # copyright / original / emphasis
         ms_stereo = chmode == 0b01 and bool(mode_ext & 0b10)
-        if chmode == 0b01 and mode_ext & 0b01:
+        is_stereo = chmode == 0b01 and bool(mode_ext & 0b01)
+        if ms_stereo and is_stereo:
             raise NotImplementedError(
-                "MP3 intensity stereo (position-based, empirical)"
+                "combined MS+intensity stereo (mode_extension 11)"
             )
         if br_idx in (0, 15) or sr_idx > 2:
             raise ValueError("bad MP3 bitrate/samplerate index")
@@ -5315,7 +5328,10 @@ def decode_mp3(payload: bytes) -> AudioData:
         reservoir = (reservoir + slot)[-511:]
         g0_sfac_ch: list = [[] for _ in range(nch)]
         frame_pcm: list = [[] for _ in range(nch)]
-        slots: list = []  # (xr stored-order, block_type) per granule slot
+        # (xr stored-order, block_type, transmitted-line bound, long
+        # scalefactors) per granule slot — the bound and scalefactors
+        # drive the intensity band walk
+        slots: list = []
         for fi, (part23, big_values, gain_e, sf_compress, sf_scale,
                  bt, sbg) in enumerate(gr_fields):
             gi, ch = fi // nch, fi % nch
@@ -5376,7 +5392,7 @@ def decode_mp3(payload: bytes) -> AudioData:
             if used > part23:
                 raise ValueError("MP3 main data overruns part2_3_length")
             md.bits(part23 - used)  # stuffing up to the declared length
-            slots.append((xr, bt))
+            slots.append((xr, bt, line, sfac))
         half = 1 << (MP3_SHIFT - 1)
         for gi in range(2):
             chx = [slots[gi * nch + c] for c in range(nch)]
@@ -5384,16 +5400,52 @@ def decode_mp3(payload: bytes) -> AudioData:
                 # M/S dematrix per spectral line BEFORE the hybrid
                 # filterbank (11172-3 2.4.3.4.9.1; the 1/sqrt(2)
                 # normalization rides the repo gain grid)
-                (xm, btm), (xs, bts_) = chx
+                (xm, btm, _zm, _sm), (xs, bts_, _zs, _ss) = chx
                 if btm != bts_:
                     raise ValueError(
                         "MS stereo needs equal block_type across channels"
                     )
                 chx = [
-                    ([a + b for a, b in zip(xm, xs)], btm),
-                    ([a - b for a, b in zip(xm, xs)], btm),
+                    ([a + b for a, b in zip(xm, xs)], btm, 0, []),
+                    ([a - b for a, b in zip(xm, xs)], btm, 0, []),
                 ]
-            for ch, (xr, bt) in enumerate(chx):
+            elif is_stereo:
+                # Intensity stereo (11172-3 2.4.3.4.9.2): in every
+                # scalefactor band at/above the RIGHT channel's zero
+                # boundary (its transmitted-line count rounded up to a
+                # band start), the left channel carries the combined
+                # signal and the right channel's SCALEFACTOR is the
+                # intensity position is_pos: 0..6 pan the band by the
+                # repo's rational swap-in grid l = x*pos//6,
+                # r = x*(6-pos)//6 (the spec's tan(is_pos*pi/12)
+                # ratio is irrational — same swap-in contract as
+                # pow-4/3); 7 is the spec's "intensity off" position
+                # and leaves the band untouched. Bands below the
+                # boundary decode independently.
+                (xl, btl, _zl, _sl), (xrr, btr, rzero, sfr) = chx
+                if btl == 2 or btr == 2:
+                    raise NotImplementedError(
+                        "intensity stereo with short blocks"
+                    )
+                l_out, r_out = list(xl), list(xrr)
+                bound = next(
+                    (b for b in range(21) if _MP3_SFB_START[b] >= rzero),
+                    21,
+                )
+                for b in range(bound, 21):
+                    pos_ = sfr[b]
+                    if pos_ == 7:  # intensity off for this band
+                        continue
+                    for i in range(
+                        _MP3_SFB_START[b], _MP3_SFB_START[b] + MP3_SFB[b]
+                    ):
+                        v = l_out[i]
+                        sgn = -1 if v < 0 else 1
+                        mag = abs(v)
+                        l_out[i] = sgn * (mag * pos_ // 6)
+                        r_out[i] = sgn * (mag * (6 - pos_) // 6)
+                chx = [(l_out, btl, 0, []), (r_out, btr, 0, [])]
+            for ch, (xr, bt, _zb, _sf) in enumerate(chx):
                 if bt == 2:
                     # reorder: scalefactor-band-major storage -> subband
                     # order for the per-subband 12-point IMDCTs

@@ -8394,3 +8394,178 @@ def text_jsonl_roundtrip(spark, sf_dir):
         F.size(F.split("rec.text", " ")).cast("long").alias("n_tokens"),
         (F.col("rec.text") == F.col("text")).alias("roundtrip_ok"),
     )
+
+
+def _sql_mp3_intensity() -> str:
+    """Oracle for multimodal_mp3_intensity: decode is linear in the
+    transmitted lines; intensity panning applies the rational swap-in
+    grid l = sign*(|x|*pos//6), r = sign*(|x|*(6-pos)//6) per band
+    (pos 7 = off: left untouched, right stays zero) BEFORE the
+    filterbank, so each output channel is a tap superposition of the
+    panned line values, stated in closed form."""
+    taps = multimodal.mp3_line_taps(n_granules=2, lines=(0, 1, 18, 19))
+    t = {
+        k: "[" + ",".join(str(v) for v in taps[k]) + "]"
+        for k in ((0, 0), (0, 18), (1, 1), (1, 19))
+    }
+    p43 = "[" + ",".join(str(v) for v in multimodal.MP3_POW43) + "]"
+    half = 1 << (multimodal.MP3_SHIFT - 1)
+    pow2 = 1 << multimodal.MP3_SHIFT
+
+    def is_l(x: str, p: str) -> str:
+        return (
+            f"CASE WHEN {p} = 7 THEN {x} ELSE "
+            f"(CASE WHEN {x} < 0 THEN -1 ELSE 1 END)"
+            f" * ((abs({x}) * {p}) // 6) END"
+        )
+
+    def is_r(x: str, p: str) -> str:
+        return (
+            f"CASE WHEN {p} = 7 THEN CAST(0 AS BIGINT) ELSE "
+            f"(CASE WHEN {x} < 0 THEN -1 ELSE 1 END)"
+            f" * ((abs({x}) * (6 - {p})) // 6) END"
+        )
+
+    acc_l = (
+        f"xa * ({t[(0, 0)]})[s + 1]"
+        f" + ({is_l('x18', 'p0')}) * ({t[(0, 18)]})[s + 1]"
+        f" + xc * ({t[(1, 1)]})[s + 1]"
+        f" + ({is_l('x19', 'p1')}) * ({t[(1, 19)]})[s + 1]"
+    )
+    acc_r = (
+        f"xb0 * ({t[(0, 0)]})[s + 1]"
+        f" + ({is_r('x18', 'p0')}) * ({t[(0, 18)]})[s + 1]"
+        f" + xb1 * ({t[(1, 1)]})[s + 1]"
+        f" + ({is_r('x19', 'p1')}) * ({t[(1, 19)]})[s + 1]"
+    )
+    return f"""
+    WITH cfg AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 14 AS INT) AS va,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS sa,
+             CAST(1 + (doc_id * 7) % 15 AS INT) AS vb,
+             CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END AS sb,
+             CAST(1 + (doc_id * 3) % 15 AS INT) AS vc,
+             CASE WHEN doc_id % 5 = 0 THEN -1 ELSE 1 END AS sc,
+             CAST(1 + (doc_id * 5) % 13 AS INT) AS vd,
+             CASE WHEN doc_id % 7 = 0 THEN -1 ELSE 1 END AS sd,
+             CAST(1 + (doc_id * 11) % 15 AS INT) AS ve,
+             CASE WHEN doc_id % 4 = 0 THEN -1 ELSE 1 END AS se,
+             CAST(1 + (doc_id * 13) % 15 AS INT) AS vf,
+             CASE WHEN doc_id % 6 = 0 THEN -1 ELSE 1 END AS sfg,
+             CAST(1 + doc_id % 7 AS INT) AS em0,
+             CAST(1 + (doc_id * 3) % 7 AS INT) AS er0,
+             CAST(1 + (doc_id * 5) % 7 AS INT) AS em1,
+             CAST(1 + (doc_id * 9) % 7 AS INT) AS er1,
+             CAST(doc_id % 8 AS INT) AS p0,
+             CAST((doc_id * 3) % 8 AS INT) AS p1
+      FROM documents
+    ), xr AS (
+      SELECT doc_id, p0, p1,
+             sa * ({p43})[va + 1] * (CAST(1 AS BIGINT) << em0) AS xa,
+             sb * ({p43})[vb + 1] * (CAST(1 AS BIGINT) << em0) AS x18,
+             sc * ({p43})[vc + 1] * (CAST(1 AS BIGINT) << em1) AS xc,
+             sd * ({p43})[vd + 1] * (CAST(1 AS BIGINT) << em1) AS x19,
+             se * ({p43})[ve + 1] * (CAST(1 AS BIGINT) << er0) AS xb0,
+             sfg * ({p43})[vf + 1] * (CAST(1 AS BIGINT) << er1) AS xb1
+      FROM cfg
+    ), pcm AS (
+      SELECT doc_id,
+             greatest(-32768, least(32767, CAST(floor(
+               ({acc_l} + {half}) / {pow2}.0) AS BIGINT))) AS pl,
+             greatest(-32768, least(32767, CAST(floor(
+               ({acc_r} + {half}) / {pow2}.0) AS BIGINT))) AS pr
+      FROM xr, (SELECT unnest(range(0, 1152)) AS s)
+    )
+    SELECT doc_id AS doc_id,
+           CAST(2304 AS BIGINT) AS n_samples,
+           CAST(2 AS INT) AS channels,
+           CAST(max(abs(pl)) AS BIGINT) AS peak_l,
+           CAST(sum(pl * pl) AS BIGINT) AS energy_l,
+           CAST(max(abs(pr)) AS BIGINT) AS peak_r,
+           CAST(sum(pr * pr) AS BIGINT) AS energy_r
+    FROM pcm GROUP BY doc_id
+    """
+
+
+@query("multimodal_mp3_intensity", _sql_mp3_intensity())
+def multimodal_mp3_intensity(spark, sf_dir):
+    """REAL INTENSITY joint-stereo MPEG-audio decode (mode 01,
+    mode_extension 01 — the remaining joint-stereo mode after round
+    9/10's MS): per doc one frame whose right channel transmits only
+    its low band and whose scalefactors ABOVE that zero boundary are
+    intensity POSITIONS (11172-3 2.4.3.4.9.2): position 0..6 pans the
+    left channel's combined signal by the repo's rational swap-in grid
+    l = x*pos//6, r = x*(6-pos)//6 (the spec's tan(is_pos*pi/12)
+    ratio is irrational — same swap-in contract as the pow-4/3 and
+    1/sqrt(2) grids), position 7 is the spec's intensity-off escape
+    (exercised: every 8th doc). Band-boundary rounding, the per-band
+    position walk, and the below-boundary independent decode are the
+    spec's structure. The oracle superposes the panned line values
+    through the same filterbank taps in closed form. mapInPandas
+    Arrow batches, no shuffle."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                va = 1 + did % 14
+                sa = 1 if did % 2 == 0 else -1
+                vb = 1 + (did * 7) % 15
+                sb = -1 if did % 3 == 0 else 1
+                vc = 1 + (did * 3) % 15
+                sc = -1 if did % 5 == 0 else 1
+                vd = 1 + (did * 5) % 13
+                sd = -1 if did % 7 == 0 else 1
+                ve = 1 + (did * 11) % 15
+                se = -1 if did % 4 == 0 else 1
+                vf = 1 + (did * 13) % 15
+                sfg = -1 if did % 6 == 0 else 1
+                p0, p1 = did % 8, (did * 3) % 8
+                g0l = {
+                    "big": [sa * va] + [0] * 17 + [sb * vb, 0],
+                    "gain_e": 1 + did % 7,
+                }
+                g0r = {
+                    "big": [se * ve, 0], "gain_e": 1 + (did * 3) % 7,
+                    "scalefac": [0, p0] + [0] * 19,
+                    "scalefac_compress": 13,
+                }
+                g1l = {
+                    "big": [0, sc * vc] + [0] * 17 + [sd * vd],
+                    "gain_e": 1 + (did * 5) % 7,
+                }
+                g1r = {
+                    "big": [0, sfg * vf], "gain_e": 1 + (did * 9) % 7,
+                    "scalefac": [0, p1] + [0] * 19,
+                    "scalefac_compress": 13,
+                }
+                buf = multimodal.encode_mp3(
+                    [(g0l, g0r), (g1l, g1r)], mode="is"
+                )
+                out = multimodal.decode_mp3(buf)
+                lch = out.samples[0::2]
+                rch = out.samples[1::2]
+                rows.append((
+                    did, len(out.samples), out.channels,
+                    max(abs(v) for v in lch),
+                    sum(v * v for v in lch),
+                    max(abs(v) for v in rch),
+                    sum(v * v for v in rch),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "channels", "peak_l",
+                         "energy_l", "peak_r", "energy_r"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_samples long, channels int, peak_l long,"
+        " energy_l long, peak_r long, energy_r long",
+    )

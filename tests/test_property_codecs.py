@@ -599,8 +599,8 @@ def test_mp3_ms_stereo_gates():
     enc = mm.encode_mp3(pairs, bitrate=64, mode="ms")
     assert mm.decode_mp3(enc).channels == 2
     bad = bytearray(enc)
-    bad[3] = (bad[3] & 0xCF) | 0x10        # mode_extension 01: intensity
-    with pytest.raises(NotImplementedError, match="intensity"):
+    bad[3] = (bad[3] & 0xCF) | 0x30        # mode_extension 11: MS+intensity
+    with pytest.raises(NotImplementedError, match="MS\\+intensity"):
         mm.decode_mp3(bytes(bad))
     # mode_extension 00 under mode 01 = joint stereo with no matrixing:
     # decodes as plain independent stereo
@@ -815,3 +815,67 @@ def test_ogg_gates_fail_loud():
     first_len = 27 + span[26] + sum(span[27 : 27 + span[26]])
     with pytest.raises(ValueError, match="dangling"):
         decode_ogg(span[:first_len])
+
+
+@given(
+    v=st.integers(min_value=1, max_value=15),
+    sgn=st.sampled_from([1, -1]),
+    e=st.integers(min_value=0, max_value=7),
+    pos=st.integers(min_value=0, max_value=7),
+)
+@settings(max_examples=40, deadline=None)
+def test_mp3_intensity_grid_property(v, sgn, e, pos):
+    """Intensity panning on the rational grid: the decoded (L, R) of a
+    single above-boundary line must equal the tap superposition of
+    l = sign*(|x|*pos//6), r = sign*(|x|*(6-pos)//6) — with pos 7 the
+    spec's off escape (left untouched, right zero). Endpoints pin the
+    grid: pos 0 sends everything right, pos 6 everything left."""
+    gl = {"big": [0] * 18 + [sgn * v, 0], "gain_e": e}
+    gr = {"big": [], "gain_e": 0, "scalefac": [0, pos] + [0] * 19,
+          "scalefac_compress": 13}
+    zero = ({"big": [], "gain_e": 0}, {"big": [], "gain_e": 0})
+    au = mm.decode_mp3(mm.encode_mp3([(gl, gr), zero], mode="is"))
+    taps = mm.mp3_line_taps(n_granules=2, lines=(18,))[(0, 18)]
+    x = (mm.MP3_POW43[v] << e) * sgn
+    if pos == 7:
+        lx, rx = x, 0
+    else:
+        lx = sgn * (abs(x) * pos // 6)
+        rx = sgn * (abs(x) * (6 - pos) // 6)
+    half = 1 << (mm.MP3_SHIFT - 1)
+    exp_l = [max(-32768, min(32767, (lx * t + half) >> mm.MP3_SHIFT))
+             for t in taps]
+    exp_r = [max(-32768, min(32767, (rx * t + half) >> mm.MP3_SHIFT))
+             for t in taps]
+    assert au.samples[0::2] == exp_l
+    assert au.samples[1::2] == exp_r
+
+
+def test_mp3_intensity_gates_and_boundary():
+    import pytest
+
+    # below-boundary bands decode independently: right's own line 0
+    # carries through untouched while band 1+ pans
+    gl = {"big": [3] + [0] * 17 + [5, 0], "gain_e": 2}
+    gr = {"big": [2, 0], "gain_e": 2, "scalefac": [0, 3] + [0] * 19,
+          "scalefac_compress": 13}
+    zero = ({"big": [], "gain_e": 0}, {"big": [], "gain_e": 0})
+    au = mm.decode_mp3(mm.encode_mp3([(gl, gr), zero], mode="is"))
+    taps = mm.mp3_line_taps(n_granules=2, lines=(0, 18))
+    x0l, x0r = mm.MP3_POW43[3] << 2, mm.MP3_POW43[2] << 2
+    x18 = mm.MP3_POW43[5] << 2
+    half = 1 << (mm.MP3_SHIFT - 1)
+    exp_r = [
+        max(-32768, min(32767,
+            (x0r * taps[(0, 0)][s] + (x18 * 3 // 6) * taps[(0, 18)][s]
+             + half) >> mm.MP3_SHIFT))
+        for s in range(2304 // 2)
+    ]
+    assert au.samples[1::2] == exp_r
+    # intensity with short blocks gates loudly
+    short = {"big": [0] * 24 + [3, 1], "gain_e": 2, "block_type": 2,
+             "scalefac_short": [[0] * 12] * 3, "subblock_gain": [0, 0, 0]}
+    with pytest.raises(NotImplementedError, match="short blocks"):
+        mm.decode_mp3(mm.encode_mp3(
+            [(short, short), zero], mode="is"
+        ))
