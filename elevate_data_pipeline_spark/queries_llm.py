@@ -8569,3 +8569,110 @@ def multimodal_mp3_intensity(spark, sf_dir):
         "doc_id long, n_samples long, channels int, peak_l long,"
         " energy_l long, peak_r long, energy_r long",
     )
+
+
+@query(
+    "crawl_frontier_pipeline",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             'http://h' || CAST(doc_id % 37 AS VARCHAR)
+               || '.site' || CAST(doc_id % 11 AS VARCHAR)
+               || '.co.uk/p/' || CAST(doc_id % 100 AS VARCHAR)
+               || '?a=1&b=2' AS url,
+             'site' || CAST(doc_id % 11 AS VARCHAR) || '.co.uk' AS domain,
+             NOT starts_with(CAST(doc_id % 100 AS VARCHAR),
+                             CAST(doc_id % 10 AS VARCHAR)) AS allowed,
+             CAST((doc_id % 37) % 5 AS DOUBLE) AS delay,
+             (doc_id * 13) % 100
+               + CASE WHEN doc_id % 6 = 0 THEN 50 ELSE 0 END AS score
+      FROM documents)
+    SELECT doc_id AS doc_id, url AS url, domain AS domain,
+           delay AS crawl_delay,
+           CASE WHEN delay > 0
+                THEN CAST(floor(86400.0 / delay) AS BIGINT)
+                END AS daily_budget,
+           CAST(score AS BIGINT) AS score, rank AS rank
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY domain ORDER BY score DESC, doc_id) AS INT)
+             AS rank
+      FROM f WHERE allowed)
+    WHERE rank <= 5
+    """,
+)
+def crawl_frontier_pipeline(spark, sf_dir):
+    """FRONTIER FLAGSHIP: the fetch-scheduling half of a crawler,
+    composing this round's pieces end-to-end the way
+    crawl_ingest_pipeline composes the content half — raw URL ->
+    RFC 3986 canonicalization (uppercase scheme/host, default port,
+    fragment, unsorted query all normalized away) -> registrable-domain
+    extraction (publicsuffix algorithm, multi-label co.uk suffix) ->
+    robots.txt gate (longest-prefix Disallow evaluated per URL) ->
+    Crawl-delay politeness budget -> staleness priority -> per-DOMAIN
+    top-5 cap (eTLD+1, not host — the FineWeb capping key). Every
+    stage calls the REAL parser/evaluator (canonical_url,
+    registrable_domain, robots_allowed, crawl_delay); the oracle
+    replays the decisions in closed form. Scale shape: the whole gate
+    chain is ONE map-side mapInPandas pass (a per-URL policy gate
+    broadcast/joined by host at 100 TB), and the only shuffle is the
+    domain-cap rank over bounded per-domain partitions — the same plan
+    a production frontier builder needs."""
+    from collections.abc import Iterator
+
+    from pyspark.sql.window import Window
+
+    from .functions.crawl import (
+        canonical_url,
+        crawl_delay,
+        registrable_domain,
+        robots_allowed,
+    )
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                raw = (
+                    f"HTTP://H{did % 37}.Site{did % 11}.CO.UK:80"
+                    f"/p/{did % 100}?b=2&a=1#frag"
+                )
+                c = canonical_url(raw)
+                domain = registrable_domain(c["host"])
+                robots = (
+                    "User-agent: *\n"
+                    f"Disallow: /p/{did % 10}\n"
+                    f"Crawl-delay: {(did % 37) % 5}\n"
+                )
+                allowed, _, _ = robots_allowed(robots, "spark-graft", c["path"])
+                delay = crawl_delay(robots, "spark-graft")
+                budget = (
+                    int(86400.0 // delay)
+                    if delay is not None and delay > 0 else None
+                )
+                score = (did * 13) % 100 + (50 if did % 6 == 0 else 0)
+                rows.append(
+                    (did, c["url"], domain, allowed, delay, budget, score)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "url", "domain", "allowed",
+                         "crawl_delay", "daily_budget", "score"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    gated = docs.mapInPandas(
+        run,
+        "doc_id long, url string, domain string, allowed boolean,"
+        " crawl_delay double, daily_budget long, score long",
+    ).where("allowed")
+    w = Window.partitionBy("domain").orderBy(F.desc("score"), "doc_id")
+    return (
+        gated.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select("doc_id", "url", "domain", "crawl_delay", "daily_budget",
+                "score", "rank")
+    )
