@@ -114,6 +114,7 @@ WAIVERS: dict[str, str] = {
     "customer_abc_pareto": f"{_PID} + {_SCALAR}; revenue-cumsum offsets + grand-total scalar",
     "customer_balance_deciles": f"{_PID} + {_SCALAR}; count offsets + total-count scalar for decile cuts",
     "events_value_buckets": f"{_PID} + {_SCALAR}; count offsets + total-count scalar for bucket cuts",
+    "text_perplexity_filter": f"{_PID} + {_SCALAR}; count offsets + total-count scalar for the head/middle/tail tercile cuts (exact_ntile)",
 }
 
 # The 9 driver-local fast tiers (docs/LOCAL_TIERS.md). At audit scale
