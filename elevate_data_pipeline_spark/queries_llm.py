@@ -8676,3 +8676,73 @@ def crawl_frontier_pipeline(spark, sf_dir):
         .select("doc_id", "url", "domain", "crawl_delay", "daily_budget",
                 "score", "rank")
     )
+
+
+@query(
+    "text_langid_eval",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {_sql_langid()} AS pred FROM documents),
+    t AS (SELECT lang, count(*) AS n_true FROM scored GROUP BY lang),
+    p AS (SELECT pred, count(*) AS n_pred FROM scored GROUP BY pred),
+    c AS (SELECT lang, count(*) AS n_correct FROM scored
+          WHERE lang = pred GROUP BY lang)
+    SELECT t.lang AS lang,
+           CAST(t.n_true AS BIGINT) AS n_true,
+           CAST(coalesce(p.n_pred, 0) AS BIGINT) AS n_pred,
+           CAST(coalesce(c.n_correct, 0) AS BIGINT) AS n_correct,
+           CASE WHEN coalesce(p.n_pred, 0) = 0 THEN 0.0
+                ELSE CAST(coalesce(c.n_correct, 0) AS DOUBLE)
+                     / CAST(p.n_pred AS DOUBLE) END AS precision,
+           CAST(coalesce(c.n_correct, 0) AS DOUBLE)
+             / CAST(t.n_true AS DOUBLE) AS recall,
+           CASE WHEN coalesce(c.n_correct, 0) = 0 THEN 0.0
+                ELSE 2.0 * CAST(c.n_correct AS DOUBLE)
+                     / CAST(p.n_pred + t.n_true AS DOUBLE) END AS f1
+    FROM t LEFT JOIN p ON p.pred = t.lang
+           LEFT JOIN c ON c.lang = t.lang
+    """,
+)
+def text_langid_eval(spark, sf_dir):
+    """Classifier evaluation harness for the language-ID model:
+    per-language precision / recall / F1 of the stopword-marker
+    predictor against the corpus's true labels — the eval loop every
+    langid-gated pipeline needs before trusting the gate. F1 computed
+    as 2*TP/(pred+true) (algebraically 2PR/(P+R), but one division
+    of exact integers instead of a float chain, so both engines are
+    bit-identical). Three label-keyed aggregations over one scan; the
+    per-language frame is vocabulary-sized, broadcast-joined — at
+    100 TB this is two map-side-combined shuffles and a tiny join."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    scored = docs.select("lang", lang_id("text").alias("pred"))
+    t = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("n_true"))
+    p = scored.groupBy("pred").agg(F.count(F.lit(1)).alias("n_pred"))
+    c = (
+        scored.where(F.col("lang") == F.col("pred"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_correct"))
+    )
+    j = (
+        t.join(F.broadcast(p.withColumnRenamed("pred", "lang")), "lang", "left")
+        .join(F.broadcast(c), "lang", "left")
+        .select(
+            "lang",
+            F.col("n_true").cast("long").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("n_correct", F.lit(0)).cast("long").alias("n_correct"),
+        )
+    )
+    precision = F.when(F.col("n_pred") == 0, F.lit(0.0)).otherwise(
+        F.col("n_correct").cast("double") / F.col("n_pred").cast("double")
+    )
+    f1 = F.when(F.col("n_correct") == 0, F.lit(0.0)).otherwise(
+        F.lit(2.0) * F.col("n_correct")
+        / (F.col("n_pred") + F.col("n_true")).cast("double")
+    )
+    return j.select(
+        "lang", "n_true", "n_pred", "n_correct",
+        precision.alias("precision"),
+        (F.col("n_correct").cast("double") / F.col("n_true").cast("double"))
+        .alias("recall"),
+        f1.alias("f1"),
+    )
