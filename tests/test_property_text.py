@@ -203,3 +203,29 @@ def test_systematic_sample_partitions_ticks(spark, weights, n_ticks):
     for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
         assert a1 <= b0  # tick ranges are disjoint
     assert ranges[0][0] >= 0 and ranges[-1][1] == n_ticks
+
+
+def test_wordpiece_munch_greedy_invariants():
+    """Maximal munch: always segments (alphabet coverage), token count
+    bounded by [ceil(len/max_tok), len], and the first token is the
+    LONGEST vocab prefix — plus exact counts on a worked example."""
+    from elevate_data_pipeline_spark.operators.tokenizer import _wp_munch
+
+    vocab = {"a", "b", "c", "ab", "abc", "bc"}
+    # greedy takes "abc" (not "ab"+"c"): 1 token; then greedy again
+    assert _wp_munch("abc", vocab, 3) == 1
+    assert _wp_munch("abcabc", vocab, 3) == 2
+    # "abab": "ab" + "ab" = 2 (greedy never needs backtracking here)
+    assert _wp_munch("abab", vocab, 3) == 2
+    # greedy can be suboptimal vs DP — that IS WordPiece's defined
+    # behavior: "abcc" -> "abc"+"c" = 2, same as optimal
+    assert _wp_munch("abcc", vocab, 3) == 2
+    import itertools
+    import math
+
+    for n in (1, 2, 5, 8):
+        for word in itertools.islice(
+            ("".join(t) for t in itertools.product("abc", repeat=n)), 40
+        ):
+            k = _wp_munch(word, vocab, 3)
+            assert math.ceil(n / 3) <= k <= n
