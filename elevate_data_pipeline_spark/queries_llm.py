@@ -8746,3 +8746,116 @@ def text_langid_eval(spark, sf_dir):
         .alias("recall"),
         f1.alias("f1"),
     )
+
+
+@query(
+    "corpus_curation_report",
+    f"""
+    WITH q AS (
+      SELECT doc_id, source, {_sql_quality()} AS quality,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+      FROM documents),
+    g AS (
+      SELECT doc_id, keep AS g_keep FROM (
+        WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS ws,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+                 CAST(len(text) AS BIGINT) AS nc
+          FROM documents),
+        lined AS (
+          SELECT *, (nw + {_LINE_WORDS - 1}) // {_LINE_WORDS} AS nl
+          FROM base),
+        stats AS (
+          SELECT doc_id, nw, nl,
+                 (CAST(nc AS DOUBLE) - (CAST(nw AS DOUBLE) - 1.0))
+                   / CAST(nw AS DOUBLE) AS mean_wl,
+                 CAST(len([i for i in range(1, nl + 1)
+                           if (doc_id + i) % 9 = 0]) AS BIGINT) AS bl,
+                 CAST(len([i for i in range(1, nl + 1)
+                           if (doc_id + i) % 7 = 3]) AS BIGINT) AS el,
+                 CAST(len(list_filter(ws,
+                          w -> regexp_matches(w, '[A-Za-z]')))
+                   AS BIGINT) AS aw,
+                 CAST({_sql_gopher_stops()} AS BIGINT) AS ns
+          FROM lined)
+        SELECT doc_id,
+               nw >= 50 AND nw <= 100000
+               AND mean_wl >= 3.0 AND mean_wl <= 10.0
+               AND CAST(el AS DOUBLE) / CAST(nw AS DOUBLE) < 0.1
+               AND CAST(bl AS DOUBLE) / CAST(nl AS DOUBLE) <= 0.9
+               AND CAST(el AS DOUBLE) / CAST(nl AS DOUBLE) <= 0.3
+               AND CAST(aw AS DOUBLE) / CAST(nw AS DOUBLE) >= 0.8
+               AND ns >= 2 AS keep
+        FROM stats)),
+    c AS (
+      SELECT doc_id, keep AS c_keep FROM (
+        WITH lined AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+                 (CAST(len(string_split(text, ' ')) AS BIGINT)
+                  + {_LINE_WORDS - 1}) // {_LINE_WORDS} AS nl
+          FROM documents)
+        SELECT doc_id,
+               CAST(len([i for i in range(1, nl + 1)
+                         if (doc_id + i) % 3 <> 0
+                            AND (doc_id + i) % 11 <> 5
+                            AND (CASE WHEN i < nl THEN {_LINE_WORDS}
+                                 ELSE nw - {_LINE_WORDS} * (nl - 1)
+                                 END) >= 5]) AS BIGINT) >= 3
+               AND doc_id % 13 <> 7 AND doc_id % 17 <> 9 AS keep
+        FROM lined))
+    SELECT q.source AS source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(q.nw) AS BIGINT) AS n_words,
+           CAST(sum(CAST(q.quality AS DECIMAL(28,6))) AS DOUBLE)
+             / count(*) AS mean_quality,
+           CAST(sum(CASE WHEN g.g_keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS gopher_kept,
+           CAST(sum(CASE WHEN c.c_keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS c4_kept,
+           CAST(sum(CASE WHEN g.g_keep AND c.c_keep THEN 1 ELSE 0 END)
+             AS BIGINT) AS both_kept
+    FROM q JOIN g USING (doc_id) JOIN c USING (doc_id)
+    GROUP BY q.source
+    """,
+)
+def corpus_curation_report(spark, sf_dir):
+    """Per-source curation dashboard: document/word counts, mean
+    heuristic quality (decimal-exact mean), and survival counts under
+    the Gopher rule set, the C4 rule set, and their intersection —
+    the snapshot a data-curation run publishes per ingest source
+    before deciding mixture weights. Composes the round's filter
+    queries by reusing their exact rule expressions; one scan computes
+    all three gates map-side and a single source-keyed aggregation
+    (bounded by the source vocabulary) produces the report. At 100 TB
+    this is the cheapest possible shape: every per-doc signal rides
+    the same codegen pass, one map-side-combined shuffle."""
+    g = text_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("g_keep")
+    )
+    c = text_c4_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("c_keep")
+    )
+    docs = Catalog(spark, sf_dir).table("documents")
+    q = docs.select(
+        "doc_id", "source",
+        quality_score("text").alias("quality"),
+        F.size(F.split("text", " ")).cast("long").alias("nw"),
+    )
+    return (
+        q.join(g, "doc_id")
+        .join(c, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nw").cast("long").alias("n_words"),
+            (
+                F.sum(F.col("quality").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_quality"),
+            F.sum(F.col("g_keep").cast("int")).cast("long").alias("gopher_kept"),
+            F.sum(F.col("c_keep").cast("int")).cast("long").alias("c4_kept"),
+            F.sum((F.col("g_keep") & F.col("c_keep")).cast("int"))
+            .cast("long").alias("both_kept"),
+        )
+    )
