@@ -2815,8 +2815,16 @@ def test_mp3_stereo_independent_channels():
         bytes(enc)).samples
     intens = bytearray(joint)
     intens[3] = (intens[3] & 0xCF) | 0x10  # mode_ext 01: intensity
-    with pytest.raises(NotImplementedError, match="intensity"):
-        mm.decode_mp3(bytes(intens))
+    # the intensity bands start above both channels' content here
+    # (right transmits 20 lines -> boundary at band 2; everything
+    # above is zero), so the intensity decode equals the independent
+    # one — a structural identity, not a gate
+    assert mm.decode_mp3(bytes(intens)).samples == mm.decode_mp3(
+        bytes(enc)).samples
+    both = bytearray(joint)
+    both[3] = (both[3] & 0xCF) | 0x30  # mode_ext 11: MS+intensity
+    with pytest.raises(NotImplementedError, match="MS\\+intensity"):
+        mm.decode_mp3(bytes(both))
     with pytest.raises(ValueError, match="ch0, ch1"):
         mm.encode_mp3([gl, gr], bitrate=128, mode="stereo")
     with pytest.raises(ValueError, match="mode"):
