@@ -461,3 +461,62 @@ def test_kmeans_distributed_init_window_is_k_limited(spark, monkeypatch):
     assert _window_feeds_from(plan, "GlobalLimit 3") or _window_feeds_from(
         plan, "TakeOrderedAndProject(limit=3"
     )
+
+
+def test_gopher_c4_filters_are_map_only(spark):
+    """The published quality-rule filters must stay single-pass
+    map-only plans: no shuffle beyond spread()'s deliberate round-robin
+    parallelizer (a test-scale small-file fix, not query logic), no
+    Python in the plan (all higher-order array expressions inside
+    codegen), no aggregation/join nodes at all."""
+    import re as _re
+
+    for name in ("text_gopher_rules", "text_c4_filter"):
+        plan = _simple_plan(QUERIES[name](spark, SF_DIR))
+        kinds = _re.findall(r"Exchange (\w+)", plan)
+        assert all(k == "RoundRobinPartitioning" for k in kinds), (name, kinds)
+        assert "EvalPython" not in plan, name
+        assert "Join" not in plan and "Aggregate" not in plan, name
+
+
+def test_jsonl_roundtrip_is_map_only_jvm(spark):
+    plan = _simple_plan(QUERIES["text_jsonl_roundtrip"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "from_json" in plan or "FromJson" in plan.replace(" ", "")
+
+
+def test_frontier_pipeline_single_bounded_shuffle(spark):
+    """The frontier flagship's only logic shuffle is the per-domain
+    cap rank (hashpartitioning on domain); the gate chain itself is
+    ONE Arrow map pass (cpu_parallelize's round-robin is the
+    test-scale small-file parallelizer, not query logic)."""
+    plan = _simple_plan(QUERIES["crawl_frontier_pipeline"](spark, SF_DIR))
+    import re as _re
+
+    exchanges = _re.findall(r"Exchange (\w+)", plan)
+    logic = [k for k in exchanges if k != "RoundRobinPartitioning"]
+    assert logic == ["hashpartitioning"], exchanges
+    assert "SinglePartition" not in plan
+    assert plan.count("MapInPandas") == 1
+
+
+def test_perplexity_filter_single_partition_exchanges_bounded(spark):
+    """exact_ntile keeps the tercile banding scale-safe: every
+    SinglePartition exchange in the plan must feed from a structurally
+    bounded child — a pid-keyed aggregate (one row per partition id)
+    or a global-scalar aggregate (one row per task) — never the corpus
+    frame. Mirrors scripts/plan_audit.py's classification."""
+    plan = _simple_plan(QUERIES["text_perplexity_filter"](spark, SF_DIR))
+    lines = plan.splitlines()
+    n_sp = 0
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        n_sp += 1
+        child = lines[i + 1]
+        assert (
+            "Aggregate(keys=[_pid" in child or "Aggregate(keys=[]" in child
+        ), child
+    assert n_sp >= 1  # the offsets/total feeders are expected
+    assert "CartesianProduct" not in plan
