@@ -8859,3 +8859,121 @@ def corpus_curation_report(spark, sf_dir):
             .cast("long").alias("both_kept"),
         )
     )
+
+
+@query(
+    "warc_metadata_fields",
+    """
+    SELECT doc_id AS doc_id,
+           'http://crawl.test/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+           'http://seed.test/' || CAST(doc_id % 7 AS VARCHAR) AS via,
+           CASE doc_id % 4 WHEN 0 THEN 'L' WHEN 1 THEN 'LL'
+                           WHEN 2 THEN 'LE' ELSE 'LLL' END AS hops,
+           CAST(50 + (doc_id * 17) % 400 AS BIGINT) AS fetch_ms,
+           CAST(doc_id % 3 AS INT) AS n_outlinks
+    FROM documents
+    """,
+)
+def warc_metadata_fields(spark, sf_dir):
+    """WARC ``metadata`` record semantics — the crawler-side
+    provenance CommonCrawl stores beside every fetch: per doc a
+    ``response`` record plus a ``metadata`` record whose
+    ``application/warc-fields`` payload (ISO 28500 §6, parsed by
+    ``sources/warc.parse_warc_fields`` incl. continuation folding —
+    every third doc's last outlink folds across lines) carries via /
+    hopsFromSeed / fetchTimeMs / outlink fields; the metadata record's
+    ``WARC-Concurrent-To`` names its response, and the two sides JOIN
+    back on record-id — the same record-id shuffle join revisit
+    resolution uses, run over REAL decoded records. At 100 TB:
+    per-file record explode, one record-id-keyed join (AQE broadcasts
+    the metadata side when small)."""
+    from collections.abc import Iterator
+
+    from .sources.warc import decode_warc, encode_warc, parse_warc_fields
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                uri = f"http://crawl.test/doc/{did}"
+                hops = ("L", "LL", "LE", "LLL")[did % 4]
+                fields = [
+                    f"via: http://seed.test/{did % 7}",
+                    f"hopsFromSeed: {hops}",
+                    f"fetchTimeMs: {50 + (did * 17) % 400}",
+                ]
+                n_out = did % 3
+                for k in range(n_out):
+                    if k == n_out - 1 and did % 3 == 2:
+                        # exercise continuation folding on the last one
+                        fields.append(f"outlink: http://out{k}.test")
+                        fields.append(f"\t/{did}")
+                    else:
+                        fields.append(f"outlink: http://out{k}.test/{did}")
+                recs = [
+                    {
+                        "rec_type": "response",
+                        "record_id": f"<urn:uuid:{did * 2:032x}>",
+                        "date": "2026-01-01T00:00:00Z",
+                        "uri": uri,
+                        "payload": b"HTTP/1.1 200 OK\r\n"
+                        b"Content-Length: 2\r\n\r\nok",
+                    },
+                    {
+                        "rec_type": "metadata",
+                        "record_id": f"<urn:uuid:{did * 2 + 1:032x}>",
+                        "date": "2026-01-01T00:00:00Z",
+                        "uri": uri,
+                        "headers": {
+                            "WARC-Concurrent-To": f"<urn:uuid:{did * 2:032x}>",
+                            "Content-Type": "application/warc-fields",
+                        },
+                        "payload": "\r\n".join(fields).encode() + b"\r\n",
+                    },
+                ]
+                for rec in decode_warc(encode_warc(recs)):
+                    if rec["rec_type"] == "response":
+                        rows.append(
+                            (did, "response", rec["record_id"], None,
+                             rec["uri"], None, None, None, None)
+                        )
+                    else:
+                        fmap: dict = {}
+                        outl = 0
+                        for k, v in parse_warc_fields(rec["payload"]):
+                            if k == "outlink":
+                                outl += 1
+                            else:
+                                fmap[k] = v
+                        rows.append(
+                            (did, "metadata", rec["record_id"],
+                             rec["headers"]["WARC-Concurrent-To"], None,
+                             fmap["via"], fmap["hopsFromSeed"],
+                             int(fmap["fetchTimeMs"]), outl)
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "rec_type", "record_id", "concurrent_to",
+                         "uri", "via", "hops", "fetch_ms", "n_outlinks"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    records = docs.mapInPandas(
+        run,
+        "doc_id long, rec_type string, record_id string,"
+        " concurrent_to string, uri string, via string, hops string,"
+        " fetch_ms long, n_outlinks int",
+    )
+    resp = records.where("rec_type = 'response'").select(
+        F.col("record_id").alias("_rid"), "uri"
+    )
+    meta = records.where("rec_type = 'metadata'").select(
+        "doc_id", F.col("concurrent_to").alias("_rid"),
+        "via", "hops", "fetch_ms", "n_outlinks",
+    )
+    return meta.join(resp, "_rid").select(
+        "doc_id", "uri", "via", "hops", "fetch_ms", "n_outlinks"
+    )

@@ -469,3 +469,38 @@ def parse_http_request(payload: bytes) -> dict:
         "headers": headers,
         "body": body,
     }
+
+
+def parse_warc_fields(payload: bytes) -> list:
+    """Parse an ``application/warc-fields`` payload (ISO 28500 §6 —
+    the format ``warcinfo`` and ``metadata`` records carry): UTF-8
+    ``Name: value`` lines with RFC-style continuation folding (a line
+    starting with SP/HTAB extends the previous value, joined by one
+    space). Returns ordered (name, value) pairs — repeats are REAL in
+    warc-fields (e.g. multiple ``outlink`` lines) so nothing is
+    deduplicated. Fail-loud contract: a non-UTF-8 payload, a line
+    without a colon, or a continuation before any field raises
+    ``ValueError``."""
+    try:
+        text = payload.decode("utf-8")
+    except UnicodeDecodeError as exc:
+        raise ValueError(f"warc-fields payload is not UTF-8: {exc}") from exc
+    fields: list = []
+    for raw in text.split("\r\n"):
+        if raw == "":
+            continue
+        if raw[0] in (" ", "\t"):
+            if not fields:
+                raise ValueError(
+                    "warc-fields continuation before any field"
+                )
+            name, val = fields[-1]
+            fields[-1] = (name, val + " " + raw.strip(" \t"))
+            continue
+        k, sep, v = raw.partition(":")
+        if not sep:
+            raise ValueError(f"bad warc-fields line {raw!r}")
+        fields.append((k.strip(" \t"), v.strip(" \t")))
+    if not fields:
+        raise ValueError("empty warc-fields payload")
+    return fields
