@@ -8977,3 +8977,61 @@ def warc_metadata_fields(spark, sf_dir):
     return meta.join(resp, "_rid").select(
         "doc_id", "uri", "via", "hops", "fetch_ms", "n_outlinks"
     )
+
+
+@query(
+    "dedup_url_variants",
+    """
+    WITH canon AS (
+      SELECT doc_id,
+             'http://h' || CAST(doc_id % 50 AS VARCHAR)
+               || '.test/p/' || CAST(doc_id % 200 AS VARCHAR)
+               || '?a=1&b=2' AS url
+      FROM documents)
+    SELECT url AS url,
+           CAST(count(*) * 3 AS BIGINT) AS n_variants,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc
+    FROM canon GROUP BY url
+    """,
+)
+def dedup_url_variants(spark, sf_dir):
+    """URL-level crawl dedup — the FIRST dedup a crawler runs, before
+    any content is fetched twice: each doc emits THREE surface
+    variants of its URL (uppercase scheme+host with an explicit :80,
+    unsorted query parameters, a fragment) that all canonicalize to
+    one RFC 3986 normal form via the REAL canonical_url; grouping by
+    the canonical string collapses them, keeping the lowest doc id —
+    and distinct docs whose URLs normalize to the same page (doc_id
+    mod collisions here, the www/mirror case in a real crawl) collapse
+    too. Map-side canonicalization + ONE canonical-key aggregation:
+    the exact shape a 100 TB frontier dedups with (the canonical
+    string is the shuffle key; no pairwise comparison anywhere)."""
+    from collections.abc import Iterator
+
+    from .functions.crawl import canonical_url
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                h, p = did % 50, did % 200
+                variants = (
+                    f"http://h{h}.test/p/{p}?a=1&b=2",
+                    f"HTTP://H{h}.Test:80/p/{p}?b=2&a=1",
+                    f"http://h{h}.test:80/p/{p}?a=1&b=2#frag",
+                )
+                for v in variants:
+                    rows.append((did, canonical_url(v)["url"]))
+            yield pd.DataFrame(rows, columns=["doc_id", "url"])
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    urls = docs.mapInPandas(run, "doc_id long, url string")
+    return urls.groupBy("url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_variants"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("keep_doc"),
+    )
