@@ -821,6 +821,14 @@ def _wp_ctes(n_merges: int, rel: str, with_final_state: bool) -> list[str]:
     return parts
 
 
+def _wp_materialize(sql: str) -> str:
+    """Mark every CTE MATERIALIZED: the munch chain references each
+    step's frame once per successor, but DuckDB's default inlining
+    re-derives the whole training prefix per step — 28 s vs 0.09 s at
+    sf0.01 (the unigram oracle's existing convention)."""
+    return sql.replace(" AS (", " AS MATERIALIZED (")
+
+
 def wordpiece_oracle_sql(n_merges: int = 3, rel: str = "documents") -> str:
     """Unrolled DuckDB equivalent of :func:`wordpiece_merges`."""
     parts = _wp_ctes(n_merges, rel, with_final_state=False)
@@ -829,7 +837,7 @@ def wordpiece_oracle_sql(n_merges: int = 3, rel: str = "documents") -> str:
         f"CAST(wgt AS BIGINT) AS weight, score AS score FROM m{i}"
         for i in range(1, n_merges + 1)
     )
-    return "WITH " + ",\n".join(parts) + "\n" + selects
+    return _wp_materialize("WITH " + ",\n".join(parts)) + "\n" + selects
 
 
 def wordpiece_encode_oracle_sql(
@@ -883,8 +891,7 @@ def wordpiece_encode_oracle_sql(
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM {rel})"""
     )
     return (
-        "WITH "
-        + ",\n".join(parts)
+        _wp_materialize("WITH " + ",\n".join(parts))
         + f"""
     SELECT dw.doc_id AS doc_id,
            CAST(sum(e.ntok) AS BIGINT) AS n_tokens_wp,
