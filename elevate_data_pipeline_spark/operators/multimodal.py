@@ -4706,6 +4706,47 @@ def _mp3_short_tables() -> tuple:
 
 _MP3_SHORT_WB_OF_LINE, _MP3_SHORT_STORED = _mp3_short_tables()
 
+# MIXED blocks (mixed_block_flag=1, 11172-3 2.4.3.4.6): the two lowest
+# SUBBANDS (lines 0..35) stay long-windowed while subbands 2..31 run
+# the short path. The spec's empirical Table B.8 makes its long/short
+# scalefactor geometries meet exactly at line 36; the repo swap-in
+# widths don't, so the MIXED scalefactor geometry is its own swap-in
+# (same contract as the width tables themselves): 3 long bands
+# (16, 16, 4) tiling the 36 long lines, and per short window 11 bands
+# (4, 8x4, 24x6) tiling the remaining 180 per-window lines. slen1
+# covers the long bands + short bands 0-4, slen2 short bands 5-10
+# (the spec's structural slen split, re-tiled).
+MP3_SFB_MIXED_LONG = (16, 16, 4)
+MP3_SFB_SHORT_MIXED = (4, 8, 8, 8, 8, 24, 24, 24, 24, 24, 24)
+
+
+def _mp3_mixed_tables() -> tuple:
+    """Derived mixed-block index tables: ``stored_of_subband_pos``
+    (identity over the 36 long lines, band-major short layout above)
+    and ``(window, band)`` of each STORED short-part index."""
+    off = [0]
+    for w_ in MP3_SFB_SHORT_MIXED:
+        off.append(off[-1] + w_)
+    stored = list(range(36))
+    for j in range(36, 576):
+        s, w, k = j // 18, (j % 18) // 6, j % 6
+        m = 6 * s + k - 12  # per-window line inside the short part
+        b = next(b for b in range(11) if off[b] <= m < off[b + 1])
+        stored.append(
+            36 + 3 * off[b] + w * MP3_SFB_SHORT_MIXED[b] + (m - off[b])
+        )
+    wb = [None] * 576
+    pos = 36
+    for b in range(11):
+        for w in range(3):
+            for _ in range(MP3_SFB_SHORT_MIXED[b]):
+                wb[pos] = (w, b)
+                pos += 1
+    return tuple(stored), tuple(wb)
+
+
+_MP3_MIXED_STORED, _MP3_MIXED_WB = _mp3_mixed_tables()
+
 
 def _mp3_scfsi_shared(scfsi, band: int) -> bool:
     for bit, (lo, hi) in zip(scfsi, MP3_SCFSI_BANDS):
@@ -4756,6 +4797,7 @@ def _mp3_norm_granule(g) -> dict:
                 list(r) for r in g.get("scalefac_short", [[0] * 12] * 3)
             ],
             "subblock_gain": list(g.get("subblock_gain", [0, 0, 0])),
+            "mixed_block": bool(g.get("mixed_block", False)),
         }
     else:
         values, gain_e = g
@@ -4764,7 +4806,7 @@ def _mp3_norm_granule(g) -> dict:
             "scalefac": [0] * 21, "scalefac_scale": 1,
             "scalefac_compress": 0, "scfsi": (0, 0, 0, 0),
             "block_type": 0, "scalefac_short": [[0] * 12] * 3,
-            "subblock_gain": [0, 0, 0],
+            "subblock_gain": [0, 0, 0], "mixed_block": False,
         }
     if not 0 <= out["gain_e"] <= 7:
         raise ValueError("gain_e out of the subset's 0..7 grid")
@@ -4792,6 +4834,8 @@ def _mp3_norm_granule(g) -> dict:
     bt = out["block_type"]
     if bt not in (0, 1, 2, 3):
         raise ValueError("block_type must be 0/1/2/3")
+    if out["mixed_block"] and bt != 2:
+        raise ValueError("mixed_block is defined for block_type 2 only")
     sfs = out["scalefac_short"]
     if len(sfs) != 3 or any(len(r) != 12 for r in sfs):
         raise ValueError("scalefac_short needs 3 windows x 12 bands")
@@ -4799,7 +4843,31 @@ def _mp3_norm_granule(g) -> dict:
     if len(sbg) != 3 or any(not 0 <= v <= 7 for v in sbg):
         raise ValueError("subblock_gain needs three values in 0..7")
     slen1, slen2 = MP3_SLEN[out["scalefac_compress"]]
-    if bt == 2:
+    if bt == 2 and out["mixed_block"]:
+        # mixed: 3 long bands under slen1, 11 short bands (band 11 of
+        # each window unused), slen1 bands 0-4 / slen2 bands 5-10
+        if any(sf[3:]):
+            raise ValueError(
+                "mixed blocks use long scalefac bands 0-2 only"
+            )
+        for b, s in enumerate(sf[:3]):
+            if not 0 <= s < (1 << slen1) and not (slen1 == 0 and s == 0):
+                raise ValueError(
+                    f"scalefac[{b}]={s} does not fit slen={slen1} bits"
+                )
+        if any(r[11] for r in sfs):
+            raise ValueError(
+                "mixed blocks use short scalefactor bands 0-10 only"
+            )
+        for w in range(3):
+            for b, s in enumerate(sfs[w][:11]):
+                slen = slen1 if b < 5 else slen2
+                if not 0 <= s < (1 << slen) and not (slen == 0 and s == 0):
+                    raise ValueError(
+                        f"scalefac_short[{w}][{b}]={s} does not fit"
+                        f" slen={slen} bits"
+                    )
+    elif bt == 2:
         if any(sf):
             raise ValueError("long scalefac must be zero for short blocks")
         for w in range(3):
@@ -4857,7 +4925,13 @@ def _mp3_down_shift(g: dict, line: int) -> int:
     11172-3 2.4.3.4.7.1, structural). ``line`` is a STORED-order index
     (scalefactor-band-major for short blocks)."""
     if g.get("block_type", 0) == 2:
-        w, b = _MP3_SHORT_WB_OF_LINE[line]
+        if g.get("mixed_block"):
+            if line < 36:  # long part: the 3 mixed long bands
+                b = 0 if line < 16 else (1 if line < 32 else 2)
+                return _mp3_sf_scale_shift(g, g["scalefac"][b])
+            w, b = _MP3_MIXED_WB[line]
+        else:
+            w, b = _MP3_SHORT_WB_OF_LINE[line]
         return _mp3_sf_scale_shift(g, g["scalefac_short"][w][b]) \
             + 2 * g["subblock_gain"][w]
     return _mp3_sf_scale_shift(g, g["scalefac"][_MP3_SFB_OF_LINE[line]])
@@ -4977,7 +5051,18 @@ def encode_mp3(
                 scfsi = scfsi_ch[ch]
                 slen1, slen2 = MP3_SLEN[g["scalefac_compress"]]
                 mw = _MsbBitWriter()
-                if g["block_type"] == 2:
+                if g["block_type"] == 2 and g["mixed_block"]:
+                    # part2, mixed: the 3 long bands (slen1), then the
+                    # 11 short bands band-major, windows inner
+                    for b in range(3):
+                        if slen1:
+                            mw.bits(g["scalefac"][b], slen1)
+                    for b in range(11):
+                        slen = slen1 if b < 5 else slen2
+                        if slen:
+                            for w in range(3):
+                                mw.bits(g["scalefac_short"][w][b], slen)
+                elif g["block_type"] == 2:
                     # part2, short: band-major, the three windows inner
                     # (the spec's transmission order)
                     for b in range(12):
@@ -5061,7 +5146,7 @@ def encode_mp3(
                 # the normal branch, 11172-3 2.4.1.7)
                 bw.bits(1, 1)
                 bw.bits(g["block_type"], 2)
-                bw.bits(0, 1)  # mixed_block_flag: subset emits pure blocks
+                bw.bits(1 if g.get("mixed_block") else 0, 1)
                 bw.bits(1, 5)  # table_select regions 0/1: repo gamma table
                 bw.bits(1, 5)
                 for v in g["subblock_gain"]:
@@ -5120,7 +5205,9 @@ def encode_mp3(
     return bytes(out)
 
 
-def _mp3_granule_pcm(xr: list, prev: list, block_type: int = 0) -> tuple:
+def _mp3_granule_pcm(
+    xr: list, prev: list, block_type: int = 0, mixed: bool = False
+) -> tuple:
     """One granule through the exact integer chain, all 32 subbands:
     per subband a 36-point IMDCT of its 18 lines (MP3_C36) under the
     block type's window — normal/start/stop (MP3_WIN / MP3_WIN_START /
@@ -5142,13 +5229,17 @@ def _mp3_granule_pcm(xr: list, prev: list, block_type: int = 0) -> tuple:
     win = {0: MP3_WIN, 1: MP3_WIN_START, 3: MP3_WIN_STOP}.get(block_type)
     if win is None and block_type != 2:
         raise ValueError(f"bad MP3 block_type {block_type}")
+    if mixed and block_type != 2:
+        raise ValueError("mixed granule needs block_type 2")
+    if mixed:
+        win = MP3_WIN  # the long part's window (normal long)
     acc = [0] * 576
     new_prev = []
     for b in range(32):
         xs = xr[18 * b : 18 * b + 18]
         pb = prev[b]
         if any(xs):
-            if block_type == 2:
+            if block_type == 2 and not (mixed and b < 2):
                 sw = [0] * 36
                 for w in range(3):
                     xw = xs[6 * w : 6 * w + 6]
@@ -5265,8 +5356,11 @@ def decode_mp3(payload: bytes) -> AudioData:
                     raise ValueError(
                         "window_switching with block_type 0 is forbidden"
                     )
-                if si.bits(1):
-                    raise NotImplementedError("MP3 mixed blocks")
+                mixed = si.bits(1) == 1
+                if mixed and bt != 2:
+                    raise ValueError(
+                        "mixed_block_flag is defined for block_type 2 only"
+                    )
                 tsel = (si.bits(5), si.bits(5))
                 sbg = (si.bits(3), si.bits(3), si.bits(3))
                 if bt != 2 and any(sbg):
@@ -5275,6 +5369,7 @@ def decode_mp3(payload: bytes) -> AudioData:
                     )
             else:
                 bt = 0
+                mixed = False
                 sbg = (0, 0, 0)
                 tsel = (si.bits(5), si.bits(5), si.bits(5))
                 si.bits(7)  # region0_count(4) + region1_count(3): parsed,
@@ -5304,7 +5399,7 @@ def decode_mp3(payload: bytes) -> AudioData:
                 raise NotImplementedError("negative gain exponent (subset)")
             gr_fields.append(
                 (part23, big_values, (gg - 210) // 4, sf_compress, sf_scale,
-                 bt, sbg)
+                 bt, sbg, mixed)
             )
         for ch in range(nch):
             if any(scfsi_ch[ch]) and any(
@@ -5333,14 +5428,24 @@ def decode_mp3(payload: bytes) -> AudioData:
         # drive the intensity band walk
         slots: list = []
         for fi, (part23, big_values, gain_e, sf_compress, sf_scale,
-                 bt, sbg) in enumerate(gr_fields):
+                 bt, sbg, mixed) in enumerate(gr_fields):
             gi, ch = fi // nch, fi % nch
             scfsi = scfsi_ch[ch]
             start_bits = md.pos * 8 - md._n
             slen1, slen2 = MP3_SLEN[sf_compress]
             sfac: list = []
             sfac_short = [[0] * 12 for _ in range(3)]
-            if bt == 2:
+            if bt == 2 and mixed:
+                # part2, mixed: 3 long bands (slen1), then 11 short
+                # bands band-major, windows inner
+                sfac = [0] * 21
+                for b in range(3):
+                    sfac[b] = md.bits(slen1) if slen1 else 0
+                for b in range(11):
+                    slen = slen1 if b < 5 else slen2
+                    for w in range(3):
+                        sfac_short[w][b] = md.bits(slen) if slen else 0
+            elif bt == 2:
                 # part2, short: band-major, three windows inner
                 for b in range(12):
                     slen = slen1 if b < 6 else slen2
@@ -5359,7 +5464,7 @@ def decode_mp3(payload: bytes) -> AudioData:
             g = {
                 "scalefac": sfac, "scalefac_scale": sf_scale,
                 "block_type": bt, "scalefac_short": sfac_short,
-                "subblock_gain": sbg,
+                "subblock_gain": sbg, "mixed_block": mixed,
             }
 
             def requant(mag: int, neg: bool, line: int) -> int:
@@ -5392,7 +5497,7 @@ def decode_mp3(payload: bytes) -> AudioData:
             if used > part23:
                 raise ValueError("MP3 main data overruns part2_3_length")
             md.bits(part23 - used)  # stuffing up to the declared length
-            slots.append((xr, bt, line, sfac))
+            slots.append((xr, bt, line, sfac, mixed))
         half = 1 << (MP3_SHIFT - 1)
         for gi in range(2):
             chx = [slots[gi * nch + c] for c in range(nch)]
@@ -5400,14 +5505,14 @@ def decode_mp3(payload: bytes) -> AudioData:
                 # M/S dematrix per spectral line BEFORE the hybrid
                 # filterbank (11172-3 2.4.3.4.9.1; the 1/sqrt(2)
                 # normalization rides the repo gain grid)
-                (xm, btm, _zm, _sm), (xs, bts_, _zs, _ss) = chx
-                if btm != bts_:
+                (xm, btm, _zm, _sm, mxm), (xs, bts_, _zs, _ss, mxs) = chx
+                if btm != bts_ or mxm != mxs:
                     raise ValueError(
                         "MS stereo needs equal block_type across channels"
                     )
                 chx = [
-                    ([a + b for a, b in zip(xm, xs)], btm, 0, []),
-                    ([a - b for a, b in zip(xm, xs)], btm, 0, []),
+                    ([a + b for a, b in zip(xm, xs)], btm, 0, [], mxm),
+                    ([a - b for a, b in zip(xm, xs)], btm, 0, [], mxm),
                 ]
             elif is_stereo:
                 # Intensity stereo (11172-3 2.4.3.4.9.2): in every
@@ -5422,7 +5527,7 @@ def decode_mp3(payload: bytes) -> AudioData:
                 # pow-4/3); 7 is the spec's "intensity off" position
                 # and leaves the band untouched. Bands below the
                 # boundary decode independently.
-                (xl, btl, _zl, _sl), (xrr, btr, rzero, sfr) = chx
+                (xl, btl, _zl, _sl, _mxl), (xrr, btr, rzero, sfr, _mxr) = chx
                 if btl == 2 or btr == 2:
                     raise NotImplementedError(
                         "intensity stereo with short blocks"
@@ -5444,13 +5549,15 @@ def decode_mp3(payload: bytes) -> AudioData:
                         mag = abs(v)
                         l_out[i] = sgn * (mag * pos_ // 6)
                         r_out[i] = sgn * (mag * (6 - pos_) // 6)
-                chx = [(l_out, btl, 0, []), (r_out, btr, 0, [])]
-            for ch, (xr, bt, _zb, _sf) in enumerate(chx):
+                chx = [(l_out, btl, 0, [], False), (r_out, btr, 0, [], False)]
+            for ch, (xr, bt, _zb, _sf, mxd) in enumerate(chx):
                 if bt == 2:
                     # reorder: scalefactor-band-major storage -> subband
-                    # order for the per-subband 12-point IMDCTs
-                    xr = [xr[_MP3_SHORT_STORED[j]] for j in range(576)]
-                acc, prevs[ch] = _mp3_granule_pcm(xr, prevs[ch], bt)
+                    # order for the per-subband 12-point IMDCTs (mixed
+                    # blocks keep the 36 long lines in place)
+                    table = _MP3_MIXED_STORED if mxd else _MP3_SHORT_STORED
+                    xr = [xr[table[j]] for j in range(576)]
+                acc, prevs[ch] = _mp3_granule_pcm(xr, prevs[ch], bt, mxd)
                 frame_pcm[ch].extend(
                     max(-32768, min(32767, (a + half) >> MP3_SHIFT))
                     for a in acc
@@ -5487,11 +5594,15 @@ def mp3_line_taps(
             xr[line] = 1
             if bts[g] == 2:
                 xr = [xr[_MP3_SHORT_STORED[j]] for j in range(576)]
+            elif bts[g] == "mixed":
+                xr = [xr[_MP3_MIXED_STORED[j]] for j in range(576)]
             prev = [[0] * 18 for _ in range(32)]
             out: list = []
             for gg in range(n_granules):
+                bt = 2 if bts[gg] == "mixed" else bts[gg]
                 acc, prev = _mp3_granule_pcm(
-                    xr if gg == g else [0] * 576, prev, bts[gg]
+                    xr if gg == g else [0] * 576, prev, bt,
+                    mixed=bts[gg] == "mixed",
                 )
                 out.extend(acc)
             taps[(g, line)] = out

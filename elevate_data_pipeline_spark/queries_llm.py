@@ -9035,3 +9035,120 @@ def dedup_url_variants(spark, sf_dir):
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.min("doc_id").cast("long").alias("keep_doc"),
     )
+
+
+def _sql_mp3_mixed() -> str:
+    """Oracle for multimodal_mp3_mixed: tap superposition under the
+    mixed reorder/window geometry — long lines 0 and 34 (mixed long
+    bands 0 and 2, shifts 1 and 2 on the scale grid), short stored
+    line 36 (window 0, subblock_gain 1 -> shift 2), plus a plain long
+    granule-1 line."""
+    taps = multimodal.mp3_line_taps(
+        n_granules=2, lines=(0, 34, 36), block_types=("mixed", 0)
+    )
+    t = {
+        k: "[" + ",".join(str(v) for v in taps[k]) + "]"
+        for k in ((0, 0), (0, 34), (0, 36), (1, 0))
+    }
+    p43 = "[" + ",".join(str(v) for v in multimodal.MP3_POW43) + "]"
+    half = 1 << (multimodal.MP3_SHIFT - 1)
+    pow2 = 1 << multimodal.MP3_SHIFT
+    acc = (
+        f"x0 * ({t[(0, 0)]})[s + 1]"
+        f" + x34 * ({t[(0, 34)]})[s + 1]"
+        f" + x36 * ({t[(0, 36)]})[s + 1]"
+        f" + xb1 * ({t[(1, 0)]})[s + 1]"
+    )
+    return f"""
+    WITH cfg AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 15 AS INT) AS v0,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS s0,
+             CAST(1 + (doc_id * 3) % 15 AS INT) AS v34,
+             CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END AS s34,
+             CAST(1 + (doc_id * 7) % 15 AS INT) AS v36,
+             CASE WHEN doc_id % 5 = 0 THEN -1 ELSE 1 END AS s36,
+             CAST(1 + (doc_id * 5) % 15 AS INT) AS vb1,
+             CASE WHEN doc_id % 7 = 0 THEN -1 ELSE 1 END AS sb1,
+             CAST(2 + doc_id % 6 AS INT) AS e0,
+             CAST(doc_id % 8 AS INT) AS e1
+      FROM documents
+    ), xr AS (
+      SELECT doc_id,
+             s0 * ({p43})[v0 + 1] * (CAST(1 AS BIGINT) << (e0 - 1)) AS x0,
+             s34 * ({p43})[v34 + 1] * (CAST(1 AS BIGINT) << (e0 - 2)) AS x34,
+             s36 * ({p43})[v36 + 1] * (CAST(1 AS BIGINT) << (e0 - 2)) AS x36,
+             sb1 * ({p43})[vb1 + 1] * (CAST(1 AS BIGINT) << e1) AS xb1
+      FROM cfg
+    ), pcm AS (
+      SELECT doc_id,
+             greatest(-32768, least(32767, CAST(floor(
+               ({acc} + {half}) / {pow2}.0) AS BIGINT))) AS p
+      FROM xr, (SELECT unnest(range(0, 1152)) AS s)
+    )
+    SELECT doc_id AS doc_id,
+           CAST(1152 AS BIGINT) AS n_samples,
+           CAST(max(abs(p)) AS BIGINT) AS peak,
+           CAST(sum(p * p) AS BIGINT) AS energy
+    FROM pcm GROUP BY doc_id
+    """
+
+
+@query("multimodal_mp3_mixed", _sql_mp3_mixed())
+def multimodal_mp3_mixed(spark, sf_dir):
+    """REAL MIXED-block MPEG-audio decode (mixed_block_flag=1 — the
+    LAST window-switching shape after round 10's short/start/stop):
+    the two lowest subbands (lines 0-35) stay long-windowed while
+    subbands 2-31 run the short path inside ONE granule, with the
+    mixed scalefactor geometry — 3 long bands from scalefac, 11
+    per-window short bands (repo swap-in tiling, same contract as the
+    width tables) — the mixed part2 transmission layout, the mixed
+    reorder (long lines in place, band-major short layout above), and
+    subblock gains on the short part. Per doc one mixed granule
+    (long lines in bands 0/2, a short line under subblock_gain) plus a
+    plain long granule; the oracle superposes the same lines through
+    the mixed-geometry filterbank taps. mapInPandas Arrow batches, no
+    shuffle."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                s0 = 1 if did % 2 == 0 else -1
+                s34 = -1 if did % 3 == 0 else 1
+                s36 = -1 if did % 5 == 0 else 1
+                sb1 = -1 if did % 7 == 0 else 1
+                g0 = {
+                    "big": [s0 * (1 + did % 15)] + [0] * 33
+                    + [s34 * (1 + (did * 3) % 15), 0]
+                    + [s36 * (1 + (did * 7) % 15), 0],
+                    "gain_e": 2 + did % 6,
+                    "block_type": 2, "mixed_block": True,
+                    "scalefac": [1, 0, 2] + [0] * 18,
+                    "scalefac_short": [[0] * 12] * 3,
+                    "subblock_gain": [1, 0, 0],
+                    "scalefac_compress": 13,
+                }
+                g1 = {
+                    "big": [sb1 * (1 + (did * 5) % 15)],
+                    "gain_e": did % 8,
+                }
+                buf = multimodal.encode_mp3([g0, g1], bitrate=64)
+                out = multimodal.decode_mp3(buf)
+                rows.append((
+                    did, len(out.samples),
+                    max(abs(v) for v in out.samples),
+                    sum(v * v for v in out.samples),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "peak", "energy"]
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run, "doc_id long, n_samples long, peak long, energy long"
+    )

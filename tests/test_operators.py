@@ -2745,8 +2745,12 @@ def test_mp3_short_blocks_roundtrip_superposition():
     enc = bytearray(mm.encode_mp3([gs, gs], bitrate=64))
     mixed = bytearray(enc)
     mixed[10] |= 0x02  # granule 0 mixed_block_flag (bit 86)
-    with pytest.raises(NotImplementedError, match="mixed"):
-        mm.decode_mp3(bytes(mixed))
+    # mixed blocks DECODE now; the flag changes the part2 scalefactor
+    # layout (3 long + 11 short bands vs 12 short), so the flipped
+    # stream must decode DIFFERENTLY from the pure-short original —
+    # a silent identical decode would mean the flag is ignored
+    assert mm.decode_mp3(bytes(mixed)).samples != mm.decode_mp3(
+        bytes(enc)).samples
     bt0 = bytearray(enc)
     bt0[10] &= ~0x0C  # granule 0 block_type -> 0 under window_switching
     with pytest.raises(ValueError, match="block_type 0"):

@@ -879,3 +879,59 @@ def test_mp3_intensity_gates_and_boundary():
         mm.decode_mp3(mm.encode_mp3(
             [(short, short), zero], mode="is"
         ))
+
+
+@given(
+    v0=st.integers(min_value=1, max_value=15),
+    v36=st.integers(min_value=1, max_value=15),
+    e=st.integers(min_value=2, max_value=7),
+    sgn=st.sampled_from([1, -1]),
+)
+@settings(max_examples=30, deadline=None)
+def test_mp3_mixed_block_superposition_property(v0, v36, e, sgn):
+    """Mixed blocks: the long part (lines < 36) rides the normal long
+    window while lines >= 36 run the short path — the decode equals
+    the tap superposition with the mixed reorder and the mixed
+    scalefactor geometry (long bands 0-2 from scalefac, short bands
+    from scalefac_short + subblock_gain)."""
+    g0 = {"big": [v0] + [0] * 35 + [sgn * v36, 0], "gain_e": e,
+          "block_type": 2, "mixed_block": True,
+          "scalefac": [1, 0, 0] + [0] * 18,
+          "scalefac_short": [[0] * 12] * 3,
+          "subblock_gain": [1, 0, 0], "scalefac_compress": 13}
+    gz = {"big": [], "gain_e": 0}
+    au = mm.decode_mp3(mm.encode_mp3([g0, gz], bitrate=64))
+    taps = mm.mp3_line_taps(
+        n_granules=2, lines=(0, 36), block_types=("mixed", 0)
+    )
+    x0 = mm.MP3_POW43[v0] << (e - 1)          # long band 0, sfac 1
+    x36 = sgn * (mm.MP3_POW43[v36] << (e - 2))  # short w0, sbg 1 -> 2
+    half = 1 << (mm.MP3_SHIFT - 1)
+    exp = [
+        max(-32768, min(32767,
+            (x0 * taps[(0, 0)][t] + x36 * taps[(0, 36)][t] + half)
+            >> mm.MP3_SHIFT))
+        for t in range(len(taps[(0, 0)]))
+    ]
+    assert au.samples == exp
+
+
+def test_mp3_mixed_block_gates_and_long_identity():
+    import pytest
+
+    gz = {"big": [], "gain_e": 0}
+    # long-part-only mixed granule == plain long granule, bit for bit
+    gl = {"big": [3], "gain_e": 4}
+    gmx = {"big": [3], "gain_e": 4, "block_type": 2, "mixed_block": True}
+    assert mm.decode_mp3(mm.encode_mp3([gmx, gz])).samples == \
+        mm.decode_mp3(mm.encode_mp3([gl, gz])).samples
+    # mixed with a non-short block type is malformed (encode + decode)
+    with pytest.raises(ValueError, match="mixed"):
+        mm.encode_mp3([{"big": [1], "gain_e": 1, "block_type": 1,
+                        "mixed_block": True}, gz])
+    # mixed long scalefacs live in bands 0-2 only
+    with pytest.raises(ValueError, match="0-2"):
+        mm.encode_mp3([{"big": [1], "gain_e": 3, "block_type": 2,
+                        "mixed_block": True,
+                        "scalefac": [0] * 5 + [1] + [0] * 15,
+                        "scalefac_compress": 13}, gz])
