@@ -405,7 +405,10 @@ def crawl_delay(content: str, agent: str):
                 d = float(value)
             except ValueError:
                 continue
-            if d >= 0:
+            # float() accepts 'inf'/'infinity'/'nan'; inf satisfies
+            # d >= 0 and would poison politeness budgets downstream
+            # (floor(86400/inf)=0 -> ceil-divide by zero)
+            if d >= 0 and d == d and d != float("inf"):
                 delays.append(d)
         elif key in ("allow", "disallow"):
             collecting_agents = False

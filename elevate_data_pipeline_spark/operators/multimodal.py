@@ -5018,6 +5018,25 @@ def encode_mp3(
                         "two-channel modes need (ch0, ch1) granule pairs"
                     )
             grid = [[_mp3_norm_granule(g) for g in e] for e in entries]
+        if mode == "is":
+            # ch1 scalefactors at/above its zero boundary are decoded
+            # as intensity positions; only 0..6 pan and 7 = off are
+            # defined (11172-3 2.4.3.4.9.2) — refuse to emit a stream
+            # the decoder would gate on (compress 14/15 packs slen 4,
+            # which fits 8..15 bit-wise but is spec-illegal here)
+            for gi_ in range(2):
+                g1 = grid[gi_][1]
+                rz = len(g1["big"]) + 4 * len(g1["count1"])
+                b0 = next(
+                    (b for b in range(21) if _MP3_SFB_START[b] >= rz), 21
+                )
+                for b in range(b0, 21):
+                    if g1["scalefac"][b] > 7:
+                        raise ValueError(
+                            f"intensity-mode ch1 scalefac[{b}]="
+                            f"{g1['scalefac'][b]} above the zero boundary"
+                            " must be a 0..7 intensity position"
+                        )
         scfsi_ch = [grid[1][ch]["scfsi"] for ch in range(nch)]
         for ch in range(nch):
             scfsi = scfsi_ch[ch]
@@ -5539,6 +5558,15 @@ def decode_mp3(payload: bytes) -> AudioData:
                 )
                 for b in range(bound, 21):
                     pos_ = sfr[b]
+                    if pos_ > 7:
+                        # is_pos 8..15 is reachable bit-wise with
+                        # scalefac_compress 14/15 (slen 4) but has no
+                        # defined intensity ratio (11172-3 2.4.3.4.9.2
+                        # defines positions 0..6 + 7 = off) — gate loud
+                        raise ValueError(
+                            f"intensity position {pos_} in band {b}"
+                            " outside the spec's 0..7 range"
+                        )
                     if pos_ == 7:  # intensity off for this band
                         continue
                     for i in range(

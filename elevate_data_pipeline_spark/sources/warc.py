@@ -489,6 +489,14 @@ def parse_warc_fields(payload: bytes) -> list:
     for raw in text.split("\r\n"):
         if raw == "":
             continue
+        if "\n" in raw:
+            # a bare LF means the payload is LF-delimited (or mixes
+            # line endings) — without this gate it would silently
+            # parse as ONE field with embedded newlines in the value
+            raise ValueError(
+                "warc-fields lines must be CRLF-delimited; bare LF in"
+                f" {raw!r}"
+            )
         if raw[0] in (" ", "\t"):
             if not fields:
                 raise ValueError(

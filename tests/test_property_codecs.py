@@ -879,6 +879,25 @@ def test_mp3_intensity_gates_and_boundary():
         mm.decode_mp3(mm.encode_mp3(
             [(short, short), zero], mode="is"
         ))
+    # is_pos 8..15 is bit-reachable with scalefac_compress 14 (slen1=4)
+    # but spec-illegal: the ENCODER refuses to emit it...
+    gr9 = {"big": [2, 0], "gain_e": 2, "scalefac": [0, 9] + [0] * 19,
+           "scalefac_compress": 14}
+    with pytest.raises(ValueError, match="intensity position|0..7"):
+        mm.encode_mp3([(gl, gr9), zero], mode="is")
+    # ...and the DECODER gates loudly on a stream that carries it
+    # (emit as independent stereo — scalefac 9 is legal there — then
+    # flip the header to joint stereo + intensity mode_extension)
+    forged = bytearray(mm.encode_mp3([(gl, gr9), zero], mode="stereo"))
+    forged[3] = (forged[3] & 0x0F) | 0x50  # mode 01, mode_ext 01
+    with pytest.raises(ValueError, match="intensity position"):
+        mm.decode_mp3(bytes(forged))
+    # pos 8+ BELOW the zero boundary stays a plain scalefactor: raising
+    # the boundary above band 1 decodes fine with the same scalefac
+    gr_below = {"big": [2] + [0] * 33, "gain_e": 2,
+                "scalefac": [0, 0, 9] + [0] * 18,
+                "scalefac_compress": 14}
+    mm.decode_mp3(mm.encode_mp3([(gl, gr_below), zero], mode="is"))
 
 
 @given(

@@ -490,3 +490,24 @@ def test_crawl_delay_selection_and_leniency():
     assert crawl_delay("User-agent: *\nCrawl-delay: -1\n", "x") is None
     assert crawl_delay("User-agent: *\nCrawl-delay: 2.5\n", "x") == 2.5
     assert crawl_delay("Crawl-delay: 9\n", "x") is None  # before any group
+    # float() parses 'inf'/'infinity'/'nan' — all must be rejected, or
+    # politeness budgets downstream divide by floor(86400/inf) == 0
+    assert crawl_delay("User-agent: *\nCrawl-delay: inf\n", "x") is None
+    assert crawl_delay("User-agent: *\nCrawl-delay: Infinity\n", "x") is None
+    assert crawl_delay("User-agent: *\nCrawl-delay: nan\n", "x") is None
+
+
+def test_warc_fields_reject_bare_lf():
+    """warc-fields payloads are CRLF-delimited (ISO 28500 §6); an
+    LF-delimited payload must raise, not silently parse as one field
+    with embedded newlines in the value."""
+    import pytest
+
+    from elevate_data_pipeline_spark.sources.warc import parse_warc_fields
+
+    ok = parse_warc_fields(b"software: x\r\noutlink: http://a/\r\n")
+    assert ok == [("software", "x"), ("outlink", "http://a/")]
+    with pytest.raises(ValueError, match="CRLF"):
+        parse_warc_fields(b"software: x\noutlink: http://a/\n")
+    with pytest.raises(ValueError, match="CRLF"):
+        parse_warc_fields(b"software: x\r\noutlink: a\nhostname: h\r\n")
