@@ -136,15 +136,56 @@ def fix_mojibake(text: str, max_rounds: int = 3) -> tuple:
     return text, rounds
 
 
+def remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments, verbatim, for the absolute
+    paths absolute URLs carry: "." segments vanish, ".." pops the
+    previous segment (empty segments are real, poppable segments:
+    "/a//../b" -> "/a/b"), a trailing "." / ".." keeps the directory
+    slash ("/a/b/.." -> "/a/"). One divergence from the RFC, by
+    contract: a ".." that would pop past the root raises ValueError
+    instead of being silently ignored (urljoin clamps; a crawler
+    treating "/../etc/passwd" as "/etc/passwd" is hiding a malformed
+    or hostile href, so the engine gates loudly)."""
+    out: list = []
+    inp = path
+    while inp:
+        if inp.startswith("../"):
+            inp = inp[3:]
+        elif inp.startswith("./"):
+            inp = inp[2:]
+        elif inp.startswith("/./"):
+            inp = "/" + inp[3:]
+        elif inp == "/.":
+            inp = "/"
+        elif inp.startswith("/../") or inp == "/..":
+            if not out:
+                raise ValueError(
+                    f"dot segments escape the path root in {path!r}"
+                )
+            out.pop()
+            inp = "/" + inp[4:] if inp.startswith("/../") else "/"
+        elif inp in (".", ".."):
+            inp = ""
+        else:
+            i = inp.find("/", 1)
+            if i == -1:
+                out.append(inp)
+                inp = ""
+            else:
+                out.append(inp[:i])
+                inp = inp[i:]
+    return "".join(out)
+
+
 def canonical_url(url: str) -> dict:
     """Deterministic URL canonicalization (RFC 3986 normalization
     subset) — the precursor to URL-level crawl dedup: lowercase scheme
     and host, drop the scheme's default port (http:80 / https:443),
-    drop the fragment, empty path -> "/", query parameters sorted by
-    (key, value) with original percent-encoding preserved. No policy
-    transforms (no www-stripping, no trailing-slash edits, no
-    dot-segment resolution — a path with "." / ".." segments raises
-    NotImplementedError loudly rather than resolving incorrectly).
+    drop the fragment, empty path -> "/", dot segments resolved per
+    RFC 3986 §5.2.4 (:func:`remove_dot_segments`; a path whose ".."
+    would escape the root still raises loudly), query parameters
+    sorted by (key, value) with original percent-encoding preserved.
+    No policy transforms (no www-stripping, no trailing-slash edits).
     Returns ``{url, scheme, host, port, path, query, n_params}`` with
     ``url`` the canonical recomposition."""
     from urllib.parse import urlsplit
@@ -159,9 +200,7 @@ def canonical_url(url: str) -> dict:
         port = None
     path = parts.path or "/"
     if any(seg in (".", "..") for seg in path.split("/")):
-        raise NotImplementedError(
-            "dot-segment resolution not supported (policy-sensitive)"
-        )
+        path = remove_dot_segments(path) or "/"
     params = [p for p in parts.query.split("&") if p] if parts.query else []
     pairs = sorted(p.partition("=") for p in params)
     query = "&".join(k + sep + v for k, sep, v in pairs)

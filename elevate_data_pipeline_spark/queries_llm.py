@@ -6097,10 +6097,11 @@ def url_canonicalize(spark, sf_dir):
     3986 normalization subset) — the precursor to URL-level crawl
     dedup: per doc a deliberately messy absolute URL (uppercase scheme
     and host, sometimes an explicit DEFAULT port, sometimes a real
-    non-default port, empty path, unsorted duplicate-key query, a
-    fragment) canonicalizes to the normal form the oracle builds in
-    closed form — lowercased scheme/host, default port dropped /
-    non-default kept, path defaulted to '/', query sorted by
+    non-default port, empty path, "." / ".." dot segments, unsorted
+    duplicate-key query, a fragment) canonicalizes to the normal form
+    the oracle builds in closed form — lowercased scheme/host, default
+    port dropped / non-default kept, path defaulted to '/', dot
+    segments resolved per RFC 3986 §5.2.4, query sorted by
     (key, value), fragment gone. Row-local string work, no shuffle:
     the 100 TB crawl-frontier shape."""
     from collections.abc import Iterator
@@ -6115,7 +6116,15 @@ def url_canonicalize(spark, sf_dir):
                 scheme = "HTTP" if did % 2 == 0 else "HTTPS"
                 default = "80" if did % 2 == 0 else "443"
                 portseg = {0: "", 1: ":" + default, 2: ":8080"}[did % 3]
-                path = "" if did % 5 == 0 else f"/Dir{did % 5}/page"
+                # 2-4 carry dot segments that resolve back to the
+                # oracle's closed-form /Dir{k}/page (RFC 3986 §5.2.4)
+                path = {
+                    0: "",
+                    1: "/Dir1/page",
+                    2: "/Dir2/./page",
+                    3: "/Dir3/x/../page",
+                    4: "/./Dir4/sub/../page",
+                }[did % 5]
                 messy = (
                     f"{scheme}://WWW.Site{did % 7}.COM{portseg}{path}"
                     f"?b={did % 4}&a={did % 11}&a=0#sec1"
@@ -8999,7 +9008,8 @@ def dedup_url_variants(spark, sf_dir):
     """URL-level crawl dedup — the FIRST dedup a crawler runs, before
     any content is fetched twice: each doc emits THREE surface
     variants of its URL (uppercase scheme+host with an explicit :80,
-    unsorted query parameters, a fragment) that all canonicalize to
+    unsorted query parameters, a "x/.." dot-segment detour plus a
+    fragment) that all canonicalize to
     one RFC 3986 normal form via the REAL canonical_url; grouping by
     the canonical string collapses them, keeping the lowest doc id —
     and distinct docs whose URLs normalize to the same page (doc_id
@@ -9020,7 +9030,7 @@ def dedup_url_variants(spark, sf_dir):
                 variants = (
                     f"http://h{h}.test/p/{p}?a=1&b=2",
                     f"HTTP://H{h}.Test:80/p/{p}?b=2&a=1",
-                    f"http://h{h}.test:80/p/{p}?a=1&b=2#frag",
+                    f"http://h{h}.test:80/p/x/../{p}?a=1&b=2#frag",
                 )
                 for v in variants:
                     rows.append((did, canonical_url(v)["url"]))

@@ -449,7 +449,8 @@ def test_fix_mojibake_rule():
 def test_canonical_url_rules():
     """RFC 3986 normalization subset: case, default ports, fragment,
     empty path, query sort with duplicate keys and valueless params;
-    dot segments and relative URLs refuse loudly."""
+    dot segments resolve per §5.2.4; root-escaping paths and relative
+    URLs refuse loudly."""
     import pytest
 
     from elevate_data_pipeline_spark.functions.crawl import canonical_url
@@ -468,8 +469,68 @@ def test_canonical_url_rules():
         "https://[2001:db8::1]/x")
     with pytest.raises(ValueError):
         canonical_url("/relative/only")
-    with pytest.raises(NotImplementedError):
-        canonical_url("http://h/a/../b")
+    # dot segments resolve (RFC 3986 §5.2.4); root escape stays loud
+    assert canonical_url("http://h/a/../b")["url"] == "http://h/b"
+    assert canonical_url("http://h/a/./b/..")["url"] == "http://h/a/"
+    assert canonical_url("http://h/a//../b")["url"] == "http://h/a/b"
+    assert canonical_url("http://h/.")["url"] == "http://h/"
+    with pytest.raises(ValueError, match="escape"):
+        canonical_url("http://h/../etc/passwd")
+    with pytest.raises(ValueError, match="escape"):
+        canonical_url("http://h/a/../../x")
+
+
+def test_remove_dot_segments_vs_urljoin_property():
+    """Property: for any non-root-escaping absolute path built from
+    normal / '.' / '..' segments, remove_dot_segments agrees with the
+    stdlib's RFC 3986 resolution (urljoin against a bare authority);
+    escaping paths raise where urljoin silently clamps."""
+    from urllib.parse import urljoin
+
+    import pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from elevate_data_pipeline_spark.functions.crawl import (
+        remove_dot_segments,
+    )
+
+    seg = st.sampled_from(["a", "b", "cc", "d0", ".", "..", ""])
+
+    @given(
+        segs=st.lists(seg, min_size=0, max_size=8),
+        trail=st.booleans(),
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(segs, trail):
+        path = "/" + "/".join(segs) + ("/" if trail and segs else "")
+        # depth walk to classify root escape (empty segments count:
+        # they are poppable per the RFC algorithm)
+        depth, escapes = 0, False
+        parts = path.split("/")[1:]
+        for i, s in enumerate(parts):
+            last = i == len(parts) - 1
+            if s == ".":
+                continue
+            if s == "..":
+                if depth == 0:
+                    escapes = True
+                    break
+                depth -= 1
+            elif not (last and s == ""):
+                depth += 1
+        if escapes:
+            with pytest.raises(ValueError, match="escape"):
+                remove_dot_segments(path)
+            return
+        if path.startswith("//"):
+            # a leading "//" reference is a NETWORK-PATH reference to
+            # urljoin (authority), not a path — outside the comparison
+            return
+        expect = urljoin("http://h", path)
+        assert "http://h" + remove_dot_segments(path) == expect
+
+    check()
 
 
 def test_crawl_delay_selection_and_leniency():
