@@ -336,6 +336,27 @@ HTTP_CHARSETS = {
     "iso-8859-1": "latin-1", "latin-1": "latin-1", "latin1": "latin-1",
     "windows-1252": "cp1252", "cp1252": "cp1252",
     "utf-16": "utf-16", "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
+    # the non-Latin labels real crawls see most, all stdlib codecs:
+    # CJK (WHATWG folds shift_jis labels together; gb2312 content is
+    # decoded as gbk BY BROWSERS, but the declared-codec-exactly rule
+    # above applies — gbk-only bytes under a gb2312 label fail loud)
+    "shift_jis": "shift_jis", "shift-jis": "shift_jis",
+    "sjis": "shift_jis", "x-sjis": "shift_jis",
+    "euc-jp": "euc_jp",
+    "euc-kr": "euc_kr", "ks_c_5601-1987": "euc_kr",
+    "gb2312": "gb2312", "gbk": "gbk", "gb18030": "gb18030",
+    "big5": "big5", "big5-hkscs": "big5hkscs",
+    # Cyrillic / Greek / Turkish / Hebrew / Arabic 8-bit families
+    "koi8-r": "koi8_r", "koi8-u": "koi8_u",
+    "windows-1251": "cp1251", "cp1251": "cp1251",
+    "iso-8859-2": "iso8859_2", "windows-1250": "cp1250",
+    "iso-8859-5": "iso8859_5",
+    "iso-8859-7": "iso8859_7", "windows-1253": "cp1253",
+    "iso-8859-9": "iso8859_9", "windows-1254": "cp1254",
+    "iso-8859-8": "iso8859_8", "windows-1255": "cp1255",
+    "windows-1256": "cp1256",
+    "iso-8859-15": "iso8859_15",
+    "windows-874": "cp874", "tis-620": "tis_620",
 }
 
 

@@ -7419,51 +7419,61 @@ def sitemap_urls(spark, sf_dir):
     """
     SELECT doc_id AS doc_id,
            CAST(200 AS INT) AS status,
-           CASE doc_id % 4 WHEN 0 THEN 'utf-8'
+           CASE doc_id % 8 WHEN 0 THEN 'utf-8'
                            WHEN 1 THEN 'iso-8859-1'
                            WHEN 2 THEN 'windows-1252'
-                           ELSE 'utf-16' END AS charset,
-           CASE doc_id % 4 WHEN 0 THEN 'header'
-                           WHEN 1 THEN 'meta'
-                           WHEN 2 THEN 'header'
-                           ELSE 'bom' END AS source,
-           CASE doc_id % 4
-             WHEN 0 THEN '<html><body>café №'
-               || CAST(doc_id AS VARCHAR) || '</body></html>'
-             WHEN 1 THEN '<html><head><meta charset=iso-8859-1></head>'
-               || '<body>café ' || CAST(doc_id AS VARCHAR)
-               || '</body></html>'
-             WHEN 2 THEN '<html><body>€' || CAST(doc_id % 100 AS VARCHAR)
-               || ' café</body></html>'
-             ELSE '<html><body>snow ☃ ' || CAST(doc_id AS VARCHAR)
-               || '</body></html>' END AS text,
-           length(CASE doc_id % 4
-             WHEN 0 THEN '<html><body>café №'
-               || CAST(doc_id AS VARCHAR) || '</body></html>'
-             WHEN 1 THEN '<html><head><meta charset=iso-8859-1></head>'
-               || '<body>café ' || CAST(doc_id AS VARCHAR)
-               || '</body></html>'
-             WHEN 2 THEN '<html><body>€' || CAST(doc_id % 100 AS VARCHAR)
-               || ' café</body></html>'
-             ELSE '<html><body>snow ☃ ' || CAST(doc_id AS VARCHAR)
-               || '</body></html>' END) AS n_chars
-    FROM documents
+                           WHEN 3 THEN 'utf-16'
+                           WHEN 4 THEN 'shift_jis'
+                           WHEN 5 THEN 'euc-kr'
+                           WHEN 6 THEN 'gbk'
+                           ELSE 'koi8-r' END AS charset,
+           CASE doc_id % 8 WHEN 1 THEN 'meta'
+                           WHEN 3 THEN 'bom'
+                           WHEN 5 THEN 'meta'
+                           ELSE 'header' END AS source,
+           t AS text,
+           length(t) AS n_chars
+    FROM (
+      SELECT doc_id,
+             CASE doc_id % 8
+               WHEN 0 THEN '<html><body>café №'
+                 || CAST(doc_id AS VARCHAR) || '</body></html>'
+               WHEN 1 THEN '<html><head><meta charset=iso-8859-1></head>'
+                 || '<body>café ' || CAST(doc_id AS VARCHAR)
+                 || '</body></html>'
+               WHEN 2 THEN '<html><body>€' || CAST(doc_id % 100 AS VARCHAR)
+                 || ' café</body></html>'
+               WHEN 3 THEN '<html><body>snow ☃ ' || CAST(doc_id AS VARCHAR)
+                 || '</body></html>'
+               WHEN 4 THEN '<html><body>こんにちは '
+                 || CAST(doc_id AS VARCHAR) || '</body></html>'
+               WHEN 5 THEN '<html><head><meta charset=euc-kr></head>'
+                 || '<body>안녕 ' || CAST(doc_id AS VARCHAR)
+                 || '</body></html>'
+               WHEN 6 THEN '<html><body>中文 '
+                 || CAST(doc_id % 100 AS VARCHAR) || '</body></html>'
+               ELSE '<html><body>привет ' || CAST(doc_id AS VARCHAR)
+                 || '</body></html>' END AS t
+      FROM documents)
     """,
 )
 def warc_charset_decode(spark, sf_dir):
     """REAL crawl charset resolution (no stub): per doc an HTTP
-    response whose body encoding is declared one of the four ways real
+    response whose body encoding is declared one of the ways real
     pages declare it — Content-Type header parameter (utf-8), HTML
     ``<meta>`` prescan (iso-8859-1), quoted header parameter over
-    cp1252 bytes WITH gzip content-coding composed, and a UTF-16 BOM
-    that OVERRIDES a deliberately wrong header label, framed chunked —
-    is wrapped in a WARC ``response`` record and decoded back through
-    ``decode_warc`` -> ``parse_http_response`` (de-chunk/gunzip) ->
-    ``functions/crawl.decode_http_text`` (BOM > header > meta > UTF-8
-    default precedence). The oracle restates the decoded TEXT itself
-    per branch, so any mis-decode of any byte fails the hash. One
-    narrow scan, records decoded executor-side, no shuffle: the 100 TB
-    crawl-ingest shape."""
+    cp1252 bytes WITH gzip content-coding composed, a UTF-16 BOM
+    that OVERRIDES a deliberately wrong header label framed chunked,
+    plus the non-Latin families real crawls carry: shift_jis (header),
+    euc-kr (meta prescan over multi-byte body), gbk declared via an
+    OBS-FOLDED Content-Type header (RFC 7230 §3.2.4 unfolding), and
+    koi8-r — is wrapped in a WARC ``response`` record and decoded back
+    through ``decode_warc`` -> ``parse_http_response``
+    (de-chunk/gunzip/unfold) -> ``functions/crawl.decode_http_text``
+    (BOM > header > meta > UTF-8 default precedence). The oracle
+    restates the decoded TEXT itself per branch, so any mis-decode of
+    any byte fails the hash. One narrow scan, records decoded
+    executor-side, no shuffle: the 100 TB crawl-ingest shape."""
     import zlib
     from collections.abc import Iterator
 
@@ -7475,7 +7485,7 @@ def warc_charset_decode(spark, sf_dir):
             rows = []
             for doc_id in pdf["doc_id"]:
                 did = int(doc_id)
-                variant = did % 4
+                variant = did % 8
                 if variant == 0:
                     raw = (f"<html><body>café №{did}</body></html>"
                            .encode("utf-8"))
@@ -7490,10 +7500,30 @@ def warc_charset_decode(spark, sf_dir):
                     raw = (f"<html><body>€{did % 100} café</body></html>"
                            .encode("cp1252"))
                     ctype = 'text/html; charset="windows-1252"'
-                else:
+                elif variant == 3:
                     raw = (f"<html><body>snow ☃ {did}</body></html>"
                            .encode("utf-16"))
                     ctype = "text/html; charset=latin-1"  # BOM overrides
+                elif variant == 4:
+                    raw = (f"<html><body>こんにちは {did}</body></html>"
+                           .encode("shift_jis"))
+                    ctype = "text/html; charset=shift_jis"
+                elif variant == 5:
+                    raw = (
+                        "<html><head><meta charset=euc-kr></head>"
+                        f"<body>안녕 {did}</body></html>"
+                    ).encode("euc_kr")
+                    ctype = "text/html"
+                elif variant == 6:
+                    raw = (f"<html><body>中文 {did % 100}</body></html>"
+                           .encode("gbk"))
+                    # obs-fold: the charset parameter continues on the
+                    # next line behind SP/HTAB — must unfold to one SP
+                    ctype = "text/html;\r\n charset=gbk"
+                else:
+                    raw = (f"<html><body>привет {did}</body></html>"
+                           .encode("koi8_r"))
+                    ctype = "text/html; charset=koi8-r"
                 hdrs, body = [], raw
                 if variant == 2:
                     co = zlib.compressobj(9, zlib.DEFLATED,

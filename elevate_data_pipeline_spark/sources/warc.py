@@ -279,20 +279,29 @@ def _parse_http_headers(lines: list) -> dict:
     """Header lines -> map, names case-normalized to lowercase.
     Repeated names are comma-joined (RFC 7230 §3.2.2 list semantics) —
     never silently dropped. Obs-fold continuation lines (RFC 7230
-    §3.2.4, a line starting with SP/HTAB) are deprecated and rare
-    enough in crawls to gate loudly rather than mis-split on ``:``."""
+    §3.2.4, a line starting with SP/HTAB) are unfolded per the RFC's
+    prescribed recovery: "replace each received obs-fold with one or
+    more SP octets" — the value continues the PREVIOUS field, joined
+    by a single SP. A fold before any field is unattributable and
+    raises ValueError."""
     headers: dict = {}
+    last_key: str = ""
     for line in lines:
         if line[:1] in (b" ", b"\t"):
-            raise NotImplementedError(
-                "HTTP obs-fold header continuation not supported"
-            )
+            if not last_key:
+                raise ValueError(
+                    "HTTP obs-fold continuation before any header field"
+                )
+            cont = line.decode("latin-1").strip(" \t")
+            headers[last_key] = headers[last_key] + " " + cont
+            continue
         k, hsep, v = line.partition(b":")
         if not hsep:
             raise ValueError(f"bad HTTP header line {line!r}")
         key = k.decode("latin-1").strip(" \t").lower()
         val = v.decode("latin-1").strip(" \t")
         headers[key] = headers[key] + ", " + val if key in headers else val
+        last_key = key
     return headers
 
 
@@ -383,9 +392,10 @@ def parse_http_response(payload: bytes) -> dict:
     bytes. When chunked, ``Content-Length`` is ignored per RFC 7230
     §3.3.3 (Transfer-Encoding takes precedence); otherwise a present
     ``Content-Length`` must match the raw body length exactly — a
-    silent mismatch would mean truncated crawl content. Unsupported
-    codings (br/zstd, stacked, non-chunked TE) and obs-fold header
-    continuations gate loudly. Malformed structure raises
+    silent mismatch would mean truncated crawl content. Obs-fold
+    header continuations unfold to a single SP (RFC 7230 §3.2.4
+    recovery). Unsupported codings (br/zstd, stacked, non-chunked TE)
+    gate loudly. Malformed structure raises
     ``ValueError``. Returns ``version, status, reason, headers, body,
     chunked, content_encoding``."""
     head, sep, body = payload.partition(_CRLF + _CRLF)

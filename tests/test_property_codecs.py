@@ -752,13 +752,47 @@ def test_http_charset_gates():
     # prescan window: a declaration past 1024 bytes is not seen
     far = b"x" * 1100 + b'<meta charset="utf-8">'
     assert c.html_meta_charset(far) is None
-    with pytest.raises(NotImplementedError, match="shift_jis"):
-        c.decode_http_text(b"x", "text/html; charset=shift_jis")
+    with pytest.raises(NotImplementedError, match="utf-7"):
+        c.decode_http_text(b"x", "text/html; charset=utf-7")
     with pytest.raises(ValueError, match="utf-8"):
         c.decode_http_text(b"\xff\x01", "text/html; charset=utf-8")
     # undeclared non-UTF-8 bytes fail loud, not silently re-decoded
     with pytest.raises(ValueError, match="default"):
         c.decode_http_text("é".encode("latin-1"), "text/plain")
+
+
+def test_http_charset_nonlatin_families():
+    """The stdlib-codec widening: each non-Latin label real crawls
+    carry round-trips native-script text through header and meta
+    declarations; declared-codec-exactly still holds (gbk-only bytes
+    under a gb2312 label fail loud, not browser-folded)."""
+    import pytest
+
+    from elevate_data_pipeline_spark.functions import crawl as c
+
+    samples = {
+        "shift_jis": "こんにちは、世界", "euc-jp": "日本語のページ",
+        "euc-kr": "안녕하세요", "gbk": "简体中文页面",
+        "gb18030": "汉字与ü混排", "big5": "繁體中文網頁",
+        "koi8-r": "привет мир", "windows-1251": "Привет, мир",
+        "iso-8859-7": "Γειά σου κόσμε", "windows-1254": "Türkçe sayfa",
+        "windows-1256": "صفحة عربية", "tis-620": "ภาษาไทย",
+    }
+    for label, text in samples.items():
+        codec = c.HTTP_CHARSETS[label]
+        got, lab, src = c.decode_http_text(
+            text.encode(codec), f"text/html; charset={label}"
+        )
+        assert (got, lab, src) == (text, label, "header")
+        doc = f"<html><head><meta charset={label}></head>{text}"
+        got2, lab2, src2 = c.decode_http_text(doc.encode(codec), "text/html")
+        assert (got2, lab2, src2) == (doc, label, "meta")
+    # declared-codec-exactly: a gb18030 4-byte sequence is invalid
+    # under a gb2312 label — must raise, not browser-fold to gb18030
+    with pytest.raises(ValueError, match="gb2312"):
+        c.decode_http_text(
+            "𠀀".encode("gb18030"), "text/html; charset=gb2312"
+        )
 
 
 @given(

@@ -223,7 +223,9 @@ def test_warc_cdx_spans():
 def test_http_response_parse():
     """Status/header/body walk plus the fail-loud contract: missing
     terminator, Content-Length mismatch, bad status code; repeated
-    header names comma-join (RFC 7230 §3.2.2), obs-fold gates loudly."""
+    header names comma-join (RFC 7230 §3.2.2), obs-fold continuations
+    unfold to one SP (§3.2.4 recovery), an unattributable leading fold
+    raises."""
     import pytest
 
     from elevate_data_pipeline_spark.sources.warc import parse_http_response
@@ -243,8 +245,18 @@ def test_http_response_parse():
         parse_http_response(b"HTTP/1.1 200 OK\r\nContent-Length: 9\r\n\r\nhi")
     with pytest.raises(ValueError):
         parse_http_response(b"ICY 200 OK\r\n\r\n")
-    with pytest.raises(NotImplementedError):  # obs-fold continuation
-        parse_http_response(b"HTTP/1.1 200 OK\r\nX: a\r\n b\r\n\r\n")
+    # obs-fold unfolds to a single SP, folded repeats still comma-join
+    fold = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nX: a\r\n \t b\r\nX: c\r\n\r\n"
+    )
+    assert fold["headers"]["x"] == "a b, c"
+    fold2 = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html;\r\n"
+        b"\tcharset=gbk\r\n\r\n"
+    )
+    assert fold2["headers"]["content-type"] == "text/html; charset=gbk"
+    with pytest.raises(ValueError):  # fold before any field
+        parse_http_response(b"HTTP/1.1 200 OK\r\n a\r\nX: b\r\n\r\n")
 
 
 def test_http_body_framing():
