@@ -6464,9 +6464,7 @@ def warc_revisit_links(spark, sf_dir):
     )
 
 
-@query(
-    "crawl_ingest_pipeline",
-    f"""
+_SQL_CRAWL_INGEST = f"""
     WITH ext AS (
       SELECT doc_id,
              'caf' || chr(233) || ' ' || chr(8212) || ' doc'
@@ -6480,7 +6478,7 @@ def warc_revisit_links(spark, sf_dir):
              CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS INT) AS n_rounds,
              CAST(len(extracted) AS BIGINT) AS n_chars,
              CAST(len(string_split(extracted, ' ')) AS BIGINT) AS n_tokens,
-             {{quality}} AS quality
+             {_sql_quality("extracted")} AS quality
       FROM ext
     )
     SELECT doc_id AS doc_id, url AS url, allowed AS allowed,
@@ -6488,8 +6486,67 @@ def warc_revisit_links(spark, sf_dir):
            quality AS quality,
            (allowed AND quality >= 0.3 AND n_tokens >= 5) AS keep
     FROM cols
-    """.format(quality=_sql_quality("extracted")),
-)
+    """
+
+_CRAWL_INGEST_ROBOTS = "User-agent: *\nDisallow: /doc/*0$\nAllow: /doc/\n"
+
+
+def _ingest_wire_record(did: int, text: str) -> dict:
+    """The flagship ingest fixture, ONE WARC response record per doc —
+    shared by ``crawl_ingest_pipeline`` (synthesized inside the Arrow
+    batch) and ``crawl_ingest_files`` (written to per-shard
+    ``.warc.gz`` files and read back through the distributed
+    ``binaryFile`` reader): chunked+gzip HTTP framing, 2/3 of docs
+    latin-1-misread (mojibake), a messy mixed-case/defaulted-port/
+    unsorted-query/fragment URL."""
+    import zlib
+
+    page = (
+        '<html><head><title>café — doc</title>'
+        '<script>var x = "<p>skip</p>";</script></head>'
+        f"<body><h1>{text[:10]}</h1><p>{text}"
+        " &amp; fin</p></body></html>"
+    )
+    wire = page if did % 3 == 0 else page.encode("utf-8").decode("latin-1")
+    co = zlib.compressobj(9, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    gz = co.compress(wire.encode("utf-8")) + co.flush()
+    http = (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        "Content-Encoding: gzip\r\n"
+        "Transfer-Encoding: chunked\r\n\r\n"
+    ).encode() + _chunk_frame(gz, did)
+    return {
+        "rec_type": "response",
+        "record_id": f"<urn:uuid:{did:032x}>",
+        "date": "2026-01-01T00:00:00Z",
+        "uri": f"HTTP://Crawl.TEST:80/doc/{did}?b={did % 7}&a=1#frag",
+        "payload": http,
+    }
+
+
+def _ingest_decode_row(uri: str, payload: bytes) -> tuple:
+    """The flagship decode chain for one WARC response record:
+    parse_http_response (de-chunk, gunzip) -> UTF-8 + fix_mojibake ->
+    html_to_text -> canonical_url -> robots wildcard gate. Returns
+    ``(doc_id, url, allowed, n_rounds, extracted)`` with doc_id
+    recovered from the canonical path (the record is self-describing —
+    no join back to the source table)."""
+    from .functions.crawl import canonical_url, fix_mojibake, robots_allowed
+    from .functions.text import html_to_text
+    from .sources.warc import parse_http_response
+
+    resp = parse_http_response(payload)
+    fixed, n_rounds = fix_mojibake(resp["body"].decode("utf-8"))
+    extracted = html_to_text(fixed)
+    c = canonical_url(uri)
+    allowed, _, _ = robots_allowed(
+        _CRAWL_INGEST_ROBOTS, "spark-graft", c["path"]
+    )
+    did = int(c["path"].rsplit("/", 1)[1])
+    return (did, c["url"], allowed, n_rounds, extracted)
+
+
+@query("crawl_ingest_pipeline", _SQL_CRAWL_INGEST)
 def crawl_ingest_pipeline(spark, sf_dir):
     """FLAGSHIP crawl-ingest composition — the round-9/10 pieces
     chained end to end the way a pretraining crawl actually runs, every
@@ -6513,60 +6570,21 @@ def crawl_ingest_pipeline(spark, sf_dir):
     shape: one narrow scan, the codec chain runs executor-side in
     Arrow batches, the policy is a map-side constant (broadcast in a
     real deployment), the gates are whole-stage-codegen expressions —
-    no shuffle anywhere. This is the 100 TB pretraining-ingest plan."""
+    no shuffle anywhere. This is the 100 TB pretraining-ingest plan.
+    The FILE seam (binaryFile scan of on-disk .warc.gz) is proved by
+    the sibling ``crawl_ingest_files``."""
     from collections.abc import Iterator
 
-    from .functions.crawl import canonical_url, fix_mojibake, robots_allowed
-    from .functions.text import html_to_text
-    from .sources.warc import decode_warc, encode_warc, parse_http_response
-
-    robots = "User-agent: *\nDisallow: /doc/*0$\nAllow: /doc/\n"
+    from .sources.warc import decode_warc, encode_warc
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        import zlib
-
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                did = int(doc_id)
-                t = str(text)
-                page = (
-                    '<html><head><title>café — doc</title>'
-                    '<script>var x = "<p>skip</p>";</script></head>'
-                    f"<body><h1>{t[:10]}</h1><p>{t}"
-                    " &amp; fin</p></body></html>"
-                )
-                wire = (
-                    page if did % 3 == 0
-                    else page.encode("utf-8").decode("latin-1")
-                )
-                co = zlib.compressobj(9, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
-                gz = co.compress(wire.encode("utf-8")) + co.flush()
-                http = (
-                    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-                    "Content-Encoding: gzip\r\n"
-                    "Transfer-Encoding: chunked\r\n\r\n"
-                ).encode() + _chunk_frame(gz, did)
                 rec = decode_warc(
-                    encode_warc([
-                        {
-                            "rec_type": "response",
-                            "record_id": f"<urn:uuid:{did:032x}>",
-                            "date": "2026-01-01T00:00:00Z",
-                            "uri": (
-                                f"HTTP://Crawl.TEST:80/doc/{did}"
-                                f"?b={did % 7}&a=1#frag"
-                            ),
-                            "payload": http,
-                        }
-                    ])
+                    encode_warc([_ingest_wire_record(int(doc_id), str(text))])
                 )[0]
-                resp = parse_http_response(rec["payload"])
-                fixed, n_rounds = fix_mojibake(resp["body"].decode("utf-8"))
-                extracted = html_to_text(fixed)
-                c = canonical_url(rec["uri"])
-                allowed, _, _ = robots_allowed(robots, "spark-graft", c["path"])
-                rows.append((did, c["url"], allowed, n_rounds, extracted))
+                rows.append(_ingest_decode_row(rec["uri"], rec["payload"]))
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "url", "allowed", "n_rounds", "extracted"],
@@ -6580,6 +6598,12 @@ def crawl_ingest_pipeline(spark, sf_dir):
         "doc_id long, url string, allowed boolean, n_rounds int,"
         " extracted string",
     )
+    return _ingest_gates(decoded)
+
+
+def _ingest_gates(decoded):
+    """The JVM-side tail of both ingest flagships: quality/token gates
+    as whole-stage-codegen expressions over the extracted text."""
     quality = quality_score("extracted")
     n_tokens = token_count_ws("extracted").cast("long")
     return decoded.select(
@@ -6589,6 +6613,85 @@ def crawl_ingest_pipeline(spark, sf_dir):
         quality.alias("quality"),
         (F.col("allowed") & (quality >= 0.3) & (n_tokens >= 5)).alias("keep"),
     )
+
+
+_INGEST_SHARDS = 64
+
+
+@query("crawl_ingest_files", _SQL_CRAWL_INGEST)
+def crawl_ingest_files(spark, sf_dir):
+    """FLAGSHIP crawl-ingest, FILE edition — the same end-to-end chain
+    as ``crawl_ingest_pipeline`` but through the one seam that version
+    skips: the fixture records are first WRITTEN to per-shard
+    ``.warc.gz`` files (per-member gzip, the CommonCrawl layout) by a
+    distributed ``applyInPandas`` writer, then read back through
+    ``sources/warc.read_warc``'s ``binaryFile`` + ``mapInPandas`` path
+    — one row per file, each file decoded on whichever executor holds
+    it, records never transiting the driver — and only then de-chunked,
+    gunzipped, mojibake-fixed, extracted, canonicalized and
+    robots-gated. doc_id is recovered from the record's own URI, so
+    nothing joins back to the source table: the files are the dataset,
+    exactly as a real crawl ingest starts from a bucket of WARCs.
+    Scale shape: N files -> N-way file parallelism (CommonCrawl ships
+    ~64k files per crawl); the write stage is the only shuffle (64
+    groups) and exists only to CREATE the fixture corpus."""
+    import os as _os
+    from collections.abc import Iterator
+
+    from .sources.warc import encode_warc, read_warc
+
+    base = _os.path.basename(_os.path.normpath(sf_dir))
+    fix_dir = f"/tmp/edp_warc_ingest_{base}_v1"
+    _os.makedirs(fix_dir, exist_ok=True)
+
+    def write_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        shard = int(pdf["shard"].iloc[0])
+        recs = [
+            _ingest_wire_record(int(d), str(t))
+            for d, t in sorted(
+                zip(pdf["doc_id"], pdf["text"]), key=lambda r: int(r[0])
+            )
+        ]
+        data = encode_warc(recs)  # per-member gzip .warc.gz
+        path = _os.path.join(fix_dir, f"shard-{shard:02d}.warc.gz")
+        # dot-prefixed: hidden from Spark's file listing, so a reader
+        # racing a concurrent writer never sees a partial file
+        tmp = _os.path.join(
+            fix_dir, f".shard-{shard:02d}.tmp.{_os.getpid()}"
+        )
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        _os.replace(tmp, path)  # atomic: concurrent runs write same bytes
+        return pd.DataFrame([(shard, len(recs))], columns=["shard", "n"])
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    written = (
+        docs.withColumn(
+            "shard", (F.col("doc_id") % _INGEST_SHARDS).cast("int")
+        )
+        .groupBy("shard")
+        .applyInPandas(write_shard, "shard int, n long")
+    )
+    written.collect()  # barrier: files exist before the read plan runs
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = [
+                _ingest_decode_row(str(uri), bytes(payload))
+                for uri, payload in zip(pdf["uri"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "url", "allowed", "n_rounds", "extracted"],
+            )
+
+    records = read_warc(spark, fix_dir).select("uri", "payload")
+    decoded = records.mapInPandas(
+        run,
+        "doc_id long, url string, allowed boolean, n_rounds int,"
+        " extracted string",
+    )
+    return _ingest_gates(decoded)
 
 
 _MP3_SHORT_Q_LINES = (0, 1, 8, 16, 24)

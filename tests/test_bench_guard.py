@@ -14,6 +14,16 @@ regression (the pins this repo relies on are worth 2.5-10x) still trips.
 On a breach the query is re-timed once (best-of-2) before failing, so a
 single co-tenant spike cannot redden the suite (round-5 false positive:
 dedup_simhash_pairs tripped purely under a concurrent sweep's load).
+
+BOX CALIBRATION (round-11, after the r10 drift adjudication cost 45
+minutes): when the committed medians carry a ``probe_sec`` — the fixed
+shuffle microbenchmark bench.py runs (``bench.shuffle_probe``) — the
+guard re-runs the same probe in its own session and scales every limit
+by (current probe / committed probe), clamped to [0.6, 4.0]. A slower
+box generation raises the limits instead of faking a regression; a
+faster box TIGHTENS them instead of leaving medians refreshed on a slow
+box as a loose guard. Plan regressions are box-independent, so they
+trip at any ratio.
 """
 
 from __future__ import annotations
@@ -32,6 +42,7 @@ BENCH_JSONS = (
 N_SLOWEST = 10
 FACTOR = 3.0
 ABS_SLACK = 1.0  # seconds
+RATIO_CLAMP = (0.6, 4.0)
 
 
 def _bench_record():
@@ -44,6 +55,19 @@ def _bench_record():
     if not os.path.isdir(sf_dir):
         pytest.skip(f"bench scale dir {sf_dir} not present")
     return rec, sf_dir
+
+
+def _box_ratio(spark, rec) -> float:
+    """current probe / committed probe, clamped; 1.0 when the committed
+    record predates the probe."""
+    committed = rec.get("probe_sec")
+    if not committed:
+        return 1.0
+    import bench
+
+    current = bench.shuffle_probe(spark)
+    lo, hi = RATIO_CLAMP
+    return min(hi, max(lo, current / committed))
 
 
 def test_slowest_queries_within_committed_medians(spark):
@@ -61,6 +85,8 @@ def test_slowest_queries_within_committed_medians(spark):
     for name, _ in slowest:
         QUERIES[name](spark, warm_dir).collect()
 
+    ratio = _box_ratio(spark, rec)
+
     def timed(name):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).collect()
@@ -68,23 +94,26 @@ def test_slowest_queries_within_committed_medians(spark):
 
     failures = []
     for name, committed in slowest:
-        limit = max(committed * FACTOR, committed + ABS_SLACK)
+        limit = max(committed * FACTOR, committed + ABS_SLACK) * ratio
         took = timed(name)
         if took > limit:
             # best-of-2: a noisy-neighbor spike passes on retry; a real
             # plan regression is just as slow the second time
             took = min(took, timed(name))
         if took > limit:
-            failures.append(f"{name}: {took:.2f}s > limit {limit:.2f}s "
-                            f"(committed median {committed:.2f}s, retried)")
+            failures.append(
+                f"{name}: {took:.2f}s > limit {limit:.2f}s "
+                f"(committed median {committed:.2f}s, box ratio "
+                f"{ratio:.2f}, retried)"
+            )
     assert not failures, "bench regression tripwire:\n" + "\n".join(failures)
 
 
 def test_guard_retry_logic_catches_real_regressions():
     """Unit-check the best-of-2 rule with fake timings: one spike passes
     on retry; two consecutive breaches still fail."""
-    def evaluate(timings, committed=1.0):
-        limit = max(committed * FACTOR, committed + ABS_SLACK)
+    def evaluate(timings, committed=1.0, ratio=1.0):
+        limit = max(committed * FACTOR, committed + ABS_SLACK) * ratio
         it = iter(timings)
         took = next(it)
         if took > limit:
@@ -94,3 +123,25 @@ def test_guard_retry_logic_catches_real_regressions():
     assert evaluate([10.0, 1.2])      # co-tenant spike, retry clean
     assert not evaluate([10.0, 9.8])  # real 3x regression persists
     assert evaluate([1.5])            # within limit, no retry consumed
+    # box calibration: a 2x-slower box (ratio 2) absorbs a 2x-inflated
+    # replay; a 2x-faster box (ratio 0.6 clamped) tightens the limit so
+    # a plan regression that would have hidden under stale slow-box
+    # medians still trips
+    assert evaluate([5.0, 5.0], ratio=2.0)
+    assert not evaluate([5.0, 5.0], ratio=1.0)
+    assert not evaluate([2.0, 2.0], ratio=0.6)
+
+
+def test_box_ratio_contract():
+    """_box_ratio: no committed probe -> 1.0 (legacy records); clamping
+    bounds both directions."""
+    lo, hi = RATIO_CLAMP
+
+    class _FakeBench:
+        pass
+
+    assert _box_ratio(None, {}) == 1.0
+    assert _box_ratio(None, {"probe_sec": 0}) == 1.0
+    # clamp arithmetic (no spark needed: exercise the formula directly)
+    assert min(hi, max(lo, 10.0 / 1.0)) == hi
+    assert min(hi, max(lo, 0.1 / 1.0)) == lo
