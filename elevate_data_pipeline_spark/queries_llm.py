@@ -8111,6 +8111,103 @@ def text_c4_filter(spark, sf_dir):
     )
 
 
+_CLF_BUCKETS = 1024
+_CLF_KNUTH = 2654435761  # curation's Knuth multiplicative constant
+_CLF_RING = 1 << 32
+
+
+def _sql_clf_core() -> str:
+    """Per-doc classifier columns (doc_id, n_features, score_sum) as a
+    DuckDB subquery — shared by the standalone oracle and the
+    curation-report composition."""
+    ph = _sql_polyhash("g", "j")
+    w = (
+        f"((({ph} % {_CLF_BUCKETS}) * {_CLF_KNUTH}) % {_CLF_RING})"
+        " % 1001 - 500"
+    )
+    return f"""
+      SELECT doc_id,
+             CAST(len(gs) AS BIGINT) AS n_features,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(gs, g -> {w})),
+                  (a, b) -> a + b) AS BIGINT) AS score_sum
+      FROM (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 2 THEN []
+                    ELSE [toks[i-1] || ' ' || toks[i]
+                          for i in range(2, len(toks) + 1)] END AS gs
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents))
+    """
+
+
+@query(
+    "text_quality_classifier",
+    f"""
+    SELECT doc_id AS doc_id, n_features AS n_features,
+           score_sum AS score_sum,
+           CASE WHEN n_features = 0 THEN 0.0
+                ELSE CAST(score_sum AS DOUBLE) / n_features
+           END AS mean_score,
+           score_sum >= 0 AS keep
+    FROM ({_sql_clf_core()})
+    """,
+)
+def text_quality_classifier(spark, sf_dir):
+    """fastText-style hashed-ngram LINEAR quality classifier — the
+    standard supervised quality gate in pretraining curation (Joulin
+    et al. 2017 architecture: hashed word-bigram features x a weight
+    vector, document score = mean feature weight): consecutive
+    token bigrams hash (Rabin-Karp polyhash) into {_CLF_BUCKETS}
+    buckets; the weight vector is a deterministic integer swap-in
+    (w[b] = Knuth-mix(b) mod 1001 - 500, the repo's empirical-table
+    contract — a trained model ships real weights through the same
+    broadcast path); score_sum folds the per-bigram weights and
+    keep = score_sum >= 0 is the gate. Everything is ONE map-only
+    whole-stage-codegen pass of integer arithmetic (no UDF, no
+    shuffle), so at 100 TB the classifier gate rides the same scan as
+    the heuristic filters; the weight table is O(buckets) and
+    broadcast-trivial. DSIR covers importance weighting; this covers
+    supervised quality scoring — the remaining standard curation gate.
+    Oracle replays the identical hash/weight fold in DuckDB."""
+    from .operators.util import spread
+
+    ph = (
+        "aggregate(transform(sequence(1, length(g)),"
+        " j -> bigint(ascii(substring(g, j, 1)))),"
+        f" bigint(0), (h, c) -> (h * {POLY_BASE} + c) % {POLY_MOD})"
+    )
+    w = (
+        f"((({ph} % {_CLF_BUCKETS}) * {_CLF_KNUTH}) % {_CLF_RING})"
+        " % 1001 - 500"
+    )
+    toks = "split(text, ' ')"
+    bigrams = (
+        f"CASE WHEN size({toks}) < 2 THEN CAST(array() AS array<string>)"
+        f" ELSE transform(sequence(2, size({toks})),"
+        f" i -> concat(element_at({toks}, i - 1), ' ',"
+        f" element_at({toks}, i))) END"
+    )
+    docs = spread(Catalog(spark, sf_dir).table("documents"))
+    d = docs.select(
+        "doc_id", F.expr(bigrams).alias("gs")
+    ).select(
+        "doc_id",
+        F.expr("CAST(size(gs) AS BIGINT)").alias("n_features"),
+        F.expr(
+            f"aggregate(gs, CAST(0 AS BIGINT), (a, g) -> a + {w})"
+        ).alias("score_sum"),
+    )
+    return d.select(
+        "doc_id", "n_features", "score_sum",
+        F.expr(
+            "CASE WHEN n_features = 0 THEN 0.0"
+            " ELSE CAST(score_sum AS DOUBLE) / n_features END"
+        ).alias("mean_score"),
+        (F.col("score_sum") >= 0).alias("keep"),
+    )
+
+
 @query(
     "text_perplexity_filter",
     """
@@ -8945,7 +9042,10 @@ def text_langid_eval(spark, sf_dir):
                                  ELSE nw - {_LINE_WORDS} * (nl - 1)
                                  END) >= 5]) AS BIGINT) >= 3
                AND doc_id % 13 <> 7 AND doc_id % 17 <> 9 AS keep
-        FROM lined))
+        FROM lined)),
+    f AS (
+      SELECT doc_id, score_sum >= 0 AS f_keep
+      FROM ({_sql_clf_core()}))
     SELECT q.source AS source,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(q.nw) AS BIGINT) AS n_words,
@@ -8955,16 +9055,21 @@ def text_langid_eval(spark, sf_dir):
              AS gopher_kept,
            CAST(sum(CASE WHEN c.c_keep THEN 1 ELSE 0 END) AS BIGINT)
              AS c4_kept,
-           CAST(sum(CASE WHEN g.g_keep AND c.c_keep THEN 1 ELSE 0 END)
-             AS BIGINT) AS both_kept
+           CAST(sum(CASE WHEN f.f_keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS clf_kept,
+           CAST(sum(CASE WHEN g.g_keep AND c.c_keep AND f.f_keep
+             THEN 1 ELSE 0 END) AS BIGINT) AS both_kept
     FROM q JOIN g USING (doc_id) JOIN c USING (doc_id)
+           JOIN f USING (doc_id)
     GROUP BY q.source
     """,
 )
 def corpus_curation_report(spark, sf_dir):
     """Per-source curation dashboard: document/word counts, mean
     heuristic quality (decimal-exact mean), and survival counts under
-    the Gopher rule set, the C4 rule set, and their intersection —
+    the Gopher rule set, the C4 rule set, the hashed-ngram linear
+    classifier gate (text_quality_classifier), and the three-way
+    intersection —
     the snapshot a data-curation run publishes per ingest source
     before deciding mixture weights. Composes the round's filter
     queries by reusing their exact rule expressions; one scan computes
@@ -8978,6 +9083,9 @@ def corpus_curation_report(spark, sf_dir):
     c = text_c4_filter(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("c_keep")
     )
+    f_ = text_quality_classifier(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("f_keep")
+    )
     docs = Catalog(spark, sf_dir).table("documents")
     q = docs.select(
         "doc_id", "source",
@@ -8987,6 +9095,7 @@ def corpus_curation_report(spark, sf_dir):
     return (
         q.join(g, "doc_id")
         .join(c, "doc_id")
+        .join(f_, "doc_id")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -8997,8 +9106,11 @@ def corpus_curation_report(spark, sf_dir):
             ).alias("mean_quality"),
             F.sum(F.col("g_keep").cast("int")).cast("long").alias("gopher_kept"),
             F.sum(F.col("c_keep").cast("int")).cast("long").alias("c4_kept"),
-            F.sum((F.col("g_keep") & F.col("c_keep")).cast("int"))
-            .cast("long").alias("both_kept"),
+            F.sum(F.col("f_keep").cast("int")).cast("long").alias("clf_kept"),
+            F.sum(
+                (F.col("g_keep") & F.col("c_keep") & F.col("f_keep"))
+                .cast("int")
+            ).cast("long").alias("both_kept"),
         )
     )
 
