@@ -7864,6 +7864,150 @@ def crawl_recrawl_schedule(spark, sf_dir):
     )
 
 
+@query(
+    "crawl_sitemap_schedule",
+    """
+    WITH state AS (
+      SELECT doc_id, doc_id // 10 AS h, doc_id % 10 AS j,
+             (doc_id * 5) % 60 AS fetch_age
+      FROM documents),
+    meta AS (
+      SELECT doc_id, fetch_age,
+             'h' || CAST(h AS VARCHAR) AS host,
+             'https://h' || CAST(h AS VARCHAR) || '.test/page/'
+               || CAST(j AS VARCHAR) AS url,
+             CASE WHEN j % 2 = 0 THEN date_diff('day',
+                  make_date(2025, 1 + doc_id % 12, 15), DATE '2026-01-01')
+             END AS lastmod_age,
+             CASE WHEN j % 3 = 0 THEN
+               CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 7 ELSE 30 END
+             ELSE 7 END AS freq_days,
+             CASE WHEN j % 4 = 0 THEN doc_id % 10 ELSE 5 END AS pri
+      FROM state),
+    scored AS (
+      SELECT *,
+             (fetch_age * 100) // freq_days + pri * 5
+               + CASE WHEN lastmod_age IS NOT NULL
+                       AND lastmod_age < fetch_age THEN 50 ELSE 0 END
+               AS score
+      FROM meta),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY host
+                                   ORDER BY score DESC, doc_id) AS rk
+      FROM scored)
+    SELECT doc_id AS doc_id, host AS host, url AS url,
+           CAST(freq_days AS INT) AS freq_days,
+           CAST(lastmod_age AS INT) AS lastmod_age,
+           CAST(pri AS INT) AS priority_tenths,
+           CAST(score AS BIGINT) AS score, CAST(rk AS INT) AS rank
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def crawl_sitemap_schedule(spark, sf_dir):
+    """Recrawl scheduling fed by DISCOVERED sitemap metadata — the
+    crawl_recrawl_schedule staleness formula, but every cadence input
+    comes out of a REAL parsed sitemap instead of synthetic columns:
+    each host publishes a sitemaps.org urlset (one entry per page,
+    lastmod/changefreq/priority present per the sitemap protocol's
+    optionality), the map stage round-trips it through
+    ``encode_sitemap`` -> ``parse_sitemap`` and reads the entry's OWN
+    fields — changefreq label -> cadence days (daily/weekly/monthly,
+    absent -> weekly default), lastmod -> age in days against the
+    fixed crawl epoch (exact Gregorian date arithmetic), priority ->
+    tenths (absent -> the protocol's 0.5 default). Score =
+    (days-since-fetch * 100) // cadence + 5*priority-tenths + a
+    modified-since-fetch bonus, all integers; per-host top-3 rank is
+    the ONE bounded shuffle (host partitions are page-count-bounded).
+    The oracle replays the fixture congruences in closed form, so a
+    parser slip on any optional field moves a score and fails the
+    hash. At 100 TB: sitemap parse is per-host map work exactly like
+    the fetch itself; the rank is the frontier's politeness window."""
+    from collections.abc import Iterator
+    from datetime import date
+
+    from elevate_data_pipeline_spark.functions import crawl
+
+    epoch = date(2026, 1, 1)
+    cadence = {"daily": 1, "weekly": 7, "monthly": 30}
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                h, j = did // 10, did % 10
+                # the host's full sitemap (entry k belongs to doc
+                # h*10+k); deterministic, so every doc of the host
+                # rebuilds the identical document
+                entries = []
+                for k in range(10):
+                    dk = h * 10 + k
+                    ent = {"loc": f"https://h{h}.test/page/{k}"}
+                    if k % 2 == 0:
+                        ent["lastmod"] = f"2025-{1 + dk % 12:02d}-15"
+                    if k % 3 == 0:
+                        ent["changefreq"] = (
+                            ("daily", "weekly", "monthly")[dk % 3]
+                        )
+                    if k % 4 == 0:
+                        ent["priority"] = f"0.{dk % 10}"
+                    entries.append(ent)
+                parsed = crawl.parse_sitemap(crawl.encode_sitemap(entries))
+                e = parsed["entries"][j]
+                if e["lastmod"] is not None:
+                    y, m, d = (int(x) for x in e["lastmod"].split("-"))
+                    lastmod_age = (epoch - date(y, m, d)).days
+                else:
+                    lastmod_age = None
+                freq_days = cadence.get(e["changefreq"], 7)
+                pri = (
+                    int(e["priority"].partition(".")[2])
+                    if e["priority"] is not None else 5
+                )
+                rows.append(
+                    (did, f"h{h}", e["loc"], freq_days, lastmod_age, pri)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "host", "url", "freq_days",
+                         "lastmod_age", "priority_tenths"],
+            )
+
+    from pyspark.sql import Window
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    meta = docs.mapInPandas(
+        run,
+        "doc_id long, host string, url string, freq_days int,"
+        " lastmod_age int, priority_tenths int",
+    )
+    fetch_age = (F.col("doc_id") * 5) % 60
+    score = (
+        F.expr("(((doc_id * 5) % 60) * 100) DIV freq_days")
+        + F.col("priority_tenths") * 5
+        + F.when(
+            F.col("lastmod_age").isNotNull()
+            & (F.col("lastmod_age") < fetch_age),
+            50,
+        ).otherwise(0)
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        meta.withColumn("score", score.cast("long"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id", "host", "url", "freq_days", "lastmod_age",
+            "priority_tenths", "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Published pretraining quality-rule sets: Gopher (Rae et al. 2021, A1.1)
 # and C4 (Raffel et al. 2020, §2.2). The synthetic corpus carries no line
