@@ -4272,11 +4272,13 @@ def decode_audio(payload: bytes) -> AudioData:
     the way :func:`decode_image` does for rasters: RIFF/WAVE (PCM16,
     IMA ADPCM, or G.711) -> :func:`decode_wav`; native FLAC ->
     :func:`decode_flac`; MPEG audio frames (optionally behind an ID3v2
-    tag) -> :func:`decode_mp3` (MPEG-1 Layer III mono structural subset
-    — anything outside it raises NotImplementedError from the parse).
-    Other formats raise ``NotImplementedError`` (AAC/opus/vorbis need
-    codec libraries this environment does not ship); malformed streams
-    of a recognized format raise ``ValueError``."""
+    tag) -> :func:`decode_mp3` (MPEG-1 Layer III structural subset —
+    anything outside it raises NotImplementedError from the parse);
+    ADTS framing (MPEG layer bits 00) -> :func:`decode_aac` (AAC-LC
+    mono structural subset). Other formats raise
+    ``NotImplementedError`` (opus/vorbis need codec libraries this
+    environment does not ship); malformed streams of a recognized
+    format raise ``ValueError``."""
     if payload[:4] == b"RIFF":
         return decode_wav(payload)
     if payload[:4] == b"fLaC":
@@ -4286,12 +4288,9 @@ def decode_audio(payload: bytes) -> AudioData:
     if len(payload) >= 2 and payload[0] == 0xFF and payload[1] & 0xE0 == 0xE0:
         if (payload[1] >> 1) & 3 == 0:
             # layer bits 00 = ADTS AAC framing (MPEG audio layers are
-            # 01/10/11); the frame walk is decode_adts, the payload
-            # decode stays gated.
-            raise NotImplementedError(
-                "ADTS AAC: frame walk available via decode_adts; raw-"
-                "data-block decode needs empirical codebook tables"
-            )
+            # 01/10/11) -> the AAC-LC structural decode; out-of-subset
+            # streams gate loudly inside decode_aac
+            return decode_aac(payload)
         return decode_mp3(payload)
     raise NotImplementedError(
         "only RIFF/WAVE, FLAC, and MPEG-1 Layer III decode dependency-"
@@ -6144,10 +6143,10 @@ def decode_isobmff_image(payload: bytes) -> dict:
 # variable 28-bit header carrying profile / sampling-frequency index /
 # channel configuration / frame length, then the raw AAC data blocks.
 # The FRAME WALK below is complete and byte-exact — it is what a crawl
-# pipeline needs for duration / bitrate / configuration stats — while
-# the AAC raw-data-block decode itself stays behind the module's loud
-# codec gate (scalefactor-band + Huffman codebook tables are empirical
-# spec tables this offline environment cannot verify).
+# pipeline needs for duration / bitrate / configuration stats; the
+# raw-data-block payloads decode via the AAC-LC structural subset
+# further down (encode_aac/decode_aac, swap-in tables for the
+# empirical scalefactor-band + Huffman codebooks).
 
 # ISO/IEC 14496-3 sampling_frequency_index table (public constants,
 # reproduced in every ADTS description incl. RFC 6416 §6.1 context).
@@ -6258,6 +6257,348 @@ def decode_adts(payload: bytes) -> dict:
         "frames": frames,
         "samples_per_channel": _ADTS_SAMPLES_PER_FRAME * len(frames),
     }
+
+
+# ---------------------------------------------------------------------------
+# AAC-LC raw data block (ISO/IEC 13818-7 / 14496-3 §4) — the same
+# swap-in-table contract as MP3: all STRUCTURE is the spec's (syntactic
+# element walk, SCE individual_channel_stream layout, ics_info fields,
+# section_data run coding with the 5-bit/esc-31 length increments,
+# DPCM scalefactors from global_gain, pairwise spectral traversal,
+# |x|^(4/3) requantization, N=2048 IMDCT + sine window + 1024-sample
+# overlap-add), while the EMPIRICAL tables this offline container
+# cannot verify are repo-defined swap-ins behind single swap points:
+#   - AAC_SFB: scalefactor band widths (spec Table 4.110 family is
+#     empirical per sample rate; swap-in = 16 x 64 tiling 1024 lines);
+#   - the spectral Huffman codebooks 1-11 and the scalefactor codebook:
+#     Elias-gamma magnitude + sign / zigzag-gamma DPCM stand-ins
+#     (codebook id 1 in section_data);
+#   - AAC_POW43 / the 2^((sf-100)/4) gain grid restricted to integer
+#     shifts (sf = 100 + 4k, k 0..7) so the whole chain is exact
+#     integers, SQL-replayable (same contract as MP3's gain grid).
+# Loud subset gates (NotImplementedError, never silent): window
+# switching (sequences 1-3), KBD window shape, MAIN-profile
+# prediction, pulse data, TNS, SSR gain control, PNS (codebook 13),
+# intensity stereo (14/15), empirical codebooks 2-12, CPE/CCE/LFE/DSE/
+# PCE/FIL elements, profiles other than LC, channel configs != 1 —
+# every real-world AAC stream refuses loudly until the spec tables are
+# swapped in; the codec is exact against its own encoder.
+# ---------------------------------------------------------------------------
+
+AAC_POW43 = MP3_POW43  # same |x|^(4/3) nonlinearity, x4 fixed point
+AAC_SFB = (64,) * 16  # swap-in long-window scalefactor band widths
+_AAC_SFB_START = tuple(64 * b for b in range(17))
+AAC_N = 2048
+AAC_SHIFT = 15  # chain scale: x4 (pow43) * x64 (cos) * x64 (window) = 2^14
+AAC_WIN = tuple(
+    round(64 * __import__("math").sin(
+        __import__("math").pi / 2048.0 * (n + 0.5)
+    ))
+    for n in range(2048)
+)
+_AAC_C_ROWS: dict = {}
+
+
+def _aac_c_row(k: int) -> tuple:
+    """Row k of the long-window IMDCT cosine (the spec FORMULA
+    x(n) = sum_k spec[k] cos(2pi/N (n + n0)(k + 1/2)), n0 = (N/2+1)/2,
+    rounded to the module's x64 fixed point) — computed lazily per
+    spectral line and cached: the full 1024x2048 table is 2M entries,
+    and a stream touches only its nonzero lines."""
+    row = _AAC_C_ROWS.get(k)
+    if row is None:
+        math = __import__("math")
+        row = tuple(
+            round(64 * math.cos(
+                math.pi * (2 * n + 1 + 1024) * (2 * k + 1) / 4096.0
+            ))
+            for n in range(2048)
+        )
+        _AAC_C_ROWS[k] = row
+    return row
+
+
+def _aac_frame_pcm(xr: list, prev: list) -> tuple:
+    """One long-window frame through the exact integer chain: IMDCT of
+    the nonzero lines (lazy cosine rows), sine window, overlap-add
+    with the previous frame's tail. ``prev`` is the 1024-sample overlap
+    state. Returns (1024 raw accumulator values, new state) — linear in
+    xr, one rounding applied by the caller."""
+    nz = [(k, v) for k, v in enumerate(xr) if v]
+    if not nz and not any(prev):
+        return [0] * 1024, prev
+    sw = [0] * AAC_N
+    for k, v in nz:
+        row = _aac_c_row(k)
+        for n in range(AAC_N):
+            sw[n] += v * row[n]
+    z = [sw[n] * AAC_WIN[n] for n in range(AAC_N)]
+    acc = [z[n] + prev[n] for n in range(1024)]
+    return acc, z[1024:]
+
+
+def _aac_norm_frame(g) -> dict:
+    """Normalize a frame spec: ``(values, gain_e)`` (spectral prefix,
+    flat gain) or the dict ``{spec, gain_e, sf_down}`` with up to 1024
+    signed quantized lines (|x| <= 15), gain_e on the 0..7 grid, and
+    per-band down-shifts sf_down (band shift = gain_e - sf_down[b],
+    transmitted scalefactor = 100 + 4*shift)."""
+    if isinstance(g, dict):
+        spec = list(g.get("spec", []))
+        gain_e = g.get("gain_e", 0)
+        sf_down = list(g.get("sf_down", [0] * len(AAC_SFB)))
+    else:
+        spec, gain_e = list(g[0]), g[1]
+        sf_down = [0] * len(AAC_SFB)
+    if len(spec) > 1024:
+        raise ValueError("more than 1024 spectral lines in an AAC frame")
+    spec += [0] * (1024 - len(spec))
+    for v in spec:
+        if not -15 <= v <= 15:
+            raise ValueError("AAC spectral magnitude above 15")
+    if not 0 <= gain_e <= 7:
+        raise ValueError("gain_e out of the subset's 0..7 grid")
+    if len(sf_down) != len(AAC_SFB):
+        raise ValueError(f"sf_down needs {len(AAC_SFB)} bands")
+    used = [
+        any(spec[_AAC_SFB_START[b]:_AAC_SFB_START[b + 1]])
+        for b in range(len(AAC_SFB))
+    ]
+    for b, u in enumerate(used):
+        if u and not 0 <= gain_e - sf_down[b] <= 7:
+            raise ValueError(
+                f"band {b} shift {gain_e - sf_down[b]} off the 0..7 grid"
+            )
+    return {"spec": spec, "gain_e": gain_e, "sf_down": sf_down,
+            "used": used}
+
+
+def encode_aac(frames: list, freq_index: int = 4) -> bytes:
+    """AAC-LC mono encoder for the structural subset above: each frame
+    is ``(values, gain_e)`` or the :func:`_aac_norm_frame` dict. Emits
+    one ADTS frame per raw data block (profile LC, channel config 1):
+    SCE element (global_gain on the 100+4k grid, only-long ics_info,
+    run-coded sections over codebooks {0, 1}, zigzag-gamma DPCM
+    scalefactors, gamma+sign spectral pairs) + END, byte-aligned."""
+    payloads = []
+    for g in frames:
+        g = _aac_norm_frame(g)
+        bw = _MsbBitWriter()
+        bw.bits(0, 3)  # id_syn_ele: SCE
+        bw.bits(0, 4)  # element_instance_tag
+        gg = 100 + 4 * g["gain_e"]
+        bw.bits(gg, 8)
+        bw.bits(0, 1)  # ics_reserved_bit
+        bw.bits(0, 2)  # window_sequence: ONLY_LONG
+        bw.bits(0, 1)  # window_shape: sine
+        used = g["used"]
+        max_sfb = max((b + 1 for b in range(len(used)) if used[b]),
+                      default=0)
+        bw.bits(max_sfb, 6)
+        bw.bits(0, 1)  # predictor_data_present
+        b = 0
+        while b < max_sfb:  # section_data
+            cb = 1 if used[b] else 0
+            ln = 1
+            while b + ln < max_sfb and used[b + ln] == used[b]:
+                ln += 1
+            bw.bits(cb, 4)
+            rem = ln
+            while rem >= 31:  # spec's esc-31 length-increment chain
+                bw.bits(31, 5)
+                rem -= 31
+            bw.bits(rem, 5)
+            b += ln
+        last = gg
+        for b in range(max_sfb):  # scale_factor_data (DPCM zigzag)
+            if not used[b]:
+                continue
+            sf = 100 + 4 * (g["gain_e"] - g["sf_down"][b])
+            d = sf - last
+            last = sf
+            _mp3_put_gamma(bw, 2 * d if d >= 0 else -2 * d - 1)
+        bw.bits(0, 1)  # pulse_data_present
+        bw.bits(0, 1)  # tns_data_present
+        bw.bits(0, 1)  # gain_control_data_present
+        for b in range(max_sfb):  # spectral_data: pairwise gamma+sign
+            if not used[b]:
+                continue
+            for i in range(_AAC_SFB_START[b], _AAC_SFB_START[b + 1]):
+                v = g["spec"][i]
+                _mp3_put_gamma(bw, abs(v))
+                if v:
+                    bw.bits(1 if v < 0 else 0, 1)
+        bw.bits(7, 3)  # id_syn_ele: END
+        payloads.append(bw.flush())
+    return encode_adts(payloads, freq_index, channels=1, profile=1)
+
+
+def _aac_parse_raw_block(buf: bytes) -> list:
+    """Parse one raw_data_block (SCE + END) to the 1024 requantized
+    spectral lines. Every out-of-subset construct gates loudly."""
+    br = _MsbBitReader(buf)
+    xr = None
+    ele_names = {
+        1: "CPE (channel pair element)", 2: "CCE (coupling channel)",
+        3: "LFE", 4: "DSE (data stream)", 5: "PCE (program config)",
+        6: "FIL (fill element)",
+    }
+    while True:
+        ele = br.bits(3)
+        if ele == 7:  # END
+            break
+        if ele != 0:
+            raise NotImplementedError(
+                f"AAC syntactic element {ele_names.get(ele, ele)} not"
+                " supported (mono SCE subset)"
+            )
+        if xr is not None:
+            raise NotImplementedError(
+                "multiple SCEs per raw data block not supported"
+            )
+        br.bits(4)  # element_instance_tag
+        gg = br.bits(8)
+        if br.bits(1):
+            raise ValueError("ics_reserved_bit set")
+        ws = br.bits(2)
+        if ws:
+            raise NotImplementedError(
+                f"AAC window switching (window_sequence {ws}) not"
+                " supported (only-long subset)"
+            )
+        if br.bits(1):
+            raise NotImplementedError(
+                "KBD window shape not supported (empirical window)"
+            )
+        max_sfb = br.bits(6)
+        if max_sfb > len(AAC_SFB):
+            raise ValueError(f"max_sfb {max_sfb} beyond the band table")
+        if br.bits(1):
+            raise NotImplementedError(
+                "MAIN-profile prediction not supported in AAC-LC"
+            )
+        cbs = []
+        while len(cbs) < max_sfb:  # section_data
+            cb = br.bits(4)
+            if cb == 13:
+                raise NotImplementedError(
+                    "PNS (perceptual noise substitution, codebook 13)"
+                    " not supported"
+                )
+            if cb in (14, 15):
+                raise NotImplementedError(
+                    "intensity stereo codebooks not supported"
+                )
+            if cb not in (0, 1):
+                raise NotImplementedError(
+                    f"empirical spectrum Huffman codebook {cb} not"
+                    " available (repo codebook ids: 0 zero / 1 gamma)"
+                )
+            ln = 0
+            while True:
+                inc = br.bits(5)
+                ln += inc
+                if inc != 31:
+                    break
+            if ln == 0 or len(cbs) + ln > max_sfb:
+                raise ValueError("bad AAC section length")
+            cbs += [cb] * ln
+        shifts = [0] * max_sfb
+        last = gg
+        for b in range(max_sfb):  # scale_factor_data
+            if cbs[b] == 0:
+                continue
+            z = _mp3_get_gamma(br)
+            last += z // 2 if z % 2 == 0 else -((z + 1) // 2)
+            if (last - 100) % 4 or not 0 <= (last - 100) // 4 <= 7:
+                raise NotImplementedError(
+                    f"scalefactor {last} off the 2^((sf-100)/4) 0..7"
+                    " integer grid"
+                )
+            shifts[b] = (last - 100) // 4
+        if br.bits(1):
+            raise NotImplementedError("AAC pulse data not supported")
+        if br.bits(1):
+            raise NotImplementedError(
+                "TNS (temporal noise shaping) not supported"
+            )
+        if br.bits(1):
+            raise NotImplementedError(
+                "SSR gain control not supported in AAC-LC"
+            )
+        xr = [0] * 1024
+        for b in range(max_sfb):  # spectral_data
+            if cbs[b] == 0:
+                continue
+            for i in range(_AAC_SFB_START[b], _AAC_SFB_START[b + 1]):
+                mag = _mp3_get_gamma(br)
+                if mag > 15:
+                    raise ValueError("AAC spectral magnitude above 15")
+                if mag:
+                    v = AAC_POW43[mag] << shifts[b]
+                    xr[i] = -v if br.bits(1) else v
+    if xr is None:
+        raise ValueError("raw data block without an SCE")
+    # byte-align padding must be zero: trailing garbage means the walk
+    # lost sync somewhere upstream
+    while br.pos < len(br.buf) or br._n:
+        n = br._n or 8
+        if br.bits(n):
+            raise ValueError("nonzero padding after END element")
+    return xr
+
+
+def decode_aac(payload: bytes) -> AudioData:
+    """AAC-LC decoder for the structural subset above: ADTS frame walk
+    (:func:`decode_adts`), raw-data-block parse, pow-4/3
+    requantization on the integer gain grid, N=2048 IMDCT + sine
+    window + 1024-sample overlap-add in exact integers, one
+    round-half-up >> AAC_SHIFT and int16 clip per sample. 1024
+    samples per frame. Profiles other than LC and channel configs
+    other than 1 gate loudly."""
+    walk = decode_adts(payload)
+    if walk["profile"] != 1:
+        raise NotImplementedError(
+            f"only AAC-LC (profile 1) decodes; got profile"
+            f" {walk['profile']}"
+        )
+    if walk["channels"] != 1:
+        raise NotImplementedError(
+            "only channel_configuration 1 (mono SCE) decodes; got"
+            f" {walk['channels']}"
+        )
+    prev = [0] * 1024
+    samples: list = []
+    half = 1 << (AAC_SHIFT - 1)
+    for fr in walk["frames"]:
+        xr = _aac_parse_raw_block(fr)
+        acc, prev = _aac_frame_pcm(xr, prev)
+        samples.extend(
+            max(-32768, min(32767, (a + half) >> AAC_SHIFT)) for a in acc
+        )
+    return AudioData(walk["sample_rate"], 1, 16, samples)
+
+
+def aac_line_taps(n_frames: int = 2, lines: tuple = (0,)) -> dict:
+    """Exact integer tap tables for the SQL oracle: ``taps[(f, k)][t]``
+    is the raw accumulator that a UNIT value on line k of frame f
+    contributes to output sample t over ``n_frames`` frames — the
+    decode is linear in the requantized lines with one final
+    round-half-up >> AAC_SHIFT, so any stream replays as the tap
+    superposition (the MP3 mp3_line_taps contract)."""
+    out = {}
+    for f in range(n_frames):
+        for k in lines:
+            prev = [0] * 1024
+            taps: list = []
+            for g in range(n_frames):
+                xr = [0] * 1024
+                if g == f:
+                    xr[k] = 1
+                acc, prev = _aac_frame_pcm(xr, prev)
+                taps.extend(acc)
+            out[(f, k)] = tuple(taps)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -5022,6 +5022,146 @@ def multimodal_mp3_decode(spark, sf_dir):
     )
 
 
+_AAC_LINES = (0, 100, 500, 999)
+
+
+def _sql_aac() -> str:
+    """Oracle for multimodal_aac_decode: the AAC-LC decode chain is
+    exactly linear in the requantized lines with ONE final
+    round-half-up shift (operators/multimodal.aac_line_taps — the
+    mp3_line_taps contract), so the replay is x_{f,k} * tap_{f,k}[t]
+    summed per sample, floored after adding half, clipped to int16.
+    The fixture exercises lines in bands 0/1/7/15 across two frames
+    (so the 1024-sample overlap-add between frames is live), a
+    per-band scalefactor down-shift on band 1, and both gain grids.
+    Division by 2^15 is exact in doubles (|acc| < 2^53)."""
+    taps = multimodal.aac_line_taps(n_frames=2, lines=_AAC_LINES)
+    t = {
+        (f, k): "[" + ",".join(str(v) for v in taps[(f, k)]) + "]"
+        for f in (0, 1)
+        for k in _AAC_LINES
+    }
+    p43 = "[" + ",".join(str(v) for v in multimodal.AAC_POW43) + "]"
+    half = 1 << (multimodal.AAC_SHIFT - 1)
+    pow2 = 1 << multimodal.AAC_SHIFT
+    acc = " + ".join(
+        f"x{f}_{k} * ({t[(f, k)]})[s + 1]"
+        for f in (0, 1)
+        for k in _AAC_LINES
+    )
+    return f"""
+    WITH cfg AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 15 AS INT) AS v00,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS s00,
+             CAST(1 + (doc_id * 7) % 15 AS INT) AS v01,
+             CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END AS s01,
+             CAST(1 + (doc_id * 3) % 15 AS INT) AS v05,
+             CASE WHEN doc_id % 5 = 0 THEN -1 ELSE 1 END AS s05,
+             CAST((doc_id * 11) % 16 AS INT) AS v10,
+             CASE WHEN doc_id % 7 = 0 THEN -1 ELSE 1 END AS s10,
+             CAST(1 + (doc_id * 5) % 15 AS INT) AS v11,
+             CASE WHEN doc_id % 4 = 0 THEN -1 ELSE 1 END AS s11,
+             CAST(1 + (doc_id * 13) % 15 AS INT) AS v115,
+             CASE WHEN doc_id % 6 = 0 THEN -1 ELSE 1 END AS s115,
+             CAST(1 + doc_id % 7 AS INT) AS e0,
+             CAST(1 + (doc_id * 3) % 7 AS INT) AS e1
+      FROM documents
+    ), xr AS (
+      SELECT doc_id,
+             s00 * ({p43})[v00 + 1] * (CAST(1 AS BIGINT) << e0) AS x0_0,
+             s01 * ({p43})[v01 + 1] * (CAST(1 AS BIGINT) << (e0 - 1))
+               AS x0_100,
+             s05 * ({p43})[v05 + 1] * (CAST(1 AS BIGINT) << e0) AS x0_500,
+             CAST(0 AS BIGINT) AS x0_999,
+             s10 * ({p43})[v10 + 1] * (CAST(1 AS BIGINT) << e1) AS x1_0,
+             s11 * ({p43})[v11 + 1] * (CAST(1 AS BIGINT) << (e1 - 1))
+               AS x1_100,
+             CAST(0 AS BIGINT) AS x1_500,
+             s115 * ({p43})[v115 + 1] * (CAST(1 AS BIGINT) << e1)
+               AS x1_999
+      FROM cfg
+    ), pcm AS (
+      SELECT doc_id,
+             greatest(-32768, least(32767, CAST(floor(
+               ({acc} + {half}) / {pow2}.0) AS BIGINT))) AS p
+      FROM xr, (SELECT unnest(range(0, 2048)) AS s)
+    )
+    SELECT doc_id AS doc_id,
+           CAST(2048 AS BIGINT) AS n_samples,
+           CAST(44100 AS INT) AS sample_rate,
+           CAST(max(abs(p)) AS BIGINT) AS peak,
+           CAST(sum(p * p) AS BIGINT) AS energy
+    FROM pcm GROUP BY doc_id
+    """
+
+
+@query("multimodal_aac_decode", _sql_aac())
+def multimodal_aac_decode(spark, sf_dir):
+    """REAL AAC-LC decode (no stub): per doc two raw data blocks of
+    signed quantized spectral lines (bands 0/1/7/15; band 1 carries a
+    scalefactor down-shift) are written through
+    ``operators/multimodal.encode_aac`` (ADTS framing, SCE element,
+    run-coded sections, DPCM scalefactors, gamma+sign spectral pairs)
+    and decoded back by the full structural chain in ``decode_aac``
+    (ADTS walk, raw-block parse, pow-4/3 requantization on the integer
+    gain grid, N=2048 IMDCT + sine window + 1024-sample overlap-add,
+    int16 rounding) inside mapInPandas — dispatched through
+    ``decode_audio`` so the ADTS sniffing path runs too. The spec's
+    empirical tables are repo-defined swap-ins (module banner); the
+    oracle replays the decode as the pinned linear superposition over
+    the tap tables — a bit-exact gate on the encoder+decoder pair.
+    One narrow scan, no shuffle: the 100 TB shape."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                e0, e1 = 1 + did % 7, 1 + (did * 3) % 7
+                f0 = {"spec": [0] * 1024, "gain_e": e0,
+                      "sf_down": [0, 1] + [0] * 14}
+                f0["spec"][0] = (1 if did % 2 == 0 else -1) * (1 + did % 15)
+                f0["spec"][100] = (
+                    (-1 if did % 3 == 0 else 1) * (1 + (did * 7) % 15)
+                )
+                f0["spec"][500] = (
+                    (-1 if did % 5 == 0 else 1) * (1 + (did * 3) % 15)
+                )
+                f1 = {"spec": [0] * 1024, "gain_e": e1,
+                      "sf_down": [0, 1] + [0] * 14}
+                f1["spec"][0] = (
+                    (-1 if did % 7 == 0 else 1) * ((did * 11) % 16)
+                )
+                f1["spec"][100] = (
+                    (-1 if did % 4 == 0 else 1) * (1 + (did * 5) % 15)
+                )
+                f1["spec"][999] = (
+                    (-1 if did % 6 == 0 else 1) * (1 + (did * 13) % 15)
+                )
+                au = multimodal.decode_audio(multimodal.encode_aac([f0, f1]))
+                rows.append(
+                    (did, len(au.samples), au.sample_rate,
+                     max(abs(s) for s in au.samples),
+                     sum(s * s for s in au.samples))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "sample_rate", "peak",
+                         "energy"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_samples long, sample_rate int, peak long,"
+        " energy long",
+    )
+
+
 @query(
     "multimodal_id3_meta",
     """
@@ -7102,10 +7242,11 @@ def multimodal_adts_meta(spark, sf_dir):
     frames. Every output field is parsed from the header bits (the
     sample rate via the 14496-3 frequency-index table, replayed by the
     oracle as a CASE); frame payload bytes are sliced by the header
-    lengths and checksummed. The AAC raw-data-block decode stays behind
-    the module's loud codec gate — frame walk for duration/bitrate
-    stats is the crawl-pipeline need. One narrow scan, no shuffle: the
-    100 TB shape."""
+    lengths and checksummed. The raw-data-block payloads decode via
+    the AAC-LC structural subset (multimodal_aac_decode); this query
+    is the transport-stats walk a crawl pipeline runs for
+    duration/bitrate. One narrow scan, no shuffle: the 100 TB
+    shape."""
     from collections.abc import Iterator
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":

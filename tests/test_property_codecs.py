@@ -508,8 +508,9 @@ def test_adts_malformed_rejection():
         mm.decode_adts(b"")
     with pytest.raises(ValueError):        # frame too long for 13 bits
         mm.encode_adts([b"\x00" * 8200], 4, 1)
-    # decode_audio dispatch names the ADTS gate
-    with pytest.raises(NotImplementedError, match="ADTS AAC"):
+    # decode_audio dispatch routes ADTS to decode_aac, whose subset
+    # gates fire (this fixture is stereo -> channel config gate)
+    with pytest.raises(NotImplementedError, match="channel_configuration"):
         mm.decode_audio(buf)
 
 
@@ -988,3 +989,129 @@ def test_mp3_mixed_block_gates_and_long_identity():
                         "mixed_block": True,
                         "scalefac": [0] * 5 + [1] + [0] * 15,
                         "scalefac_compress": 13}, gz])
+
+
+# ---------------------------------------------------------------------------
+# AAC-LC (operators/multimodal.{encode,decode}_aac)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    v=st.integers(min_value=1, max_value=15),
+    sgn=st.sampled_from([1, -1]),
+    e=st.integers(min_value=0, max_value=7),
+    line=st.sampled_from([0, 1, 63, 64, 100, 511, 1023]),
+    frame=st.integers(min_value=0, max_value=1),
+)
+@settings(max_examples=40, deadline=None)
+def test_aac_single_line_superposition_property(v, sgn, e, line, frame):
+    """Any single spectral line decodes to exactly its tap vector
+    scaled by the requantized value — the linearity contract the SQL
+    oracle replays (aac_line_taps), across bands, frames (overlap-add
+    live), signs, and the whole gain grid."""
+    spec = [0] * 1024
+    spec[line] = sgn * v
+    zero = ([], 0)
+    frames = [(spec, e), zero] if frame == 0 else [zero, (spec, e)]
+    au = mm.decode_aac(mm.encode_aac(frames))
+    assert (au.sample_rate, au.channels, len(au.samples)) == (44100, 1, 2048)
+    taps = mm.aac_line_taps(2, (line,))[(frame, line)]
+    x = sgn * (mm.AAC_POW43[v] << e)
+    half = 1 << (mm.AAC_SHIFT - 1)
+    assert au.samples == [
+        max(-32768, min(32767, (x * t + half) >> mm.AAC_SHIFT))
+        for t in taps
+    ]
+
+
+def test_aac_roundtrip_scalefactors_and_sections():
+    """Multi-band frames with per-band down-shifts round-trip; the
+    DPCM scalefactor chain and the section run coding are exercised by
+    a used/unused/used band layout; decode_audio dispatches ADTS."""
+    f0 = {"spec": [0] * 1024, "gain_e": 5,
+          "sf_down": [0, 2] + [0] * 13 + [5]}
+    f0["spec"][0] = 7        # band 0, shift 5
+    f0["spec"][100] = -3     # band 1, shift 3
+    f0["spec"][1000] = 15    # band 15, shift 0
+    f1 = ([0] * 512 + [9], 2)  # tuple form: line 512, band 8
+    enc = mm.encode_aac([f0, f1], freq_index=3)
+    au = mm.decode_aac(enc)
+    assert (au.sample_rate, len(au.samples)) == (48000, 2048)
+    taps = mm.aac_line_taps(2, (0, 100, 512, 1000))
+    half = 1 << (mm.AAC_SHIFT - 1)
+    xs = {
+        (0, 0): mm.AAC_POW43[7] << 5,
+        (0, 100): -(mm.AAC_POW43[3] << 3),
+        (0, 1000): mm.AAC_POW43[15],
+        (1, 512): mm.AAC_POW43[9] << 2,
+    }
+    exp = [
+        max(-32768, min(32767,
+            (sum(x * taps[k][t] for k, x in xs.items()) + half)
+            >> mm.AAC_SHIFT))
+        for t in range(2048)
+    ]
+    assert au.samples == exp
+    assert mm.decode_audio(enc).samples == au.samples
+
+
+def test_aac_gates():
+    """Every out-of-subset construct refuses loudly: foreign element
+    types, empirical codebooks, PNS/intensity, window switching, KBD,
+    TNS/pulse/gain-control, off-grid gains, non-LC profiles, stereo
+    channel configs, encoder-side validation."""
+    import pytest
+
+    good = mm.encode_aac([([1], 1), ([], 0)])
+    base = mm.decode_adts(good)
+
+    def rewrap(payloads, profile=1, channels=1):
+        return mm.encode_adts(list(payloads), base["freq_index"],
+                              channels, profile)
+
+    with pytest.raises(NotImplementedError, match="profile"):
+        mm.decode_aac(rewrap(base["frames"], profile=0))
+    with pytest.raises(NotImplementedError, match="channel_configuration"):
+        mm.decode_aac(rewrap(base["frames"], channels=2))
+
+    def frame_bits(bits):  # build one raw block from (value, n) pairs
+        bw = mm._MsbBitWriter()
+        for v, n in bits:
+            bw.bits(v, n)
+        bw.bits(7, 3)
+        return rewrap([bw.flush()])
+
+    sce_head = [(0, 3), (0, 4), (104, 8), (0, 1)]  # SCE, tag, gain, rsvd
+    with pytest.raises(NotImplementedError, match="window switching"):
+        mm.decode_aac(frame_bits(sce_head + [(2, 2)]))
+    with pytest.raises(NotImplementedError, match="KBD"):
+        mm.decode_aac(frame_bits(sce_head + [(0, 2), (1, 1)]))
+    with pytest.raises(NotImplementedError, match="prediction"):
+        mm.decode_aac(frame_bits(sce_head + [(0, 2), (0, 1), (1, 6), (1, 1)]))
+    ics = sce_head + [(0, 2), (0, 1), (1, 6), (0, 1)]  # max_sfb 1
+    with pytest.raises(NotImplementedError, match="PNS"):
+        mm.decode_aac(frame_bits(ics + [(13, 4), (1, 5)]))
+    with pytest.raises(NotImplementedError, match="intensity"):
+        mm.decode_aac(frame_bits(ics + [(14, 4), (1, 5)]))
+    with pytest.raises(NotImplementedError, match="codebook 5"):
+        mm.decode_aac(frame_bits(ics + [(5, 4), (1, 5)]))
+    with pytest.raises(NotImplementedError, match="CPE"):
+        mm.decode_aac(frame_bits([(1, 3)]))
+    # TNS flag on an otherwise-valid zero-spectrum SCE
+    zero_ics = ics + [(0, 4), (1, 5)]  # one zero-codebook section
+    with pytest.raises(NotImplementedError, match="pulse"):
+        mm.decode_aac(frame_bits(zero_ics + [(1, 1)]))
+    with pytest.raises(NotImplementedError, match="TNS"):
+        mm.decode_aac(frame_bits(zero_ics + [(0, 1), (1, 1)]))
+    with pytest.raises(NotImplementedError, match="gain control"):
+        mm.decode_aac(frame_bits(zero_ics + [(0, 1), (0, 1), (1, 1)]))
+    # encoder-side validation
+    with pytest.raises(ValueError, match="magnitude"):
+        mm.encode_aac([([16], 0)])
+    with pytest.raises(ValueError, match="gain_e"):
+        mm.encode_aac([([1], 8)])
+    with pytest.raises(ValueError, match="shift"):
+        mm.encode_aac([{"spec": [1], "gain_e": 0,
+                        "sf_down": [1] + [0] * 15}])
+    with pytest.raises(ValueError, match="1024"):
+        mm.encode_aac([([0] * 1025, 0)])
