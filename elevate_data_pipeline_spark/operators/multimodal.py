@@ -6262,11 +6262,13 @@ def decode_adts(payload: bytes) -> dict:
 # ---------------------------------------------------------------------------
 # AAC-LC raw data block (ISO/IEC 13818-7 / 14496-3 §4) — the same
 # swap-in-table contract as MP3: all STRUCTURE is the spec's (syntactic
-# element walk, SCE individual_channel_stream layout, ics_info fields,
-# section_data run coding with the 5-bit/esc-31 length increments,
-# DPCM scalefactors from global_gain, pairwise spectral traversal,
-# |x|^(4/3) requantization, N=2048 IMDCT + sine window + 1024-sample
-# overlap-add), while the EMPIRICAL tables this offline container
+# element walk, SCE/CPE individual_channel_stream layout incl.
+# common_window + the three ms_mask_present shapes with per-line
+# MID/SIDE dematrix, ics_info fields, section_data run coding with the
+# 5-bit/esc-31 length increments, DPCM scalefactors from global_gain,
+# pairwise spectral traversal, |x|^(4/3) requantization, N=2048 IMDCT
+# + sine window + 1024-sample overlap-add, per-channel overlap state
+# with interleaved L/R output), while the EMPIRICAL tables this offline container
 # cannot verify are repo-defined swap-ins behind single swap points:
 #   - AAC_SFB: scalefactor band widths (spec Table 4.110 family is
 #     empirical per sample rate; swap-in = 16 x 64 tiling 1024 lines);
@@ -6279,8 +6281,8 @@ def decode_adts(payload: bytes) -> dict:
 # Loud subset gates (NotImplementedError, never silent): window
 # switching (sequences 1-3), KBD window shape, MAIN-profile
 # prediction, pulse data, TNS, SSR gain control, PNS (codebook 13),
-# intensity stereo (14/15), empirical codebooks 2-12, CPE/CCE/LFE/DSE/
-# PCE/FIL elements, profiles other than LC, channel configs != 1 —
+# intensity stereo (14/15), empirical codebooks 2-12, CCE/LFE/DSE/
+# PCE/FIL elements, profiles other than LC, channel configs > 2 —
 # every real-world AAC stream refuses loudly until the spec tables are
 # swapped in; the codec is exact against its own encoder.
 # ---------------------------------------------------------------------------
@@ -6373,210 +6375,345 @@ def _aac_norm_frame(g) -> dict:
             "used": used}
 
 
-def encode_aac(frames: list, freq_index: int = 4) -> bytes:
-    """AAC-LC mono encoder for the structural subset above: each frame
-    is ``(values, gain_e)`` or the :func:`_aac_norm_frame` dict. Emits
-    one ADTS frame per raw data block (profile LC, channel config 1):
-    SCE element (global_gain on the 100+4k grid, only-long ics_info,
-    run-coded sections over codebooks {0, 1}, zigzag-gamma DPCM
-    scalefactors, gamma+sign spectral pairs) + END, byte-aligned."""
+def _aac_write_ics_info(bw, max_sfb: int) -> None:
+    bw.bits(0, 1)  # ics_reserved_bit
+    bw.bits(0, 2)  # window_sequence: ONLY_LONG
+    bw.bits(0, 1)  # window_shape: sine
+    bw.bits(max_sfb, 6)
+    bw.bits(0, 1)  # predictor_data_present
+
+
+def _aac_write_stream(bw, g: dict, max_sfb: int, common: bool) -> None:
+    """individual_channel_stream: global_gain, (ics_info when the
+    window is not shared), run-coded sections, DPCM scalefactors,
+    data-present flags, gamma+sign spectral pairs."""
+    gg = 100 + 4 * g["gain_e"]
+    bw.bits(gg, 8)
+    if not common:
+        _aac_write_ics_info(bw, max_sfb)
+    used = g["used"]
+    b = 0
+    while b < max_sfb:  # section_data
+        cb = 1 if used[b] else 0
+        ln = 1
+        while b + ln < max_sfb and used[b + ln] == used[b]:
+            ln += 1
+        bw.bits(cb, 4)
+        rem = ln
+        while rem >= 31:  # spec's esc-31 length-increment chain
+            bw.bits(31, 5)
+            rem -= 31
+        bw.bits(rem, 5)
+        b += ln
+    last = gg
+    for b in range(max_sfb):  # scale_factor_data (DPCM zigzag)
+        if not used[b]:
+            continue
+        sf = 100 + 4 * (g["gain_e"] - g["sf_down"][b])
+        d = sf - last
+        last = sf
+        _mp3_put_gamma(bw, 2 * d if d >= 0 else -2 * d - 1)
+    bw.bits(0, 1)  # pulse_data_present
+    bw.bits(0, 1)  # tns_data_present
+    bw.bits(0, 1)  # gain_control_data_present
+    for b in range(max_sfb):  # spectral_data: pairwise gamma+sign
+        if not used[b]:
+            continue
+        for i in range(_AAC_SFB_START[b], _AAC_SFB_START[b + 1]):
+            v = g["spec"][i]
+            _mp3_put_gamma(bw, abs(v))
+            if v:
+                bw.bits(1 if v < 0 else 0, 1)
+
+
+def _aac_max_sfb(g: dict) -> int:
+    return max((b + 1 for b in range(len(g["used"])) if g["used"][b]),
+               default=0)
+
+
+def encode_aac(
+    frames: list, freq_index: int = 4, mode: str = "mono",
+    ms_used: list = None,
+) -> bytes:
+    """AAC-LC encoder for the structural subset above: each frame is
+    ``(values, gain_e)`` or the :func:`_aac_norm_frame` dict. Emits one
+    ADTS frame per raw data block (profile LC), byte-aligned.
+
+    ``mode``: "mono" (SCE, channel config 1), or the CPE pair modes
+    (channel config 2; each ``frames`` entry is then a ``(ch0, ch1)``
+    pair): "stereo" — common_window=1, ms_mask_present=0, independent
+    left/right; "ms" — common_window=1 with MID/SIDE matrixing: the
+    pair is the (mid, side) TRANSMITTED spectra and the decoder
+    dematrixes l = m + s, r = m - s per line on the integer grid
+    (the spec's 14496-3 §4.6.8.1 M/S; its 1/sqrt(2)-free formulation
+    is already exact in integers). ``ms_used`` (with mode="ms") emits
+    ms_mask_present=1 with that per-band mask instead of the
+    all-bands mask 2 — bands outside the mask stay independent L/R."""
+    modes = ("mono", "stereo", "ms")
+    if mode not in modes:
+        raise ValueError(f"unsupported AAC mode {mode!r} {modes}")
+    nch = 1 if mode == "mono" else 2
+    if ms_used is not None and mode != "ms":
+        raise ValueError("ms_used is only meaningful with mode='ms'")
     payloads = []
-    for g in frames:
-        g = _aac_norm_frame(g)
+    for entry in frames:
         bw = _MsbBitWriter()
-        bw.bits(0, 3)  # id_syn_ele: SCE
-        bw.bits(0, 4)  # element_instance_tag
-        gg = 100 + 4 * g["gain_e"]
-        bw.bits(gg, 8)
-        bw.bits(0, 1)  # ics_reserved_bit
-        bw.bits(0, 2)  # window_sequence: ONLY_LONG
-        bw.bits(0, 1)  # window_shape: sine
-        used = g["used"]
-        max_sfb = max((b + 1 for b in range(len(used)) if used[b]),
-                      default=0)
-        bw.bits(max_sfb, 6)
-        bw.bits(0, 1)  # predictor_data_present
-        b = 0
-        while b < max_sfb:  # section_data
-            cb = 1 if used[b] else 0
-            ln = 1
-            while b + ln < max_sfb and used[b + ln] == used[b]:
-                ln += 1
-            bw.bits(cb, 4)
-            rem = ln
-            while rem >= 31:  # spec's esc-31 length-increment chain
-                bw.bits(31, 5)
-                rem -= 31
-            bw.bits(rem, 5)
-            b += ln
-        last = gg
-        for b in range(max_sfb):  # scale_factor_data (DPCM zigzag)
-            if not used[b]:
-                continue
-            sf = 100 + 4 * (g["gain_e"] - g["sf_down"][b])
-            d = sf - last
-            last = sf
-            _mp3_put_gamma(bw, 2 * d if d >= 0 else -2 * d - 1)
-        bw.bits(0, 1)  # pulse_data_present
-        bw.bits(0, 1)  # tns_data_present
-        bw.bits(0, 1)  # gain_control_data_present
-        for b in range(max_sfb):  # spectral_data: pairwise gamma+sign
-            if not used[b]:
-                continue
-            for i in range(_AAC_SFB_START[b], _AAC_SFB_START[b + 1]):
-                v = g["spec"][i]
-                _mp3_put_gamma(bw, abs(v))
-                if v:
-                    bw.bits(1 if v < 0 else 0, 1)
+        if nch == 1:
+            g = _aac_norm_frame(entry)
+            bw.bits(0, 3)  # id_syn_ele: SCE
+            bw.bits(0, 4)  # element_instance_tag
+            # individual_channel_stream carries ics_info itself when
+            # the window is not shared
+            _aac_write_stream(bw, g, _aac_max_sfb(g), common=False)
+        else:
+            if isinstance(entry, dict) or len(entry) != 2:
+                raise ValueError(
+                    "two-channel AAC modes need (ch0, ch1) frame pairs"
+                )
+            g0, g1 = (_aac_norm_frame(e) for e in entry)
+            max_sfb = max(_aac_max_sfb(g0), _aac_max_sfb(g1))
+            bw.bits(1, 3)  # id_syn_ele: CPE
+            bw.bits(0, 4)  # element_instance_tag
+            bw.bits(1, 1)  # common_window
+            _aac_write_ics_info(bw, max_sfb)
+            if mode == "stereo":
+                bw.bits(0, 2)  # ms_mask_present: none
+            elif ms_used is None:
+                bw.bits(2, 2)  # ms_mask_present: all bands
+            else:
+                if len(ms_used) > len(AAC_SFB):
+                    raise ValueError(
+                        f"ms_used longer than the {len(AAC_SFB)}-band"
+                        " table"
+                    )
+                bw.bits(1, 2)  # ms_mask_present: per-band mask
+                mask_full = list(ms_used) + [False] * (
+                    len(AAC_SFB) - len(ms_used)
+                )
+                for u in mask_full[:max_sfb]:  # max_sfb bits per ICS
+                    bw.bits(1 if u else 0, 1)
+            _aac_write_stream(bw, g0, max_sfb, common=True)
+            _aac_write_stream(bw, g1, max_sfb, common=True)
         bw.bits(7, 3)  # id_syn_ele: END
         payloads.append(bw.flush())
-    return encode_adts(payloads, freq_index, channels=1, profile=1)
+    return encode_adts(payloads, freq_index, channels=nch, profile=1)
+
+
+def _aac_read_ics_info(br) -> int:
+    """ics_info for the only-long subset; returns max_sfb. Every
+    out-of-subset construct gates loudly."""
+    if br.bits(1):
+        raise ValueError("ics_reserved_bit set")
+    ws = br.bits(2)
+    if ws:
+        raise NotImplementedError(
+            f"AAC window switching (window_sequence {ws}) not"
+            " supported (only-long subset)"
+        )
+    if br.bits(1):
+        raise NotImplementedError(
+            "KBD window shape not supported (empirical window)"
+        )
+    max_sfb = br.bits(6)
+    if max_sfb > len(AAC_SFB):
+        raise ValueError(f"max_sfb {max_sfb} beyond the band table")
+    if br.bits(1):
+        raise NotImplementedError(
+            "MAIN-profile prediction not supported in AAC-LC"
+        )
+    return max_sfb
+
+
+def _aac_read_stream(br, max_sfb) -> list:
+    """individual_channel_stream -> 1024 requantized spectral lines.
+    ``max_sfb`` is the shared-window value (CPE common_window) or None
+    when the stream carries its own ics_info (SCE / independent
+    windows)."""
+    gg = br.bits(8)
+    if max_sfb is None:
+        max_sfb = _aac_read_ics_info(br)
+    cbs = []
+    while len(cbs) < max_sfb:  # section_data
+        cb = br.bits(4)
+        if cb == 13:
+            raise NotImplementedError(
+                "PNS (perceptual noise substitution, codebook 13)"
+                " not supported"
+            )
+        if cb in (14, 15):
+            raise NotImplementedError(
+                "intensity stereo codebooks not supported"
+            )
+        if cb not in (0, 1):
+            raise NotImplementedError(
+                f"empirical spectrum Huffman codebook {cb} not"
+                " available (repo codebook ids: 0 zero / 1 gamma)"
+            )
+        ln = 0
+        while True:
+            inc = br.bits(5)
+            ln += inc
+            if inc != 31:
+                break
+        if ln == 0 or len(cbs) + ln > max_sfb:
+            raise ValueError("bad AAC section length")
+        cbs += [cb] * ln
+    shifts = [0] * max_sfb
+    last = gg
+    for b in range(max_sfb):  # scale_factor_data
+        if cbs[b] == 0:
+            continue
+        z = _mp3_get_gamma(br)
+        last += z // 2 if z % 2 == 0 else -((z + 1) // 2)
+        if (last - 100) % 4 or not 0 <= (last - 100) // 4 <= 7:
+            raise NotImplementedError(
+                f"scalefactor {last} off the 2^((sf-100)/4) 0..7"
+                " integer grid"
+            )
+        shifts[b] = (last - 100) // 4
+    if br.bits(1):
+        raise NotImplementedError("AAC pulse data not supported")
+    if br.bits(1):
+        raise NotImplementedError(
+            "TNS (temporal noise shaping) not supported"
+        )
+    if br.bits(1):
+        raise NotImplementedError(
+            "SSR gain control not supported in AAC-LC"
+        )
+    xr = [0] * 1024
+    for b in range(max_sfb):  # spectral_data
+        if cbs[b] == 0:
+            continue
+        for i in range(_AAC_SFB_START[b], _AAC_SFB_START[b + 1]):
+            mag = _mp3_get_gamma(br)
+            if mag > 15:
+                raise ValueError("AAC spectral magnitude above 15")
+            if mag:
+                v = AAC_POW43[mag] << shifts[b]
+                xr[i] = -v if br.bits(1) else v
+    return xr
 
 
 def _aac_parse_raw_block(buf: bytes) -> list:
-    """Parse one raw_data_block (SCE + END) to the 1024 requantized
-    spectral lines. Every out-of-subset construct gates loudly."""
+    """Parse one raw_data_block (SCE or CPE, + END) to the per-channel
+    requantized spectral lines (a list of 1024-line lists). CPE decodes
+    both the shared-window layout (common_window=1, with the three
+    ms_mask_present shapes: 0 = independent, 1 = per-band ms_used
+    mask, 2 = all bands M/S) and independent windows (common_window=0);
+    MID/SIDE bands dematrix l = m + s, r = m - s per line BEFORE the
+    filterbank (14496-3 §4.6.8.1 — exact on the integer grid). Every
+    out-of-subset construct gates loudly."""
     br = _MsbBitReader(buf)
-    xr = None
+    chans = None
     ele_names = {
-        1: "CPE (channel pair element)", 2: "CCE (coupling channel)",
-        3: "LFE", 4: "DSE (data stream)", 5: "PCE (program config)",
-        6: "FIL (fill element)",
+        2: "CCE (coupling channel)", 3: "LFE", 4: "DSE (data stream)",
+        5: "PCE (program config)", 6: "FIL (fill element)",
     }
     while True:
         ele = br.bits(3)
         if ele == 7:  # END
             break
-        if ele != 0:
+        if ele not in (0, 1):
             raise NotImplementedError(
                 f"AAC syntactic element {ele_names.get(ele, ele)} not"
-                " supported (mono SCE subset)"
+                " supported (SCE/CPE subset)"
             )
-        if xr is not None:
+        if chans is not None:
             raise NotImplementedError(
-                "multiple SCEs per raw data block not supported"
+                "multiple channel elements per raw data block not"
+                " supported"
             )
         br.bits(4)  # element_instance_tag
-        gg = br.bits(8)
-        if br.bits(1):
-            raise ValueError("ics_reserved_bit set")
-        ws = br.bits(2)
-        if ws:
-            raise NotImplementedError(
-                f"AAC window switching (window_sequence {ws}) not"
-                " supported (only-long subset)"
-            )
-        if br.bits(1):
-            raise NotImplementedError(
-                "KBD window shape not supported (empirical window)"
-            )
-        max_sfb = br.bits(6)
-        if max_sfb > len(AAC_SFB):
-            raise ValueError(f"max_sfb {max_sfb} beyond the band table")
-        if br.bits(1):
-            raise NotImplementedError(
-                "MAIN-profile prediction not supported in AAC-LC"
-            )
-        cbs = []
-        while len(cbs) < max_sfb:  # section_data
-            cb = br.bits(4)
-            if cb == 13:
-                raise NotImplementedError(
-                    "PNS (perceptual noise substitution, codebook 13)"
-                    " not supported"
-                )
-            if cb in (14, 15):
-                raise NotImplementedError(
-                    "intensity stereo codebooks not supported"
-                )
-            if cb not in (0, 1):
-                raise NotImplementedError(
-                    f"empirical spectrum Huffman codebook {cb} not"
-                    " available (repo codebook ids: 0 zero / 1 gamma)"
-                )
-            ln = 0
-            while True:
-                inc = br.bits(5)
-                ln += inc
-                if inc != 31:
-                    break
-            if ln == 0 or len(cbs) + ln > max_sfb:
-                raise ValueError("bad AAC section length")
-            cbs += [cb] * ln
-        shifts = [0] * max_sfb
-        last = gg
-        for b in range(max_sfb):  # scale_factor_data
-            if cbs[b] == 0:
-                continue
-            z = _mp3_get_gamma(br)
-            last += z // 2 if z % 2 == 0 else -((z + 1) // 2)
-            if (last - 100) % 4 or not 0 <= (last - 100) // 4 <= 7:
-                raise NotImplementedError(
-                    f"scalefactor {last} off the 2^((sf-100)/4) 0..7"
-                    " integer grid"
-                )
-            shifts[b] = (last - 100) // 4
-        if br.bits(1):
-            raise NotImplementedError("AAC pulse data not supported")
-        if br.bits(1):
-            raise NotImplementedError(
-                "TNS (temporal noise shaping) not supported"
-            )
-        if br.bits(1):
-            raise NotImplementedError(
-                "SSR gain control not supported in AAC-LC"
-            )
-        xr = [0] * 1024
-        for b in range(max_sfb):  # spectral_data
-            if cbs[b] == 0:
-                continue
-            for i in range(_AAC_SFB_START[b], _AAC_SFB_START[b + 1]):
-                mag = _mp3_get_gamma(br)
-                if mag > 15:
-                    raise ValueError("AAC spectral magnitude above 15")
-                if mag:
-                    v = AAC_POW43[mag] << shifts[b]
-                    xr[i] = -v if br.bits(1) else v
-    if xr is None:
-        raise ValueError("raw data block without an SCE")
+        if ele == 0:  # SCE
+            chans = [_aac_read_stream(br, None)]
+            continue
+        # CPE
+        common = br.bits(1)
+        ms_used = [False] * len(AAC_SFB)
+        if common:
+            max_sfb = _aac_read_ics_info(br)
+            mask = br.bits(2)
+            if mask == 3:
+                raise ValueError("reserved ms_mask_present value 3")
+            if mask == 1:
+                for b in range(max_sfb):
+                    ms_used[b] = br.bits(1) == 1
+            elif mask == 2:
+                ms_used = [True] * len(AAC_SFB)
+            xm = _aac_read_stream(br, max_sfb)
+            xs = _aac_read_stream(br, max_sfb)
+        else:
+            xm = _aac_read_stream(br, None)
+            xs = _aac_read_stream(br, None)
+        if any(ms_used):
+            xl, xrr = list(xm), list(xs)
+            for b in range(len(AAC_SFB)):
+                if not ms_used[b]:
+                    continue
+                for i in range(_AAC_SFB_START[b], _AAC_SFB_START[b + 1]):
+                    m_, s_ = xm[i], xs[i]
+                    xl[i] = m_ + s_
+                    xrr[i] = m_ - s_
+            chans = [xl, xrr]
+        else:
+            chans = [xm, xs]
+    if chans is None:
+        raise ValueError("raw data block without a channel element")
     # byte-align padding must be zero: trailing garbage means the walk
     # lost sync somewhere upstream
     while br.pos < len(br.buf) or br._n:
         n = br._n or 8
         if br.bits(n):
             raise ValueError("nonzero padding after END element")
-    return xr
+    return chans
 
 
 def decode_aac(payload: bytes) -> AudioData:
     """AAC-LC decoder for the structural subset above: ADTS frame walk
-    (:func:`decode_adts`), raw-data-block parse, pow-4/3
-    requantization on the integer gain grid, N=2048 IMDCT + sine
-    window + 1024-sample overlap-add in exact integers, one
-    round-half-up >> AAC_SHIFT and int16 clip per sample. 1024
-    samples per frame. Profiles other than LC and channel configs
-    other than 1 gate loudly."""
+    (:func:`decode_adts`), raw-data-block parse (SCE mono or CPE
+    stereo, incl. MID/SIDE dematrix), pow-4/3 requantization on the
+    integer gain grid, N=2048 IMDCT + sine window + 1024-sample
+    overlap-add in exact integers, one round-half-up >> AAC_SHIFT and
+    int16 clip per sample. 1024 samples per frame per channel
+    (interleaved L/R for stereo). Profiles other than LC and channel
+    configs other than 1/2 gate loudly."""
     walk = decode_adts(payload)
     if walk["profile"] != 1:
         raise NotImplementedError(
             f"only AAC-LC (profile 1) decodes; got profile"
             f" {walk['profile']}"
         )
-    if walk["channels"] != 1:
+    nch = walk["channels"]
+    if nch not in (1, 2):
         raise NotImplementedError(
-            "only channel_configuration 1 (mono SCE) decodes; got"
-            f" {walk['channels']}"
+            "only channel_configuration 1 (SCE) / 2 (CPE) decode; got"
+            f" {nch}"
         )
-    prev = [0] * 1024
+    prevs = [[0] * 1024 for _ in range(nch)]
     samples: list = []
     half = 1 << (AAC_SHIFT - 1)
     for fr in walk["frames"]:
-        xr = _aac_parse_raw_block(fr)
-        acc, prev = _aac_frame_pcm(xr, prev)
-        samples.extend(
-            max(-32768, min(32767, (a + half) >> AAC_SHIFT)) for a in acc
-        )
-    return AudioData(walk["sample_rate"], 1, 16, samples)
+        chans = _aac_parse_raw_block(fr)
+        if len(chans) != nch:
+            raise ValueError(
+                f"raw data block carries {len(chans)} channels but the"
+                f" ADTS header declares {nch}"
+            )
+        pcm = []
+        for ch in range(nch):
+            acc, prevs[ch] = _aac_frame_pcm(chans[ch], prevs[ch])
+            pcm.append([
+                max(-32768, min(32767, (a + half) >> AAC_SHIFT))
+                for a in acc
+            ])
+        if nch == 1:
+            samples.extend(pcm[0])
+        else:  # interleave L/R
+            for left, right in zip(pcm[0], pcm[1]):
+                samples.append(left)
+                samples.append(right)
+    return AudioData(walk["sample_rate"], nch, 16, samples)
 
 
 def aac_line_taps(n_frames: int = 2, lines: tuple = (0,)) -> dict:

@@ -5162,6 +5162,122 @@ def multimodal_aac_decode(spark, sf_dir):
     )
 
 
+def _sql_aac_stereo() -> str:
+    """Oracle for multimodal_aac_stereo: the CPE M/S decode is linear
+    in the TRANSMITTED (mid, side) lines — L carries (m + s), R carries
+    (m - s) through the same tap tables (aac_line_taps), one final
+    round-half-up shift per channel."""
+    taps = multimodal.aac_line_taps(n_frames=2, lines=(0, 100))
+    t0 = "[" + ",".join(str(v) for v in taps[(0, 0)]) + "]"
+    t100 = "[" + ",".join(str(v) for v in taps[(0, 100)]) + "]"
+    p43 = "[" + ",".join(str(v) for v in multimodal.AAC_POW43) + "]"
+    half = 1 << (multimodal.AAC_SHIFT - 1)
+    pow2 = 1 << multimodal.AAC_SHIFT
+    return f"""
+    WITH cfg AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 15 AS INT) AS vm0,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS sm0,
+             CAST(1 + (doc_id * 7) % 15 AS INT) AS vm1,
+             CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END AS sm1,
+             CAST((doc_id * 11) % 16 AS INT) AS vs0,
+             CASE WHEN doc_id % 5 = 0 THEN -1 ELSE 1 END AS ss0,
+             CAST(1 + (doc_id * 5) % 15 AS INT) AS vs1,
+             CASE WHEN doc_id % 4 = 0 THEN -1 ELSE 1 END AS ss1,
+             CAST(1 + doc_id % 7 AS INT) AS em,
+             CAST(1 + (doc_id * 3) % 7 AS INT) AS es
+      FROM documents
+    ), xr AS (
+      SELECT doc_id,
+             sm0 * ({p43})[vm0 + 1] * (CAST(1 AS BIGINT) << em) AS xm0,
+             sm1 * ({p43})[vm1 + 1] * (CAST(1 AS BIGINT) << (em - 1))
+               AS xm1,
+             ss0 * ({p43})[vs0 + 1] * (CAST(1 AS BIGINT) << es) AS xs0,
+             ss1 * ({p43})[vs1 + 1] * (CAST(1 AS BIGINT) << (es - 1))
+               AS xs1
+      FROM cfg
+    ), pcm AS (
+      SELECT doc_id,
+             greatest(-32768, least(32767, CAST(floor(
+               ((xm0 + xs0) * ({t0})[s + 1]
+                + (xm1 + xs1) * ({t100})[s + 1] + {half}) / {pow2}.0)
+               AS BIGINT))) AS pl,
+             greatest(-32768, least(32767, CAST(floor(
+               ((xm0 - xs0) * ({t0})[s + 1]
+                + (xm1 - xs1) * ({t100})[s + 1] + {half}) / {pow2}.0)
+               AS BIGINT))) AS pr
+      FROM xr, (SELECT unnest(range(0, 2048)) AS s)
+    )
+    SELECT doc_id AS doc_id,
+           CAST(4096 AS BIGINT) AS n_samples,
+           CAST(2 AS INT) AS channels,
+           CAST(max(greatest(abs(pl), abs(pr))) AS BIGINT) AS peak,
+           CAST(sum(pl * pl + pr * pr) AS BIGINT) AS energy
+    FROM pcm GROUP BY doc_id
+    """
+
+
+@query("multimodal_aac_stereo", _sql_aac_stereo())
+def multimodal_aac_stereo(spark, sf_dir):
+    """REAL AAC-LC joint-stereo decode (no stub): per doc a CPE frame
+    pair in MID/SIDE mode (common_window, ms_mask_present=2, 14496-3
+    §4.6.8.1) — the transmitted (mid, side) spectra carry lines in
+    bands 0 and 1 (band 1 under a scalefactor down-shift) with
+    DIFFERENT gains per channel stream — encoded by ``encode_aac`` and
+    decoded by ``decode_aac``'s per-line integer dematrix l = m + s,
+    r = m - s before the filterbank, per-channel overlap state,
+    interleaved L/R output. The oracle replays both channels as tap
+    superpositions of the sum/difference spectra — a bit-exact gate on
+    the whole CPE layout (shared ics_info, mask shapes, two
+    individual_channel_streams). One narrow scan, no shuffle: the
+    100 TB shape."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                em, es = 1 + did % 7, 1 + (did * 3) % 7
+                gm = {"spec": [0] * 1024, "gain_e": em,
+                      "sf_down": [0, 1] + [0] * 14}
+                gm["spec"][0] = (1 if did % 2 == 0 else -1) * (1 + did % 15)
+                gm["spec"][100] = (
+                    (-1 if did % 3 == 0 else 1) * (1 + (did * 7) % 15)
+                )
+                gs_ = {"spec": [0] * 1024, "gain_e": es,
+                       "sf_down": [0, 1] + [0] * 14}
+                gs_["spec"][0] = (
+                    (-1 if did % 5 == 0 else 1) * ((did * 11) % 16)
+                )
+                gs_["spec"][100] = (
+                    (-1 if did % 4 == 0 else 1) * (1 + (did * 5) % 15)
+                )
+                zero = (([], 0), ([], 0))
+                au = multimodal.decode_audio(
+                    multimodal.encode_aac([(gm, gs_), zero], mode="ms")
+                )
+                rows.append(
+                    (did, len(au.samples), au.channels,
+                     max(abs(s) for s in au.samples),
+                     sum(s * s for s in au.samples))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "channels", "peak",
+                         "energy"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_samples long, channels int, peak long,"
+        " energy long",
+    )
+
+
 @query(
     "multimodal_id3_meta",
     """

@@ -509,8 +509,9 @@ def test_adts_malformed_rejection():
     with pytest.raises(ValueError):        # frame too long for 13 bits
         mm.encode_adts([b"\x00" * 8200], 4, 1)
     # decode_audio dispatch routes ADTS to decode_aac, whose subset
-    # gates fire (this fixture is stereo -> channel config gate)
-    with pytest.raises(NotImplementedError, match="channel_configuration"):
+    # gates fire (this fixture's payload b"abc" starts with element
+    # bits 011 = LFE)
+    with pytest.raises(NotImplementedError, match="LFE"):
         mm.decode_audio(buf)
 
 
@@ -1072,6 +1073,9 @@ def test_aac_gates():
     with pytest.raises(NotImplementedError, match="profile"):
         mm.decode_aac(rewrap(base["frames"], profile=0))
     with pytest.raises(NotImplementedError, match="channel_configuration"):
+        mm.decode_aac(rewrap(base["frames"], channels=3))
+    # header/element mismatch: SCE payload under a stereo header
+    with pytest.raises(ValueError, match="declares"):
         mm.decode_aac(rewrap(base["frames"], channels=2))
 
     def frame_bits(bits):  # build one raw block from (value, n) pairs
@@ -1095,8 +1099,14 @@ def test_aac_gates():
         mm.decode_aac(frame_bits(ics + [(14, 4), (1, 5)]))
     with pytest.raises(NotImplementedError, match="codebook 5"):
         mm.decode_aac(frame_bits(ics + [(5, 4), (1, 5)]))
-    with pytest.raises(NotImplementedError, match="CPE"):
-        mm.decode_aac(frame_bits([(1, 3)]))
+    with pytest.raises(NotImplementedError, match="CCE"):
+        mm.decode_aac(frame_bits([(2, 3)]))
+    with pytest.raises(ValueError, match="ms_mask_present"):
+        # CPE, tag, common_window=1, minimal ics (max_sfb 0), mask 3
+        mm.decode_aac(frame_bits(
+            [(1, 3), (0, 4), (1, 1),
+             (0, 1), (0, 2), (0, 1), (0, 6), (0, 1), (3, 2)]
+        ))
     # TNS flag on an otherwise-valid zero-spectrum SCE
     zero_ics = ics + [(0, 4), (1, 5)]  # one zero-codebook section
     with pytest.raises(NotImplementedError, match="pulse"):
@@ -1115,3 +1125,83 @@ def test_aac_gates():
                         "sf_down": [1] + [0] * 15}])
     with pytest.raises(ValueError, match="1024"):
         mm.encode_aac([([0] * 1025, 0)])
+
+
+@given(
+    vm=st.integers(min_value=0, max_value=15),
+    vs=st.integers(min_value=0, max_value=15),
+    sm=st.sampled_from([1, -1]),
+    ss=st.sampled_from([1, -1]),
+    e=st.integers(min_value=0, max_value=7),
+    line=st.sampled_from([0, 100, 1023]),
+)
+@settings(max_examples=40, deadline=None)
+def test_aac_ms_dematrix_property(vm, vs, sm, ss, e, line):
+    """CPE MID/SIDE: the decoded (L, R) of a single line equals the
+    tap superposition of (m + s, m - s) on the integer grid — all-bands
+    mask (ms_mask_present=2), every gain, both signs."""
+    gm = {"spec": [0] * 1024, "gain_e": e}
+    gs_ = {"spec": [0] * 1024, "gain_e": e}
+    gm["spec"][line] = sm * vm
+    gs_["spec"][line] = ss * vs
+    zero = (([], 0), ([], 0))
+    au = mm.decode_aac(mm.encode_aac([(gm, gs_), zero], mode="ms"))
+    assert (au.channels, len(au.samples)) == (2, 4096)
+    taps = mm.aac_line_taps(2, (line,))[(0, line)]
+    xm = sm * (mm.AAC_POW43[vm] << e)
+    xs = ss * (mm.AAC_POW43[vs] << e)
+    half = 1 << (mm.AAC_SHIFT - 1)
+    exp_l = [max(-32768, min(32767, ((xm + xs) * t + half) >> mm.AAC_SHIFT))
+             for t in taps]
+    exp_r = [max(-32768, min(32767, ((xm - xs) * t + half) >> mm.AAC_SHIFT))
+             for t in taps]
+    assert au.samples[0::2] == exp_l
+    assert au.samples[1::2] == exp_r
+
+
+def test_aac_stereo_modes_roundtrip():
+    """Independent CPE equals two mono decodes; the per-band M/S mask
+    matrixes only the flagged bands; common_window shares one ics_info
+    (mixed max_sfb across the pair encodes at the max)."""
+    zero = (([], 0), ([], 0))
+    gl = {"spec": [0] * 1024, "gain_e": 2}
+    gl["spec"][0] = 7
+    gr = {"spec": [0] * 1024, "gain_e": 1}
+    gr["spec"][100] = -4  # higher band than left: shared max_sfb = 2
+    au = mm.decode_aac(mm.encode_aac([(gl, gr), zero], mode="stereo"))
+    mono_l = mm.decode_aac(mm.encode_aac([gl, ([], 0)]))
+    mono_r = mm.decode_aac(mm.encode_aac([gr, ([], 0)]))
+    assert au.samples[0::2] == mono_l.samples
+    assert au.samples[1::2] == mono_r.samples
+    # per-band mask: band 0 M/S, band 1 independent
+    gm = {"spec": [0] * 1024, "gain_e": 2}
+    gm["spec"][0] = 6
+    gm["spec"][100] = 3
+    gs_ = {"spec": [0] * 1024, "gain_e": 2}
+    gs_["spec"][0] = -2
+    gs_["spec"][100] = 5
+    au2 = mm.decode_aac(mm.encode_aac(
+        [(gm, gs_), zero], mode="ms", ms_used=[True, False]
+    ))
+    taps = mm.aac_line_taps(2, (0, 100))
+    half = 1 << (mm.AAC_SHIFT - 1)
+    x0m, x0s = mm.AAC_POW43[6] << 2, -(mm.AAC_POW43[2] << 2)
+    x1m, x1s = mm.AAC_POW43[3] << 2, mm.AAC_POW43[5] << 2
+
+    def expect(xs):
+        return [
+            max(-32768, min(32767,
+                (sum(x * taps[k][t] for k, x in xs.items()) + half)
+                >> mm.AAC_SHIFT))
+            for t in range(2048)
+        ]
+
+    assert au2.samples[0::2] == expect({(0, 0): x0m + x0s, (0, 100): x1m})
+    assert au2.samples[1::2] == expect({(0, 0): x0m - x0s, (0, 100): x1s})
+    # pair-shape validation
+    import pytest
+
+    with pytest.raises(ValueError, match="pair"):
+        mm.encode_aac([gl, gr], mode="stereo")
+    with pytest.raises(ValueError, match="ms_used"):
+        mm.encode_aac([(gl, gr)] * 2, mode="stereo", ms_used=[True])
