@@ -136,6 +136,41 @@ def fix_mojibake(text: str, max_rounds: int = 3) -> tuple:
     return text, rounds
 
 
+_URL_UNRESERVED = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    "0123456789-._~"
+)
+_HEX = frozenset("0123456789abcdefABCDEF")
+
+
+def pct_normalize(s: str) -> str:
+    """RFC 3986 §6.2.2.2 percent-encoding normalization: decode
+    triplets whose octet is UNRESERVED (ALPHA / DIGIT / - . _ ~),
+    uppercase the hex digits of every triplet that must stay encoded
+    (reserved and non-ASCII octets are NOT decoded — %2F in a path is
+    not a slash). A '%' not followed by two hex digits is a malformed
+    URL and raises ValueError (fail loud, never pass garbage through
+    as a canonical form)."""
+    if "%" not in s:
+        return s
+    out = []
+    i = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c != "%":
+            out.append(c)
+            i += 1
+            continue
+        h = s[i + 1:i + 3]
+        if len(h) < 2 or h[0] not in _HEX or h[1] not in _HEX:
+            raise ValueError(f"malformed percent-encoding in {s!r}")
+        ch = chr(int(h, 16))
+        out.append(ch if ch in _URL_UNRESERVED else "%" + h.upper())
+        i += 3
+    return "".join(out)
+
+
 def remove_dot_segments(path: str) -> str:
     """RFC 3986 §5.2.4 remove_dot_segments, verbatim, for the absolute
     paths absolute URLs carry: "." segments vanish, ".." pops the
@@ -180,14 +215,18 @@ def remove_dot_segments(path: str) -> str:
 def canonical_url(url: str) -> dict:
     """Deterministic URL canonicalization (RFC 3986 normalization
     subset) — the precursor to URL-level crawl dedup: lowercase scheme
-    and host, drop the scheme's default port (http:80 / https:443),
-    drop the fragment, empty path -> "/", dot segments resolved per
-    RFC 3986 §5.2.4 (:func:`remove_dot_segments`; a path whose ".."
-    would escape the root still raises loudly), query parameters
-    sorted by (key, value) with original percent-encoding preserved.
-    No policy transforms (no www-stripping, no trailing-slash edits).
-    Returns ``{url, scheme, host, port, path, query, n_params}`` with
-    ``url`` the canonical recomposition."""
+    and host, internationalized host labels punycoded (stdlib IDNA
+    codec, ToASCII per RFC 3490; UTS46 mapping differences are a
+    documented boundary), drop the scheme's default port (http:80 /
+    https:443), drop the fragment, empty path -> "/",
+    percent-encoding normalized per RFC 3986 §6.2.2.2
+    (:func:`pct_normalize` — applied BEFORE dot segments so a %2E
+    resolves like the '.' it is), dot segments resolved per §5.2.4
+    (:func:`remove_dot_segments`; a path whose ".." would escape the
+    root still raises loudly), query parameters sorted by
+    (key, value). No policy transforms (no www-stripping, no
+    trailing-slash edits). Returns ``{url, scheme, host, port, path,
+    query, n_params}`` with ``url`` the canonical recomposition."""
     from urllib.parse import urlsplit
 
     parts = urlsplit(url)
@@ -195,13 +234,21 @@ def canonical_url(url: str) -> dict:
         raise ValueError(f"not an absolute URL: {url!r}")
     scheme = parts.scheme.lower()
     host = parts.hostname.lower()
+    if not host.isascii():
+        try:
+            host = host.encode("idna").decode("ascii")
+        except UnicodeError as exc:
+            raise ValueError(
+                f"host {host!r} is not IDNA-encodable: {exc}"
+            ) from exc
     port = parts.port  # urlsplit validates numeric ports
     if (scheme, port) in (("http", 80), ("https", 443)):
         port = None
-    path = parts.path or "/"
+    path = pct_normalize(parts.path) or "/"
     if any(seg in (".", "..") for seg in path.split("/")):
         path = remove_dot_segments(path) or "/"
-    params = [p for p in parts.query.split("&") if p] if parts.query else []
+    qn = pct_normalize(parts.query) if parts.query else ""
+    params = [p for p in qn.split("&") if p] if qn else []
     pairs = sorted(p.partition("=") for p in params)
     query = "&".join(k + sep + v for k, sep, v in pairs)
     # urlsplit strips the brackets from IPv6 literals; re-bracket on

@@ -6353,13 +6353,15 @@ def url_canonicalize(spark, sf_dir):
     3986 normalization subset) — the precursor to URL-level crawl
     dedup: per doc a deliberately messy absolute URL (uppercase scheme
     and host, sometimes an explicit DEFAULT port, sometimes a real
-    non-default port, empty path, "." / ".." dot segments, unsorted
+    non-default port, empty path, "." / ".." dot segments,
+    percent-encoded unreserved octets in path and query, unsorted
     duplicate-key query, a fragment) canonicalizes to the normal form
     the oracle builds in closed form — lowercased scheme/host, default
-    port dropped / non-default kept, path defaulted to '/', dot
-    segments resolved per RFC 3986 §5.2.4, query sorted by
-    (key, value), fragment gone. Row-local string work, no shuffle:
-    the 100 TB crawl-frontier shape."""
+    port dropped / non-default kept, path defaulted to '/',
+    percent-encoding normalized per RFC 3986 §6.2.2.2, dot segments
+    resolved per §5.2.4, query sorted by (key, value), fragment gone.
+    Row-local string work, no shuffle: the 100 TB crawl-frontier
+    shape."""
     from collections.abc import Iterator
 
     from .functions.crawl import canonical_url
@@ -6372,18 +6374,20 @@ def url_canonicalize(spark, sf_dir):
                 scheme = "HTTP" if did % 2 == 0 else "HTTPS"
                 default = "80" if did % 2 == 0 else "443"
                 portseg = {0: "", 1: ":" + default, 2: ":8080"}[did % 3]
-                # 2-4 carry dot segments that resolve back to the
-                # oracle's closed-form /Dir{k}/page (RFC 3986 §5.2.4)
+                # 1-4 carry dot segments and percent-encoded
+                # unreserved octets that resolve back to the oracle's
+                # closed-form /Dir{k}/page (RFC 3986 §5.2.4 +
+                # §6.2.2.2; %31 = '1', %44 = 'D')
                 path = {
                     0: "",
-                    1: "/Dir1/page",
+                    1: "/Dir%31/page",
                     2: "/Dir2/./page",
                     3: "/Dir3/x/../page",
-                    4: "/./Dir4/sub/../page",
+                    4: "/./%44ir4/sub/../page",
                 }[did % 5]
                 messy = (
                     f"{scheme}://WWW.Site{did % 7}.COM{portseg}{path}"
-                    f"?b={did % 4}&a={did % 11}&a=0#sec1"
+                    f"?b={did % 4}&a={did % 11}&a=%30#sec1"
                 )
                 c = canonical_url(messy)
                 rows.append(

@@ -490,6 +490,21 @@ def test_canonical_url_rules():
         canonical_url("http://h/../etc/passwd")
     with pytest.raises(ValueError, match="escape"):
         canonical_url("http://h/a/../../x")
+    # §6.2.2.2 percent-encoding normalization: unreserved decodes,
+    # reserved stays encoded with UPPERCASE hex (%2F is not a slash),
+    # %2E resolves like the '.' it is (decode happens first)
+    assert canonical_url("http://h/%41b%7e/x")["url"] == "http://h/Ab~/x"
+    assert canonical_url("http://h/a%2fb")["url"] == "http://h/a%2Fb"
+    assert canonical_url("http://h/a/%2e%2e/b")["url"] == "http://h/b"
+    assert canonical_url("http://h/p?%61=%2f")["url"] == "http://h/p?a=%2F"
+    with pytest.raises(ValueError, match="percent"):
+        canonical_url("http://h/a%2")
+    with pytest.raises(ValueError, match="percent"):
+        canonical_url("http://h/a%zz")
+    # IDN hosts punycode via the stdlib IDNA codec
+    c_idn = canonical_url("http://MÜNCHEN.example/x")
+    assert c_idn["host"] == "xn--mnchen-3ya.example"
+    assert c_idn["url"] == "http://xn--mnchen-3ya.example/x"
 
 
 def test_remove_dot_segments_vs_urljoin_property():
