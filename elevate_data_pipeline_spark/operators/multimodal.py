@@ -6268,18 +6268,23 @@ def decode_adts(payload: bytes) -> dict:
 # 5-bit/esc-31 length increments, DPCM scalefactors from global_gain,
 # pairwise spectral traversal, |x|^(4/3) requantization, N=2048 IMDCT
 # + sine window + 1024-sample overlap-add, per-channel overlap state
-# with interleaved L/R output), while the EMPIRICAL tables this offline container
+# with interleaved L/R output, and the WINDOW-SWITCHING sequences:
+# LONG_START/LONG_STOP composite windows and EIGHT_SHORT's eight
+# N=256 transforms with scale_factor_grouping, per-group sections
+# [3-bit/esc-7 lengths] + scalefactors and the grouped band-major
+# transmission order), while the EMPIRICAL tables this offline container
 # cannot verify are repo-defined swap-ins behind single swap points:
-#   - AAC_SFB: scalefactor band widths (spec Table 4.110 family is
-#     empirical per sample rate; swap-in = 16 x 64 tiling 1024 lines);
+#   - AAC_SFB / AAC_SFB_SHORT: scalefactor band widths (spec Table
+#     4.110 family is empirical per sample rate; swap-ins = 16 x 64
+#     tiling 1024 lines, 8 x 16 tiling each short window);
 #   - the spectral Huffman codebooks 1-11 and the scalefactor codebook:
 #     Elias-gamma magnitude + sign / zigzag-gamma DPCM stand-ins
 #     (codebook id 1 in section_data);
 #   - AAC_POW43 / the 2^((sf-100)/4) gain grid restricted to integer
 #     shifts (sf = 100 + 4k, k 0..7) so the whole chain is exact
 #     integers, SQL-replayable (same contract as MP3's gain grid).
-# Loud subset gates (NotImplementedError, never silent): window
-# switching (sequences 1-3), KBD window shape, MAIN-profile
+# Loud subset gates (NotImplementedError, never silent): joint
+# stereo with window switching, KBD window shape, MAIN-profile
 # prediction, pulse data, TNS, SSR gain control, PNS (codebook 13),
 # intensity stereo (14/15), empirical codebooks 2-12, CCE/LFE/DSE/
 # PCE/FIL elements, profiles other than LC, channel configs > 2 —
@@ -6298,7 +6303,42 @@ AAC_WIN = tuple(
     ))
     for n in range(2048)
 )
+# Short-transform window (N=256) and the window-switching composites
+# (14496-3 §4.6.11.3): LONG_START = long left half, 448 ones, short
+# descending half, 448 zeros; LONG_STOP mirrors it; EIGHT_SHORT places
+# eight 256-sample short windows at offsets 448 + 128w.
+AAC_WIN_SHORT = tuple(
+    round(64 * __import__("math").sin(
+        __import__("math").pi / 256.0 * (n + 0.5)
+    ))
+    for n in range(256)
+)
+AAC_WIN_START = (
+    AAC_WIN[:1024] + (64,) * 448 + AAC_WIN_SHORT[128:] + (0,) * 448
+)
+AAC_WIN_STOP = (
+    (0,) * 448 + AAC_WIN_SHORT[:128] + (64,) * 448 + AAC_WIN[1024:]
+)
+AAC_SFB_SHORT = (16,) * 8  # swap-in short band widths (128 lines/window)
+_AAC_SFB_SHORT_START = tuple(16 * b for b in range(9))
 _AAC_C_ROWS: dict = {}
+_AAC_C256_ROWS: dict = {}
+
+
+def _aac_c256_row(k: int) -> tuple:
+    """Row k of the short-transform IMDCT cosine (N=256, n0=64.5),
+    same x64 fixed point and lazy caching as :func:`_aac_c_row`."""
+    row = _AAC_C256_ROWS.get(k)
+    if row is None:
+        math = __import__("math")
+        row = tuple(
+            round(64 * math.cos(
+                math.pi * (2 * n + 1 + 128) * (2 * k + 1) / 512.0
+            ))
+            for n in range(256)
+        )
+        _AAC_C256_ROWS[k] = row
+    return row
 
 
 def _aac_c_row(k: int) -> tuple:
@@ -6320,38 +6360,72 @@ def _aac_c_row(k: int) -> tuple:
     return row
 
 
-def _aac_frame_pcm(xr: list, prev: list) -> tuple:
-    """One long-window frame through the exact integer chain: IMDCT of
-    the nonzero lines (lazy cosine rows), sine window, overlap-add
-    with the previous frame's tail. ``prev`` is the 1024-sample overlap
-    state. Returns (1024 raw accumulator values, new state) — linear in
-    xr, one rounding applied by the caller."""
+def _aac_frame_pcm(xr: list, prev: list, ws: int = 0) -> tuple:
+    """One frame through the exact integer chain: IMDCT of the nonzero
+    lines (lazy cosine rows), the window sequence's window, overlap-add
+    with the previous frame's tail. ``ws`` is the window_sequence —
+    0 ONLY_LONG / 1 LONG_START / 3 LONG_STOP run the N=2048 transform
+    under their composite windows; 2 EIGHT_SHORT runs eight N=256
+    transforms (``xr`` in window-major order: window w owns lines
+    128w..128w+127) windowed short and overlap-added at offsets
+    448 + 128w. ``prev`` is the 1024-sample overlap state. Returns
+    (1024 raw accumulator values, new state) — linear in xr, one
+    rounding applied by the caller."""
     nz = [(k, v) for k, v in enumerate(xr) if v]
     if not nz and not any(prev):
         return [0] * 1024, prev
-    sw = [0] * AAC_N
-    for k, v in nz:
-        row = _aac_c_row(k)
-        for n in range(AAC_N):
-            sw[n] += v * row[n]
-    z = [sw[n] * AAC_WIN[n] for n in range(AAC_N)]
+    if ws == 2:
+        z = [0] * AAC_N
+        for w in range(8):
+            seg = [(k, v) for k, v in nz if 128 * w <= k < 128 * (w + 1)]
+            if not seg:
+                continue
+            base = 448 + 128 * w
+            for n in range(256):
+                acc_n = sum(
+                    v * _aac_c256_row(k - 128 * w)[n] for k, v in seg
+                )
+                if acc_n:
+                    z[base + n] += acc_n * AAC_WIN_SHORT[n]
+    else:
+        win = {0: AAC_WIN, 1: AAC_WIN_START, 3: AAC_WIN_STOP}.get(ws)
+        if win is None:
+            raise ValueError(f"bad AAC window_sequence {ws}")
+        sw = [0] * AAC_N
+        for k, v in nz:
+            row = _aac_c_row(k)
+            for n in range(AAC_N):
+                sw[n] += v * row[n]
+        z = [sw[n] * win[n] for n in range(AAC_N)]
     acc = [z[n] + prev[n] for n in range(1024)]
     return acc, z[1024:]
 
 
 def _aac_norm_frame(g) -> dict:
     """Normalize a frame spec: ``(values, gain_e)`` (spectral prefix,
-    flat gain) or the dict ``{spec, gain_e, sf_down}`` with up to 1024
-    signed quantized lines (|x| <= 15), gain_e on the 0..7 grid, and
-    per-band down-shifts sf_down (band shift = gain_e - sf_down[b],
-    transmitted scalefactor = 100 + 4*shift)."""
+    flat gain, long window) or the dict ``{spec, gain_e, sf_down,
+    window, groups, sf_down_short}``: up to 1024 signed quantized
+    lines (|x| <= 15), gain_e on the 0..7 grid, ``window`` the
+    window_sequence (0 ONLY_LONG default / 1 LONG_START / 2
+    EIGHT_SHORT / 3 LONG_STOP). Long shapes take per-band down-shifts
+    ``sf_down`` (band shift = gain_e - sf_down[b]); EIGHT_SHORT takes
+    ``spec`` in window-major order (window w owns lines
+    128w..128w+127), ``groups`` as a list of window-group sizes
+    summing to 8 (default all singletons), and ``sf_down_short`` as a
+    [group][band] grid."""
     if isinstance(g, dict):
         spec = list(g.get("spec", []))
         gain_e = g.get("gain_e", 0)
+        window = g.get("window", 0)
         sf_down = list(g.get("sf_down", [0] * len(AAC_SFB)))
+        groups = list(g.get("groups", [1] * 8))
+        sfds = g.get("sf_down_short")
     else:
         spec, gain_e = list(g[0]), g[1]
-        sf_down = [0] * len(AAC_SFB)
+        window, sf_down = 0, [0] * len(AAC_SFB)
+        groups, sfds = [1] * 8, None
+    if window not in (0, 1, 2, 3):
+        raise ValueError(f"window_sequence must be 0..3, got {window}")
     if len(spec) > 1024:
         raise ValueError("more than 1024 spectral lines in an AAC frame")
     spec += [0] * (1024 - len(spec))
@@ -6360,6 +6434,40 @@ def _aac_norm_frame(g) -> dict:
             raise ValueError("AAC spectral magnitude above 15")
     if not 0 <= gain_e <= 7:
         raise ValueError("gain_e out of the subset's 0..7 grid")
+    out = {"spec": spec, "gain_e": gain_e, "window": window}
+    if window == 2:
+        if any(n < 1 for n in groups) or sum(groups) != 8:
+            raise ValueError("groups must be positive sizes summing to 8")
+        if sfds is None:
+            sfds = [[0] * len(AAC_SFB_SHORT) for _ in groups]
+        sfds = [list(r) for r in sfds]
+        if len(sfds) != len(groups) or any(
+            len(r) != len(AAC_SFB_SHORT) for r in sfds
+        ):
+            raise ValueError(
+                "sf_down_short needs a [group][band] grid"
+            )
+        used_gb = []
+        w0 = 0
+        for gi, size in enumerate(groups):
+            row = []
+            for b in range(len(AAC_SFB_SHORT)):
+                u = any(
+                    spec[128 * (w0 + w) + _AAC_SFB_SHORT_START[b]
+                         + i]
+                    for w in range(size)
+                    for i in range(AAC_SFB_SHORT[b])
+                )
+                if u and not 0 <= gain_e - sfds[gi][b] <= 7:
+                    raise ValueError(
+                        f"group {gi} band {b} shift"
+                        f" {gain_e - sfds[gi][b]} off the 0..7 grid"
+                    )
+                row.append(u)
+            used_gb.append(row)
+            w0 += size
+        out.update(groups=groups, sf_down_short=sfds, used_gb=used_gb)
+        return out
     if len(sf_down) != len(AAC_SFB):
         raise ValueError(f"sf_down needs {len(AAC_SFB)} bands")
     used = [
@@ -6371,62 +6479,121 @@ def _aac_norm_frame(g) -> dict:
             raise ValueError(
                 f"band {b} shift {gain_e - sf_down[b]} off the 0..7 grid"
             )
-    return {"spec": spec, "gain_e": gain_e, "sf_down": sf_down,
-            "used": used}
+    out.update(sf_down=sf_down, used=used)
+    return out
 
 
-def _aac_write_ics_info(bw, max_sfb: int) -> None:
+def _aac_write_ics_info(bw, ws: int, max_sfb: int, groups=None) -> None:
     bw.bits(0, 1)  # ics_reserved_bit
-    bw.bits(0, 2)  # window_sequence: ONLY_LONG
+    bw.bits(ws, 2)  # window_sequence
     bw.bits(0, 1)  # window_shape: sine
-    bw.bits(max_sfb, 6)
-    bw.bits(0, 1)  # predictor_data_present
+    if ws == 2:
+        bw.bits(max_sfb, 4)
+        # scale_factor_grouping: bit w (windows 1..7) set = window w
+        # joins the PREVIOUS group; a group's first window clears it
+        joined = []
+        for size in groups:
+            joined += [False] + [True] * (size - 1)
+        for j in joined[1:]:
+            bw.bits(1 if j else 0, 1)
+    else:
+        bw.bits(max_sfb, 6)
+        bw.bits(0, 1)  # predictor_data_present
+
+
+def _aac_sections(bw, used_row: list, max_sfb: int, len_bits: int) -> None:
+    """Run-coded section_data over one scalefactor-band row: sect_cb(4)
+    + length increments of ``len_bits`` bits with the all-ones escape
+    (5/31 long, 3/7 short — the spec's structural widths)."""
+    esc = (1 << len_bits) - 1
+    b = 0
+    while b < max_sfb:
+        cb = 1 if used_row[b] else 0
+        ln = 1
+        while b + ln < max_sfb and used_row[b + ln] == used_row[b]:
+            ln += 1
+        bw.bits(cb, 4)
+        rem = ln
+        while rem >= esc:
+            bw.bits(esc, len_bits)
+            rem -= esc
+        bw.bits(rem, len_bits)
+        b += ln
+
+
+def _aac_put_sf(bw, last: int, shift: int) -> int:
+    sf = 100 + 4 * shift
+    d = sf - last
+    _mp3_put_gamma(bw, 2 * d if d >= 0 else -2 * d - 1)
+    return sf
+
+
+def _aac_put_lines(bw, spec: list, start: int, count: int) -> None:
+    for i in range(start, start + count):
+        v = spec[i]
+        _mp3_put_gamma(bw, abs(v))
+        if v:
+            bw.bits(1 if v < 0 else 0, 1)
 
 
 def _aac_write_stream(bw, g: dict, max_sfb: int, common: bool) -> None:
     """individual_channel_stream: global_gain, (ics_info when the
     window is not shared), run-coded sections, DPCM scalefactors,
-    data-present flags, gamma+sign spectral pairs."""
+    data-present flags, gamma+sign spectral pairs. EIGHT_SHORT frames
+    section/scale per window group and store spectra grouped
+    band-major (windows inner), the spec's transmission order."""
     gg = 100 + 4 * g["gain_e"]
     bw.bits(gg, 8)
+    ws = g["window"]
     if not common:
-        _aac_write_ics_info(bw, max_sfb)
+        _aac_write_ics_info(bw, ws, max_sfb, g.get("groups"))
+    if ws == 2:
+        for used_row in g["used_gb"]:
+            _aac_sections(bw, used_row, max_sfb, 3)
+        last = gg
+        for gi in range(len(g["groups"])):
+            for b in range(max_sfb):
+                if g["used_gb"][gi][b]:
+                    last = _aac_put_sf(
+                        bw, last, g["gain_e"] - g["sf_down_short"][gi][b]
+                    )
+        bw.bits(0, 1)  # pulse_data_present
+        bw.bits(0, 1)  # tns_data_present
+        bw.bits(0, 1)  # gain_control_data_present
+        w0 = 0
+        for gi, size in enumerate(g["groups"]):
+            for b in range(max_sfb):
+                if not g["used_gb"][gi][b]:
+                    continue
+                for w in range(size):
+                    _aac_put_lines(
+                        bw, g["spec"],
+                        128 * (w0 + w) + _AAC_SFB_SHORT_START[b],
+                        AAC_SFB_SHORT[b],
+                    )
+            w0 += size
+        return
     used = g["used"]
-    b = 0
-    while b < max_sfb:  # section_data
-        cb = 1 if used[b] else 0
-        ln = 1
-        while b + ln < max_sfb and used[b + ln] == used[b]:
-            ln += 1
-        bw.bits(cb, 4)
-        rem = ln
-        while rem >= 31:  # spec's esc-31 length-increment chain
-            bw.bits(31, 5)
-            rem -= 31
-        bw.bits(rem, 5)
-        b += ln
+    _aac_sections(bw, used, max_sfb, 5)
     last = gg
     for b in range(max_sfb):  # scale_factor_data (DPCM zigzag)
-        if not used[b]:
-            continue
-        sf = 100 + 4 * (g["gain_e"] - g["sf_down"][b])
-        d = sf - last
-        last = sf
-        _mp3_put_gamma(bw, 2 * d if d >= 0 else -2 * d - 1)
+        if used[b]:
+            last = _aac_put_sf(bw, last, g["gain_e"] - g["sf_down"][b])
     bw.bits(0, 1)  # pulse_data_present
     bw.bits(0, 1)  # tns_data_present
     bw.bits(0, 1)  # gain_control_data_present
     for b in range(max_sfb):  # spectral_data: pairwise gamma+sign
-        if not used[b]:
-            continue
-        for i in range(_AAC_SFB_START[b], _AAC_SFB_START[b + 1]):
-            v = g["spec"][i]
-            _mp3_put_gamma(bw, abs(v))
-            if v:
-                bw.bits(1 if v < 0 else 0, 1)
+        if used[b]:
+            _aac_put_lines(bw, g["spec"], _AAC_SFB_START[b], AAC_SFB[b])
 
 
 def _aac_max_sfb(g: dict) -> int:
+    if g["window"] == 2:
+        return max(
+            (b + 1 for row in g["used_gb"]
+             for b in range(len(row)) if row[b]),
+            default=0,
+        )
     return max((b + 1 for b in range(len(g["used"])) if g["used"][b]),
                default=0)
 
@@ -6436,8 +6603,10 @@ def encode_aac(
     ms_used: list = None,
 ) -> bytes:
     """AAC-LC encoder for the structural subset above: each frame is
-    ``(values, gain_e)`` or the :func:`_aac_norm_frame` dict. Emits one
-    ADTS frame per raw data block (profile LC), byte-aligned.
+    ``(values, gain_e)`` or the :func:`_aac_norm_frame` dict (incl.
+    the window-switching shapes: LONG_START / EIGHT_SHORT /
+    LONG_STOP). Emits one ADTS frame per raw data block (profile LC),
+    byte-aligned.
 
     ``mode``: "mono" (SCE, channel config 1), or the CPE pair modes
     (channel config 2; each ``frames`` entry is then a ``(ch0, ch1)``
@@ -6448,7 +6617,9 @@ def encode_aac(
     (the spec's 14496-3 §4.6.8.1 M/S; its 1/sqrt(2)-free formulation
     is already exact in integers). ``ms_used`` (with mode="ms") emits
     ms_mask_present=1 with that per-band mask instead of the
-    all-bands mask 2 — bands outside the mask stay independent L/R."""
+    all-bands mask 2 — bands outside the mask stay independent L/R.
+    The CPE modes share one long ics_info; window switching in a pair
+    gates loudly (the joint-stereo subset is long-window)."""
     modes = ("mono", "stereo", "ms")
     if mode not in modes:
         raise ValueError(f"unsupported AAC mode {mode!r} {modes}")
@@ -6471,11 +6642,15 @@ def encode_aac(
                     "two-channel AAC modes need (ch0, ch1) frame pairs"
                 )
             g0, g1 = (_aac_norm_frame(e) for e in entry)
+            if g0["window"] or g1["window"]:
+                raise NotImplementedError(
+                    "CPE joint stereo encodes long windows only"
+                )
             max_sfb = max(_aac_max_sfb(g0), _aac_max_sfb(g1))
             bw.bits(1, 3)  # id_syn_ele: CPE
             bw.bits(0, 4)  # element_instance_tag
             bw.bits(1, 1)  # common_window
-            _aac_write_ics_info(bw, max_sfb)
+            _aac_write_ics_info(bw, 0, max_sfb)
             if mode == "stereo":
                 bw.bits(0, 2)  # ms_mask_present: none
             elif ms_used is None:
@@ -6499,21 +6674,30 @@ def encode_aac(
     return encode_adts(payloads, freq_index, channels=nch, profile=1)
 
 
-def _aac_read_ics_info(br) -> int:
-    """ics_info for the only-long subset; returns max_sfb. Every
-    out-of-subset construct gates loudly."""
+def _aac_read_ics_info(br) -> tuple:
+    """ics_info; returns (window_sequence, max_sfb, groups) with
+    ``groups`` the window-group sizes for EIGHT_SHORT (None for long
+    shapes). Out-of-subset constructs gate loudly."""
     if br.bits(1):
         raise ValueError("ics_reserved_bit set")
     ws = br.bits(2)
-    if ws:
-        raise NotImplementedError(
-            f"AAC window switching (window_sequence {ws}) not"
-            " supported (only-long subset)"
-        )
     if br.bits(1):
         raise NotImplementedError(
             "KBD window shape not supported (empirical window)"
         )
+    if ws == 2:
+        max_sfb = br.bits(4)
+        if max_sfb > len(AAC_SFB_SHORT):
+            raise ValueError(
+                f"short max_sfb {max_sfb} beyond the band table"
+            )
+        groups = [1]
+        for _ in range(7):
+            if br.bits(1):
+                groups[-1] += 1
+            else:
+                groups.append(1)
+        return ws, max_sfb, groups
     max_sfb = br.bits(6)
     if max_sfb > len(AAC_SFB):
         raise ValueError(f"max_sfb {max_sfb} beyond the band table")
@@ -6521,19 +6705,13 @@ def _aac_read_ics_info(br) -> int:
         raise NotImplementedError(
             "MAIN-profile prediction not supported in AAC-LC"
         )
-    return max_sfb
+    return ws, max_sfb, None
 
 
-def _aac_read_stream(br, max_sfb) -> list:
-    """individual_channel_stream -> 1024 requantized spectral lines.
-    ``max_sfb`` is the shared-window value (CPE common_window) or None
-    when the stream carries its own ics_info (SCE / independent
-    windows)."""
-    gg = br.bits(8)
-    if max_sfb is None:
-        max_sfb = _aac_read_ics_info(br)
+def _aac_read_sections(br, max_sfb: int, len_bits: int) -> list:
+    esc = (1 << len_bits) - 1
     cbs = []
-    while len(cbs) < max_sfb:  # section_data
+    while len(cbs) < max_sfb:
         cb = br.bits(4)
         if cb == 13:
             raise NotImplementedError(
@@ -6551,26 +6729,28 @@ def _aac_read_stream(br, max_sfb) -> list:
             )
         ln = 0
         while True:
-            inc = br.bits(5)
+            inc = br.bits(len_bits)
             ln += inc
-            if inc != 31:
+            if inc != esc:
                 break
         if ln == 0 or len(cbs) + ln > max_sfb:
             raise ValueError("bad AAC section length")
         cbs += [cb] * ln
-    shifts = [0] * max_sfb
-    last = gg
-    for b in range(max_sfb):  # scale_factor_data
-        if cbs[b] == 0:
-            continue
-        z = _mp3_get_gamma(br)
-        last += z // 2 if z % 2 == 0 else -((z + 1) // 2)
-        if (last - 100) % 4 or not 0 <= (last - 100) // 4 <= 7:
-            raise NotImplementedError(
-                f"scalefactor {last} off the 2^((sf-100)/4) 0..7"
-                " integer grid"
-            )
-        shifts[b] = (last - 100) // 4
+    return cbs
+
+
+def _aac_read_sf(br, last: int) -> tuple:
+    z = _mp3_get_gamma(br)
+    last += z // 2 if z % 2 == 0 else -((z + 1) // 2)
+    if (last - 100) % 4 or not 0 <= (last - 100) // 4 <= 7:
+        raise NotImplementedError(
+            f"scalefactor {last} off the 2^((sf-100)/4) 0..7"
+            " integer grid"
+        )
+    return last, (last - 100) // 4
+
+
+def _aac_read_flags(br) -> None:
     if br.bits(1):
         raise NotImplementedError("AAC pulse data not supported")
     if br.bits(1):
@@ -6581,29 +6761,78 @@ def _aac_read_stream(br, max_sfb) -> list:
         raise NotImplementedError(
             "SSR gain control not supported in AAC-LC"
         )
+
+
+def _aac_read_lines(br, xr: list, start: int, count: int,
+                    shift: int) -> None:
+    for i in range(start, start + count):
+        mag = _mp3_get_gamma(br)
+        if mag > 15:
+            raise ValueError("AAC spectral magnitude above 15")
+        if mag:
+            v = AAC_POW43[mag] << shift
+            xr[i] = -v if br.bits(1) else v
+
+
+def _aac_read_stream(br, shared) -> tuple:
+    """individual_channel_stream -> (1024 requantized spectral lines,
+    window_sequence). ``shared`` is the CPE common_window
+    (ws, max_sfb, groups) tuple, or None when the stream carries its
+    own ics_info (SCE / independent windows). EIGHT_SHORT spectra are
+    returned in window-major order (the reorder from the grouped
+    band-major transmission layout happens as the lines are read)."""
+    gg = br.bits(8)
+    if shared is None:
+        ws, max_sfb, groups = _aac_read_ics_info(br)
+    else:
+        ws, max_sfb, groups = shared
     xr = [0] * 1024
+    if ws == 2:
+        cbs_g = [_aac_read_sections(br, max_sfb, 3) for _ in groups]
+        shifts = [[0] * max_sfb for _ in groups]
+        last = gg
+        for gi in range(len(groups)):
+            for b in range(max_sfb):
+                if cbs_g[gi][b]:
+                    last, shifts[gi][b] = _aac_read_sf(br, last)
+        _aac_read_flags(br)
+        w0 = 0
+        for gi, size in enumerate(groups):
+            for b in range(max_sfb):
+                if cbs_g[gi][b] == 0:
+                    continue
+                for w in range(size):
+                    _aac_read_lines(
+                        br, xr,
+                        128 * (w0 + w) + _AAC_SFB_SHORT_START[b],
+                        AAC_SFB_SHORT[b], shifts[gi][b],
+                    )
+            w0 += size
+        return xr, ws
+    cbs = _aac_read_sections(br, max_sfb, 5)
+    shifts = [0] * max_sfb
+    last = gg
+    for b in range(max_sfb):  # scale_factor_data
+        if cbs[b]:
+            last, shifts[b] = _aac_read_sf(br, last)
+    _aac_read_flags(br)
     for b in range(max_sfb):  # spectral_data
-        if cbs[b] == 0:
-            continue
-        for i in range(_AAC_SFB_START[b], _AAC_SFB_START[b + 1]):
-            mag = _mp3_get_gamma(br)
-            if mag > 15:
-                raise ValueError("AAC spectral magnitude above 15")
-            if mag:
-                v = AAC_POW43[mag] << shifts[b]
-                xr[i] = -v if br.bits(1) else v
-    return xr
+        if cbs[b]:
+            _aac_read_lines(br, xr, _AAC_SFB_START[b], AAC_SFB[b],
+                            shifts[b])
+    return xr, ws
 
 
 def _aac_parse_raw_block(buf: bytes) -> list:
-    """Parse one raw_data_block (SCE or CPE, + END) to the per-channel
-    requantized spectral lines (a list of 1024-line lists). CPE decodes
-    both the shared-window layout (common_window=1, with the three
+    """Parse one raw_data_block (SCE or CPE, + END) to per-channel
+    ``(spectral_lines, window_sequence)`` pairs. CPE decodes both the
+    shared-window layout (common_window=1, with the three
     ms_mask_present shapes: 0 = independent, 1 = per-band ms_used
     mask, 2 = all bands M/S) and independent windows (common_window=0);
     MID/SIDE bands dematrix l = m + s, r = m - s per line BEFORE the
-    filterbank (14496-3 §4.6.8.1 — exact on the integer grid). Every
-    out-of-subset construct gates loudly."""
+    filterbank (14496-3 §4.6.8.1 — exact on the integer grid; joint
+    stereo with window switching gates loudly). Every out-of-subset
+    construct gates loudly."""
     br = _MsbBitReader(buf)
     chans = None
     ele_names = {
@@ -6632,7 +6861,13 @@ def _aac_parse_raw_block(buf: bytes) -> list:
         common = br.bits(1)
         ms_used = [False] * len(AAC_SFB)
         if common:
-            max_sfb = _aac_read_ics_info(br)
+            shared = _aac_read_ics_info(br)
+            if shared[0]:
+                raise NotImplementedError(
+                    "CPE joint stereo with window switching not"
+                    " supported (long-window subset)"
+                )
+            max_sfb = shared[1]
             mask = br.bits(2)
             if mask == 3:
                 raise ValueError("reserved ms_mask_present value 3")
@@ -6641,11 +6876,11 @@ def _aac_parse_raw_block(buf: bytes) -> list:
                     ms_used[b] = br.bits(1) == 1
             elif mask == 2:
                 ms_used = [True] * len(AAC_SFB)
-            xm = _aac_read_stream(br, max_sfb)
-            xs = _aac_read_stream(br, max_sfb)
+            xm, wsm = _aac_read_stream(br, shared)
+            xs, wss = _aac_read_stream(br, shared)
         else:
-            xm = _aac_read_stream(br, None)
-            xs = _aac_read_stream(br, None)
+            xm, wsm = _aac_read_stream(br, None)
+            xs, wss = _aac_read_stream(br, None)
         if any(ms_used):
             xl, xrr = list(xm), list(xs)
             for b in range(len(AAC_SFB)):
@@ -6655,9 +6890,9 @@ def _aac_parse_raw_block(buf: bytes) -> list:
                     m_, s_ = xm[i], xs[i]
                     xl[i] = m_ + s_
                     xrr[i] = m_ - s_
-            chans = [xl, xrr]
+            chans = [(xl, wsm), (xrr, wss)]
         else:
-            chans = [xm, xs]
+            chans = [(xm, wsm), (xs, wss)]
     if chans is None:
         raise ValueError("raw data block without a channel element")
     # byte-align padding must be zero: trailing garbage means the walk
@@ -6672,12 +6907,13 @@ def _aac_parse_raw_block(buf: bytes) -> list:
 def decode_aac(payload: bytes) -> AudioData:
     """AAC-LC decoder for the structural subset above: ADTS frame walk
     (:func:`decode_adts`), raw-data-block parse (SCE mono or CPE
-    stereo, incl. MID/SIDE dematrix), pow-4/3 requantization on the
-    integer gain grid, N=2048 IMDCT + sine window + 1024-sample
-    overlap-add in exact integers, one round-half-up >> AAC_SHIFT and
-    int16 clip per sample. 1024 samples per frame per channel
-    (interleaved L/R for stereo). Profiles other than LC and channel
-    configs other than 1/2 gate loudly."""
+    stereo, incl. MID/SIDE dematrix; window sequences ONLY_LONG /
+    LONG_START / EIGHT_SHORT / LONG_STOP), pow-4/3 requantization on
+    the integer gain grid, IMDCT + window + 1024-sample overlap-add
+    in exact integers, one round-half-up >> AAC_SHIFT and int16 clip
+    per sample. 1024 samples per frame per channel (interleaved L/R
+    for stereo). Profiles other than LC and channel configs other
+    than 1/2 gate loudly."""
     walk = decode_adts(payload)
     if walk["profile"] != 1:
         raise NotImplementedError(
@@ -6702,7 +6938,8 @@ def decode_aac(payload: bytes) -> AudioData:
             )
         pcm = []
         for ch in range(nch):
-            acc, prevs[ch] = _aac_frame_pcm(chans[ch], prevs[ch])
+            xr, ws = chans[ch]
+            acc, prevs[ch] = _aac_frame_pcm(xr, prevs[ch], ws)
             pcm.append([
                 max(-32768, min(32767, (a + half) >> AAC_SHIFT))
                 for a in acc
@@ -6716,13 +6953,19 @@ def decode_aac(payload: bytes) -> AudioData:
     return AudioData(walk["sample_rate"], nch, 16, samples)
 
 
-def aac_line_taps(n_frames: int = 2, lines: tuple = (0,)) -> dict:
+def aac_line_taps(
+    n_frames: int = 2, lines: tuple = (0,), windows: tuple = None
+) -> dict:
     """Exact integer tap tables for the SQL oracle: ``taps[(f, k)][t]``
     is the raw accumulator that a UNIT value on line k of frame f
     contributes to output sample t over ``n_frames`` frames — the
     decode is linear in the requantized lines with one final
     round-half-up >> AAC_SHIFT, so any stream replays as the tap
-    superposition (the MP3 mp3_line_taps contract)."""
+    superposition (the MP3 mp3_line_taps contract). ``windows`` gives
+    each frame's window_sequence (default all ONLY_LONG); EIGHT_SHORT
+    lines are window-major indices."""
+    if windows is None:
+        windows = (0,) * n_frames
     out = {}
     for f in range(n_frames):
         for k in lines:
@@ -6732,7 +6975,7 @@ def aac_line_taps(n_frames: int = 2, lines: tuple = (0,)) -> dict:
                 xr = [0] * 1024
                 if g == f:
                     xr[k] = 1
-                acc, prev = _aac_frame_pcm(xr, prev)
+                acc, prev = _aac_frame_pcm(xr, prev, windows[g])
                 taps.extend(acc)
             out[(f, k)] = tuple(taps)
     return out

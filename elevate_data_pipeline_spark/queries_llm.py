@@ -5162,6 +5162,145 @@ def multimodal_aac_decode(spark, sf_dir):
     )
 
 
+_AAC_SHORT_LINES = (0, 100, 400, 640, 931)
+
+
+def _sql_aac_short() -> str:
+    """Oracle for multimodal_aac_short: tap superposition under the
+    WINDOW-SWITCHING geometry — frame 0 is a LONG_START (N=2048 under
+    the start composite window), frame 1 an EIGHT_SHORT (eight N=256
+    transforms at offsets 448+128w) with grouped windows [2,3,1,2] and
+    a per-group scalefactor down-shift, so lines in windows 0/3/5/7
+    land in different groups and bands (window-major indices 0 / 400 /
+    640 / 931)."""
+    taps = multimodal.aac_line_taps(
+        n_frames=2, lines=_AAC_SHORT_LINES, windows=(1, 2)
+    )
+    t = {
+        (f, k): "[" + ",".join(str(v) for v in taps[(f, k)]) + "]"
+        for f, k in (
+            (0, 0), (0, 100), (1, 0), (1, 400), (1, 640), (1, 931),
+        )
+    }
+    p43 = "[" + ",".join(str(v) for v in multimodal.AAC_POW43) + "]"
+    half = 1 << (multimodal.AAC_SHIFT - 1)
+    pow2 = 1 << multimodal.AAC_SHIFT
+    acc = " + ".join(
+        f"x{f}_{k} * ({t[(f, k)]})[s + 1]"
+        for f, k in (
+            (0, 0), (0, 100), (1, 0), (1, 400), (1, 640), (1, 931),
+        )
+    )
+    return f"""
+    WITH cfg AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 15 AS INT) AS v00,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS s00,
+             CAST(1 + (doc_id * 7) % 15 AS INT) AS v01,
+             CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END AS s01,
+             CAST(1 + (doc_id * 3) % 15 AS INT) AS v10,
+             CASE WHEN doc_id % 5 = 0 THEN -1 ELSE 1 END AS s10,
+             CAST(1 + (doc_id * 5) % 15 AS INT) AS v11,
+             CASE WHEN doc_id % 7 = 0 THEN -1 ELSE 1 END AS s11,
+             CAST(1 + (doc_id * 11) % 15 AS INT) AS v12,
+             CASE WHEN doc_id % 4 = 0 THEN -1 ELSE 1 END AS s12,
+             CAST(1 + (doc_id * 13) % 15 AS INT) AS v13,
+             CASE WHEN doc_id % 6 = 0 THEN -1 ELSE 1 END AS s13,
+             CAST(1 + doc_id % 7 AS INT) AS e0,
+             CAST(1 + (doc_id * 3) % 7 AS INT) AS e1
+      FROM documents
+    ), xr AS (
+      SELECT doc_id,
+             s00 * ({p43})[v00 + 1] * (CAST(1 AS BIGINT) << e0) AS x0_0,
+             s01 * ({p43})[v01 + 1] * (CAST(1 AS BIGINT) << (e0 - 1))
+               AS x0_100,
+             s10 * ({p43})[v10 + 1] * (CAST(1 AS BIGINT) << e1) AS x1_0,
+             s11 * ({p43})[v11 + 1] * (CAST(1 AS BIGINT) << (e1 - 1))
+               AS x1_400,
+             s12 * ({p43})[v12 + 1] * (CAST(1 AS BIGINT) << e1) AS x1_640,
+             s13 * ({p43})[v13 + 1] * (CAST(1 AS BIGINT) << e1) AS x1_931
+      FROM cfg
+    ), pcm AS (
+      SELECT doc_id,
+             greatest(-32768, least(32767, CAST(floor(
+               ({acc} + {half}) / {pow2}.0) AS BIGINT))) AS p
+      FROM xr, (SELECT unnest(range(0, 2048)) AS s)
+    )
+    SELECT doc_id AS doc_id,
+           CAST(2048 AS BIGINT) AS n_samples,
+           CAST(44100 AS INT) AS sample_rate,
+           CAST(max(abs(p)) AS BIGINT) AS peak,
+           CAST(sum(p * p) AS BIGINT) AS energy
+    FROM pcm GROUP BY doc_id
+    """
+
+
+@query("multimodal_aac_short", _sql_aac_short())
+def multimodal_aac_short(spark, sf_dir):
+    """REAL AAC-LC WINDOW-SWITCHING decode (no stub): per doc a
+    LONG_START frame (bands 0/1, band 1 under a scalefactor
+    down-shift) followed by an EIGHT_SHORT frame — eight 256-point
+    transforms with window groups [2,3,1,2], per-group sections and
+    scalefactors (3-bit/esc-7 section lengths, one DPCM chain), a
+    down-shift on group 1 band 1, and content in windows 0/3/5/7 —
+    encoded by ``encode_aac`` and decoded by ``decode_aac``'s short
+    path (grouped band-major transmission order -> window-major
+    reorder, short sine windows overlap-added at 448+128w, cross-
+    window-type overlap with the start frame's tail). The oracle
+    replays the decode as the pinned tap superposition over the
+    window-switching tap tables. One narrow scan, no shuffle: the
+    100 TB shape."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                e0, e1 = 1 + did % 7, 1 + (did * 3) % 7
+                f0 = {"spec": [0] * 1024, "gain_e": e0, "window": 1,
+                      "sf_down": [0, 1] + [0] * 14}
+                f0["spec"][0] = (1 if did % 2 == 0 else -1) * (1 + did % 15)
+                f0["spec"][100] = (
+                    (-1 if did % 3 == 0 else 1) * (1 + (did * 7) % 15)
+                )
+                spec = [0] * 1024
+                spec[0] = (-1 if did % 5 == 0 else 1) * (1 + (did * 3) % 15)
+                spec[400] = (
+                    (-1 if did % 7 == 0 else 1) * (1 + (did * 5) % 15)
+                )
+                spec[640] = (
+                    (-1 if did % 4 == 0 else 1) * (1 + (did * 11) % 15)
+                )
+                spec[931] = (
+                    (-1 if did % 6 == 0 else 1) * (1 + (did * 13) % 15)
+                )
+                sfds = [[0] * 8 for _ in range(4)]
+                sfds[1][1] = 1
+                f1 = {"spec": spec, "gain_e": e1, "window": 2,
+                      "groups": [2, 3, 1, 2], "sf_down_short": sfds}
+                au = multimodal.decode_audio(multimodal.encode_aac([f0, f1]))
+                rows.append(
+                    (did, len(au.samples), au.sample_rate,
+                     max(abs(s) for s in au.samples),
+                     sum(s * s for s in au.samples))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "sample_rate", "peak",
+                         "energy"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_samples long, sample_rate int, peak long,"
+        " energy long",
+    )
+
+
 def _sql_aac_stereo() -> str:
     """Oracle for multimodal_aac_stereo: the CPE M/S decode is linear
     in the TRANSMITTED (mid, side) lines — L carries (m + s), R carries

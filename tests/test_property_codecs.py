@@ -1086,8 +1086,13 @@ def test_aac_gates():
         return rewrap([bw.flush()])
 
     sce_head = [(0, 3), (0, 4), (104, 8), (0, 1)]  # SCE, tag, gain, rsvd
+    # window switching decodes for SCE; the JOINT-stereo shared window
+    # stays long-only (CPE, common_window=1, ics with ws=2)
     with pytest.raises(NotImplementedError, match="window switching"):
-        mm.decode_aac(frame_bits(sce_head + [(2, 2)]))
+        mm.decode_aac(frame_bits(
+            [(1, 3), (0, 4), (1, 1),
+             (0, 1), (2, 2), (0, 1), (0, 4), (0, 7)]
+        ))
     with pytest.raises(NotImplementedError, match="KBD"):
         mm.decode_aac(frame_bits(sce_head + [(0, 2), (1, 1)]))
     with pytest.raises(NotImplementedError, match="prediction"):
@@ -1205,3 +1210,85 @@ def test_aac_stereo_modes_roundtrip():
         mm.encode_aac([gl, gr], mode="stereo")
     with pytest.raises(ValueError, match="ms_used"):
         mm.encode_aac([(gl, gr)] * 2, mode="stereo", ms_used=[True])
+
+
+@given(
+    v=st.integers(min_value=1, max_value=15),
+    sgn=st.sampled_from([1, -1]),
+    e=st.integers(min_value=0, max_value=7),
+    win=st.integers(min_value=0, max_value=7),
+    band=st.integers(min_value=0, max_value=7),
+    off=st.sampled_from([0, 7, 15]),
+    ws0=st.sampled_from([0, 1]),
+)
+@settings(max_examples=40, deadline=None)
+def test_aac_eight_short_superposition_property(v, sgn, e, win, band, off,
+                                                ws0):
+    """EIGHT_SHORT: any single line in any window/band decodes to its
+    tap vector (window-major indices), under any preceding long-shape
+    window (the cross-window-type overlap-add is live)."""
+    k = 128 * win + 16 * band + off
+    spec = [0] * 1024
+    spec[k] = sgn * v
+    pre = {"spec": [], "gain_e": 0, "window": ws0}
+    cur = {"spec": spec, "gain_e": e, "window": 2}
+    au = mm.decode_aac(mm.encode_aac([pre, cur]))
+    taps = mm.aac_line_taps(2, (k,), windows=(ws0, 2))[(1, k)]
+    x = sgn * (mm.AAC_POW43[v] << e)
+    half = 1 << (mm.AAC_SHIFT - 1)
+    assert au.samples == [
+        max(-32768, min(32767, (x * t + half) >> mm.AAC_SHIFT))
+        for t in taps
+    ]
+
+
+def test_aac_window_switching_roundtrip():
+    """A start -> short -> stop sequence with grouped short windows,
+    per-group scalefactor down-shifts, and multi-band content decodes
+    to the exact tap superposition; groups/grid validation gates."""
+    import pytest
+
+    start = {"spec": [0] * 1024, "gain_e": 4, "window": 1,
+             "sf_down": [0, 2] + [0] * 14}
+    start["spec"][0] = 6        # shift 4
+    start["spec"][100] = -3     # band 1, shift 2
+    spec = [0] * 1024
+    spec[0] = 4                 # window 0 band 0 (group 0)
+    spec[128 * 3 + 16] = -6     # window 3 band 1 (group 1, down 1)
+    spec[128 * 7 + 35] = 11     # window 7 band 2 (group 3)
+    sfds = [[0] * 8 for _ in range(4)]
+    sfds[1][1] = 1
+    short = {"spec": spec, "gain_e": 3, "window": 2,
+             "groups": [2, 3, 1, 2], "sf_down_short": sfds}
+    stop = {"spec": [0] * 1024, "gain_e": 2, "window": 3}
+    stop["spec"][200] = -7
+    enc = mm.encode_aac([start, short, stop])
+    au = mm.decode_aac(enc)
+    assert len(au.samples) == 3072
+    lines = (0, 100, 128 * 3 + 16, 128 * 7 + 35, 200)
+    taps = mm.aac_line_taps(3, lines, windows=(1, 2, 3))
+    xs = {
+        (0, 0): mm.AAC_POW43[6] << 4,
+        (0, 100): -(mm.AAC_POW43[3] << 2),
+        (1, 0): mm.AAC_POW43[4] << 3,
+        (1, 128 * 3 + 16): -(mm.AAC_POW43[6] << 2),
+        (1, 128 * 7 + 35): mm.AAC_POW43[11] << 3,
+        (2, 200): -(mm.AAC_POW43[7] << 2),
+    }
+    half = 1 << (mm.AAC_SHIFT - 1)
+    exp = [
+        max(-32768, min(32767,
+            (sum(x * taps[k][t] for k, x in xs.items()) + half)
+            >> mm.AAC_SHIFT))
+        for t in range(3072)
+    ]
+    assert au.samples == exp
+    assert mm.decode_audio(enc).samples == au.samples
+    with pytest.raises(ValueError, match="summing to 8"):
+        mm.encode_aac([dict(short, groups=[4, 3])])
+    with pytest.raises(ValueError, match="grid"):
+        bad = [[0] * 8 for _ in range(4)]
+        bad[0][0] = 9
+        mm.encode_aac([dict(short, sf_down_short=bad)])
+    with pytest.raises(NotImplementedError, match="long windows only"):
+        mm.encode_aac([(short, short)], mode="stereo")
