@@ -6264,7 +6264,9 @@ def decode_adts(payload: bytes) -> dict:
 # swap-in-table contract as MP3: all STRUCTURE is the spec's (syntactic
 # element walk, SCE/CPE individual_channel_stream layout incl.
 # common_window + the three ms_mask_present shapes with per-line
-# MID/SIDE dematrix, ics_info fields, section_data run coding with the
+# MID/SIDE dematrix, INTENSITY stereo via codebooks 15/14 with the
+# is_position DPCM chain [0.5^(is_pos/4) restricted to the 4k
+# integer-shift grid], ics_info fields, section_data run coding with the
 # 5-bit/esc-31 length increments, DPCM scalefactors from global_gain,
 # pairwise spectral traversal, |x|^(4/3) requantization, N=2048 IMDCT
 # + sine window + 1024-sample overlap-add, per-channel overlap state
@@ -6286,7 +6288,9 @@ def decode_adts(payload: bytes) -> dict:
 # Loud subset gates (NotImplementedError, never silent): joint
 # stereo with window switching, KBD window shape, MAIN-profile
 # prediction, pulse data, TNS, SSR gain control, PNS (codebook 13),
-# intensity stereo (14/15), empirical codebooks 2-12, CCE/LFE/DSE/
+# intensity positions off the 4k integer-shift grid or outside a
+# common-window CPE second channel, MS+intensity on one band,
+# empirical codebooks 2-12, CCE/LFE/DSE/
 # PCE/FIL elements, profiles other than LC, channel configs > 2 —
 # every real-world AAC stream refuses loudly until the spec tables are
 # swapped in; the codec is exact against its own encoder.
@@ -6501,16 +6505,17 @@ def _aac_write_ics_info(bw, ws: int, max_sfb: int, groups=None) -> None:
         bw.bits(0, 1)  # predictor_data_present
 
 
-def _aac_sections(bw, used_row: list, max_sfb: int, len_bits: int) -> None:
-    """Run-coded section_data over one scalefactor-band row: sect_cb(4)
-    + length increments of ``len_bits`` bits with the all-ones escape
-    (5/31 long, 3/7 short — the spec's structural widths)."""
+def _aac_sections(bw, cb_row: list, max_sfb: int, len_bits: int) -> None:
+    """Run-coded section_data over one scalefactor-band row of codebook
+    ids: sect_cb(4) + length increments of ``len_bits`` bits with the
+    all-ones escape (5/31 long, 3/7 short — the spec's structural
+    widths)."""
     esc = (1 << len_bits) - 1
     b = 0
     while b < max_sfb:
-        cb = 1 if used_row[b] else 0
+        cb = cb_row[b]
         ln = 1
-        while b + ln < max_sfb and used_row[b + ln] == used_row[b]:
+        while b + ln < max_sfb and cb_row[b + ln] == cb:
             ln += 1
         bw.bits(cb, 4)
         rem = ln
@@ -6549,7 +6554,8 @@ def _aac_write_stream(bw, g: dict, max_sfb: int, common: bool) -> None:
         _aac_write_ics_info(bw, ws, max_sfb, g.get("groups"))
     if ws == 2:
         for used_row in g["used_gb"]:
-            _aac_sections(bw, used_row, max_sfb, 3)
+            _aac_sections(bw, [1 if u else 0 for u in used_row],
+                          max_sfb, 3)
         last = gg
         for gi in range(len(g["groups"])):
             for b in range(max_sfb):
@@ -6574,7 +6580,7 @@ def _aac_write_stream(bw, g: dict, max_sfb: int, common: bool) -> None:
             w0 += size
         return
     used = g["used"]
-    _aac_sections(bw, used, max_sfb, 5)
+    _aac_sections(bw, [1 if u else 0 for u in used], max_sfb, 5)
     last = gg
     for b in range(max_sfb):  # scale_factor_data (DPCM zigzag)
         if used[b]:
@@ -6620,7 +6626,7 @@ def encode_aac(
     all-bands mask 2 — bands outside the mask stay independent L/R.
     The CPE modes share one long ics_info; window switching in a pair
     gates loudly (the joint-stereo subset is long-window)."""
-    modes = ("mono", "stereo", "ms")
+    modes = ("mono", "stereo", "ms", "is")
     if mode not in modes:
         raise ValueError(f"unsupported AAC mode {mode!r} {modes}")
     nch = 1 if mode == "mono" else 2
@@ -6641,6 +6647,60 @@ def encode_aac(
                 raise ValueError(
                     "two-channel AAC modes need (ch0, ch1) frame pairs"
                 )
+            if mode == "is":
+                g0 = _aac_norm_frame(entry[0])
+                if g0["window"]:
+                    raise NotImplementedError(
+                        "CPE joint stereo encodes long windows only"
+                    )
+                spec1 = entry[1] if isinstance(entry[1], dict) else {}
+                pos = list(spec1.get("is_pos", []))
+                pos += [None] * (len(AAC_SFB) - len(pos))
+                phase = list(spec1.get("phase", []))
+                phase += [1] * (len(AAC_SFB) - len(phase))
+                for b, pv in enumerate(pos):
+                    if pv is None:
+                        continue
+                    if pv % 4 or not 0 <= pv // 4 <= 7:
+                        raise ValueError(
+                            f"is_pos[{b}]={pv} off the 4k (integer-"
+                            "shift) 0..28 grid"
+                        )
+                    if phase[b] not in (1, -1):
+                        raise ValueError("phase flags must be +-1")
+                max_sfb = max(
+                    _aac_max_sfb(g0),
+                    max((b + 1 for b, pv in enumerate(pos)
+                         if pv is not None), default=0),
+                )
+                bw.bits(1, 3)  # id_syn_ele: CPE
+                bw.bits(0, 4)  # element_instance_tag
+                bw.bits(1, 1)  # common_window
+                _aac_write_ics_info(bw, 0, max_sfb)
+                bw.bits(0, 2)  # ms_mask_present: none
+                _aac_write_stream(bw, g0, max_sfb, common=True)
+                # right channel: intensity sections, is_pos DPCM from
+                # 0, no spectral data
+                bw.bits(100, 8)  # global_gain (no spectral content)
+                cb_row = [
+                    (15 if phase[b] > 0 else 14)
+                    if pos[b] is not None else 0
+                    for b in range(max_sfb)
+                ]
+                _aac_sections(bw, cb_row, max_sfb, 5)
+                last_pos = 0
+                for b in range(max_sfb):
+                    if pos[b] is None:
+                        continue
+                    d = pos[b] - last_pos
+                    last_pos = pos[b]
+                    _mp3_put_gamma(bw, 2 * d if d >= 0 else -2 * d - 1)
+                bw.bits(0, 1)  # pulse_data_present
+                bw.bits(0, 1)  # tns_data_present
+                bw.bits(0, 1)  # gain_control_data_present
+                bw.bits(7, 3)  # id_syn_ele: END
+                payloads.append(bw.flush())
+                continue
             g0, g1 = (_aac_norm_frame(e) for e in entry)
             if g0["window"] or g1["window"]:
                 raise NotImplementedError(
@@ -6708,7 +6768,8 @@ def _aac_read_ics_info(br) -> tuple:
     return ws, max_sfb, None
 
 
-def _aac_read_sections(br, max_sfb: int, len_bits: int) -> list:
+def _aac_read_sections(br, max_sfb: int, len_bits: int,
+                       intensity_ok: bool = False) -> list:
     esc = (1 << len_bits) - 1
     cbs = []
     while len(cbs) < max_sfb:
@@ -6718,11 +6779,12 @@ def _aac_read_sections(br, max_sfb: int, len_bits: int) -> list:
                 "PNS (perceptual noise substitution, codebook 13)"
                 " not supported"
             )
-        if cb in (14, 15):
+        if cb in (14, 15) and not intensity_ok:
             raise NotImplementedError(
-                "intensity stereo codebooks not supported"
+                "intensity stereo codebooks are only defined for the"
+                " second channel of a common-window CPE"
             )
-        if cb not in (0, 1):
+        if cb not in (0, 1, 14, 15):
             raise NotImplementedError(
                 f"empirical spectrum Huffman codebook {cb} not"
                 " available (repo codebook ids: 0 zero / 1 gamma)"
@@ -6774,13 +6836,21 @@ def _aac_read_lines(br, xr: list, start: int, count: int,
             xr[i] = -v if br.bits(1) else v
 
 
-def _aac_read_stream(br, shared) -> tuple:
+def _aac_read_stream(br, shared, intensity_ok: bool = False) -> tuple:
     """individual_channel_stream -> (1024 requantized spectral lines,
-    window_sequence). ``shared`` is the CPE common_window
-    (ws, max_sfb, groups) tuple, or None when the stream carries its
-    own ics_info (SCE / independent windows). EIGHT_SHORT spectra are
-    returned in window-major order (the reorder from the grouped
-    band-major transmission layout happens as the lines are read)."""
+    window_sequence, intensity_bands). ``shared`` is the CPE
+    common_window (ws, max_sfb, groups) tuple, or None when the stream
+    carries its own ics_info (SCE / independent windows). EIGHT_SHORT
+    spectra are returned in window-major order (the reorder from the
+    grouped band-major transmission layout happens as the lines are
+    read). With ``intensity_ok`` (the second channel of a common-window
+    CPE) sections may carry the intensity codebooks 15 (in-phase) / 14
+    (out-of-phase): those bands transmit an is_position DPCM chain
+    (starting at 0) instead of scalefactors and NO spectral data —
+    ``intensity_bands`` lists (band, phase_sign, shift) with the
+    position restricted to the 4k grid so the spec's 0.5^(is_pos/4)
+    scale is the exact integer shift k (same swap-in contract as the
+    gain grid); off-grid positions gate loudly."""
     gg = br.bits(8)
     if shared is None:
         ws, max_sfb, groups = _aac_read_ics_info(br)
@@ -6789,6 +6859,8 @@ def _aac_read_stream(br, shared) -> tuple:
     xr = [0] * 1024
     if ws == 2:
         cbs_g = [_aac_read_sections(br, max_sfb, 3) for _ in groups]
+        # (intensity in short windows would need per-group positions;
+        # the common-window gate upstream keeps this path long-free)
         shifts = [[0] * max_sfb for _ in groups]
         last = gg
         for gi in range(len(groups)):
@@ -6808,19 +6880,30 @@ def _aac_read_stream(br, shared) -> tuple:
                         AAC_SFB_SHORT[b], shifts[gi][b],
                     )
             w0 += size
-        return xr, ws
-    cbs = _aac_read_sections(br, max_sfb, 5)
+        return xr, ws, []
+    cbs = _aac_read_sections(br, max_sfb, 5, intensity_ok)
     shifts = [0] * max_sfb
+    intens = []
     last = gg
-    for b in range(max_sfb):  # scale_factor_data
-        if cbs[b]:
+    last_pos = 0  # the intensity DPCM chain starts at 0 (14496-3)
+    for b in range(max_sfb):  # scale_factor_data / is_position data
+        if cbs[b] in (14, 15):
+            z = _mp3_get_gamma(br)
+            last_pos += z // 2 if z % 2 == 0 else -((z + 1) // 2)
+            if last_pos % 4 or not 0 <= last_pos // 4 <= 7:
+                raise NotImplementedError(
+                    f"intensity position {last_pos} off the 4k"
+                    " (integer-shift) 0..28 grid"
+                )
+            intens.append((b, 1 if cbs[b] == 15 else -1, last_pos // 4))
+        elif cbs[b]:
             last, shifts[b] = _aac_read_sf(br, last)
     _aac_read_flags(br)
-    for b in range(max_sfb):  # spectral_data
-        if cbs[b]:
+    for b in range(max_sfb):  # spectral_data (intensity bands carry none)
+        if cbs[b] == 1:
             _aac_read_lines(br, xr, _AAC_SFB_START[b], AAC_SFB[b],
                             shifts[b])
-    return xr, ws
+    return xr, ws, intens
 
 
 def _aac_parse_raw_block(buf: bytes) -> list:
@@ -6855,7 +6938,8 @@ def _aac_parse_raw_block(buf: bytes) -> list:
             )
         br.bits(4)  # element_instance_tag
         if ele == 0:  # SCE
-            chans = [_aac_read_stream(br, None)]
+            xr_, ws_, _ = _aac_read_stream(br, None)
+            chans = [(xr_, ws_)]
             continue
         # CPE
         common = br.bits(1)
@@ -6876,11 +6960,28 @@ def _aac_parse_raw_block(buf: bytes) -> list:
                     ms_used[b] = br.bits(1) == 1
             elif mask == 2:
                 ms_used = [True] * len(AAC_SFB)
-            xm, wsm = _aac_read_stream(br, shared)
-            xs, wss = _aac_read_stream(br, shared)
+            xm, wsm, _ = _aac_read_stream(br, shared)
+            xs, wss, intens = _aac_read_stream(br, shared,
+                                               intensity_ok=True)
         else:
-            xm, wsm = _aac_read_stream(br, None)
-            xs, wss = _aac_read_stream(br, None)
+            xm, wsm, _ = _aac_read_stream(br, None)
+            xs, wss, _i2 = _aac_read_stream(br, None)
+            intens = []
+        if intens:
+            # intensity reconstruction (14496-3 §4.6.8.2 structure on
+            # the integer-shift grid): the flagged bands of the RIGHT
+            # channel rebuild from the LEFT channel's requantized
+            # spectrum, r = phase * sgn(l) * (|l| >> k); combining with
+            # an M/S-flagged band is out of the subset
+            for b, phase, k in intens:
+                if ms_used[b]:
+                    raise NotImplementedError(
+                        "MS+intensity on the same band not supported"
+                    )
+                for i in range(_AAC_SFB_START[b], _AAC_SFB_START[b + 1]):
+                    al = xm[i]
+                    mag = (al if al >= 0 else -al) >> k
+                    xs[i] = phase * (mag if al >= 0 else -mag)
         if any(ms_used):
             xl, xrr = list(xm), list(xs)
             for b in range(len(AAC_SFB)):

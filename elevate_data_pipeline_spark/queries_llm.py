@@ -5417,6 +5417,117 @@ def multimodal_aac_stereo(spark, sf_dir):
     )
 
 
+def _sql_aac_intensity() -> str:
+    """Oracle for multimodal_aac_intensity: the flagged bands' right
+    channel is phase * sgn(l) * (|l| >> k) of the LEFT requantized
+    lines (integer-shift 4k grid), everything else the same tap
+    superposition as the other AAC oracles."""
+    taps = multimodal.aac_line_taps(n_frames=2, lines=(0, 100))
+    t0 = "[" + ",".join(str(v) for v in taps[(0, 0)]) + "]"
+    t100 = "[" + ",".join(str(v) for v in taps[(0, 100)]) + "]"
+    p43 = "[" + ",".join(str(v) for v in multimodal.AAC_POW43) + "]"
+    half = 1 << (multimodal.AAC_SHIFT - 1)
+    pow2 = 1 << multimodal.AAC_SHIFT
+    return f"""
+    WITH cfg AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 15 AS INT) AS v0,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS s0,
+             CAST(1 + (doc_id * 7) % 15 AS INT) AS v1,
+             CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END AS s1,
+             CAST(1 + doc_id % 7 AS INT) AS e0,
+             CAST(doc_id % 8 AS INT) AS k0,
+             CAST((doc_id * 3) % 8 AS INT) AS k1,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS ph1
+      FROM documents
+    ), xr AS (
+      SELECT doc_id,
+             s0 * ({p43})[v0 + 1] * (CAST(1 AS BIGINT) << e0) AS xl0,
+             s1 * ({p43})[v1 + 1] * (CAST(1 AS BIGINT) << (e0 - 1))
+               AS xl1,
+             k0, k1, ph1
+      FROM cfg
+    ), st AS (
+      SELECT doc_id, xl0, xl1,
+             CASE WHEN xl0 >= 0 THEN 1 ELSE -1 END
+               * (abs(xl0) // (CAST(1 AS BIGINT) << k0)) AS xr0,
+             ph1 * (CASE WHEN xl1 >= 0 THEN 1 ELSE -1 END)
+               * (abs(xl1) // (CAST(1 AS BIGINT) << k1)) AS xr1
+      FROM xr
+    ), pcm AS (
+      SELECT doc_id,
+             greatest(-32768, least(32767, CAST(floor(
+               (xl0 * ({t0})[s + 1] + xl1 * ({t100})[s + 1] + {half})
+               / {pow2}.0) AS BIGINT))) AS pl,
+             greatest(-32768, least(32767, CAST(floor(
+               (xr0 * ({t0})[s + 1] + xr1 * ({t100})[s + 1] + {half})
+               / {pow2}.0) AS BIGINT))) AS pr
+      FROM st, (SELECT unnest(range(0, 2048)) AS s)
+    )
+    SELECT doc_id AS doc_id,
+           CAST(4096 AS BIGINT) AS n_samples,
+           CAST(2 AS INT) AS channels,
+           CAST(max(greatest(abs(pl), abs(pr))) AS BIGINT) AS peak,
+           CAST(sum(pl * pl + pr * pr) AS BIGINT) AS energy
+    FROM pcm GROUP BY doc_id
+    """
+
+
+@query("multimodal_aac_intensity", _sql_aac_intensity())
+def multimodal_aac_intensity(spark, sf_dir):
+    """REAL AAC-LC INTENSITY-stereo decode (no stub), completing the
+    independent/MS/intensity CPE triad: per doc the left channel
+    carries lines in bands 0 and 1 and the right channel transmits NO
+    spectrum — its sections flag both bands with the intensity
+    codebooks (15 in-phase on band 0, phase alternating on band 1 via
+    codebook 14) and an is_position DPCM chain; ``decode_aac``
+    rebuilds the right bands from the LEFT requantized spectrum as
+    phase * sgn(l) * (|l| >> is_pos/4) — the spec's 0.5^(is_pos/4)
+    scale restricted to the integer-shift 4k grid (the MP3 intensity
+    swap-in contract). The oracle replays both channels closed-form.
+    One narrow scan, no shuffle: the 100 TB shape."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                gl = {"spec": [0] * 1024, "gain_e": 1 + did % 7,
+                      "sf_down": [0, 1] + [0] * 14}
+                gl["spec"][0] = (1 if did % 2 == 0 else -1) * (1 + did % 15)
+                gl["spec"][100] = (
+                    (-1 if did % 3 == 0 else 1) * (1 + (did * 7) % 15)
+                )
+                ris = {
+                    "is_pos": [4 * (did % 8), 4 * ((did * 3) % 8)],
+                    "phase": [1, 1 if did % 2 == 0 else -1],
+                }
+                zero = (([], 0), {})
+                au = multimodal.decode_audio(
+                    multimodal.encode_aac([(gl, ris), zero], mode="is")
+                )
+                rows.append(
+                    (did, len(au.samples), au.channels,
+                     max(abs(s) for s in au.samples),
+                     sum(s * s for s in au.samples))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "channels", "peak",
+                         "energy"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_samples long, channels int, peak long,"
+        " energy long",
+    )
+
+
 @query(
     "multimodal_id3_meta",
     """
