@@ -264,13 +264,32 @@ def main() -> None:
 
     spark.range(32).select(_warm("id")).collect()
 
-    # One untimed priming lap AT THE TIMED SCALE over the first queries
-    # in run order: the sf0.001 warm pass compiles the plans but does
-    # not touch the sf0.1 parquet files, so in a single-shot (driver)
-    # context the first timed queries also paid first-touch page-cache
-    # and scale-specific AQE costs — BENCH_r10 recorded q1 at 6.77 s
-    # against a 0.94 s steady-state median purely from running first.
-    for name in names[:8]:
+    # Untimed per-INPUT priming at the timed scale: the sf0.001 warm pass
+    # compiles the plans but does not touch the sf0.1 parquet files, so
+    # in a single-shot (driver) context the first timed query over each
+    # not-yet-read input also paid first-touch page-cache and
+    # scale-specific AQE costs — BENCH_r10 recorded q1 at 6.77 s against
+    # a 0.94 s steady-state median purely from running first, and after
+    # r11 primed only the first 8 run-order queries, BENCH_r11 still
+    # inflated later first-touch queries (dedup_minhash_lsh 4.38 s vs a
+    # 1.05 s committed median that solo-replayed at 1.57 s). Touch every
+    # table's every column once (count(col) must read values to count
+    # nulls, forcing a full-column scan into the page cache) so no timed
+    # query is the first reader of its input at this scale.
+    from pyspark.sql import functions as F
+
+    for fname in sorted(os.listdir(sf_dir)):
+        if not fname.endswith(".parquet"):
+            continue
+        try:
+            t = spark.read.parquet(os.path.join(sf_dir, fname))
+            t.select([F.count(c) for c in t.columns]).collect()
+        except Exception:
+            pass
+    # ...and still prime the first queries in run order at scale: the
+    # input touch covers page cache, but the first timed query would
+    # otherwise also pay its own scale-specific AQE re-plan cold.
+    for name in names[:4]:
         try:
             QUERIES[name](spark, sf_dir).collect()
         except Exception:

@@ -132,16 +132,22 @@ def test_guard_retry_logic_catches_real_regressions():
     assert not evaluate([2.0, 2.0], ratio=0.6)
 
 
-def test_box_ratio_contract():
-    """_box_ratio: no committed probe -> 1.0 (legacy records); clamping
-    bounds both directions."""
+def test_box_ratio_contract(monkeypatch):
+    """_box_ratio: no committed probe -> 1.0 (legacy records); with a live
+    probe (monkeypatched so no spark is needed) the division/clamp path is
+    exercised through the real function, not re-derived inline."""
+    import bench
+
     lo, hi = RATIO_CLAMP
-
-    class _FakeBench:
-        pass
-
     assert _box_ratio(None, {}) == 1.0
     assert _box_ratio(None, {"probe_sec": 0}) == 1.0
-    # clamp arithmetic (no spark needed: exercise the formula directly)
-    assert min(hi, max(lo, 10.0 / 1.0)) == hi
-    assert min(hi, max(lo, 0.1 / 1.0)) == lo
+
+    def probe_at(value):
+        monkeypatch.setattr(bench, "shuffle_probe", lambda spark: value)
+
+    probe_at(10.0)
+    assert _box_ratio(None, {"probe_sec": 1.0}) == hi  # slow box, clamped
+    probe_at(0.1)
+    assert _box_ratio(None, {"probe_sec": 1.0}) == lo  # fast box, clamped
+    probe_at(0.8)
+    assert _box_ratio(None, {"probe_sec": 0.4}) == pytest.approx(2.0)
