@@ -7126,6 +7126,24 @@ def _ingest_gates(decoded):
 
 
 _INGEST_SHARDS = 64
+_INGEST_WIRE_HASH = None
+
+
+def _ingest_wire_hash() -> str:
+    """Content hash of the fixture WIRE FORMAT: a fixed probe doc run
+    through the real record builder and the real WARC writer. Any change
+    to ``_ingest_wire_record`` or ``encode_warc`` output bytes changes
+    this hash, so a format change can never silently reuse stale fixture
+    files (the dirname derives from it — no hand-bumped ``_v1``)."""
+    global _INGEST_WIRE_HASH
+    if _INGEST_WIRE_HASH is None:
+        import hashlib
+
+        from .sources.warc import encode_warc
+
+        probe = encode_warc([_ingest_wire_record(12345, "probe café — doc")])
+        _INGEST_WIRE_HASH = hashlib.sha256(probe).hexdigest()[:12]
+    return _INGEST_WIRE_HASH
 
 
 @query("crawl_ingest_files", _SQL_CRAWL_INGEST)
@@ -7144,14 +7162,43 @@ def crawl_ingest_files(spark, sf_dir):
     exactly as a real crawl ingest starts from a bucket of WARCs.
     Scale shape: N files -> N-way file parallelism (CommonCrawl ships
     ~64k files per crawl); the write stage is the only shuffle (64
-    groups) and exists only to CREATE the fixture corpus."""
+    groups) and exists only to CREATE the fixture corpus.
+
+    Fixture-corpus hygiene (local-FS test scaffolding, not the 100 TB
+    read path): the dirname carries a content hash of the WIRE FORMAT
+    (``_ingest_wire_hash``) plus an order-independent fingerprint of
+    the (doc_id, text) table, so a format or data change always lands
+    in a fresh dir; the read plan lists ONLY the shard paths this
+    table's residues produce (manifest read — a stale shard from some
+    other run can never leak rows in); and when every expected shard
+    already exists the distributed write job is skipped entirely, so
+    merely constructing the plan (EXPLAIN, plan audits) pays one
+    narrow fingerprint agg, not a write."""
+    import hashlib
     import os as _os
     from collections.abc import Iterator
 
     from .sources.warc import encode_warc, read_warc
 
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    # One narrow agg, one-row collect: order-independent table
+    # fingerprint (bit_xor of row hashes — no ANSI sum overflow) + the
+    # exact shard-residue set this table populates.
+    fp = docs.agg(
+        F.expr("bit_xor(xxhash64(doc_id, text))").alias("h"),
+        F.count("*").alias("n"),
+        F.sort_array(
+            F.collect_set((F.col("doc_id") % _INGEST_SHARDS).cast("int"))
+        ).alias("shards"),
+    ).collect()[0]
+    table_h = hashlib.sha256(f"{fp['h']}:{fp['n']}".encode()).hexdigest()[:12]
     base = _os.path.basename(_os.path.normpath(sf_dir))
-    fix_dir = f"/tmp/edp_warc_ingest_{base}_v1"
+    fix_dir = (
+        f"/tmp/edp_warc_ingest_{base}_{_ingest_wire_hash()}_{table_h}"
+    )
+    shard_paths = [
+        _os.path.join(fix_dir, f"shard-{s:02d}.warc.gz") for s in fp["shards"]
+    ]
     _os.makedirs(fix_dir, exist_ok=True)
 
     def write_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -7174,15 +7221,15 @@ def crawl_ingest_files(spark, sf_dir):
         _os.replace(tmp, path)  # atomic: concurrent runs write same bytes
         return pd.DataFrame([(shard, len(recs))], columns=["shard", "n"])
 
-    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
-    written = (
-        docs.withColumn(
-            "shard", (F.col("doc_id") % _INGEST_SHARDS).cast("int")
+    if not all(_os.path.exists(p) for p in shard_paths):
+        written = (
+            docs.withColumn(
+                "shard", (F.col("doc_id") % _INGEST_SHARDS).cast("int")
+            )
+            .groupBy("shard")
+            .applyInPandas(write_shard, "shard int, n long")
         )
-        .groupBy("shard")
-        .applyInPandas(write_shard, "shard int, n long")
-    )
-    written.collect()  # barrier: files exist before the read plan runs
+        written.collect()  # barrier: files exist before the read plan runs
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -7195,7 +7242,7 @@ def crawl_ingest_files(spark, sf_dir):
                 columns=["doc_id", "url", "allowed", "n_rounds", "extracted"],
             )
 
-    records = read_warc(spark, fix_dir).select("uri", "payload")
+    records = read_warc(spark, shard_paths).select("uri", "payload")
     decoded = records.mapInPandas(
         run,
         "doc_id long, url string, allowed boolean, n_rounds int,"

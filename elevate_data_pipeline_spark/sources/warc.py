@@ -179,12 +179,15 @@ WARC_RECORD_SCHEMA = (
 )
 
 
-def read_warc(spark, path: str):
+def read_warc(spark, path):
     """Distributed WARC ingest: ``binaryFile`` scan (one row per
     ``.warc``/``.warc.gz`` file) exploded to one row per record via
     ``mapInPandas`` — records never transit the driver, and each file
     decodes on whichever executor holds it (the per-file parallelism
-    that matches the format's member-boundary split model). Columns:
+    that matches the format's member-boundary split model). ``path``
+    is a directory/glob string or an explicit list of file paths (a
+    manifest read: only the named files are scanned, so a shared
+    fixture dir with extra members cannot leak rows in). Columns:
     ``path, rec_idx, rec_type, record_id, warc_date, uri,
     content_length, payload``."""
     from collections.abc import Iterator
@@ -211,7 +214,11 @@ def read_warc(spark, path: str):
                 ],
             )
 
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    paths = path if isinstance(path, (list, tuple)) else [path]
+    files = (
+        spark.read.format("binaryFile").load(list(paths))
+        .select("path", "content")
+    )
     return files.mapInPandas(explode, WARC_RECORD_SCHEMA)
 
 

@@ -44,3 +44,70 @@ def test_pipeline_drops_known_near_dups(spark):
     assert 2 not in got      # dup of 1 dropped, canonical kept
     assert 1 in got and 3 in got
     assert 4 not in got      # language gate
+
+
+def test_ingest_wire_hash_tracks_record_builder(monkeypatch):
+    """The crawl_ingest_files fixture dirname derives from a content
+    hash of the wire format (probe record through the real builder +
+    WARC writer): stable across calls, and any byte change in the
+    record builder's output changes it — no hand-bumped version
+    suffix can go stale."""
+    import re
+
+    from elevate_data_pipeline_spark import queries_llm as qll
+
+    h1 = qll._ingest_wire_hash()
+    assert re.fullmatch(r"[0-9a-f]{12}", h1)
+    assert qll._ingest_wire_hash() == h1  # cached, deterministic
+
+    orig = qll._ingest_wire_record
+    monkeypatch.setattr(qll, "_INGEST_WIRE_HASH", None)
+    monkeypatch.setattr(
+        qll,
+        "_ingest_wire_record",
+        lambda d, t: {**orig(d, t), "uri": "http://changed.test/doc/0"},
+    )
+    assert qll._ingest_wire_hash() != h1
+
+
+def test_ingest_files_manifest_read_ignores_stale_shards(spark):
+    """A foreign .warc.gz dropped into the shared fixture dir must not
+    leak rows into crawl_ingest_files (the read lists explicit shard
+    paths, not the dir), and a re-run over unchanged data skips the
+    distributed write entirely (shard mtimes unchanged)."""
+    import glob
+    import os
+
+    from elevate_data_pipeline_spark.queries import QUERIES as _Q
+    from elevate_data_pipeline_spark.sources.warc import encode_warc
+
+    q = _Q["crawl_ingest_files"]
+    n1 = q(spark, SF_DIR).count()
+    dirs = sorted(glob.glob("/tmp/edp_warc_ingest_sf0.001_*_*"))
+    assert dirs, "content-hashed fixture dir not created"
+    fix_dir = dirs[-1]
+    shards = sorted(glob.glob(os.path.join(fix_dir, "shard-*.warc.gz")))
+    assert shards
+    mtimes = {p: os.path.getmtime(p) for p in shards}
+
+    stale = os.path.join(fix_dir, "shard-99.warc.gz")
+    with open(stale, "wb") as fh:
+        fh.write(
+            encode_warc(
+                [
+                    {
+                        "rec_type": "response",
+                        "record_id": "<urn:uuid:stale>",
+                        "date": "2026-01-01T00:00:00Z",
+                        "uri": "http://stale.test/doc/7",
+                        "payload": b"HTTP/1.1 200 OK\r\n\r\nstale",
+                    }
+                ]
+            )
+        )
+    try:
+        n2 = q(spark, SF_DIR).count()
+    finally:
+        os.remove(stale)
+    assert n2 == n1  # stale shard invisible to the manifest read
+    assert {p: os.path.getmtime(p) for p in shards} == mtimes  # write skipped
