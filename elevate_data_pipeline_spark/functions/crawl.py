@@ -263,6 +263,28 @@ def canonical_url(url: str) -> dict:
     }
 
 
+def try_canonical_url(url: str) -> dict:
+    """Per-record-safe :func:`canonical_url` for Arrow-batch callers
+    over UNTRUSTED frontier input: the loud gates stay loud (a
+    malformed percent triplet, a root-escaping "..", a non-absolute or
+    non-IDNA URL is still never passed through as a canonical form),
+    but the refusal is confined to the one record — the same keys come
+    back all-``None`` with ``error`` carrying the gate's message —
+    instead of a ValueError killing the whole Arrow batch/task (one
+    hostile href in a billion-row frontier must not fail the query).
+    On success: the :func:`canonical_url` dict plus ``error=None``."""
+    try:
+        out = canonical_url(url)
+        out["error"] = None
+        return out
+    except ValueError as exc:
+        return {
+            "url": None, "scheme": None, "host": None, "port": None,
+            "path": None, "query": None, "n_params": None,
+            "error": str(exc),
+        }
+
+
 SITEMAP_NS = "http://www.sitemaps.org/schemas/sitemap/0.9"
 
 

@@ -6654,9 +6654,29 @@ def encode_aac(
                         "CPE joint stereo encodes long windows only"
                     )
                 spec1 = entry[1] if isinstance(entry[1], dict) else {}
+                # encoder-side bounds, mirroring the ms_used length
+                # check: an unknown key (e.g. a second-channel 'spec')
+                # would be silently DROPPED, and an is_pos/phase list
+                # longer than the band table would emit a stream the
+                # decoder then rejects — both are caller errors and
+                # fail here, not downstream
+                extra = set(spec1) - {"is_pos", "phase"}
+                if extra:
+                    raise ValueError(
+                        f"mode='is' right-channel entry carries "
+                        f"unsupported keys {sorted(extra)} (intensity "
+                        "sections transmit is_pos/phase only — no "
+                        "spectral data)"
+                    )
                 pos = list(spec1.get("is_pos", []))
-                pos += [None] * (len(AAC_SFB) - len(pos))
                 phase = list(spec1.get("phase", []))
+                for nm, lst in (("is_pos", pos), ("phase", phase)):
+                    if len(lst) > len(AAC_SFB):
+                        raise ValueError(
+                            f"{nm} longer than the {len(AAC_SFB)}-band"
+                            " scale-factor-band table"
+                        )
+                pos += [None] * (len(AAC_SFB) - len(pos))
                 phase += [1] * (len(AAC_SFB) - len(phase))
                 for b, pv in enumerate(pos):
                     if pv is None:

@@ -6580,6 +6580,7 @@ def text_charset_fix(spark, sf_dir):
     """
     WITH cfg AS (
       SELECT doc_id,
+             doc_id % 13 IN (6, 7) AS rejected,
              CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
              'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
              CASE WHEN doc_id % 3 = 2 THEN ':8080' ELSE '' END AS portseg,
@@ -6592,9 +6593,14 @@ def text_charset_fix(spark, sf_dir):
       FROM documents
     )
     SELECT doc_id AS doc_id,
-           scheme || '://' || host || portseg || path || '?' || q AS url,
-           host AS host, path AS path, CAST(port AS INT) AS port,
-           CAST(3 AS INT) AS n_params
+           CASE WHEN NOT rejected
+                THEN scheme || '://' || host || portseg || path || '?' || q
+           END AS url,
+           CASE WHEN NOT rejected THEN host END AS host,
+           CASE WHEN NOT rejected THEN path END AS path,
+           CASE WHEN NOT rejected THEN CAST(port AS INT) END AS port,
+           CASE WHEN NOT rejected THEN CAST(3 AS INT) END AS n_params,
+           rejected AS rejected
     FROM cfg
     """,
 )
@@ -6610,11 +6616,16 @@ def url_canonicalize(spark, sf_dir):
     port dropped / non-default kept, path defaulted to '/',
     percent-encoding normalized per RFC 3986 §6.2.2.2, dot segments
     resolved per §5.2.4, query sorted by (key, value), fragment gone.
+    Two residue classes carry HOSTILE paths (a malformed percent
+    triplet, a root-escaping "..") and come back as per-record
+    REJECTIONS via :func:`try_canonical_url` — all canonical columns
+    NULL, ``rejected`` true — instead of a ValueError killing the
+    whole Arrow batch (the frontier-scale blast-radius contract).
     Row-local string work, no shuffle: the 100 TB crawl-frontier
     shape."""
     from collections.abc import Iterator
 
-    from .functions.crawl import canonical_url
+    from .functions.crawl import try_canonical_url
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -6635,18 +6646,25 @@ def url_canonicalize(spark, sf_dir):
                     3: "/Dir3/x/../page",
                     4: "/./%44ir4/sub/../page",
                 }[did % 5]
+                # hostile hrefs a real frontier sees: must reject the
+                # RECORD, never the batch
+                if did % 13 == 6:
+                    path = "/Dir%zG/page"       # malformed pct triplet
+                elif did % 13 == 7:
+                    path = "/a/../../etc/pwd"   # escapes the path root
                 messy = (
                     f"{scheme}://WWW.Site{did % 7}.COM{portseg}{path}"
                     f"?b={did % 4}&a={did % 11}&a=%30#sec1"
                 )
-                c = canonical_url(messy)
+                c = try_canonical_url(messy)
                 rows.append(
                     (did, c["url"], c["host"], c["path"], c["port"],
-                     c["n_params"])
+                     c["n_params"], c["error"] is not None)
                 )
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "url", "host", "path", "port", "n_params"],
+                columns=["doc_id", "url", "host", "path", "port",
+                         "n_params", "rejected"],
             )
 
     docs = multimodal.cpu_parallelize(
@@ -6655,7 +6673,7 @@ def url_canonicalize(spark, sf_dir):
     return docs.mapInPandas(
         run,
         "doc_id long, url string, host string, path string, port int,"
-        " n_params int",
+        " n_params int, rejected boolean",
     )
 
 

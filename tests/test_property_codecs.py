@@ -1369,3 +1369,32 @@ def test_aac_intensity_gates():
         bw.bits(v, n)
     with pytest.raises(NotImplementedError, match="4k"):
         mm.decode_aac(mm.encode_adts([bw.flush()], 4, 2, 1))
+
+
+def test_aac_intensity_encoder_entry_bounds():
+    """Encoder-side caller-error gates for mode='is' second-channel
+    entries: unknown keys (a 'spec' the intensity section would
+    silently drop) and is_pos/phase lists longer than the band table
+    (would emit a stream the decoder rejects) fail at encode."""
+    import pytest
+
+    gl = {"spec": [0] * 1024, "gain_e": 2}
+    gl["spec"][0] = 3
+    zero = (([], 0), {})
+    with pytest.raises(ValueError, match="unsupported keys"):
+        mm.encode_aac(
+            [(gl, {"is_pos": [4], "spec": [1] * 1024}), zero], mode="is"
+        )
+    n = len(mm.AAC_SFB)
+    with pytest.raises(ValueError, match="longer than"):
+        mm.encode_aac([(gl, {"is_pos": [4] * (n + 1)}), zero], mode="is")
+    with pytest.raises(ValueError, match="longer than"):
+        mm.encode_aac(
+            [(gl, {"is_pos": [4], "phase": [1] * (n + 1)}), zero],
+            mode="is",
+        )
+    # the full-table boundary still encodes and round-trips
+    au = mm.decode_aac(
+        mm.encode_aac([(gl, {"is_pos": [4] * n}), zero], mode="is")
+    )
+    assert au.channels == 2

@@ -507,6 +507,33 @@ def test_canonical_url_rules():
     assert c_idn["url"] == "http://xn--mnchen-3ya.example/x"
 
 
+def test_try_canonical_url_confines_refusal_to_the_record():
+    """try_canonical_url: same canonical dict plus error=None on valid
+    input; every loud canonical_url gate (malformed percent, root
+    escape, relative URL, bad IDNA) comes back as an all-None dict
+    with the gate's message in ``error`` — the Arrow-batch caller
+    keeps the batch alive and flags the record."""
+    from elevate_data_pipeline_spark.functions.crawl import (
+        canonical_url,
+        try_canonical_url,
+    )
+
+    ok = try_canonical_url("HTTP://Ex.COM:80/a/../b?z=1#f")
+    assert ok["error"] is None
+    assert {k: v for k, v in ok.items() if k != "error"} == canonical_url(
+        "HTTP://Ex.COM:80/a/../b?z=1#f"
+    )
+    for bad, frag in [
+        ("http://h/a%zz", "percent"),
+        ("http://h/../etc/passwd", "escape"),
+        ("/relative/only", "absolute"),
+    ]:
+        r = try_canonical_url(bad)
+        assert r["url"] is None and r["host"] is None
+        assert r["n_params"] is None
+        assert frag in r["error"]
+
+
 def test_remove_dot_segments_vs_urljoin_property():
     """Property: for any non-root-escaping absolute path built from
     normal / '.' / '..' segments, remove_dot_segments agrees with the
