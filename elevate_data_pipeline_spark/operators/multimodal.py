@@ -6285,9 +6285,17 @@ def decode_adts(payload: bytes) -> dict:
 #   - AAC_POW43 / the 2^((sf-100)/4) gain grid restricted to integer
 #     shifts (sf = 100 + 4k, k 0..7) so the whole chain is exact
 #     integers, SQL-replayable (same contract as MP3's gain grid).
+#   - TNS: full long-window tns_data syntax (n_filt, coef_res,
+#     length/order/direction/compress, lattice->LPC conversion, the
+#     all-pole region filter with max_sfb clipping) with the spec's
+#     sin-based coefficient dequant restricted to the integer-
+#     reflection grid {-1,0,1} — exact integers, linear, oracle
+#     composes through the filter; off-grid coefficients, order > 12,
+#     and TNS inside EIGHT_SHORT frames gate loudly.
 # Loud subset gates (NotImplementedError, never silent): joint
 # stereo with window switching, KBD window shape, MAIN-profile
-# prediction, pulse data, TNS, SSR gain control, PNS (codebook 13),
+# prediction, pulse data, TNS in EIGHT_SHORT frames or off the
+# integer-reflection grid, SSR gain control, PNS (codebook 13),
 # intensity positions off the 4k integer-shift grid or outside a
 # common-window CPE second channel, MS+intensity on one band,
 # empirical codebooks 2-12, CCE/LFE/DSE/
@@ -6424,10 +6432,12 @@ def _aac_norm_frame(g) -> dict:
         sf_down = list(g.get("sf_down", [0] * len(AAC_SFB)))
         groups = list(g.get("groups", [1] * 8))
         sfds = g.get("sf_down_short")
+        tns = g.get("tns") or []
     else:
         spec, gain_e = list(g[0]), g[1]
         window, sf_down = 0, [0] * len(AAC_SFB)
         groups, sfds = [1] * 8, None
+        tns = []
     if window not in (0, 1, 2, 3):
         raise ValueError(f"window_sequence must be 0..3, got {window}")
     if len(spec) > 1024:
@@ -6439,6 +6449,37 @@ def _aac_norm_frame(g) -> dict:
     if not 0 <= gain_e <= 7:
         raise ValueError("gain_e out of the subset's 0..7 grid")
     out = {"spec": spec, "gain_e": gain_e, "window": window}
+    if tns:
+        if window == 2:
+            raise NotImplementedError(
+                "TNS with EIGHT_SHORT window switching not supported"
+                " (long-window TNS subset)"
+            )
+        if len(tns) > 3:
+            raise ValueError("n_filt is 2 bits: at most 3 TNS filters")
+        norm = []
+        for f in tns:
+            length = int(f.get("length", 0))
+            direction = int(f.get("direction", 0))
+            coefs = list(f.get("coefs", []))
+            if not 0 <= length <= 63:
+                raise ValueError(f"TNS length {length} outside 0..63")
+            if len(coefs) > 12:
+                raise ValueError(
+                    f"TNS order {len(coefs)} above the AAC-LC limit 12"
+                )
+            if direction not in (0, 1):
+                raise ValueError("TNS direction flag must be 0/1")
+            if any(k not in (-1, 0, 1) for k in coefs):
+                raise ValueError(
+                    "TNS coefficients must sit on the integer-"
+                    "reflection {-1,0,1} grid"
+                )
+            norm.append(
+                {"length": length, "direction": direction,
+                 "coefs": [int(k) for k in coefs]}
+            )
+        out["tns"] = norm
     if window == 2:
         if any(n < 1 for n in groups) or sum(groups) != 8:
             raise ValueError("groups must be positive sizes summing to 8")
@@ -6541,6 +6582,23 @@ def _aac_put_lines(bw, spec: list, start: int, count: int) -> None:
             bw.bits(1 if v < 0 else 0, 1)
 
 
+def _aac_write_tns(bw, filters: list) -> None:
+    """tns_data, long-window layout (n_filt 2 bits, coef_res 0 ->
+    3-bit coefficients, length 6, order 5, coef_compress 0): the
+    integer-reflection coefficients write as 3-bit two's complement."""
+    bw.bits(len(filters), 2)  # n_filt
+    bw.bits(0, 1)  # coef_res: 3-bit coefficient fields
+    for f in filters:
+        bw.bits(f["length"], 6)
+        order = len(f["coefs"])
+        bw.bits(order, 5)
+        if order:
+            bw.bits(f["direction"], 1)
+            bw.bits(0, 1)  # coef_compress
+            for k in f["coefs"]:
+                bw.bits(k & 7, 3)
+
+
 def _aac_write_stream(bw, g: dict, max_sfb: int, common: bool) -> None:
     """individual_channel_stream: global_gain, (ics_info when the
     window is not shared), run-coded sections, DPCM scalefactors,
@@ -6586,7 +6644,12 @@ def _aac_write_stream(bw, g: dict, max_sfb: int, common: bool) -> None:
         if used[b]:
             last = _aac_put_sf(bw, last, g["gain_e"] - g["sf_down"][b])
     bw.bits(0, 1)  # pulse_data_present
-    bw.bits(0, 1)  # tns_data_present
+    tns = g.get("tns") or []
+    if tns:
+        bw.bits(1, 1)  # tns_data_present
+        _aac_write_tns(bw, tns)
+    else:
+        bw.bits(0, 1)  # tns_data_present
     bw.bits(0, 1)  # gain_control_data_present
     for b in range(max_sfb):  # spectral_data: pairwise gamma+sign
         if used[b]:
@@ -6832,17 +6895,109 @@ def _aac_read_sf(br, last: int) -> tuple:
     return last, (last - 100) // 4
 
 
-def _aac_read_flags(br) -> None:
+def _aac_read_tns(br, ws: int) -> list:
+    """tns_data (14496-3 §4.4.2.7, long-window layout: n_filt 2 bits,
+    length 6, order 5) -> list of filter dicts. The spec's coefficient
+    dequant is a sin-based table (irrational); the subset restricts the
+    decoded signed coefficient to the INTEGER-REFLECTION grid {-1,0,1}
+    so the lattice->LPC conversion and the all-pole filter run in exact
+    integers (same swap-in contract as the 2^((sf-100)/4) gain grid).
+    Off-grid coefficients, orders above the LC limit 12, and TNS inside
+    an EIGHT_SHORT frame (per-window filters) gate loudly."""
+    if ws == 2:
+        raise NotImplementedError(
+            "TNS with EIGHT_SHORT window switching not supported"
+            " (long-window TNS subset)"
+        )
+    n_filt = br.bits(2)
+    filters: list = []
+    if not n_filt:
+        return filters
+    coef_res = br.bits(1)
+    for _ in range(n_filt):
+        length = br.bits(6)
+        order = br.bits(5)
+        if order > 12:
+            raise ValueError(
+                f"TNS filter order {order} above the AAC-LC limit 12"
+            )
+        direction, coefs = 0, []
+        if order:
+            direction = br.bits(1)
+            compress = br.bits(1)
+            nbits = coef_res + 3 - compress
+            sign_at = 1 << (nbits - 1)
+            for _i in range(order):
+                q = br.bits(nbits)
+                k = q - (1 << nbits) if q >= sign_at else q
+                if k not in (-1, 0, 1):
+                    raise NotImplementedError(
+                        f"TNS coefficient {k} off the integer-"
+                        "reflection {-1,0,1} grid"
+                    )
+                coefs.append(k)
+        filters.append(
+            {"length": length, "direction": direction, "coefs": coefs}
+        )
+    return filters
+
+
+def _aac_tns_lpc(coefs: list) -> list:
+    """Lattice (reflection) -> direct-form LPC, the spec's recursion
+    (14496-3 tns_decode_coef): a_{m}[i] = a_{m-1}[i] + k_m * a_{m-1}[m-i],
+    a_m[m] = k_m. Exact integers on the integer-reflection grid."""
+    a = [1]
+    for m, k in enumerate(coefs, 1):
+        a = [1] + [a[i] + k * a[m - i] for i in range(1, m)] + [k]
+    return a
+
+
+def _aac_tns_filter(xr: list, tns) -> list:
+    """Apply the decoder's all-pole TNS filters in place. ``tns`` is
+    the ``(filters, max_sfb)`` pair from :func:`_aac_read_stream`:
+    regions stack downward from the top band (top=bottom,
+    bottom=max(top-length,0)) and clip at both the band table and the
+    stream's max_sfb, the spec's tns_decode_frame region arithmetic;
+    y[n] = x[n] - sum a[i]*y[n -+ i] over the region in the filter's
+    direction with zero state at the region boundary. Linear in the
+    lines and exact in integers — the tap-superposition oracle
+    composes straight through it."""
+    filters, max_sfb = tns
+    clip = min(len(AAC_SFB), max_sfb)
+    bottom = len(AAC_SFB)
+    for f in filters:
+        top = bottom
+        bottom = max(top - f["length"], 0)
+        order = len(f["coefs"])
+        if not order:
+            continue
+        a = _aac_tns_lpc(f["coefs"])
+        start = _AAC_SFB_START[min(bottom, clip)]
+        end = _AAC_SFB_START[min(top, clip)]
+        idx = (
+            range(end - 1, start - 1, -1)
+            if f["direction"] else range(start, end)
+        )
+        idx = list(idx)
+        for pos, n in enumerate(idx):
+            acc = xr[n]
+            for i in range(1, min(order, pos) + 1):
+                acc -= a[i] * xr[idx[pos - i]]
+            xr[n] = acc
+    return xr
+
+
+def _aac_read_flags(br, ws: int) -> list:
+    """pulse / tns / gain-control presence flags; returns the parsed
+    TNS filter list (empty when absent). Pulse and SSR still gate."""
     if br.bits(1):
         raise NotImplementedError("AAC pulse data not supported")
-    if br.bits(1):
-        raise NotImplementedError(
-            "TNS (temporal noise shaping) not supported"
-        )
+    tns = _aac_read_tns(br, ws) if br.bits(1) else []
     if br.bits(1):
         raise NotImplementedError(
             "SSR gain control not supported in AAC-LC"
         )
+    return tns
 
 
 def _aac_read_lines(br, xr: list, start: int, count: int,
@@ -6887,7 +7042,7 @@ def _aac_read_stream(br, shared, intensity_ok: bool = False) -> tuple:
             for b in range(max_sfb):
                 if cbs_g[gi][b]:
                     last, shifts[gi][b] = _aac_read_sf(br, last)
-        _aac_read_flags(br)
+        tns = _aac_read_flags(br, ws)
         w0 = 0
         for gi, size in enumerate(groups):
             for b in range(max_sfb):
@@ -6900,7 +7055,7 @@ def _aac_read_stream(br, shared, intensity_ok: bool = False) -> tuple:
                         AAC_SFB_SHORT[b], shifts[gi][b],
                     )
             w0 += size
-        return xr, ws, []
+        return xr, ws, [], (tns, max_sfb)
     cbs = _aac_read_sections(br, max_sfb, 5, intensity_ok)
     shifts = [0] * max_sfb
     intens = []
@@ -6918,12 +7073,12 @@ def _aac_read_stream(br, shared, intensity_ok: bool = False) -> tuple:
             intens.append((b, 1 if cbs[b] == 15 else -1, last_pos // 4))
         elif cbs[b]:
             last, shifts[b] = _aac_read_sf(br, last)
-    _aac_read_flags(br)
+    tns = _aac_read_flags(br, ws)
     for b in range(max_sfb):  # spectral_data (intensity bands carry none)
         if cbs[b] == 1:
             _aac_read_lines(br, xr, _AAC_SFB_START[b], AAC_SFB[b],
                             shifts[b])
-    return xr, ws, intens
+    return xr, ws, intens, (tns, max_sfb)
 
 
 def _aac_parse_raw_block(buf: bytes) -> list:
@@ -6958,8 +7113,8 @@ def _aac_parse_raw_block(buf: bytes) -> list:
             )
         br.bits(4)  # element_instance_tag
         if ele == 0:  # SCE
-            xr_, ws_, _ = _aac_read_stream(br, None)
-            chans = [(xr_, ws_)]
+            xr_, ws_, _, tns_ = _aac_read_stream(br, None)
+            chans = [(_aac_tns_filter(xr_, tns_), ws_)]
             continue
         # CPE
         common = br.bits(1)
@@ -6980,12 +7135,12 @@ def _aac_parse_raw_block(buf: bytes) -> list:
                     ms_used[b] = br.bits(1) == 1
             elif mask == 2:
                 ms_used = [True] * len(AAC_SFB)
-            xm, wsm, _ = _aac_read_stream(br, shared)
-            xs, wss, intens = _aac_read_stream(br, shared,
-                                               intensity_ok=True)
+            xm, wsm, _, tns_m = _aac_read_stream(br, shared)
+            xs, wss, intens, tns_s = _aac_read_stream(
+                br, shared, intensity_ok=True)
         else:
-            xm, wsm, _ = _aac_read_stream(br, None)
-            xs, wss, _i2 = _aac_read_stream(br, None)
+            xm, wsm, _, tns_m = _aac_read_stream(br, None)
+            xs, wss, _i2, tns_s = _aac_read_stream(br, None)
             intens = []
         if intens:
             # intensity reconstruction (14496-3 §4.6.8.2 structure on
@@ -7011,9 +7166,14 @@ def _aac_parse_raw_block(buf: bytes) -> list:
                     m_, s_ = xm[i], xs[i]
                     xl[i] = m_ + s_
                     xrr[i] = m_ - s_
-            chans = [(xl, wsm), (xrr, wss)]
         else:
-            chans = [(xm, wsm), (xs, wss)]
+            xl, xrr = xm, xs
+        # TNS last (the spec's tool order: M/S and intensity rebuild
+        # the channel spectra, THEN each channel's own filters run)
+        chans = [
+            (_aac_tns_filter(xl, tns_m), wsm),
+            (_aac_tns_filter(xrr, tns_s), wss),
+        ]
     if chans is None:
         raise ValueError("raw data block without a channel element")
     # byte-align padding must be zero: trailing garbage means the walk
@@ -7075,7 +7235,8 @@ def decode_aac(payload: bytes) -> AudioData:
 
 
 def aac_line_taps(
-    n_frames: int = 2, lines: tuple = (0,), windows: tuple = None
+    n_frames: int = 2, lines: tuple = (0,), windows: tuple = None,
+    tns: tuple = None,
 ) -> dict:
     """Exact integer tap tables for the SQL oracle: ``taps[(f, k)][t]``
     is the raw accumulator that a UNIT value on line k of frame f
@@ -7084,9 +7245,16 @@ def aac_line_taps(
     round-half-up >> AAC_SHIFT, so any stream replays as the tap
     superposition (the MP3 mp3_line_taps contract). ``windows`` gives
     each frame's window_sequence (default all ONLY_LONG); EIGHT_SHORT
-    lines are window-major indices."""
+    lines are window-major indices. ``tns`` gives each frame's TNS
+    filter list (the encoder's ``{length, direction, coefs}`` dicts,
+    None/[] = no filtering); the filter is linear, so the taps of a
+    unit line are the taps of its filtered spread — regions are
+    computed at max_sfb = the full band table, so a fixture using TNS
+    taps must populate the top band (max_sfb 16 on the wire)."""
     if windows is None:
         windows = (0,) * n_frames
+    if tns is None:
+        tns = (None,) * n_frames
     out = {}
     for f in range(n_frames):
         for k in lines:
@@ -7096,6 +7264,8 @@ def aac_line_taps(
                 xr = [0] * 1024
                 if g == f:
                     xr[k] = 1
+                if tns[g]:
+                    _aac_tns_filter(xr, (tns[g], len(AAC_SFB)))
                 acc, prev = _aac_frame_pcm(xr, prev, windows[g])
                 taps.extend(acc)
             out[(f, k)] = tuple(taps)

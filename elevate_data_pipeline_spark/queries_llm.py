@@ -5162,6 +5162,152 @@ def multimodal_aac_decode(spark, sf_dir):
     )
 
 
+_AAC_TNS_LINES = (100, 840, 900, 1000)
+# Frame 0: two stacked filters — [896,1024) upward running-sum
+# (order 1, k=-1) over bands 14-15, then [832,896) downward with
+# a=[1,0,-1] (y[n] = x[n] + y[n+2]) over band 13. Frame 1: [960,1024)
+# downward alternating (order 1, k=+1) over band 15. Line 1000 pins
+# band 15 used in both frames, so max_sfb=16 on the wire and the
+# decoder's region clip matches the taps' full-table regions.
+_AAC_TNS_F0 = (
+    {"length": 2, "direction": 0, "coefs": [-1]},
+    {"length": 1, "direction": 1, "coefs": [1, -1]},
+)
+_AAC_TNS_F1 = ({"length": 1, "direction": 1, "coefs": [1]},)
+
+
+def _sql_aac_tns() -> str:
+    """Oracle for multimodal_aac_tns: TNS is an all-pole LINEAR filter
+    on the requantized lines (exact integers on the integer-reflection
+    coefficient grid), so the decode stays linear end to end and the
+    pinned tap tables — now computed THROUGH the filter
+    (aac_line_taps(tns=...)) — replay it as the same superposition,
+    one round-half-up shift, int16 clip. Same |acc| < 2^53 bound: the
+    widest spread (124 lines of the running-sum region) keeps every
+    term under 1e10."""
+    taps = multimodal.aac_line_taps(
+        n_frames=2, lines=_AAC_TNS_LINES,
+        tns=(list(_AAC_TNS_F0), list(_AAC_TNS_F1)),
+    )
+    terms = [("0", k) for k in _AAC_TNS_LINES] + [("1", 100), ("1", 1000)]
+    t = {
+        (int(f), k): "[" + ",".join(str(v) for v in taps[(int(f), k)]) + "]"
+        for f, k in terms
+    }
+    p43 = "[" + ",".join(str(v) for v in multimodal.AAC_POW43) + "]"
+    half = 1 << (multimodal.AAC_SHIFT - 1)
+    pow2 = 1 << multimodal.AAC_SHIFT
+    acc = " + ".join(
+        f"x{f}_{k} * ({t[(int(f), k)]})[s + 1]" for f, k in terms
+    )
+    return f"""
+    WITH cfg AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 15 AS INT) AS v0a,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS s0a,
+             CAST(1 + (doc_id * 7) % 15 AS INT) AS v0b,
+             CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END AS s0b,
+             CAST(1 + (doc_id * 3) % 15 AS INT) AS v0c,
+             CASE WHEN doc_id % 5 = 0 THEN -1 ELSE 1 END AS s0c,
+             CAST(1 + (doc_id * 11) % 15 AS INT) AS v0d,
+             CASE WHEN doc_id % 7 = 0 THEN -1 ELSE 1 END AS s0d,
+             CAST(1 + (doc_id * 5) % 15 AS INT) AS v1a,
+             CASE WHEN doc_id % 4 = 0 THEN -1 ELSE 1 END AS s1a,
+             CAST(1 + (doc_id * 13) % 15 AS INT) AS v1d,
+             CASE WHEN doc_id % 6 = 0 THEN -1 ELSE 1 END AS s1d,
+             CAST(1 + doc_id % 7 AS INT) AS e0,
+             CAST(1 + (doc_id * 3) % 7 AS INT) AS e1
+      FROM documents
+    ), xr AS (
+      SELECT doc_id,
+             s0a * ({p43})[v0a + 1] * (CAST(1 AS BIGINT) << e0) AS x0_100,
+             s0b * ({p43})[v0b + 1] * (CAST(1 AS BIGINT) << e0) AS x0_840,
+             s0c * ({p43})[v0c + 1] * (CAST(1 AS BIGINT) << e0) AS x0_900,
+             s0d * ({p43})[v0d + 1] * (CAST(1 AS BIGINT) << e0) AS x0_1000,
+             s1a * ({p43})[v1a + 1] * (CAST(1 AS BIGINT) << e1) AS x1_100,
+             s1d * ({p43})[v1d + 1] * (CAST(1 AS BIGINT) << e1) AS x1_1000
+      FROM cfg
+    ), pcm AS (
+      SELECT doc_id,
+             greatest(-32768, least(32767, CAST(floor(
+               ({acc} + {half}) / {pow2}.0) AS BIGINT))) AS p
+      FROM xr, (SELECT unnest(range(0, 2048)) AS s)
+    )
+    SELECT doc_id AS doc_id,
+           CAST(2048 AS BIGINT) AS n_samples,
+           CAST(44100 AS INT) AS sample_rate,
+           CAST(max(abs(p)) AS BIGINT) AS peak,
+           CAST(sum(p * p) AS BIGINT) AS energy
+    FROM pcm GROUP BY doc_id
+    """
+
+
+@query("multimodal_aac_tns", _sql_aac_tns())
+def multimodal_aac_tns(spark, sf_dir):
+    """REAL AAC-LC decode with TEMPORAL NOISE SHAPING — the most
+    common real-stream feature the subset previously refused: per doc
+    two SCE frames carry full tns_data (frame 0: two stacked filters,
+    upward order-1 and downward order-2 with the lattice->LPC
+    conversion live; frame 1: one downward order-1 filter), written by
+    ``encode_aac`` and decoded by the full chain in ``decode_aac`` —
+    ADTS walk, section/scalefactor parse, pow-4/3 requant on the gain
+    grid, the all-pole TNS region filters (regions stacked from the
+    top band, max_sfb clipping, zero boundary state) on the spec's
+    sin-table dequant restricted to the integer-reflection {-1,0,1}
+    grid (swap-in contract, module banner), then IMDCT + overlap-add.
+    The oracle replays the whole thing as tap superposition with the
+    taps computed THROUGH the filter — a bit-exact gate on syntax,
+    lattice conversion, region arithmetic, and direction handling at
+    once. One narrow scan, no shuffle: the 100 TB shape."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                f0 = {"spec": [0] * 1024, "gain_e": 1 + did % 7,
+                      "tns": list(_AAC_TNS_F0)}
+                f0["spec"][100] = (1 if did % 2 == 0 else -1) * (1 + did % 15)
+                f0["spec"][840] = (
+                    (-1 if did % 3 == 0 else 1) * (1 + (did * 7) % 15)
+                )
+                f0["spec"][900] = (
+                    (-1 if did % 5 == 0 else 1) * (1 + (did * 3) % 15)
+                )
+                f0["spec"][1000] = (
+                    (-1 if did % 7 == 0 else 1) * (1 + (did * 11) % 15)
+                )
+                f1 = {"spec": [0] * 1024, "gain_e": 1 + (did * 3) % 7,
+                      "tns": list(_AAC_TNS_F1)}
+                f1["spec"][100] = (
+                    (-1 if did % 4 == 0 else 1) * (1 + (did * 5) % 15)
+                )
+                f1["spec"][1000] = (
+                    (-1 if did % 6 == 0 else 1) * (1 + (did * 13) % 15)
+                )
+                au = multimodal.decode_audio(multimodal.encode_aac([f0, f1]))
+                rows.append(
+                    (did, len(au.samples), au.sample_rate,
+                     max(abs(s) for s in au.samples),
+                     sum(s * s for s in au.samples))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "sample_rate", "peak",
+                         "energy"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_samples long, sample_rate int, peak long,"
+        " energy long",
+    )
+
+
 _AAC_SHORT_LINES = (0, 100, 400, 640, 931)
 
 

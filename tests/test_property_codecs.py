@@ -1116,8 +1116,20 @@ def test_aac_gates():
     zero_ics = ics + [(0, 4), (1, 5)]  # one zero-codebook section
     with pytest.raises(NotImplementedError, match="pulse"):
         mm.decode_aac(frame_bits(zero_ics + [(1, 1)]))
-    with pytest.raises(NotImplementedError, match="TNS"):
-        mm.decode_aac(frame_bits(zero_ics + [(0, 1), (1, 1)]))
+    # TNS now parses: n_filt=0 tns_data on a zero spectrum decodes
+    au0 = mm.decode_aac(
+        frame_bits(zero_ics + [(0, 1), (1, 1), (0, 2), (0, 1)])
+    )
+    assert set(au0.samples) == {0}
+    # ...but the subset gates stay loud: off-grid coefficient (+2 on
+    # the {-1,0,1} integer-reflection grid), order above the LC 12
+    tns_head = zero_ics + [(0, 1), (1, 1), (1, 2), (0, 1)]
+    with pytest.raises(NotImplementedError, match="integer-"):
+        mm.decode_aac(frame_bits(
+            tns_head + [(2, 6), (1, 5), (0, 1), (0, 1), (2, 3)]
+        ))
+    with pytest.raises(ValueError, match="limit 12"):
+        mm.decode_aac(frame_bits(tns_head + [(2, 6), (13, 5)]))
     with pytest.raises(NotImplementedError, match="gain control"):
         mm.decode_aac(frame_bits(zero_ics + [(0, 1), (0, 1), (1, 1)]))
     # encoder-side validation
@@ -1398,3 +1410,89 @@ def test_aac_intensity_encoder_entry_bounds():
         mm.encode_aac([(gl, {"is_pos": [4] * n}), zero], mode="is")
     )
     assert au.channels == 2
+
+
+@given(
+    v=st.integers(1, 15),
+    sgn=st.sampled_from([1, -1]),
+    e=st.integers(0, 7),
+    line=st.sampled_from([832, 840, 900, 960, 1000, 1023]),
+    k1=st.sampled_from([-1, 1]),
+    k2=st.sampled_from([-1, 0, 1]),
+    direction=st.sampled_from([0, 1]),
+)
+@settings(max_examples=40, deadline=None)
+def test_aac_tns_filter_superposition_property(
+    v, sgn, e, line, k1, k2, direction
+):
+    """decode(encode) with a TNS filter == direct all-pole filtering of
+    the requantized impulse followed by the plain IMDCT superposition:
+    the filter is linear and exact on the integer grid, so the two
+    routes are bit-identical for any line/coef/direction choice."""
+    spec = [0] * 1024
+    spec[1023] = 1  # pins max_sfb=16 so the region never clips
+    spec[line] = sgn * v
+    tns = [{"length": 3, "direction": direction, "coefs": [k1, k2]}]
+    au = mm.decode_aac(
+        mm.encode_aac([{"spec": spec, "gain_e": e, "tns": tns}])
+    )
+    # direct route: requantize, filter, superpose cosine rows
+    xr = [0] * 1024
+    for i, q in enumerate(spec):
+        if q:
+            xr[i] = (1 if q > 0 else -1) * (mm.AAC_POW43[abs(q)] << e)
+    mm._aac_tns_filter(xr, (tns, 16))
+    half = 1 << (mm.AAC_SHIFT - 1)
+    assert len(au.samples) == 1024  # one frame emits its first half
+    for t in range(0, 1024, 97):
+        acc = sum(
+            xr[i] * mm._aac_c_row(i)[t] * mm.AAC_WIN[t]
+            for i in range(1024) if xr[i]
+        )
+        exp = max(-32768, min(32767, (acc + half) >> mm.AAC_SHIFT))
+        assert au.samples[t] == exp
+
+
+def test_aac_tns_region_stacking_and_gates():
+    """Filter regions stack downward from the top band and clip at
+    max_sfb (the spec's tns_decode_frame arithmetic); encoder-side
+    bounds refuse off-grid coefficients, order > 12, > 3 filters, and
+    TNS with EIGHT_SHORT."""
+    import pytest
+
+    # two filters: [896,1024) running-sum (k=-1 upward), then
+    # [832,896) downward with a[2]=-1 (y[n] = x[n] + y[n+2])
+    x = [0] * 1024
+    x[900] = 1
+    x[840] = 1
+    tns = [
+        {"length": 2, "direction": 0, "coefs": [-1]},
+        {"length": 1, "direction": 1, "coefs": [1, -1]},
+    ]
+    y = mm._aac_tns_filter(list(x), (tns, 16))
+    assert y[900:1024] == [1] * 124      # running sum of the impulse
+    assert y[896:900] == [0] * 4         # upward filter: zero state before
+    assert y[840] == 1 and y[838] == 1 and y[836] == 1  # skip-2 spread
+    assert y[839] == 0 and y[841] == 0
+    # max_sfb clipping shortens the region
+    y2 = mm._aac_tns_filter(list(x), (tns, 15))
+    assert y2[960:1024] == [0] * 64 and y2[900:960] == [1] * 60
+    # lattice->LPC: [k1,k2] -> [1, k1+k1*k2, k2]
+    assert mm._aac_tns_lpc([1, -1]) == [1, 0, -1]
+    assert mm._aac_tns_lpc([-1, 1]) == [1, -2, 1]
+    assert mm._aac_tns_lpc([1, 1, 1]) == [1, 3, 3, 1]
+
+    base = {"spec": [1], "gain_e": 0}
+    with pytest.raises(ValueError, match="integer-"):
+        mm.encode_aac([{**base, "tns": [{"length": 1, "coefs": [2]}]}])
+    with pytest.raises(ValueError, match="limit 12"):
+        mm.encode_aac([{**base, "tns": [{"length": 1, "coefs": [1] * 13}]}])
+    with pytest.raises(ValueError, match="at most 3"):
+        mm.encode_aac([{**base, "tns": [{"length": 1, "coefs": [1]}] * 4}])
+    with pytest.raises(ValueError, match="0..63"):
+        mm.encode_aac([{**base, "tns": [{"length": 64, "coefs": [1]}]}])
+    with pytest.raises(NotImplementedError, match="EIGHT_SHORT"):
+        mm.encode_aac([{
+            "spec": [1], "gain_e": 0, "window": 2,
+            "tns": [{"length": 1, "coefs": [1]}],
+        }])
