@@ -6162,18 +6162,27 @@ def encode_adts(
     freq_index: int,
     channels: int,
     profile: int = 1,
+    mpeg2: bool = False,
 ) -> bytes:
     """Write an ADTS stream: one 7-byte protection-absent header per
-    frame (syncword FFF, MPEG-4 ID=0, layer=00, profile bits =
-    object-type-1, 13-bit frame_length INCLUDING the header, VBR
-    buffer-fullness 0x7FF, one raw data block), followed by that
-    frame's payload bytes verbatim.  ``profile`` 1 = AAC-LC."""
+    frame (syncword FFF, ID=0 MPEG-4 / ID=1 MPEG-2 via ``mpeg2``,
+    layer=00, profile bits = object-type-1, 13-bit frame_length
+    INCLUDING the header, VBR buffer-fullness 0x7FF, one raw data
+    block), followed by that frame's payload bytes verbatim.
+    ``profile`` 1 = AAC-LC in both framings (the 13818-7 and 14496-3
+    ADTS fixed headers are bit-identical apart from the ID flag; in
+    MPEG-2 the 2-bit profile field is the MPEG-2 AAC profile, where
+    1 is likewise LC)."""
     if not 0 <= freq_index < len(ADTS_SAMPLE_RATES):
         raise ValueError(f"bad sampling_frequency_index {freq_index}")
     if not 1 <= channels <= 7:
         raise ValueError(f"bad channel_configuration {channels}")
     if not 0 <= profile <= 3:
         raise ValueError(f"bad ADTS profile {profile}")
+    if mpeg2 and profile == 3:
+        raise ValueError(
+            "MPEG-2 ADTS profile 3 is reserved (Main/LC/SSR only)"
+        )
     out = bytearray()
     for payload in frames:
         flen = 7 + len(payload)
@@ -6181,7 +6190,7 @@ def encode_adts(
             raise ValueError("ADTS frame too long for 13-bit length")
         hdr = 0
         hdr = (hdr << 12) | 0xFFF          # syncword
-        hdr = (hdr << 1) | 0               # ID: MPEG-4
+        hdr = (hdr << 1) | (1 if mpeg2 else 0)  # ID
         hdr = (hdr << 2) | 0               # layer
         hdr = (hdr << 1) | 1               # protection_absent
         hdr = (hdr << 2) | profile
@@ -6217,8 +6226,7 @@ def decode_adts(payload: bytes) -> dict:
         hdr = int.from_bytes(payload[pos : pos + 7], "big")
         if hdr >> 44 != 0xFFF:
             raise ValueError(f"bad ADTS syncword at byte {pos}")
-        if (hdr >> 43) & 1:
-            raise NotImplementedError("MPEG-2 (ID=1) ADTS not supported")
+        mpeg_version = 2 if (hdr >> 43) & 1 else 4
         if (hdr >> 41) & 3:
             raise ValueError("ADTS layer bits must be 00")
         if not (hdr >> 40) & 1:
@@ -6226,6 +6234,10 @@ def decode_adts(payload: bytes) -> dict:
                 "CRC-protected ADTS headers not supported"
             )
         prof = (hdr >> 38) & 3
+        if mpeg_version == 2 and prof == 3:
+            raise ValueError(
+                "reserved MPEG-2 ADTS profile 3 (Main/LC/SSR only)"
+            )
         fi = (hdr >> 34) & 0xF
         if fi >= len(ADTS_SAMPLE_RATES):
             raise ValueError(f"reserved sampling_frequency_index {fi}")
@@ -6240,10 +6252,14 @@ def decode_adts(payload: bytes) -> dict:
             raise ValueError(f"ADTS frame length {flen} out of bounds")
         if profile is None:
             profile, freq_index, channels = prof, fi, ch
-        elif (prof, fi, ch) != (profile, freq_index, channels):
+            version = mpeg_version
+        elif (prof, fi, ch, mpeg_version) != (
+            profile, freq_index, channels, version
+        ):
             raise ValueError(
                 "ADTS stream configuration changed mid-stream "
-                f"({profile},{freq_index},{channels}) -> ({prof},{fi},{ch})"
+                f"({profile},{freq_index},{channels},v{version}) -> "
+                f"({prof},{fi},{ch},v{mpeg_version})"
             )
         frames.append(payload[pos + 7 : pos + flen])
         pos += flen
@@ -6251,6 +6267,7 @@ def decode_adts(payload: bytes) -> dict:
         raise ValueError("empty ADTS stream")
     return {
         "profile": profile,
+        "mpeg_version": version,
         "freq_index": freq_index,
         "sample_rate": ADTS_SAMPLE_RATES[freq_index],
         "channels": channels,
@@ -6292,10 +6309,26 @@ def decode_adts(payload: bytes) -> dict:
 #     reflection grid {-1,0,1} — exact integers, linear, oracle
 #     composes through the filter; off-grid coefficients, order > 12,
 #     and TNS inside EIGHT_SHORT frames gate loudly.
+#   - pulse data: full §4.6.3.3 semantics — amplitudes add to the
+#     QUANTIZED values before requantization (AAC_POW43 extended to
+#     magnitude 30 for the post-pulse range); pulses into
+#     untransmitted/noise/intensity bands gate loudly.
+#   - PNS (codebook 13): noise-energy chain per the spec (starts at
+#     global_gain-90, 9-bit PCM first delta, DPCM after) restricted to
+#     the 2^((nrg-100)/4) integer grid; the decoder-defined random
+#     vector is the pinned AAC_PNS_SEQ swap-in (the spec's energy
+#     normalization is a sqrt — irrational — so the swap-in keeps the
+#     chain exact-integer and SQL-replayable). Long windows only; PNS
+#     on an M/S band (correlated noise) gates loudly.
+#   - ADTS: both framings decode (MPEG-4 ID=0 and MPEG-2 ID=1 — the
+#     13818-7/14496-3 fixed headers are bit-identical apart from the
+#     ID flag; mpeg_version is reported and a mid-stream flip is an
+#     error; MPEG-2 profile 3 is reserved and rejected).
 # Loud subset gates (NotImplementedError, never silent): joint
 # stereo with window switching, KBD window shape, MAIN-profile
-# prediction, pulse data, TNS in EIGHT_SHORT frames or off the
-# integer-reflection grid, SSR gain control, PNS (codebook 13),
+# prediction, pulse into untransmitted bands, pulse/PNS/TNS in
+# EIGHT_SHORT frames, TNS/PNS values off their integer grids,
+# SSR gain control, PNS on M/S bands,
 # intensity positions off the 4k integer-shift grid or outside a
 # common-window CPE second channel, MS+intensity on one band,
 # empirical codebooks 2-12, CCE/LFE/DSE/
@@ -6304,7 +6337,33 @@ def decode_adts(payload: bytes) -> dict:
 # swapped in; the codec is exact against its own encoder.
 # ---------------------------------------------------------------------------
 
-AAC_POW43 = MP3_POW43  # same |x|^(4/3) nonlinearity, x4 fixed point
+# Same |x|^(4/3) nonlinearity and x4 fixed point as MP3, extended to
+# magnitude 30: pulse data adds up to 15 to a quantized magnitude of up
+# to 15 BEFORE requantization, so the post-pulse table needs 0..30
+# (entries 0..15 are bit-identical to MP3_POW43).
+AAC_POW43 = tuple(round((v ** (4.0 / 3.0)) * 4) for v in range(31))
+
+
+def _aac_pns_seq() -> tuple:
+    """The PNS fill sequence — the module's swap-in for the spec's
+    decoder-defined noise generator (14496-3 §4.6.13 leaves the random
+    vector implementation-defined; only the band energy is normative,
+    and that normalization is a sqrt — irrational). Swap-in contract
+    (same as the gain grid): one PINNED per-line signed integer
+    sequence, xorshift32 seeded 0x9E3779B9, mapped to -16..15; a noise
+    band at noise shift k fills line i with AAC_PNS_SEQ[i] << k, exact
+    integers, linear, SQL-replayable as pinned band taps."""
+    out = []
+    s = 0x9E3779B9
+    for _ in range(1024):
+        s ^= (s << 13) & 0xFFFFFFFF
+        s ^= s >> 17
+        s ^= (s << 5) & 0xFFFFFFFF
+        out.append(((s >> 16) & 31) - 16)
+    return tuple(out)
+
+
+AAC_PNS_SEQ = _aac_pns_seq()
 AAC_SFB = (64,) * 16  # swap-in long-window scalefactor band widths
 _AAC_SFB_START = tuple(64 * b for b in range(17))
 AAC_N = 2048
@@ -6433,11 +6492,14 @@ def _aac_norm_frame(g) -> dict:
         groups = list(g.get("groups", [1] * 8))
         sfds = g.get("sf_down_short")
         tns = g.get("tns") or []
+        pulse = g.get("pulse")
+        pns = dict(g.get("pns") or {})
     else:
         spec, gain_e = list(g[0]), g[1]
         window, sf_down = 0, [0] * len(AAC_SFB)
         groups, sfds = [1] * 8, None
         tns = []
+        pulse, pns = None, {}
     if window not in (0, 1, 2, 3):
         raise ValueError(f"window_sequence must be 0..3, got {window}")
     if len(spec) > 1024:
@@ -6480,6 +6542,47 @@ def _aac_norm_frame(g) -> dict:
                  "coefs": [int(k) for k in coefs]}
             )
         out["tns"] = norm
+    if pulse is not None:
+        if window == 2:
+            raise ValueError(
+                "pulse data is forbidden in EIGHT_SHORT frames"
+                " (14496-3)"
+            )
+        start_sfb = int(pulse.get("start_sfb", 0))
+        pulses = [(int(o), int(a)) for o, a in pulse.get("pulses", [])]
+        if not 1 <= len(pulses) <= 4:
+            raise ValueError("pulse data carries 1..4 pulses")
+        if not 0 <= start_sfb < len(AAC_SFB):
+            raise ValueError(f"pulse_start_sfb {start_sfb} out of range")
+        if any(not 0 <= o <= 31 or not 0 <= a <= 15 for o, a in pulses):
+            raise ValueError("pulse offset must be 0..31, amp 0..15")
+        k = _AAC_SFB_START[start_sfb]
+        for o, _a in pulses:
+            k += o
+            if k >= 1024 or not spec[k]:
+                raise ValueError(
+                    f"pulse at line {k} must land on a transmitted"
+                    " nonzero line"
+                )
+        out["pulse"] = {"start_sfb": start_sfb, "pulses": pulses}
+    if pns:
+        if window == 2:
+            raise NotImplementedError(
+                "PNS (codebook 13) not supported in EIGHT_SHORT frames"
+                " (long-window PNS subset)"
+            )
+        for b, kn in pns.items():
+            if not 0 <= int(b) < len(AAC_SFB):
+                raise ValueError(f"PNS band {b} out of range")
+            if not 0 <= int(kn) <= 7:
+                raise ValueError(
+                    f"PNS noise shift {kn} off the 0..7 integer grid"
+                )
+            if any(spec[_AAC_SFB_START[int(b)]:_AAC_SFB_START[int(b) + 1]]):
+                raise ValueError(
+                    f"band {b} carries both spectral lines and PNS"
+                )
+        out["pns"] = {int(b): int(kn) for b, kn in pns.items()}
     if window == 2:
         if any(n < 1 for n in groups) or sum(groups) != 8:
             raise ValueError("groups must be positive sizes summing to 8")
@@ -6638,12 +6741,37 @@ def _aac_write_stream(bw, g: dict, max_sfb: int, common: bool) -> None:
             w0 += size
         return
     used = g["used"]
-    _aac_sections(bw, [1 if u else 0 for u in used], max_sfb, 5)
+    pns = g.get("pns") or {}
+    cb_row = [
+        13 if b in pns else (1 if used[b] else 0)
+        for b in range(len(used))
+    ]
+    _aac_sections(bw, cb_row, max_sfb, 5)
     last = gg
+    noise_last = gg - 90
+    noise_first = True
     for b in range(max_sfb):  # scale_factor_data (DPCM zigzag)
-        if used[b]:
+        if b in pns:
+            nrg = 100 + 4 * pns[b]
+            if noise_first:
+                noise_first = False
+                bw.bits(nrg - noise_last + 256, 9)  # dpcm_noise_nrg PCM
+            else:
+                d = nrg - noise_last
+                _mp3_put_gamma(bw, 2 * d if d >= 0 else -2 * d - 1)
+            noise_last = nrg
+        elif used[b]:
             last = _aac_put_sf(bw, last, g["gain_e"] - g["sf_down"][b])
-    bw.bits(0, 1)  # pulse_data_present
+    pulse = g.get("pulse")
+    if pulse:
+        bw.bits(1, 1)  # pulse_data_present
+        bw.bits(len(pulse["pulses"]) - 1, 2)
+        bw.bits(pulse["start_sfb"], 6)
+        for off, amp in pulse["pulses"]:
+            bw.bits(off, 5)
+            bw.bits(amp, 4)
+    else:
+        bw.bits(0, 1)  # pulse_data_present
     tns = g.get("tns") or []
     if tns:
         bw.bits(1, 1)  # tns_data_present
@@ -6652,7 +6780,7 @@ def _aac_write_stream(bw, g: dict, max_sfb: int, common: bool) -> None:
         bw.bits(0, 1)  # tns_data_present
     bw.bits(0, 1)  # gain_control_data_present
     for b in range(max_sfb):  # spectral_data: pairwise gamma+sign
-        if used[b]:
+        if used[b] and b not in pns:
             _aac_put_lines(bw, g["spec"], _AAC_SFB_START[b], AAC_SFB[b])
 
 
@@ -6663,8 +6791,9 @@ def _aac_max_sfb(g: dict) -> int:
              for b in range(len(row)) if row[b]),
             default=0,
         )
-    return max((b + 1 for b in range(len(g["used"])) if g["used"][b]),
-               default=0)
+    bands = [b + 1 for b in range(len(g["used"])) if g["used"][b]]
+    bands += [b + 1 for b in (g.get("pns") or {})]
+    return max(bands, default=0)
 
 
 def encode_aac(
@@ -6852,25 +6981,27 @@ def _aac_read_ics_info(br) -> tuple:
 
 
 def _aac_read_sections(br, max_sfb: int, len_bits: int,
-                       intensity_ok: bool = False) -> list:
+                       intensity_ok: bool = False,
+                       pns_ok: bool = True) -> list:
     esc = (1 << len_bits) - 1
     cbs = []
     while len(cbs) < max_sfb:
         cb = br.bits(4)
-        if cb == 13:
+        if cb == 13 and not pns_ok:
             raise NotImplementedError(
-                "PNS (perceptual noise substitution, codebook 13)"
-                " not supported"
+                "PNS (codebook 13) not supported in EIGHT_SHORT frames"
+                " (long-window PNS subset)"
             )
         if cb in (14, 15) and not intensity_ok:
             raise NotImplementedError(
                 "intensity stereo codebooks are only defined for the"
                 " second channel of a common-window CPE"
             )
-        if cb not in (0, 1, 14, 15):
+        if cb not in (0, 1, 13, 14, 15):
             raise NotImplementedError(
                 f"empirical spectrum Huffman codebook {cb} not"
-                " available (repo codebook ids: 0 zero / 1 gamma)"
+                " available (repo codebook ids: 0 zero / 1 gamma /"
+                " 13 noise)"
             )
         ln = 0
         while True:
@@ -6987,28 +7118,46 @@ def _aac_tns_filter(xr: list, tns) -> list:
     return xr
 
 
-def _aac_read_flags(br, ws: int) -> list:
+def _aac_read_pulse(br, ws: int) -> tuple:
+    """pulse_data (14496-3 §4.4.2.7): number_pulse(2)+1 pulses,
+    pulse_start_sfb(6), per pulse offset(5) + amp(4). Forbidden with
+    EIGHT_SHORT by the spec. Returns (start_sfb, [(off, amp), ...]);
+    the amplitudes apply to the quantized values in the caller."""
+    if ws == 2:
+        raise ValueError(
+            "pulse data is forbidden in EIGHT_SHORT frames (14496-3)"
+        )
+    n = br.bits(2) + 1
+    start_sfb = br.bits(6)
+    pulses = [(br.bits(5), br.bits(4)) for _ in range(n)]
+    return start_sfb, pulses
+
+
+def _aac_read_flags(br, ws: int) -> tuple:
     """pulse / tns / gain-control presence flags; returns the parsed
-    TNS filter list (empty when absent). Pulse and SSR still gate."""
-    if br.bits(1):
-        raise NotImplementedError("AAC pulse data not supported")
+    (pulse_data, tns_filter_list) pair (None/[] when absent). SSR
+    still gates."""
+    pulse = _aac_read_pulse(br, ws) if br.bits(1) else None
     tns = _aac_read_tns(br, ws) if br.bits(1) else []
     if br.bits(1):
         raise NotImplementedError(
             "SSR gain control not supported in AAC-LC"
         )
-    return tns
+    return pulse, tns
 
 
 def _aac_read_lines(br, xr: list, start: int, count: int,
-                    shift: int) -> None:
+                    shift: int, qx: list = None) -> None:
     for i in range(start, start + count):
         mag = _mp3_get_gamma(br)
         if mag > 15:
             raise ValueError("AAC spectral magnitude above 15")
         if mag:
             v = AAC_POW43[mag] << shift
-            xr[i] = -v if br.bits(1) else v
+            neg = br.bits(1)
+            xr[i] = -v if neg else v
+            if qx is not None:
+                qx[i] = -mag if neg else mag
 
 
 def _aac_read_stream(br, shared, intensity_ok: bool = False) -> tuple:
@@ -7025,7 +7174,13 @@ def _aac_read_stream(br, shared, intensity_ok: bool = False) -> tuple:
     ``intensity_bands`` lists (band, phase_sign, shift) with the
     position restricted to the 4k grid so the spec's 0.5^(is_pos/4)
     scale is the exact integer shift k (same swap-in contract as the
-    gain grid); off-grid positions gate loudly."""
+    gain grid); off-grid positions gate loudly. Long-window frames may
+    also carry PNS bands (codebook 13: the noise-energy chain starts
+    at global_gain-90, first delta a 9-bit PCM field, later deltas the
+    zigzag-gamma DPCM; lines fill from AAC_PNS_SEQ at the noise shift)
+    and pulse_data (amplitudes added to the QUANTIZED values before
+    requantization, the spec's §4.6.3.3 order). Returns
+    ``(xr, ws, intensity_bands, (tns_filters, max_sfb), noise_bands)``."""
     gg = br.bits(8)
     if shared is None:
         ws, max_sfb, groups = _aac_read_ics_info(br)
@@ -7033,7 +7188,10 @@ def _aac_read_stream(br, shared, intensity_ok: bool = False) -> tuple:
         ws, max_sfb, groups = shared
     xr = [0] * 1024
     if ws == 2:
-        cbs_g = [_aac_read_sections(br, max_sfb, 3) for _ in groups]
+        cbs_g = [
+            _aac_read_sections(br, max_sfb, 3, pns_ok=False)
+            for _ in groups
+        ]
         # (intensity in short windows would need per-group positions;
         # the common-window gate upstream keeps this path long-free)
         shifts = [[0] * max_sfb for _ in groups]
@@ -7042,7 +7200,7 @@ def _aac_read_stream(br, shared, intensity_ok: bool = False) -> tuple:
             for b in range(max_sfb):
                 if cbs_g[gi][b]:
                     last, shifts[gi][b] = _aac_read_sf(br, last)
-        tns = _aac_read_flags(br, ws)
+        pulse, tns = _aac_read_flags(br, ws)
         w0 = 0
         for gi, size in enumerate(groups):
             for b in range(max_sfb):
@@ -7055,12 +7213,15 @@ def _aac_read_stream(br, shared, intensity_ok: bool = False) -> tuple:
                         AAC_SFB_SHORT[b], shifts[gi][b],
                     )
             w0 += size
-        return xr, ws, [], (tns, max_sfb)
+        return xr, ws, [], (tns, max_sfb), []
     cbs = _aac_read_sections(br, max_sfb, 5, intensity_ok)
     shifts = [0] * max_sfb
     intens = []
+    noise = []
     last = gg
     last_pos = 0  # the intensity DPCM chain starts at 0 (14496-3)
+    noise_nrg = gg - 90  # the PNS energy chain starts at gg-90 (spec)
+    noise_first = True
     for b in range(max_sfb):  # scale_factor_data / is_position data
         if cbs[b] in (14, 15):
             z = _mp3_get_gamma(br)
@@ -7071,14 +7232,57 @@ def _aac_read_stream(br, shared, intensity_ok: bool = False) -> tuple:
                     " (integer-shift) 0..28 grid"
                 )
             intens.append((b, 1 if cbs[b] == 15 else -1, last_pos // 4))
+        elif cbs[b] == 13:
+            if noise_first:
+                noise_first = False
+                noise_nrg += br.bits(9) - 256  # dpcm_noise_nrg, PCM
+            else:
+                z = _mp3_get_gamma(br)
+                noise_nrg += z // 2 if z % 2 == 0 else -((z + 1) // 2)
+            if (noise_nrg - 100) % 4 or not 0 <= (noise_nrg - 100) // 4 <= 7:
+                raise NotImplementedError(
+                    f"noise energy {noise_nrg} off the 2^((nrg-100)/4)"
+                    " 0..7 integer grid"
+                )
+            noise.append((b, (noise_nrg - 100) // 4))
         elif cbs[b]:
             last, shifts[b] = _aac_read_sf(br, last)
-    tns = _aac_read_flags(br, ws)
+    pulse, tns = _aac_read_flags(br, ws)
+    qx = [0] * 1024
     for b in range(max_sfb):  # spectral_data (intensity bands carry none)
         if cbs[b] == 1:
             _aac_read_lines(br, xr, _AAC_SFB_START[b], AAC_SFB[b],
-                            shifts[b])
-    return xr, ws, intens, (tns, max_sfb)
+                            shifts[b], qx)
+    if pulse is not None:
+        # §4.6.3.3: amplitudes add to the QUANTIZED magnitudes, then
+        # the line requantizes with its band's scalefactor
+        start_sfb, pulses = pulse
+        if start_sfb >= max_sfb:
+            raise ValueError(
+                f"pulse_start_sfb {start_sfb} beyond max_sfb {max_sfb}"
+            )
+        k = _AAC_SFB_START[start_sfb]
+        for off, amp in pulses:
+            k += off
+            if k >= 1024:
+                raise ValueError("pulse position beyond the spectrum")
+            b = k // AAC_SFB[0]
+            if b >= max_sfb or cbs[b] != 1:
+                raise NotImplementedError(
+                    "pulse into an untransmitted/noise/intensity band"
+                    " not supported"
+                )
+            q = qx[k]
+            q2 = q + amp if q > 0 else q - amp
+            qx[k] = q2
+            mag = q2 if q2 >= 0 else -q2
+            xr[k] = (
+                (1 if q2 >= 0 else -1) * (AAC_POW43[mag] << shifts[b])
+            )
+    for b, kn in noise:  # PNS fill (swap-in sequence, see AAC_PNS_SEQ)
+        for i in range(_AAC_SFB_START[b], _AAC_SFB_START[b + 1]):
+            xr[i] = AAC_PNS_SEQ[i] << kn
+    return xr, ws, intens, (tns, max_sfb), [b for b, _ in noise]
 
 
 def _aac_parse_raw_block(buf: bytes) -> list:
@@ -7113,7 +7317,7 @@ def _aac_parse_raw_block(buf: bytes) -> list:
             )
         br.bits(4)  # element_instance_tag
         if ele == 0:  # SCE
-            xr_, ws_, _, tns_ = _aac_read_stream(br, None)
+            xr_, ws_, _, tns_, _n = _aac_read_stream(br, None)
             chans = [(_aac_tns_filter(xr_, tns_), ws_)]
             continue
         # CPE
@@ -7135,13 +7339,14 @@ def _aac_parse_raw_block(buf: bytes) -> list:
                     ms_used[b] = br.bits(1) == 1
             elif mask == 2:
                 ms_used = [True] * len(AAC_SFB)
-            xm, wsm, _, tns_m = _aac_read_stream(br, shared)
-            xs, wss, intens, tns_s = _aac_read_stream(
+            xm, wsm, _, tns_m, noise_m = _aac_read_stream(br, shared)
+            xs, wss, intens, tns_s, noise_s = _aac_read_stream(
                 br, shared, intensity_ok=True)
         else:
-            xm, wsm, _, tns_m = _aac_read_stream(br, None)
-            xs, wss, _i2, tns_s = _aac_read_stream(br, None)
+            xm, wsm, _, tns_m, _nm = _aac_read_stream(br, None)
+            xs, wss, _i2, tns_s, _ns = _aac_read_stream(br, None)
             intens = []
+            noise_m = noise_s = ()
         if intens:
             # intensity reconstruction (14496-3 §4.6.8.2 structure on
             # the integer-shift grid): the flagged bands of the RIGHT
@@ -7158,6 +7363,12 @@ def _aac_parse_raw_block(buf: bytes) -> list:
                     mag = (al if al >= 0 else -al) >> k
                     xs[i] = phase * (mag if al >= 0 else -mag)
         if any(ms_used):
+            for b in set(noise_m) | set(noise_s):
+                if ms_used[b]:
+                    raise NotImplementedError(
+                        "PNS on an M/S-flagged band not supported"
+                        " (correlated noise out of subset)"
+                    )
             xl, xrr = list(xm), list(xs)
             for b in range(len(AAC_SFB)):
                 if not ms_used[b]:
@@ -7269,6 +7480,31 @@ def aac_line_taps(
                 acc, prev = _aac_frame_pcm(xr, prev, windows[g])
                 taps.extend(acc)
             out[(f, k)] = tuple(taps)
+    return out
+
+
+def aac_pns_taps(n_frames: int, bands: dict) -> dict:
+    """Pinned band-level tap tables for PNS oracles: ``bands`` maps
+    frame index -> list of noise band ids; ``taps[(f, b)][t]`` is the
+    raw accumulator that frame f's band b contributes at noise shift 0
+    (the AAC_PNS_SEQ fill through IMDCT + window + overlap-add) — a
+    noise band at shift k contributes ``tap << k``, so the SQL replay
+    is (1 << k) * tap[t] per band, same linearity contract as
+    :func:`aac_line_taps`."""
+    out = {}
+    for f, blist in bands.items():
+        for b in blist:
+            prev = [0] * 1024
+            taps: list = []
+            for g in range(n_frames):
+                xr = [0] * 1024
+                if g == f:
+                    for i in range(_AAC_SFB_START[b],
+                                   _AAC_SFB_START[b + 1]):
+                        xr[i] = AAC_PNS_SEQ[i]
+                acc, prev = _aac_frame_pcm(xr, prev, 0)
+                taps.extend(acc)
+            out[(f, b)] = tuple(taps)
     return out
 
 

@@ -5308,6 +5308,231 @@ def multimodal_aac_tns(spark, sf_dir):
     )
 
 
+_AAC_PNS_BANDS = {0: [3, 15], 1: [5]}
+
+
+def _sql_aac_pns() -> str:
+    """Oracle for multimodal_aac_pns: a noise band's fill is the PINNED
+    AAC_PNS_SEQ swap-in shifted by the transmitted noise energy's
+    integer exponent — a CONSTANT vector per (frame, band) scaled by
+    2^k — so the decode stays linear: spectral-line terms replay via
+    aac_line_taps and each noise band contributes
+    (1 << k) * aac_pns_taps[(f, b)][t]. One round-half-up shift, int16
+    clip; |acc| < 2^53 with band taps < 1e6 and shifts <= 7."""
+    taps = multimodal.aac_line_taps(n_frames=2, lines=(100, 500))
+    ptaps = multimodal.aac_pns_taps(2, _AAC_PNS_BANDS)
+    arr = lambda tup: "[" + ",".join(str(v) for v in tup) + "]"  # noqa: E731
+    p43 = arr(multimodal.AAC_POW43)
+    half = 1 << (multimodal.AAC_SHIFT - 1)
+    pow2 = 1 << multimodal.AAC_SHIFT
+    acc = (
+        f"x0_100 * ({arr(taps[(0, 100)])})[s + 1]"
+        f" + x1_500 * ({arr(taps[(1, 500)])})[s + 1]"
+        f" + (CAST(1 AS BIGINT) << k03) * ({arr(ptaps[(0, 3)])})[s + 1]"
+        f" + (CAST(1 AS BIGINT) << k015) * ({arr(ptaps[(0, 15)])})[s + 1]"
+        f" + (CAST(1 AS BIGINT) << k15) * ({arr(ptaps[(1, 5)])})[s + 1]"
+    )
+    return f"""
+    WITH cfg AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 15 AS INT) AS v0,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS s0,
+             CAST(1 + (doc_id * 7) % 15 AS INT) AS v1,
+             CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END AS s1,
+             CAST(1 + doc_id % 7 AS INT) AS e0,
+             CAST(1 + (doc_id * 3) % 7 AS INT) AS e1,
+             CAST(doc_id % 8 AS INT) AS k03,
+             CAST((doc_id * 3) % 8 AS INT) AS k015,
+             CAST((doc_id * 5) % 8 AS INT) AS k15
+      FROM documents
+    ), xr AS (
+      SELECT doc_id, k03, k015, k15,
+             s0 * ({p43})[v0 + 1] * (CAST(1 AS BIGINT) << e0) AS x0_100,
+             s1 * ({p43})[v1 + 1] * (CAST(1 AS BIGINT) << e1) AS x1_500
+      FROM cfg
+    ), pcm AS (
+      SELECT doc_id,
+             greatest(-32768, least(32767, CAST(floor(
+               ({acc} + {half}) / {pow2}.0) AS BIGINT))) AS p
+      FROM xr, (SELECT unnest(range(0, 2048)) AS s)
+    )
+    SELECT doc_id AS doc_id,
+           CAST(2048 AS BIGINT) AS n_samples,
+           CAST(44100 AS INT) AS sample_rate,
+           CAST(max(abs(p)) AS BIGINT) AS peak,
+           CAST(sum(p * p) AS BIGINT) AS energy
+    FROM pcm GROUP BY doc_id
+    """
+
+
+@query("multimodal_aac_pns", _sql_aac_pns())
+def multimodal_aac_pns(spark, sf_dir):
+    """REAL AAC-LC decode with PERCEPTUAL NOISE SUBSTITUTION: per doc
+    two SCE frames carry codebook-13 noise bands (frame 0: bands 3 and
+    15 — the 9-bit PCM first delta AND the DPCM continuation of the
+    noise-energy chain both live; frame 1: band 5) alongside normal
+    spectral bands, written by ``encode_aac`` and decoded by
+    ``decode_aac``: section parse with the noise codebook, the
+    gg-90-based noise-energy chain restricted to the 2^((nrg-100)/4)
+    integer grid, the pinned AAC_PNS_SEQ fill (swap-in for the spec's
+    decoder-defined random vector — module banner), IMDCT +
+    overlap-add. The oracle replays noise bands as pinned band taps
+    scaled by 2^k plus the usual line superposition. One narrow scan,
+    no shuffle: the 100 TB shape."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                f0 = {"spec": [0] * 1024, "gain_e": 1 + did % 7,
+                      "pns": {3: did % 8, 15: (did * 3) % 8}}
+                f0["spec"][100] = (1 if did % 2 == 0 else -1) * (1 + did % 15)
+                f1 = {"spec": [0] * 1024, "gain_e": 1 + (did * 3) % 7,
+                      "pns": {5: (did * 5) % 8}}
+                f1["spec"][500] = (
+                    (-1 if did % 3 == 0 else 1) * (1 + (did * 7) % 15)
+                )
+                au = multimodal.decode_audio(multimodal.encode_aac([f0, f1]))
+                rows.append(
+                    (did, len(au.samples), au.sample_rate,
+                     max(abs(s) for s in au.samples),
+                     sum(s * s for s in au.samples))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "sample_rate", "peak",
+                         "energy"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_samples long, sample_rate int, peak long,"
+        " energy long",
+    )
+
+
+def _sql_aac_pulse() -> str:
+    """Oracle for multimodal_aac_pulse: pulse amplitudes add to the
+    QUANTIZED magnitudes before the |x|^(4/3) requantization (14496-3
+    §4.6.3.3 — positive lines add, negative subtract, so magnitude
+    grows by amp either way), so the oracle indexes the extended
+    0..30 AAC_POW43 table at v + amp and replays the same tap
+    superposition. Frame 1 (no pulses) rides the same overlap-add.
+    Odd docs re-frame the stream as MPEG-2 ADTS (ID=1) before decode —
+    bit-identical samples, exercising the 13818-7 header path inside
+    the oracle gate."""
+    taps = multimodal.aac_line_taps(n_frames=2, lines=(90, 110, 1000))
+    arr = lambda tup: "[" + ",".join(str(v) for v in tup) + "]"  # noqa: E731
+    p43 = arr(multimodal.AAC_POW43)
+    half = 1 << (multimodal.AAC_SHIFT - 1)
+    pow2 = 1 << multimodal.AAC_SHIFT
+    acc = (
+        f"x0_90 * ({arr(taps[(0, 90)])})[s + 1]"
+        f" + x0_110 * ({arr(taps[(0, 110)])})[s + 1]"
+        f" + x1_1000 * ({arr(taps[(1, 1000)])})[s + 1]"
+    )
+    return f"""
+    WITH cfg AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 15 AS INT) AS v0,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS s0,
+             CAST(1 + (doc_id * 7) % 15 AS INT) AS v1,
+             CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END AS s1,
+             CAST(1 + (doc_id * 11) % 15 AS INT) AS v2,
+             CASE WHEN doc_id % 5 = 0 THEN -1 ELSE 1 END AS s2,
+             CAST(doc_id % 16 AS INT) AS a0,
+             CAST((doc_id * 3) % 16 AS INT) AS a1,
+             CAST(1 + doc_id % 7 AS INT) AS e0,
+             CAST(1 + (doc_id * 3) % 7 AS INT) AS e1
+      FROM documents
+    ), xr AS (
+      SELECT doc_id,
+             s0 * ({p43})[v0 + a0 + 1] * (CAST(1 AS BIGINT) << e0)
+               AS x0_90,
+             s1 * ({p43})[v1 + a1 + 1] * (CAST(1 AS BIGINT) << e0)
+               AS x0_110,
+             s2 * ({p43})[v2 + 1] * (CAST(1 AS BIGINT) << e1) AS x1_1000
+      FROM cfg
+    ), pcm AS (
+      SELECT doc_id,
+             greatest(-32768, least(32767, CAST(floor(
+               ({acc} + {half}) / {pow2}.0) AS BIGINT))) AS p
+      FROM xr, (SELECT unnest(range(0, 2048)) AS s)
+    )
+    SELECT doc_id AS doc_id,
+           CAST(2048 AS BIGINT) AS n_samples,
+           CAST(44100 AS INT) AS sample_rate,
+           CAST(max(abs(p)) AS BIGINT) AS peak,
+           CAST(sum(p * p) AS BIGINT) AS energy
+    FROM pcm GROUP BY doc_id
+    """
+
+
+@query("multimodal_aac_pulse", _sql_aac_pulse())
+def multimodal_aac_pulse(spark, sf_dir):
+    """REAL AAC-LC decode with PULSE DATA + MPEG-2 ADTS framing: per
+    doc frame 0 carries two pulses (offsets 26/20 from band 1, per-doc
+    amplitudes 0..15) whose amplitudes the decoder adds to the
+    QUANTIZED line values before requantization (§4.6.3.3 order, the
+    extended 0..30 pow-4/3 table), frame 1 is pulse-free; odd docs
+    re-frame the raw data blocks as MPEG-2 (ID=1) ADTS before decoding
+    — the 13818-7 fixed header is bit-identical apart from the ID
+    flag, so the samples match the MPEG-4 replay exactly, and the
+    oracle (which knows nothing of framing) gates both paths. One
+    narrow scan, no shuffle: the 100 TB shape."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                f0 = {"spec": [0] * 1024, "gain_e": 1 + did % 7,
+                      "pulse": {"start_sfb": 1,
+                                "pulses": [(26, did % 16),
+                                           (20, (did * 3) % 16)]}}
+                f0["spec"][90] = (1 if did % 2 == 0 else -1) * (1 + did % 15)
+                f0["spec"][110] = (
+                    (-1 if did % 3 == 0 else 1) * (1 + (did * 7) % 15)
+                )
+                f1 = {"spec": [0] * 1024, "gain_e": 1 + (did * 3) % 7}
+                f1["spec"][1000] = (
+                    (-1 if did % 5 == 0 else 1) * (1 + (did * 11) % 15)
+                )
+                payload = multimodal.encode_aac([f0, f1])
+                if did % 2:  # MPEG-2 framing path
+                    w = multimodal.decode_adts(payload)
+                    payload = multimodal.encode_adts(
+                        w["frames"], w["freq_index"], w["channels"], 1,
+                        mpeg2=True,
+                    )
+                au = multimodal.decode_audio(payload)
+                rows.append(
+                    (did, len(au.samples), au.sample_rate,
+                     max(abs(s) for s in au.samples),
+                     sum(s * s for s in au.samples))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "sample_rate", "peak",
+                         "energy"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_samples long, sample_rate int, peak long,"
+        " energy long",
+    )
+
+
 _AAC_SHORT_LINES = (0, 100, 400, 640, 931)
 
 

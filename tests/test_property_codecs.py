@@ -497,9 +497,16 @@ def test_adts_malformed_rejection():
     with pytest.raises(NotImplementedError):
         mm.decode_adts(bytes(bad))
     bad = bytearray(buf)
-    bad[1] |= 0x08                         # ID=1: MPEG-2
-    with pytest.raises(NotImplementedError):
-        mm.decode_adts(bytes(bad))
+    bad[1] |= 0x08                         # ID=1: MPEG-2 now accepted
+    bad[11] |= 0x08                        # (both frame headers: 2nd at 10)
+    w2 = mm.decode_adts(bytes(bad))
+    assert w2["mpeg_version"] == 2 and w2["profile"] == 1
+    assert mm.decode_adts(buf)["mpeg_version"] == 4
+    # ...but a mid-stream version flip is a lost walk
+    half2 = bytearray(buf)
+    half2[11] |= 0x08
+    with pytest.raises(ValueError, match="changed mid-stream"):
+        mm.decode_adts(bytes(half2))
     # config change mid-stream: splice two different-config streams
     other = mm.encode_adts([b"xy"], 5, 1)
     with pytest.raises(ValueError):
@@ -1098,8 +1105,13 @@ def test_aac_gates():
     with pytest.raises(NotImplementedError, match="prediction"):
         mm.decode_aac(frame_bits(sce_head + [(0, 2), (0, 1), (1, 6), (1, 1)]))
     ics = sce_head + [(0, 2), (0, 1), (1, 6), (0, 1)]  # max_sfb 1
-    with pytest.raises(NotImplementedError, match="PNS"):
-        mm.decode_aac(frame_bits(ics + [(13, 4), (1, 5)]))
+    # PNS (codebook 13) now decodes on the integer grid; off-grid
+    # noise energy still gates (gg=104 -> nrg chain 14 + raw-256,
+    # raw 300 -> nrg 58: not on 100+4k)
+    with pytest.raises(NotImplementedError, match="noise energy"):
+        mm.decode_aac(frame_bits(
+            ics + [(13, 4), (1, 5), (300, 9)]
+        ))
     with pytest.raises(NotImplementedError, match="intensity"):
         mm.decode_aac(frame_bits(ics + [(14, 4), (1, 5)]))
     with pytest.raises(NotImplementedError, match="codebook 5"):
@@ -1114,8 +1126,14 @@ def test_aac_gates():
         ))
     # TNS flag on an otherwise-valid zero-spectrum SCE
     zero_ics = ics + [(0, 4), (1, 5)]  # one zero-codebook section
-    with pytest.raises(NotImplementedError, match="pulse"):
-        mm.decode_aac(frame_bits(zero_ics + [(1, 1)]))
+    # pulse_data now parses; a pulse landing in an untransmitted
+    # (zero-codebook) band still gates loudly
+    with pytest.raises(NotImplementedError, match="untransmitted"):
+        mm.decode_aac(frame_bits(
+            zero_ics
+            + [(1, 1), (0, 2), (0, 6), (0, 5), (1, 4)]  # pulse_data
+            + [(0, 1), (0, 1)]                          # tns, gain flags
+        ))
     # TNS now parses: n_filt=0 tns_data on a zero spectrum decodes
     au0 = mm.decode_aac(
         frame_bits(zero_ics + [(0, 1), (1, 1), (0, 2), (0, 1)])
@@ -1496,3 +1514,97 @@ def test_aac_tns_region_stacking_and_gates():
             "spec": [1], "gain_e": 0, "window": 2,
             "tns": [{"length": 1, "coefs": [1]}],
         }])
+
+
+@given(
+    v=st.integers(1, 15),
+    sgn=st.sampled_from([1, -1]),
+    amp=st.integers(0, 15),
+    e=st.integers(0, 7),
+    off=st.integers(0, 31),
+)
+@settings(max_examples=40, deadline=None)
+def test_aac_pulse_quantized_domain_property(v, sgn, amp, e, off):
+    """Pulse amplitudes apply in the QUANTIZED domain (§4.6.3.3):
+    decode(encode(spec, pulse)) equals the plain decode of a spectrum
+    whose quantized magnitude at the pulse line is v+amp — NOT the
+    requantized value plus anything. v+amp can exceed 15 (wire limit),
+    which is exactly why the post-pulse pow-4/3 table runs to 30."""
+    line = 64 + off
+    spec = [0] * 1024
+    spec[line] = sgn * v
+    au = mm.decode_aac(mm.encode_aac([{
+        "spec": spec, "gain_e": e,
+        "pulse": {"start_sfb": 1, "pulses": [(off, amp)]},
+    }]))
+    xr_val = sgn * (mm.AAC_POW43[v + amp] << e)
+    half = 1 << (mm.AAC_SHIFT - 1)
+    row = mm._aac_c_row(line)
+    for t in range(0, 1024, 111):
+        exp = max(-32768, min(32767,
+                  (xr_val * row[t] * mm.AAC_WIN[t] + half) >> mm.AAC_SHIFT))
+        assert au.samples[t] == exp
+
+
+@given(
+    b=st.integers(0, 15),
+    k=st.integers(0, 7),
+    e=st.integers(0, 7),
+)
+@settings(max_examples=30, deadline=None)
+def test_aac_pns_band_fill_property(b, k, e):
+    """A PNS band decodes to exactly AAC_PNS_SEQ[i] << k on its lines
+    — the pinned swap-in sequence at the transmitted noise shift —
+    regardless of global_gain (the noise chain is its own DPCM chain
+    seeded at gg-90; gg itself only scales SPECTRAL bands)."""
+    au = mm.decode_aac(mm.encode_aac([{
+        "spec": [0] * 1024, "gain_e": e, "pns": {b: k},
+    }]))
+    lo, hi = 64 * b, 64 * (b + 1)
+    xr = [0] * 1024
+    for i in range(lo, hi):
+        xr[i] = mm.AAC_PNS_SEQ[i] << k
+    half = 1 << (mm.AAC_SHIFT - 1)
+    for t in range(0, 1024, 113):
+        acc = sum(xr[i] * mm._aac_c_row(i)[t] * mm.AAC_WIN[t]
+                  for i in range(lo, hi))
+        exp = max(-32768, min(32767, (acc + half) >> mm.AAC_SHIFT))
+        assert au.samples[t] == exp
+
+
+def test_aac_pns_multi_band_chain_and_gates():
+    """Two noise bands in one frame exercise the 9-bit-PCM-then-DPCM
+    noise chain; encoder gates: band+spec conflict, off-grid shift,
+    EIGHT_SHORT, M/S+PNS on the same band refuses at decode."""
+    import pytest
+
+    au = mm.decode_aac(mm.encode_aac([{
+        "spec": [0] * 1024, "gain_e": 3, "pns": {2: 5, 9: 1},
+    }]))
+    xr = [0] * 1024
+    for i in range(128, 192):
+        xr[i] = mm.AAC_PNS_SEQ[i] << 5
+    for i in range(576, 640):
+        xr[i] = mm.AAC_PNS_SEQ[i] << 1
+    half = 1 << (mm.AAC_SHIFT - 1)
+    for t in range(0, 1024, 127):
+        acc = sum(xr[i] * mm._aac_c_row(i)[t] * mm.AAC_WIN[t]
+                  for i in range(1024) if xr[i])
+        assert au.samples[t] == max(
+            -32768, min(32767, (acc + half) >> mm.AAC_SHIFT))
+
+    spec = [0] * 1024
+    spec[130] = 1
+    with pytest.raises(ValueError, match="both spectral lines and PNS"):
+        mm.encode_aac([{"spec": spec, "gain_e": 0, "pns": {2: 1}}])
+    with pytest.raises(ValueError, match="noise shift"):
+        mm.encode_aac([{"spec": [0] * 1024, "gain_e": 0, "pns": {2: 8}}])
+    with pytest.raises(NotImplementedError, match="EIGHT_SHORT"):
+        mm.encode_aac([{"spec": [0] * 1024, "gain_e": 0, "window": 2,
+                        "pns": {2: 1}}])
+    # M/S + PNS on one band: encode ms stream whose mid channel has a
+    # noise band -> decoder refuses the correlated-noise combination
+    mid = {"spec": [0] * 1024, "gain_e": 0, "pns": {0: 1}}
+    side = {"spec": [0] * 1024, "gain_e": 0}
+    with pytest.raises(NotImplementedError, match="M/S-flagged band"):
+        mm.decode_aac(mm.encode_aac([(mid, side)], mode="ms"))
