@@ -4028,6 +4028,7 @@ def encode_flac(
     block_size: int = 4096,
     force: str | None = None,
     channels: int = 1,
+    _parts: list | None = None,
 ) -> bytes:
     """Conformant FLAC stream: fLaC marker + STREAMINFO (with the real
     PCM MD5), then blocksize-framed audio. ``samples`` are interleaved
@@ -4087,6 +4088,8 @@ def encode_flac(
     si.bits(n_total, 36)
     streaminfo = si.flush() + md5
     meta = bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    if _parts is not None:
+        _parts.append((b"fLaC" + meta, frames))
     return b"fLaC" + meta + b"".join(frames)
 
 
@@ -4283,6 +4286,10 @@ def decode_audio(payload: bytes) -> AudioData:
         return decode_wav(payload)
     if payload[:4] == b"fLaC":
         return decode_flac(payload)
+    if payload[:4] == b"OggS":
+        # FLAC-mapped Ogg decodes end to end; Vorbis/Opus payloads
+        # gate loudly inside decode_ogg_flac
+        return decode_ogg_flac(payload)
     if payload[:3] == b"ID3":
         return decode_mp3(_skip_id3v2(payload))
     if len(payload) >= 2 and payload[0] == 0xFF and payload[1] & 0xE0 == 0xE0:
@@ -7483,6 +7490,90 @@ def aac_line_taps(
     return out
 
 
+def encode_ogg_flac(
+    samples: list,
+    sample_rate: int = 8000,
+    bps: int = 16,
+    block_size: int = 4096,
+    channels: int = 1,
+    serial: int = 1,
+    force: str | None = None,
+) -> bytes:
+    """FLAC-in-Ogg per the xiph FLAC-to-Ogg mapping (v1.0): the first
+    packet (its own BOS page) is 0x7F + "FLAC" + major 1 + minor 0 +
+    a 16-bit big-endian count of FOLLOWING header packets (0 here) +
+    the native "fLaC" marker + STREAMINFO block; then one audio packet
+    per FLAC frame, each final page's granule position the cumulative
+    inter-channel sample count — the real transport+codec composition
+    the bare Ogg walk stops short of."""
+    parts: list = []
+    encode_flac(
+        samples, sample_rate, bps, block_size, force, channels,
+        _parts=parts,
+    )
+    header, frames = parts[0]
+    first = b"\x7fFLAC\x01\x00" + (0).to_bytes(2, "big") + header
+    packets = [first] + list(frames)
+    granules = [0]
+    total = 0
+    n_total = len(samples) // max(channels, 1)
+    for i in range(len(frames)):
+        total = min(n_total, total + block_size)
+        granules.append(total)
+    return encode_ogg(packets, serial=serial, granules=granules)
+
+
+def decode_ogg_flac(payload: bytes, verify_md5: bool = True) -> AudioData:
+    """Decode FLAC-mapped Ogg: the existing byte-exact Ogg page walk
+    (:func:`decode_ogg` — CRC, sequence, lacing reassembly) feeds the
+    existing full-integer FLAC decoder (:func:`decode_flac` — fixed/
+    LPC predictors, Rice partitions, CRC-8/16, STREAMINFO MD5). The
+    mapping header is validated field by field; extra header packets
+    (the mapping's VorbisComment et al) are spliced back as the
+    metadata blocks they are and the native meta walk validates their
+    chaining flags. Foreign Ogg payloads (Vorbis/Opus/Theora) still
+    gate loudly, as does a major version other than 1 or a final
+    granule that contradicts STREAMINFO's sample count."""
+    w = decode_ogg(payload)
+    pk0 = w["packets"][0]
+    if len(pk0) < 9 or pk0[0] != 0x7F or pk0[1:5] != b"FLAC":
+        head = bytes(pk0[:8])
+        raise NotImplementedError(
+            "Ogg payload is not FLAC-mapped (Vorbis/Opus/Theora need"
+            f" codec libraries this environment does not ship); first"
+            f" packet starts {head!r}"
+        )
+    major, minor = pk0[5], pk0[6]
+    if major != 1:
+        raise NotImplementedError(
+            f"Ogg-FLAC mapping major version {major} not supported"
+            " (v1 only)"
+        )
+    if minor != 0:
+        raise ValueError(f"Ogg-FLAC mapping minor version {minor} != 0")
+    n_headers = int.from_bytes(pk0[7:9], "big")
+    if len(w["packets"]) < 1 + n_headers:
+        raise ValueError(
+            f"Ogg-FLAC header declares {n_headers} header packets but"
+            f" the stream carries {len(w['packets']) - 1} total"
+        )
+    native = bytes(pk0[9:])
+    if native[:4] != b"fLaC":
+        raise ValueError("Ogg-FLAC first packet missing native marker")
+    for pkt in w["packets"][1 : 1 + n_headers]:
+        native += bytes(pkt)  # verbatim metadata blocks per the mapping
+    for pkt in w["packets"][1 + n_headers :]:
+        native += bytes(pkt)  # one FLAC frame per packet
+    au = decode_flac(native, verify_md5=verify_md5)
+    n_total = len(au.samples) // max(au.channels, 1)
+    last = w["granules"][-1]
+    if last != n_total:
+        raise ValueError(
+            f"final Ogg granule {last} != decoded sample count {n_total}"
+        )
+    return au
+
+
 def aac_pns_taps(n_frames: int, bands: dict) -> dict:
     """Pinned band-level tap tables for PNS oracles: ``bands`` maps
     frame index -> list of noise band ids; ``taps[(f, b)][t]`` is the
@@ -7519,7 +7610,10 @@ def aac_pns_taps(n_frames: int, bands: dict) -> dict:
 # a lacing value of 255 continues the packet into the next value (or,
 # at page end, into the next page with the 0x01 flag). decode
 # reassembles spanning packets and fails loud on bad magic/version/
-# CRC/sequence gaps/dangling continuations.
+# CRC/sequence gaps/dangling continuations. FLAC-mapped payloads
+# (encode_ogg_flac/decode_ogg_flac above, xiph mapping v1.0) decode
+# END TO END through the in-repo FLAC codec; Vorbis/Opus/Theora
+# payloads gate loudly (codec libraries this environment lacks).
 # ---------------------------------------------------------------------------
 
 _OGG_MAGIC = b"OggS"
@@ -7566,15 +7660,21 @@ def _ogg_page(
     return head[:22] + struct.pack("<I", crc) + head[26:] + body
 
 
-def encode_ogg(packets: list, serial: int = 1, granule_base: int = 0) -> bytes:
+def encode_ogg(packets: list, serial: int = 1, granule_base: int = 0,
+               granules: list | None = None) -> bytes:
     """Write an Ogg stream, one packet per page sequence (a packet
     needing more than 255 lacing values spans continuation pages with
     the 0x01 flag — the RFC's framing, exercised by large packets).
     First page carries BOS, last EOS. The granule position of packet
-    ``i``'s final page is ``granule_base + i`` (continuation pages that
-    don't end a packet carry -1, the RFC convention)."""
+    ``i``'s final page is ``granule_base + i``, or ``granules[i]``
+    when an explicit per-packet list is given (codec mappings define
+    their own granule semantics — Ogg-FLAC uses cumulative sample
+    counts); continuation pages that don't end a packet carry -1, the
+    RFC convention."""
     if not packets:
         raise ValueError("empty Ogg stream")
+    if granules is not None and len(granules) != len(packets):
+        raise ValueError("granules list must align with packets")
     out = bytearray()
     seq = 0
     for i, pkt in enumerate(packets):
@@ -7590,7 +7690,12 @@ def encode_ogg(packets: list, serial: int = 1, granule_base: int = 0) -> bytes:
             htype = (0x01 if pos > 0 else 0) \
                 | (0x02 if i == 0 and pos == 0 else 0) \
                 | (0x04 if i == len(packets) - 1 and last_chunk else 0)
-            granule = (granule_base + i) if last_chunk else -1
+            if not last_chunk:
+                granule = -1
+            elif granules is not None:
+                granule = granules[i]
+            else:
+                granule = granule_base + i
             out += _ogg_page(htype, granule, serial, seq, segs, body)
             seq += 1
             off += sum(segs)

@@ -2244,6 +2244,89 @@ def multimodal_flac_decode(spark, sf_dir):
 
 
 @query(
+    "multimodal_ogg_flac_decode",
+    """
+    WITH cfg AS (
+      SELECT doc_id, CAST(64 + doc_id % 192 AS INT) AS n FROM documents
+    ), s AS (
+      SELECT doc_id, n,
+             CASE WHEN doc_id % 10 = 0 THEN doc_id % 100
+                  ELSE (doc_id * 31 + r.range * r.range * 7) % 4001 - 2000
+             END AS v
+      FROM cfg, range(0, 256) r WHERE r.range < n
+    )
+    SELECT doc_id AS doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(max(abs(v)) AS BIGINT) AS peak,
+           CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS energy,
+           CAST(1 + (max(n) + 127) // 128 AS INT) AS n_pages,
+           CAST(max(n) AS BIGINT) AS last_granule
+    FROM s GROUP BY doc_id
+    """,
+)
+def multimodal_ogg_flac_decode(spark, sf_dir):
+    """FLAC-IN-OGG end to end — the one Ogg payload family fully
+    decodable with zero new codec work (VERDICT r11 task 3): the same
+    deterministic per-doc PCM as ``multimodal_flac_decode`` (subframe
+    family steered by doc id, blocksize 128 so longer docs are
+    multi-frame/multi-packet) is written through ``encode_ogg_flac``
+    (the xiph FLAC-to-Ogg mapping v1.0: 0x7F"FLAC" header packet on
+    its own BOS page, one frame per packet, cumulative-sample granule
+    positions) and decoded back through ``decode_audio``'s OggS
+    dispatch -> ``decode_ogg_flac``: the byte-exact Ogg page walk
+    (CRC-32, sequencing, lacing reassembly) COMPOSED with the
+    full-integer FLAC decoder (Rice, CRC-8/16, STREAMINFO MD5).
+    FLAC is lossless, so peak/energy equal the closed-form signal, and
+    the transport is checked structurally: n_pages = header page +
+    one per frame, final granule = the sample count (cross-validated
+    against STREAMINFO inside the decoder). Foreign payloads
+    (Vorbis/Opus) still gate loudly. One narrow scan, no shuffle: the
+    100 TB shape."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n = 64 + did % 192
+                if did % 10 == 0:
+                    sig = [did % 100] * n
+                else:
+                    sig = [
+                        (did * 31 + i * i * 7) % 4001 - 2000
+                        for i in range(n)
+                    ]
+                force = {3: "lpc", 5: "verbatim"}.get(did % 7)
+                ogg = multimodal.encode_ogg_flac(
+                    sig, sample_rate=8000, block_size=128, force=force,
+                    serial=1 + did % 1000,
+                )
+                audio = multimodal.decode_audio(ogg)
+                walk = multimodal.decode_ogg(ogg)
+                rows.append(
+                    (did, len(audio.samples), audio.sample_rate,
+                     max(abs(s) for s in audio.samples),
+                     sum(s * s for s in audio.samples),
+                     walk["n_pages"], walk["granules"][-1])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "sample_rate", "peak",
+                         "energy", "n_pages", "last_granule"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_samples long, sample_rate int, peak long,"
+        " energy long, n_pages int, last_granule long",
+    )
+
+
+@query(
     "multimodal_resize",
     """
     WITH b AS (

@@ -2443,7 +2443,14 @@ def test_decode_audio_dispatch():
     assert len(mm.decode_audio(enc).samples) == 1152
     id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 8]) + b"TAGDATA!" + enc
     assert mm.decode_audio(id3).samples == mm.decode_mp3(enc).samples
+    # OggS now dispatches: FLAC-mapped payloads decode, foreign codec
+    # payloads gate loudly, malformed Ogg is a ValueError (recognized
+    # format, bad framing)
+    ogg = mm.encode_ogg_flac(sig, 16000)
+    assert mm.decode_audio(ogg).samples == sig
     with pytest.raises(NotImplementedError):
+        mm.decode_audio(mm.encode_ogg([b"\x01vorbis" + b"\x00" * 20]))
+    with pytest.raises(ValueError):
         mm.decode_audio(b"OggS\x00opus-or-vorbis")
 
 

@@ -1608,3 +1608,56 @@ def test_aac_pns_multi_band_chain_and_gates():
     side = {"spec": [0] * 1024, "gain_e": 0}
     with pytest.raises(NotImplementedError, match="M/S-flagged band"):
         mm.decode_aac(mm.encode_aac([(mid, side)], mode="ms"))
+
+
+@given(
+    n=st.integers(1, 600),
+    ch=st.sampled_from([1, 2]),
+    force=st.sampled_from([None, "lpc", "verbatim"]),
+    bs=st.sampled_from([64, 128, 4096]),
+)
+@settings(max_examples=30, deadline=None)
+def test_ogg_flac_roundtrip_property(n, ch, force, bs):
+    """encode_ogg_flac -> decode_ogg_flac is lossless for any signal /
+    channel count / subframe family / blocksize; granule positions are
+    cumulative inter-channel sample counts and the header packet rides
+    its own BOS page."""
+    samples = [((i * 53 + n * 7) % 3001) - 1500 for i in range(n * ch)]
+    ogg = mm.encode_ogg_flac(samples, bps=16, block_size=bs,
+                             channels=ch, force=force)
+    au = mm.decode_ogg_flac(ogg)
+    assert au.samples == samples and au.channels == ch
+    w = mm.decode_ogg(ogg)
+    n_frames = -(-n // bs)
+    assert len(w["packets"]) == 1 + n_frames
+    assert w["granules"][0] == 0 and w["granules"][-1] == n
+    assert mm.decode_audio(ogg).samples == samples  # OggS dispatch
+
+
+def test_ogg_flac_mapping_gates():
+    """Foreign payloads, bad mapping versions, header-count lies, and
+    granule mismatches all refuse loudly; a spanning (>64 KiB verbatim)
+    packet still reassembles across pages."""
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="Vorbis/Opus"):
+        mm.decode_ogg_flac(mm.encode_ogg([b"\x01vorbis" + b"\x00" * 20]))
+    parts = []
+    mm.encode_flac([5, -5, 9], _parts=parts)
+    hdr, frames = parts[0]
+    mk = lambda first, grs: mm.encode_ogg(  # noqa: E731
+        [first] + frames, granules=grs)
+    with pytest.raises(NotImplementedError, match="major version"):
+        mm.decode_ogg_flac(mk(b"\x7fFLAC\x02\x00\x00\x00" + hdr, [0, 3]))
+    with pytest.raises(ValueError, match="minor version"):
+        mm.decode_ogg_flac(mk(b"\x7fFLAC\x01\x01\x00\x00" + hdr, [0, 3]))
+    with pytest.raises(ValueError, match="header packets"):
+        mm.decode_ogg_flac(mk(b"\x7fFLAC\x01\x00\x00\x09" + hdr, [0, 3]))
+    with pytest.raises(ValueError, match="granule"):
+        mm.decode_ogg_flac(mk(b"\x7fFLAC\x01\x00\x00\x00" + hdr, [0, 8]))
+    # spanning packet: 40k verbatim samples -> ~80 KiB frame packet
+    sig = [(i * 11) % 1000 - 500 for i in range(40000)]
+    big = mm.encode_ogg_flac(sig, force="verbatim", block_size=40000)
+    w = mm.decode_ogg(big)
+    assert w["spans"]
+    assert mm.decode_ogg_flac(big).samples == sig
