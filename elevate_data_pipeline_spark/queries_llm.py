@@ -10092,6 +10092,192 @@ def crawl_frontier_pipeline(spark, sf_dir):
 
 
 @query(
+    "crawl_frontier_redirects",
+    """
+    WITH f AS (
+      SELECT doc_id, doc_id % 8 AS pos, doc_id // 8 AS h FROM documents
+    ), r AS (
+      SELECT doc_id, pos, h,
+             'HTTP://H' || CAST(h AS VARCHAR) || '.Site'
+               || CAST(h % 11 AS VARCHAR) || '.CO.UK:80/r/'
+               || CAST(pos AS VARCHAR) || '?b=2&a=1#frag' AS start_url,
+             CASE WHEN pos <= 3 THEN 3 WHEN pos <= 5 THEN 5
+                  WHEN pos = 6 THEN 6 END AS fpos,
+             CAST(CASE pos WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 1
+                           WHEN 4 THEN 1 WHEN 7 THEN 4
+                           ELSE 0 END AS INT) AS hops,
+             pos <> 7 AS resolved
+      FROM f
+    ), c AS (
+      SELECT doc_id, start_url, hops, resolved,
+             CASE WHEN resolved
+                  THEN 'http://h' || CAST(h AS VARCHAR) || '.site'
+                       || CAST(h % 11 AS VARCHAR) || '.co.uk/r/'
+                       || CAST(fpos AS VARCHAR) || '?a=1&b=2'
+             END AS final_url,
+             CASE WHEN resolved
+                  THEN 'site' || CAST(h % 11 AS VARCHAR) || '.co.uk'
+             END AS domain,
+             resolved AND fpos <> (h % 7) AS allowed,
+             CASE WHEN resolved THEN CAST(h % 5 AS DOUBLE) END
+               AS crawl_delay,
+             CASE WHEN resolved AND h % 5 > 0
+                  THEN CAST(floor(86400.0 / (h % 5)) AS BIGINT)
+             END AS daily_budget,
+             CAST((doc_id * 13) % 100 AS BIGINT) AS score
+      FROM r
+    )
+    SELECT doc_id AS doc_id, start_url AS start_url,
+           final_url AS final_url, domain AS domain, hops AS hops,
+           resolved AS resolved, allowed AS allowed,
+           crawl_delay AS crawl_delay, daily_budget AS daily_budget,
+           score AS score,
+           CASE WHEN allowed THEN rn END AS rank,
+           coalesce(allowed AND rn <= 5, FALSE) AS scheduled
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY domain
+               ORDER BY allowed DESC, score DESC, doc_id) AS INT) AS rn
+      FROM c)
+    """,
+)
+def crawl_frontier_redirects(spark, sf_dir):
+    """FRONTIER FLAGSHIP, redirect edition (VERDICT r11 task 4): a
+    real frontier resolves 30x chains to their landing URLs BEFORE it
+    canonicalizes, caps, and schedules — this query composes
+    ``crawl_redirect_chains``'s fixed-iteration resolution with
+    ``crawl_frontier_pipeline``'s scheduling chain end to end. Per
+    host an 8-URL fixture (3-hop chain, 1-hop, direct 200s, one
+    SELF-LOOP): five unrolled left equi-joins follow Location hops
+    with a hop-4 cap so the loop SURFACES as resolved=false and is
+    excluded from scheduling rather than cycling; terminal URLs (the
+    Location values a server echoes are messy: uppercase host,
+    explicit default port, unsorted query, fragment) then run the REAL
+    chain — canonical_url -> registrable_domain (publicsuffix
+    co.uk) -> robots longest-prefix gate -> Crawl-delay budget — and
+    one domain-partitioned rank caps each eTLD+1 at 5 scheduled
+    fetches. Scale shape: each resolution round is one equi-join
+    shuffle on a SHRINKING frontier; the policy chain is one map-side
+    Arrow pass; the cap is one bounded window — no driver state, no
+    recursion, no unbounded shuffle."""
+    from collections.abc import Iterator
+
+    from pyspark.sql.window import Window
+
+    from .functions.crawl import (
+        canonical_url,
+        crawl_delay,
+        registrable_domain,
+        robots_allowed,
+    )
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id")
+    pos = F.col("doc_id") % 8
+    h = (F.col("doc_id") / 8).cast("long")
+    base = F.concat(
+        F.lit("HTTP://H"), h.cast("string"),
+        F.lit(".Site"), (h % 11).cast("string"),
+        F.lit(".CO.UK:80/r/"),
+    )
+    tail = F.lit("?b=2&a=1#frag")
+    url = F.concat(base, pos.cast("string"), tail)
+    nxt = (
+        F.when(pos.isin(0, 1, 2), pos + 1)
+        .when(pos == 4, F.lit(5))
+        .when(pos == 7, F.lit(7))
+    )
+    fetch = docs.select(
+        url.alias("_u"),
+        F.when(pos.isin(0, 1, 2, 4, 7), F.lit(301))
+        .otherwise(F.lit(200)).alias("_s"),
+        F.when(nxt.isNotNull(), F.concat(base, nxt.cast("string"), tail))
+        .alias("_l"),
+    )
+    st = docs.select(
+        "doc_id",
+        url.alias("start_url"),
+        url.alias("cur"),
+        F.lit(0).alias("hops"),
+        F.lit(False).alias("done"),
+    )
+    for _ in range(5):  # hop-capped unrolled resolution (shrinking key)
+        j = st.join(fetch, (st["cur"] == fetch["_u"]) & (~st["done"]),
+                    "left")
+        looked = F.col("_s").isNotNull()
+        redirect = looked & F.col("_l").isNotNull() & F.col("_s").isin(
+            301, 302, 303, 307, 308
+        )
+        advance = (~F.col("done")) & redirect & (F.col("hops") < 4)
+        st = j.select(
+            "doc_id",
+            "start_url",
+            F.when(advance, F.col("_l")).otherwise(F.col("cur"))
+            .alias("cur"),
+            F.when(advance, F.col("hops") + 1).otherwise(F.col("hops"))
+            .alias("hops"),
+            (F.col("done") | (looked & ~redirect)).alias("done"),
+        )
+
+    def police(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for did, start, cur, hops, done in zip(
+                pdf["doc_id"], pdf["start_url"], pdf["cur"],
+                pdf["hops"], pdf["done"],
+            ):
+                did = int(did)
+                score = (did * 13) % 100
+                if not bool(done):  # loop surfaced: not schedulable
+                    rows.append(
+                        (did, str(start), None, None, int(hops), False,
+                         False, None, None, score)
+                    )
+                    continue
+                c = canonical_url(str(cur))
+                domain = registrable_domain(c["host"])
+                hh = did // 8
+                robots = (
+                    "User-agent: *\n"
+                    f"Disallow: /r/{hh % 7}\n"
+                    f"Crawl-delay: {hh % 5}\n"
+                )
+                ok, _, _ = robots_allowed(robots, "spark-graft", c["path"])
+                delay = crawl_delay(robots, "spark-graft")
+                budget = (
+                    int(86400.0 // delay)
+                    if delay is not None and delay > 0 else None
+                )
+                rows.append(
+                    (did, str(start), c["url"], domain, int(hops), True,
+                     ok, delay, budget, score)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "start_url", "final_url", "domain",
+                         "hops", "resolved", "allowed", "crawl_delay",
+                         "daily_budget", "score"],
+            )
+
+    out = st.mapInPandas(
+        police,
+        "doc_id long, start_url string, final_url string, domain string,"
+        " hops int, resolved boolean, allowed boolean,"
+        " crawl_delay double, daily_budget long, score long",
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.desc("allowed"), F.desc("score"), "doc_id"
+    )
+    rn = F.row_number().over(w).cast("int")
+    return out.select(
+        "doc_id", "start_url", "final_url", "domain", "hops", "resolved",
+        "allowed", "crawl_delay", "daily_budget", "score",
+        F.when(F.col("allowed"), rn).alias("rank"),
+        F.coalesce(F.col("allowed") & (rn <= 5), F.lit(False))
+        .alias("scheduled"),
+    )
+
+
+@query(
     "text_langid_eval",
     f"""
     WITH scored AS (
