@@ -8895,6 +8895,192 @@ def crawl_recrawl_schedule(spark, sf_dir):
 
 
 @query(
+    "crawl_revalidation_plan",
+    """
+    WITH state AS (
+      SELECT doc_id,
+             'h' || CAST(doc_id // 10 AS VARCHAR) AS host,
+             'http://h' || CAST(doc_id // 10 AS VARCHAR) || '.test/p'
+               || CAST(doc_id % 10 AS VARCHAR) AS url,
+             (doc_id * 5) % 60 AS fetch_age,
+             (doc_id * 3) % 120 AS lastmod_age,
+             CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 7 ELSE 30 END
+               AS freq_days,
+             (doc_id * 7) % 10 AS pri,
+             doc_id % 3 <> 1 AS has_etag,
+             doc_id % 2 = 0 AS has_lastmod
+      FROM documents
+    ), hdr AS (
+      SELECT *,
+             CASE WHEN has_etag THEN
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'W/"t' || printf('%x', doc_id) || '"'
+                    ELSE '"t' || printf('%x', doc_id) || '"' END
+             END AS etag,
+             CASE WHEN has_lastmod
+                  THEN 'Thu, 01 Jan 2026 00:00:0'
+                       || CAST(doc_id % 10 AS VARCHAR) || ' GMT'
+             END AS last_modified,
+             CASE WHEN doc_id % 7 <> 0
+                  THEN CAST(freq_days AS BIGINT) * 86400 END AS max_age,
+             fetch_age >= freq_days AS due
+      FROM state
+    ), plan AS (
+      SELECT *,
+             CASE WHEN NOT due THEN 'skip'
+                  WHEN has_etag OR has_lastmod THEN 'revalidate'
+                  ELSE 'refetch' END AS action,
+             CASE WHEN due AND has_etag THEN 'if-none-match'
+                  WHEN due AND has_lastmod THEN 'if-modified-since'
+             END AS cond_header,
+             due AND (has_etag OR has_lastmod) AND has_lastmod
+                 AND lastmod_age >= fetch_age AS expected_304,
+             (fetch_age * 100) // freq_days + pri * 5
+               + CASE WHEN has_lastmod AND lastmod_age < fetch_age
+                      THEN 50 ELSE 0 END AS score
+      FROM hdr
+    )
+    SELECT doc_id AS doc_id, host AS host, url AS url, etag AS etag,
+           last_modified AS last_modified, max_age AS max_age,
+           due AS due, action AS action, cond_header AS cond_header,
+           expected_304 AS expected_304, CAST(score AS BIGINT) AS score,
+           CASE WHEN due THEN rn END AS rank,
+           coalesce(due AND rn <= 3, FALSE) AS scheduled
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY host
+               ORDER BY due DESC, score DESC, doc_id) AS INT) AS rn
+      FROM plan)
+    """,
+)
+def crawl_revalidation_plan(spark, sf_dir):
+    """CONDITIONAL REVALIDATION planning (VERDICT r11 task 5) — the
+    other half of recrawl economics: deciding *when* to refetch
+    (``crawl_recrawl_schedule``'s cadence arithmetic) is composed with
+    *how* — per URL the STORED response headers from the last fetch
+    decide between a cheap conditional request and a full refetch.
+    Each doc's stored fetch is a real HTTP/1.1 response (ETag
+    strong/weak/absent, Last-Modified present/absent, Cache-Control
+    max-age present/absent) wrapped in a WARC response record and
+    parsed back through ``decode_warc`` + ``parse_http_response`` —
+    the validators come out of the REAL case-normalized header map,
+    never the fixture. Decision table (RFC 9110/9111 semantics, exact
+    integers): not yet due per max-age (or cadence fallback when
+    Cache-Control is absent) -> ``skip``; due with a validator ->
+    ``revalidate`` (If-None-Match preferred over If-Modified-Since,
+    the spec's precedence); due without -> ``refetch``; expected_304
+    when the stored Last-Modified predates the last fetch. The same
+    staleness score + per-host top-3 window then schedules the due
+    URLs. One scan, one Arrow pass, one bounded host-partition window:
+    the 100 TB shape."""
+    from collections.abc import Iterator
+
+    from pyspark.sql.window import Window
+
+    from .sources.warc import decode_warc, encode_warc, parse_http_response
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                hdrs = [("Content-Type", "text/html")]
+                if did % 3 != 1:
+                    tag = f'"t{did:x}"'
+                    if did % 5 == 0:
+                        tag = "W/" + tag
+                    hdrs.append(("ETag", tag))
+                if did % 2 == 0:
+                    hdrs.append((
+                        "Last-Modified",
+                        f"Thu, 01 Jan 2026 00:00:0{did % 10} GMT",
+                    ))
+                freq_days = {0: 1, 1: 7}.get(did % 3, 30)
+                if did % 7 != 0:
+                    hdrs.append(
+                        ("Cache-Control", f"max-age={freq_days * 86400}")
+                    )
+                body = b"stored"
+                http = (
+                    "HTTP/1.1 200 OK\r\n"
+                    + "".join(f"{k}: {v}\r\n" for k, v in hdrs)
+                    + f"Content-Length: {len(body)}\r\n\r\n"
+                ).encode() + body
+                rec = decode_warc(encode_warc([{
+                    "rec_type": "response",
+                    "record_id": f"<urn:uuid:{did:032x}>",
+                    "date": "2026-01-01T00:00:00Z",
+                    "uri": f"http://h{did // 10}.test/p{did % 10}",
+                    "payload": http,
+                }]))[0]
+                h = parse_http_response(rec["payload"])["headers"]
+                etag = h.get("etag")
+                lastmod = h.get("last-modified")
+                cc = h.get("cache-control")
+                max_age = (
+                    int(cc.split("max-age=", 1)[1].split(",")[0])
+                    if cc and "max-age=" in cc else None
+                )
+                fetch_age = (did * 5) % 60
+                lastmod_age = (did * 3) % 120
+                fresh_secs = (
+                    max_age if max_age is not None else freq_days * 86400
+                )
+                due = fetch_age * 86400 >= fresh_secs
+                if not due:
+                    action, cond = "skip", None
+                elif etag is not None:
+                    action, cond = "revalidate", "if-none-match"
+                elif lastmod is not None:
+                    action, cond = "revalidate", "if-modified-since"
+                else:
+                    action, cond = "refetch", None
+                expected_304 = bool(
+                    due and (etag is not None or lastmod is not None)
+                    and lastmod is not None and lastmod_age >= fetch_age
+                )
+                score = (
+                    (fetch_age * 100) // freq_days + ((did * 7) % 10) * 5
+                    + (50 if lastmod is not None
+                       and lastmod_age < fetch_age else 0)
+                )
+                rows.append(
+                    (did, f"h{did // 10}",
+                     f"http://h{did // 10}.test/p{did % 10}", etag,
+                     lastmod, max_age, due, action, cond, expected_304,
+                     score)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "host", "url", "etag", "last_modified",
+                         "max_age", "due", "action", "cond_header",
+                         "expected_304", "score"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    out = docs.mapInPandas(
+        run,
+        "doc_id long, host string, url string, etag string,"
+        " last_modified string, max_age long, due boolean,"
+        " action string, cond_header string, expected_304 boolean,"
+        " score long",
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.desc("due"), F.desc("score"), "doc_id"
+    )
+    rn = F.row_number().over(w).cast("int")
+    return out.select(
+        "doc_id", "host", "url", "etag", "last_modified", "max_age",
+        "due", "action", "cond_header", "expected_304", "score",
+        F.when(F.col("due"), rn).alias("rank"),
+        F.coalesce(F.col("due") & (rn <= 3), F.lit(False))
+        .alias("scheduled"),
+    )
+
+
+@query(
     "crawl_sitemap_schedule",
     """
     WITH state AS (
