@@ -7665,8 +7665,12 @@ def crawl_ingest_files(spark, sf_dir):
     ).collect()[0]
     table_h = hashlib.sha256(f"{fp['h']}:{fp['n']}".encode()).hexdigest()[:12]
     base = _os.path.basename(_os.path.normpath(sf_dir))
+    # the shard count is part of the layout: without it a smaller-shard
+    # run after a larger one would find all its filenames present (with
+    # wrong-residue content) and skip the rewrite
     fix_dir = (
         f"/tmp/edp_warc_ingest_{base}_{_ingest_wire_hash()}_{table_h}"
+        f"_{_INGEST_SHARDS}"
     )
     shard_paths = [
         _os.path.join(fix_dir, f"shard-{s:02d}.warc.gz") for s in fp["shards"]
