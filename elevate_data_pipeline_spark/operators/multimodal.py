@@ -6401,6 +6401,20 @@ AAC_SFB_SHORT = (16,) * 8  # swap-in short band widths (128 lines/window)
 _AAC_SFB_SHORT_START = tuple(16 * b for b in range(9))
 _AAC_C_ROWS: dict = {}
 _AAC_C256_ROWS: dict = {}
+_AAC_C_NP: dict = {}
+_AAC_WIN_NP: dict = {}
+
+
+def _aac_c_row_np(k: int):
+    """int64 numpy copy of :func:`_aac_c_row`, cached per line — the
+    tuple->array conversion dominates the fast-path cost otherwise."""
+    arr = _AAC_C_NP.get(k)
+    if arr is None:
+        import numpy as np
+
+        arr = np.array(_aac_c_row(k), dtype=np.int64)
+        _AAC_C_NP[k] = arr
+    return arr
 
 
 def _aac_c256_row(k: int) -> tuple:
@@ -6469,12 +6483,36 @@ def _aac_frame_pcm(xr: list, prev: list, ws: int = 0) -> tuple:
         win = {0: AAC_WIN, 1: AAC_WIN_START, 3: AAC_WIN_STOP}.get(ws)
         if win is None:
             raise ValueError(f"bad AAC window_sequence {ws}")
-        sw = [0] * AAC_N
-        for k, v in nz:
-            row = _aac_c_row(k)
-            for n in range(AAC_N):
-                sw[n] += v * row[n]
-        z = [sw[n] * win[n] for n in range(AAC_N)]
+        # Exact int64 matmul fast path for line-dense spectra (PNS
+        # fills whole bands; the pure-Python loop is ~1000x slower at
+        # 192 nonzero lines). Safe iff the accumulator provably fits
+        # int64: |z[n]| <= sum|v| * 64 (cos) * 64 (win); otherwise
+        # (e.g. adversarial high-order TNS growth) fall back to the
+        # arbitrary-precision path — results are bit-identical.
+        np_mod = None
+        if len(nz) >= 8:
+            try:
+                import numpy as np_mod
+            except ImportError:
+                np_mod = None
+        if np_mod is not None and sum(
+            abs(v) for _, v in nz
+        ) * 4096 < (1 << 62):
+            rows = np_mod.vstack([_aac_c_row_np(k) for k, _ in nz])
+            vals = np_mod.array([v for _, v in nz], dtype=np_mod.int64)
+            wkey = id(win)
+            warr = _AAC_WIN_NP.get(wkey)
+            if warr is None:
+                warr = np_mod.array(win, dtype=np_mod.int64)
+                _AAC_WIN_NP[wkey] = warr
+            z = ((vals @ rows) * warr).tolist()
+        else:
+            sw = [0] * AAC_N
+            for k, v in nz:
+                row = _aac_c_row(k)
+                for n in range(AAC_N):
+                    sw[n] += v * row[n]
+            z = [sw[n] * win[n] for n in range(AAC_N)]
     acc = [z[n] + prev[n] for n in range(1024)]
     return acc, z[1024:]
 
