@@ -9999,6 +9999,128 @@ def text_jsonl_roundtrip(spark, sf_dir):
     )
 
 
+def _roundtrip_fixture_dir(docs, tag: str, sf_dir: str, write) -> str:
+    """Content-addressed on-disk fixture for format round-trip queries
+    (same hygiene as ``crawl_ingest_files``): the dirname carries an
+    order-independent fingerprint of the (doc_id, text) table, the
+    write runs only when the dir is absent, and publication is an
+    atomic whole-directory rename — a racing identical run loses the
+    rename and discards its copy, so readers never see a partial
+    fixture. Local-FS test scaffolding; the 100 TB read path starts
+    from data that already exists."""
+    import hashlib
+    import os as _os
+    import shutil
+
+    fp = docs.agg(
+        F.expr("bit_xor(xxhash64(doc_id, text))").alias("h"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    h = hashlib.sha256(f"{fp['h']}:{fp['n']}".encode()).hexdigest()[:12]
+    base = _os.path.basename(_os.path.normpath(sf_dir))
+    final = f"/tmp/edp_{tag}_{base}_{h}"
+    if not _os.path.isdir(final):
+        tmp = f"{final}.tmp.{_os.getpid()}"
+        write(tmp)
+        try:
+            _os.rename(tmp, final)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost an identical race
+    return final
+
+
+@query(
+    "source_orc_roundtrip",
+    """
+    SELECT doc_id AS doc_id, lang AS lang, source AS source,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(length(text) AS BIGINT) AS n_chars_live,
+           md5(text) AS text_md5
+    FROM documents WHERE lang = 'en'
+    """,
+)
+def source_orc_roundtrip(spark, sf_dir):
+    """ORC round-trip through the real files (``sources/files.read_orc``
+    / ``write_orc``): the documents table is written to on-disk ORC
+    once (content-addressed fixture, atomic publish), read back with an
+    explicit schema, FILTERED at the scan (``lang = 'en'`` reaches the
+    ORC reader as a pushed predicate — same pushdown/pruning contract
+    as parquet, which is the point of supporting the format at all),
+    and checked per row: stored n_chars, live length, and the md5 of
+    the text that survived the format. The oracle reads the same rows
+    straight from parquet — any ORC encode/decode corruption breaks a
+    row hash. One narrow filtered scan, no shuffle."""
+    from .sources.files import read_orc, write_orc
+
+    docs = Catalog(spark, sf_dir).table("documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = _roundtrip_fixture_dir(
+        docs, "orc", sf_dir, lambda tmp: write_orc(docs, tmp)
+    )
+    back = read_orc(
+        spark, path,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).where(F.col("lang") == "en")
+    return back.select(
+        "doc_id", "lang", "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.length("text").cast("long").alias("n_chars_live"),
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    )
+
+
+@query(
+    "source_csv_roundtrip",
+    """
+    SELECT doc_id AS doc_id, lang AS lang,
+           CAST(length(text) AS BIGINT) AS n_chars_live,
+           md5(text) AS text_md5,
+           md5('a,"q' || chr(10) || lang || '\\x') AS tricky_md5
+    FROM documents
+    """,
+)
+def source_csv_roundtrip(spark, sf_dir):
+    """CSV round-trip through the real files with the hazards that
+    actually corrupt text corpora in CSV: a ``tricky`` column carries a
+    comma, a double quote, an EMBEDDED NEWLINE, and a trailing
+    backslash per row. Written RFC 4180 style (quote+escape both ``"``
+    — doubled quotes, not backslash escapes) via
+    ``sources/files.write_csv`` and read back with an explicit schema
+    + ``multiLine`` (quoted newlines make rows span physical lines, so
+    the file cannot split on line boundaries — the scale note in
+    ``read_csv``). Per-row md5s of both the real text and the tricky
+    column prove byte fidelity; the oracle recomputes them from
+    parquet. One scan, no shuffle."""
+    from .sources.files import read_csv, write_csv
+
+    docs = Catalog(spark, sf_dir).table("documents").select(
+        "doc_id", "text", "lang"
+    )
+    tricky = F.concat(
+        F.lit('a,"q\n'), F.col("lang"), F.lit("\\x")
+    ).alias("tricky")
+    out = docs.select("doc_id", "text", "lang", tricky)
+    path = _roundtrip_fixture_dir(
+        out, "csv", sf_dir,
+        lambda tmp: write_csv(
+            out, tmp, options={"quote": '"', "escape": '"'}
+        ),
+    )
+    back = read_csv(
+        spark, path,
+        "doc_id long, text string, lang string, tricky string",
+        options={"multiLine": "true", "quote": '"', "escape": '"'},
+    )
+    return back.select(
+        "doc_id", "lang",
+        F.length("text").cast("long").alias("n_chars_live"),
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        F.md5(F.col("tricky").cast("binary")).alias("tricky_md5"),
+    )
+
+
 def _sql_mp3_intensity() -> str:
     """Oracle for multimodal_mp3_intensity: decode is linear in the
     transmitted lines; intensity panning applies the rational swap-in

@@ -41,19 +41,32 @@ def read_csv(
     header: bool = True,
     delimiter: str = ",",
     mode: str = "PERMISSIVE",
+    options: dict | None = None,
 ) -> DataFrame:
+    """``options`` passes extra reader options through verbatim — for
+    text corpora the load-bearing ones are ``multiLine`` (quoted
+    embedded newlines; forces whole-file parsing, so pair with many
+    files at scale) and ``escape='"'`` (RFC 4180 doubled quotes —
+    Spark's default escape is backslash, which round-trips only with
+    its own writer set the same way)."""
     reader = (
         spark.read.option("header", str(header).lower())
         .option("sep", delimiter)
         .option("mode", mode)
     )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.csv(path)
 
 
-def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
-    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True,
+              options: dict | None = None) -> None:
+    writer = df.write.mode(mode).option("header", str(header).lower())
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.csv(path)
 
 
 def read_orc(
