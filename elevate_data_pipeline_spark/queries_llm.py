@@ -8898,9 +8898,7 @@ def crawl_recrawl_schedule(spark, sf_dir):
     )
 
 
-@query(
-    "crawl_revalidation_plan",
-    """
+_SQL_REVALIDATION_PLAN = """
     WITH state AS (
       SELECT doc_id,
              'h' || CAST(doc_id // 10 AS VARCHAR) AS host,
@@ -8955,8 +8953,10 @@ def crawl_recrawl_schedule(spark, sf_dir):
                PARTITION BY host
                ORDER BY due DESC, score DESC, doc_id) AS INT) AS rn
       FROM plan)
-    """,
-)
+    """
+
+
+@query("crawl_revalidation_plan", _SQL_REVALIDATION_PLAN)
 def crawl_revalidation_plan(spark, sf_dir):
     """CONDITIONAL REVALIDATION planning (VERDICT r11 task 5) — the
     other half of recrawl economics: deciding *when* to refetch
@@ -9081,6 +9081,81 @@ def crawl_revalidation_plan(spark, sf_dir):
         F.when(F.col("due"), rn).alias("rank"),
         F.coalesce(F.col("due") & (rn <= 3), F.lit(False))
         .alias("scheduled"),
+    )
+
+
+@query(
+    "crawl_revalidation_outcome",
+    f"""
+    WITH plan AS ({_SQL_REVALIDATION_PLAN})
+    SELECT doc_id AS doc_id, host AS host, url AS url,
+           action AS action,
+           CASE WHEN action = 'skip' THEN NULL
+                WHEN action = 'revalidate' AND expected_304 THEN 304
+                ELSE 200 END AS status,
+           CASE WHEN action = 'skip' OR
+                     (action = 'revalidate' AND expected_304)
+                THEN 'cache' ELSE 'origin' END AS served_from,
+           md5(CASE WHEN action = 'skip' OR
+                         (action = 'revalidate' AND expected_304)
+                    THEN 'stored-' || CAST(doc_id AS VARCHAR)
+                    ELSE 'fresh-' || CAST(doc_id AS VARCHAR) || '-'
+                         || CAST((doc_id * 5) % 60 AS VARCHAR)
+               END) AS content_md5,
+           CAST(CASE WHEN action = 'skip' THEN 0
+                     WHEN action = 'revalidate' AND expected_304 THEN 96
+                     ELSE 96 + 200 + length(CAST(doc_id AS VARCHAR))
+                END AS BIGINT) AS bytes_fetched,
+           CAST(96 + 200 + length(CAST(doc_id AS VARCHAR))
+                - CASE WHEN action = 'skip' THEN 0
+                       WHEN action = 'revalidate' AND expected_304 THEN 96
+                       ELSE 96 + 200 + length(CAST(doc_id AS VARCHAR))
+                  END AS BIGINT) AS bytes_saved
+    FROM plan
+    """,
+)
+def crawl_revalidation_outcome(spark, sf_dir):
+    """Revalidation EXECUTED — the fetch cycle the plan drives: per URL
+    the planned action resolves to its wire outcome (skip -> no
+    request, served from cache; revalidate with an unchanged origin ->
+    a 304 costing one header round-trip, body served from cache;
+    revalidate-changed or refetch -> a 200 with a fresh body replacing
+    the stored content) and the economics are accounted against the
+    naive refetch-everything baseline (bytes_saved = full-fetch cost
+    minus what the conditional protocol actually moved). Composes
+    DIRECTLY on ``crawl_revalidation_plan``'s DataFrame — the outcome
+    rules are pure whole-stage-codegen column expressions over it, no
+    second scan, no Python; the oracle nests the plan oracle verbatim
+    (one shared SQL constant, no drift between the two). Content
+    identity is md5-checked both sides. Same single-scan + bounded
+    host-window shape as the plan."""
+    plan = crawl_revalidation_plan(spark, sf_dir)
+    cached = (F.col("action") == "skip") | (
+        (F.col("action") == "revalidate") & F.col("expected_304")
+    )
+    stored = F.concat(F.lit("stored-"), F.col("doc_id").cast("string"))
+    fresh = F.concat(
+        F.lit("fresh-"), F.col("doc_id").cast("string"), F.lit("-"),
+        ((F.col("doc_id") * 5) % 60).cast("string"),
+    )
+    full_cost = (
+        F.lit(96 + 200) + F.length(F.col("doc_id").cast("string"))
+    ).cast("long")
+    fetched = (
+        F.when(F.col("action") == "skip", F.lit(0))
+        .when(cached, F.lit(96))
+        .otherwise(full_cost)
+    ).cast("long")
+    return plan.select(
+        "doc_id", "host", "url", "action",
+        F.when(F.col("action") == "skip", F.lit(None).cast("int"))
+        .when(cached, F.lit(304)).otherwise(F.lit(200)).alias("status"),
+        F.when(cached, F.lit("cache")).otherwise(F.lit("origin"))
+        .alias("served_from"),
+        F.md5(F.when(cached, stored).otherwise(fresh).cast("binary"))
+        .alias("content_md5"),
+        fetched.alias("bytes_fetched"),
+        (full_cost - fetched).alias("bytes_saved"),
     )
 
 
