@@ -6557,36 +6557,55 @@ def _aac_norm_frame(g) -> dict:
         raise ValueError("gain_e out of the subset's 0..7 grid")
     out = {"spec": spec, "gain_e": gain_e, "window": window}
     if tns:
+        def _norm_filters(fl, max_len, max_order, max_n, what):
+            if len(fl) > max_n:
+                raise ValueError(
+                    f"{what}: at most {max_n} TNS filter(s)"
+                )
+            norm = []
+            for f in fl:
+                length = int(f.get("length", 0))
+                direction = int(f.get("direction", 0))
+                coefs = list(f.get("coefs", []))
+                if not 0 <= length <= max_len:
+                    raise ValueError(
+                        f"TNS length {length} outside 0..{max_len}"
+                    )
+                if len(coefs) > max_order:
+                    raise ValueError(
+                        f"TNS order {len(coefs)} above the AAC-LC"
+                        f" limit {max_order}"
+                    )
+                if direction not in (0, 1):
+                    raise ValueError("TNS direction flag must be 0/1")
+                if any(k not in (-1, 0, 1) for k in coefs):
+                    raise ValueError(
+                        "TNS coefficients must sit on the integer-"
+                        "reflection {-1,0,1} grid"
+                    )
+                norm.append(
+                    {"length": length, "direction": direction,
+                     "coefs": [int(k) for k in coefs]}
+                )
+            return norm
+
         if window == 2:
-            raise NotImplementedError(
-                "TNS with EIGHT_SHORT window switching not supported"
-                " (long-window TNS subset)"
-            )
-        if len(tns) > 3:
-            raise ValueError("n_filt is 2 bits: at most 3 TNS filters")
-        norm = []
-        for f in tns:
-            length = int(f.get("length", 0))
-            direction = int(f.get("direction", 0))
-            coefs = list(f.get("coefs", []))
-            if not 0 <= length <= 63:
-                raise ValueError(f"TNS length {length} outside 0..63")
-            if len(coefs) > 12:
+            # EIGHT_SHORT: one filter list per window (n_filt is 1
+            # bit), short field widths (length 4 bits, order <= 7)
+            if len(tns) != 8 or not all(
+                isinstance(wf, (list, tuple)) for wf in tns
+            ):
                 raise ValueError(
-                    f"TNS order {len(coefs)} above the AAC-LC limit 12"
+                    "EIGHT_SHORT tns needs 8 per-window filter lists"
                 )
-            if direction not in (0, 1):
-                raise ValueError("TNS direction flag must be 0/1")
-            if any(k not in (-1, 0, 1) for k in coefs):
-                raise ValueError(
-                    "TNS coefficients must sit on the integer-"
-                    "reflection {-1,0,1} grid"
-                )
-            norm.append(
-                {"length": length, "direction": direction,
-                 "coefs": [int(k) for k in coefs]}
+            out["tns"] = [
+                _norm_filters(list(wf), 15, 7, 1, f"window {w}")
+                for w, wf in enumerate(tns)
+            ]
+        else:
+            out["tns"] = _norm_filters(
+                tns, 63, 12, 3, "long window"
             )
-        out["tns"] = norm
     if pulse is not None:
         if window == 2:
             raise ValueError(
@@ -6730,21 +6749,33 @@ def _aac_put_lines(bw, spec: list, start: int, count: int) -> None:
             bw.bits(1 if v < 0 else 0, 1)
 
 
-def _aac_write_tns(bw, filters: list) -> None:
-    """tns_data, long-window layout (n_filt 2 bits, coef_res 0 ->
-    3-bit coefficients, length 6, order 5, coef_compress 0): the
-    integer-reflection coefficients write as 3-bit two's complement."""
-    bw.bits(len(filters), 2)  # n_filt
+def _aac_write_tns_filters(bw, filters, n_filt_bits, len_bits,
+                           order_bits) -> None:
+    bw.bits(len(filters), n_filt_bits)
+    if not filters:
+        return
     bw.bits(0, 1)  # coef_res: 3-bit coefficient fields
     for f in filters:
-        bw.bits(f["length"], 6)
+        bw.bits(f["length"], len_bits)
         order = len(f["coefs"])
-        bw.bits(order, 5)
+        bw.bits(order, order_bits)
         if order:
             bw.bits(f["direction"], 1)
             bw.bits(0, 1)  # coef_compress
             for k in f["coefs"]:
                 bw.bits(k & 7, 3)
+
+
+def _aac_write_tns(bw, tns, ws: int) -> None:
+    """tns_data: long layout (n_filt 2 bits, length 6, order 5) or the
+    EIGHT_SHORT per-window layout (8x: n_filt 1 bit, length 4,
+    order 3); coef_res 0, coef_compress 0, integer-reflection
+    coefficients as 3-bit two's complement."""
+    if ws == 2:
+        for wf in tns:
+            _aac_write_tns_filters(bw, wf, 1, 4, 3)
+    else:
+        _aac_write_tns_filters(bw, tns, 2, 6, 5)
 
 
 def _aac_write_stream(bw, g: dict, max_sfb: int, common: bool) -> None:
@@ -6770,7 +6801,12 @@ def _aac_write_stream(bw, g: dict, max_sfb: int, common: bool) -> None:
                         bw, last, g["gain_e"] - g["sf_down_short"][gi][b]
                     )
         bw.bits(0, 1)  # pulse_data_present
-        bw.bits(0, 1)  # tns_data_present
+        tns_s = g.get("tns") or []
+        if any(tns_s):
+            bw.bits(1, 1)  # tns_data_present
+            _aac_write_tns(bw, tns_s, ws)
+        else:
+            bw.bits(0, 1)  # tns_data_present
         bw.bits(0, 1)  # gain_control_data_present
         w0 = 0
         for gi, size in enumerate(g["groups"]):
@@ -6820,7 +6856,7 @@ def _aac_write_stream(bw, g: dict, max_sfb: int, common: bool) -> None:
     tns = g.get("tns") or []
     if tns:
         bw.bits(1, 1)  # tns_data_present
-        _aac_write_tns(bw, tns)
+        _aac_write_tns(bw, tns, ws)
     else:
         bw.bits(0, 1)  # tns_data_present
     bw.bits(0, 1)  # gain_control_data_present
@@ -7071,31 +7107,27 @@ def _aac_read_sf(br, last: int) -> tuple:
     return last, (last - 100) // 4
 
 
-def _aac_read_tns(br, ws: int) -> list:
-    """tns_data (14496-3 §4.4.2.7, long-window layout: n_filt 2 bits,
-    length 6, order 5) -> list of filter dicts. The spec's coefficient
+def _aac_read_tns_filters(br, n_filt_bits, len_bits, order_bits,
+                          max_order) -> list:
+    """One window's tns_data filter list (shared by the long and short
+    layouts; only the field widths differ). The spec's coefficient
     dequant is a sin-based table (irrational); the subset restricts the
     decoded signed coefficient to the INTEGER-REFLECTION grid {-1,0,1}
     so the lattice->LPC conversion and the all-pole filter run in exact
     integers (same swap-in contract as the 2^((sf-100)/4) gain grid).
-    Off-grid coefficients, orders above the LC limit 12, and TNS inside
-    an EIGHT_SHORT frame (per-window filters) gate loudly."""
-    if ws == 2:
-        raise NotImplementedError(
-            "TNS with EIGHT_SHORT window switching not supported"
-            " (long-window TNS subset)"
-        )
-    n_filt = br.bits(2)
+    Off-grid coefficients and over-limit orders gate loudly."""
+    n_filt = br.bits(n_filt_bits)
     filters: list = []
     if not n_filt:
         return filters
     coef_res = br.bits(1)
     for _ in range(n_filt):
-        length = br.bits(6)
-        order = br.bits(5)
-        if order > 12:
+        length = br.bits(len_bits)
+        order = br.bits(order_bits)
+        if order > max_order:
             raise ValueError(
-                f"TNS filter order {order} above the AAC-LC limit 12"
+                f"TNS filter order {order} above the AAC-LC limit"
+                f" {max_order}"
             )
         direction, coefs = 0, []
         if order:
@@ -7118,6 +7150,18 @@ def _aac_read_tns(br, ws: int) -> list:
     return filters
 
 
+def _aac_read_tns(br, ws: int):
+    """tns_data (14496-3 §4.4.2.7): long windows read one filter set
+    (n_filt 2 bits, length 6, order 5, LC max order 12); EIGHT_SHORT
+    reads one per window (n_filt 1 bit, length 4, order 3, max order
+    7) — returns a list of 8 per-window filter lists in that case."""
+    if ws == 2:
+        return [
+            _aac_read_tns_filters(br, 1, 4, 3, 7) for _ in range(8)
+        ]
+    return _aac_read_tns_filters(br, 2, 6, 5, 12)
+
+
 def _aac_tns_lpc(coefs: list) -> list:
     """Lattice (reflection) -> direct-form LPC, the spec's recursion
     (14496-3 tns_decode_coef): a_{m}[i] = a_{m-1}[i] + k_m * a_{m-1}[m-i],
@@ -7128,19 +7172,14 @@ def _aac_tns_lpc(coefs: list) -> list:
     return a
 
 
-def _aac_tns_filter(xr: list, tns) -> list:
-    """Apply the decoder's all-pole TNS filters in place. ``tns`` is
-    the ``(filters, max_sfb)`` pair from :func:`_aac_read_stream`:
-    regions stack downward from the top band (top=bottom,
+def _aac_tns_region(xr, filters, clip, nbands, offsets, base) -> None:
+    """Run one window's stacked TNS filter regions in place: regions
+    stack downward from the top band (top=bottom,
     bottom=max(top-length,0)) and clip at both the band table and the
     stream's max_sfb, the spec's tns_decode_frame region arithmetic;
     y[n] = x[n] - sum a[i]*y[n -+ i] over the region in the filter's
-    direction with zero state at the region boundary. Linear in the
-    lines and exact in integers — the tap-superposition oracle
-    composes straight through it."""
-    filters, max_sfb = tns
-    clip = min(len(AAC_SFB), max_sfb)
-    bottom = len(AAC_SFB)
+    direction with zero state at the region boundary."""
+    bottom = nbands
     for f in filters:
         top = bottom
         bottom = max(top - f["length"], 0)
@@ -7148,8 +7187,8 @@ def _aac_tns_filter(xr: list, tns) -> list:
         if not order:
             continue
         a = _aac_tns_lpc(f["coefs"])
-        start = _AAC_SFB_START[min(bottom, clip)]
-        end = _AAC_SFB_START[min(top, clip)]
+        start = base + offsets[min(bottom, clip)]
+        end = base + offsets[min(top, clip)]
         idx = (
             range(end - 1, start - 1, -1)
             if f["direction"] else range(start, end)
@@ -7160,6 +7199,28 @@ def _aac_tns_filter(xr: list, tns) -> list:
             for i in range(1, min(order, pos) + 1):
                 acc -= a[i] * xr[idx[pos - i]]
             xr[n] = acc
+
+
+def _aac_tns_filter(xr: list, tns) -> list:
+    """Apply the decoder's all-pole TNS filters in place. ``tns`` is
+    the ``(filters, max_sfb)`` pair from :func:`_aac_read_stream` —
+    a flat filter list for long windows, or 8 per-window lists for
+    EIGHT_SHORT frames (each filtering its own 128-line window block
+    over the short band table). Linear in the lines and exact in
+    integers — the tap-superposition oracle composes straight through
+    it."""
+    filters, max_sfb = tns
+    if filters and isinstance(filters[0], list):  # EIGHT_SHORT layout
+        for w, wf in enumerate(filters):
+            _aac_tns_region(
+                xr, wf, min(len(AAC_SFB_SHORT), max_sfb),
+                len(AAC_SFB_SHORT), _AAC_SFB_SHORT_START, 128 * w,
+            )
+        return xr
+    _aac_tns_region(
+        xr, filters, min(len(AAC_SFB), max_sfb), len(AAC_SFB),
+        _AAC_SFB_START, 0,
+    )
     return xr
 
 

@@ -5616,6 +5616,148 @@ def multimodal_aac_pulse(spark, sf_dir):
     )
 
 
+_AAC_TNSS_LINES = (276, 370, 868, 562, 0, 999)
+# Frame 0 is EIGHT_SHORT with per-window TNS: window 2 runs a
+# running-sum filter over short bands 1..7 of ITS 128-line block
+# (lines 276 b1 and 370 b7 both inside the region; 370 pins
+# max_sfb=8 on the wire), window 6 a downward alternating filter over
+# bands 6..7 (line 868 inside), window 4 is filter-free (line 562
+# clean). Frame 1 is ONLY_LONG, no TNS (lines 0 / 999).
+_AAC_TNSS_F0 = tuple(
+    [{"length": 7, "direction": 0, "coefs": [-1]}] if w == 2
+    else [{"length": 2, "direction": 1, "coefs": [1]}] if w == 6
+    else []
+    for w in range(8)
+)
+
+
+def _sql_aac_tns_short() -> str:
+    """Oracle for multimodal_aac_tns_short: the EIGHT_SHORT per-window
+    TNS filters are linear on the window-major line grid, so the taps
+    (computed through the filters with windows=(2,0)) replay the whole
+    decode as the usual superposition — a bit-exact gate on the short
+    tns_data layout (n_filt 1 bit, length 4, order 3), the per-window
+    region arithmetic on the short band table, and the window-boundary
+    confinement at once."""
+    taps = multimodal.aac_line_taps(
+        n_frames=2, lines=_AAC_TNSS_LINES, windows=(2, 0),
+        tns=(list(_AAC_TNSS_F0), None),
+    )
+    terms = [("0", 276), ("0", 370), ("0", 868), ("0", 562),
+             ("1", 0), ("1", 999)]
+    t = {
+        (int(f), k): "[" + ",".join(str(v) for v in taps[(int(f), k)]) + "]"
+        for f, k in terms
+    }
+    p43 = "[" + ",".join(str(v) for v in multimodal.AAC_POW43) + "]"
+    half = 1 << (multimodal.AAC_SHIFT - 1)
+    pow2 = 1 << multimodal.AAC_SHIFT
+    acc = " + ".join(
+        f"x{f}_{k} * ({t[(int(f), k)]})[s + 1]" for f, k in terms
+    )
+    return f"""
+    WITH cfg AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 15 AS INT) AS va,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS sa,
+             CAST(1 + (doc_id * 7) % 15 AS INT) AS vb,
+             CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END AS sb,
+             CAST(1 + (doc_id * 3) % 15 AS INT) AS vc,
+             CASE WHEN doc_id % 5 = 0 THEN -1 ELSE 1 END AS sc,
+             CAST(1 + (doc_id * 11) % 15 AS INT) AS vd,
+             CASE WHEN doc_id % 7 = 0 THEN -1 ELSE 1 END AS sd,
+             CAST(1 + (doc_id * 5) % 15 AS INT) AS ve,
+             CASE WHEN doc_id % 4 = 0 THEN -1 ELSE 1 END AS se,
+             CAST(1 + (doc_id * 13) % 15 AS INT) AS vf,
+             CASE WHEN doc_id % 6 = 0 THEN -1 ELSE 1 END AS sf,
+             CAST(1 + doc_id % 7 AS INT) AS e0,
+             CAST(1 + (doc_id * 3) % 7 AS INT) AS e1
+      FROM documents
+    ), xr AS (
+      SELECT doc_id,
+             sa * ({p43})[va + 1] * (CAST(1 AS BIGINT) << e0) AS x0_276,
+             sb * ({p43})[vb + 1] * (CAST(1 AS BIGINT) << e0) AS x0_370,
+             sc * ({p43})[vc + 1] * (CAST(1 AS BIGINT) << e0) AS x0_868,
+             sd * ({p43})[vd + 1] * (CAST(1 AS BIGINT) << e0) AS x0_562,
+             se * ({p43})[ve + 1] * (CAST(1 AS BIGINT) << e1) AS x1_0,
+             sf * ({p43})[vf + 1] * (CAST(1 AS BIGINT) << e1) AS x1_999
+      FROM cfg
+    ), pcm AS (
+      SELECT doc_id,
+             greatest(-32768, least(32767, CAST(floor(
+               ({acc} + {half}) / {pow2}.0) AS BIGINT))) AS p
+      FROM xr, (SELECT unnest(range(0, 2048)) AS s)
+    )
+    SELECT doc_id AS doc_id,
+           CAST(2048 AS BIGINT) AS n_samples,
+           CAST(44100 AS INT) AS sample_rate,
+           CAST(max(abs(p)) AS BIGINT) AS peak,
+           CAST(sum(p * p) AS BIGINT) AS energy
+    FROM pcm GROUP BY doc_id
+    """
+
+
+@query("multimodal_aac_tns_short", _sql_aac_tns_short())
+def multimodal_aac_tns_short(spark, sf_dir):
+    """AAC TNS inside WINDOW SWITCHING — the per-window EIGHT_SHORT
+    tns_data layout the long-window round left gated: per doc frame 0
+    is an EIGHT_SHORT block whose windows 2 and 6 each carry their own
+    TNS filter (short field widths: n_filt 1 bit, length 4 bits, order
+    3 bits, LC max order 7) applied over the SHORT band table within
+    that window's 128-line block only — the filter must not leak
+    across window boundaries — while frame 1 is a plain long window
+    riding the same overlap-add. Encoder writes the real per-window
+    syntax; decoder parses it back, and the oracle replays everything
+    through taps computed THROUGH the short filters. One narrow scan,
+    no shuffle: the 100 TB shape."""
+    from collections.abc import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                f0 = {"spec": [0] * 1024, "gain_e": 1 + did % 7,
+                      "window": 2, "tns": list(_AAC_TNSS_F0)}
+                f0["spec"][276] = (1 if did % 2 == 0 else -1) * (1 + did % 15)
+                f0["spec"][370] = (
+                    (-1 if did % 3 == 0 else 1) * (1 + (did * 7) % 15)
+                )
+                f0["spec"][868] = (
+                    (-1 if did % 5 == 0 else 1) * (1 + (did * 3) % 15)
+                )
+                f0["spec"][562] = (
+                    (-1 if did % 7 == 0 else 1) * (1 + (did * 11) % 15)
+                )
+                f1 = {"spec": [0] * 1024, "gain_e": 1 + (did * 3) % 7}
+                f1["spec"][0] = (
+                    (-1 if did % 4 == 0 else 1) * (1 + (did * 5) % 15)
+                )
+                f1["spec"][999] = (
+                    (-1 if did % 6 == 0 else 1) * (1 + (did * 13) % 15)
+                )
+                au = multimodal.decode_audio(multimodal.encode_aac([f0, f1]))
+                rows.append(
+                    (did, len(au.samples), au.sample_rate,
+                     max(abs(s) for s in au.samples),
+                     sum(s * s for s in au.samples))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "sample_rate", "peak",
+                         "energy"],
+            )
+
+    docs = multimodal.cpu_parallelize(
+        Catalog(spark, sf_dir).table("documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_samples long, sample_rate int, peak long,"
+        " energy long",
+    )
+
+
 _AAC_SHORT_LINES = (0, 100, 400, 640, 931)
 
 

@@ -1509,11 +1509,26 @@ def test_aac_tns_region_stacking_and_gates():
         mm.encode_aac([{**base, "tns": [{"length": 1, "coefs": [1]}] * 4}])
     with pytest.raises(ValueError, match="0..63"):
         mm.encode_aac([{**base, "tns": [{"length": 64, "coefs": [1]}]}])
-    with pytest.raises(NotImplementedError, match="EIGHT_SHORT"):
+    # EIGHT_SHORT tns must be the per-window shape (8 lists, n_filt
+    # is 1 bit so at most one filter each, short field bounds)
+    with pytest.raises(ValueError, match="8 per-window"):
         mm.encode_aac([{
             "spec": [1], "gain_e": 0, "window": 2,
             "tns": [{"length": 1, "coefs": [1]}],
         }])
+    w8 = [[] for _ in range(8)]
+    w8[0] = [{"length": 1, "coefs": [1]}, {"length": 1, "coefs": [1]}]
+    with pytest.raises(ValueError, match="at most 1"):
+        mm.encode_aac([{"spec": [1], "gain_e": 0, "window": 2,
+                        "tns": list(w8)}])
+    w8[0] = [{"length": 16, "coefs": [1]}]
+    with pytest.raises(ValueError, match="0..15"):
+        mm.encode_aac([{"spec": [1], "gain_e": 0, "window": 2,
+                        "tns": list(w8)}])
+    w8[0] = [{"length": 1, "coefs": [1] * 8}]
+    with pytest.raises(ValueError, match="limit 7"):
+        mm.encode_aac([{"spec": [1], "gain_e": 0, "window": 2,
+                        "tns": list(w8)}])
 
 
 @given(
@@ -1661,3 +1676,43 @@ def test_ogg_flac_mapping_gates():
     w = mm.decode_ogg(big)
     assert w["spans"]
     assert mm.decode_ogg_flac(big).samples == sig
+
+
+@given(
+    w=st.integers(0, 7),
+    band=st.integers(0, 6),
+    v=st.integers(1, 15),
+    sgn=st.sampled_from([1, -1]),
+    k1=st.sampled_from([-1, 1]),
+    direction=st.sampled_from([0, 1]),
+    length=st.integers(1, 7),
+)
+@settings(max_examples=30, deadline=None)
+def test_aac_tns_eight_short_property(w, band, v, sgn, k1, direction,
+                                      length):
+    """EIGHT_SHORT TNS: each window's filters run over ITS 128-line
+    block on the short band table — decode(encode) equals the direct
+    filter+short-IMDCT replay, and the filter never leaks across a
+    window boundary."""
+    spec = [0] * 1024
+    line = 128 * w + 16 * band + 3
+    spec[line] = sgn * v
+    spec[128 * w + 127] = spec[128 * w + 127] or 1  # pin max_sfb 8
+    tns = [[] for _ in range(8)]
+    tns[w] = [{"length": length, "direction": direction, "coefs": [k1]}]
+    f = {"spec": spec, "gain_e": 1, "window": 2, "tns": tns}
+    au = mm.decode_aac(mm.encode_aac([f]))
+    xr = [0] * 1024
+    for i, q in enumerate(spec):
+        if q:
+            xr[i] = (1 if q > 0 else -1) * (mm.AAC_POW43[abs(q)] << 1)
+    ref = list(xr)
+    mm._aac_tns_filter(xr, (tns, 8))
+    # nothing outside window w's block moved
+    assert xr[: 128 * w] == ref[: 128 * w]
+    assert xr[128 * (w + 1):] == ref[128 * (w + 1):]
+    acc, _ = mm._aac_frame_pcm(xr, [0] * 1024, 2)
+    half = 1 << (mm.AAC_SHIFT - 1)
+    for t in range(0, 1024, 101):
+        assert au.samples[t] == max(
+            -32768, min(32767, (acc[t] + half) >> mm.AAC_SHIFT))
