@@ -4943,9 +4943,23 @@ def _mp3_down_shift(g: dict, line: int) -> int:
     return _mp3_sf_scale_shift(g, g["scalefac"][_MP3_SFB_OF_LINE[line]])
 
 
+def _mp3_crc16(data: bytes) -> int:
+    """The MPEG audio CRC-16 (11172-3 2.4.3.1 / figure A.9): poly
+    0x8005, init 0xFFFF, MSB-first, no reflection, no final XOR —
+    computed over header bytes 2-3 and the complete side information
+    when protection_bit = 0."""
+    crc = 0xFFFF
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
 def encode_mp3(
     granules: list, sample_rate: int = 44100, bitrate: int = 32,
-    mode: str = "mono", reservoir: bool = False,
+    mode: str = "mono", reservoir: bool = False, protect: bool = False,
 ) -> bytes:
     """MPEG-1 Layer III mono encoder for the structural subset: each
     granule is ``(values, gain_e)`` or the extended dict accepted by
@@ -5132,26 +5146,28 @@ def encode_mp3(
     si_len = 17 if nch == 1 else 32
 
     def head(scfsi_ch: list, fields: list, mdb: int) -> bytes:
-        bw = _MsbBitWriter()
+        hw = _MsbBitWriter()
         # header: sync(11)=all ones, ID(2)=11 (MPEG-1), layer(2)=01,
-        # prot(1)=1 (no CRC)
-        bw.bits(0x7FF, 11)
-        bw.bits(0b11, 2)
-        bw.bits(0b01, 2)
-        bw.bits(1, 1)
-        bw.bits(br_idx, 4)
-        bw.bits(sr_idx, 2)
-        bw.bits(0, 1)  # padding
-        bw.bits(0, 1)  # private
-        bw.bits(modes[mode], 2)
+        # prot(1)=0 when a CRC-16 follows (``protect``), 1 otherwise
+        hw.bits(0x7FF, 11)
+        hw.bits(0b11, 2)
+        hw.bits(0b01, 2)
+        hw.bits(0 if protect else 1, 1)
+        hw.bits(br_idx, 4)
+        hw.bits(sr_idx, 2)
+        hw.bits(0, 1)  # padding
+        hw.bits(0, 1)  # private
+        hw.bits(modes[mode], 2)
         # mode extension: 10 = ms_stereo on / intensity off,
         # 01 = intensity on / ms off, 00 (no matrixing) otherwise
-        bw.bits(
+        hw.bits(
             0b10 if mode == "ms" else (0b01 if mode == "is" else 0), 2
         )
-        bw.bits(0, 1)  # copyright
-        bw.bits(0, 1)  # original
-        bw.bits(0, 2)  # emphasis
+        hw.bits(0, 1)  # copyright
+        hw.bits(0, 1)  # original
+        hw.bits(0, 2)  # emphasis
+        header = hw.flush()
+        bw = _MsbBitWriter()
         # side info: 17 bytes mono / 32 bytes two-channel (11172-3 2.4.1.7)
         bw.bits(mdb, 9)  # main_data_begin (bytes back into the reservoir)
         bw.bits(0, 5 if nch == 1 else 3)  # private
@@ -5186,7 +5202,11 @@ def encode_mp3(
             bw.bits(0, 1)  # preflag
             bw.bits(g["scalefac_scale"], 1)
             bw.bits(1, 1)  # count1table_select = spec table B (structural)
-        return bw.flush()
+        si = bw.flush()
+        if protect:
+            crc = _mp3_crc16(header[2:4] + si)
+            return header + crc.to_bytes(2, "big") + si
+        return header + si
 
     out = bytearray()
     if not reservoir:
@@ -5201,7 +5221,7 @@ def encode_mp3(
     # sequentially into the fixed per-frame slots; each frame's
     # main_data_begin points back to where ITS data starts inside the
     # bytes already written before its own slot.
-    slot = frame_len - 4 - si_len
+    slot = frame_len - (6 if protect else 4) - si_len
     stream = b"".join(main for _s, _f, main in frames)
     if len(stream) > slot * len(frames):
         raise ValueError("main-data stream overflows the frame slots")
@@ -5333,7 +5353,7 @@ def decode_mp3(payload: bytes) -> AudioData:
             raise NotImplementedError("only MPEG-1 audio decodes")
         if hdr.bits(2) != 0b01:
             raise NotImplementedError("only Layer III decodes")
-        hdr.bits(1)  # protection (CRC absent when 1)
+        protection = hdr.bits(1)  # 0 = CRC-16 follows the header
         br_idx = hdr.bits(4)
         sr_idx = hdr.bits(2)
         padding = hdr.bits(1)
@@ -5358,9 +5378,22 @@ def decode_mp3(payload: bytes) -> AudioData:
         sample_rate = MP3_RATES[sr_idx]
         frame_len = 144 * MP3_BITRATES[br_idx] * 1000 // sample_rate + padding
         si_len = 17 if nch == 1 else 32
-        if pos + frame_len > len(payload) or pos + 4 + si_len > len(payload):
+        hdr_off = 4 if protection else 6  # CRC-16 steals 2 frame bytes
+        if (pos + frame_len > len(payload)
+                or pos + hdr_off + si_len > len(payload)):
             raise ValueError("truncated MP3 frame")
-        si = _MsbBitReader(payload, pos + 4)
+        if not protection:
+            stored = int.from_bytes(payload[pos + 4 : pos + 6], "big")
+            calc = _mp3_crc16(
+                payload[pos + 2 : pos + 4]
+                + payload[pos + 6 : pos + 6 + si_len]
+            )
+            if stored != calc:
+                raise ValueError(
+                    f"MP3 CRC-16 mismatch at frame offset {pos}"
+                    f" (stored {stored:#06x}, computed {calc:#06x})"
+                )
+        si = _MsbBitReader(payload, pos + hdr_off)
         mdb = si.bits(9)  # main_data_begin: bytes back into the reservoir
         si.bits(5 if nch == 1 else 3)  # private
         scfsi_ch = []
@@ -5436,7 +5469,7 @@ def decode_mp3(payload: bytes) -> AudioData:
                 )
         # Bit reservoir: this frame's main data begins mdb bytes before
         # its own slot, inside the accumulated prior-slot bytes.
-        slot = payload[pos + 4 + si_len : pos + frame_len]
+        slot = payload[pos + hdr_off + si_len : pos + frame_len]
         if mdb > len(reservoir):
             raise ValueError(
                 f"main_data_begin {mdb} reaches before the start of the "

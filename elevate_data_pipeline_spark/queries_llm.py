@@ -5084,7 +5084,13 @@ def multimodal_mp3_decode(spark, sf_dir):
                     "scalefac_compress": 5,
                 }
                 au = multimodal.decode_audio(
-                    multimodal.encode_mp3([g0, g1], bitrate=64)
+                    # odd docs frame with protection_bit=0: the real
+                    # CRC-16 (poly 0x8005 over header bytes 2-3 + side
+                    # info) is written and VERIFIED on decode; samples
+                    # are framing-invariant, so the oracle is untouched
+                    multimodal.encode_mp3(
+                        [g0, g1], bitrate=64, protect=did % 2 == 1
+                    )
                 )
                 rows.append(
                     (did, len(au.samples), au.sample_rate,

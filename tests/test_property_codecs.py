@@ -1716,3 +1716,43 @@ def test_aac_tns_eight_short_property(w, band, v, sgn, k1, direction,
     for t in range(0, 1024, 101):
         assert au.samples[t] == max(
             -32768, min(32767, (acc[t] + half) >> mm.AAC_SHIFT))
+
+
+@given(
+    v=st.integers(1, 15),
+    sgn=st.sampled_from([1, -1]),
+    e=st.integers(0, 7),
+    mode=st.sampled_from(["mono", "ms", "stereo"]),
+    reservoir=st.booleans(),
+)
+@settings(max_examples=25, deadline=None)
+def test_mp3_crc_protected_frames_property(v, sgn, e, mode, reservoir):
+    """protection_bit=0 framing: the MPEG CRC-16 (poly 0x8005 over
+    header bytes 2-3 + side info) is written after the header and
+    verified on decode; samples are bit-identical to the unprotected
+    framing in every mode, with and without the bit reservoir."""
+    if mode == "mono":
+        fr = [([sgn * v], e), ([1, -1], (e + 3) % 8)]
+    else:
+        fr = [(([sgn * v], e), ([1], 0)), (([2], 1), ([0], 0))]
+    plain = mm.decode_mp3(mm.encode_mp3(fr, mode=mode, reservoir=reservoir))
+    prot = mm.decode_mp3(
+        mm.encode_mp3(fr, mode=mode, reservoir=reservoir, protect=True))
+    assert plain.samples == prot.samples
+
+
+def test_mp3_crc_detects_corruption():
+    """Any flip inside the protected span (header bytes 2-3 or side
+    info) fails the CRC loudly; a flip in the unprotected ancillary
+    tail does not (the CRC covers exactly what the spec says)."""
+    import pytest
+
+    buf = mm.encode_mp3([([3], 2), ([1], 1)], protect=True)
+    for off in (3, 7, 10):  # emphasis byte, side-info bytes
+        bad = bytearray(buf)
+        bad[off] ^= 0x40
+        with pytest.raises(ValueError, match="CRC-16 mismatch"):
+            mm.decode_mp3(bytes(bad))
+    bad = bytearray(buf)
+    bad[-1] ^= 0xFF  # ancillary padding: outside the protected span
+    assert mm.decode_mp3(bytes(bad)).samples == mm.decode_mp3(buf).samples
