@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from .operators.util import epoch_us
 from .sources.catalog import Catalog
 from .spec import parse_spec
-from .plans import compile_pipeline
+from .plans import compile_pipeline, run_per_id
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -105,6 +105,51 @@ def spec_fetchid_order_count(spark, sf_dir):
             }
         ],
     ).withColumn("total_orders", F.col("total_orders").cast("long"))
+
+
+@query(
+    "spec_compat_param_scan",
+    """
+    SELECT r.r_regionkey AS r_regionkey,
+           CAST(count(n.n_nationkey) AS BIGINT) AS n_nations
+    FROM region r LEFT JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_regionkey
+    """,
+)
+def spec_compat_param_scan(spark, sf_dir):
+    """S2 under the DRIVER GATE: the reference's per-ID compat loop
+    with ``${id}`` template substitution (mentoringFunction2.scala:158;
+    injection-guarded per SURVEY.md §2.8.5) run as a registry query —
+    the fetchId list is the 5-row region table, so the deliberate
+    O(|ids|) driver loop is bounded by construction (5 jobs), each
+    per-ID frame is the templated scan + count + S4 default row, and
+    the union replays the decorrelated plan's answer exactly. This is
+    compat/A-B tooling surfaced for correctness coverage, NEVER the
+    scale path — ``compile_pipeline`` is (see plans/compat.py)."""
+    spec = parse_spec(
+        json.dumps([{
+            "fetchId": {
+                "query": "SELECT r_regionkey FROM region",
+                "id": "r_regionkey",
+            },
+            "tasks": [{
+                "single_process": {
+                    "input": "t",
+                    "query": (
+                        "SELECT n_nationkey FROM nation"
+                        " WHERE n_regionkey = ${id}"
+                    ),
+                    "agg": "count", "agg_on": "n_nationkey",
+                    "join_on": "r_regionkey", "join_type": "left",
+                    "rename": "n_nations",
+                }
+            }],
+        }]),
+        None,
+        None,
+    )
+    (df,) = run_per_id(Catalog(spark, sf_dir), spec)
+    return df.withColumn("n_nations", F.col("n_nations").cast("long"))
 
 
 @query(

@@ -66,6 +66,7 @@ WAIVERS: dict[str, str] = {
     "basket_triangles": f"{_SCALAR}; degree-moment scalar + final triangle-count row",
     "bpe_fertility": f"{_SCALAR}; corpus token/char totals (single summary row)",
     "corpus_vocab": f"{_SCALAR}; total-token count scalar feeding coverage fractions",
+    "spec_compat_param_scan": f"{_SCALAR}; deliberate compat-mode query — the reference's per-ID loop (5 bounded ids, one global count agg each); the scale path is compile_pipeline, A/B-proven equal",
     "customer_rfm": f"{_SCALAR}; max(o_orderdate) recency anchor, broadcast back",
     "events_drift_buckets": f"{_SCALAR}; sum over ≤n_buckets histogram rows → PSI denominators",
     "events_drift_score": f"{_SCALAR}; sum over ≤n_buckets histogram rows → PSI denominators",
