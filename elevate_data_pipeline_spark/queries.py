@@ -332,6 +332,65 @@ def spec_dynamic_agg_sum(spark, sf_dir):
 
 
 @query(
+    "spec_config_table_run",
+    """
+    SELECT o_orderstatus AS o_orderstatus,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value,
+           count(o_orderkey) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def spec_config_table_run(spark, sf_dir):
+    """S3 + A5 under the DRIVER GATE: the spec arrives the way the
+    reference receives it — as a CONFIG-TABLE row (script_type + the
+    three JSON documents; task/mentoringExecution2.scala:19,28 selects
+    the row, :34-36 pulls the documents with ``.first()``, the A5
+    scalar extraction). The config frame here is in-memory (any
+    DataFrame works: parquet/JDBC identical), carries a decoy row to
+    prove the script_type filter selects, and the loaded spec compiles
+    through the normal decorrelated path. The config read is one
+    1-row ``.first()`` — bounded by definition; the compiled query is
+    the usual scan+agg shape."""
+    from .spec.config import load_spec_from_config
+
+    spec_json = json.dumps([{
+        "tasks": [
+            {
+                "single_process": {
+                    "input": "v",
+                    "query": (
+                        "SELECT o_orderstatus, CAST(o_totalprice AS"
+                        " DECIMAL(18,2)) AS o_totalprice, o_orderkey"
+                        " FROM orders"
+                    ),
+                    "aggs": [
+                        {"agg": "sum", "agg_on": "o_totalprice",
+                         "rename": "total_value"},
+                        {"agg": "count", "agg_on": "o_orderkey",
+                         "rename": "n_orders"},
+                    ],
+                    "groupby": "o_orderstatus",
+                    "join_on": "none",
+                    "join_type": "none",
+                }
+            }
+        ]
+    }])
+    config = spark.createDataFrame(
+        [
+            ("decoy", "[]", None, None),
+            ("mentoring", spec_json, None, None),
+        ],
+        "script_type string, input_data_schema string,"
+        " data_mapping string, output_data_schema string",
+    )
+    spec = load_spec_from_config(config, "mentoring")
+    (df,) = compile_pipeline(Catalog(spark, sf_dir), spec)
+    return df.withColumn("total_value", F.col("total_value").cast("double"))
+
+
+@query(
     "spec_where_filter",
     """
     SELECT l_returnflag AS l_returnflag, count(l_orderkey) AS n_items
