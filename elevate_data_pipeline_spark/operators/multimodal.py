@@ -7665,16 +7665,32 @@ def decode_ogg_flac(payload: bytes, verify_md5: bool = True) -> AudioData:
     metadata blocks they are and the native meta walk validates their
     chaining flags. Foreign Ogg payloads (Vorbis/Opus/Theora) still
     gate loudly, as does a major version other than 1 or a final
-    granule that contradicts STREAMINFO's sample count."""
-    w = decode_ogg(payload)
-    pk0 = w["packets"][0]
-    if len(pk0) < 9 or pk0[0] != 0x7F or pk0[1:5] != b"FLAC":
+    granule that contradicts STREAMINFO's sample count. A MULTIPLEXED
+    file (e.g. FLAC + a foreign codec track) demuxes via
+    :func:`decode_ogg_streams` and decodes its single FLAC-mapped
+    logical stream; zero or several FLAC streams refuse loudly."""
+    streams = decode_ogg_streams(payload)
+    flac = [
+        st for st in streams.values()
+        if st["packets"] and len(st["packets"][0]) >= 9
+        and st["packets"][0][0] == 0x7F
+        and st["packets"][0][1:5] == b"FLAC"
+    ]
+    if len(flac) > 1:
+        raise ValueError(
+            f"{len(flac)} FLAC-mapped streams in one Ogg file; pick a"
+            " serial via decode_ogg_streams"
+        )
+    if not flac:
+        pk0 = next(iter(streams.values()))["packets"][0]
         head = bytes(pk0[:8])
         raise NotImplementedError(
             "Ogg payload is not FLAC-mapped (Vorbis/Opus/Theora need"
             f" codec libraries this environment does not ship); first"
             f" packet starts {head!r}"
         )
+    w = flac[0]
+    pk0 = w["packets"][0]
     major, minor = pk0[5], pk0[6]
     if major != 1:
         raise NotImplementedError(
@@ -7835,24 +7851,59 @@ def encode_ogg(packets: list, serial: int = 1, granule_base: int = 0,
     return bytes(out)
 
 
-def decode_ogg(payload: bytes) -> dict:
-    """Byte-exact Ogg page walk + packet reassembly. Returns
-    ``serial, n_pages, packets, granules, spans`` (spans = any packet
-    crossed a page boundary). Fails loud on bad capture pattern,
-    non-zero version, CRC mismatch, page-sequence gaps, a continuation
-    page without a pending packet, or a packet left dangling at EOS."""
+def mux_ogg(physicals: list) -> bytes:
+    """Interleave single-stream Ogg physical streams into one grouped
+    multiplexed stream (RFC 3533 §2): all BOS pages first (input
+    order), then the remaining pages round-robin at page granularity.
+    Serials must be distinct; pages pass through byte-exact (CRCs
+    unchanged — page contents are untouched)."""
+    import struct
+
+    def pages(buf: bytes) -> list:
+        out, pos = [], 0
+        while pos < len(buf):
+            if buf[pos : pos + 4] != _OGG_MAGIC:
+                raise ValueError(f"bad Ogg capture pattern at offset {pos}")
+            nsegs = buf[pos + 26]
+            end = pos + 27 + nsegs + sum(buf[pos + 27 : pos + 27 + nsegs])
+            out.append(buf[pos:end])
+            pos = end
+        return out
+
+    per = [pages(b) for b in physicals]
+    serials = [struct.unpack("<I", p[0][14:18])[0] for p in per]
+    if len(set(serials)) != len(serials):
+        raise ValueError(f"mux needs distinct serials, got {serials}")
+    out = bytearray()
+    for p in per:
+        out += p[0]  # BOS pages first, input order
+    rest = [p[1:] for p in per]
+    i = 0
+    while any(rest):
+        if rest[i % len(rest)]:
+            out += rest[i % len(rest)].pop(0)
+        i += 1
+    return bytes(out)
+
+
+def decode_ogg_streams(payload: bytes) -> dict:
+    """Byte-exact Ogg page walk + packet reassembly for GROUPED
+    (concurrently multiplexed) physical streams, RFC 3533 §2: pages of
+    any number of logical bitstreams interleave at page granularity;
+    each logical stream keeps its own serial, page sequence, pending
+    packet, and granules, and all BOS pages precede all data pages.
+    Returns ``{serial: {serial, n_pages, packets, granules, spans}}``
+    in first-BOS order. Fails loud on bad capture pattern, non-zero
+    version, CRC mismatch, per-stream sequence gaps, a continuation
+    page without its stream's pending packet, a data page for an
+    unopened serial, a BOS after data (chained multiplexing is out of
+    subset), pages after a stream's EOS, or packets left dangling."""
     import struct
 
     pos = 0
     n = len(payload)
-    serial = None
-    expect_seq = 0
-    packets: list = []
-    granules: list = []
-    pending = bytearray()
-    pending_open = False
-    spans = False
-    n_pages = 0
+    streams: dict = {}
+    bos_done = False
     while pos < n:
         if payload[pos : pos + 4] != _OGG_MAGIC:
             raise ValueError(f"bad Ogg capture pattern at offset {pos}")
@@ -7878,41 +7929,78 @@ def decode_ogg(payload: bytes) -> dict:
         page[22:26] = b"\x00\x00\x00\x00"
         if _ogg_crc(bytes(page)) != crc:
             raise ValueError(f"Ogg CRC mismatch on page {seq}")
-        if serial is None:
-            serial = ser
-            if not htype & 0x02:
-                raise ValueError("first Ogg page missing BOS flag")
-        elif ser != serial:
-            raise ValueError("multiplexed Ogg streams not supported")
-        if seq != expect_seq:
-            raise ValueError(f"Ogg page sequence gap ({expect_seq} -> {seq})")
-        expect_seq += 1
+        st = streams.get(ser)
+        if htype & 0x02:
+            if st is not None:
+                raise ValueError(f"duplicate BOS for Ogg serial {ser}")
+            if bos_done:
+                raise NotImplementedError(
+                    "BOS page after data pages: chained Ogg"
+                    " multiplexing not supported (grouped subset,"
+                    " RFC 3533 §2)"
+                )
+            st = streams[ser] = {
+                "serial": ser, "n_pages": 0, "packets": [],
+                "granules": [], "spans": False,
+                "_seq": 0, "_pending": bytearray(), "_open": False,
+                "_eos": False,
+            }
+        elif st is None:
+            raise ValueError(
+                f"Ogg data page for serial {ser} without a BOS page"
+            )
+        else:
+            bos_done = True
+        if st["_eos"]:
+            raise ValueError(f"Ogg page after EOS on serial {ser}")
+        if seq != st["_seq"]:
+            raise ValueError(
+                f"Ogg page sequence gap on serial {ser}"
+                f" ({st['_seq']} -> {seq})"
+            )
+        st["_seq"] += 1
         if htype & 0x01:
-            if not pending_open:
+            if not st["_open"]:
                 raise ValueError("Ogg continuation page without pending packet")
-            spans = True
-        elif pending_open:
+            st["spans"] = True
+        elif st["_open"]:
             raise ValueError("pending Ogg packet not continued")
         body_pos = pos + 27 + nsegs
         for v in segs:
-            pending += payload[body_pos : body_pos + v]
+            st["_pending"] += payload[body_pos : body_pos + v]
             body_pos += v
-            pending_open = True
+            st["_open"] = True
             if v < 255:
-                packets.append(bytes(pending))
-                pending = bytearray()
-                pending_open = False
-        granules.append(granule)
-        n_pages += 1
+                st["packets"].append(bytes(st["_pending"]))
+                st["_pending"] = bytearray()
+                st["_open"] = False
+        st["granules"].append(granule)
+        st["n_pages"] += 1
+        if htype & 0x04:
+            st["_eos"] = True
         pos = page_end
-    if n_pages == 0:
+    if not streams:
         raise ValueError("empty Ogg stream")
-    if pending_open:
-        raise ValueError("Ogg packet dangling at end of stream")
-    return {
-        "serial": serial,
-        "n_pages": n_pages,
-        "packets": packets,
-        "granules": granules,
-        "spans": spans,
-    }
+    for ser, st in streams.items():
+        if st["_open"]:
+            raise ValueError("Ogg packet dangling at end of stream")
+        for k in ("_seq", "_pending", "_open", "_eos"):
+            del st[k]
+    return streams
+
+
+def decode_ogg(payload: bytes) -> dict:
+    """Single-logical-stream Ogg decode (the common case): the grouped
+    walk of :func:`decode_ogg_streams` with exactly one serial
+    required — its stream dict (``serial, n_pages, packets, granules,
+    spans``) is returned directly. A multiplexed file is a loud error
+    here; demultiplex with :func:`decode_ogg_streams` instead. The
+    first page must carry BOS (same contract as before)."""
+    streams = decode_ogg_streams(payload)
+    if len(streams) > 1:
+        raise ValueError(
+            f"{len(streams)} multiplexed Ogg streams (serials"
+            f" {sorted(streams)}); use decode_ogg_streams"
+        )
+    (st,) = streams.values()
+    return st

@@ -2275,7 +2275,9 @@ def multimodal_ogg_flac_decode(spark, sf_dir):
     positions) and decoded back through ``decode_audio``'s OggS
     dispatch -> ``decode_ogg_flac``: the byte-exact Ogg page walk
     (CRC-32, sequencing, lacing reassembly) COMPOSED with the
-    full-integer FLAC decoder (Rice, CRC-8/16, STREAMINFO MD5).
+    full-integer FLAC decoder (Rice, CRC-8/16, STREAMINFO MD5);
+    every fourth doc is additionally MULTIPLEXED with a foreign codec
+    track and demuxed back out (``mux_ogg``/``decode_ogg_streams``).
     FLAC is lossless, so peak/energy equal the closed-form signal, and
     the transport is checked structurally: n_pages = header page +
     one per frame, final granule = the sample count (cross-validated
@@ -2302,8 +2304,20 @@ def multimodal_ogg_flac_decode(spark, sf_dir):
                     sig, sample_rate=8000, block_size=128, force=force,
                     serial=1 + did % 1000,
                 )
-                audio = multimodal.decode_audio(ogg)
                 walk = multimodal.decode_ogg(ogg)
+                fetched = ogg
+                if did % 4 == 1:
+                    # every fourth doc arrives MULTIPLEXED with a
+                    # foreign codec track (grouped per RFC 3533 §2):
+                    # the demux must pick the FLAC-mapped stream, so
+                    # the decoded samples — and the oracle — are
+                    # framing-invariant
+                    foreign = multimodal.encode_ogg(
+                        [b"\x01vorbis" + bytes(8), "v-\u9801-data".encode()],
+                        serial=2000 + did % 1000,
+                    )
+                    fetched = multimodal.mux_ogg([foreign, ogg])
+                audio = multimodal.decode_audio(fetched)
                 rows.append(
                     (did, len(audio.samples), audio.sample_rate,
                      max(abs(s) for s in audio.samples),

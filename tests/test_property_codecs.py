@@ -1756,3 +1756,46 @@ def test_mp3_crc_detects_corruption():
     bad = bytearray(buf)
     bad[-1] ^= 0xFF  # ancillary padding: outside the protected span
     assert mm.decode_mp3(bytes(bad)).samples == mm.decode_mp3(buf).samples
+
+
+def test_ogg_grouped_multiplexing():
+    """RFC 3533 grouped multiplexing: mux_ogg interleaves page-granular
+    with BOS pages first; decode_ogg_streams demuxes per serial with
+    independent sequence/packet state; decode_ogg_flac picks the
+    FLAC-mapped track; structural violations refuse loudly."""
+    import pytest
+
+    sig = [((i * 37) % 2000) - 1000 for i in range(600)]
+    flac = mm.encode_ogg_flac(sig, serial=5)
+    vorb = mm.encode_ogg([b"\x01vorbis" + b"\x00" * 20, b"vd", b"m"],
+                         serial=9)
+    mux = mm.mux_ogg([vorb, flac])
+    streams = mm.decode_ogg_streams(mux)
+    assert sorted(streams) == [5, 9]
+    assert streams[9]["packets"][1] == b"vd"
+    assert mm.decode_ogg_flac(mux).samples == sig
+    assert mm.decode_audio(mux).samples == sig
+    with pytest.raises(ValueError, match="use decode_ogg_streams"):
+        mm.decode_ogg(mux)
+    with pytest.raises(ValueError, match="distinct serials"):
+        mm.mux_ogg([flac, flac])
+    with pytest.raises(ValueError, match="FLAC-mapped streams"):
+        mm.decode_ogg_flac(
+            mm.mux_ogg([flac, mm.encode_ogg_flac(sig[:50], serial=6)]))
+    # single-stream files still walk through the grouped decoder
+    one = mm.decode_ogg_streams(flac)
+    assert list(one) == [5] and one[5]["packets"]
+    # data page for an unopened serial / BOS after data both refuse
+    import struct
+    pages = []
+    pos = 0
+    while pos < len(vorb):
+        nsegs = vorb[pos + 26]
+        end = pos + 27 + nsegs + sum(vorb[pos + 27 : pos + 27 + nsegs])
+        pages.append(vorb[pos:end])
+        pos = end
+    with pytest.raises(ValueError, match="without a BOS"):
+        mm.decode_ogg_streams(pages[1])
+    with pytest.raises(NotImplementedError, match="chained"):
+        # a second physical stream appended whole (its BOS follows data)
+        mm.decode_ogg_streams(vorb + flac)
