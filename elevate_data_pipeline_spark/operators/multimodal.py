@@ -4029,18 +4029,29 @@ def encode_flac(
     force: str | None = None,
     channels: int = 1,
     _parts: list | None = None,
+    stereo_mode: str = "independent",
 ) -> bytes:
     """Conformant FLAC stream: fLaC marker + STREAMINFO (with the real
     PCM MD5), then blocksize-framed audio. ``samples`` are interleaved
-    when ``channels`` > 1 (independent channel assignment — each channel
-    gets its own subframe; no mid/side decorrelation). ``force`` pins
-    every subframe to "verbatim" or "lpc" (pseudo-LPC) to exercise those
-    decoder paths; default picks constant or the best fixed predictor."""
+    when ``channels`` > 1. ``stereo_mode`` picks the channel
+    assignment for stereo input: "independent" (default), or the
+    decorrelated pairs "left_side" / "right_side" / "mid_side"
+    (RFC 9639 §9.1.3 — side = L-R carried in a bps+1 subframe, mid =
+    (L+R)>>1 with the lost LSB recovered from side's parity; exact
+    integers both ways). ``force`` pins every subframe to "verbatim"
+    or "lpc" (pseudo-LPC) to exercise those decoder paths; default
+    picks constant or the best fixed predictor."""
     import hashlib
     import struct
 
     if channels < 1 or channels > 8:
         raise ValueError("FLAC supports 1-8 channels")
+    ch_codes = {"independent": channels - 1, "left_side": 8,
+                "right_side": 9, "mid_side": 10}
+    if stereo_mode not in ch_codes:
+        raise ValueError(f"bad stereo_mode {stereo_mode!r}")
+    if stereo_mode != "independent" and channels != 2:
+        raise ValueError("decorrelated stereo_mode needs channels=2")
     if len(samples) % channels:
         raise ValueError("interleaved sample count not divisible by channels")
     n_total = len(samples) // channels  # inter-channel samples
@@ -4063,7 +4074,7 @@ def encode_flac(
         hdr.bits(0, 1)  # fixed blocking strategy: coded number = frame #
         hdr.bits(0b0111, 4)  # block size: 16-bit value-1 at header end
         hdr.bits(0, 4)  # sample rate: from STREAMINFO
-        hdr.bits(channels - 1, 4)  # independent channel assignment
+        hdr.bits(ch_codes[stereo_mode], 4)  # channel assignment
         hdr.bits({8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110, 32: 0b111}[bps], 3)
         hdr.bits(0, 1)  # reserved
         head = hdr.flush() + _flac_utf8_number(frame_no) + struct.pack(
@@ -4071,9 +4082,24 @@ def encode_flac(
         )
         head += bytes([_crc8(head)])
         bw = _MsbBitWriter()
-        for ch in range(channels):
-            blk = samples[(off + 0) * channels + ch : (off + blk_n) * channels : channels]
-            _encode_subframe(bw, blk, bps, force)
+        blocks = [
+            samples[(off + 0) * channels + ch
+                    : (off + blk_n) * channels : channels]
+            for ch in range(channels)
+        ]
+        widths = [bps] * channels
+        if stereo_mode != "independent":
+            left, right = blocks
+            side = [l - r for l, r in zip(left, right)]
+            if stereo_mode == "left_side":
+                blocks, widths = [left, side], [bps, bps + 1]
+            elif stereo_mode == "right_side":
+                blocks, widths = [side, right], [bps + 1, bps]
+            else:  # mid_side
+                mid = [(l + r) >> 1 for l, r in zip(left, right)]
+                blocks, widths = [mid, side], [bps, bps + 1]
+        for blk, w in zip(blocks, widths):
+            _encode_subframe(bw, blk, w, force)
         body = head + bw.flush()
         frames.append(body + struct.pack(">H", _crc16(body)))
         frame_no += 1
@@ -4147,11 +4173,13 @@ def decode_flac(payload: bytes, verify_md5: bool = True) -> AudioData:
         ch_code = br.bits(4)
         size_code = br.bits(3)
         br.bits(1)
-        if ch_code >= 8:
-            raise NotImplementedError(
-                "mid/side FLAC stereo decorrelation not implemented"
-            )
-        n_ch = ch_code + 1
+        if ch_code > 10:
+            raise ValueError(f"reserved FLAC channel assignment {ch_code}")
+        # 8/9/10 = left-side / right-side / mid-side decorrelation
+        # (RFC 9639 §9.1.3): two subframes, the SIDE one carrying one
+        # extra bit; reconstruction is exact integer arithmetic below
+        decorr = ch_code if ch_code >= 8 else None
+        n_ch = 2 if decorr is not None else ch_code + 1
         if n_ch != channels:
             raise ValueError("FLAC frame channel count != STREAMINFO")
         _flac_read_utf8_number(br)
@@ -4181,14 +4209,20 @@ def decode_flac(payload: bytes, verify_md5: bool = True) -> AudioData:
         # CRC-8 covers the header bytes; reader is byte-aligned here
         if _crc8(payload[frame_start : br.pos]) != br.bits(8):
             raise ValueError("FLAC frame header CRC-8 mismatch")
+        frame_ch: list = []
         for ch in range(n_ch):
+            # the side subframe of a decorrelated pair is bps+1 wide
+            side_extra = int(
+                (decorr in (8, 10) and ch == 1)
+                or (decorr == 9 and ch == 0)
+            )
             if br.bits(1):
                 raise ValueError("FLAC subframe padding bit set")
             stype = br.bits(6)
             wasted = 0
             if br.bits(1):
                 wasted = br.unary() + 1
-            eff = bps - wasted
+            eff = bps + side_extra - wasted
             if stype == 0:
                 v = _MsbBitReader.signed(br, eff)
                 sub = [v] * block_size
@@ -4225,7 +4259,23 @@ def decode_flac(payload: bytes, verify_md5: bool = True) -> AudioData:
                 raise ValueError(f"reserved FLAC subframe type {stype}")
             if wasted:
                 sub = [s << wasted for s in sub]
-            out_ch[ch].extend(sub)
+            frame_ch.append(sub)
+        if decorr == 8:      # left-side: R = L - S
+            left, side = frame_ch
+            frame_ch = [left, [l - s for l, s in zip(left, side)]]
+        elif decorr == 9:    # right-side: L = R + S
+            side, right = frame_ch
+            frame_ch = [[r + s for r, s in zip(right, side)], right]
+        elif decorr == 10:   # mid-side: the spec's lost-LSB recovery
+            mid, side = frame_ch
+            left, right = [], []
+            for m, s in zip(mid, side):
+                m = (m << 1) | (s & 1)
+                left.append((m + s) >> 1)
+                right.append((m - s) >> 1)
+            frame_ch = [left, right]
+        for ch in range(channels):
+            out_ch[ch].extend(frame_ch[ch])
         br.align()
         body_end = br.pos
         if body_end + 2 > len(payload):
