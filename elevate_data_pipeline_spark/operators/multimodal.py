@@ -4854,6 +4854,7 @@ def _mp3_norm_granule(g) -> dict:
             ],
             "subblock_gain": list(g.get("subblock_gain", [0, 0, 0])),
             "mixed_block": bool(g.get("mixed_block", False)),
+            "preflag": 1 if g.get("preflag") else 0,
         }
     else:
         values, gain_e = g
@@ -4863,6 +4864,7 @@ def _mp3_norm_granule(g) -> dict:
             "scalefac_compress": 0, "scfsi": (0, 0, 0, 0),
             "block_type": 0, "scalefac_short": [[0] * 12] * 3,
             "subblock_gain": [0, 0, 0], "mixed_block": False,
+            "preflag": 0,
         }
     if not 0 <= out["gain_e"] <= 7:
         raise ValueError("gain_e out of the subset's 0..7 grid")
@@ -4892,6 +4894,8 @@ def _mp3_norm_granule(g) -> dict:
         raise ValueError("block_type must be 0/1/2/3")
     if out["mixed_block"] and bt != 2:
         raise ValueError("mixed_block is defined for block_type 2 only")
+    if out["preflag"] and bt == 2 and not out["mixed_block"]:
+        raise ValueError("preflag is long-block-only (11172-3 2.4.3.4.5)")
     sfs = out["scalefac_short"]
     if len(sfs) != 3 or any(len(r) != 12 for r in sfs):
         raise ValueError("scalefac_short needs 3 windows x 12 bands")
@@ -4960,6 +4964,14 @@ def _mp3_norm_granule(g) -> dict:
     return out
 
 
+# The spec's preflag table (11172-3 2.4.3.4.5, Table B.6): with
+# preflag=1 these fixed values ADD to the long-block scalefactors
+# before the 2^(-(scalefac_scale+1)/2 * sf) term — pure integers, so
+# the power-of-two-grid rule applies to the SUM.
+MP3_PRETAB = (0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+              1, 1, 1, 1, 2, 2, 3, 3, 3, 2)
+
+
 def _mp3_sf_scale_shift(g: dict, sf: int) -> int:
     """The power-of-two grid rule shared by both band layouts:
     scalefac_scale=1 shifts by scalefac, 0 by scalefac/2 (odd values
@@ -4990,7 +5002,9 @@ def _mp3_down_shift(g: dict, line: int) -> int:
             w, b = _MP3_SHORT_WB_OF_LINE[line]
         return _mp3_sf_scale_shift(g, g["scalefac_short"][w][b]) \
             + 2 * g["subblock_gain"][w]
-    return _mp3_sf_scale_shift(g, g["scalefac"][_MP3_SFB_OF_LINE[line]])
+    b = _MP3_SFB_OF_LINE[line]
+    pre = MP3_PRETAB[b] if g.get("preflag") else 0
+    return _mp3_sf_scale_shift(g, g["scalefac"][b] + pre)
 
 
 def _mp3_crc16(data: bytes) -> int:
@@ -5249,7 +5263,7 @@ def encode_mp3(
                 bw.bits(1, 5)
                 bw.bits(0, 4)  # region0_count
                 bw.bits(0, 3)  # region1_count
-            bw.bits(0, 1)  # preflag
+            bw.bits(g.get("preflag", 0), 1)
             bw.bits(g["scalefac_scale"], 1)
             bw.bits(1, 1)  # count1table_select = spec table B (structural)
         si = bw.flush()
@@ -5491,8 +5505,11 @@ def decode_mp3(payload: bytes) -> AudioData:
                 raise NotImplementedError(
                     "only the repo gamma table (id 1) decodes"
                 )
-            if si.bits(1) != 0:
-                raise NotImplementedError("MP3 preflag")
+            preflag = si.bits(1)
+            if preflag and bt == 2 and not mixed:
+                raise ValueError(
+                    "preflag is long-block-only (11172-3 2.4.3.4.5)"
+                )
             sf_scale = si.bits(1)
             if si.bits(1) != 1:
                 raise NotImplementedError(
@@ -5507,7 +5524,7 @@ def decode_mp3(payload: bytes) -> AudioData:
                 raise NotImplementedError("negative gain exponent (subset)")
             gr_fields.append(
                 (part23, big_values, (gg - 210) // 4, sf_compress, sf_scale,
-                 bt, sbg, mixed)
+                 bt, sbg, mixed, preflag)
             )
         for ch in range(nch):
             if any(scfsi_ch[ch]) and any(
@@ -5536,7 +5553,7 @@ def decode_mp3(payload: bytes) -> AudioData:
         # drive the intensity band walk
         slots: list = []
         for fi, (part23, big_values, gain_e, sf_compress, sf_scale,
-                 bt, sbg, mixed) in enumerate(gr_fields):
+                 bt, sbg, mixed, preflag) in enumerate(gr_fields):
             gi, ch = fi // nch, fi % nch
             scfsi = scfsi_ch[ch]
             start_bits = md.pos * 8 - md._n
@@ -5573,6 +5590,7 @@ def decode_mp3(payload: bytes) -> AudioData:
                 "scalefac": sfac, "scalefac_scale": sf_scale,
                 "block_type": bt, "scalefac_short": sfac_short,
                 "subblock_gain": sbg, "mixed_block": mixed,
+                "preflag": preflag,
             }
 
             def requant(mag: int, neg: bool, line: int) -> int:

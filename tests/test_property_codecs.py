@@ -1836,3 +1836,40 @@ def test_flac_stereo_decorrelation_gates():
         mm.encode_flac([1, 2], channels=2, stereo_mode="surround")
     with pytest.raises(ValueError, match="channels=2"):
         mm.encode_flac([1], channels=1, stereo_mode="mid_side")
+
+
+@given(
+    band=st.integers(11, 20),
+    v=st.integers(1, 15),
+    sgn=st.sampled_from([1, -1]),
+    e=st.integers(3, 7),
+    base_sf=st.integers(0, 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_mp3_preflag_pretab_property(band, v, sgn, e, base_sf):
+    """preflag=1 adds the spec's pretab to the long-block scalefactors
+    (11172-3 2.4.3.4.5 Table B.6): a preflag stream decodes identically
+    to the explicit-scalefactor stream with sf+pretab — for every
+    nonzero-pretab band — and preflag with pure short blocks refuses."""
+    import pytest
+
+    pre = mm.MP3_PRETAB[band]
+    if e - (base_sf + pre) < 0:
+        e = base_sf + pre  # keep the shift on the grid
+    idx = next(i for i in range(576) if mm._MP3_SFB_OF_LINE[i] == band)
+    big = [0] * (idx + 2)
+    big[idx] = sgn * v
+    sf = [0] * 21
+    sf[band] = base_sf
+    g1 = {"big": big, "gain_e": e, "scalefac": sf, "scalefac_scale": 1,
+          "scalefac_compress": 15, "preflag": 1}
+    sf2 = [0] * 21
+    sf2[band] = base_sf + pre
+    g2 = {"big": big, "gain_e": e, "scalefac": sf2, "scalefac_scale": 1,
+          "scalefac_compress": 15, "preflag": 0}
+    a = mm.decode_mp3(mm.encode_mp3([g1, ([], 0)]))
+    b = mm.decode_mp3(mm.encode_mp3([g2, ([], 0)]))
+    assert a.samples == b.samples
+    with pytest.raises(ValueError, match="long-block-only"):
+        mm.encode_mp3([{**g1, "block_type": 2,
+                        "subblock_gain": [0, 0, 0]}, ([], 0)])
