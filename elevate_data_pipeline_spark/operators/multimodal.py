@@ -6293,6 +6293,19 @@ def encode_adts(
         )
     out = bytearray()
     for payload in frames:
+        if isinstance(payload, (list, tuple)):
+            # one ADTS frame carrying 1-4 consecutive raw data blocks
+            # (number_of_raw_data_blocks_in_frame = n-1; protection
+            # absent, so the blocks simply follow byte-aligned)
+            blocks = list(payload)
+            if not 1 <= len(blocks) <= 4:
+                raise ValueError(
+                    "an ADTS frame carries 1..4 raw data blocks"
+                )
+            nblk = len(blocks) - 1
+            payload = b"".join(bytes(b) for b in blocks)
+        else:
+            nblk = 0
         flen = 7 + len(payload)
         if flen >= 1 << 13:
             raise ValueError("ADTS frame too long for 13-bit length")
@@ -6311,7 +6324,7 @@ def encode_adts(
         hdr = (hdr << 1) | 0               # copyright id start
         hdr = (hdr << 13) | flen
         hdr = (hdr << 11) | 0x7FF          # buffer fullness: VBR
-        hdr = (hdr << 2) | 0               # raw_data_blocks - 1
+        hdr = (hdr << 2) | nblk            # raw_data_blocks - 1
         out += hdr.to_bytes(7, "big") + payload
     return bytes(out)
 
@@ -6328,6 +6341,7 @@ def decode_adts(payload: bytes) -> dict:
     pos = 0
     profile = freq_index = channels = None
     frames: list = []
+    raw_blocks: list = []
     while pos < len(payload):
         if pos + 7 > len(payload):
             raise ValueError("truncated ADTS header")
@@ -6352,10 +6366,6 @@ def decode_adts(payload: bytes) -> dict:
         ch = (hdr >> 30) & 7
         flen = (hdr >> 13) & 0x1FFF
         nblocks = hdr & 3
-        if nblocks:
-            raise NotImplementedError(
-                "multiple raw data blocks per ADTS frame not supported"
-            )
         if flen < 7 or pos + flen > len(payload):
             raise ValueError(f"ADTS frame length {flen} out of bounds")
         if profile is None:
@@ -6370,6 +6380,7 @@ def decode_adts(payload: bytes) -> dict:
                 f"({prof},{fi},{ch},v{mpeg_version})"
             )
         frames.append(payload[pos + 7 : pos + flen])
+        raw_blocks.append(nblocks + 1)
         pos += flen
     if profile is None:
         raise ValueError("empty ADTS stream")
@@ -6380,7 +6391,8 @@ def decode_adts(payload: bytes) -> dict:
         "sample_rate": ADTS_SAMPLE_RATES[freq_index],
         "channels": channels,
         "frames": frames,
-        "samples_per_channel": _ADTS_SAMPLES_PER_FRAME * len(frames),
+        "raw_blocks": raw_blocks,
+        "samples_per_channel": _ADTS_SAMPLES_PER_FRAME * sum(raw_blocks),
     }
 
 
@@ -7492,17 +7504,35 @@ def _aac_read_stream(br, shared, intensity_ok: bool = False) -> tuple:
     return xr, ws, intens, (tns, max_sfb), [b for b, _ in noise]
 
 
-def _aac_parse_raw_block(buf: bytes) -> list:
-    """Parse one raw_data_block (SCE or CPE, + END) to per-channel
-    ``(spectral_lines, window_sequence)`` pairs. CPE decodes both the
-    shared-window layout (common_window=1, with the three
-    ms_mask_present shapes: 0 = independent, 1 = per-band ms_used
-    mask, 2 = all bands M/S) and independent windows (common_window=0);
-    MID/SIDE bands dematrix l = m + s, r = m - s per line BEFORE the
-    filterbank (14496-3 §4.6.8.1 — exact on the integer grid; joint
-    stereo with window switching gates loudly). Every out-of-subset
-    construct gates loudly."""
+def _aac_parse_raw_block(buf: bytes, n_blocks: int = 1) -> list:
+    """Parse ``n_blocks`` consecutive raw_data_blocks (SCE or CPE,
+    + END each, byte-aligned between blocks — the layout of an ADTS
+    frame with number_of_raw_data_blocks_in_frame > 0 and protection
+    absent, 13818-7/14496-3) to a LIST of per-block channel lists,
+    each entry per-channel ``(spectral_lines, window_sequence)``
+    pairs. CPE decodes both the shared-window layout (common_window=1,
+    with the three ms_mask_present shapes: 0 = independent, 1 =
+    per-band ms_used mask, 2 = all bands M/S) and independent windows
+    (common_window=0); MID/SIDE bands dematrix l = m + s, r = m - s
+    per line BEFORE the filterbank (14496-3 §4.6.8.1 — exact on the
+    integer grid; joint stereo with window switching gates loudly).
+    Every out-of-subset construct gates loudly. For compatibility the
+    single-block call returns the bare channel list."""
     br = _MsbBitReader(buf)
+    blocks: list = []
+    for _blk in range(n_blocks):
+        blocks.append(_aac_parse_one_block(br))
+        br.align()
+    # byte-align padding after the LAST block must be zero: trailing
+    # garbage means the walk lost sync somewhere upstream
+    while br.pos < len(br.buf) or br._n:
+        nb = br._n or 8
+        if br.bits(nb):
+            raise ValueError("nonzero padding after END element")
+    return blocks[0] if n_blocks == 1 else blocks
+
+
+def _aac_parse_one_block(br) -> list:
     chans = None
     ele_names = {
         2: "CCE (coupling channel)", 3: "LFE", 4: "DSE (data stream)",
@@ -7594,12 +7624,6 @@ def _aac_parse_raw_block(buf: bytes) -> list:
         ]
     if chans is None:
         raise ValueError("raw data block without a channel element")
-    # byte-align padding must be zero: trailing garbage means the walk
-    # lost sync somewhere upstream
-    while br.pos < len(br.buf) or br._n:
-        n = br._n or 8
-        if br.bits(n):
-            raise ValueError("nonzero padding after END element")
     return chans
 
 
@@ -7628,27 +7652,30 @@ def decode_aac(payload: bytes) -> AudioData:
     prevs = [[0] * 1024 for _ in range(nch)]
     samples: list = []
     half = 1 << (AAC_SHIFT - 1)
-    for fr in walk["frames"]:
-        chans = _aac_parse_raw_block(fr)
-        if len(chans) != nch:
-            raise ValueError(
-                f"raw data block carries {len(chans)} channels but the"
-                f" ADTS header declares {nch}"
-            )
-        pcm = []
-        for ch in range(nch):
-            xr, ws = chans[ch]
-            acc, prevs[ch] = _aac_frame_pcm(xr, prevs[ch], ws)
-            pcm.append([
-                max(-32768, min(32767, (a + half) >> AAC_SHIFT))
-                for a in acc
-            ])
-        if nch == 1:
-            samples.extend(pcm[0])
-        else:  # interleave L/R
-            for left, right in zip(pcm[0], pcm[1]):
-                samples.append(left)
-                samples.append(right)
+    for fr, n_blocks in zip(walk["frames"], walk["raw_blocks"]):
+        parsed = _aac_parse_raw_block(fr, n_blocks)
+        if n_blocks == 1:
+            parsed = [parsed]
+        for chans in parsed:
+            if len(chans) != nch:
+                raise ValueError(
+                    f"raw data block carries {len(chans)} channels but"
+                    f" the ADTS header declares {nch}"
+                )
+            pcm = []
+            for ch in range(nch):
+                xr, ws = chans[ch]
+                acc, prevs[ch] = _aac_frame_pcm(xr, prevs[ch], ws)
+                pcm.append([
+                    max(-32768, min(32767, (a + half) >> AAC_SHIFT))
+                    for a in acc
+                ])
+            if nch == 1:
+                samples.extend(pcm[0])
+            else:  # interleave L/R
+                for left, right in zip(pcm[0], pcm[1]):
+                    samples.append(left)
+                    samples.append(right)
     return AudioData(walk["sample_rate"], nch, 16, samples)
 
 

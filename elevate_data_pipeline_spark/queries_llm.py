@@ -5658,9 +5658,11 @@ def multimodal_aac_pulse(spark, sf_dir):
     extended 0..30 pow-4/3 table), frame 1 is pulse-free; odd docs
     re-frame the raw data blocks as MPEG-2 (ID=1) ADTS before decoding
     — the 13818-7 fixed header is bit-identical apart from the ID
-    flag, so the samples match the MPEG-4 replay exactly, and the
-    oracle (which knows nothing of framing) gates both paths. One
-    narrow scan, no shuffle: the 100 TB shape."""
+    flag, so the samples match the MPEG-4 replay exactly — and docs
+    at residue 2 mod 4 re-frame as a SINGLE ADTS frame carrying both
+    raw data blocks (number_of_raw_data_blocks_in_frame=1). The
+    oracle (which knows nothing of framing) gates all three paths.
+    One narrow scan, no shuffle: the 100 TB shape."""
     from collections.abc import Iterator
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -5686,6 +5688,15 @@ def multimodal_aac_pulse(spark, sf_dir):
                     payload = multimodal.encode_adts(
                         w["frames"], w["freq_index"], w["channels"], 1,
                         mpeg2=True,
+                    )
+                elif did % 4 == 2:
+                    # multi-RDB framing path: ONE ADTS frame carrying
+                    # both raw data blocks (nblocks=1) — also
+                    # sample-invariant, so the oracle gates it too
+                    w = multimodal.decode_adts(payload)
+                    payload = multimodal.encode_adts(
+                        [list(w["frames"])], w["freq_index"],
+                        w["channels"], 1,
                     )
                 au = multimodal.decode_audio(payload)
                 rows.append(

@@ -1873,3 +1873,34 @@ def test_mp3_preflag_pretab_property(band, v, sgn, e, base_sf):
     with pytest.raises(ValueError, match="long-block-only"):
         mm.encode_mp3([{**g1, "block_type": 2,
                         "subblock_gain": [0, 0, 0]}, ([], 0)])
+
+
+def test_adts_multiple_raw_data_blocks():
+    """nblocks>0 framing (protection absent): consecutive byte-aligned
+    raw data blocks inside one ADTS frame decode identically to the
+    one-block-per-frame framing; counts surface in the walk; >4 blocks
+    per frame refuse at encode."""
+    import pytest
+
+    gs = []
+    for k in range(4):
+        g = {"spec": [0] * 1024, "gain_e": k % 8}
+        g["spec"][100 + 50 * k] = 5 - k
+        gs.append(g)
+    single = mm.encode_aac(gs)
+    w = mm.decode_adts(single)
+    ref = mm.decode_aac(single)
+    multi = mm.encode_adts(
+        [w["frames"][0:2], w["frames"][2:4]], w["freq_index"], 1, 1)
+    w2 = mm.decode_adts(multi)
+    assert w2["raw_blocks"] == [2, 2]
+    assert w2["samples_per_channel"] == 4096
+    assert mm.decode_aac(multi).samples == ref.samples
+    # all four in one frame; and a mixed single/multi stream
+    allin = mm.encode_adts([list(w["frames"])], w["freq_index"], 1, 1)
+    assert mm.decode_aac(allin).samples == ref.samples
+    mixed = mm.encode_adts(
+        [w["frames"][0], w["frames"][1:4]], w["freq_index"], 1, 1)
+    assert mm.decode_aac(mixed).samples == ref.samples
+    with pytest.raises(ValueError, match="1..4"):
+        mm.encode_adts([w["frames"] * 2], w["freq_index"], 1, 1)
