@@ -74,6 +74,7 @@ def test_slowest_queries_within_committed_medians(spark):
     import time
 
     from elevate_data_pipeline_spark.queries import QUERIES
+    from elevate_data_pipeline_spark.session import _DEFAULTS
 
     rec, sf_dir = _bench_record()
     slowest = sorted(rec["queries"].items(), key=lambda kv: -kv[1])[:N_SLOWEST]
@@ -92,44 +93,75 @@ def test_slowest_queries_within_committed_medians(spark):
         QUERIES[name](spark, sf_dir).collect()
         return time.perf_counter() - t0
 
-    failures = []
-    for name, committed in slowest:
-        limit = max(committed * FACTOR, committed + ABS_SLACK) * ratio
-        took = timed(name)
-        if took > limit:
-            # best-of-2: a noisy-neighbor spike passes on retry; a real
-            # plan regression is just as slow the second time
-            took = min(took, timed(name))
-        if took > limit:
-            failures.append(
-                f"{name}: {took:.2f}s > limit {limit:.2f}s "
-                f"(committed median {committed:.2f}s, box ratio "
-                f"{ratio:.2f}, retried)"
-            )
+    # Measure under the BENCH's session shape, not the test suite's: the
+    # conftest session runs shuffle.partitions=8 for suite speed, but the
+    # committed medians were produced by bench.py at session._DEFAULTS
+    # (32) — the r12 round-start run of this guard clocked
+    # dedup_ngram_jaccard at 99 s under 8 partitions vs 13 s at the
+    # bench's 32 on the same quiet box (the self-join/window stages run
+    # on a quarter of the cores). Same for priming: bench.py medians are
+    # steady-state (per-input prime + median of 3), so the guard gives
+    # each query one untimed at-scale run first (the VERDICT-r11 task-1
+    # solo-probe protocol) — otherwise the single timed shot also pays
+    # first-touch costs the medians never contain.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", _DEFAULTS["spark.sql.shuffle.partitions"]
+    )
+    try:
+        for name, _ in slowest:
+            QUERIES[name](spark, sf_dir).collect()  # untimed prime
+
+        failures = []
+        for name, committed in slowest:
+            limit = max(committed * FACTOR, committed + ABS_SLACK) * ratio
+            took = timed(name)
+            # best-of-3: this sandbox shows heavy CPU steal (cumulative
+            # steal ticks ~3.6x user in /proc/stat; identical warm runs
+            # of one query swing 5 s -> 49 s inside a single session), so
+            # one retry is not enough to outlast a steal window. A real
+            # plan regression (the 2.5-10x pins this guard exists for)
+            # is just as slow on all three runs.
+            for _ in range(2):
+                if took <= limit:
+                    break
+                took = min(took, timed(name))
+            if took > limit:
+                failures.append(
+                    f"{name}: {took:.2f}s > limit {limit:.2f}s "
+                    f"(committed median {committed:.2f}s, box ratio "
+                    f"{ratio:.2f}, retried twice)"
+                )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     assert not failures, "bench regression tripwire:\n" + "\n".join(failures)
 
 
 def test_guard_retry_logic_catches_real_regressions():
-    """Unit-check the best-of-2 rule with fake timings: one spike passes
-    on retry; two consecutive breaches still fail."""
+    """Unit-check the best-of-3 rule with fake timings: steal-window
+    spikes pass on a later retry; three consecutive breaches still
+    fail."""
     def evaluate(timings, committed=1.0, ratio=1.0):
         limit = max(committed * FACTOR, committed + ABS_SLACK) * ratio
         it = iter(timings)
         took = next(it)
-        if took > limit:
+        for _ in range(2):
+            if took <= limit:
+                break
             took = min(took, next(it))
         return took <= limit
 
-    assert evaluate([10.0, 1.2])      # co-tenant spike, retry clean
-    assert not evaluate([10.0, 9.8])  # real 3x regression persists
-    assert evaluate([1.5])            # within limit, no retry consumed
+    assert evaluate([10.0, 1.2])            # co-tenant spike, retry clean
+    assert evaluate([10.0, 9.8, 1.4])       # two-run steal window, third clean
+    assert not evaluate([10.0, 9.8, 9.9])   # real 3x regression persists
+    assert evaluate([1.5])                  # within limit, no retry consumed
     # box calibration: a 2x-slower box (ratio 2) absorbs a 2x-inflated
     # replay; a 2x-faster box (ratio 0.6 clamped) tightens the limit so
     # a plan regression that would have hidden under stale slow-box
     # medians still trips
-    assert evaluate([5.0, 5.0], ratio=2.0)
-    assert not evaluate([5.0, 5.0], ratio=1.0)
-    assert not evaluate([2.0, 2.0], ratio=0.6)
+    assert evaluate([5.0, 5.0, 5.0], ratio=2.0)
+    assert not evaluate([5.0, 5.0, 5.0], ratio=1.0)
+    assert not evaluate([2.0, 2.0, 2.0], ratio=0.6)
 
 
 def test_box_ratio_contract(monkeypatch):
