@@ -6540,12 +6540,20 @@ def multimodal_mjpeg_decode(spark, sf_dir):
 @query(
     "multimodal_ahash_neardup",
     """
-    WITH px AS (
+    WITH mx AS (
+      SELECT doc_id, doc_id % 4 AS rr,
+             (((doc_id // 4) * 2654435761) % 4294967296) // 65536 % 256 AS pa,
+             ((((doc_id // 4) * 2246822519) % 4294967296) // 65536 % 128)
+               * 2 + 1 AS pb,
+             ((doc_id // 4) * 2246822519) % 256 AS pc
+      FROM documents
+    ), px AS (
       SELECT doc_id, CAST(r.range AS INT) AS i,
-             CASE WHEN r.range < doc_id % 4
-                  THEN 255 - ((doc_id // 4) * 37 + r.range * 11) % 256
-                  ELSE ((doc_id // 4) * 37 + r.range * 11) % 256 END AS v
-      FROM documents, range(0, 64) r
+             CASE WHEN r.range < rr
+                  THEN 255 - (pa + r.range * pb + r.range * r.range * pc) % 256
+                  ELSE (pa + r.range * pb + r.range * r.range * pc) % 256
+             END AS v
+      FROM mx, range(0, 64) r
     ), h AS (
       SELECT doc_id,
              sum(CASE WHEN v * 64 > t AND i < 32
@@ -6585,7 +6593,12 @@ def multimodal_ahash_neardup(spark, sf_dir):
     banding, and Hamming in closed form, so the whole decode->hash->
     block->verify chain is exactly gated. 100 TB shape: the only
     shuffle is the band-key equi-join (bounded candidates), never
-    all-pairs."""
+    all-pairs. The fixture mixes each 4-doc group's pixel pattern with
+    multiply-shift hashing (r13: the old linear pattern repeated every
+    256 groups, colliding band values corpus-wide and exploding the
+    join O(group^2) — 434k pairs at 5k docs; now groups are distinct,
+    band groups bounded, and rows_out ~linear: 6 502 at 5k docs,
+    68 278 at 50k)."""
     from collections.abc import Iterator
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -6594,9 +6607,24 @@ def multimodal_ahash_neardup(spark, sf_dir):
             for doc_id in pdf["doc_id"]:
                 did = int(doc_id)
                 base, r = did // 4, did % 4
+                # Multiply-shift mixed per-group pattern (Knuth/Fibonacci
+                # hashing): the r12 fixture's linear `base*37 % 256` had
+                # period 256 in `base`, so every 1024th doc carried an
+                # IDENTICAL hash and the 16-bit band equi-join exploded
+                # O(group^2) on the collided band values (434k pairs out
+                # of 5k docs — guide §2.5 skew / §3 exploding join). The
+                # mixed (a, b, c) give each base group a distinct quadratic
+                # pixel pattern (~23 bits of pattern entropy), so candidate
+                # groups stay the structural 4 near-dup docs and rows_out
+                # is ~linear in the doc count.
+                m1 = (base * 2654435761) % 4294967296
+                m2 = (base * 2246822519) % 4294967296
+                a = m1 // 65536 % 256
+                b = (m2 // 65536 % 128) * 2 + 1
+                c = m2 % 256
                 px = bytes(
-                    (255 - (base * 37 + i * 11) % 256)
-                    if i < r else (base * 37 + i * 11) % 256
+                    (255 - (a + i * b + i * i * c) % 256)
+                    if i < r else (a + i * b + i * i * c) % 256
                     for i in range(64)
                 )
                 img = multimodal.decode_image(

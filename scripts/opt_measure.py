@@ -1,13 +1,22 @@
-"""Round-12 optimization measurement: per-query build-time vs execute-time
-split, Exchange/ArrowEval node counts, and output row counts.
+"""Optimization measurement: per-query build-time vs execute-time split,
+Exchange/ArrowEval node counts, and output row counts.
 
 Usage: python scripts/opt_measure.py [out.json] [name_filter...]
 
 Methodology mirrors bench.py (same session factory, same warm laps, same
-median-of-3 collect timing) but additionally times DataFrame *construction*
-(driver-side py4j + analysis cost) separately from execution, and scrapes
-the formatted plan for shuffle/Python-boundary node counts — the two
-numbers that tell us where a sub-second query's time actually goes.
+median-of-3 timing) but splits DataFrame *construction* (driver-side py4j +
+analysis cost, including any eager size-gate actions) from *execution*
+(``.collect()`` on the just-built frame). Each of the 3 samples builds a
+fresh frame and times the two phases of the SAME sample, so
+``total_s = build_s + exec_s`` holds by construction and ``exec_s`` is pure
+collect time (ADVICE r12: the old version re-built inside the exec timer,
+double-counting build).
+
+Plan node counts are anchored on the formatted-explain detail headers
+(``(n) NodeName``), so each node is counted once, and shuffle exchanges
+are split from broadcast/reused exchanges (ADVICE r12: ``plan.count`` on
+the raw text counted tree line + detail block and conflated the three
+Exchange kinds).
 """
 
 from __future__ import annotations
@@ -28,12 +37,32 @@ from elevate_data_pipeline_spark.queries import QUERIES  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARM_DIR = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
 
+_NODE_RE = re.compile(r"^\(\d+\) (\w+)", re.M)
+
 
 def plan_text(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+def plan_counts(plan: str) -> dict:
+    nodes = _NODE_RE.findall(plan)
+    c = lambda *names: sum(1 for n in nodes if n in names)  # noqa: E731
+    return {
+        "exchanges": c("Exchange"),
+        "bcast_exchanges": c("BroadcastExchange"),
+        "reused_exchanges": c("ReusedExchange"),
+        "aqe_reads": c("AQEShuffleRead"),
+        "py_nodes": c(
+            "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+            "MapInArrow", "FlatMapGroupsInPandas",
+        ),
+        "sort_merge_joins": c("SortMergeJoin"),
+        "bcast_joins": c("BroadcastHashJoin"),
+        "shuffled_hash_joins": c("ShuffledHashJoin"),
+    }
 
 
 def main() -> None:
@@ -60,38 +89,28 @@ def main() -> None:
     results = {}
     for name in names:
         try:
-            # build time: median of 3 plan constructions
-            bts = []
+            plan = None
+            nrows = None
+            samples = []  # (build_s, exec_s) per fresh frame
             for _ in range(3):
                 t0 = time.perf_counter()
                 df = QUERIES[name](spark, SF_DIR)
-                bts.append(time.perf_counter() - t0)
-            bts.sort()
-            plan = plan_text(df)
-            nrows = None
-            ets = []
-            for i in range(3):
-                t0 = time.perf_counter()
-                rows = QUERIES[name](spark, SF_DIR).collect()
-                ets.append(time.perf_counter() - t0)
+                t1 = time.perf_counter()
+                rows = df.collect()
+                t2 = time.perf_counter()
+                samples.append((t1 - t0, t2 - t1))
                 if nrows is None:
                     nrows = len(rows)
+                    plan = plan_text(df)
                 del rows
-            ets.sort()
+            samples.sort(key=lambda s: s[0] + s[1])
+            build_s, exec_s = samples[1]
             results[name] = {
-                "build_s": round(bts[1], 3),
-                "exec_s": round(ets[1], 3),
-                "total_s": round(bts[1] + ets[1], 3),
+                "build_s": round(build_s, 3),
+                "exec_s": round(exec_s, 3),
+                "total_s": round(build_s + exec_s, 3),
                 "rows_out": nrows,
-                "exchanges": plan.count("Exchange"),
-                "aqe_reads": plan.count("AQEShuffleRead"),
-                "py_nodes": plan.count("ArrowEvalPython")
-                + plan.count("BatchEvalPython")
-                + plan.count("MapInPandas")
-                + plan.count("MapInArrow")
-                + plan.count("FlatMapGroupsInPandas"),
-                "sort_merge_joins": plan.count("SortMergeJoin"),
-                "bcast_joins": plan.count("BroadcastHashJoin"),
+                **plan_counts(plan),
             }
         except Exception as e:  # keep sweeping
             results[name] = {"err": repr(e)[:200]}
